@@ -1,0 +1,17 @@
+from dd_graphdb_spark.algorithms.pagerank import pagerank
+from dd_graphdb_spark.algorithms.components import connected_components, component_count, strongly_connected_components
+from dd_graphdb_spark.algorithms.paths import sssp, bfs_shortest_path, reachability
+from dd_graphdb_spark.algorithms.structure import k_core, triangle_count, degree_centrality
+
+__all__ = [
+    "pagerank",
+    "connected_components",
+    "component_count",
+    "strongly_connected_components",
+    "sssp",
+    "bfs_shortest_path",
+    "reachability",
+    "k_core",
+    "triangle_count",
+    "degree_centrality",
+]

@@ -1,0 +1,86 @@
+"""PageRank as a DataFrame power-iteration loop.
+
+Reference semantics (compute_pagerank, graph/algorithms/src/basic.rs:46-131;
+incremental variant graph/views/src/incremental_engine.rs:1139-1211):
+
+    new_rank(v) = (1 - d)/n + d * Σ_{u→v} rank(u) / outdeg(u)
+
+with damping ``d`` (default 0.85), bounded iterations, optional L1
+convergence tolerance. Dangling vertices contribute nothing (their mass
+decays), matching the reference's recurrence.
+
+Spark shape: ranks ⋈ edges on src → groupBy dst sum → left join back onto
+the vertex universe. Each iteration is one shuffle on the join key plus an
+aggregation with map-side partial sums. ``localCheckpoint`` every few
+iterations truncates lineage so 100-iteration runs don't blow up the plan.
+At 100 TB: pre-partition edges and ranks by the same key so the per-iter
+join is co-located; AQE handles skewed hub vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dd_graphdb_spark.graph import PropertyGraph
+
+CHECKPOINT_EVERY = 5
+
+
+def pagerank(
+    g: PropertyGraph,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tolerance: float | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Returns (id, rank). ``tolerance``: stop when the L1 delta between
+    iterations drops below it (basic.rs convergence check); None = run all
+    ``max_iterations`` (deterministic, oracle-friendly)."""
+    verts = g.vertices.select("id")
+    n = verts.count()
+    if n == 0:
+        return verts.withColumn("rank", F.lit(0.0))
+    edges = g.edges.select("src", "dst")
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # pre-compute each edge's share denominator once
+    contrib_edges = edges.join(outdeg, "src").select("src", "dst", "outdeg")
+    contrib_edges = contrib_edges.persist()
+    base = float((1.0 - damping) / n)
+
+    ranks = verts.withColumn("rank", F.lit(1.0 / n))
+    for i in range(max_iterations):
+        contribs = (
+            ranks.join(contrib_edges, ranks.id == contrib_edges.src)
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("msum"))
+        )
+        new_ranks = verts.join(contribs, "id", "left").select(
+            "id",
+            (F.lit(base) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"),
+        )
+        if (i + 1) % CHECKPOINT_EVERY == 0:
+            new_ranks = new_ranks.localCheckpoint()
+        if tolerance is not None:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "id")
+                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("l1"))
+                .collect()[0]["l1"]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tolerance:
+                break
+        else:
+            ranks = new_ranks
+    contrib_edges.unpersist()
+    if round_to is not None:
+        ranks = ranks.select("id", F.round("rank", round_to).alias("rank"))
+    return ranks
+
+
+def top_n(ranks: DataFrame, n: int) -> DataFrame:
+    """Sort desc by score, take n (PageRankResult::top_n, basic.rs:25-31);
+    ties broken by id for a total order."""
+    return ranks.orderBy(F.col("rank").desc(), F.col("id").asc()).limit(n)

@@ -1,0 +1,156 @@
+"""Shortest paths & reachability as frontier fixpoints.
+
+Reference semantics:
+- Weighted Dijkstra: weight from an edge property, default 1.0, path
+  reconstruction, INF/None when unreachable (compute_shortest_path,
+  graph/algorithms/src/basic.rs:277-340; the incremental engine's
+  SPFA-ish variant incremental_engine.rs:1214-1285 returns dist +
+  "a->b->c" path string).
+- BFS shortest path: unweighted, max_depth bound, returns vertex path
+  (graph/storage/src/lib.rs:834-871).
+- Reachability / transitive closure: fixpoint reach ∪ (reach ⋈ edges)
+  (graph/algorithms/src/lib.rs:14-43).
+
+Spark shape: Bellman-Ford-style frontier relaxation — each round joins
+the updated-distance frontier with edges and min-combines into the
+distance table. Rounds ≈ longest shortest-path hop count. Driver only
+checks an "any improvement?" flag; all data stays distributed.
+``localCheckpoint`` bounds lineage. At 100 TB, edges bucketed by src make
+the relax join co-located; delta-frontier joins keep per-round work
+proportional to the frontier, not the graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dd_graphdb_spark.graph import PropertyGraph
+
+CHECKPOINT_EVERY = 4
+
+
+def sssp(
+    g: PropertyGraph,
+    source: int,
+    weight_property: str | None = None,
+    default_weight: float = 1.0,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Single-source shortest paths. Returns (id, distance, path) where
+    path is the reference's "a->b->c" rendering; unreachable vertices are
+    omitted (reference returns INF/None for them)."""
+    e = g.edges
+    if weight_property is not None and weight_property in e.columns:
+        w = F.coalesce(F.col(weight_property).cast("double"), F.lit(default_weight))
+    else:
+        w = F.lit(default_weight)
+    edges = e.select("src", "dst", w.alias("w")).persist()
+
+    dist = (
+        g.vertices.select("id")
+        .filter(F.col("id") == source)
+        .select("id", F.lit(0.0).alias("distance"), F.col("id").cast("string").alias("path"))
+    )
+    frontier = dist
+    for i in range(max_iterations):
+        relaxed = (
+            frontier.join(edges, frontier.id == edges.src)
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("distance") + F.col("w")).alias("distance"),
+                F.concat(F.col("path"), F.lit("->"), F.col("dst").cast("string")).alias("path"),
+            )
+        )
+        # keep the best candidate per vertex this round (deterministic
+        # tie-break on the path string mirrors "first found" stability)
+        best = relaxed.groupBy("id").agg(
+            F.min(F.struct("distance", "path")).alias("b")
+        ).select("id", F.col("b.distance").alias("distance"), F.col("b.path").alias("path"))
+        improved = (
+            best.alias("n")
+            .join(dist.alias("o"), "id", "left")
+            .filter(F.col("o.id").isNull() | (F.col("n.distance") < F.col("o.distance")))
+            .select(F.col("id"), F.col("n.distance").alias("distance"), F.col("n.path").alias("path"))
+            .localCheckpoint()
+        )
+        if improved.limit(1).count() == 0:
+            break
+        dist = (
+            dist.join(improved.select("id"), "id", "left_anti")
+            .union(improved)
+            .localCheckpoint()
+        )
+        frontier = improved
+    edges.unpersist()
+    return dist
+
+
+def bfs_shortest_path(
+    g: PropertyGraph,
+    source: int,
+    target: int | None = None,
+    max_depth: int = 10,
+    label: str | None = None,
+) -> DataFrame:
+    """Unweighted BFS. Returns (id, hops, path); with ``target`` set,
+    only that vertex's row (empty DF = unreachable, matching the
+    reference's None). Early-terminates when the target is settled
+    (graph/storage/src/lib.rs:858-861)."""
+    e = g.edges.select("src", "dst", "label")
+    if label is not None:
+        e = e.filter(F.col("label") == label)
+    e = e.select("src", "dst").distinct().persist()
+
+    visited = (
+        g.vertices.select("id")
+        .filter(F.col("id") == source)
+        .select("id", F.lit(0).alias("hops"), F.col("id").cast("string").alias("path"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for depth in range(1, max_depth + 1):
+        if target is not None and visited.filter(F.col("id") == target).limit(1).count() > 0:
+            break
+        nxt = (
+            frontier.join(e, frontier.id == e.src)
+            .select(
+                F.col("dst").alias("id"),
+                F.lit(depth).alias("hops"),
+                F.concat(F.col("path"), F.lit("->"), F.col("dst").cast("string")).alias("path"),
+            )
+            .groupBy("id")
+            .agg(F.min(F.struct("hops", "path")).alias("b"))
+            .select("id", F.col("b.hops").alias("hops"), F.col("b.path").alias("path"))
+        )
+        new = nxt.join(visited.select("id"), "id", "left_anti").localCheckpoint()
+        if new.limit(1).count() == 0:
+            break
+        visited = visited.union(new).localCheckpoint()
+        frontier = new
+    e.unpersist()
+    if target is not None:
+        return visited.filter(F.col("id") == target)
+    return visited
+
+
+def reachability(g: PropertyGraph, source: int, max_iterations: int = 50) -> DataFrame:
+    """All vertices reachable from ``source`` (the seed included), as
+    (id). Fixpoint reach ∪ (reach ⋈ edges) with a delta frontier so each
+    round only expands newly found vertices."""
+    e = g.edges.select("src", "dst").distinct().persist()
+    reach = (
+        g.vertices.select("id").filter(F.col("id") == source).localCheckpoint()
+    )
+    frontier = reach
+    for i in range(max_iterations):
+        nxt = (
+            frontier.join(e, frontier.id == e.src).select(F.col("dst").alias("id")).distinct()
+        )
+        new = nxt.join(reach, "id", "left_anti").localCheckpoint()
+        if new.limit(1).count() == 0:
+            break
+        reach = reach.union(new).localCheckpoint()
+        frontier = new
+    e.unpersist()
+    return reach

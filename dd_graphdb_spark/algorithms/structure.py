@@ -1,0 +1,91 @@
+"""Structural algorithms: k-core, triangle counting, degree centrality.
+
+Reference semantics:
+- k-core: iteratively drop vertices with degree < k; keep edges whose
+  endpoints both survive (graph/algorithms/src/lib.rs:46-82).
+- Triangle counting: undirected-ize, join edges sharing a vertex, dedupe
+  triples (graph/algorithms/src/lib.rs:189-209).
+- Degree centrality: max total degree / (2·(n−1)), returns the max vertex
+  + normalized score (compute_degree_centrality,
+  graph/views/src/incremental_engine.rs:1288-1326).
+
+Scale notes: triangle listing orders each edge low-id→high-id first so
+the join fans out on the smaller-degree side (standard node-iterator++);
+k-core's loop is degree-computation + semi-joins per round, bounded by
+the core number of the graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dd_graphdb_spark.graph import PropertyGraph
+
+
+def k_core(g: PropertyGraph, k: int, max_iterations: int = 50) -> DataFrame:
+    """Vertices of the k-core (id). Undirected degrees."""
+    e = g.edges.select("src", "dst")
+    # undirected simple graph: canonical low→high, dedupe, drop self-loops
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        deg = (
+            und.select(F.col("a").alias("id"))
+            .union(und.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("id").localCheckpoint()
+        pruned = (
+            und.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+        if pruned.count() == und.count():
+            und = pruned
+            break
+        und = pruned
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .union(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    return deg.filter(F.col("deg") >= k).select("id")
+
+
+def triangle_count(g: PropertyGraph) -> DataFrame:
+    """Total number of distinct triangles {a,b,c} in the undirected
+    simple graph. Node-iterator++: only a<b<c orientations are joined."""
+    e = g.edges.select("src", "dst")
+    und = (
+        e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y")  # x < y < z by construction
+    tris = wedges.join(e3, ["x", "z"])
+    return tris.agg(F.count("*").alias("triangle_count"))
+
+
+def degree_centrality(g: PropertyGraph) -> DataFrame:
+    """Max-degree vertex + normalized score max_deg / (2·(n−1))
+    (incremental_engine.rs:1288-1326). Tie-break: smallest id."""
+    n = g.vertices.count()
+    deg = g.degrees()
+    top = deg.orderBy(F.col("degree").desc(), F.col("id").asc()).limit(1)
+    denom = float(2 * (n - 1)) if n > 1 else 1.0
+    return top.select(
+        F.col("id").alias("vertex_id"),
+        F.col("degree").alias("degree"),
+        F.round(F.col("degree") / F.lit(denom), 6).alias("centrality"),
+    )

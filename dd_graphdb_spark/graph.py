@@ -1,0 +1,240 @@
+"""Property-graph data model on DataFrames.
+
+Reference data model (cited for parity, not copied):
+- vertex = VertexId(u64) + property bag        (graph/core/src/lib.rs:16,282)
+- edge   = (src, dst, label) + property bag,
+  multigraph keyed by the full triple          (graph/core/src/lib.rs:64-71;
+                                                graph/storage/src/lib.rs:171)
+- vertex "label" is the ``type`` property      (graph/query/src/executor.rs:290-295)
+
+Spark mapping (SURVEY.md §1.3): two DataFrames.
+
+- ``vertices``: id LONG, label STRING, + typed property columns
+- ``edges``:    src LONG, dst LONG, label STRING, + typed property columns
+
+Adjacency indexes (out_adj/in_adj hash maps in the reference,
+graph/storage/src/lib.rs:179-184) are NOT materialized: expansion is a
+join on ``src``/``dst`` and Catalyst picks hash vs broadcast. At 100 TB
+scale, edges should be written bucketed/partitioned by ``src`` so the
+expansion join is shuffle-free; vertices broadcast when small.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Vertex-id namespacing for the TPC-H-derived graph: each entity type maps
+# into a disjoint u64 range so ids remain unique in a single vertex table.
+# These offsets are part of the public contract (oracle SQL re-derives them).
+OFFSET = {
+    "region": 0,
+    "nation": 100,
+    "customer": 10_000_000,
+    "supplier": 20_000_000,
+    "orders": 30_000_000,
+}
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the events table, normalizing its TIMESTAMP(NANOS) column.
+
+    The driver's events.parquet stores ``ts`` as parquet INT64
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects. We read
+    nanos as long (runtime conf, works on any session including the
+    driver's) and truncate to microseconds — Spark's native timestamp
+    precision. Oracle SQL applies the identical truncation
+    (make_timestamp(epoch_ns(ts)//1000)) so both engines see the same
+    values.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# Oracle-side events table with ts truncated to microseconds, matching
+# read_events(). Use `FROM {EVENTS_US} e` / `FROM {EVENTS_US} events`.
+EVENTS_US = "(SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events)"
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver-generated parquet tables and register temp views.
+
+    Mirrors the reference's fixed table universe for SQL views
+    (graph/views/src/sql_parser.rs:135-139 restricts to vertices/edges/
+    graph); we register the full relational star schema instead — a
+    strict superset.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        if name == "events":
+            df = read_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+@dataclass
+class PropertyGraph:
+    """A property graph = (vertices DF, edges DF).
+
+    Equivalent of the reference's ``Snapshot`` (graph/storage/src/
+    lib.rs:176-187) minus the in-memory adjacency maps, which Spark
+    replaces with joins.
+    """
+
+    vertices: DataFrame
+    edges: DataFrame
+
+    def register(self, prefix: str = "") -> "PropertyGraph":
+        self.vertices.createOrReplaceTempView(f"{prefix}vertices")
+        self.edges.createOrReplaceTempView(f"{prefix}edges")
+        return self
+
+    # -- degree / stats (graph/collection/src/lib.rs:210-223;
+    #    graph/storage/src/lib.rs:571-579) --------------------------------
+    def out_degrees(self) -> DataFrame:
+        return self.edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy("dst").agg(F.count("*").alias("in_degree"))
+
+    def degrees(self) -> DataFrame:
+        """Total degree per vertex (undirected view of edges)."""
+        ends = self.edges.select(F.col("src").alias("id")).unionAll(
+            self.edges.select(F.col("dst").alias("id"))
+        )
+        return ends.groupBy("id").agg(F.count("*").alias("degree"))
+
+    def stats(self) -> dict[str, int]:
+        return {
+            "vertex_count": self.vertices.count(),
+            "edge_count": self.edges.count(),
+        }
+
+    def undirected_edges(self) -> DataFrame:
+        """edges ∪ reversed(edges) — the reference's undirected-ize step
+        (graph/algorithms/src/lib.rs:197-199)."""
+        rev = self.edges.select(
+            F.col("dst").alias("src"),
+            F.col("src").alias("dst"),
+            *[c for c in self.edges.columns if c not in ("src", "dst")],
+        )
+        return self.edges.unionByName(rev)
+
+
+def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    """Derive a property graph from the TPC-H FK relationships.
+
+    Vertices: region / nation / customer / supplier / orders with
+    namespaced ids (OFFSET). Edges follow the foreign keys:
+
+        nation   -in_region->  region
+        customer -located_in-> nation
+        supplier -located_in-> nation
+        orders   -placed_by->  customer
+
+    This makes every graph-operator result independently checkable with
+    plain SQL over the same parquet tables (FIXTURES.md F8).
+    """
+    t = load_tables(spark, sf_dir)
+    L = F.lit
+
+    def v(df, key, label, name, acctbal=None, mktsegment=None):
+        return df.select(
+            (F.col(key).cast("long") + L(OFFSET[label.lower()])).alias("id"),
+            L(label).alias("label"),
+            F.col(name).cast("string").alias("name"),
+            (F.col(acctbal).cast("double") if acctbal else L(None).cast("double")).alias("acctbal"),
+            (F.col(mktsegment).cast("string") if mktsegment else L(None).cast("string")).alias("mktsegment"),
+        )
+
+    vertices = (
+        v(t["region"], "r_regionkey", "Region", "r_name")
+        .unionByName(v(t["nation"], "n_nationkey", "Nation", "n_name"))
+        .unionByName(
+            v(t["customer"], "c_custkey", "Customer", "c_name", "c_acctbal", "c_mktsegment")
+        )
+        .unionByName(v(t["supplier"], "s_suppkey", "Supplier", "s_name", "s_acctbal"))
+        .unionByName(
+            t["orders"].select(
+                (F.col("o_orderkey").cast("long") + L(OFFSET["orders"])).alias("id"),
+                L("Order").alias("label"),
+                F.col("o_orderstatus").cast("string").alias("name"),
+                F.col("o_totalprice").cast("double").alias("acctbal"),
+                F.col("o_orderpriority").cast("string").alias("mktsegment"),
+            )
+        )
+    )
+
+    def e(df, skey, soff, dkey, doff, label):
+        return df.select(
+            (F.col(skey).cast("long") + L(soff)).alias("src"),
+            (F.col(dkey).cast("long") + L(doff)).alias("dst"),
+            L(label).alias("label"),
+        )
+
+    edges = (
+        e(t["nation"], "n_nationkey", OFFSET["nation"], "n_regionkey", OFFSET["region"], "in_region")
+        .unionByName(
+            e(t["customer"], "c_custkey", OFFSET["customer"], "c_nationkey", OFFSET["nation"], "located_in")
+        )
+        .unionByName(
+            e(t["supplier"], "s_suppkey", OFFSET["supplier"], "s_nationkey", OFFSET["nation"], "located_in")
+        )
+        .unionByName(
+            e(t["orders"], "o_orderkey", OFFSET["orders"], "o_custkey", OFFSET["customer"], "placed_by")
+        )
+    )
+    return PropertyGraph(vertices, edges)
+
+
+# Shared oracle-SQL CTE re-deriving the identical graph in DuckDB from the
+# pre-registered parquet views. Prepend to graph-query oracles.
+GRAPH_CTE = """
+WITH vertices AS (
+    SELECT r_regionkey::BIGINT + 0 AS id, 'Region' AS label,
+           r_name AS name, NULL::DOUBLE AS acctbal, NULL::VARCHAR AS mktsegment
+    FROM region
+    UNION ALL
+    SELECT n_nationkey::BIGINT + 100, 'Nation', n_name, NULL, NULL FROM nation
+    UNION ALL
+    SELECT c_custkey::BIGINT + 10000000, 'Customer', c_name, c_acctbal, c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey::BIGINT + 20000000, 'Supplier', s_name, s_acctbal, NULL FROM supplier
+    UNION ALL
+    SELECT o_orderkey::BIGINT + 30000000, 'Order', o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+),
+edges AS (
+    SELECT n_nationkey::BIGINT + 100 AS src, n_regionkey::BIGINT + 0 AS dst,
+           'in_region' AS label
+    FROM nation
+    UNION ALL
+    SELECT c_custkey::BIGINT + 10000000, c_nationkey::BIGINT + 100, 'located_in' FROM customer
+    UNION ALL
+    SELECT s_suppkey::BIGINT + 20000000, s_nationkey::BIGINT + 100, 'located_in' FROM supplier
+    UNION ALL
+    SELECT o_orderkey::BIGINT + 30000000, o_custkey::BIGINT + 10000000, 'placed_by' FROM orders
+)
+"""

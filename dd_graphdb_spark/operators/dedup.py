@@ -1,0 +1,197 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (its dedup is a config flag with no
+implementation — graph/views/src/stream_processing.rs:428,441), these are
+first-class operators per the north-star brief:
+
+- exact dedup: hash-groupBy on content digest
+- n-gram Jaccard: word-shingle overlap self-join
+- MinHash + LSH banding: signature → band buckets → candidate pairs →
+  exact-Jaccard verification
+- SimHash: sign-aggregated bit signature per document
+
+Everything is expressed with built-in JVM-side functions (no Python UDFs
+in the hot path): shingling via ``split``/``transform``/``sequence``,
+hashing via an integer polynomial rolling hash (engine-portable — the
+DuckDB oracles restate the identical arithmetic), dedup joins as
+shuffle hash joins on shingle/band keys.
+
+Scale notes (100 TB): the shingle self-join explodes on hot shingles —
+that's precisely what MinHash/LSH avoids: signatures are fixed-size per
+doc (k hashes), band buckets bound the candidate-pair space, and the
+exact verification join only touches candidates. Band buckets with
+pathological skew (boilerplate docs) should be salted or capped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MOD = 1_000_000_007
+# (a, b) parameters for the MinHash family h_i(x) = (a_i*x + b_i) mod MOD;
+# small odd a keeps a*x < 2^63 for x < MOD.
+MINHASH_PARAMS = [(3, 1), (5, 7), (7, 13), (11, 19), (13, 29), (17, 37), (19, 43), (23, 53)]
+BAND_SIZE = 2
+
+
+def poly_hash(col: Column) -> Column:
+    """Deterministic polynomial rolling hash of a string column:
+    fold (h*31 + ascii(char)) % MOD — identical arithmetic is restated in
+    the DuckDB oracles, so results are engine-portable by construction."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % MOD,
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a whitespace-tokenized text column."""
+    toks = F.split(F.trim(text), " ")
+    sh = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return sh
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content digest: one survivor (min id) per distinct
+    text + the duplicate count. Digest-groupBy shuffles 1 row per doc."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) exploded distinct-shingle table."""
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """All pairs (a < b) with word-n-gram Jaccard ≥ threshold.
+
+    |A∩B| via shingle self-join + count; |A∪B| = |A|+|B|−|A∩B|.
+    """
+    sh = shingle_table(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("a"), "s")
+    b = sh.select(F.col("id").alias("b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, h0..h{k-1}) MinHash signature per document."""
+    sh = shingle_table(df, text_col, id_col, n).withColumn("x", poly_hash(F.col("s")))
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % MOD).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification.
+
+    Bands of BAND_SIZE signature slots; docs sharing any band bucket are
+    candidates; candidates are verified with the true Jaccard ≥ threshold.
+    Output schema matches ngram_jaccard_pairs (a, b, jaccard) — LSH is the
+    scale path that avoids the all-pairs shingle join.
+    """
+    sig = minhash_signatures(df, text_col, id_col, n)
+    k = len(MINHASH_PARAMS)
+    bands = []
+    for band_i in range(k // BAND_SIZE):
+        cols = [f"h{band_i * BAND_SIZE + j}" for j in range(BAND_SIZE)]
+        bands.append(
+            sig.select(
+                "id",
+                F.lit(band_i).alias("band"),
+                F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias("bucket"),
+            )
+        )
+    bt = bands[0]
+    for x in bands[1:]:
+        bt = bt.unionByName(x)
+    a = bt.select(F.col("id").alias("a"), "band", "bucket")
+    b = bt.select(F.col("id").alias("b"), "band", "bucket")
+    cand = a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+
+    # exact verification restricted to candidates
+    sh = shingle_table(df, text_col, id_col, n).persist()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    ia = sh.select(F.col("id").alias("a"), "s")
+    ib = sh.select(F.col("id").alias("b"), "s")
+    inter = (
+        cand.join(ia, "a").join(ib.withColumnRenamed("s", "s2"), "b")
+        .filter(F.col("s") == F.col("s2"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, bits: int = 16
+) -> DataFrame:
+    """(id, simhash) — ``bits``-wide SimHash over word shingles.
+
+    bit_j(sig) = 1 iff Σ_shingles (bit_j(h(shingle)) ? +1 : −1) > 0,
+    with h = poly_hash mod 2^bits.
+    """
+    sh = shingle_table(df, text_col, id_col, n).withColumn("x", poly_hash(F.col("s")) % (2**bits))
+    # one ±1 vote aggregate per bit (literal shift amounts keep this fully
+    # JVM-side; no row explosion)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("x"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    per = sh.groupBy("id").agg(*aggs)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return per.select("id", sig.alias("simhash"))

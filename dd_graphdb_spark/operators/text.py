@@ -1,0 +1,66 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure built-in column expressions (whole-stage-codegen friendly, no
+Python in the hot path): token counting, quality scoring, heuristic
+language ID, content fingerprinting. Each has a DuckDB-restatable
+definition so the correctness gate covers it end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ("a", "the", "and", "of", "to", "in", "is")
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count (the BPE-ish regex variant belongs in a
+    tokenizer UDF; this is the deterministic fast path)."""
+    return df.select(F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens"))
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality heuristics: mean token length, stopword ratio, and a
+    composite score. Mirrors the shape of C4/Gopher-style quality rules
+    (length + stopword density), all in exact rational arithmetic until
+    the final rounded division."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    total_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(total_chars / n, 6).alias("mean_token_len"),
+        F.round(stop / n, 6).alias("stopword_ratio"),
+        # composite: long-enough docs with natural stopword density
+        ((n >= 20) & (stop / n >= 0.02)).cast("int").alias("quality_pass"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: English stopword density threshold.
+    (A real n-gram model plugs in here; the heuristic is the
+    deterministic, oracle-checkable baseline.)"""
+    toks = tokens(F.col(text_col))
+    stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    ratio = stop / F.size(toks)
+    return df.select(
+        F.col(id_col),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonicalized content fingerprint: md5 of lower(trim(text)).
+    Used as the exact-dedup key and as a stable doc identity across
+    pipeline stages."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"),
+    )

@@ -1,0 +1,288 @@
+"""GQL parser — the reference's Cypher-like query language.
+
+The reference ships a pest grammar that never compiled (malformed rules,
+graph/query/src/gql.pest:6-25 — see SURVEY.md §0.1) plus a programmatic
+AST (graph/query/src/lib.rs:110-340). This is a working recursive-descent
+parser for that declared surface:
+
+    MATCH (v:Label {k: val})-[e:LABEL]->(u:Label) WHERE expr RETURN items
+    CREATE (n:Label {..})-[:REL]->(m:Label {..})
+    MATCH (v:Label) WHERE expr DELETE v
+
+- node pattern: optional var, optional label, optional {prop: literal} map
+- edge pattern: -[var?:LABEL?]->  (out), <-[...]-  (in), -[...]-  (undirected)
+  (EdgeDirection, graph/query/src/lib.rs:150-160)
+- WHERE: comparisons = != < > <= >= over var.prop and literals, AND/OR
+  (graph/query/src/lib.rs:200-260)
+- RETURN: *, var, var.prop  (graph/query/src/lib.rs:300-320)
+- literals: 'str' / "str", numbers (Number lowers to int when integral else
+  float, graph/query/src/lib.rs:66-88), true/false, null
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+# --------------------------------------------------------------------------- AST
+@dataclass
+class NodePattern:
+    var: str | None
+    label: str | None
+    props: dict = field(default_factory=dict)
+
+
+@dataclass
+class EdgePattern:
+    var: str | None
+    label: str | None
+    direction: str  # "out" | "in" | "undirected"
+
+
+@dataclass
+class PathPattern:
+    nodes: list[NodePattern]
+    edges: list[EdgePattern]
+
+
+@dataclass
+class Compare:
+    var: str
+    prop: str
+    op: str  # = != < > <= >=
+    value: object
+
+
+@dataclass
+class BoolExpr:
+    op: str  # AND | OR
+    left: object
+    right: object
+
+
+@dataclass
+class ReturnItem:
+    var: str
+    prop: str | None  # None → whole vertex; var == "*" → all bindings
+
+
+@dataclass
+class MatchStatement:
+    pattern: PathPattern
+    where: object | None
+    returns: list[ReturnItem]
+
+
+@dataclass
+class CreateStatement:
+    pattern: PathPattern
+
+
+@dataclass
+class MatchDeleteStatement:
+    pattern: PathPattern
+    where: object | None
+    delete_var: str
+
+
+# --------------------------------------------------------------------------- lexer
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<kw>\bMATCH\b|\bWHERE\b|\bRETURN\b|\bCREATE\b|\bDELETE\b|\bAND\b|\bOR\b|\btrue\b|\bfalse\b|\bnull\b)
+    | (?P<num>-?\d+(?:\.\d+)?)
+    | (?P<str>'[^']*'|"[^"]*")
+    | (?P<op><=|>=|!=|<-|->|=|<|>)
+    | (?P<punct>[()\[\]{}:,.*-])
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    )""",
+    re.VERBOSE | re.IGNORECASE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    toks, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            if text[pos:].strip() == "":
+                break
+            raise ValueError(f"GQL lex error at {pos}: {text[pos:pos+20]!r}")
+        pos = m.end()
+        for kind in ("kw", "num", "str", "op", "punct", "ident"):
+            v = m.group(kind)
+            if v is not None:
+                toks.append((kind if kind != "kw" else v.upper(), v))
+                break
+    toks.append(("EOF", ""))
+    return toks
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+        self._anon = 0
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind: str, val: str | None = None) -> str:
+        k, v = self.next()
+        if k != kind or (val is not None and v != val):
+            raise ValueError(f"GQL parse error: expected {val or kind}, got {v!r}")
+        return v
+
+    def accept(self, kind: str, val: str | None = None) -> bool:
+        k, v = self.peek()
+        if k == kind and (val is None or v == val):
+            self.i += 1
+            return True
+        return False
+
+    # ----- literals
+    def literal(self):
+        k, v = self.next()
+        if k == "num":
+            f = float(v)
+            return int(f) if f.is_integer() and "." not in v else f
+        if k == "str":
+            return v[1:-1]
+        if k == "TRUE":
+            return True
+        if k == "FALSE":
+            return False
+        if k == "NULL":
+            return None
+        raise ValueError(f"GQL parse error: bad literal {v!r}")
+
+    # ----- patterns
+    def node(self) -> NodePattern:
+        self.expect("punct", "(")
+        var = label = None
+        props: dict = {}
+        if self.peek()[0] == "ident":
+            var = self.next()[1]
+        if self.accept("punct", ":"):
+            label = self.expect("ident")
+        if self.accept("punct", "{"):
+            while not self.accept("punct", "}"):
+                key = self.expect("ident")
+                self.expect("punct", ":")
+                props[key] = self.literal()
+                self.accept("punct", ",")
+        self.expect("punct", ")")
+        if var is None:
+            self._anon += 1
+            var = f"_anon{self._anon}"
+        return NodePattern(var, label, props)
+
+    def edge(self) -> EdgePattern | None:
+        # -[v:LBL]-> | <-[v:LBL]- | -[v:LBL]-   and bare forms  -> | <- | --
+        k, v = self.peek()
+        if v == "<-":
+            self.next()
+            var, label = self._edge_body()
+            self.expect("punct", "-")
+            return EdgePattern(var, label, "in")
+        if v == "->":
+            self.next()
+            return EdgePattern(None, None, "out")
+        if v == "-":
+            self.next()
+            var, label = self._edge_body()
+            if self.accept("op", "->"):
+                return EdgePattern(var, label, "out")
+            self.expect("punct", "-")
+            return EdgePattern(var, label, "undirected")
+        return None
+
+    def _edge_body(self) -> tuple[str | None, str | None]:
+        var = label = None
+        if self.accept("punct", "["):
+            if self.peek()[0] == "ident":
+                var = self.next()[1]
+            if self.accept("punct", ":"):
+                label = self.expect("ident")
+            self.expect("punct", "]")
+        return var, label
+
+    def path(self) -> PathPattern:
+        nodes = [self.node()]
+        edges: list[EdgePattern] = []
+        while True:
+            e = None
+            k, v = self.peek()
+            if v in ("-", "<-", "->"):
+                e = self.edge()
+            if e is None:
+                break
+            edges.append(e)
+            nodes.append(self.node())
+        return PathPattern(nodes, edges)
+
+    # ----- where expr (OR lowest precedence)
+    def where_expr(self):
+        left = self.and_expr()
+        while self.accept("OR"):
+            left = BoolExpr("OR", left, self.and_expr())
+        return left
+
+    def and_expr(self):
+        left = self.comparison()
+        while self.accept("AND"):
+            left = BoolExpr("AND", left, self.comparison())
+        return left
+
+    def comparison(self):
+        if self.accept("punct", "("):
+            inner = self.where_expr()
+            self.expect("punct", ")")
+            return inner
+        var = self.expect("ident")
+        self.expect("punct", ".")
+        prop = self.expect("ident")
+        op = self.expect("op")
+        return Compare(var, prop, op, self.literal())
+
+    # ----- returns
+    def return_items(self) -> list[ReturnItem]:
+        items = []
+        while True:
+            if self.accept("punct", "*"):
+                items.append(ReturnItem("*", None))
+            else:
+                var = self.expect("ident")
+                prop = None
+                if self.accept("punct", "."):
+                    prop = self.expect("ident")
+                items.append(ReturnItem(var, prop))
+            if not self.accept("punct", ","):
+                break
+        return items
+
+    # ----- statements
+    def statement(self):
+        if self.accept("MATCH"):
+            pattern = self.path()
+            where = self.where_expr() if self.accept("WHERE") else None
+            if self.accept("DELETE"):
+                return MatchDeleteStatement(pattern, where, self.expect("ident"))
+            self.expect("RETURN")
+            return MatchStatement(pattern, where, self.return_items())
+        if self.accept("CREATE"):
+            return CreateStatement(self.path())
+        raise ValueError("GQL parse error: expected MATCH or CREATE")
+
+
+def parse_gql(text: str):
+    p = _Parser(_tokenize(text))
+    stmt = p.statement()
+    if p.peek()[0] != "EOF":
+        raise ValueError(f"GQL parse error: trailing tokens at {p.peek()[1]!r}")
+    return stmt

@@ -1,0 +1,140 @@
+"""Lower GQL ASTs to DataFrame plans.
+
+Semantics replicated from the reference executor
+(graph/query/src/executor.rs — see SURVEY.md §3.1):
+
+- seed bindings: filter vertices by the first node's label + inline props
+  (find_matching_vertices, executor.rs:280-313); the reference does a full
+  scan + in-memory filter — here the filter is declarative, so Catalyst
+  pushes it into the parquet scan;
+- per edge step: expand along edges honoring direction and edge label, then
+  filter the target node by label + props (find_matching_edges,
+  executor.rs:316-379). Undirected `--` matches both directions
+  (executor.rs:322-326) = union of the edge table with its reverse;
+- bindings are WALKS, not simple paths — no repeated-vertex check
+  (match_pattern, executor.rs:219-277);
+- WHERE applies after pattern enumeration in the reference (executor.rs:
+  202-212); we fold it into the plan and let Catalyst push it down — same
+  results, better plan;
+- RETURN v → all of v's columns; v.prop → one column aliased `v_prop`;
+  * → every bound vertex variable (build_result, executor.rs:467-518).
+
+Binding columns are prefixed ``{var}__{col}``. Multi-hop patterns become
+chained joins; Catalyst/AQE picks broadcast vs shuffled hash joins per
+side size, which is exactly the scale story for 100 TB: edges bucketed by
+src make these joins co-located.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dd_graphdb_spark.graph import PropertyGraph
+from dd_graphdb_spark.plans.gql import (
+    BoolExpr,
+    Compare,
+    CreateStatement,
+    MatchDeleteStatement,
+    MatchStatement,
+    NodePattern,
+    parse_gql,
+)
+
+
+def _prefix(df: DataFrame, var: str) -> DataFrame:
+    return df.select([F.col(c).alias(f"{var}__{c}") for c in df.columns])
+
+
+def _node_filter(df: DataFrame, node: NodePattern, var: str) -> DataFrame:
+    # Vertex label is the reference's `type` property (executor.rs:290-295);
+    # our schema stores it as the `label` column.
+    if node.label is not None:
+        df = df.filter(F.col(f"{var}__label") == node.label)
+    for k, v in node.props.items():
+        df = df.filter(F.col(f"{var}__{k}").eqNullSafe(F.lit(v)))
+    return df
+
+
+def _lower_condition(cond) -> F.Column:
+    if isinstance(cond, BoolExpr):
+        left, right = _lower_condition(cond.left), _lower_condition(cond.right)
+        return left & right if cond.op == "AND" else left | right
+    assert isinstance(cond, Compare)
+    col = F.col(f"{cond.var}__{cond.prop}")
+    lit = F.lit(cond.value)
+    # int↔float coercion is native in Spark (reference: executor.rs:641-650)
+    ops = {
+        "=": col == lit,
+        "!=": col != lit,
+        "<": col < lit,
+        ">": col > lit,
+        "<=": col <= lit,
+        ">=": col >= lit,
+    }
+    return ops[cond.op]
+
+
+class GQLEngine:
+    """Executes GQL statements against a PropertyGraph.
+
+    Read path (MATCH/WHERE/RETURN) returns a DataFrame; mutations
+    (CREATE / MATCH..DELETE) are applied through a GraphStore
+    (dd_graphdb_spark.storage) when one is attached.
+    """
+
+    def __init__(self, graph: PropertyGraph, store=None):
+        self.graph = graph
+        self.store = store
+
+    def execute(self, query: str) -> DataFrame:
+        stmt = parse_gql(query)
+        if isinstance(stmt, MatchStatement):
+            return self._execute_match(stmt)
+        if isinstance(stmt, (CreateStatement, MatchDeleteStatement)):
+            if self.store is None:
+                raise ValueError("mutations require a GraphStore (pass store=)")
+            return self.store.execute_mutation(stmt, self)
+        raise ValueError(f"unsupported statement {type(stmt).__name__}")
+
+    # -- pattern matching ----------------------------------------------------
+    def match_bindings(self, pattern, where=None) -> DataFrame:
+        nodes, edges = pattern.nodes, pattern.edges
+        v0 = nodes[0]
+        bound = _node_filter(_prefix(self.graph.vertices, v0.var), v0, v0.var)
+        for i, e in enumerate(edges):
+            tgt = nodes[i + 1]
+            prev = nodes[i].var
+            edf = self.graph.edges
+            if e.direction == "undirected":
+                # `--` = union of both directions (executor.rs:322-326)
+                edf = self.graph.undirected_edges()
+            evar = e.var or f"_e{i}"
+            if e.label is not None:
+                edf = edf.filter(F.col("label") == e.label)
+            edf = _prefix(edf, evar)
+            if e.direction == "in":
+                src_side, dst_side = f"{evar}__dst", f"{evar}__src"
+            else:
+                src_side, dst_side = f"{evar}__src", f"{evar}__dst"
+            bound = bound.join(edf, F.col(f"{prev}__id") == F.col(src_side))
+            tdf = _node_filter(_prefix(self.graph.vertices, tgt.var), tgt, tgt.var)
+            bound = bound.join(tdf, F.col(dst_side) == F.col(f"{tgt.var}__id"))
+        if where is not None:
+            bound = bound.filter(_lower_condition(where))
+        return bound
+
+    def _execute_match(self, stmt: MatchStatement) -> DataFrame:
+        bound = self.match_bindings(stmt.pattern, stmt.where)
+        vertex_vars = [n.var for n in stmt.pattern.nodes]
+        vcols = self.graph.vertices.columns
+        out = []
+        for item in stmt.returns:
+            if item.var == "*":
+                for var in vertex_vars:
+                    out += [F.col(f"{var}__{c}").alias(f"{var}_{c}") for c in vcols]
+            elif item.prop is None:
+                out += [F.col(f"{item.var}__{c}").alias(f"{item.var}_{c}") for c in vcols]
+            else:
+                out.append(F.col(f"{item.var}__{item.prop}").alias(f"{item.var}_{item.prop}"))
+        return bound.select(*out)

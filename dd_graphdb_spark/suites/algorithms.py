@@ -1,0 +1,342 @@
+"""Graph-algorithm suite.
+
+Two verification styles:
+- fixture graphs (FIXTURES.md F4/F5 shapes) defined ONCE as python
+  literals, rendered both as Spark DataFrames and as DuckDB VALUES CTEs —
+  algorithm results checked against recursive-CTE / unrolled-iteration
+  oracles;
+- derived TPC-H graphs (FIXTURES.md F8) where the algorithm output is
+  independently recomputable with plain SQL (e.g., connected components
+  of the FK graph are exactly the region subtrees).
+
+Float determinism: PageRank oracles re-state the *same* IEEE double
+expression structure ((1.0-d)/n + d*Σ rank/outdeg with ≤2-term sums on
+the fixture), so values are bit-identical; a final round(9) adds margin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dd_graphdb_spark.graph import GRAPH_CTE, PropertyGraph
+from dd_graphdb_spark.graph import tpch_graph
+from dd_graphdb_spark import algorithms as A
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+CUST = 10_000_000
+SUPP = 20_000_000
+ORD = 30_000_000
+NATION = 100
+
+# --------------------------------------------------------------------------
+# Fixture graphs (python literal = single source of truth for both engines)
+# --------------------------------------------------------------------------
+# F5-shaped triangle + tail, weights chosen so every shortest path is unique
+W_VERTS = [1, 2, 3, 4]
+W_EDGES = [(1, 2, 1.0), (2, 3, 2.0), (1, 3, 4.0), (3, 4, 1.5), (2, 4, 6.0)]
+
+# F4 traversal graph (graph/storage/src/lib.rs:1017-1058)
+T_VERTS = [1, 2, 3, 4]
+T_EDGES = [(1, 2, "friend"), (2, 3, "friend"), (2, 4, "colleague")]
+
+# SCC fixture: cycle {1,2,3}, cycle {4,5}, isolated 6
+S_VERTS = [1, 2, 3, 4, 5, 6]
+S_EDGES = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)]
+
+# F5 PageRank triangle (graph/algorithms/src/basic.rs:397-437)
+P_VERTS = [1, 2, 3]
+P_EDGES = [(1, 2), (2, 3), (1, 3)]
+
+
+def _values(rows, cast=str) -> str:
+    return ", ".join("(" + ", ".join(cast(x) for x in r) + ")" for r in rows)
+
+
+def _vals_v(ids) -> str:
+    return ", ".join(f"({i})" for i in ids)
+
+
+def fixture_graph(spark: SparkSession, verts, edges, weighted=False) -> PropertyGraph:
+    vdf = spark.createDataFrame([(int(v),) for v in verts], "id long")
+    if weighted:
+        edf = spark.createDataFrame(
+            [(int(s), int(d), float(w)) for s, d, w in edges], "src long, dst long, weight double"
+        ).withColumn("label", F.lit("link"))
+    elif edges and len(edges[0]) == 3:
+        edf = spark.createDataFrame(
+            [(int(s), int(d), str(l)) for s, d, l in edges], "src long, dst long, label string"
+        )
+    else:
+        edf = spark.createDataFrame(
+            [(int(s), int(d)) for s, d in edges], "src long, dst long"
+        ).withColumn("label", F.lit("link"))
+    return PropertyGraph(vdf, edf)
+
+
+# --------------------------------------------------------------------------
+# PageRank — fixed 10 iterations on the F5 triangle; oracle = unrolled CTEs
+# with the identical double-precision expression per iteration.
+# --------------------------------------------------------------------------
+def _pagerank_oracle(n_iter: int = 10, damping: float = 0.85) -> str:
+    steps = []
+    prev = "pr0"
+    for i in range(1, n_iter + 1):
+        cur = f"pr{i}"
+        steps.append(
+            f"""{cur} AS (
+    SELECT v.id,
+           (1.0::DOUBLE - {damping}::DOUBLE)/3.0::DOUBLE
+             + {damping}::DOUBLE * COALESCE(m.s, 0.0::DOUBLE) AS rank
+    FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.rank / o.d) AS s
+        FROM {prev} p JOIN edges e ON p.id = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ) m ON v.id = m.id
+)"""
+        )
+        prev = cur
+    return (
+        f"""
+    WITH verts(id) AS (VALUES {_vals_v(P_VERTS)}),
+    edges(src, dst) AS (VALUES {_values(P_EDGES)}),
+    outdeg AS (SELECT src, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src),
+    pr0 AS (SELECT id, 1.0::DOUBLE/3.0::DOUBLE AS rank FROM verts),
+    """
+        + ",\n".join(steps)
+        + f"\nSELECT id::BIGINT AS id, ROUND(rank, 9) AS rank FROM {prev}"
+    )
+
+
+@_q("algo_pagerank_fixture", _pagerank_oracle())
+def algo_pagerank_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = fixture_graph(spark, P_VERTS, P_EDGES)
+    return A.pagerank(g, damping=0.85, max_iterations=10, round_to=9)
+
+
+@_q("algo_pagerank_top3")  # rows-only companion on the derived TPC-H graph
+def algo_pagerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.algorithms.pagerank import top_n
+
+    g = tpch_graph(spark, sf_dir)
+    return top_n(A.pagerank(g, max_iterations=5), 3)
+
+
+# --------------------------------------------------------------------------
+# Connected components on the derived FK graph: components are exactly the
+# region subtrees, so the oracle maps every vertex to its region key.
+# --------------------------------------------------------------------------
+@_q(
+    "algo_cc_derived",
+    """
+    SELECT id, component FROM (
+        SELECT r_regionkey::BIGINT AS id, r_regionkey::BIGINT AS component FROM region
+        UNION ALL
+        SELECT n_nationkey::BIGINT + 100, n_regionkey::BIGINT FROM nation
+        UNION ALL
+        SELECT c_custkey::BIGINT + 10000000, n_regionkey::BIGINT
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        UNION ALL
+        SELECT s_suppkey::BIGINT + 20000000, n_regionkey::BIGINT
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        UNION ALL
+        SELECT o_orderkey::BIGINT + 30000000, n_regionkey::BIGINT
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    )
+    """,
+)
+def algo_cc_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.connected_components(tpch_graph(spark, sf_dir))
+
+
+@_q("algo_component_count", "SELECT COUNT(DISTINCT r_regionkey) AS component_count FROM region")
+def algo_component_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.component_count(tpch_graph(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Weighted SSSP on the unique-shortest-path fixture; oracle enumerates all
+# paths of the DAG recursively and keeps the min distance per vertex.
+# --------------------------------------------------------------------------
+@_q(
+    "algo_sssp_fixture",
+    f"""
+    WITH RECURSIVE
+    edges_raw(src, dst, w) AS (VALUES {_values(W_EDGES)}),
+    edges AS (SELECT src, dst, w::DOUBLE AS w FROM edges_raw),
+    paths(id, distance, path) AS (
+        SELECT 1, 0.0::DOUBLE, '1'
+        UNION ALL
+        SELECT e.dst, p.distance + e.w, p.path || '->' || e.dst::VARCHAR
+        FROM paths p JOIN edges e ON p.id = e.src
+    )
+    SELECT id::BIGINT AS id, distance, path FROM paths
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY distance, path) = 1
+    """,
+)
+def algo_sssp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = fixture_graph(spark, W_VERTS, W_EDGES, weighted=True)
+    return A.sssp(g, source=1, weight_property="weight")
+
+
+# --------------------------------------------------------------------------
+# BFS on the F4 traversal graph.
+# --------------------------------------------------------------------------
+@_q(
+    "algo_bfs_full",
+    f"""
+    WITH RECURSIVE
+    edges(src, dst, label) AS (VALUES {_values(T_EDGES, cast=lambda x: repr(x) if isinstance(x, str) else str(x))}),
+    walk(id, hops, path) AS (
+        SELECT 1, 0, '1'
+        UNION ALL
+        SELECT e.dst, w.hops + 1, w.path || '->' || e.dst::VARCHAR
+        FROM walk w JOIN edges e ON w.id = e.src
+        WHERE w.hops < 10
+    )
+    SELECT id::BIGINT AS id, hops, path FROM walk
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY hops, path) = 1
+    """,
+)
+def algo_bfs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = fixture_graph(spark, T_VERTS, T_EDGES)
+    return A.bfs_shortest_path(g, source=1, max_depth=10)
+
+
+# --------------------------------------------------------------------------
+# Reachability on the derived FK graph (order → customer → nation → region).
+# --------------------------------------------------------------------------
+@_q(
+    "algo_reachability_order",
+    f"""
+    SELECT {ORD + 7}::BIGINT AS id
+    UNION
+    SELECT o_custkey::BIGINT + {CUST} FROM orders WHERE o_orderkey = 7
+    UNION
+    SELECT c_nationkey::BIGINT + {NATION} FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey = 7
+    UNION
+    SELECT n_regionkey::BIGINT FROM orders JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey WHERE o_orderkey = 7
+    """,
+)
+def algo_reachability_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.reachability(tpch_graph(spark, sf_dir), ORD + 7)
+
+
+# --------------------------------------------------------------------------
+# Triangle count on the supplier co-location graph (same-nation supplier
+# pairs form disjoint cliques → plenty of real triangles, SQL-checkable).
+# --------------------------------------------------------------------------
+def _supplier_colocation(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    v = s.select((F.col("s_suppkey").cast("long") + SUPP).alias("id"))
+    a = s.select(
+        (F.col("s_suppkey").cast("long") + SUPP).alias("src"), F.col("s_nationkey").alias("nk")
+    )
+    b = s.select(
+        (F.col("s_suppkey").cast("long") + SUPP).alias("dst"), F.col("s_nationkey").alias("nk")
+    )
+    e = (
+        a.join(b, "nk")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst", F.lit("colocated").alias("label"))
+    )
+    return PropertyGraph(v, e)
+
+
+@_q(
+    "algo_triangle_colocation",
+    f"""
+    WITH e AS (
+        SELECT a.s_suppkey::BIGINT + {SUPP} AS a, b.s_suppkey::BIGINT + {SUPP} AS b
+        FROM supplier a JOIN supplier b
+          ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    )
+    SELECT COUNT(*) AS triangle_count
+    FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b
+    """,
+)
+def algo_triangle_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.triangle_count(_supplier_colocation(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# K-core on the co-location graph: disjoint cliques, so the k-core is the
+# suppliers of nations with ≥ k+1 suppliers.
+# --------------------------------------------------------------------------
+@_q(
+    "algo_kcore_colocation",
+    f"""
+    SELECT s_suppkey::BIGINT + {SUPP} AS id
+    FROM supplier
+    WHERE s_nationkey IN (
+        SELECT s_nationkey FROM supplier GROUP BY s_nationkey HAVING COUNT(*) >= 4
+    )
+    """,
+)
+def algo_kcore_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.k_core(_supplier_colocation(spark, sf_dir), k=3)
+
+
+# --------------------------------------------------------------------------
+# Degree centrality on the derived FK graph.
+# --------------------------------------------------------------------------
+@_q(
+    "algo_degree_centrality",
+    GRAPH_CTE
+    + """
+    , deg AS (
+        SELECT id, COUNT(*) AS degree FROM (
+            SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+        ) GROUP BY id
+    ),
+    nv AS (SELECT COUNT(*)::BIGINT AS n FROM vertices)
+    SELECT d.id AS vertex_id, d.degree AS degree,
+           ROUND(d.degree::DOUBLE / (2.0::DOUBLE * (nv.n - 1)::DOUBLE), 6) AS centrality
+    FROM deg d, nv
+    ORDER BY d.degree DESC, d.id ASC
+    LIMIT 1
+    """,
+)
+def algo_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return A.degree_centrality(tpch_graph(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# SCC on the cyclic fixture; oracle = mutual reachability with min-id rep.
+# --------------------------------------------------------------------------
+@_q(
+    "algo_scc_fixture",
+    f"""
+    WITH RECURSIVE
+    verts(id) AS (VALUES {_vals_v(S_VERTS)}),
+    edges(src, dst) AS (VALUES {_values(S_EDGES)}),
+    reach(a, b) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT r1.a::BIGINT AS id, MIN(r1.b)::BIGINT AS scc
+    FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+    GROUP BY r1.a
+    """,
+)
+def algo_scc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = fixture_graph(spark, S_VERTS, S_EDGES)
+    return A.strongly_connected_components(g)

@@ -1,0 +1,268 @@
+"""GQL + traversal operator suite over the TPC-H-derived property graph.
+
+Every query runs through the real engine surface (GQLEngine /
+operators.traversal) and is verified against DuckDB re-deriving the same
+graph relationally (GRAPH_CTE) — FIXTURES.md F8's approach.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dd_graphdb_spark.graph import GRAPH_CTE, PropertyGraph, tpch_graph
+from dd_graphdb_spark.operators import traversal as T
+from dd_graphdb_spark.plans.lower import GQLEngine
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+# Vertex-id namespace helpers (see graph.OFFSET)
+CUST = 10_000_000
+SUPP = 20_000_000
+ORD = 30_000_000
+NATION = 100
+
+
+# ---------------------------------------------------------------------------
+# GQL: property filter MATCH (F1 golden shape — executor.rs:742-790)
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_match_filter",
+    GRAPH_CTE
+    + """
+    SELECT name AS v_name, acctbal AS v_acctbal
+    FROM vertices WHERE label = 'Customer' AND acctbal > 5000.0
+    """,
+)
+def gql_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(tpch_graph(spark, sf_dir))
+    return eng.execute("MATCH (v:Customer) WHERE v.acctbal > 5000.0 RETURN v.name, v.acctbal")
+
+
+# ---------------------------------------------------------------------------
+# GQL: inline property map match (find_matching_vertices, executor.rs:280-313)
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_inline_props",
+    GRAPH_CTE
+    + """
+    SELECT id AS c_id FROM vertices
+    WHERE label = 'Customer' AND mktsegment = 'BUILDING'
+    """,
+)
+def gql_inline_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(tpch_graph(spark, sf_dir))
+    return eng.execute("MATCH (c:Customer {mktsegment: 'BUILDING'}) RETURN c.id")
+
+
+# ---------------------------------------------------------------------------
+# GQL: 1-hop edge pattern (F2 golden shape — executor.rs:793-842)
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_match_edge",
+    GRAPH_CTE
+    + """
+    SELECT v1.name AS c_name, v2.name AS n_name
+    FROM vertices v1
+    JOIN edges e ON v1.id = e.src AND e.label = 'located_in'
+    JOIN vertices v2 ON e.dst = v2.id
+    WHERE v1.label = 'Customer' AND v2.label = 'Nation' AND v1.acctbal > 9000.0
+    """,
+)
+def gql_match_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer)-[e:located_in]->(n:Nation) WHERE c.acctbal > 9000.0 RETURN c.name, n.name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQL: multi-hop chain (match_pattern binding enumeration, executor.rs:219-277)
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_multi_hop",
+    GRAPH_CTE
+    + """
+    SELECT o.id AS o_id, c.name AS c_name, n.name AS n_name
+    FROM vertices o
+    JOIN edges e1 ON o.id = e1.src AND e1.label = 'placed_by'
+    JOIN vertices c ON e1.dst = c.id
+    JOIN edges e2 ON c.id = e2.src AND e2.label = 'located_in'
+    JOIN vertices n ON e2.dst = n.id
+    WHERE o.label = 'Order' AND c.label = 'Customer' AND n.label = 'Nation'
+      AND o.acctbal > 400000.0
+    """,
+)
+def gql_multi_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (o:Order)-[:placed_by]->(c:Customer)-[:located_in]->(n:Nation) "
+        "WHERE o.acctbal > 400000.0 RETURN o.id, c.name, n.name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQL: incoming edge direction  <-[]-
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_incoming_edge",
+    GRAPH_CTE
+    + f"""
+    SELECT c.name AS c_name, o.id AS o_id
+    FROM vertices c
+    JOIN edges e ON c.id = e.dst AND e.label = 'placed_by'
+    JOIN vertices o ON e.src = o.id
+    WHERE c.label = 'Customer' AND c.id = {CUST + 7} AND o.label = 'Order'
+    """,
+)
+def gql_incoming_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(tpch_graph(spark, sf_dir))
+    return eng.execute(
+        f"MATCH (c:Customer {{id: {CUST + 7}}})<-[:placed_by]-(o:Order) RETURN c.name, o.id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQL: undirected edge  --  (executor.rs:322-326 → both directions)
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_undirected",
+    GRAPH_CTE
+    + f"""
+    SELECT x.id AS x_id, x.label AS x_label
+    FROM vertices n
+    JOIN (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges) e
+      ON n.id = e.src
+    JOIN vertices x ON e.dst = x.id
+    WHERE n.id = {NATION + 5}
+    """,
+)
+def gql_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(tpch_graph(spark, sf_dir))
+    return eng.execute(f"MATCH (n {{id: {NATION + 5}}})--(x) RETURN x.id, x.label")
+
+
+# ---------------------------------------------------------------------------
+# Traversals (graph/storage/src/lib.rs:738-830)
+# ---------------------------------------------------------------------------
+@_q(
+    "traverse_out_neighbors",
+    GRAPH_CTE + f"SELECT dst AS neighbor_id FROM edges WHERE src = {CUST + 42} GROUP BY dst",
+)
+def traverse_out_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.out_neighbors(tpch_graph(spark, sf_dir), CUST + 42)
+
+
+@_q(
+    "traverse_in_neighbors",
+    GRAPH_CTE + f"SELECT src AS neighbor_id FROM edges WHERE dst = {NATION + 3} GROUP BY src",
+)
+def traverse_in_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.in_neighbors(tpch_graph(spark, sf_dir), NATION + 3)
+
+
+@_q(
+    "traverse_all_neighbors",
+    GRAPH_CTE
+    + f"""
+    SELECT neighbor_id FROM (
+        SELECT dst AS neighbor_id FROM edges WHERE src = {NATION + 3}
+        UNION
+        SELECT src FROM edges WHERE dst = {NATION + 3}
+    ) GROUP BY neighbor_id
+    """,
+)
+def traverse_all_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.all_neighbors(tpch_graph(spark, sf_dir), NATION + 3)
+
+
+@_q(
+    "traverse_2hop",
+    GRAPH_CTE
+    + f"""
+    SELECT DISTINCT e2.dst AS neighbor_id
+    FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+    WHERE e1.src = {ORD + 7} AND e2.dst != {ORD + 7}
+    """,
+)
+def traverse_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.traverse_2hop(tpch_graph(spark, sf_dir), ORD + 7)
+
+
+# ---------------------------------------------------------------------------
+# Degrees (graph/collection/src/lib.rs:210-223) — top-k by in-degree
+# ---------------------------------------------------------------------------
+@_q(
+    "degree_top_customers",
+    GRAPH_CTE
+    + """
+    SELECT dst AS id, COUNT(*) AS in_degree
+    FROM edges WHERE label = 'placed_by'
+    GROUP BY dst
+    ORDER BY in_degree DESC, id ASC
+    LIMIT 10
+    """,
+)
+def degree_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    sub = PropertyGraph(g.vertices, g.edges.filter(F.col("label") == "placed_by"))
+    return (
+        sub.in_degrees()
+        .select(F.col("dst").alias("id"), "in_degree")
+        .orderBy(F.col("in_degree").desc(), F.col("id").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Common neighbors (src/social_network_platform.rs:527-554): supplier pairs
+# co-located in the same nation.
+# ---------------------------------------------------------------------------
+@_q(
+    "common_neighbors_suppliers",
+    GRAPH_CTE
+    + f"""
+    SELECT e1.src AS a, e2.src AS b, COUNT(*) AS common_count
+    FROM edges e1 JOIN edges e2
+      ON e1.dst = e2.dst AND e1.label = 'located_in' AND e2.label = 'located_in'
+    WHERE e1.src < e2.src AND e1.src >= {SUPP} AND e2.src >= {SUPP}
+      AND e1.src < {ORD} AND e2.src < {ORD}
+    GROUP BY e1.src, e2.src
+    """,
+)
+def common_neighbors_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    supplier_edges = g.edges.filter(
+        (F.col("label") == "located_in") & (F.col("src") >= SUPP) & (F.col("src") < ORD)
+    )
+    return T.common_neighbors(PropertyGraph(g.vertices, supplier_edges))
+
+
+# ---------------------------------------------------------------------------
+# Edge lookup (get_edge_by_label, graph/storage/src/lib.rs:524-528)
+# ---------------------------------------------------------------------------
+@_q(
+    "edges_between_lookup",
+    GRAPH_CTE
+    + f"""
+    SELECT src, dst, label FROM edges
+    WHERE src = {CUST + 42} AND dst = {NATION}
+       OR (src = {CUST + 42} AND dst = {NATION + 2})
+    """,
+)
+def edges_between_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = tpch_graph(spark, sf_dir)
+    # probe two candidate (src,dst) pairs; only the real FK edge survives
+    return T.edges_between(g, CUST + 42, NATION).union(T.edges_between(g, CUST + 42, NATION + 2))

@@ -1,0 +1,336 @@
+"""LLM-data-pipeline operator suite: dedup, text analysis, similarity
+search, multimodal plumbing — over the documents/embeddings tables.
+
+Oracles restate the exact arithmetic (polynomial rolling hash, left-fold
+dot products, rational Jaccard) so results are engine-portable, per the
+determinism contract in suites/__init__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dd_graphdb_spark.operators import dedup as D
+from dd_graphdb_spark.operators import multimodal as M
+from dd_graphdb_spark.operators import similarity as S
+from dd_graphdb_spark.operators import text as X
+from dd_graphdb_spark.operators.dedup import MINHASH_PARAMS, MOD
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+JACCARD_THRESHOLD = 0.18  # tuned on sf0.01 to yield a small non-empty pair set
+
+# ---- shared DuckDB fragments ----------------------------------------------
+SQL_SHINGLES = """
+sh AS (
+    SELECT id, unnest(sl) AS s FROM (
+        SELECT doc_id AS id,
+               CASE WHEN len(t) >= 3
+                    THEN list_distinct(list_transform(generate_series(1, len(t)-2),
+                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                    ELSE [array_to_string(t, ' ')] END AS sl
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+    )
+)
+"""
+
+# polynomial rolling hash of a string s → BIGINT (matches operators.dedup.poly_hash)
+def _sql_ph(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform(generate_series(1, len({expr})),"
+        f" i -> ascii({expr}[i])::BIGINT)), (h, c) -> (h * 31 + c) % {MOD})"
+    )
+
+
+SQL_JACCARD_TAIL = f"""
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+    SELECT x.id AS a, y.id AS b, COUNT(*) AS inter
+    FROM sh x JOIN sh y ON x.s = y.s AND x.id < y.id
+    GROUP BY x.id, y.id
+)
+SELECT i.a, i.b, ROUND(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.a = sa.id JOIN sizes sb ON i.b = sb.id
+WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS digest, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs
+# ---------------------------------------------------------------------------
+@_q("dedup_ngram_jaccard", "WITH " + SQL_SHINGLES[1:] + ", " + SQL_JACCARD_TAIL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH-verified pairs
+# ---------------------------------------------------------------------------
+def _sql_minhash_sig() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * x + {b}) % {MOD})::BIGINT AS h{i}" for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    return f"""
+hx AS (SELECT id, {_sql_ph('s')} AS x FROM sh),
+sig AS (SELECT id, {mins} FROM hx GROUP BY id)
+"""
+
+
+@_q(
+    "dedup_minhash_signatures",
+    "WITH "
+    + SQL_SHINGLES[1:]
+    + ", "
+    + _sql_minhash_sig()[1:]
+    + "SELECT id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sig",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _sql_lsh_pairs() -> str:
+    k = len(MINHASH_PARAMS)
+    bands = " UNION ALL ".join(
+        f"SELECT id, {bi} AS band, h{bi*2}::VARCHAR || '_' || h{bi*2+1}::VARCHAR AS bucket FROM sig"
+        for bi in range(k // D.BAND_SIZE)
+    )
+    return f"""
+bands AS ({bands}),
+cand AS (
+    SELECT DISTINCT x.id AS a, y.id AS b
+    FROM bands x JOIN bands y ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+    SELECT c.a, c.b, COUNT(*) AS inter
+    FROM cand c JOIN sh x ON x.id = c.a JOIN sh y ON y.id = c.b AND x.s = y.s
+    GROUP BY c.a, c.b
+)
+SELECT i.a, i.b, ROUND(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+FROM inter i JOIN sizes sa ON i.a = sa.id JOIN sizes sb ON i.b = sb.id
+WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+@_q(
+    "dedup_minhash_lsh",
+    "WITH " + SQL_SHINGLES[1:] + ", " + _sql_minhash_sig()[1:] + ", " + _sql_lsh_pairs()[1:],
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures
+# ---------------------------------------------------------------------------
+@_q(
+    "dedup_simhash",
+    "WITH "
+    + SQL_SHINGLES[1:]
+    + f""",
+hx AS (SELECT id, {_sql_ph('s')} % 65536 AS x FROM sh),
+bits AS (
+    SELECT id, g.j,
+           SUM(CASE WHEN (x // (1::BIGINT << g.j)) % 2 = 1 THEN 1 ELSE -1 END)::BIGINT AS v
+    FROM hx, generate_series(0, 15) g(j)
+    GROUP BY id, g.j
+)
+SELECT id, SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY id
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_signatures(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@_q(
+    "text_token_count",
+    "SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS n_tokens FROM documents",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = X.token_count(_docs(spark, sf_dir))
+    return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
+
+
+@_q(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(toks)::BIGINT AS n,
+               list_sum(list_transform(toks, x -> strlen(x)))::BIGINT AS total_chars,
+               len(list_filter(toks, x -> x IN ({_STOP_SQL})))::BIGINT AS stop
+        FROM t
+    )
+    SELECT doc_id, n AS n_tokens,
+           ROUND(total_chars::DOUBLE / n, 6) AS mean_token_len,
+           ROUND(stop::DOUBLE / n, 6) AS stopword_ratio,
+           CASE WHEN n >= 20 AND stop::DOUBLE / n >= 0.02 THEN 1 ELSE 0 END AS quality_pass
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = X.quality_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len",
+        "stopword_ratio",
+        "quality_pass",
+    )
+
+
+@_q(
+    "text_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(list_filter(toks, x -> x IN ({_STOP_SQL})))::DOUBLE / len(toks) >= 0.05
+                THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM t
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_id(_docs(spark, sf_dir))
+
+
+@_q(
+    "text_fingerprint",
+    "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+_SQL_DOT = (
+    "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, len({a})),"
+    " i -> {a}[i] * {b}[i])), (acc, v) -> acc + v)"
+)
+_SQL_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform({a}, x -> x * x)),"
+    " (acc, v) -> acc + v))"
+)
+
+
+def _sql_cosine_topk(query_pred: str, k: int) -> str:
+    dot = _SQL_DOT.format(a="q.qv", b="e.v")
+    nq = _SQL_NORM.format(a="q.qv")
+    ne = _SQL_NORM.format(a="e.v")
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE {query_pred}),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               ROUND({dot} / ({nq} * {ne}), 6) AS sim
+        FROM q, e WHERE e.vec_id != q.q_id
+    )
+    SELECT q_id, neighbor_id, sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+QUERY_IDS = [0, 1, 2]
+
+
+@_q("sim_cosine_topk", _sql_cosine_topk("vec_id IN (0, 1, 2)", 5))
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.brute_force_topk(_emb(spark, sf_dir), QUERY_IDS, k=5)
+    return out.select("q_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+def _sql_lsh_topk(k: int) -> str:
+    dot_vp = _SQL_DOT.format(a="e.v", b="p.pv")
+    dot = _SQL_DOT.format(a="q.qv", b="e.v")
+    nq = _SQL_NORM.format(a="q.qv")
+    ne = _SQL_NORM.format(a="e.v")
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    planes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < 4),
+    buckets AS (
+        SELECT e.vec_id, SUM(CASE WHEN {dot_vp} > 0.0 THEN (1::BIGINT << p.pid::INT) ELSE 0 END)::BIGINT AS bucket
+        FROM e, planes p GROUP BY e.vec_id
+    ),
+    q AS (
+        SELECT e.vec_id AS q_id, e.v AS qv, b.bucket
+        FROM e JOIN buckets b ON e.vec_id = b.vec_id WHERE e.vec_id IN (0, 1, 2)
+    ),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               ROUND({dot} / ({nq} * {ne}), 6) AS sim
+        FROM q JOIN buckets b ON q.bucket = b.bucket JOIN e ON e.vec_id = b.vec_id
+        WHERE e.vec_id != q.q_id
+    )
+    SELECT q_id, neighbor_id, sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@_q("sim_ann_lsh_topk", _sql_lsh_topk(5))
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = S.lsh_topk(_emb(spark, sf_dir), QUERY_IDS, n_planes=4, k=5)
+    return out.select("q_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary plumbing (Arrow mapInPandas; text bytes as payload)
+# ---------------------------------------------------------------------------
+@_q(
+    "multimodal_binary_meta",
+    """
+    SELECT doc_id AS id, strlen(text)::BIGINT AS n_bytes,
+           'application/octet-stream' AS content_type, md5(text) AS digest
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payload = M.to_binary_column(_docs(spark, sf_dir), "text", "doc_id")
+    return M.extract_metadata(payload)

@@ -1,0 +1,222 @@
+"""Window/stream operator suite, verified in batch mode over `events`.
+
+The reference's stream operators (SURVEY.md §2.9) — tumbling / sliding /
+session / count windows, watermark tracking, dedup — have exact batch
+equivalents, which is what the oracle gate can check. The live
+Structured-Streaming versions of the same operators live in
+dd_graphdb_spark.streaming and are covered by tests/test_streaming.py
+(same expressions, readStream + watermark instead of read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.graph import read_events
+
+    return read_events(spark, sf_dir)
+
+
+FMT = "yyyy-MM-dd HH:mm:ss"
+FMT_US = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+SQL_FMT = "%Y-%m-%d %H:%M:%S"
+SQL_FMT_US = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _dec6(c):
+    return F.col(c).cast("decimal(18,6)")
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window (windowed_operations.rs:274-281 → window(ts, '1 hour'))
+# ---------------------------------------------------------------------------
+@_q(
+    "stream_tumbling_window",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{SQL_FMT}') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum(_dec6("value")).cast("double").alias("total"))
+        .select(F.date_format(F.col("w.start"), FMT).alias("window_start"), "event_type", "n", "total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window — real slide, unlike the reference where slide_interval is
+# declared but unused (windowed_operations.rs:283-291)
+# ---------------------------------------------------------------------------
+@_q(
+    "stream_sliding_window",
+    f"""
+    WITH b AS (
+        SELECT (FLOOR(epoch(ts))::BIGINT // 1800) * 1800 AS b0, *
+        FROM events
+    ),
+    w AS (
+        SELECT strftime(make_timestamp(b0 * 1000000), '{SQL_FMT}') AS window_start, event_id FROM b
+        UNION ALL
+        SELECT strftime(make_timestamp((b0 - 1800) * 1000000), '{SQL_FMT}'), event_id FROM b
+    )
+    SELECT window_start, COUNT(*) AS n FROM w GROUP BY window_start
+    """,
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format(F.col("w.start"), FMT).alias("window_start"), "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window, 10-minute gap (reference hardcodes a 30 s gap,
+# windowed_operations.rs:292-300; gap is a parameter here)
+# ---------------------------------------------------------------------------
+@_q(
+    "stream_session_window",
+    f"""
+    WITH o AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id, strftime(MIN(ts), '{SQL_FMT_US}') AS session_start, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), FMT_US).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count window: fixed-size chunks per key (windowed_operations.rs:301-304)
+# ---------------------------------------------------------------------------
+@_q(
+    "stream_count_window",
+    """
+    WITH r AS (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, (rn - 1) // 5 AS chunk, COUNT(*) AS n,
+           MIN(event_id) AS first_event, MAX(event_id) AS last_event
+    FROM r GROUP BY user_id, (rn - 1) // 5
+    """,
+)
+def stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("chunk", ((F.col("rn") - 1) / 5).cast("long"))
+        .groupBy("user_id", "chunk")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream dedup by key, keep-first (the reference declares
+# enable_deduplication but never implements it — stream_processing.rs:428,441)
+# ---------------------------------------------------------------------------
+@_q(
+    "stream_dedup_first",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id FROM (
+        SELECT user_id, event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermark semantics in batch: events arriving (by event_id order) with
+# event time more than 5 min behind the running max are "late"
+# (stream_processing.rs:315-342: monotonic max watermark + late counting)
+# ---------------------------------------------------------------------------
+@_q(
+    "stream_late_events",
+    """
+    SELECT COUNT(*) AS n_late FROM (
+        SELECT ts,
+               MAX(ts) OVER (ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        FROM events
+    ) WHERE wm IS NOT NULL AND ts < wm - INTERVAL 5 MINUTE
+    """,
+)
+def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
+    flagged = e.withColumn("wm", F.max("ts").over(w)).filter(
+        F.col("wm").isNotNull() & (F.col("ts") < F.col("wm") - F.expr("INTERVAL 5 MINUTES"))
+    )
+    return flagged.agg(F.count("*").alias("n_late"))
+
+
+# events.parquet stores ts as TIMESTAMP(NANOS); read_events() truncates to
+# microseconds (Spark's native precision). Apply the identical truncation on
+# the DuckDB side so both engines compare equal values.
+_EVENTS_US = "(SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events) events"
+for _k in list(ORACLES):
+    ORACLES[_k] = ORACLES[_k].replace("FROM events", f"FROM {_EVENTS_US}")
