@@ -1,0 +1,97 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+The headline set covers every suite: relational scan/agg/join/window,
+GQL pattern matching, graph algorithms (fixpoint loops), streaming
+windows in batch mode, and the LLM-pipeline operators (dedup /
+similarity / text).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_revenue_per_region",
+    "window_topk_per_segment",
+    "top_n_orders",
+    "gql_multi_hop",
+    "traverse_2hop",
+    "algo_pagerank_top3",
+    "algo_cc_derived",
+    "algo_kcore_colocation",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "stream_dedup_first",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dd_graphdb_spark import get_spark
+    from dd_graphdb_spark.suites import all_queries
+
+    spark = get_spark("dd-graphdb-bench")
+    qs, _ = all_queries()
+
+    def scrub() -> None:
+        """Between queries: drop every persistent RDD and force GC. Bench
+        queries are independent and collected eagerly, so nothing live is
+        lost; this keeps per-query timings from measuring the *previous*
+        query's leftover block/shuffle state."""
+        import gc
+
+        gc.collect()
+        try:
+            it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        scrub()
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # force full execution without driver-side collect cost
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -12,10 +12,20 @@ Reference semantics:
 
 Spark shape: iterate comp(v) ← min(comp(v), min over neighbors comp(u))
 until no label changes. Each round is one join + one aggregation; rounds
-≈ graph diameter. For 100 TB graphs with large diameter, switch to the
-large-star/small-star contraction (Kiveris et al., "Connected Components
-in MapReduce and Beyond") — the propagation loop here is the simple,
-deterministic baseline and converges fast on short-diameter graphs.
+≈ graph diameter.
+
+Iteration mechanics (important at any scale): the evolving state is
+eagerly localCheckpoint'ed EVERY round so each job reads a materialized
+RDD instead of re-executing the whole lineage (a lazily-persisted input
+re-runs its plan once per downstream job until first materialization —
+on a multi-table-union graph that dominates everything). Convergence is
+a scalar aggregate on the checkpointed state: min-label propagation only
+ever decreases labels, so sum(component) is strictly decreasing until
+the fixpoint — one cheap job, no self-join. For 100 TB graphs with large
+diameter, switch to large-star/small-star contraction (Kiveris et al.,
+"Connected Components in MapReduce and Beyond"); the propagation loop
+here converges in ~diameter rounds, which is right for the short-diameter
+graphs the reference targets.
 """
 
 from __future__ import annotations
@@ -25,41 +35,41 @@ from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import PropertyGraph
 
-CHECKPOINT_EVERY = 5
+
+from dd_graphdb_spark.algorithms._iter import materialize as _materialize
+from dd_graphdb_spark.algorithms._iter import run_loop
 
 
-def connected_components(g: PropertyGraph, max_iterations: int = 50) -> DataFrame:
+def _connected_components_loop(g: PropertyGraph, max_iterations: int = 50) -> DataFrame:
     """Returns (id, component) with component = min vertex id reachable
     via undirected edges."""
     verts = g.vertices.select("id").distinct()
-    # undirected: propagate labels both ways
     e = g.edges.select("src", "dst")
-    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct().persist()
+    sym = _materialize(
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    )
 
-    comp = verts.withColumn("component", F.col("id"))
-    for i in range(max_iterations):
+    comp = _materialize(verts.withColumn("component", F.col("id")))
+    prev_sum = None
+    for _ in range(max_iterations):
         nbr_min = (
             comp.join(sym, comp.id == sym.src)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        new_comp = (
-            comp.join(nbr_min, "id", "left")
-            .select("id", F.least(F.col("component"), F.coalesce("nbr_component", "component")).alias("component"))
+        comp = _materialize(
+            comp.join(nbr_min, "id", "left").select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nbr_component", "component")).alias(
+                    "component"
+                ),
+            )
         )
-        if (i + 1) % CHECKPOINT_EVERY == 0:
-            new_comp = new_comp.localCheckpoint()
-        changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        comp = new_comp
-        if changed == 0:
+        # labels are monotonically non-increasing → equal sums ⇔ fixpoint
+        cur_sum = comp.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
-    sym.unpersist()
+        prev_sum = cur_sum
     return comp
 
 
@@ -70,7 +80,9 @@ def component_count(g: PropertyGraph, max_iterations: int = 50) -> DataFrame:
     )
 
 
-def strongly_connected_components(g: PropertyGraph, max_rounds: int = 25, max_iterations: int = 50) -> DataFrame:
+def _strongly_connected_components_loop(
+    g: PropertyGraph, max_rounds: int = 25, max_iterations: int = 50
+) -> DataFrame:
     """SCC via forward-backward coloring (the MapReduce FW-BW algorithm;
     same result semantics as the reference's forward ∩ reverse
     reachability with min-vertex representative,
@@ -84,43 +96,43 @@ def strongly_connected_components(g: PropertyGraph, max_rounds: int = 25, max_it
 
     Returns (id, scc) where scc = min vertex id of the component.
     """
-    remaining_v = g.vertices.select("id").distinct().persist()
-    remaining_e = g.edges.select("src", "dst").distinct().persist()
+    remaining_v = _materialize(g.vertices.select("id").distinct())
+    remaining_e = _materialize(g.edges.select("src", "dst").distinct())
     results: list[DataFrame] = []
 
     for _ in range(max_rounds):
-        if remaining_v.limit(1).count() == 0:
+        if remaining_v.isEmpty():
             break
         # (1) forward min-label coloring over remaining subgraph
-        color = remaining_v.withColumn("color", F.col("id"))
-        for i in range(max_iterations):
+        color = _materialize(remaining_v.withColumn("color", F.col("id")))
+        prev_sum = None
+        for _ in range(max_iterations):
             nbr = (
                 color.join(remaining_e, color.id == remaining_e.src)
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("color").alias("nbr_color"))
             )
-            new = color.join(nbr, "id", "left").select(
-                "id", F.least(F.col("color"), F.coalesce("nbr_color", "color")).alias("color")
+            color = _materialize(
+                color.join(nbr, "id", "left").select(
+                    "id", F.least(F.col("color"), F.coalesce("nbr_color", "color")).alias("color")
+                )
             )
-            if (i + 1) % CHECKPOINT_EVERY == 0:
-                new = new.localCheckpoint()
-            changed = (
-                new.alias("n").join(color.alias("o"), "id").filter(F.col("n.color") != F.col("o.color")).limit(1).count()
-            )
-            color = new
-            if changed == 0:
+            cur_sum = color.agg(F.sum("color")).collect()[0][0]
+            if cur_sum == prev_sum:
                 break
-        color = color.persist()
+            prev_sum = cur_sum
         # (2) backward mark: can v reach its color root via same-color path?
-        colored_e = (
-            remaining_e.join(color.withColumnRenamed("id", "src").withColumnRenamed("color", "c_src"), "src")
+        colored_e = _materialize(
+            remaining_e.join(
+                color.withColumnRenamed("id", "src").withColumnRenamed("color", "c_src"), "src"
+            )
             .join(color.withColumnRenamed("id", "dst").withColumnRenamed("color", "c_dst"), "dst")
             .filter(F.col("c_src") == F.col("c_dst"))
             .select("src", "dst")
-        ).persist()
-        marked = color.filter(F.col("id") == F.col("color")).select("id", "color")
+        )
+        marked = _materialize(color.filter(F.col("id") == F.col("color")).select("id", "color"))
         frontier = marked
-        for i in range(max_iterations):
+        for _ in range(max_iterations):
             # colored_e already restricts to same-color endpoints, so the
             # predecessor inherits the frontier vertex's root color.
             preds = (
@@ -128,23 +140,32 @@ def strongly_connected_components(g: PropertyGraph, max_rounds: int = 25, max_it
                 .select(F.col("src").alias("id"), "color")
                 .distinct()
             )
-            new_frontier = preds.join(marked, "id", "left_anti").localCheckpoint()
-            if new_frontier.limit(1).count() == 0:
+            new_frontier = _materialize(preds.join(marked, "id", "left_anti"))
+            if new_frontier.isEmpty():
                 break
-            marked = marked.union(new_frontier).localCheckpoint()
+            marked = _materialize(marked.union(new_frontier))
             frontier = new_frontier
         results.append(marked.select("id", F.col("color").alias("scc")))
-        remaining_v = remaining_v.join(marked.select("id"), "id", "left_anti").localCheckpoint()
-        remaining_e = (
+        remaining_v = _materialize(remaining_v.join(marked.select("id"), "id", "left_anti"))
+        remaining_e = _materialize(
             remaining_e.join(marked.select(F.col("id").alias("src")), "src", "left_anti")
             .join(marked.select(F.col("id").alias("dst")), "dst", "left_anti")
             .select("src", "dst")
-            .localCheckpoint()
         )
-        colored_e.unpersist()
-        color.unpersist()
 
     out = results[0]
     for r in results[1:]:
         out = out.union(r)
     return out
+
+
+def connected_components(g: PropertyGraph, max_iterations: int = 50) -> DataFrame:
+    """Public entry; releases loop-intermediate checkpoint blocks."""
+    return run_loop(_connected_components_loop, g, max_iterations)
+
+
+def strongly_connected_components(
+    g: PropertyGraph, max_rounds: int = 25, max_iterations: int = 50
+) -> DataFrame:
+    """Public entry; releases loop-intermediate checkpoint blocks."""
+    return run_loop(_strongly_connected_components_loop, g, max_rounds, max_iterations)

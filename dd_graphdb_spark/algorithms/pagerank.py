@@ -11,10 +11,14 @@ decays), matching the reference's recurrence.
 
 Spark shape: ranks ⋈ edges on src → groupBy dst sum → left join back onto
 the vertex universe. Each iteration is one shuffle on the join key plus an
-aggregation with map-side partial sums. ``localCheckpoint`` every few
-iterations truncates lineage so 100-iteration runs don't blow up the plan.
+aggregation with map-side partial sums. The rank state is eagerly
+localCheckpoint'ed every iteration: each job then reads a materialized
+RDD instead of re-executing the whole chained-join lineage (lazily
+cached inputs re-run their plan once per downstream job until first
+materialization — that, not the joins, is what dominates a naive loop).
 At 100 TB: pre-partition edges and ranks by the same key so the per-iter
-join is co-located; AQE handles skewed hub vertices.
+join is co-located; AQE handles skewed hub vertices; swap localCheckpoint
+for reliable checkpoint(dir) when executors can be lost.
 """
 
 from __future__ import annotations
@@ -23,11 +27,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import PropertyGraph
+from dd_graphdb_spark.algorithms._iter import run_loop
 
-CHECKPOINT_EVERY = 5
 
-
-def pagerank(
+def _pagerank_loop(
     g: PropertyGraph,
     damping: float = 0.85,
     max_iterations: int = 20,
@@ -37,19 +40,18 @@ def pagerank(
     """Returns (id, rank). ``tolerance``: stop when the L1 delta between
     iterations drops below it (basic.rs convergence check); None = run all
     ``max_iterations`` (deterministic, oracle-friendly)."""
-    verts = g.vertices.select("id")
+    verts = g.vertices.select("id").localCheckpoint(eager=True)
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
     edges = g.edges.select("src", "dst")
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # pre-compute each edge's share denominator once
-    contrib_edges = edges.join(outdeg, "src").select("src", "dst", "outdeg")
-    contrib_edges = contrib_edges.persist()
+    # pre-compute each edge's share denominator once, materialized
+    contrib_edges = edges.join(outdeg, "src").select("src", "dst", "outdeg").localCheckpoint(eager=True)
     base = float((1.0 - damping) / n)
 
-    ranks = verts.withColumn("rank", F.lit(1.0 / n))
-    for i in range(max_iterations):
+    ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
         contribs = (
             ranks.join(contrib_edges, ranks.id == contrib_edges.src)
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("contrib"))
@@ -59,9 +61,7 @@ def pagerank(
         new_ranks = verts.join(contribs, "id", "left").select(
             "id",
             (F.lit(base) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"),
-        )
-        if (i + 1) % CHECKPOINT_EVERY == 0:
-            new_ranks = new_ranks.localCheckpoint()
+        ).localCheckpoint(eager=True)
         if tolerance is not None:
             delta = (
                 new_ranks.alias("n")
@@ -74,7 +74,6 @@ def pagerank(
                 break
         else:
             ranks = new_ranks
-    contrib_edges.unpersist()
     if round_to is not None:
         ranks = ranks.select("id", F.round("rank", round_to).alias("rank"))
     return ranks
@@ -84,3 +83,16 @@ def top_n(ranks: DataFrame, n: int) -> DataFrame:
     """Sort desc by score, take n (PageRankResult::top_n, basic.rs:25-31);
     ties broken by id for a total order."""
     return ranks.orderBy(F.col("rank").desc(), F.col("id").asc()).limit(n)
+
+
+def pagerank(
+    g: PropertyGraph,
+    damping: float = 0.85,
+    max_iterations: int = 20,
+    tolerance: float | None = None,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Public entry: runs the loop, then releases the loop's intermediate
+    checkpoint blocks (the loop frame must be gone before GC can free its
+    py4j references — see algorithms/_iter.py)."""
+    return run_loop(_pagerank_loop, g, damping, max_iterations, tolerance, round_to)

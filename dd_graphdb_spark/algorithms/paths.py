@@ -26,11 +26,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import PropertyGraph
+from dd_graphdb_spark.algorithms._iter import run_loop
 
 CHECKPOINT_EVERY = 4
 
 
-def sssp(
+def _sssp_loop(
     g: PropertyGraph,
     source: int,
     weight_property: str | None = None,
@@ -45,7 +46,7 @@ def sssp(
         w = F.coalesce(F.col(weight_property).cast("double"), F.lit(default_weight))
     else:
         w = F.lit(default_weight)
-    edges = e.select("src", "dst", w.alias("w")).persist()
+    edges = e.select("src", "dst", w.alias("w")).localCheckpoint(eager=True)
 
     dist = (
         g.vertices.select("id")
@@ -72,21 +73,20 @@ def sssp(
             .join(dist.alias("o"), "id", "left")
             .filter(F.col("o.id").isNull() | (F.col("n.distance") < F.col("o.distance")))
             .select(F.col("id"), F.col("n.distance").alias("distance"), F.col("n.path").alias("path"))
-            .localCheckpoint()
+            .localCheckpoint(eager=True)
         )
-        if improved.limit(1).count() == 0:
+        if improved.isEmpty():
             break
         dist = (
             dist.join(improved.select("id"), "id", "left_anti")
             .union(improved)
-            .localCheckpoint()
+            .localCheckpoint(eager=True)
         )
         frontier = improved
-    edges.unpersist()
     return dist
 
 
-def bfs_shortest_path(
+def _bfs_shortest_path_loop(
     g: PropertyGraph,
     source: int,
     target: int | None = None,
@@ -100,17 +100,17 @@ def bfs_shortest_path(
     e = g.edges.select("src", "dst", "label")
     if label is not None:
         e = e.filter(F.col("label") == label)
-    e = e.select("src", "dst").distinct().persist()
+    e = e.select("src", "dst").distinct().localCheckpoint(eager=True)
 
     visited = (
         g.vertices.select("id")
         .filter(F.col("id") == source)
         .select("id", F.lit(0).alias("hops"), F.col("id").cast("string").alias("path"))
-        .localCheckpoint()
+        .localCheckpoint(eager=True)
     )
     frontier = visited
     for depth in range(1, max_depth + 1):
-        if target is not None and visited.filter(F.col("id") == target).limit(1).count() > 0:
+        if target is not None and not visited.filter(F.col("id") == target).isEmpty():
             break
         nxt = (
             frontier.join(e, frontier.id == e.src)
@@ -123,34 +123,59 @@ def bfs_shortest_path(
             .agg(F.min(F.struct("hops", "path")).alias("b"))
             .select("id", F.col("b.hops").alias("hops"), F.col("b.path").alias("path"))
         )
-        new = nxt.join(visited.select("id"), "id", "left_anti").localCheckpoint()
-        if new.limit(1).count() == 0:
+        new = nxt.join(visited.select("id"), "id", "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
             break
-        visited = visited.union(new).localCheckpoint()
+        visited = visited.union(new).localCheckpoint(eager=True)
         frontier = new
-    e.unpersist()
     if target is not None:
         return visited.filter(F.col("id") == target)
     return visited
 
 
-def reachability(g: PropertyGraph, source: int, max_iterations: int = 50) -> DataFrame:
+def _reachability_loop(g: PropertyGraph, source: int, max_iterations: int = 50) -> DataFrame:
     """All vertices reachable from ``source`` (the seed included), as
     (id). Fixpoint reach ∪ (reach ⋈ edges) with a delta frontier so each
     round only expands newly found vertices."""
-    e = g.edges.select("src", "dst").distinct().persist()
+    e = g.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     reach = (
-        g.vertices.select("id").filter(F.col("id") == source).localCheckpoint()
+        g.vertices.select("id").filter(F.col("id") == source).localCheckpoint(eager=True)
     )
     frontier = reach
     for i in range(max_iterations):
         nxt = (
             frontier.join(e, frontier.id == e.src).select(F.col("dst").alias("id")).distinct()
         )
-        new = nxt.join(reach, "id", "left_anti").localCheckpoint()
-        if new.limit(1).count() == 0:
+        new = nxt.join(reach, "id", "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
             break
-        reach = reach.union(new).localCheckpoint()
+        reach = reach.union(new).localCheckpoint(eager=True)
         frontier = new
-    e.unpersist()
     return reach
+
+
+def sssp(
+    g: PropertyGraph,
+    source: int,
+    weight_property: str | None = None,
+    default_weight: float = 1.0,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Public entry; releases loop-intermediate checkpoint blocks."""
+    return run_loop(_sssp_loop, g, source, weight_property, default_weight, max_iterations)
+
+
+def bfs_shortest_path(
+    g: PropertyGraph,
+    source: int,
+    target: int | None = None,
+    max_depth: int = 10,
+    label: str | None = None,
+) -> DataFrame:
+    """Public entry; releases loop-intermediate checkpoint blocks."""
+    return run_loop(_bfs_shortest_path_loop, g, source, target, max_depth, label)
+
+
+def reachability(g: PropertyGraph, source: int, max_iterations: int = 50) -> DataFrame:
+    """Public entry; releases loop-intermediate checkpoint blocks."""
+    return run_loop(_reachability_loop, g, source, max_iterations)

@@ -21,9 +21,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import PropertyGraph
+from dd_graphdb_spark.algorithms._iter import run_loop
 
 
-def k_core(g: PropertyGraph, k: int, max_iterations: int = 50) -> DataFrame:
+def _k_core_loop(g: PropertyGraph, k: int, max_iterations: int = 50) -> DataFrame:
     """Vertices of the k-core (id). Undirected degrees."""
     e = g.edges.select("src", "dst")
     # undirected simple graph: canonical low→high, dedupe, drop self-loops
@@ -31,7 +32,7 @@ def k_core(g: PropertyGraph, k: int, max_iterations: int = 50) -> DataFrame:
         e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         deg = (
@@ -40,12 +41,12 @@ def k_core(g: PropertyGraph, k: int, max_iterations: int = 50) -> DataFrame:
             .groupBy("id")
             .agg(F.count("*").alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= k).select("id").localCheckpoint()
+        keep = deg.filter(F.col("deg") >= k).select("id").localCheckpoint(eager=True)
         pruned = (
             und.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint()
+            .localCheckpoint(eager=True)
         )
         if pruned.count() == und.count():
             und = pruned
@@ -89,3 +90,8 @@ def degree_centrality(g: PropertyGraph) -> DataFrame:
         F.col("degree").alias("degree"),
         F.round(F.col("degree") / F.lit(denom), 6).alias("centrality"),
     )
+
+
+def k_core(g: PropertyGraph, k: int, max_iterations: int = 50) -> DataFrame:
+    """Public entry; releases loop-intermediate checkpoint blocks."""
+    return run_loop(_k_core_loop, g, k, max_iterations)

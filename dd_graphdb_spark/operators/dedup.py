@@ -133,7 +133,22 @@ def minhash_lsh_pairs(
     Output schema matches ngram_jaccard_pairs (a, b, jaccard) — LSH is the
     scale path that avoids the all-pairs shingle join.
     """
-    sig = minhash_signatures(df, text_col, id_col, n)
+    # Compute shingle arrays ONCE and reuse for signatures (exploded) and
+    # verification (arrays). Without materialization the self-join below
+    # would re-execute the whole signature pipeline for each side, and the
+    # verification joins would re-shingle the corpus twice more — the plan
+    # is referenced 4×, so cache/checkpoint here is a 4× saving, not a
+    # micro-optimization. sig is n_docs × (k+1) longs — small at any scale.
+    sh_arr = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    ).persist()
+    sh = sh_arr.select("id", F.explode("sh").alias("s")).withColumn("x", poly_hash(F.col("s")))
+    sig = sh.groupBy("id").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % MOD).alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS)
+        ]
+    ).localCheckpoint(eager=True)
     k = len(MINHASH_PARAMS)
     bands = []
     for band_i in range(k // BAND_SIZE):
@@ -152,21 +167,16 @@ def minhash_lsh_pairs(
     b = bt.select(F.col("id").alias("b"), "band", "bucket")
     cand = a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
 
-    # exact verification restricted to candidates
-    sh = shingle_table(df, text_col, id_col, n).persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    ia = sh.select(F.col("id").alias("a"), "s")
-    ib = sh.select(F.col("id").alias("b"), "s")
-    inter = (
-        cand.join(ia, "a").join(ib.withColumnRenamed("s", "s2"), "b")
-        .filter(F.col("s") == F.col("s2"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("inter"))
-    )
+    # exact verification restricted to candidates: reuse the cached
+    # distinct-shingle ARRAYs and intersect JVM-side per pair — O(|A|+|B|)
+    # per candidate, vs. the |A|×|B| blow-up of a per-pair cross join
+    shas = sh_arr.select(F.col("id").alias("a"), F.col("sh").alias("sa"))
+    shbs = sh_arr.select(F.col("id").alias("b"), F.col("sh").alias("sb"))
     return (
-        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
-        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        cand.join(shas, "a")
+        .join(shbs, "b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("jaccard", F.col("inter") / (F.size("sa") + F.size("sb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -17,10 +17,40 @@ Determinism contract for oracle parity (driver hashes values):
 from dd_graphdb_spark.suites import relational, graph_queries, algorithms, llm_ops, streaming_batch
 
 
+def _hygiene(spark) -> None:
+    """Free session garbage left by *previous* queries.
+
+    Iterative operators pin localCheckpoint blocks and shuffle state;
+    once the caller drops its result DataFrames these are garbage, but
+    the JVM only releases them after both Python and JVM GCs run —
+    which can lag minutes, degrading later queries in the same session
+    (measured 12s → 400s). Running the two GCs at query START is safe:
+    anything the caller still references survives.
+    """
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass  # Spark Connect: no JVM gateway; ContextCleaner self-manages
+
+
+def _with_hygiene(fn):
+    def wrapped(spark, sf_dir):
+        _hygiene(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
+
+
 def all_queries():
     q = {}
     o = {}
     for mod in (relational, graph_queries, algorithms, llm_ops, streaming_batch):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
+    q = {name: _with_hygiene(fn) for name, fn in q.items()}
     return q, o
