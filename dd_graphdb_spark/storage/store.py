@@ -1,0 +1,374 @@
+"""Mutable property-graph store: operation batches, transactions with
+optimistic concurrency, versioned parquet snapshots.
+
+Reference semantics (graph/storage/src/lib.rs):
+- GraphOperation set: AddVertex / RemoveVertex / AddEdge / RemoveEdge /
+  UpdateVertexProperties / UpdateEdgeProperties        (:49-72)
+- apply semantics: Add overwrites an existing key; RemoveVertex cascades
+  deletion of incident edges; UpdateEdgeProperties keeps edge identity
+  (apply_operation, :269-323)
+- edge identity = (src, dst, label) — multigraph by label (:171)
+- transactions: snapshot-isolated op batches; commit fails with
+  ``Conflict`` if the store version moved (begin/commit_transaction,
+  :429-494; StorageError::Conflict :40-42)
+- durability: WAL + whole-snapshot files + checkpoint-every-10-ops
+  (:103-160, :582-611)
+
+Spark mapping: the snapshot IS a pair of parquet tables; every committed
+batch writes a new version directory (``v{n}/vertices.parquet`` +
+``v{n}/edges.parquet`` + ``meta.json``) — the parquet write is the WAL
+fsync and the version directory is the checkpoint, with time travel =
+opening an older version (what Delta Lake's txn log gives; plain
+versioned parquet keeps this repo dependency-free). OCC is a version
+compare at commit, exactly the reference's rule.
+
+Apply order inside a batch follows the reference: operations apply in
+sequence, later ops see earlier ops' effects (a batch is one WAL run).
+
+Properties are a ``MAP<STRING, STRING>`` column holding JSON-rendered
+values (the reference's PropertyValue is schemaless and type-checked at
+access time, graph/core/src/lib.rs:107-222 — ``prop_typed`` is the
+``as_int64``-style accessor: a cast at read). At 100 TB, hot properties
+should be promoted to typed top-level columns as graph.py's derived
+graphs do; the map column is the long tail.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VERTEX_SCHEMA = "id long, label string, properties map<string,string>"
+EDGE_SCHEMA = "src long, dst long, label string, properties map<string,string>"
+
+
+class ConflictError(Exception):
+    """Commit-time optimistic-concurrency failure
+    (StorageError::Conflict, graph/storage/src/lib.rs:40-42)."""
+
+
+@dataclass
+class GraphOp:
+    kind: str  # add_vertex | remove_vertex | add_edge | remove_edge
+    #          # | update_vertex_props | update_edge_props
+    payload: dict[str, Any]
+
+
+def _render_props(props: dict[str, Any] | None) -> dict[str, str]:
+    return {k: json.dumps(v) for k, v in (props or {}).items()}
+
+
+def add_vertex(vertex_id: int, label: str | None = None, props: dict | None = None) -> GraphOp:
+    p = dict(props or {})
+    if label is not None:
+        # vertex label is the "type" property (executor.rs:290-295)
+        p.setdefault("type", label)
+    return GraphOp("add_vertex", {"id": vertex_id, "props": p})
+
+
+def remove_vertex(vertex_id: int) -> GraphOp:
+    return GraphOp("remove_vertex", {"id": vertex_id})
+
+
+def add_edge(src: int, dst: int, label: str, props: dict | None = None) -> GraphOp:
+    return GraphOp("add_edge", {"src": src, "dst": dst, "label": label, "props": props or {}})
+
+
+def remove_edge(src: int, dst: int, label: str) -> GraphOp:
+    return GraphOp("remove_edge", {"src": src, "dst": dst, "label": label})
+
+
+def update_vertex_props(vertex_id: int, props: dict) -> GraphOp:
+    return GraphOp("update_vertex_props", {"id": vertex_id, "props": props})
+
+
+def update_edge_props(src: int, dst: int, label: str, props: dict) -> GraphOp:
+    return GraphOp("update_edge_props", {"src": src, "dst": dst, "label": label, "props": props})
+
+
+@dataclass
+class Transaction:
+    base_version: int
+    ops: list[GraphOp] = field(default_factory=list)
+
+    def add(self, op: GraphOp) -> "Transaction":
+        self.ops.append(op)
+        return self
+
+
+def prop_typed(col: str | Column, key: str, dtype: str = "string") -> Column:
+    """Typed property accessor: properties['key'] cast to ``dtype`` —
+    the reference's as_int64/as_float64 access-time typing
+    (graph/core/src/lib.rs:166-222). Values are JSON-rendered, so strings
+    are unquoted before the cast."""
+    c = F.col(col) if isinstance(col, str) else col
+    raw = c.getItem(key)
+    unquoted = F.when(
+        raw.startswith('"'), F.regexp_replace(raw, r'^"|"$', "")
+    ).otherwise(raw)
+    return unquoted.cast(dtype)
+
+
+class GraphStore:
+    """Versioned, transactional property-graph store over parquet."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._meta_path = os.path.join(path, "meta.json")
+        if not os.path.exists(self._meta_path):
+            self._write_initial()
+
+    # ---- metadata ---------------------------------------------------------
+    def _write_initial(self) -> None:
+        empty_v = self.spark.createDataFrame([], VERTEX_SCHEMA)
+        empty_e = self.spark.createDataFrame([], EDGE_SCHEMA)
+        self._write_version(0, empty_v, empty_e)
+        self._save_meta({"version": 0})
+
+    def _save_meta(self, meta: dict) -> None:
+        tmp = self._meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self._meta_path)  # atomic pointer swap = commit point
+
+    @property
+    def version(self) -> int:
+        with open(self._meta_path) as f:
+            return json.load(f)["version"]
+
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version}")
+
+    def _write_version(self, version: int, vertices: DataFrame, edges: DataFrame) -> None:
+        d = self._vdir(version)
+        vertices.write.mode("overwrite").parquet(os.path.join(d, "vertices.parquet"))
+        edges.write.mode("overwrite").parquet(os.path.join(d, "edges.parquet"))
+
+    # ---- reads (time travel via version=) ---------------------------------
+    def vertices(self, version: int | None = None) -> DataFrame:
+        v = self.version if version is None else version
+        return self.spark.read.schema(VERTEX_SCHEMA).parquet(
+            os.path.join(self._vdir(v), "vertices.parquet")
+        )
+
+    def edges(self, version: int | None = None) -> DataFrame:
+        v = self.version if version is None else version
+        return self.spark.read.schema(EDGE_SCHEMA).parquet(
+            os.path.join(self._vdir(v), "edges.parquet")
+        )
+
+    def get_vertex(self, vertex_id: int) -> DataFrame:
+        """Point lookup (graph/storage/src/lib.rs:504-507)."""
+        return self.vertices().filter(F.col("id") == vertex_id)
+
+    def get_edge(self, src: int, dst: int, label: str | None = None) -> DataFrame:
+        """Point lookup; without label = first matching edge semantics
+        (:510-528)."""
+        e = self.edges().filter((F.col("src") == src) & (F.col("dst") == dst))
+        if label is not None:
+            e = e.filter(F.col("label") == label)
+        return e.limit(1) if label is None else e
+
+    def as_property_graph(
+        self,
+        vertex_props: dict[str, str] | None = None,
+        edge_props: dict[str, str] | None = None,
+    ):
+        """Expose the store as a PropertyGraph with requested properties
+        promoted to typed top-level columns (the engine's column-per-hot-
+        property convention, SURVEY.md §1.3). E.g.
+        ``store.as_property_graph({"name": "string", "age": "long"})``."""
+        from dd_graphdb_spark.graph import PropertyGraph
+
+        v = self.vertices()
+        for k, t in (vertex_props or {}).items():
+            v = v.withColumn(k, prop_typed("properties", k, t))
+        e = self.edges()
+        for k, t in (edge_props or {}).items():
+            e = e.withColumn(k, prop_typed("properties", k, t))
+        return PropertyGraph(v, e)
+
+    def stats(self) -> dict[str, int]:
+        """get_stats parity (:571-579)."""
+        return {
+            "vertex_count": self.vertices().count(),
+            "edge_count": self.edges().count(),
+            "version": self.version,
+        }
+
+    # ---- transactions -----------------------------------------------------
+    def begin_transaction(self) -> Transaction:
+        return Transaction(base_version=self.version)
+
+    def commit(self, txn: Transaction) -> int:
+        """Apply the batch; raises ConflictError if the store version
+        moved since begin (OCC version compare, :461-463). Returns the
+        new version."""
+        current = self.version
+        if txn.base_version != current:
+            raise ConflictError(
+                f"store at v{current}, transaction began at v{txn.base_version}"
+            )
+        return self.apply_batch(txn.ops)
+
+    # ---- batch application -------------------------------------------------
+    def apply_batch(self, ops: list[GraphOp]) -> int:
+        """Apply an operation batch as one new snapshot version.
+
+        DataFrame choreography per op kind (all anti-join/union — the
+        MERGE shapes Delta would run):
+        - add_vertex:    delete same id, append row (insert-overwrite,
+                         reference HashMap insert :294-299)
+        - remove_vertex: anti-join vertices; anti-join edges on BOTH
+                         endpoints (cascade, :274-293)
+        - add_edge:      delete same (src,dst,label), append
+        - remove_edge:   anti-join on the exact triple
+        - update_*_props: merge maps, keeping identity (map_concat with
+                          new keys winning)
+        """
+        spark = self.spark
+        v_df = self.vertices()
+        e_df = self.edges()
+
+        for op in ops:
+            p = op.payload
+            if op.kind == "add_vertex":
+                row = spark.createDataFrame(
+                    [(p["id"], p["props"].get("type"), _render_props(p["props"]))],
+                    VERTEX_SCHEMA,
+                )
+                v_df = v_df.filter(F.col("id") != p["id"]).unionByName(row)
+            elif op.kind == "remove_vertex":
+                v_df = v_df.filter(F.col("id") != p["id"])
+                e_df = e_df.filter((F.col("src") != p["id"]) & (F.col("dst") != p["id"]))
+            elif op.kind == "add_edge":
+                row = spark.createDataFrame(
+                    [(p["src"], p["dst"], p["label"], _render_props(p["props"]))], EDGE_SCHEMA
+                )
+                e_df = e_df.filter(
+                    ~(
+                        (F.col("src") == p["src"])
+                        & (F.col("dst") == p["dst"])
+                        & (F.col("label") == p["label"])
+                    )
+                ).unionByName(row)
+            elif op.kind == "remove_edge":
+                e_df = e_df.filter(
+                    ~(
+                        (F.col("src") == p["src"])
+                        & (F.col("dst") == p["dst"])
+                        & (F.col("label") == p["label"])
+                    )
+                )
+            elif op.kind == "update_vertex_props":
+                new_map = F.create_map(
+                    *[x for k, val in _render_props(p["props"]).items() for x in (F.lit(k), F.lit(val))]
+                )
+                v_df = v_df.withColumn(
+                    "properties",
+                    F.when(
+                        F.col("id") == p["id"],
+                        # merge with new keys winning; keys present in only
+                        # one side keep their value (map_zip_with yields
+                        # null for the missing side)
+                        F.map_zip_with(
+                            F.col("properties"), new_map, lambda k, a, b: F.coalesce(b, a)
+                        ),
+                    ).otherwise(F.col("properties")),
+                )
+            elif op.kind == "update_edge_props":
+                new_map = F.create_map(
+                    *[x for k, val in _render_props(p["props"]).items() for x in (F.lit(k), F.lit(val))]
+                )
+                e_df = e_df.withColumn(
+                    "properties",
+                    F.when(
+                        (F.col("src") == p["src"])
+                        & (F.col("dst") == p["dst"])
+                        & (F.col("label") == p["label"]),
+                        F.map_zip_with(
+                            F.col("properties"), new_map, lambda k, a, b: F.coalesce(b, a)
+                        ),
+                    ).otherwise(F.col("properties")),
+                )
+            else:
+                raise ValueError(f"unknown op kind {op.kind}")
+
+        new_version = self.version + 1
+        self._write_version(new_version, v_df, e_df)
+        self._save_meta({"version": new_version})
+        return new_version
+
+    # ---- GQL mutations -----------------------------------------------------
+    def delete_vertices(self, ids_df: DataFrame) -> int:
+        """Bulk delete with incident-edge cascade via anti-joins — the
+        distributed MATCH..DELETE path (no driver-side id collection).
+        ``ids_df`` must have a single ``id`` column."""
+        ids = ids_df.select("id").distinct()
+        v_df = self.vertices().join(ids, "id", "left_anti")
+        e_df = (
+            self.edges()
+            .join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
+        )
+        new_version = self.version + 1
+        self._write_version(new_version, v_df, e_df)
+        self._save_meta({"version": new_version})
+        return new_version
+
+    def execute_mutation(self, stmt, engine) -> DataFrame:
+        """Apply a parsed GQL CREATE / MATCH..DELETE statement.
+
+        CREATE (execute_create, graph/query/src/executor.rs:521-566):
+        nodes get ids max+1.. (next_vertex_id, :618-625), label becomes
+        the ``type`` property, consecutive nodes are chained with the
+        pattern's edges. Returns the created vertex ids.
+
+        MATCH..DELETE (execute_match_delete, :569-615): match the
+        pattern + WHERE, delete the bound variable's vertices (cascade).
+        Returns the deleted ids.
+        """
+        from dd_graphdb_spark.plans.gql import CreateStatement, MatchDeleteStatement
+
+        if isinstance(stmt, CreateStatement):
+            row = self.vertices().agg(F.max("id").alias("m")).collect()[0]
+            next_id = (row["m"] or 0) + 1
+            ops: list[GraphOp] = []
+            node_ids: list[int] = []
+            for node in stmt.pattern.nodes:
+                ops.append(add_vertex(next_id, node.label, dict(node.props)))
+                node_ids.append(next_id)
+                next_id += 1
+            for i, e in enumerate(stmt.pattern.edges):
+                ops.append(add_edge(node_ids[i], node_ids[i + 1], e.label or "", {}))
+            self.apply_batch(ops)
+            return self.spark.createDataFrame([(i,) for i in node_ids], "id long")
+
+        if isinstance(stmt, MatchDeleteStatement):
+            bindings = engine.match_bindings(stmt.pattern, stmt.where)
+            var = stmt.delete_var
+            ids = bindings.select(F.col(f"{var}__id").alias("id")).distinct()
+            ids = ids.localCheckpoint(eager=True)  # settle before rewrite
+            self.delete_vertices(ids)
+            return ids
+
+        raise ValueError(f"unsupported mutation {type(stmt).__name__}")
+
+    # ---- retention ---------------------------------------------------------
+    def vacuum(self, keep_last: int = 2) -> None:
+        """Drop snapshot dirs older than the last ``keep_last`` versions
+        (checkpoint truncation, :600-611)."""
+        cur = self.version
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit():
+                v = int(name[1:])
+                if v <= cur - keep_last:
+                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)

@@ -1,0 +1,141 @@
+"""Streaming pipeline plumbing: sources, sinks, incremental view refresh.
+
+Reference parity:
+- stream ingestion → changesets → topo-ordered incremental view updates
+  (stream_processing.rs:515-628,670-711; incremental_engine.rs:272-310)
+  → here: readStream → foreachBatch → ViewCatalog.mark_dirty +
+  refresh_all (dependencies first)
+- flush policy (batch size / interval, stream_processing.rs:271-332)
+  → trigger intervals / availableNow
+- backpressure (drop-oldest, :247-268) → maxFilesPerTrigger source
+  rate limits (no data loss — strictly better)
+- Kafka/CDC/MQTT/webhook sources are declared-but-dead in the reference
+  (stream_connectors.rs — not compiled, SURVEY.md §0.1);
+  ``events_stream`` uses the file source; ``kafka_stream`` builds the
+  reader config for environments where the kafka package is deployed.
+
+The parquet `events` table doubles as a file-source stream: each file is
+a micro-batch.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dd_graphdb_spark.graph import read_events
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file-source stream (schema from the batch
+    reader, including the nanos→µs ts normalization).
+
+    The file source requires a *directory*; the testdata table is a
+    single parquet file, so it is staged into a temp dir via symlink —
+    in production this is simply the ingest directory files land in.
+    """
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src_dir = tempfile.mkdtemp(prefix="events_src_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)  # source-side rate limit
+        .parquet(src_dir)
+    )
+    from pyspark.sql import functions as F
+
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def kafka_stream(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka source reader (KafkaStreamSource declared intent,
+    stream_connectors.rs:68-118). Requires the spark-sql-kafka package on
+    the cluster; raises a clear error otherwise."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def run_to_memory(
+    df: DataFrame,
+    name: str | None = None,
+    output_mode: str = "complete",
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) into an
+    in-memory table and return it as a batch DataFrame. Test/verification
+    harness — production sinks are parquet/kafka/foreachBatch."""
+    name = name or f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def incremental_view_pipeline(
+    stream: DataFrame,
+    catalog,
+    affected_views: Callable[[DataFrame], list[str]] | None = None,
+    events_view_name: str = "stream_events",
+    timeout_s: float = 180.0,
+):
+    """Change stream → topo-ordered view refresh, the reference's
+    flagship dataflow (SURVEY.md §3.3).
+
+    Each micro-batch: register the batch as ``stream_events``, decide
+    which views it affects (determine_affected_views,
+    incremental_engine.rs:426-446 — default: all), mark them dirty, and
+    refresh in dependency order. Views read whatever tables/temp views
+    their SQL references, including the per-batch ``stream_events``.
+    """
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch hands the batch to an isolated session clone; the
+        # temp view only exists there, so the catalog must build against
+        # that session for this batch.
+        batch_df.createOrReplaceTempView(events_view_name)
+        names = affected_views(batch_df) if affected_views else catalog.list_views()
+        for n in names:
+            catalog.mark_dirty(n)
+        main_session = catalog.spark
+        catalog.spark = batch_df.sparkSession
+        try:
+            catalog.refresh_all()
+        finally:
+            catalog.spark = main_session
+
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+    return q

@@ -14,7 +14,15 @@ Determinism contract for oracle parity (driver hashes values):
 - all computed columns are aliased identically in Spark and SQL.
 """
 
-from dd_graphdb_spark.suites import relational, graph_queries, algorithms, llm_ops, streaming_batch
+from dd_graphdb_spark.suites import (
+    relational,
+    graph_queries,
+    algorithms,
+    llm_ops,
+    streaming_batch,
+    streaming_live,
+    engine_api,
+)
 
 
 def _hygiene(spark) -> None:
@@ -49,7 +57,15 @@ def _with_hygiene(fn):
 def all_queries():
     q = {}
     o = {}
-    for mod in (relational, graph_queries, algorithms, llm_ops, streaming_batch):
+    for mod in (
+        relational,
+        graph_queries,
+        algorithms,
+        llm_ops,
+        streaming_batch,
+        streaming_live,
+        engine_api,
+    ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
     q = {name: _with_hygiene(fn) for name, fn in q.items()}

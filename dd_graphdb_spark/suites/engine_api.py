@@ -1,0 +1,228 @@
+"""Engine-API suite: mutations/transactions, view catalog, query router —
+the SURVEY §2.10 surfaces, oracle-checked end-to-end.
+
+Each query builds its own isolated store/catalog under a temp dir (the
+gate may call a query more than once; state never leaks between calls).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# Mutation batch: adds → overwrite → update-merge → cascading delete.
+# The final state is fully determined, so the oracle is a VALUES literal.
+# (apply_operation semantics, graph/storage/src/lib.rs:269-323)
+# ---------------------------------------------------------------------------
+@_q(
+    "mutation_apply_batch",
+    """
+    SELECT * FROM (VALUES
+        (1::BIGINT, 'Alicia', 31::BIGINT),
+        (3::BIGINT, 'Carol', 27::BIGINT)
+    ) t(id, name, age)
+    """,
+)
+def mutation_apply_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.storage import (
+        GraphStore,
+        add_edge,
+        add_vertex,
+        remove_vertex,
+        update_vertex_props,
+    )
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+    store.apply_batch(
+        [
+            add_vertex(1, "Person", {"name": "Alice", "age": 30}),
+            add_vertex(2, "Person", {"name": "Bob", "age": 25}),
+            add_vertex(3, "Person", {"name": "Carol", "age": 27}),
+            add_edge(1, 2, "friend"),
+            add_edge(2, 3, "friend"),
+            add_vertex(1, "Person", {"name": "Alicia", "age": 30}),  # overwrite
+            update_vertex_props(1, {"age": 31}),  # merge
+            remove_vertex(2),  # cascades both edges
+        ]
+    )
+    assert store.stats()["edge_count"] == 0  # cascade check
+    return store.vertices().select(
+        "id",
+        prop_typed("properties", "name").alias("name"),
+        prop_typed("properties", "age", "long").alias("age"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OCC: conflicting transaction must fail; surviving state is the first
+# committer's write (begin/commit_transaction, lib.rs:429-494).
+# ---------------------------------------------------------------------------
+@_q(
+    "mutation_occ_conflict",
+    "SELECT 1::BIGINT AS committed_id, true AS conflict_raised",
+)
+def mutation_occ_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.storage import ConflictError, GraphStore, add_vertex
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+    t1 = store.begin_transaction().add(add_vertex(1, "Person", {"name": "X"}))
+    t2 = store.begin_transaction().add(add_vertex(2, "Person", {"name": "Y"}))
+    store.commit(t1)
+    try:
+        store.commit(t2)
+        raised = False
+    except ConflictError:
+        raised = True
+    return store.vertices().select(
+        F.col("id").alias("committed_id"), F.lit(raised).alias("conflict_raised")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQL mutations end-to-end: CREATE chain then MATCH..DELETE
+# (execute_create / execute_match_delete, graph/query/src/executor.rs:521-615).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_create_delete",
+    "SELECT * FROM (VALUES (2::BIGINT, 'Ben', 20::BIGINT)) t(id, name, age)",
+)
+def gql_create_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph({"name": "string", "age": "long"}), store=store
+        )
+
+    engine().execute(
+        "CREATE (a:Person {name: 'Ann', age: 40})-[:knows]->(b:Person {name: 'Ben', age: 20})"
+    )
+    engine().execute("MATCH (v:Person) WHERE v.age > 25 DELETE v")
+    return store.vertices().select(
+        "id",
+        prop_typed("properties", "name").alias("name"),
+        prop_typed("properties", "age", "long").alias("age"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# View catalog: register SQL view over orders, refresh, read — result must
+# equal running the SQL directly (ViewRegistry round-trip,
+# graph/views/src/view_registry.rs:181-316).
+# ---------------------------------------------------------------------------
+@_q(
+    "view_catalog_roundtrip",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def view_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.views import ViewCatalog, ViewDefinition
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    catalog = ViewCatalog(spark, tempfile.mkdtemp(prefix="views_"))
+    catalog.register(
+        ViewDefinition(
+            name="orders_by_status",
+            view_type="aggregation",
+            sql=(
+                "SELECT o_orderstatus, COUNT(*) AS n, "
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+                "FROM orders GROUP BY o_orderstatus"
+            ),
+        )
+    )
+    catalog.refresh_all()
+    return catalog.read("orders_by_status")
+
+
+# ---------------------------------------------------------------------------
+# Dependent views refresh in topo order; the downstream total must match.
+# (DependencyGraph topo sort, differential_dataflow.rs:366-428)
+# ---------------------------------------------------------------------------
+@_q(
+    "view_dependency_topo",
+    "SELECT (SELECT COUNT(*) FROM orders)::BIGINT AS total",
+)
+def view_dependency_topo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.views import ViewCatalog, ViewDefinition
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    catalog = ViewCatalog(spark, tempfile.mkdtemp(prefix="views_"))
+    catalog.register(
+        ViewDefinition(
+            name="base",
+            view_type="aggregation",
+            sql="SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+        )
+    )
+    catalog.register(
+        ViewDefinition(
+            name="total",
+            view_type="aggregation",
+            sql="SELECT SUM(n)::BIGINT AS total FROM mv_base",
+            dependencies=["base"],
+        )
+    )
+    order = catalog.topo_order(["total"])
+    assert order == ["base", "total"], order
+    catalog.refresh_all()
+    return catalog.read("total")
+
+
+# ---------------------------------------------------------------------------
+# Router scoring table parity (calculate_match_score,
+# graph/views/src/query_router.rs:192-260).
+# ---------------------------------------------------------------------------
+@_q(
+    "router_scoring_table",
+    """
+    SELECT * FROM (VALUES
+        ('vertex_lookup', 'lkp', 100::BIGINT),
+        ('aggregation', 'agg', 95::BIGINT),
+        ('analytics', 'ana', 90::BIGINT),
+        ('edge_traversal', 'lkp', 75::BIGINT),
+        ('hybrid', 'sqlv', 50::BIGINT)
+    ) t(pattern, view, score)
+    """,
+)
+def router_scoring_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.views import QueryPattern, QueryRouter, ViewCatalog, ViewDefinition
+
+    catalog = ViewCatalog(spark, tempfile.mkdtemp(prefix="views_"))
+    for name, vt in (("lkp", "lookup"), ("agg", "aggregation"), ("ana", "analytics"), ("sqlv", "sql")):
+        catalog.register(ViewDefinition(name=name, view_type=vt, sql="SELECT 1 AS x"))
+    router = QueryRouter(catalog)
+    cases = [
+        ("vertex_lookup", "lkp"),
+        ("aggregation", "agg"),
+        ("analytics", "ana"),
+        ("edge_traversal", "lkp"),
+        ("hybrid", "sqlv"),
+    ]
+    rows = [(p, v, router.score(QueryPattern(p), v)) for p, v in cases]
+    return spark.createDataFrame(rows, "pattern string, view string, score long")

@@ -1,0 +1,133 @@
+"""LIVE Structured Streaming suite — real readStream → sink runs,
+verified against the same DuckDB oracles as the batch expressions.
+
+Unlike streaming_batch.py (batch frames, exact equivalents), these
+queries run an actual streaming query (file source, availableNow
+trigger, memory sink) per invocation: the correctness gate therefore
+exercises watermark wiring, sink modes, and the stateful operator path
+end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dd_graphdb_spark.streaming import events_stream, run_to_memory
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+FMT = "yyyy-MM-dd HH:mm:ss"
+SQL_FMT = "%Y-%m-%d %H:%M:%S"
+EVENTS_US = "(SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events) events"
+
+
+@_q(
+    "stream_live_tumbling",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{SQL_FMT}') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM {EVENTS_US}
+    GROUP BY 1, 2
+    """,
+)
+def stream_live_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        s.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        )
+        .select(F.date_format(F.col("w.start"), FMT).alias("window_start"), "event_type", "n", "total")
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@_q(
+    "stream_live_session",
+    f"""
+    WITH o AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM {EVENTS_US}
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM o
+    )
+    SELECT user_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_live_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = (
+        s.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    return run_to_memory(agg, output_mode="complete")
+
+
+@_q(
+    "stream_live_dedup_keys",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_live_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark keeps the first *arrival* (order
+    within a micro-batch is not event-time order), so the oracle checks
+    the surviving key set — the semantics the reference's declared dedup
+    flag promises (stream_processing.rs:428,441)."""
+    from dd_graphdb_spark.streaming import stream_dedup
+
+    s = stream_dedup(events_stream(spark, sf_dir), key_cols=("user_id", "event_type"))
+    out = run_to_memory(s.select("user_id", "event_type"), output_mode="append")
+    return out.distinct()
+
+
+@_q(
+    "stream_live_count_window",
+    """
+    WITH r AS (
+        SELECT user_id, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    c AS (
+        SELECT user_id, (rn - 1) // 5 AS chunk, COUNT(*) AS n,
+               MIN(event_id) AS first_event, MAX(event_id) AS last_event
+        FROM r GROUP BY user_id, (rn - 1) // 5
+    )
+    SELECT user_id, chunk, n, first_event, last_event FROM c WHERE n = 5
+    """,
+)
+def stream_live_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): count windows
+    of 5 per user. Append mode emits complete chunks only, so the oracle
+    keeps chunks with n = 5 (the trailing partial stays in state — the
+    reference's count window has the same 'closes at max_events'
+    semantics, windowed_operations.rs:301-304)."""
+    from dd_graphdb_spark.streaming import count_window_agg
+
+    s = count_window_agg(events_stream(spark, sf_dir), size=5)
+    return run_to_memory(s, output_mode="append")

@@ -1,0 +1,15 @@
+from dd_graphdb_spark.views.catalog import (
+    RefreshPolicy,
+    ViewCatalog,
+    ViewDefinition,
+)
+from dd_graphdb_spark.views.router import QueryPattern, QueryRouter, RoutingDecision
+
+__all__ = [
+    "RefreshPolicy",
+    "ViewCatalog",
+    "ViewDefinition",
+    "QueryPattern",
+    "QueryRouter",
+    "RoutingDecision",
+]

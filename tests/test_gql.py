@@ -1,0 +1,94 @@
+"""GQL parser + lowering tests against the reference's golden outputs
+(FIXTURES.md F1-F3; graph/query/src/executor.rs:742-927)."""
+
+import pytest
+
+
+def _engine(g):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    return GQLEngine(g)
+
+
+def test_property_filter_strict_gt(people_graph):
+    # executor.rs:742-790 → {Alice, Charlie}, NOT Bob (strict >)
+    df = _engine(people_graph).execute("MATCH (v:Person) WHERE v.age > 25 RETURN v.name, v.age")
+    rows = {(r[0], r[1]) for r in df.collect()}
+    assert rows == {("Alice", 30), ("Charlie", 35)}
+
+
+def test_edge_traversal_directed(people_graph):
+    # executor.rs:793-842 → {Bob, Charlie}; Alice never a target
+    df = _engine(people_graph).execute("MATCH (a)-[e:friend]->(b) RETURN b.name")
+    assert {r[0] for r in df.collect()} == {"Bob", "Charlie"}
+
+
+def test_multi_condition_and(spark):
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [
+            (1, "Person", "Alice", 30, "Engineering"),
+            (2, "Person", "Bob", 25, "Engineering"),
+            (3, "Person", "Charlie", 35, "Marketing"),
+            (4, "Person", "Diana", 28, "Engineering"),
+        ],
+        "id long, label string, name string, age long, department string",
+    )
+    e = spark.createDataFrame([], "src long, dst long, label string")
+    g = PropertyGraph(v, e)
+    # executor.rs:874-927 → {Alice, Diana}
+    df = _engine(g).execute(
+        "MATCH (v:Person) WHERE v.age > 25 AND v.department = 'Engineering' RETURN v.name"
+    )
+    assert {r[0] for r in df.collect()} == {"Alice", "Diana"}
+
+
+def test_inline_props(people_graph):
+    df = _engine(people_graph).execute("MATCH (v:Person {name: 'Bob'}) RETURN v.age")
+    assert [r[0] for r in df.collect()] == [25]
+
+
+def test_undirected_edge(people_graph):
+    # -- matches both directions (executor.rs:322-326)
+    df = _engine(people_graph).execute("MATCH (a {name: 'Bob'})-[e:friend]-(b) RETURN b.name")
+    assert {r[0] for r in df.collect()} == {"Alice", "Charlie"}
+
+
+def test_multi_hop_walk(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (a)-[e1:friend]->(b)-[e2:friend]->(c) RETURN a.name, c.name"
+    )
+    assert [tuple(r) for r in df.collect()] == [("Alice", "Charlie")]
+
+
+def test_parse_error():
+    from dd_graphdb_spark.plans.gql import parse_gql
+
+    with pytest.raises(Exception):
+        parse_gql("MATCH (v:Person WHERE")
+
+
+def test_gql_create_and_delete(spark, tmp_path):
+    """CREATE chains nodes (ids max+1..) then MATCH..DELETE cascades
+    (executor.rs:521-615)."""
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "g"))
+    engine_factory = lambda: GQLEngine(
+        store.as_property_graph({"name": "string", "age": "long"}), store=store
+    )
+    created = engine_factory().execute(
+        "CREATE (a:Person {name: 'Ann', age: 40})-[:knows]->(b:Person {name: 'Ben', age: 20})"
+    )
+    assert [r["id"] for r in created.collect()] == [1, 2]
+    assert store.stats() == {"vertex_count": 2, "edge_count": 1, "version": 1}
+
+    read_back = engine_factory().execute("MATCH (v:Person) WHERE v.age > 25 RETURN v.name")
+    assert [r[0] for r in read_back.collect()] == ["Ann"]
+
+    deleted = engine_factory().execute("MATCH (v:Person) WHERE v.age > 25 DELETE v")
+    assert [r["id"] for r in deleted.collect()] == [1]
+    assert store.stats()["vertex_count"] == 1
+    assert store.stats()["edge_count"] == 0  # cascade

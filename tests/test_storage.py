@@ -1,0 +1,78 @@
+"""GraphStore: op batches, cascade, OCC, time travel, typed access
+(reference graph/storage/src/lib.rs semantics — see storage/store.py)."""
+
+import pytest
+
+from dd_graphdb_spark.storage import (
+    ConflictError,
+    GraphStore,
+    add_edge,
+    add_vertex,
+    remove_vertex,
+    update_vertex_props,
+)
+from dd_graphdb_spark.storage.store import prop_typed
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    s = GraphStore(spark, str(tmp_path / "graph"))
+    s.apply_batch(
+        [
+            add_vertex(1, "Person", {"name": "Alice", "age": 30}),
+            add_vertex(2, "Person", {"name": "Bob", "age": 25}),
+            add_edge(1, 2, "friend", {"since": 2020}),
+        ]
+    )
+    return s
+
+
+def test_add_and_stats(store):
+    st = store.stats()
+    assert st["vertex_count"] == 2 and st["edge_count"] == 1 and st["version"] == 1
+
+
+def test_add_vertex_overwrites(store):
+    # HashMap insert-overwrite semantics (lib.rs:294-299)
+    store.apply_batch([add_vertex(1, "Person", {"name": "Alicia", "age": 31})])
+    row = store.get_vertex(1).collect()[0]
+    assert row["properties"]["name"] == '"Alicia"'
+    assert store.stats()["vertex_count"] == 2
+
+
+def test_remove_vertex_cascades_edges(store):
+    # RemoveVertex cascades incident-edge deletion (lib.rs:274-293)
+    store.apply_batch([remove_vertex(2)])
+    st = store.stats()
+    assert st["vertex_count"] == 1 and st["edge_count"] == 0
+
+
+def test_update_props_merges(store):
+    store.apply_batch([update_vertex_props(1, {"age": 31, "city": "Paris"})])
+    props = store.get_vertex(1).collect()[0]["properties"]
+    assert props["age"] == "31" and props["city"] == '"Paris"' and props["name"] == '"Alice"'
+
+
+def test_occ_conflict(store):
+    # version compare at commit (lib.rs:461-463)
+    t1 = store.begin_transaction().add(add_vertex(10, "Person", {"name": "X"}))
+    t2 = store.begin_transaction().add(add_vertex(11, "Person", {"name": "Y"}))
+    store.commit(t1)
+    with pytest.raises(ConflictError):
+        store.commit(t2)
+
+
+def test_time_travel(store):
+    v1 = store.version
+    store.apply_batch([remove_vertex(2)])
+    assert store.vertices().count() == 1
+    assert store.vertices(version=v1).count() == 2
+
+
+def test_prop_typed_accessor(store):
+    # as_int64-style access-time typing (graph/core/src/lib.rs:166-222)
+    df = store.vertices().select("id", prop_typed("properties", "age", "long").alias("age"))
+    ages = {r["id"]: r["age"] for r in df.collect()}
+    assert ages == {1: 30, 2: 25}
+    older = store.vertices().filter(prop_typed("properties", "age", "long") > 25)
+    assert [r["id"] for r in older.collect()] == [1]

@@ -1,0 +1,83 @@
+"""Structured Streaming operators: real readStream runs verified
+against the identical batch expressions (which are DuckDB-oracle-checked
+in suites/streaming_batch.py)."""
+
+import pytest
+
+from dd_graphdb_spark.graph import read_events
+from dd_graphdb_spark.streaming import (
+    events_stream,
+    global_agg,
+    run_to_memory,
+    session_window_agg,
+    stream_dedup,
+    tumbling_window_agg,
+)
+
+
+def _norm(df, cols):
+    # double sums differ in addition order between stream and batch plans;
+    # round to tolerate last-ulp drift
+    def v(x):
+        return round(x, 6) if isinstance(x, float) else x
+
+    return sorted(tuple(v(r[c]) for c in cols) for r in df.collect())
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    batch = tumbling_window_agg(read_events(spark, sf_dir), "1 hour", key_cols=("event_type",))
+    stream = tumbling_window_agg(events_stream(spark, sf_dir), "1 hour", key_cols=("event_type",))
+    result = run_to_memory(stream, output_mode="complete")
+    cols = ["window_start", "event_type", "n", "total"]
+    assert _norm(result, cols) == _norm(batch, cols)
+
+
+def test_stream_session_equals_batch(spark, sf_dir):
+    batch = session_window_agg(read_events(spark, sf_dir), "10 minutes")
+    stream = session_window_agg(events_stream(spark, sf_dir), "10 minutes")
+    result = run_to_memory(stream, output_mode="complete")
+    cols = ["session_start", "user_id", "n"]
+    assert _norm(result, cols) == _norm(batch, cols)
+
+
+def test_stream_dedup(spark, sf_dir):
+    batch_events = read_events(spark, sf_dir)
+    deduped = stream_dedup(events_stream(spark, sf_dir), key_cols=("user_id", "event_type"))
+    result = run_to_memory(deduped, output_mode="append")
+    n_keys = batch_events.select("user_id", "event_type").distinct().count()
+    assert result.count() == n_keys
+
+
+def test_global_agg_complete_mode(spark, sf_dir):
+    stream = global_agg(events_stream(spark, sf_dir), key_cols=("event_type",))
+    result = run_to_memory(stream, output_mode="complete")
+    batch = global_agg(read_events(spark, sf_dir), key_cols=("event_type",))
+    cols = ["event_type", "n", "total"]
+    assert _norm(result, cols) == _norm(batch, cols)
+
+
+def test_incremental_view_pipeline(spark, sf_dir, tmp_path):
+    """Write stream → dirty marking → topo-ordered refresh (SURVEY §3.3)."""
+    from dd_graphdb_spark.streaming import incremental_view_pipeline
+    from dd_graphdb_spark.views import ViewCatalog, ViewDefinition
+
+    catalog = ViewCatalog(spark, str(tmp_path / "views"))
+    catalog.register(
+        ViewDefinition(
+            name="by_type",
+            view_type="aggregation",
+            sql="SELECT event_type, COUNT(*) AS n FROM stream_events GROUP BY event_type",
+        )
+    )
+    catalog.register(
+        ViewDefinition(
+            name="total",
+            view_type="aggregation",
+            sql="SELECT SUM(n) AS total FROM mv_by_type",
+            dependencies=["by_type"],
+        )
+    )
+    incremental_view_pipeline(events_stream(spark, sf_dir), catalog)
+    total = catalog.read("total").collect()[0]["total"]
+    # single-file source → one micro-batch containing the whole table
+    assert total == read_events(spark, sf_dir).count()

@@ -1,0 +1,135 @@
+"""ViewCatalog + QueryRouter (reference graph/views semantics)."""
+
+import time
+
+import pytest
+
+from dd_graphdb_spark.views import (
+    QueryPattern,
+    QueryRouter,
+    RefreshPolicy,
+    ViewCatalog,
+    ViewDefinition,
+)
+
+
+@pytest.fixture()
+def catalog(spark, tmp_path, sf_dir):
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    return ViewCatalog(spark, str(tmp_path / "views"))
+
+
+def test_register_refresh_read(catalog):
+    catalog.register(
+        ViewDefinition(
+            name="orders_by_status",
+            view_type="aggregation",
+            sql="SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+        )
+    )
+    df = catalog.read("orders_by_status")
+    assert df.count() > 0
+    assert set(df.columns) == {"o_orderstatus", "n"}
+
+
+def test_dependent_view_topo_refresh(catalog):
+    catalog.register(
+        ViewDefinition(
+            name="base_counts",
+            view_type="aggregation",
+            sql="SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+        )
+    )
+    catalog.register(
+        ViewDefinition(
+            name="total",
+            view_type="aggregation",
+            sql="SELECT SUM(n) AS total FROM mv_base_counts",
+            dependencies=["base_counts"],
+        )
+    )
+    assert catalog.topo_order(["total"]) == ["base_counts", "total"]
+    refreshed = catalog.refresh_all()
+    assert refreshed == ["base_counts", "total"]
+    total = catalog.read("total").collect()[0]["total"]
+    direct = catalog.read("base_counts").groupBy().sum("n").collect()[0][0]
+    assert total == direct
+
+
+def test_cycle_detection(catalog):
+    catalog.register(ViewDefinition(name="a", view_type="sql", sql="SELECT 1 AS x"))
+    with pytest.raises(ValueError, match="cycle"):
+        catalog.register(
+            ViewDefinition(name="b", view_type="sql", sql="SELECT 1 AS x", dependencies=["b"])
+        )
+
+
+def test_dirty_propagation(catalog):
+    catalog.register(ViewDefinition(name="a", view_type="sql", sql="SELECT 1 AS x"))
+    catalog.register(
+        ViewDefinition(name="b", view_type="sql", sql="SELECT * FROM mv_a", dependencies=["a"])
+    )
+    catalog.refresh_all()
+    assert not catalog.state["b"]["dirty"]
+    catalog.mark_dirty("a")
+    assert catalog.state["b"]["dirty"]
+
+
+def test_refresh_policies():
+    now = time.time()
+    fixed = RefreshPolicy(kind="fixed_interval", interval_s=60)
+    assert fixed.needs_refresh(None, False, now)
+    assert not fixed.needs_refresh(now - 30, False, now)
+    assert fixed.needs_refresh(now - 61, False, now)
+    ev = RefreshPolicy(kind="event_driven", debounce_s=5)
+    assert not ev.needs_refresh(now - 10, False, now)
+    assert ev.needs_refresh(now - 10, True, now)
+    assert not ev.needs_refresh(now - 1, True, now)  # debounced
+    od = RefreshPolicy(kind="on_demand", ttl_s=100)
+    assert od.needs_refresh(now - 101, False, now)
+    assert not od.needs_refresh(now - 50, False, now)
+
+
+def test_sql_validation(catalog):
+    with pytest.raises(ValueError):
+        catalog.register(ViewDefinition(name="bad", view_type="sql", sql="DROP TABLE orders"))
+    with pytest.raises(ValueError):
+        catalog.register(
+            ViewDefinition(name="bad2", view_type="sql", sql="SELECT 1; SELECT 2")
+        )
+
+
+def test_router_scoring(catalog):
+    # scoring table parity (query_router.rs:192-260)
+    catalog.register(
+        ViewDefinition(
+            name="lkp", view_type="lookup", sql="SELECT o_orderkey FROM orders LIMIT 10"
+        )
+    )
+    catalog.register(
+        ViewDefinition(
+            name="agg",
+            view_type="aggregation",
+            sql="SELECT COUNT(*) AS n FROM orders",
+        )
+    )
+    r = QueryRouter(catalog)
+    assert r.score(QueryPattern("vertex_lookup"), "lkp") == 100
+    assert r.score(QueryPattern("aggregation"), "agg") == 95
+    assert r.score(QueryPattern("edge_traversal"), "lkp") == 75
+    d = r.route(QueryPattern("aggregation"))
+    assert d.view == "agg" and d.score == 95
+    df = r.execute(QueryPattern("aggregation"))
+    assert df.collect()[0]["n"] > 0
+    assert r.report()["agg"]["hits"] == 1
+
+
+def test_catalog_reload(spark, tmp_path, sf_dir):
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    p = str(tmp_path / "views2")
+    c1 = ViewCatalog(spark, p)
+    c1.register(ViewDefinition(name="v1", view_type="sql", sql="SELECT 1 AS x"))
+    c1.refresh_all()
+    c2 = ViewCatalog(spark, p)  # load_from_disk parity
+    assert c2.list_views() == ["v1"]
+    assert c2.read("v1").collect()[0]["x"] == 1
