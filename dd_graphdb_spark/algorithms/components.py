@@ -153,6 +153,16 @@ def _strongly_connected_components_loop(
             .select("src", "dst")
         )
 
+    if not remaining_v.isEmpty():
+        # every round peels ≥1 SCC, so this only triggers on graphs with
+        # more SCC "layers" than max_rounds — silently dropping vertices
+        # would return an incomplete partition
+        raise RuntimeError(
+            f"SCC did not converge within max_rounds={max_rounds}; "
+            "raise max_rounds for this graph"
+        )
+    if not results:
+        return g.vertices.sparkSession.createDataFrame([], "id long, scc long")
     out = results[0]
     for r in results[1:]:
         out = out.union(r)

@@ -248,6 +248,13 @@ class _Parser:
         self.expect("punct", ".")
         prop = self.expect("ident")
         op = self.expect("op")
+        if op == "<-":
+            # `a.age<-5` lexes as the edge arrow '<-' + '5'; in WHERE
+            # context it means '<' followed by a unary minus
+            val = self.literal()
+            if not isinstance(val, (int, float)) or isinstance(val, bool):
+                raise ValueError("GQL parse error: expected number after '<-'")
+            return Compare(var, prop, "<", -val)
         return Compare(var, prop, op, self.literal())
 
     # ----- returns

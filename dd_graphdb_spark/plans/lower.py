@@ -102,6 +102,7 @@ class GQLEngine:
         nodes, edges = pattern.nodes, pattern.edges
         v0 = nodes[0]
         bound = _node_filter(_prefix(self.graph.vertices, v0.var), v0, v0.var)
+        seen_vars = {v0.var}
         for i, e in enumerate(edges):
             tgt = nodes[i + 1]
             prev = nodes[i].var
@@ -118,8 +119,17 @@ class GQLEngine:
             else:
                 src_side, dst_side = f"{evar}__src", f"{evar}__dst"
             bound = bound.join(edf, F.col(f"{prev}__id") == F.col(src_side))
-            tdf = _node_filter(_prefix(self.graph.vertices, tgt.var), tgt, tgt.var)
-            bound = bound.join(tdf, F.col(dst_side) == F.col(f"{tgt.var}__id"))
+            if tgt.var in seen_vars:
+                # repeated node variable, e.g. (a)-[]->(b)-[]->(a): the
+                # second occurrence closes the cycle as an equality
+                # predicate on the existing binding rather than a second
+                # join (which would duplicate a__* columns)
+                bound = bound.filter(F.col(dst_side) == F.col(f"{tgt.var}__id"))
+                bound = _node_filter(bound, tgt, tgt.var)
+            else:
+                tdf = _node_filter(_prefix(self.graph.vertices, tgt.var), tgt, tgt.var)
+                bound = bound.join(tdf, F.col(dst_side) == F.col(f"{tgt.var}__id"))
+                seen_vars.add(tgt.var)
         if where is not None:
             bound = bound.filter(_lower_condition(where))
         return bound

@@ -223,89 +223,98 @@ class GraphStore:
     def apply_batch(self, ops: list[GraphOp]) -> int:
         """Apply an operation batch as one new snapshot version.
 
-        DataFrame choreography per op kind (all anti-join/union — the
-        MERGE shapes Delta would run):
-        - add_vertex:    delete same id, append row (insert-overwrite,
-                         reference HashMap insert :294-299)
+        Ops are grouped into runs of consecutive same-kind operations and
+        each run applies as ONE constant-depth DataFrame step (the MERGE
+        shapes Delta would run) — a 1,000-op homogeneous batch (the
+        reference's own batch_size, differential_dataflow.rs:263) is a
+        single anti-join + union, not a 1,000-deep plan. Run order
+        preserves the reference's sequential visibility: later ops see
+        earlier ops' effects (apply_operation loop, lib.rs:269-323).
+
+        Per-kind semantics (graph/storage/src/lib.rs:269-323):
+        - add_vertex / update_vertex_props: upsert-REPLACE — the whole
+          property map is replaced and a missing id is inserted
+          (HashMap insert, :294-299 / :310-312). Within a run the last
+          op per id wins.
         - remove_vertex: anti-join vertices; anti-join edges on BOTH
-                         endpoints (cascade, :274-293)
-        - add_edge:      delete same (src,dst,label), append
+          endpoints (cascade, :274-293)
+        - add_edge:      upsert-replace on (src,dst,label)  (:294-299)
         - remove_edge:   anti-join on the exact triple
-        - update_*_props: merge maps, keeping identity (map_concat with
-                          new keys winning)
+        - update_edge_props: REPLACE map where the edge exists, keep
+          edge identity, no-op on a missing edge (:313-318)
         """
-        spark = self.spark
+        runs: list[tuple[str, list[dict]]] = []
+        for op in ops:
+            if runs and runs[-1][0] == op.kind:
+                runs[-1][1].append(op.payload)
+            else:
+                runs.append((op.kind, [op.payload]))
+
         v_df = self.vertices()
         e_df = self.edges()
-
-        for op in ops:
-            p = op.payload
-            if op.kind == "add_vertex":
-                row = spark.createDataFrame(
-                    [(p["id"], p["props"].get("type"), _render_props(p["props"]))],
-                    VERTEX_SCHEMA,
-                )
-                v_df = v_df.filter(F.col("id") != p["id"]).unionByName(row)
-            elif op.kind == "remove_vertex":
-                v_df = v_df.filter(F.col("id") != p["id"])
-                e_df = e_df.filter((F.col("src") != p["id"]) & (F.col("dst") != p["id"]))
-            elif op.kind == "add_edge":
-                row = spark.createDataFrame(
-                    [(p["src"], p["dst"], p["label"], _render_props(p["props"]))], EDGE_SCHEMA
-                )
-                e_df = e_df.filter(
-                    ~(
-                        (F.col("src") == p["src"])
-                        & (F.col("dst") == p["dst"])
-                        & (F.col("label") == p["label"])
-                    )
-                ).unionByName(row)
-            elif op.kind == "remove_edge":
-                e_df = e_df.filter(
-                    ~(
-                        (F.col("src") == p["src"])
-                        & (F.col("dst") == p["dst"])
-                        & (F.col("label") == p["label"])
-                    )
-                )
-            elif op.kind == "update_vertex_props":
-                new_map = F.create_map(
-                    *[x for k, val in _render_props(p["props"]).items() for x in (F.lit(k), F.lit(val))]
-                )
-                v_df = v_df.withColumn(
-                    "properties",
-                    F.when(
-                        F.col("id") == p["id"],
-                        # merge with new keys winning; keys present in only
-                        # one side keep their value (map_zip_with yields
-                        # null for the missing side)
-                        F.map_zip_with(
-                            F.col("properties"), new_map, lambda k, a, b: F.coalesce(b, a)
-                        ),
-                    ).otherwise(F.col("properties")),
-                )
-            elif op.kind == "update_edge_props":
-                new_map = F.create_map(
-                    *[x for k, val in _render_props(p["props"]).items() for x in (F.lit(k), F.lit(val))]
-                )
-                e_df = e_df.withColumn(
-                    "properties",
-                    F.when(
-                        (F.col("src") == p["src"])
-                        & (F.col("dst") == p["dst"])
-                        & (F.col("label") == p["label"]),
-                        F.map_zip_with(
-                            F.col("properties"), new_map, lambda k, a, b: F.coalesce(b, a)
-                        ),
-                    ).otherwise(F.col("properties")),
-                )
-            else:
-                raise ValueError(f"unknown op kind {op.kind}")
+        for i, (kind, ps) in enumerate(runs):
+            v_df, e_df = self._apply_run(kind, ps, v_df, e_df)
+            # long mixed batches: settle every 16 runs to bound plan depth
+            if (i + 1) % 16 == 0 and i + 1 < len(runs):
+                v_df = v_df.localCheckpoint(eager=True)
+                e_df = e_df.localCheckpoint(eager=True)
 
         new_version = self.version + 1
         self._write_version(new_version, v_df, e_df)
         self._save_meta({"version": new_version})
         return new_version
+
+    def _apply_run(
+        self, kind: str, ps: list[dict], v_df: DataFrame, e_df: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        spark = self.spark
+        if kind in ("add_vertex", "update_vertex_props"):
+            # upsert-replace; vertex label is the "type" property, so a
+            # replacing map without "type" clears the label column too
+            last: dict[int, tuple] = {}
+            for p in ps:
+                last[p["id"]] = (p["id"], p["props"].get("type"), _render_props(p["props"]))
+            rows = spark.createDataFrame(list(last.values()), VERTEX_SCHEMA)
+            v_df = v_df.join(rows.select("id"), "id", "left_anti").unionByName(rows)
+        elif kind == "remove_vertex":
+            ids = spark.createDataFrame([(p["id"],) for p in ps], "id long").distinct()
+            v_df = v_df.join(ids, "id", "left_anti")
+            e_df = e_df.join(ids.withColumnRenamed("id", "src"), "src", "left_anti").join(
+                ids.withColumnRenamed("id", "dst"), "dst", "left_anti"
+            )
+        elif kind == "add_edge":
+            last_e: dict[tuple, tuple] = {}
+            for p in ps:
+                key = (p["src"], p["dst"], p["label"])
+                last_e[key] = (*key, _render_props(p["props"]))
+            rows = spark.createDataFrame(list(last_e.values()), EDGE_SCHEMA)
+            e_df = e_df.join(
+                rows.select("src", "dst", "label"), ["src", "dst", "label"], "left_anti"
+            ).unionByName(rows)
+        elif kind == "remove_edge":
+            keys = spark.createDataFrame(
+                [(p["src"], p["dst"], p["label"]) for p in ps],
+                "src long, dst long, label string",
+            ).distinct()
+            e_df = e_df.join(keys, ["src", "dst", "label"], "left_anti")
+        elif kind == "update_edge_props":
+            last_u: dict[tuple, tuple] = {}
+            for p in ps:
+                key = (p["src"], p["dst"], p["label"])
+                last_u[key] = (*key, _render_props(p["props"]))
+            upd = spark.createDataFrame(
+                list(last_u.values()),
+                "src long, dst long, label string, new_properties map<string,string>",
+            )
+            e_df = e_df.join(upd, ["src", "dst", "label"], "left").select(
+                "src",
+                "dst",
+                "label",
+                F.coalesce("new_properties", "properties").alias("properties"),
+            )
+        else:
+            raise ValueError(f"unknown op kind {kind}")
+        return v_df, e_df
 
     # ---- GQL mutations -----------------------------------------------------
     def delete_vertices(self, ids_df: DataFrame) -> int:
@@ -348,7 +357,9 @@ class GraphStore:
                 node_ids.append(next_id)
                 next_id += 1
             for i, e in enumerate(stmt.pattern.edges):
-                ops.append(add_edge(node_ids[i], node_ids[i + 1], e.label or "", {}))
+                # unlabeled relationship defaults to "related"
+                # (execute_create, executor.rs: unwrap_or_else(|| "related"))
+                ops.append(add_edge(node_ids[i], node_ids[i + 1], e.label or "related", {}))
             self.apply_batch(ops)
             return self.spark.createDataFrame([(i,) for i in node_ids], "id long")
 

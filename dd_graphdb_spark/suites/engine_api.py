@@ -59,7 +59,9 @@ def mutation_apply_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             add_edge(1, 2, "friend"),
             add_edge(2, 3, "friend"),
             add_vertex(1, "Person", {"name": "Alicia", "age": 30}),  # overwrite
-            update_vertex_props(1, {"age": 31}),  # merge
+            # replace-map semantics (vertices.insert, lib.rs:310-312):
+            # the new map must carry every key that should survive
+            update_vertex_props(1, {"type": "Person", "name": "Alicia", "age": 31}),
             remove_vertex(2),  # cascades both edges
         ]
     )

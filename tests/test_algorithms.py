@@ -69,6 +69,14 @@ def test_scc_cycles(spark):
     assert scc[6] == 6
 
 
+def test_scc_empty_graph(spark):
+    v = spark.createDataFrame([], "id long")
+    e = spark.createDataFrame([], "src long, dst long")
+    out = A.strongly_connected_components(PropertyGraph(v, e))
+    assert out.count() == 0
+    assert out.columns == ["id", "scc"]
+
+
 def test_triangle_count_and_kcore(spark):
     # K4 has 4 triangles; every vertex has degree 3 → 3-core = all
     v = spark.createDataFrame([(i,) for i in range(1, 5)], "id long")

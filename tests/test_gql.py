@@ -69,6 +69,43 @@ def test_parse_error():
         parse_gql("MATCH (v:Person WHERE")
 
 
+def test_lt_negative_literal_no_whitespace():
+    # 'a.age<-5' must parse as '<' with literal -5, not the edge arrow
+    from dd_graphdb_spark.plans.gql import Compare, parse_gql
+
+    stmt = parse_gql("MATCH (a:Person) WHERE a.age<-5 RETURN a.name")
+    cond = stmt.where
+    assert isinstance(cond, Compare)
+    assert cond.op == "<" and cond.value == -5
+
+
+def test_repeated_variable_closes_cycle(people_graph):
+    # (a)-[]->(b)-[]->(a) binds `a` once and enforces equality on the
+    # cycle edge (second occurrence is a predicate, not a second join).
+    # people_graph: Alice->Bob->Charlie, Alice->Charlie (no cycles) → empty
+    df = _engine(people_graph).execute(
+        "MATCH (a)-[e1:friend]->(b)-[e2:friend]->(a) RETURN a.name, b.name"
+    )
+    assert df.count() == 0
+
+
+def test_repeated_variable_finds_cycle(spark):
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [(1, "Person", "A"), (2, "Person", "B"), (3, "Person", "C")],
+        "id long, label string, name string",
+    )
+    e = spark.createDataFrame(
+        [(1, 2, "friend"), (2, 1, "friend"), (2, 3, "friend")],
+        "src long, dst long, label string",
+    )
+    df = _engine(PropertyGraph(v, e)).execute(
+        "MATCH (a)-[e1:friend]->(b)-[e2:friend]->(a) RETURN a.name, b.name"
+    )
+    assert {tuple(r) for r in df.collect()} == {("A", "B"), ("B", "A")}
+
+
 def test_gql_create_and_delete(spark, tmp_path):
     """CREATE chains nodes (ids max+1..) then MATCH..DELETE cascades
     (executor.rs:521-615)."""

@@ -47,10 +47,59 @@ def test_remove_vertex_cascades_edges(store):
     assert st["vertex_count"] == 1 and st["edge_count"] == 0
 
 
-def test_update_props_merges(store):
+def test_update_props_replaces(store):
+    # UpdateVertexProperties REPLACES the whole map (lib.rs:310-312)
     store.apply_batch([update_vertex_props(1, {"age": 31, "city": "Paris"})])
     props = store.get_vertex(1).collect()[0]["properties"]
-    assert props["age"] == "31" and props["city"] == '"Paris"' and props["name"] == '"Alice"'
+    assert props == {"age": "31", "city": '"Paris"'}  # name cleared
+
+
+def test_update_props_inserts_missing(store):
+    # HashMap insert semantics: updating an absent id inserts it
+    store.apply_batch([update_vertex_props(99, {"name": "New"})])
+    assert store.get_vertex(99).count() == 1
+    assert store.stats()["vertex_count"] == 3
+
+
+def test_update_edge_props_replaces_on_match_only(store):
+    from dd_graphdb_spark.storage import update_edge_props
+
+    store.apply_batch(
+        [
+            update_edge_props(1, 2, "friend", {"since": 2021}),
+            update_edge_props(7, 8, "friend", {"since": 2021}),  # missing → no-op
+        ]
+    )
+    rows = store.edges().collect()
+    assert len(rows) == 1
+    assert rows[0]["properties"] == {"since": "2021"}
+
+
+def test_large_homogeneous_batch_is_fast(store):
+    # 1,000-op batch = one anti-join + union, not a 1,000-deep plan
+    # (reference batch_size, differential_dataflow.rs:263)
+    import time
+
+    ops = [add_vertex(1000 + i, "Person", {"name": f"p{i}"}) for i in range(1000)]
+    t0 = time.monotonic()
+    store.apply_batch(ops)
+    elapsed = time.monotonic() - t0
+    assert store.stats()["vertex_count"] == 1002
+    assert elapsed < 60, f"batch took {elapsed:.1f}s"
+
+
+def test_mixed_batch_sequential_visibility(store):
+    ops = [
+        add_vertex(50, "Person", {"name": "tmp"}),
+        add_edge(50, 1, "knows"),
+        remove_vertex(50),  # cascades the edge added one run earlier
+        add_vertex(51, "Person", {"name": "keep"}),
+        add_vertex(51, "Person", {"name": "keep2"}),  # same-run overwrite
+    ]
+    store.apply_batch(ops)
+    assert store.get_vertex(50).count() == 0
+    assert store.get_vertex(51).collect()[0]["properties"]["name"] == '"keep2"'
+    assert store.stats()["edge_count"] == 1  # only the fixture edge
 
 
 def test_occ_conflict(store):
