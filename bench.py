@@ -26,6 +26,8 @@ HEADLINE = [
     "top_n_orders",
     "gql_multi_hop",
     "traverse_2hop",
+    "common_neighbors_suppliers",
+    "stream_late_events",
     "algo_pagerank_top3",
     "algo_cc_derived",
     "algo_kcore_colocation",

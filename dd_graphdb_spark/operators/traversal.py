@@ -69,20 +69,61 @@ def edges_between(g: PropertyGraph, src: int, dst: int, label: str | None = None
     return e.filter((F.col("src") == src) & (F.col("dst") == dst))
 
 
-def common_neighbors(g: PropertyGraph, min_common: int = 1, label: str | None = None) -> DataFrame:
+def common_neighbors(
+    g: PropertyGraph,
+    min_common: int = 1,
+    label: str | None = None,
+    salt_threshold: int = 1000,
+    n_salts: int = 16,
+    max_degree: int | None = None,
+) -> DataFrame:
     """For every pair of vertices, the number of shared out-neighbors —
     the recommendation pattern the reference declares but stubs
     (src/social_network_platform.rs:527-554).
 
-    Self-join on dst: pairs sharing a target. Scale note: this is the
-    classic quadratic blowup on hot dst keys — at 100 TB, pre-aggregate
-    per dst and cap/salt skewed targets (or switch to the MinHash path in
-    operators.dedup for approximate overlap).
+    Self-join on dst: pairs sharing a target. A hot target with in-degree
+    d emits d² pairs, and an unsalted join computes all of them in ONE
+    task. Skew handling, exact by default:
+
+    - dst keys with degree > ``salt_threshold`` take a salted path: the
+      left side is split into ``n_salts`` buckets by src and the right
+      side is replicated per salt, spreading each hot key's d² pair
+      generation across n_salts tasks. Identical output, parallel work.
+    - ``max_degree`` (optional, OFF by default) caps each dst's fanout to
+      its lowest-id ``max_degree`` sources — the documented approximate
+      escape hatch when d² itself is unacceptable (or switch to the
+      MinHash path in operators.dedup for approximate overlap).
     """
+    from pyspark.sql.window import Window
+
     e = _label_filter(g.edges, label).select("src", "dst")
+    if max_degree is not None:
+        w = Window.partitionBy("dst").orderBy("src")
+        e = e.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= max_degree
+        ).drop("_rn")
+
+    deg = e.groupBy("dst").agg(F.count("*").alias("_deg"))
+    hot = deg.filter(F.col("_deg") > salt_threshold).select(F.col("dst").alias("shared"))
+
     a = e.select(F.col("src").alias("a"), F.col("dst").alias("shared"))
     b = e.select(F.col("src").alias("b"), F.col("dst").alias("shared"))
-    pairs = a.join(b, "shared").filter(F.col("a") < F.col("b"))
+
+    a_cold = a.join(F.broadcast(hot), "shared", "left_anti")
+    b_cold = b.join(F.broadcast(hot), "shared", "left_anti")
+    pairs_cold = a_cold.join(b_cold, "shared").select("a", "b")
+
+    a_hot = a.join(F.broadcast(hot), "shared").withColumn(
+        "_salt", F.pmod(F.col("a"), F.lit(n_salts)).cast("int")
+    )
+    b_hot = b.join(F.broadcast(hot), "shared").select(
+        "shared",
+        "b",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt"),
+    )
+    pairs_hot = a_hot.join(b_hot, ["shared", "_salt"]).select("a", "b")
+
+    pairs = pairs_cold.union(pairs_hot).filter(F.col("a") < F.col("b"))
     return (
         pairs.groupBy("a", "b")
         .agg(F.count("*").alias("common_count"))

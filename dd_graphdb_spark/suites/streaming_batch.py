@@ -206,10 +206,38 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, -1)
-    flagged = e.withColumn("wm", F.max("ts").over(w)).filter(
-        F.col("wm").isNotNull() & (F.col("ts") < F.col("wm") - F.expr("INTERVAL 5 MINUTES"))
+    # Scale-safe global running max: an unpartitioned Window.orderBy would
+    # move the whole table into ONE task. Instead (1) bucket events by
+    # arrival order (bucket = event_id div B is monotone in event_id), so
+    # the running max within each bucket parallelizes across tasks;
+    # (2) merge bucket boundaries with a prefix max over the tiny
+    # one-row-per-bucket table (N/B rows — at extreme scale recurse or
+    # widen B); (3) watermark = max(previous-bucket prefix, within-bucket
+    # running max). Same result as the single global window, no
+    # data-sized single-partition exchange.
+    bucket_width = 4096
+    e = _events(spark, sf_dir).withColumn(
+        "bucket", (F.col("event_id") / bucket_width).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = e.withColumn("local_wm", F.max("ts").over(w_local))
+    w_prefix = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    boundaries = (
+        e.groupBy("bucket")
+        .agg(F.max("ts").alias("bucket_max"))
+        .withColumn("prev_wm", F.max("bucket_max").over(w_prefix))
+        .select("bucket", "prev_wm")
+    )
+    flagged = (
+        local.join(F.broadcast(boundaries), "bucket")
+        .withColumn("wm", F.greatest("local_wm", "prev_wm"))  # greatest skips nulls
+        .filter(
+            F.col("wm").isNotNull() & (F.col("ts") < F.col("wm") - F.expr("INTERVAL 5 MINUTES"))
+        )
     )
     return flagged.agg(F.count("*").alias("n_late"))
 
