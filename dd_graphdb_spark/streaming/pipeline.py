@@ -103,15 +103,25 @@ def incremental_view_pipeline(
     affected_views: Callable[[DataFrame], list[str]] | None = None,
     events_view_name: str = "stream_events",
     timeout_s: float = 180.0,
+    delta_map: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
 ):
     """Change stream → topo-ordered view refresh, the reference's
     flagship dataflow (SURVEY.md §3.3).
 
     Each micro-batch: register the batch as ``stream_events``, decide
     which views it affects (determine_affected_views,
-    incremental_engine.rs:426-446 — default: all), mark them dirty, and
-    refresh in dependency order. Views read whatever tables/temp views
-    their SQL references, including the per-batch ``stream_events``.
+    incremental_engine.rs:426-446 — default: all), then per view:
+
+    - views registered via ``catalog.register_incremental`` get the
+      batch MERGED into their delta state (±count/±sum application,
+      incremental_engine.rs:875-946) — O(batch) work, no recompute of
+      the base. ``delta_map[name]`` optionally reshapes the batch into
+      that view's delta frame (e.g. project group/value columns, attach
+      a ``_sign``); default: the batch itself, all adds.
+    - other views are marked dirty and fully rebuilt.
+
+    Finally ``refresh_all`` runs in dependency order; for incremental
+    views that is just an O(groups) result rewrite from merged state.
     """
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -120,8 +130,13 @@ def incremental_view_pipeline(
         # that session for this batch.
         batch_df.createOrReplaceTempView(events_view_name)
         names = affected_views(batch_df) if affected_views else catalog.list_views()
+        incr = getattr(catalog, "incremental", {})
         for n in names:
-            catalog.mark_dirty(n)
+            if n in incr:
+                deltas = delta_map[n](batch_df) if delta_map and n in delta_map else batch_df
+                catalog.apply_deltas(n, deltas)
+            else:
+                catalog.mark_dirty(n)
         main_session = catalog.spark
         catalog.spark = batch_df.sparkSession
         try:

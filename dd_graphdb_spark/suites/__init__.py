@@ -22,6 +22,7 @@ from dd_graphdb_spark.suites import (
     streaming_batch,
     streaming_live,
     engine_api,
+    incremental_views,
 )
 
 
@@ -65,6 +66,7 @@ def all_queries():
         streaming_batch,
         streaming_live,
         engine_api,
+        incremental_views,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

@@ -1,0 +1,195 @@
+"""Incremental view maintenance suite — delta application vs full
+recompute, oracle-checked.
+
+The reference's flagship capability (incremental_engine.rs:875-946:
+±count/±sum on add/remove; :1139-1211: warm-started bounded-iteration
+PageRank over maintained adjacency state). Each query drives
+dd_graphdb_spark.views.incremental through MULTIPLE change batches and
+the oracle restates the NET result from scratch — proving that the
+incremental path hash-matches a full recompute.
+
+Determinism: sums are DECIMAL(18,6) inside the state (exact,
+order-independent), PageRank oracles unroll the identical IEEE-double
+expression per power step (same style as suites/algorithms.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.graph import read_events
+
+    return read_events(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation view maintained by ±deltas across two batches, including
+# removals. Batch 1 adds rows with event_id % 10 in 0..4; batch 2 adds
+# % 10 in 5..9 AND removes % 10 == 0 (remove = -1 sign, the reference's
+# apply_aggregation_remove). Net = event_id % 10 in 1..9 — which is what
+# the oracle computes from scratch. count/sum/avg are delta-exact
+# (min/max are conservative under delete per the reference, :885-892,
+# and are covered by pytest, not this oracle).
+# ---------------------------------------------------------------------------
+@_q(
+    "view_incremental_delta",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_v
+    FROM events
+    WHERE event_id % 10 <> 0
+    GROUP BY event_type
+    """,
+)
+def view_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.views import IncrementalAggState
+
+    state = IncrementalAggState(
+        spark, tempfile.mkdtemp(prefix="iagg_"), ["event_type"], "value"
+    )
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    batch1 = ev.filter(F.col("event_id") % 10 < 5).drop("event_id")
+    state.apply_deltas(batch1)  # no _sign column = all adds
+
+    adds = ev.filter(F.col("event_id") % 10 >= 5).withColumn("_sign", F.lit(1))
+    removes = ev.filter(F.col("event_id") % 10 == 0).withColumn("_sign", F.lit(-1))
+    state.apply_deltas(adds.unionByName(removes).drop("event_id"))
+
+    return state.result().select("event_type", "n", "total", "avg_v")
+
+
+# ---------------------------------------------------------------------------
+# Analytics view (PageRank) maintained incrementally: phase 1 builds the
+# triangle and runs 2 warm-start power steps from the cold 1/3 vector;
+# phase 2 rewires the graph into a 4-cycle via edge deltas (+2 edges,
+# -1 edge, +1 new vertex) and runs 2 MORE steps warm-started from the
+# phase-1 vector. The oracle unrolls all 4 steps with the identical
+# double-precision expression — the new vertex contributes nothing in
+# its first step but receives rank (scores.get miss semantics,
+# incremental_engine.rs:1183-1190).
+# ---------------------------------------------------------------------------
+_P1_EDGES = [(1, 2), (2, 3), (1, 3)]
+_P2_ADDS = [(3, 4), (4, 1)]
+_P2_REMOVES = [(1, 3)]
+_DAMPING = 0.85
+
+
+def _pr_step(cur: str, prev: str, verts: str, edges: str, outdeg: str, n: int) -> str:
+    d = _DAMPING
+    return f"""{cur} AS (
+    SELECT v.id,
+           (1.0::DOUBLE - {d}::DOUBLE)/{n}.0::DOUBLE
+             + {d}::DOUBLE * COALESCE(m.s, 0.0::DOUBLE) AS rank
+    FROM {verts} v LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.rank / o.d) AS s
+        FROM {prev} p JOIN {edges} e ON p.id = e.src
+        JOIN {outdeg} o ON o.src = e.src
+        GROUP BY e.dst
+    ) m ON v.id = m.id
+)"""
+
+
+def _incr_pagerank_oracle() -> str:
+    def vals(rows):
+        return ", ".join(f"({a}, {b})" for a, b in rows)
+
+    e2 = sorted((set(_P1_EDGES) | set(_P2_ADDS)) - set(_P2_REMOVES))
+    return (
+        f"""
+    WITH verts1(id) AS (VALUES (1), (2), (3)),
+    edges1(src, dst) AS (VALUES {vals(_P1_EDGES)}),
+    outdeg1 AS (SELECT src, COUNT(*)::DOUBLE AS d FROM edges1 GROUP BY src),
+    pr0 AS (SELECT id, 1.0::DOUBLE/3.0::DOUBLE AS rank FROM verts1),
+    """
+        + _pr_step("pr1", "pr0", "verts1", "edges1", "outdeg1", 3)
+        + ",\n"
+        + _pr_step("pr2", "pr1", "verts1", "edges1", "outdeg1", 3)
+        + f""",
+    verts2(id) AS (VALUES (1), (2), (3), (4)),
+    edges2(src, dst) AS (VALUES {vals(e2)}),
+    outdeg2 AS (SELECT src, COUNT(*)::DOUBLE AS d FROM edges2 GROUP BY src),
+    """
+        + _pr_step("pr3", "pr2", "verts2", "edges2", "outdeg2", 4)
+        + ",\n"
+        + _pr_step("pr4", "pr3", "verts2", "edges2", "outdeg2", 4)
+        + "\nSELECT id::BIGINT AS id, ROUND(rank, 9) AS rank FROM pr4"
+    )
+
+
+@_q("view_incremental_pagerank", _incr_pagerank_oracle())
+def view_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.views import IncrementalPageRank
+
+    state = IncrementalPageRank(
+        spark, tempfile.mkdtemp(prefix="ipr_"), damping=_DAMPING, iterations=2
+    )
+    state.apply_edge_deltas(
+        spark.createDataFrame(_P1_EDGES, "src long, dst long")
+    )
+    state.refresh()  # cold start: 1/3 init + 2 power steps
+
+    deltas = spark.createDataFrame(
+        [(s, d, 1) for s, d in _P2_ADDS] + [(s, d, -1) for s, d in _P2_REMOVES],
+        "src long, dst long, _sign int",
+    )
+    state.apply_edge_deltas(deltas)
+    ranks = state.refresh()  # warm start from the phase-1 vector
+
+    return ranks.select("id", F.round("rank", 9).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: the streaming pipeline feeds micro-batches into a
+# catalog-registered incremental aggregation view; the final view must
+# equal the all-data aggregate (full-recompute parity through the real
+# foreachBatch path). The file stream delivers the events table, one
+# file per micro-batch.
+# ---------------------------------------------------------------------------
+@_q(
+    "view_incremental_stream",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def view_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.streaming.pipeline import events_stream, incremental_view_pipeline
+    from dd_graphdb_spark.views import IncrementalAggState, ViewCatalog, ViewDefinition
+
+    catalog = ViewCatalog(spark, tempfile.mkdtemp(prefix="views_"))
+    state = IncrementalAggState(
+        spark, tempfile.mkdtemp(prefix="iagg_"), ["event_type"], "value"
+    )
+    catalog.register_incremental(
+        ViewDefinition(name="events_by_type", view_type="aggregation"), state
+    )
+    stream = events_stream(spark, sf_dir)
+    incremental_view_pipeline(
+        stream,
+        catalog,
+        delta_map={"events_by_type": lambda b: b.select("event_type", "value")},
+    )
+    return catalog.read("events_by_type").select("event_type", "n", "total")

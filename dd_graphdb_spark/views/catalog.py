@@ -119,6 +119,7 @@ class ViewCatalog:
         self.defs: dict[str, ViewDefinition] = {}
         self.builders: dict[str, Callable[[SparkSession], DataFrame]] = {}
         self.state: dict[str, dict] = {}  # name -> {last_refresh, dirty, cached}
+        self.incremental: dict[str, object] = {}  # name -> delta-state object
         self._load()
 
     # ---- persistence ------------------------------------------------------
@@ -155,9 +156,26 @@ class ViewCatalog:
         with open(self._defn_path(defn.name), "w") as f:
             json.dump(defn.to_json(), f)
 
+    def register_incremental(self, defn: ViewDefinition, state) -> None:
+        """Register a view maintained by ±delta application instead of
+        full recompute (update_view_incremental, incremental_engine.rs:
+        651-701). ``state`` is an IncrementalAggState / IncrementalPageRank
+        (or anything exposing ``apply_deltas(df)`` + ``result()``); refresh
+        writes the already-merged state's result — O(groups), never a
+        rebuild from the base tables."""
+        self.register(defn, builder=lambda spark: state.result())
+        self.incremental[defn.name] = state
+
+    def apply_deltas(self, name: str, deltas) -> None:
+        """Merge a change batch into an incremental view's state and mark
+        it (and dependents) for a cheap result rewrite."""
+        self.incremental[name].apply_deltas(deltas)
+        self.mark_dirty(name)
+
     def drop(self, name: str) -> None:
         self.defs.pop(name, None)
         self.builders.pop(name, None)
+        self.incremental.pop(name, None)
         self.state.pop(name, None)
         p = self._defn_path(name)
         if os.path.exists(p):
