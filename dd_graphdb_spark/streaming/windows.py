@@ -33,6 +33,36 @@ from pyspark.sql import functions as F
 AGGS = ("count", "sum", "avg", "min", "max", "distinct")
 
 
+def custom_agg(fn, return_type: str = "double"):
+    """Custom window-aggregation closure — the reference's
+    ``Arc<dyn Fn(&[StreamEvent]) -> PropertyValue>`` surface
+    (windowed_operations.rs:97, dispatched at :376-379).
+
+    ``fn`` receives a pandas.Series holding the group/window's values and
+    returns one scalar. It runs as an Arrow-batched GROUPED_AGG pandas
+    UDF: the JVM ships each group's column as one Arrow batch, so the
+    closure is vectorized, not per-row. Use with any groupBy/window agg
+    on batch frames and with ``Window.partitionBy`` frames; Spark does
+    not support pandas grouped-agg UDFs inside *streaming* aggregations —
+    the streaming custom path is applyInPandasWithState (count_window_agg
+    shows the pattern).
+
+        p90 = custom_agg(lambda s: float(np.percentile(s, 90)))
+        df.groupBy(window("ts", "1 hour")).agg(p90("value"))
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _wrapped(v):
+        return fn(v)
+
+    # Series -> scalar hints select the GROUPED_AGG eval type; set real
+    # objects (module-level `from __future__ import annotations` would
+    # leave stringized hints pyspark can't resolve)
+    _wrapped.__annotations__ = {"v": pd.Series, "return": float}
+    return pandas_udf(_wrapped, return_type)
+
+
 def _wm(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
     if df.isStreaming and watermark:
         return df.withWatermark(ts_col, watermark)
@@ -67,13 +97,23 @@ def tumbling_window_agg(
     value_col: str = "value",
     key_cols: tuple[str, ...] = (),
     watermark: str | None = "10 minutes",
+    extra_aggs: dict[str, object] | None = None,
 ) -> DataFrame:
+    """``extra_aggs``: {name: aggregate Column} appended to the builtin
+    set — the hook for ``custom_agg`` closures (batch frames). Spark
+    forbids mixing pandas grouped-agg UDFs with JVM aggregates in one
+    Aggregate, so extras run as a second aggregation joined back on the
+    group keys (both sides share the one shuffle partitioning)."""
     d = _wm(df, ts_col, watermark)
-    return (
-        d.groupBy(F.window(ts_col, duration).alias("w"), *key_cols)
-        .agg(*_agg_exprs(value_col, streaming=df.isStreaming))
-        .select(F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *key_cols,
-                "n", "total", "mean", "vmin", "vmax", "n_distinct")
+    gb = [F.window(ts_col, duration).alias("w"), *key_cols]
+    base = d.groupBy(*gb).agg(*_agg_exprs(value_col, streaming=df.isStreaming))
+    extras = {n: c.alias(n) for n, c in (extra_aggs or {}).items()}
+    if extras:
+        ex = d.groupBy(*gb).agg(*extras.values())
+        base = base.join(ex, ["w", *key_cols])
+    return base.select(
+        F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *key_cols,
+        "n", "total", "mean", "vmin", "vmax", "n_distinct", *extras.keys()
     )
 
 

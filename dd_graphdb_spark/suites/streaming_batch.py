@@ -190,6 +190,40 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Custom aggregation closure over a window — the reference's
+# Arc<dyn Fn(&[StreamEvent]) -> PropertyValue> surface
+# (windowed_operations.rs:97,376-379) as an Arrow grouped-agg pandas UDF.
+# The closure computes a linearly-interpolated p90 (numpy percentile,
+# same formula as DuckDB quantile_cont).
+# ---------------------------------------------------------------------------
+@_q(
+    "stream_custom_agg_p90",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{SQL_FMT}') AS window_start,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_custom_agg_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from dd_graphdb_spark.streaming.windows import custom_agg
+
+    # both aggregates are custom closures (one Aggregate can't mix pandas
+    # grouped-agg UDFs with JVM aggregate functions)
+    p90 = custom_agg(lambda s: float(round(np.percentile(s, 90), 6)), "double")
+    cnt = custom_agg(lambda s: int(len(s)), "long")
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(cnt("value").alias("n"), p90("value").alias("p90"))
+        .select(F.date_format(F.col("w.start"), FMT).alias("window_start"), "n", "p90")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Watermark semantics in batch: events arriving (by event_id order) with
 # event time more than 5 min behind the running max are "late"
 # (stream_processing.rs:315-342: monotonic max watermark + late counting)

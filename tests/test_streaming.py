@@ -56,6 +56,28 @@ def test_global_agg_complete_mode(spark, sf_dir):
     assert _norm(result, cols) == _norm(batch, cols)
 
 
+def test_custom_agg_closure(spark, sf_dir):
+    """Custom window-agg closure via Arrow grouped-agg pandas UDF
+    (windowed_operations.rs:97 parity)."""
+    import numpy as np
+
+    from dd_graphdb_spark.streaming.windows import custom_agg
+
+    rng = custom_agg(lambda s: float(s.max() - s.min()), "double")
+    out = tumbling_window_agg(
+        read_events(spark, sf_dir), "1 hour", extra_aggs={"value_range": rng("value")}
+    )
+    rows = out.collect()
+    assert rows and all(r["value_range"] == r["vmax"] - r["vmin"] for r in rows)
+
+    p50 = custom_agg(lambda s: float(np.percentile(s, 50)), "double")
+    out2 = tumbling_window_agg(
+        read_events(spark, sf_dir), "1 hour", extra_aggs={"p50": p50("value")}
+    )
+    r = out2.collect()
+    assert all(x["vmin"] <= x["p50"] <= x["vmax"] for x in r)
+
+
 def test_incremental_view_pipeline(spark, sf_dir, tmp_path):
     """Write stream → dirty marking → topo-ordered refresh (SURVEY §3.3)."""
     from dd_graphdb_spark.streaming import incremental_view_pipeline
