@@ -37,10 +37,18 @@ def _sssp_loop(
     weight_property: str | None = None,
     default_weight: float = 1.0,
     max_iterations: int = 50,
+    target: int | None = None,
+    include_unreachable: bool = True,
 ) -> DataFrame:
     """Single-source shortest paths. Returns (id, distance, path) where
-    path is the reference's "a->b->c" rendering; unreachable vertices are
-    omitted (reference returns INF/None for them)."""
+    path is the reference's "a->b->c" rendering; unreachable vertices get
+    distance = +Infinity and a NULL path (the reference's INF/None —
+    incremental_engine.rs:1214-1285; basic.rs:277-340).
+
+    ``target``: early-terminate once the target's distance can no longer
+    improve — no frontier vertex is closer than the target's settled
+    distance (valid for non-negative weights; Dijkstra's target-pop rule,
+    basic.rs:299-305) — and return only that vertex's row."""
     e = g.edges
     if weight_property is not None and weight_property in e.columns:
         w = F.coalesce(F.col(weight_property).cast("double"), F.lit(default_weight))
@@ -83,6 +91,20 @@ def _sssp_loop(
             .localCheckpoint(eager=True)
         )
         frontier = improved
+        if target is not None:
+            trow = dist.filter(F.col("id") == target).collect()
+            if trow:
+                fmin = frontier.agg(F.min("distance")).collect()[0][0]
+                if fmin is None or fmin >= trow[0]["distance"]:
+                    break
+    if include_unreachable:
+        dist = g.vertices.select("id").join(dist, "id", "left").select(
+            "id",
+            F.coalesce("distance", F.lit(float("inf"))).alias("distance"),
+            "path",
+        )
+    if target is not None:
+        dist = dist.filter(F.col("id") == target)
     return dist
 
 
@@ -160,9 +182,20 @@ def sssp(
     weight_property: str | None = None,
     default_weight: float = 1.0,
     max_iterations: int = 50,
+    target: int | None = None,
+    include_unreachable: bool = True,
 ) -> DataFrame:
     """Public entry; releases loop-intermediate checkpoint blocks."""
-    return run_loop(_sssp_loop, g, source, weight_property, default_weight, max_iterations)
+    return run_loop(
+        _sssp_loop,
+        g,
+        source,
+        weight_property,
+        default_weight,
+        max_iterations,
+        target,
+        include_unreachable,
+    )
 
 
 def bfs_shortest_path(

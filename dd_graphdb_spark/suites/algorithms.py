@@ -45,9 +45,10 @@ NATION = 100
 # --------------------------------------------------------------------------
 # Fixture graphs (python literal = single source of truth for both engines)
 # --------------------------------------------------------------------------
-# F5-shaped triangle + tail, weights chosen so every shortest path is unique
-W_VERTS = [1, 2, 3, 4]
-W_EDGES = [(1, 2, 1.0), (2, 3, 2.0), (1, 3, 4.0), (3, 4, 1.5), (2, 4, 6.0)]
+# F5-shaped triangle + tail, weights chosen so every shortest path is
+# unique; vertex 5 is unreachable (SSSP must emit INF/NULL for it)
+W_VERTS = [1, 2, 3, 4, 5]
+W_EDGES = [(1, 2, 1.0), (2, 3, 2.0), (1, 3, 4.0), (3, 4, 1.5), (2, 4, 6.0), (5, 1, 1.0)]
 
 # F4 traversal graph (graph/storage/src/lib.rs:1017-1058)
 T_VERTS = [1, 2, 3, 4]
@@ -171,12 +172,15 @@ def algo_component_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Weighted SSSP on the unique-shortest-path fixture; oracle enumerates all
-# paths of the DAG recursively and keeps the min distance per vertex.
+# paths of the DAG recursively and keeps the min distance per vertex;
+# vertices the walk never reaches surface as INF/NULL (reference
+# semantics, incremental_engine.rs:1214-1285).
 # --------------------------------------------------------------------------
 @_q(
     "algo_sssp_fixture",
     f"""
     WITH RECURSIVE
+    verts(id) AS (VALUES {_vals_v(W_VERTS)}),
     edges_raw(src, dst, w) AS (VALUES {_values(W_EDGES)}),
     edges AS (SELECT src, dst, w::DOUBLE AS w FROM edges_raw),
     paths(id, distance, path) AS (
@@ -184,9 +188,15 @@ def algo_component_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT e.dst, p.distance + e.w, p.path || '->' || e.dst::VARCHAR
         FROM paths p JOIN edges e ON p.id = e.src
+    ),
+    best AS (
+        SELECT id, distance, path FROM paths
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY distance, path) = 1
     )
-    SELECT id::BIGINT AS id, distance, path FROM paths
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY distance, path) = 1
+    SELECT v.id::BIGINT AS id,
+           COALESCE(b.distance, 'infinity'::DOUBLE) AS distance,
+           b.path AS path
+    FROM verts v LEFT JOIN best b ON v.id = b.id
     """,
 )
 def algo_sssp_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:

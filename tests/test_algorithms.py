@@ -48,6 +48,23 @@ def test_sssp_dijkstra_triangle(spark):
     assert out[2] == (1.0, "1->2")
 
 
+def test_sssp_unreachable_inf_and_target(spark):
+    # vertex 4 unreachable → INF/NULL (incremental_engine.rs:1214-1285);
+    # target= returns only that row and early-terminates (basic.rs:299-305)
+    v = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (4, 1, 1.0)], "src long, dst long, weight double"
+    )
+    g = PropertyGraph(v, e)
+    out = {r["id"]: (r["distance"], r["path"]) for r in A.sssp(g, 1, "weight").collect()}
+    assert out[4] == (float("inf"), None)
+    assert out[3] == (3.0, "1->2->3")
+    t = A.sssp(g, 1, "weight", target=3).collect()
+    assert len(t) == 1 and t[0]["distance"] == 3.0
+    unreach = A.sssp(g, 1, "weight", target=4).collect()
+    assert len(unreach) == 1 and unreach[0]["distance"] == float("inf")
+
+
 def test_bfs_unreachable_and_depth(spark, people_graph):
     # storage lib.rs:1017-1173: directionality + unreachable = absent
     out = A.bfs_shortest_path(people_graph, source=2)
