@@ -186,10 +186,12 @@ def view_dependency_topo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ViewDefinition(
             name="total",
             view_type="aggregation",
+            # dependency on `base` is auto-derived from the mv_base
+            # reference (extract_tables, sql_parser.rs:142-168)
             sql="SELECT SUM(n)::BIGINT AS total FROM mv_base",
-            dependencies=["base"],
         )
     )
+    assert catalog.defs["total"].dependencies == ["base"]
     order = catalog.topo_order(["total"])
     assert order == ["base", "total"], order
     catalog.refresh_all()

@@ -93,6 +93,45 @@ class ViewDefinition:
         )
 
 
+def extract_tables(spark: SparkSession, sql: str) -> set[str]:
+    """Referenced-table discovery from view SQL (extract_tables parity,
+    graph/views/src/sql_parser.rs:142-168). The reference walks its
+    sqlparser AST's FROM/JOIN lists; here Catalyst's *parsed* (unresolved)
+    logical plan provides the same information plus subqueries, with CTE
+    names scoped out. Returns lower-cased table names.
+
+    Falls back to an empty set when no JVM parser is reachable (Spark
+    Connect) — dependencies must then be declared explicitly."""
+    tables: set[str] = set()
+    ctes: set[str] = set()
+    try:
+        plan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+    except AttributeError:
+        return set()
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "UnresolvedRelation":
+            tables.add(node.tableName().lower())
+        elif cls == "UnresolvedWith":
+            rels = node.cteRelations()
+            for i in range(rels.size()):
+                ctes.add(rels.apply(i)._1().lower())
+                walk(rels.apply(i)._2())  # CTE bodies aren't in children()
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+        try:
+            sq = node.subqueries()
+            for i in range(sq.size()):
+                walk(sq.apply(i))
+        except Exception:
+            pass
+
+    walk(plan)
+    return tables - ctes
+
+
 def validate_view_sql(sql: str) -> None:
     """Single-statement, SELECT-only validation (sql_parser.rs:49-139).
     Unlike the reference we allow DISTINCT/LIMIT (rejected there,
@@ -146,6 +185,14 @@ class ViewCatalog:
     ) -> None:
         if defn.sql is not None:
             validate_view_sql(defn.sql)
+            if not defn.dependencies:
+                # auto-derive view-on-view dependencies from the SQL: a
+                # reference to mv_<x> depends on view <x> (the reference
+                # discovers deps from the SQL rather than requiring
+                # declarations, sql_parser.rs:142-168)
+                defn.dependencies = sorted(
+                    t[3:] for t in extract_tables(self.spark, defn.sql) if t.startswith("mv_")
+                )
         if defn.sql is None and builder is None:
             raise ValueError("view needs sql or builder")
         self._check_acyclic(defn)

@@ -56,6 +56,40 @@ def test_dependent_view_topo_refresh(catalog):
     assert total == direct
 
 
+def test_auto_dependency_extraction(catalog):
+    """Dependencies discovered from the view SQL itself — no declaration
+    (extract_tables, sql_parser.rs:142-168). CTE names are scoped out;
+    subquery references count."""
+    from dd_graphdb_spark.views.catalog import extract_tables
+
+    tabs = extract_tables(
+        catalog.spark,
+        "WITH c AS (SELECT * FROM orders) "
+        "SELECT * FROM c JOIN mv_base ON c.k = mv_base.k "
+        "WHERE c.x IN (SELECT x FROM mv_other)",
+    )
+    assert tabs == {"orders", "mv_base", "mv_other"}
+
+    catalog.register(
+        ViewDefinition(
+            name="base",
+            view_type="aggregation",
+            sql="SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+        )
+    )
+    catalog.register(
+        ViewDefinition(
+            name="roll",
+            view_type="aggregation",
+            sql="SELECT SUM(n) AS total FROM mv_base",
+        )
+    )
+    assert catalog.defs["base"].dependencies == []
+    assert catalog.defs["roll"].dependencies == ["base"]
+    assert catalog.topo_order(["roll"]) == ["base", "roll"]
+    assert catalog.refresh_all() == ["base", "roll"]
+
+
 def test_cycle_detection(catalog):
     catalog.register(ViewDefinition(name="a", view_type="sql", sql="SELECT 1 AS x"))
     with pytest.raises(ValueError, match="cycle"):
