@@ -23,6 +23,7 @@ from dd_graphdb_spark.suites import (
     streaming_live,
     engine_api,
     incremental_views,
+    sources_fn,
 )
 
 
@@ -67,6 +68,7 @@ def all_queries():
         streaming_live,
         engine_api,
         incremental_views,
+        sources_fn,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

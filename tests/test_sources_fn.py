@@ -1,0 +1,110 @@
+"""Source connectors, extraction rules, scalar enrichers
+(stream_connectors.rs / stream_transform.rs declared surface)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_json_extraction_rule(spark):
+    from dd_graphdb_spark.sources import ExtractionRule, apply_extraction
+
+    df = spark.createDataFrame(
+        [(1, '{"name": "a", "score": 7}'), (2, '{"name": "b", "score": 3}')],
+        "id long, payload string",
+    )
+    rule = ExtractionRule(
+        rule_id="r1",
+        format="json",
+        field_mappings={"name": "$.name", "score": "$.score"},
+        types={"score": "long"},
+        filters=["score > 5"],
+    )
+    rows = apply_extraction(df, "payload", rule).select("id", "name", "score").collect()
+    assert [tuple(r) for r in rows] == [(1, "a", 7)]
+
+
+def test_regex_and_csv_rules(spark):
+    from dd_graphdb_spark.sources import ExtractionRule, apply_extraction
+
+    df = spark.createDataFrame([("user=alice id=9",), ("user=bob id=4",)], "line string")
+    re_rule = ExtractionRule(
+        rule_id="r2", format="regex", field_mappings={"user": r"user=(\w+)"}
+    )
+    assert {r["user"] for r in apply_extraction(df, "line", re_rule).collect()} == {
+        "alice",
+        "bob",
+    }
+
+    csv = spark.createDataFrame([("7,x",), ("8,y",)], "line string")
+    csv_rule = ExtractionRule(
+        rule_id="r3",
+        format="csv",
+        field_mappings={"n": "n", "s": "s"},
+        csv_schema="n LONG, s STRING",
+    )
+    out = apply_extraction(csv, "line", csv_rule)
+    assert {(r["n"], r["s"]) for r in out.collect()} == {(7, "x"), (8, "y")}
+
+
+def test_rate_stream_live(spark):
+    """Rate source runs end-to-end through an extraction-free window agg."""
+    from dd_graphdb_spark.sources import rate_stream
+    from dd_graphdb_spark.streaming import run_to_memory
+
+    stream = rate_stream(spark, rows_per_second=50).groupBy().agg(
+        F.count("*").alias("n")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_probe")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            rows = spark.table("rate_probe").collect()
+            n = rows[0]["n"] if rows else 0
+            if n > 0:
+                break
+            time.sleep(0.5)
+        assert n > 0
+    finally:
+        q.stop()
+
+
+def test_typed_accessors_and_render(spark):
+    from dd_graphdb_spark.functions import as_float64, as_int64, as_string, render_props
+
+    df = spark.createDataFrame(
+        [(1, {"age": "30", "name": '"Ann"'})], "id long, properties map<string,string>"
+    )
+    row = df.select(
+        as_int64("properties", "age").alias("i"),
+        as_float64("properties", "age").alias("f"),  # int→float widening
+        as_string("properties", "name").alias("s"),
+        render_props("properties").alias("j"),
+    ).collect()[0]
+    assert row["i"] == 30 and row["f"] == 30.0 and row["s"] == "Ann"
+    assert '"age":"30"' in row["j"]
+
+
+def test_latency_and_geo_enrichers(spark):
+    from dd_graphdb_spark.functions import geo_enrich, with_processing_time
+
+    df = spark.createDataFrame(
+        [(i, "2026-01-01 00:00:00") for i in range(10)], "user_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    lat = with_processing_time(df)
+    assert {"processing_ts", "latency_ms"} <= set(lat.columns)
+    assert lat.filter(F.col("latency_ms") <= 0).count() == 0
+
+    geo = geo_enrich(df, "user_id")
+    assert geo.count() == 10
+    by_bucket = {r["user_id"]: r["region_code"] for r in geo.collect()}
+    assert by_bucket[0] == "NA" and by_bucket[6] == "EU"
+    # broadcast hint must survive into the plan (no shuffle of the fact side)
+    assert "Broadcast" in geo._jdf.queryExecution().executedPlan().toString()
