@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import GRAPH_CTE, PropertyGraph
-from dd_graphdb_spark.graph import tpch_graph
+from dd_graphdb_spark.graph import materialized_tpch_graph
 from dd_graphdb_spark import algorithms as A
 
 QUERIES = {}
@@ -133,7 +133,7 @@ def algo_pagerank_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def algo_pagerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_graphdb_spark.algorithms.pagerank import top_n
 
-    g = tpch_graph(spark, sf_dir)
+    g = materialized_tpch_graph(spark, sf_dir)
     return top_n(A.pagerank(g, max_iterations=5), 3)
 
 
@@ -162,12 +162,12 @@ def algo_pagerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def algo_cc_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return A.connected_components(tpch_graph(spark, sf_dir))
+    return A.connected_components(materialized_tpch_graph(spark, sf_dir))
 
 
 @_q("algo_component_count", "SELECT COUNT(DISTINCT r_regionkey) AS component_count FROM region")
 def algo_component_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return A.component_count(tpch_graph(spark, sf_dir))
+    return A.component_count(materialized_tpch_graph(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------
@@ -246,7 +246,7 @@ def algo_bfs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def algo_reachability_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return A.reachability(tpch_graph(spark, sf_dir), ORD + 7)
+    return A.reachability(materialized_tpch_graph(spark, sf_dir), ORD + 7)
 
 
 # --------------------------------------------------------------------------
@@ -325,7 +325,7 @@ def algo_kcore_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def algo_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return A.degree_centrality(tpch_graph(spark, sf_dir))
+    return A.degree_centrality(materialized_tpch_graph(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

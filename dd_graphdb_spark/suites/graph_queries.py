@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dd_graphdb_spark.graph import GRAPH_CTE, PropertyGraph, tpch_graph
+from dd_graphdb_spark.graph import GRAPH_CTE, PropertyGraph, materialized_tpch_graph
 from dd_graphdb_spark.operators import traversal as T
 from dd_graphdb_spark.plans.lower import GQLEngine
 
@@ -47,7 +47,7 @@ NATION = 100
     """,
 )
 def gql_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    eng = GQLEngine(tpch_graph(spark, sf_dir))
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
     return eng.execute("MATCH (v:Customer) WHERE v.acctbal > 5000.0 RETURN v.name, v.acctbal")
 
 
@@ -63,7 +63,7 @@ def gql_match_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def gql_inline_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    eng = GQLEngine(tpch_graph(spark, sf_dir))
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
     return eng.execute("MATCH (c:Customer {mktsegment: 'BUILDING'}) RETURN c.id")
 
 
@@ -82,7 +82,7 @@ def gql_inline_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def gql_match_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    eng = GQLEngine(tpch_graph(spark, sf_dir))
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
     return eng.execute(
         "MATCH (c:Customer)-[e:located_in]->(n:Nation) WHERE c.acctbal > 9000.0 RETURN c.name, n.name"
     )
@@ -106,7 +106,7 @@ def gql_match_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def gql_multi_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    eng = GQLEngine(tpch_graph(spark, sf_dir))
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
     return eng.execute(
         "MATCH (o:Order)-[:placed_by]->(c:Customer)-[:located_in]->(n:Nation) "
         "WHERE o.acctbal > 400000.0 RETURN o.id, c.name, n.name"
@@ -128,7 +128,7 @@ def gql_multi_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def gql_incoming_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    eng = GQLEngine(tpch_graph(spark, sf_dir))
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
     return eng.execute(
         f"MATCH (c:Customer {{id: {CUST + 7}}})<-[:placed_by]-(o:Order) RETURN c.name, o.id"
     )
@@ -150,7 +150,7 @@ def gql_incoming_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def gql_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    eng = GQLEngine(tpch_graph(spark, sf_dir))
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
     return eng.execute(f"MATCH (n {{id: {NATION + 5}}})--(x) RETURN x.id, x.label")
 
 
@@ -162,7 +162,7 @@ def gql_undirected(spark: SparkSession, sf_dir: str) -> DataFrame:
     GRAPH_CTE + f"SELECT dst AS neighbor_id FROM edges WHERE src = {CUST + 42} GROUP BY dst",
 )
 def traverse_out_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.out_neighbors(tpch_graph(spark, sf_dir), CUST + 42)
+    return T.out_neighbors(materialized_tpch_graph(spark, sf_dir), CUST + 42)
 
 
 @_q(
@@ -170,7 +170,7 @@ def traverse_out_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     GRAPH_CTE + f"SELECT src AS neighbor_id FROM edges WHERE dst = {NATION + 3} GROUP BY src",
 )
 def traverse_in_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.in_neighbors(tpch_graph(spark, sf_dir), NATION + 3)
+    return T.in_neighbors(materialized_tpch_graph(spark, sf_dir), NATION + 3)
 
 
 @_q(
@@ -185,7 +185,7 @@ def traverse_in_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def traverse_all_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.all_neighbors(tpch_graph(spark, sf_dir), NATION + 3)
+    return T.all_neighbors(materialized_tpch_graph(spark, sf_dir), NATION + 3)
 
 
 @_q(
@@ -198,7 +198,7 @@ def traverse_all_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def traverse_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.traverse_2hop(tpch_graph(spark, sf_dir), ORD + 7)
+    return T.traverse_2hop(materialized_tpch_graph(spark, sf_dir), ORD + 7)
 
 
 # ---------------------------------------------------------------------------
@@ -216,7 +216,7 @@ def traverse_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def degree_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = tpch_graph(spark, sf_dir)
+    g = materialized_tpch_graph(spark, sf_dir)
     sub = PropertyGraph(g.vertices, g.edges.filter(F.col("label") == "placed_by"))
     return (
         sub.in_degrees()
@@ -243,7 +243,7 @@ def degree_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def common_neighbors_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = tpch_graph(spark, sf_dir)
+    g = materialized_tpch_graph(spark, sf_dir)
     supplier_edges = g.edges.filter(
         (F.col("label") == "located_in") & (F.col("src") >= SUPP) & (F.col("src") < ORD)
     )
@@ -263,6 +263,6 @@ def common_neighbors_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def edges_between_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = tpch_graph(spark, sf_dir)
+    g = materialized_tpch_graph(spark, sf_dir)
     # probe two candidate (src,dst) pairs; only the real FK edge survives
     return T.edges_between(g, CUST + 42, NATION).union(T.edges_between(g, CUST + 42, NATION + 2))

@@ -421,9 +421,9 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def db_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dd_graphdb_spark.graph import tpch_graph
+    from dd_graphdb_spark.graph import materialized_tpch_graph
 
-    g = tpch_graph(spark, sf_dir)
+    g = materialized_tpch_graph(spark, sf_dir)
     return g.vertices.agg(F.count("*").alias("vertex_count")).crossJoin(
         g.edges.agg(F.count("*").alias("edge_count"))
     )
