@@ -104,6 +104,7 @@ def incremental_view_pipeline(
     events_view_name: str = "stream_events",
     timeout_s: float = 180.0,
     delta_map: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
+    group_by_source: str | None = None,
 ):
     """Change stream → topo-ordered view refresh, the reference's
     flagship dataflow (SURVEY.md §3.3).
@@ -131,10 +132,29 @@ def incremental_view_pipeline(
         batch_df.createOrReplaceTempView(events_view_name)
         names = affected_views(batch_df) if affected_views else catalog.list_views()
         incr = getattr(catalog, "incremental", {})
+        if group_by_source is not None:
+            # event→changeset conversion (stream_processing.rs:670-711):
+            # one changeset per source, applied individually in source
+            # order. The distinct-source fetch is one tiny job.
+            from pyspark.sql import functions as F
+
+            from dd_graphdb_spark.streaming.transform import convert_to_changesets
+
+            tagged = convert_to_changesets(batch_df, group_by_source, batch_id)
+            sources = sorted(
+                r[0] for r in tagged.select(group_by_source).distinct().collect()
+            )
+            parts = [
+                tagged.filter(F.col(group_by_source) == s).drop("changeset_id")
+                for s in sources
+            ]
+        else:
+            parts = [batch_df]
         for n in names:
             if n in incr:
-                deltas = delta_map[n](batch_df) if delta_map and n in delta_map else batch_df
-                catalog.apply_deltas(n, deltas)
+                for part in parts:
+                    deltas = delta_map[n](part) if delta_map and n in delta_map else part
+                    catalog.apply_deltas(n, deltas)
             else:
                 catalog.mark_dirty(n)
         main_session = catalog.spark

@@ -276,6 +276,110 @@ def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.agg(F.count("*").alias("n_late"))
 
 
+# ---------------------------------------------------------------------------
+# Stream filter rules: drop by equality, tag by threshold via Modify
+# (FilterRule Keep/Drop/Modify, stream_transform.rs:196-315 — declared
+# intent; lowered to when()/filter() codegen expressions here).
+# ---------------------------------------------------------------------------
+@_q(
+    "stream_filter_rules",
+    """
+    SELECT event_id, event_type,
+           CASE WHEN value > 90 THEN 'hot' ELSE NULL END AS heat
+    FROM events
+    WHERE event_type <> 'click'
+    """,
+)
+def stream_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.streaming import FilterRule, TransformPipeline
+
+    pipe = TransformPipeline().add_filter_stage(
+        "gate",
+        [
+            FilterRule("drop_clicks", "event_type", "equals", "click", action="drop"),
+            FilterRule("tag_hot", "_hot", "equals", True, action="modify", modifications={"heat": "hot"}),
+        ],
+    )
+    e = _events(spark, sf_dir).withColumn("_hot", F.col("value") > 90)
+    return pipe.apply(e).select("event_id", "event_type", "heat")
+
+
+# ---------------------------------------------------------------------------
+# Event→changeset conversion: one changeset per source per batch
+# (convert_to_changesets, stream_processing.rs:670-711). event_type
+# stands in as the source key of the batch.
+# ---------------------------------------------------------------------------
+@_q(
+    "stream_changeset_summary",
+    """
+    SELECT 'stream_0_' || event_type AS changeset_id,
+           event_type AS source,
+           COUNT(*) AS n_changes
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_changeset_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.streaming import changeset_summary
+
+    return changeset_summary(_events(spark, sf_dir), source_col="event_type", batch_id=0)
+
+
+# ---------------------------------------------------------------------------
+# Alert rules (realtime_analytics.rs:73-160): a threshold rule with a
+# greedy cooldown chain (fire, suppress until cooldown elapses —
+# is_in_cooldown :524-533) and a rate rule (events/window ≥ threshold).
+# The oracle re-derives the greedy chain with a recursive CTE.
+# ---------------------------------------------------------------------------
+@_q(
+    "alert_threshold_cooldown",
+    """
+    WITH RECURSIVE cand AS (
+        SELECT ts, value FROM events WHERE value > 99.5
+    ),
+    fires(ts) AS (
+        SELECT MIN(ts) FROM cand
+        UNION ALL
+        SELECT (SELECT MIN(c.ts) FROM cand c WHERE c.ts >= f.ts + INTERVAL 1 HOUR)
+        FROM fires f
+        WHERE EXISTS (SELECT 1 FROM cand c WHERE c.ts >= f.ts + INTERVAL 1 HOUR)
+    )
+    SELECT 'hot_value' AS rule_id, strftime(f.ts, '%Y-%m-%d %H:%M:%S.%f') AS fired_at
+    FROM fires f WHERE f.ts IS NOT NULL
+    """,
+)
+def alert_threshold_cooldown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.streaming import AlertEngine, AlertRule
+
+    engine = AlertEngine(
+        [AlertRule("hot_value", "threshold", "value", "gt", 99.5, cooldown_s=3600)]
+    )
+    alerts = engine.evaluate(_events(spark, sf_dir))
+    return alerts.select(
+        "rule_id", F.date_format("ts", FMT_US).alias("fired_at")
+    )
+
+
+@_q(
+    "alert_rate_rule",
+    """
+    SELECT 'spike' AS rule_id,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*)::DOUBLE AS metric_value
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    HAVING COUNT(*) >= 20
+    """,
+)
+def alert_rate_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.streaming import AlertEngine, AlertRule
+
+    engine = AlertEngine([AlertRule("spike", "rate", "value", "ge", 20.0, window="1 hour")])
+    return engine.evaluate(_events(spark, sf_dir)).select(
+        "rule_id", F.date_format("ts", FMT).alias("window_start"), "metric_value"
+    )
+
+
 # events.parquet stores ts as TIMESTAMP(NANOS); read_events() truncates to
 # microseconds (Spark's native precision). Apply the identical truncation on
 # the DuckDB side so both engines compare equal values.
