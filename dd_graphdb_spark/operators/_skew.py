@@ -1,0 +1,51 @@
+"""Skew-safe self-join pair generation, shared by common-neighbors and
+MinHash-LSH candidate generation.
+
+A self-join on a grouping key emits d² pairs for a key with d members,
+and an unsalted join computes each hot key's d² in ONE task. This helper
+splits hot keys (group size > ``salt_threshold``) onto a salted path:
+the left side is bucketed into ``n_salts`` salts by member id and the
+right side is replicated per salt, spreading each hot key's pair
+generation across n_salts tasks. Exact output, parallel work — the same
+technique AQE's skew-join mitigation applies to shuffled joins, done
+explicitly so it also covers the pair-explosion stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    salt_threshold: int = 1000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """All ordered pairs (a < b) of ``id_col`` values sharing identical
+    ``key_cols`` values — one output row per matching key instance
+    (callers count or distinct as needed). Hot keys are salted."""
+    base = df.select(F.col(id_col).alias("_m"), *key_cols)
+    sizes = base.groupBy(*key_cols).agg(F.count("*").alias("_sz"))
+    hot = sizes.filter(F.col("_sz") > salt_threshold).select(*key_cols)
+
+    a = base.select(F.col("_m").alias("a"), *key_cols)
+    b = base.select(F.col("_m").alias("b"), *key_cols)
+
+    a_cold = a.join(F.broadcast(hot), key_cols, "left_anti")
+    b_cold = b.join(F.broadcast(hot), key_cols, "left_anti")
+    pairs_cold = a_cold.join(b_cold, key_cols).select("a", "b")
+
+    a_hot = a.join(F.broadcast(hot), key_cols).withColumn(
+        "_salt", F.pmod(F.hash("a"), F.lit(n_salts)).cast("int")
+    )
+    b_hot = b.join(F.broadcast(hot), key_cols).select(
+        *key_cols,
+        "b",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt"),
+    )
+    pairs_hot = a_hot.join(b_hot, [*key_cols, "_salt"]).select("a", "b")
+
+    return pairs_cold.union(pairs_hot).filter(F.col("a") < F.col("b"))

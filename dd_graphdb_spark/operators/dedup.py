@@ -20,7 +20,8 @@ Scale notes (100 TB): the shingle self-join explodes on hot shingles —
 that's precisely what MinHash/LSH avoids: signatures are fixed-size per
 doc (k hashes), band buckets bound the candidate-pair space, and the
 exact verification join only touches candidates. Band buckets with
-pathological skew (boilerplate docs) should be salted or capped.
+pathological skew (boilerplate docs) take the salted pair path
+(operators._skew.salted_self_pairs).
 """
 
 from __future__ import annotations
@@ -125,6 +126,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    band_salt_threshold: int = 1000,
+    n_salts: int = 16,
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification.
 
@@ -132,6 +135,11 @@ def minhash_lsh_pairs(
     candidates; candidates are verified with the true Jaccard ≥ threshold.
     Output schema matches ngram_jaccard_pairs (a, b, jaccard) — LSH is the
     scale path that avoids the all-pairs shingle join.
+
+    Band buckets with pathological skew (boilerplate near-identical docs
+    collapse into one bucket) go through the salted pair path
+    (operators._skew): buckets over ``band_salt_threshold`` members
+    spread their d² candidate generation across ``n_salts`` tasks.
     """
     # Compute shingle arrays ONCE and reuse for signatures (exploded) and
     # verification (arrays). Without materialization the self-join below
@@ -163,9 +171,11 @@ def minhash_lsh_pairs(
     bt = bands[0]
     for x in bands[1:]:
         bt = bt.unionByName(x)
-    a = bt.select(F.col("id").alias("a"), "band", "bucket")
-    b = bt.select(F.col("id").alias("b"), "band", "bucket")
-    cand = a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    from dd_graphdb_spark.operators._skew import salted_self_pairs
+
+    cand = salted_self_pairs(
+        bt, "id", ["band", "bucket"], band_salt_threshold, n_salts
+    ).distinct()
 
     # exact verification restricted to candidates: reuse the cached
     # distinct-shingle ARRAYs and intersect JVM-side per pair — O(|A|+|B|)

@@ -80,6 +80,125 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """IVF coarse quantizer. Centroids seed from the first
+    ``n_centroids`` corpus vectors (deterministic); ``iters`` Lloyd
+    rounds refine them (assign by max cosine, recompute element-wise
+    means). Each round is one broadcast scoring pass + one aggregation;
+    only n_centroids × d values ever reach the driver."""
+    cents = [
+        [float(x) for x in r[0]]
+        for r in emb.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    ]
+    base = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    for _ in range(iters):
+        assigned = base.withColumn("cid", _nearest_centroid(F.col("v"), cents))
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            # exact decimal sum (order-independent) + one double division
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(28,12)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+        )
+        rows = means.collect()
+        new = {}
+        for r in rows:
+            new.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+        cents = [
+            [new[c][p] for p in sorted(new[c])] if c in new else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def _nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
+    """argmax-cosine centroid id, ties to the lowest id — a constant-
+    folded expression, no join."""
+    best_sim, best_id = None, None
+    for i, c in enumerate(cents):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        sim = cosine(vec, carr)
+        if best_sim is None:
+            best_sim, best_id = sim, F.lit(i)
+        else:
+            cond = sim > best_sim
+            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
+            best_sim = F.when(cond, sim).otherwise(best_sim)
+    return best_id
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    k: int = 5,
+    train_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN top-k — the scale path beyond LSH
+    bucketing: corpus vectors are assigned to their nearest coarse
+    centroid (the inverted lists); each query probes its ``n_probe``
+    nearest cells and ranks exactly within them.
+
+    At 100 TB: cell assignment is one constant-folded projection over
+    the corpus (write-time, persists as a partition column), queries
+    broadcast with their probe lists, and the scoring join touches
+    |corpus|·n_probe/n_centroids rows instead of the full corpus.
+    Output: (q_id, neighbor_id, sim, rank); recall < 1 by construction.
+    """
+    from pyspark.sql.window import Window
+
+    cents = train_centroids(emb, n_centroids, train_iters, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nvec")
+    ).withColumn("cell", _nearest_centroid(F.col("nvec"), cents))
+
+    # per-query probe list: the n_probe nearest centroids (sim desc,
+    # ties to the lowest cid — negated-sim sort keys make both orders
+    # ascending for array_sort)
+    def probe_cells(qvec: Column) -> Column:
+        sims = F.array(
+            *[
+                F.struct(
+                    (-cosine(qvec, F.array(*[F.lit(float(x)) for x in c]))).alias("negsim"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(cents)
+            ]
+        )
+        return F.slice(F.transform(F.array_sort(sims), lambda s: s["cid"]), 1, n_probe)
+
+    q = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qvec"))
+        .withColumn("cell", F.explode(probe_cells(F.col("qvec"))))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(base, "cell")
+        .filter(F.col("q_id") != F.col("nid"))
+        .select(
+            "q_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(cosine(F.col("qvec"), F.col("nvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -96,6 +96,8 @@ def common_neighbors(
     """
     from pyspark.sql.window import Window
 
+    from dd_graphdb_spark.operators._skew import salted_self_pairs
+
     e = _label_filter(g.edges, label).select("src", "dst")
     if max_degree is not None:
         w = Window.partitionBy("dst").orderBy("src")
@@ -103,27 +105,7 @@ def common_neighbors(
             F.col("_rn") <= max_degree
         ).drop("_rn")
 
-    deg = e.groupBy("dst").agg(F.count("*").alias("_deg"))
-    hot = deg.filter(F.col("_deg") > salt_threshold).select(F.col("dst").alias("shared"))
-
-    a = e.select(F.col("src").alias("a"), F.col("dst").alias("shared"))
-    b = e.select(F.col("src").alias("b"), F.col("dst").alias("shared"))
-
-    a_cold = a.join(F.broadcast(hot), "shared", "left_anti")
-    b_cold = b.join(F.broadcast(hot), "shared", "left_anti")
-    pairs_cold = a_cold.join(b_cold, "shared").select("a", "b")
-
-    a_hot = a.join(F.broadcast(hot), "shared").withColumn(
-        "_salt", F.pmod(F.col("a"), F.lit(n_salts)).cast("int")
-    )
-    b_hot = b.join(F.broadcast(hot), "shared").select(
-        "shared",
-        "b",
-        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt"),
-    )
-    pairs_hot = a_hot.join(b_hot, ["shared", "_salt"]).select("a", "b")
-
-    pairs = pairs_cold.union(pairs_hot).filter(F.col("a") < F.col("b"))
+    pairs = salted_self_pairs(e, "src", ["dst"], salt_threshold, n_salts)
     return (
         pairs.groupBy("a", "b")
         .agg(F.count("*").alias("common_count"))

@@ -320,6 +320,52 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
 
 
+def _sql_ivf_topk(n_centroids: int, n_probe: int, k: int) -> str:
+    """IVF oracle: same coarse quantizer (first n vectors as centroids),
+    argmax-cosine cell assignment with lowest-cid ties, n_probe nearest
+    cells per query, exact rank within probed cells."""
+    cos_vc = f"{_SQL_DOT.format(a='e.v', b='c.cv')} / ({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='c.cv')})"
+    cos_qn = f"{_SQL_DOT.format(a='q.qv', b='e2.v')} / ({_SQL_NORM.format(a='q.qv')} * {_SQL_NORM.format(a='e2.v')})"
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),
+    scored_cells AS (
+        SELECT e.vec_id, c.cid, {cos_vc} AS sim FROM e, cents c
+    ),
+    cells AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM scored_cells
+        ) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS q_id, cid AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM scored_cells WHERE vec_id IN (0, 1, 2)
+        ) WHERE rn <= {n_probe}
+    ),
+    q AS (SELECT qp.q_id, e.v AS qv, qp.cell FROM qprobe qp JOIN e ON e.vec_id = qp.q_id),
+    scored AS (
+        SELECT q.q_id, e2.vec_id AS neighbor_id,
+               ROUND({cos_qn}, 6) AS sim
+        FROM q JOIN cells cl ON cl.cell = q.cell JOIN e e2 ON e2.vec_id = cl.vec_id
+        WHERE e2.vec_id != q.q_id
+    )
+    SELECT q_id, neighbor_id, sim, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@_q("sim_ann_ivf_topk", _sql_ivf_topk(8, 2, 5))
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF inverted-list ANN (coarse quantizer = first 8 corpus vectors,
+    2 probed cells) — the documented scale path past LSH bucketing."""
+    out = S.ivf_topk(_emb(spark, sf_dir), QUERY_IDS, n_centroids=8, n_probe=2, k=5)
+    return out.select("q_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary plumbing (Arrow mapInPandas; text bytes as payload)
 # ---------------------------------------------------------------------------

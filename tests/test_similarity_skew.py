@@ -1,0 +1,58 @@
+"""IVF ANN + salted-pair skew path (operators.similarity / _skew)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import dd_graphdb_spark.operators.similarity as S
+from dd_graphdb_spark.operators import dedup as D
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def _key(df):
+    return sorted((r["q_id"], r["neighbor_id"], r["sim"], r["rank"]) for r in df.collect())
+
+
+def test_ivf_probe_all_equals_brute_force(emb):
+    # probing every cell = scanning the full corpus → IVF must reproduce
+    # the exact brute-force ranking
+    brute = S.brute_force_topk(emb, [0, 1, 2], k=5)
+    ivf = S.ivf_topk(emb, [0, 1, 2], n_centroids=4, n_probe=4, k=5)
+    assert _key(ivf) == _key(brute)
+
+
+def test_ivf_partial_probe_subset_of_brute(emb):
+    brute = {(r["q_id"], r["neighbor_id"]): r["sim"] for r in
+             S.brute_force_topk(emb, [0, 1, 2], k=100).collect()}
+    ivf = S.ivf_topk(emb, [0, 1, 2], n_centroids=8, n_probe=2, k=5).collect()
+    assert len(ivf) > 0
+    for r in ivf:  # every IVF hit must carry the true similarity
+        assert brute[(r["q_id"], r["neighbor_id"])] == r["sim"]
+
+
+def test_ivf_lloyd_training_runs(emb):
+    cents0 = S.train_centroids(emb, n_centroids=4, iters=0)
+    cents2 = S.train_centroids(emb, n_centroids=4, iters=2)
+    assert len(cents0) == len(cents2) == 4
+    assert len(cents0[0]) == len(cents2[0])
+    assert cents0 != cents2  # training moved the centroids
+    out = S.ivf_topk(emb, [0, 1], n_centroids=4, n_probe=2, k=3, train_iters=2)
+    assert out.count() > 0
+
+
+def test_lsh_band_salting_exact(spark):
+    # force the salted path (threshold 1) and check identical output
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i % 3}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    plain = D.minhash_lsh_pairs(docs, 0.5, band_salt_threshold=10**9)
+    salted = D.minhash_lsh_pairs(docs, 0.5, band_salt_threshold=1, n_salts=4)
+    k = lambda df: sorted((r["a"], r["b"], r["jaccard"]) for r in df.collect())
+    assert k(plain) == k(salted)
+    assert len(k(plain)) > 0
