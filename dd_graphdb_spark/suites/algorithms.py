@@ -62,6 +62,12 @@ S_EDGES = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)]
 P_VERTS = [1, 2, 3]
 P_EDGES = [(1, 2), (2, 3), (1, 3)]
 
+# Eigenvector fixture: a 3-cycle with a chord and a pendant — the cycle
+# keeps the power iteration from decaying to zero, the chord/pendant
+# break symmetry (declared-only algorithm, view_types.rs:194-201)
+EV_VERTS = [1, 2, 3, 4]
+EV_EDGES = [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4)]
+
 
 def _values(rows, cast=str) -> str:
     return ", ".join("(" + ", ".join(cast(x) for x in r) + ")" for r in rows)
@@ -326,6 +332,77 @@ def algo_kcore_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def algo_degree_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.degree_centrality(materialized_tpch_graph(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# Eigenvector centrality (declared-only in the reference,
+# view_types.rs:194-201): power iteration with max-normalization —
+# every reduction (2-term sums, MAX) is order-independent, so the
+# unrolled oracle is bit-identical.
+# --------------------------------------------------------------------------
+def _eigenvector_oracle(n_iter: int = 8) -> str:
+    steps = []
+    prev = "ev0"
+    for i in range(1, n_iter + 1):
+        steps.append(
+            f"""ev{i}_raw AS (
+    SELECT v.id, COALESCE(m.s, 0.0::DOUBLE) AS score
+    FROM verts v LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.score) AS s
+        FROM {prev} p JOIN edges e ON p.id = e.src GROUP BY e.dst
+    ) m ON v.id = m.id
+),
+ev{i} AS (
+    SELECT id, score / (SELECT MAX(score) FROM ev{i}_raw) AS score FROM ev{i}_raw
+)"""
+        )
+        prev = f"ev{i}"
+    return (
+        f"""
+    WITH verts(id) AS (VALUES {_vals_v(EV_VERTS)}),
+    edges(src, dst) AS (VALUES {_values(EV_EDGES)}),
+    ev0 AS (SELECT id, 1.0::DOUBLE AS score FROM verts),
+    """
+        + ",\n".join(steps)
+        + f"\nSELECT id::BIGINT AS id, ROUND(score, 9) AS score FROM {prev}"
+    )
+
+
+@_q("algo_eigenvector_fixture", _eigenvector_oracle())
+def algo_eigenvector_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = fixture_graph(spark, EV_VERTS, EV_EDGES)
+    return A.eigenvector_centrality(g, max_iterations=8, round_to=9)
+
+
+# --------------------------------------------------------------------------
+# Closeness centrality (declared-only in the reference): directed hops,
+# C(v) = (r-1)/Σd; oracle = recursive-CTE BFS on the F4 DAG fixture.
+# --------------------------------------------------------------------------
+@_q(
+    "algo_closeness_fixture",
+    f"""
+    WITH RECURSIVE
+    verts(id) AS (VALUES {_vals_v(T_VERTS)}),
+    edges(src, dst) AS (
+        SELECT src, dst FROM (VALUES {_values(T_EDGES, cast=lambda x: repr(x) if isinstance(x, str) else str(x))}) t(src, dst, label)
+    ),
+    walk(source, id, hops) AS (
+        SELECT id, id, 0 FROM verts
+        UNION ALL
+        SELECT w.source, e.dst, w.hops + 1
+        FROM walk w JOIN edges e ON w.id = e.src WHERE w.hops < 10
+    ),
+    d AS (SELECT source, id, MIN(hops) AS hops FROM walk GROUP BY source, id),
+    agg AS (SELECT source, COUNT(*) AS r, SUM(hops) AS td FROM d GROUP BY source)
+    SELECT source::BIGINT AS id,
+           ROUND(CASE WHEN td > 0 THEN (r - 1)::DOUBLE / td::DOUBLE ELSE 0.0 END, 9) AS closeness
+    FROM agg
+    """,
+)
+def algo_closeness_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = fixture_graph(spark, T_VERTS, T_EDGES)
+    out = A.closeness_centrality(g)
+    return out.select("id", F.round("closeness", 9).alias("closeness"))
 
 
 # --------------------------------------------------------------------------

@@ -86,6 +86,30 @@ def test_scc_cycles(spark):
     assert scc[6] == 6
 
 
+def test_eigenvector_centrality(spark):
+    # 3-cycle with chord + pendant: cycle sustains mass; vertex 3 (two
+    # in-edges) dominates, pendant 4 mirrors 3's previous score
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3), (3, 4)], "src long, dst long"
+    )
+    g = PropertyGraph(v, e)
+    s = {r["id"]: r["score"] for r in A.eigenvector_centrality(g, max_iterations=20).collect()}
+    assert s[3] == 1.0  # max-normalized leader
+    assert all(0 <= x <= 1 for x in s.values())
+    assert s[3] > s[1] > 0 and s[3] > s[2] > 0
+
+
+def test_closeness_centrality(spark, people_graph):
+    # 1→2→3: C(1)=(3-1)/(1+2), C(2)=(2-1)/1, C(3)=0
+    s = {r["id"]: r["closeness"] for r in A.closeness_centrality(people_graph).collect()}
+    assert abs(s[1] - 2 / 3) < 1e-12
+    assert s[2] == 1.0 and s[3] == 0.0
+    # landmark subset
+    sub = {r["id"]: r["closeness"] for r in A.closeness_centrality(people_graph, sources=[2]).collect()}
+    assert sub == {2: 1.0}
+
+
 def test_scc_empty_graph(spark):
     v = spark.createDataFrame([], "id long")
     e = spark.createDataFrame([], "src long, dst long")
