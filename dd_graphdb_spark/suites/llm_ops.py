@@ -380,3 +380,42 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = M.to_binary_column(_docs(spark, sf_dir), "text", "doc_id")
     return M.extract_metadata(payload)
+
+
+@_q(
+    "multimodal_decode_dims",
+    """
+    SELECT doc_id AS id,
+           (1 + (strlen(text) * 7) % 64)::INT AS height,
+           (1 + (strlen(text) * 13) % 64)::INT AS width,
+           3::INT AS channels
+    FROM documents
+    """,
+)
+def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode stage end-to-end through the Arrow mapInPandas plumbing;
+    the container has no codec libs so the deterministic fake kernel runs
+    (dims derived from byte length — the oracle restates the formula)."""
+    payload = M.to_binary_column(_docs(spark, sf_dir), "text", "doc_id")
+    return M.decode_image(payload)
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS id, idx::INT AS frame_idx,
+           md5(substr(text, idx * 128 + 1, 128)) AS frame_digest
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(ceil(strlen(text) / 128.0) AS BIGINT))) AS idx
+        FROM documents
+    )
+    WHERE idx % 2 = 0
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1 doc → n frame rows) with every-2nd-frame
+    selection; document text is ASCII so the byte-framed digests equal
+    the oracle's character substrings."""
+    payload = M.to_binary_column(_docs(spark, sf_dir), "text", "doc_id")
+    return M.sample_frames(payload, every_n=2, frame_bytes=128)
