@@ -34,10 +34,14 @@ HEADLINE = [
     "stream_tumbling_window",
     "stream_session_window",
     "stream_dedup_first",
+    "stream_custom_agg_p90",
+    "alert_threshold_cooldown",
+    "view_incremental_delta",
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",
     "sim_cosine_topk",
+    "sim_ann_ivf_topk",
 ]
 
 

@@ -90,7 +90,12 @@ class IncrementalAggState:
 
     min/max semantics under delete follow the reference's documented
     conservative approach (:885-892): they tighten on adds and stay
-    unchanged on removes. count/sum/avg are exact.
+    unchanged on removes. count/sum/avg are exact for well-formed
+    histories (every remove targets a previously-added row). The
+    reference additionally clamps count at 0 per-op for ill-formed
+    removes (:886, ``(count - 1).max(0)``); that clamp is
+    non-associative, so the batched form instead drops any group whose
+    net count reaches <= 0 — identical on well-formed input.
 
     The reference maintains ONE global AggregationState; ``group_cols``
     generalizes it per-group (its `_group_by` parameter exists but is

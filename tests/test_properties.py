@@ -97,14 +97,17 @@ def test_incremental_agg_matches_direct(spark, tmp_path_factory, rows, n_splits)
     from dd_graphdb_spark.views import IncrementalAggState
 
     # model: net multiset per key (skip if any key count would go negative
-    # mid-stream — removes target previously-added rows in practice)
+    # mid-stream — removes target previously-added rows in practice; the
+    # reference's per-op clamp at 0 (incremental_engine.rs:886) is
+    # non-associative and cannot survive batch pre-aggregation, so
+    # ill-formed histories are out of contract)
     counts = defaultdict(int)
     sums = defaultdict(float)
     for k, v, s in rows:
         counts[k] += s
         sums[k] += s * v
-    if any(c < 0 for c in counts.values()):
-        return
+        if counts[k] < 0:
+            return
 
     state = IncrementalAggState(
         spark, str(tmp_path_factory.mktemp("prop_agg")), ["k"], "v"
