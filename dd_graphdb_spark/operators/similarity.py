@@ -199,6 +199,65 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_bands: int = 4,
+    band_bits: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_threshold: int = 1000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup-family member
+    over vector columns (exact dedup / MinHash-LSH / SimHash cover text;
+    this covers embeddings).
+
+    Banded random-hyperplane LSH generates candidates: ``n_bands``
+    independent plane sets of ``band_bits`` planes each; two vectors are
+    candidates if their sign signatures agree in ANY band (the same
+    band/bucket structure as MinHash-LSH over shingles). Candidates are
+    verified with the exact cosine >= threshold. Planes are data-derived
+    (first n_bands*band_bits corpus vectors) so results are
+    deterministic and oracle-checkable; recall < 1 vs the all-pairs scan
+    by construction — the documented LSH tradeoff.
+
+    Scale notes (100 TB): signatures are one constant-folded projection
+    (no shuffle); candidate generation shuffles one (band, bucket) row
+    per vector per band and goes through the salted pair path
+    (operators._skew) so a degenerate bucket (e.g. a corpus of
+    near-identical embeddings) spreads its d^2 across ``n_salts`` tasks;
+    verification is O(d) per candidate, never all-pairs. Output: (a, b,
+    sim).
+    """
+    from dd_graphdb_spark.operators._skew import salted_self_pairs
+
+    n_planes = n_bands * band_bits
+    planes = [
+        [float(x) for x in r[0]]
+        for r in emb.orderBy(id_col).limit(n_planes).select(vec_col).collect()
+    ]
+    base = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    bands = []
+    for b in range(n_bands):
+        sig = hyperplane_signature(F.col("v"), planes[b * band_bits : (b + 1) * band_bits])
+        bands.append(base.select("id", F.lit(b).alias("band"), sig.alias("bucket")))
+    bt = bands[0]
+    for x in bands[1:]:
+        bt = bt.unionByName(x)
+
+    cand = salted_self_pairs(bt, "id", ["band", "bucket"], salt_threshold, n_salts).distinct()
+    va = base.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

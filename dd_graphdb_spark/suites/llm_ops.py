@@ -285,6 +285,40 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
 
 
+def _sql_cosine_near_dup(threshold: float, n_bands: int, band_bits: int) -> str:
+    """Same banded-hyperplane candidate generation + exact-cosine verify
+    as operators.similarity.cosine_near_dup_pairs: planes = first
+    n_bands*band_bits vectors, band b uses planes [b*bits, (b+1)*bits),
+    bit weight 1 << (pid % bits)."""
+    n_planes = n_bands * band_bits
+    dot_vp = _SQL_DOT.format(a="e.v", b="p.pv")
+    dot = _SQL_DOT.format(a="ea.v", b="eb.v")
+    na = _SQL_NORM.format(a="ea.v")
+    nb = _SQL_NORM.format(a="eb.v")
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    planes AS (SELECT vec_id AS pid, v AS pv FROM e WHERE vec_id < {n_planes}),
+    buckets AS (
+        SELECT e.vec_id, (p.pid // {band_bits})::BIGINT AS band,
+               SUM(CASE WHEN {dot_vp} > 0.0 THEN (1::BIGINT << (p.pid % {band_bits})::INT) ELSE 0 END)::BIGINT AS bucket
+        FROM e, planes p GROUP BY e.vec_id, p.pid // {band_bits}
+    ),
+    cand AS (
+        SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        FROM buckets x JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
+        WHERE x.vec_id < y.vec_id
+    )
+    SELECT c.a, c.b, ROUND({dot} / ({na} * {nb}), 6) AS sim
+    FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b
+    WHERE ROUND({dot} / ({na} * {nb}), 6) >= {threshold}
+    """
+
+
+@_q("dedup_embedding_cosine", _sql_cosine_near_dup(0.4, 4, 3))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4, n_bands=4, band_bits=3)
+
+
 def _sql_lsh_topk(k: int) -> str:
     dot_vp = _SQL_DOT.format(a="e.v", b="p.pv")
     dot = _SQL_DOT.format(a="q.qv", b="e.v")

@@ -45,6 +45,28 @@ def test_ivf_lloyd_training_runs(emb):
     assert out.count() > 0
 
 
+def test_cosine_near_dup_finds_identical_vectors(spark):
+    # identical/near-identical vectors collide in every band, so the
+    # banded LSH path must surface them; sim of an exact duplicate is 1
+    rows = [(i, [float(i + 1), float(2 * i + 1), 1.0, 0.5]) for i in range(12)]
+    rows += [(100, [1.0, 2.0, 3.0, 4.0]), (101, [1.0, 2.0, 3.0, 4.0]),
+             (102, [2.0, 4.0, 6.0, 8.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {(r["a"], r["b"]): r["sim"]
+           for r in S.cosine_near_dup_pairs(emb, threshold=0.999).collect()}
+    assert out[(100, 101)] == 1.0  # exact duplicate
+    assert out[(100, 102)] == 1.0  # scaled duplicate (cosine ignores norm)
+    assert out[(101, 102)] == 1.0
+
+
+def test_cosine_near_dup_salting_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plain = S.cosine_near_dup_pairs(emb, threshold=0.3, salt_threshold=10**9)
+    salted = S.cosine_near_dup_pairs(emb, threshold=0.3, salt_threshold=1, n_salts=4)
+    k = lambda df: sorted((r["a"], r["b"], r["sim"]) for r in df.collect())
+    assert k(plain) == k(salted)
+
+
 def test_lsh_band_salting_exact(spark):
     # force the salted path (threshold 1) and check identical output
     docs = spark.createDataFrame(
