@@ -1,4 +1,4 @@
-"""Eigenvector & closeness centrality.
+"""Eigenvector, closeness & betweenness centrality.
 
 The reference DECLARES these as analytics-view algorithm variants but
 never implements them (AnalyticsType Betweenness/Closeness/Eigenvector,
@@ -108,3 +108,117 @@ def closeness_centrality(
 ) -> DataFrame:
     """Public entry; releases loop-intermediate checkpoint blocks."""
     return run_loop(_closeness_loop, g, sources, max_depth)
+
+
+def _betweenness_loop(
+    g: PropertyGraph,
+    sources: list[int] | None = None,
+    max_depth: int = 30,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Brandes betweenness (directed, unweighted):
+        bc(v) = Σ_{s≠v} δ_s(v),
+        δ_s(v) = Σ_{w: (v,w) on s's SP-DAG} σ_sv/σ_sw · (1 + δ_s(w))
+
+    Phase 1 is the closeness multi-source BFS extended with path
+    counting: σ(s,v) at depth d = Σ of predecessor σ at d−1 (one
+    join+agg per level). Phase 2 materializes the shortest-path DAG with
+    one 2-way join, then accumulates δ level-by-level from the deepest
+    frontier back — one join+agg per level. Total rounds = 2·diameter.
+
+    Scale notes: state is O(Σ reachable sets) keyed (source, vertex) —
+    all-sources exact betweenness is inherently quadratic, so at scale
+    pass ``sources`` (landmark/pivot sampling, the standard
+    approximation) and keep per-landmark exactness.
+    """
+    edges = g.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    verts = g.vertices.select("id").distinct()
+    seeds = verts if sources is None else verts.filter(F.col("id").isin(sources))
+
+    # -- forward: BFS levels + shortest-path counts ---------------------
+    visited = _materialize(
+        seeds.select(
+            F.col("id").alias("source"), F.col("id"), F.lit(0).alias("d"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    frontier = visited
+    deepest = 0
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.id == edges.src)
+            .groupBy("source", F.col("dst").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("d", F.lit(depth))
+        )
+        new = _materialize(
+            nxt.join(visited.select("source", "id"), ["source", "id"], "left_anti")
+            .select("source", "id", "d", "sigma")
+        )
+        if new.isEmpty():
+            break
+        visited = _materialize(visited.unionByName(new))
+        frontier = new
+        deepest = depth
+
+    # -- SP-DAG: (source, v→w) where d(w) = d(v)+1 along an edge --------
+    v_side = visited.select(
+        "source", F.col("id").alias("v"), F.col("d").alias("dv"), F.col("sigma").alias("sigma_v")
+    )
+    w_side = visited.select(
+        "source", F.col("id").alias("w"), F.col("d").alias("dw"), F.col("sigma").alias("sigma_w")
+    )
+    dag = _materialize(
+        v_side.join(edges, v_side.v == edges.src)
+        .join(w_side, ["source"])
+        .filter((F.col("dst") == F.col("w")) & (F.col("dw") == F.col("dv") + 1))
+        .select("source", "v", "dv", "sigma_v", "w", "sigma_w")
+    )
+
+    # -- backward: δ accumulation, deepest level first ------------------
+    delta = _materialize(
+        visited.filter(F.col("d") == deepest)
+        .select("source", "id", F.lit(0.0).alias("delta"))
+    )
+    for lvl in range(deepest - 1, -1, -1):
+        contrib = (
+            dag.filter(F.col("dv") == lvl)
+            .join(
+                delta.select("source", F.col("id").alias("w"), "delta"),
+                ["source", "w"],
+            )
+            .groupBy("source", F.col("v").alias("id"))
+            .agg(
+                F.sum(
+                    (F.col("sigma_v") / F.col("sigma_w")) * (F.lit(1.0) + F.col("delta"))
+                ).alias("c")
+            )
+        )
+        level = (
+            visited.filter(F.col("d") == lvl)
+            .join(contrib, ["source", "id"], "left")
+            .select("source", "id", F.coalesce("c", F.lit(0.0)).alias("delta"))
+        )
+        delta = _materialize(delta.unionByName(level))
+
+    bc = (
+        delta.filter(F.col("id") != F.col("source"))
+        .groupBy("id")
+        .agg(F.sum("delta").alias("b"))
+    )
+    out = verts.join(bc, "id", "left").select(
+        "id", F.coalesce("b", F.lit(0.0)).alias("betweenness")
+    )
+    if round_to is not None:
+        out = out.select("id", F.round("betweenness", round_to).alias("betweenness"))
+    return out
+
+
+def betweenness_centrality(
+    g: PropertyGraph,
+    sources: list[int] | None = None,
+    max_depth: int = 30,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Public entry; releases loop-intermediate checkpoint blocks."""
+    return run_loop(_betweenness_loop, g, sources, max_depth, round_to)

@@ -406,6 +406,54 @@ def algo_closeness_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Betweenness centrality (declared-only in the reference,
+# view_types.rs:194-201): directed Brandes on a diamond+tail fixture —
+# two equal-length 1→4 paths exercise the fractional σ_sv/σ_st ratios.
+# Oracle: independent σ-product formulation (bc(v) = Σ σ_sv·σ_vt/σ_st
+# over pairs with d(s,v)+d(v,t)=d(s,t)) from recursive-CTE walk
+# enumeration — row multiplicity of UNION ALL walks counts paths.
+# --------------------------------------------------------------------------
+B_VERTS = [1, 2, 3, 4, 5]
+B_EDGES = [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)]
+
+
+@_q(
+    "algo_betweenness_fixture",
+    f"""
+    WITH RECURSIVE
+    verts(id) AS (VALUES {_vals_v(B_VERTS)}),
+    edges(src, dst) AS (VALUES {_values(B_EDGES)}),
+    walk(source, id, hops) AS (
+        SELECT id, id, 0 FROM verts
+        UNION ALL
+        SELECT w.source, e.dst, w.hops + 1
+        FROM walk w JOIN edges e ON w.id = e.src WHERE w.hops < 10
+    ),
+    mind AS (SELECT source, id, MIN(hops) AS d FROM walk GROUP BY source, id),
+    sigma AS (
+        SELECT w.source, w.id, m.d, COUNT(*)::DOUBLE AS sigma
+        FROM walk w JOIN mind m ON w.source = m.source AND w.id = m.id AND w.hops = m.d
+        GROUP BY w.source, w.id, m.d
+    ),
+    bc AS (
+        SELECT sv.id AS v, SUM(sv.sigma * vt.sigma / st.sigma) AS b
+        FROM sigma sv
+        JOIN sigma vt ON vt.source = sv.id
+        JOIN sigma st ON st.source = sv.source AND st.id = vt.id
+        WHERE sv.source != sv.id AND vt.id != sv.id AND vt.id != sv.source
+          AND st.d = sv.d + vt.d
+        GROUP BY sv.id
+    )
+    SELECT v.id::BIGINT AS id, ROUND(COALESCE(bc.b, 0.0), 9) AS betweenness
+    FROM verts v LEFT JOIN bc ON v.id = bc.v
+    """,
+)
+def algo_betweenness_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = fixture_graph(spark, B_VERTS, B_EDGES)
+    return A.betweenness_centrality(g, round_to=9)
+
+
+# --------------------------------------------------------------------------
 # SCC on the cyclic fixture; oracle = mutual reachability with min-id rep.
 # --------------------------------------------------------------------------
 @_q(

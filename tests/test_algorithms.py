@@ -110,6 +110,34 @@ def test_closeness_centrality(spark, people_graph):
     assert sub == {2: 1.0}
 
 
+def test_betweenness_centrality_diamond(spark):
+    # diamond + tail 1→{2,3}→4→5: σ(1,4)=2 so 2 and 3 each carry half of
+    # pairs (1,4) and (1,5); 4 carries (1,5),(2,5),(3,5) whole → bc(4)=3
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4), (4, 5)], "src long, dst long"
+    )
+    s = {r["id"]: r["betweenness"]
+         for r in A.betweenness_centrality(PropertyGraph(v, e)).collect()}
+    assert s == {1: 0.0, 2: 1.0, 3: 1.0, 4: 3.0, 5: 0.0}
+
+
+def test_betweenness_centrality_cycle_and_landmarks(spark):
+    # directed 4-cycle: every vertex sits on exactly the paths between
+    # its predecessor-side pairs — symmetry forces equal scores; pairs
+    # (s,t) at distance 2 route through one intermediate, distance 3
+    # through two → bc(v) = 1 + 1 + 1 = 3 for all v
+    v = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    e = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long")
+    g = PropertyGraph(v, e)
+    s = {r["id"]: r["betweenness"] for r in A.betweenness_centrality(g).collect()}
+    assert s == {1: 3.0, 2: 3.0, 3: 3.0, 4: 3.0}
+    # landmark subset: only source 1's dependencies are accumulated
+    sub = {r["id"]: r["betweenness"]
+           for r in A.betweenness_centrality(g, sources=[1]).collect()}
+    assert sub == {1: 0.0, 2: 2.0, 3: 1.0, 4: 0.0}
+
+
 def test_scc_empty_graph(spark):
     v = spark.createDataFrame([], "id long")
     e = spark.createDataFrame([], "src long, dst long")
