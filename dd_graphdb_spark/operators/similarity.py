@@ -69,15 +69,26 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _matrix_lit(rows: list[list[float]]) -> Column:
+    """One array<array<double>> literal for a plane/centroid matrix.
+
+    A single ``lit`` call instead of rows x dims literal nodes: the
+    expression tree (and its codegen) stays constant-size no matter how
+    many planes/centroids/dimensions — at 64-dim x 8 centroids the
+    per-literal form cost ~3 s of driver-side plan build plus ~6 s of
+    first-run codegen compile for a query that executes in 0.5 s."""
+    return F.lit([[float(x) for x in r] for r in rows])
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """LSH bucket id: bit_i = (vec · plane_i) > 0. Planes are constant
-    arrays folded into the plan (broadcast-free)."""
-    sig = None
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot(vec, plane) > 0.0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = bit if sig is None else sig + bit
-    return sig
+    """LSH bucket id: bit_i = (vec · plane_i) > 0. Planes are one
+    constant matrix literal folded into the plan (broadcast-free)."""
+    powers = F.lit([1 << i for i in range(len(planes))])
+    bits = F.transform(
+        _matrix_lit(planes),
+        lambda p, i: F.when(dot(vec, p) > 0.0, F.element_at(powers, i + 1)).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, b: acc + b)
 
 
 def train_centroids(
@@ -121,20 +132,16 @@ def train_centroids(
     return cents
 
 
+def _centroid_sims(vec: Column, cents: list[list[float]]) -> Column:
+    """array of cosine(vec, centroid_i), one constant matrix literal."""
+    return F.transform(_matrix_lit(cents), lambda c: cosine(vec, c))
+
+
 def _nearest_centroid(vec: Column, cents: list[list[float]]) -> Column:
     """argmax-cosine centroid id, ties to the lowest id — a constant-
-    folded expression, no join."""
-    best_sim, best_id = None, None
-    for i, c in enumerate(cents):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        sim = cosine(vec, carr)
-        if best_sim is None:
-            best_sim, best_id = sim, F.lit(i)
-        else:
-            cond = sim > best_sim
-            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
-            best_sim = F.when(cond, sim).otherwise(best_sim)
-    return best_id
+    folded expression, no join (array_position returns the FIRST max)."""
+    sims = _centroid_sims(vec, cents)
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
 def ivf_topk(
@@ -169,16 +176,11 @@ def ivf_topk(
     # ties to the lowest cid — negated-sim sort keys make both orders
     # ascending for array_sort)
     def probe_cells(qvec: Column) -> Column:
-        sims = F.array(
-            *[
-                F.struct(
-                    (-cosine(qvec, F.array(*[F.lit(float(x)) for x in c]))).alias("negsim"),
-                    F.lit(i).alias("cid"),
-                )
-                for i, c in enumerate(cents)
-            ]
+        keyed = F.transform(
+            _centroid_sims(qvec, cents),
+            lambda x, i: F.struct((-x).alias("negsim"), i.alias("cid")),
         )
-        return F.slice(F.transform(F.array_sort(sims), lambda s: s["cid"]), 1, n_probe)
+        return F.slice(F.transform(F.array_sort(keyed), lambda s: s["cid"]), 1, n_probe)
 
     q = (
         emb.filter(F.col(id_col).isin(query_ids))
