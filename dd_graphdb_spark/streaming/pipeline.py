@@ -83,17 +83,30 @@ def run_to_memory(
     in-memory table and return it as a batch DataFrame. Test/verification
     harness — production sinks are parquet/kafka/foreachBatch."""
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .start()
+    spark = df.sparkSession
+    # Stateful operators create one state store per shuffle partition at
+    # query start; under an untuned session (default 200) that is 200
+    # Python workers + stores for a single micro-batch. Right-size to
+    # core count for this harness and restore the caller's setting —
+    # production jobs size this explicitly for their state volume.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
 
 
