@@ -143,6 +143,71 @@ def test_salted_pairs_equivalence(spark, members):
 
 
 # --------------------------------------------------------------------------
+# Betweenness: Spark Brandes == pure-Python sigma-product model on
+# arbitrary small digraphs (cycles included)
+# --------------------------------------------------------------------------
+def _bc_model(n, edges):
+    """bc(v) = sum over (s,t), s!=v!=t, of sigma_st(v)/sigma_st with
+    sigma_st(v) = sigma_sv * sigma_vt when d(s,v)+d(v,t) = d(s,t)."""
+    from collections import deque
+
+    adj = {v: [] for v in range(1, n + 1)}
+    for s, t in edges:
+        adj[s].append(t)
+    d, sig = {}, {}
+    for s in range(1, n + 1):
+        dist = {s: 0}
+        sigma = {s: 1}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = sigma[u]
+                    q.append(w)
+                elif dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        for v, dv in dist.items():
+            d[(s, v)] = dv
+            sig[(s, v)] = sigma[v]
+    bc = {v: 0.0 for v in range(1, n + 1)}
+    for (s, v), dsv in d.items():
+        if s == v:
+            continue
+        for t in range(1, n + 1):
+            if t in (s, v) or (v, t) not in d or (s, t) not in d:
+                continue
+            if dsv + d[(v, t)] == d[(s, t)]:
+                bc[v] += sig[(s, v)] * sig[(v, t)] / sig[(s, t)]
+    return bc
+
+
+@SMALL
+@given(
+    st.integers(3, 6),
+    st.lists(st.tuples(st.integers(1, 6), st.integers(1, 6)), min_size=1, max_size=14),
+)
+def test_betweenness_matches_sigma_product_model(spark, n, raw_edges):
+    from dd_graphdb_spark.algorithms import betweenness_centrality
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    edges = sorted({(s, t) for s, t in raw_edges if s <= n and t <= n and s != t})
+    if not edges:
+        return
+    v = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(PropertyGraph(v, e)).collect()
+    }
+    want = _bc_model(n, edges)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+# --------------------------------------------------------------------------
 # GQL parser: generated well-formed queries parse; junk raises ValueError
 # --------------------------------------------------------------------------
 _ident = st.from_regex(r"[a-z][a-z0-9_]{0,6}", fullmatch=True)
