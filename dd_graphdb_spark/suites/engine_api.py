@@ -74,6 +74,49 @@ def mutation_apply_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time travel: every batch commits a new snapshot version; reading an
+# older version replays the state as of that commit (WAL replay /
+# Snapshot::load semantics, graph/storage/src/lib.rs:133-160,213-261 —
+# mapped to versioned parquet snapshots per SURVEY §1.3). The final
+# contents of both snapshots are fully determined, so the oracle is a
+# VALUES literal.
+# ---------------------------------------------------------------------------
+@_q(
+    "mutation_time_travel",
+    """
+    SELECT * FROM (VALUES
+        ('v1', 1::BIGINT, 'Alice', 1::BIGINT),
+        ('v2', 1::BIGINT, 'Alice', 2::BIGINT),
+        ('v2', 2::BIGINT, 'Bob', 2::BIGINT)
+    ) t(snap, id, name, version)
+    """,
+)
+def mutation_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.storage import GraphStore, add_vertex, remove_vertex
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+    store.apply_batch(
+        [add_vertex(1, "Person", {"name": "Alice"}), add_vertex(9, "Person", {"name": "Zed"}),
+         remove_vertex(9)]
+    )
+    v1 = store.version
+    store.apply_batch([add_vertex(2, "Person", {"name": "Bob"})])
+    v2 = store.version
+
+    def snap(tag: str, version: int) -> DataFrame:
+        return store.vertices(version=version).select(
+            F.lit(tag).alias("snap"),
+            "id",
+            prop_typed("properties", "name").alias("name"),
+            F.lit(version).cast("long").alias("version"),
+        )
+
+    assert v2 == v1 + 1
+    return snap("v1", v1).unionByName(snap("v2", v2))
+
+
+# ---------------------------------------------------------------------------
 # OCC: conflicting transaction must fail; surviving state is the first
 # committer's write (begin/commit_transaction, lib.rs:429-494).
 # ---------------------------------------------------------------------------
