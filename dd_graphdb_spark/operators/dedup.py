@@ -50,12 +50,14 @@ def poly_hash(col: Column) -> Column:
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of a whitespace-tokenized text column."""
     toks = F.split(F.trim(text), " ")
+    # one slice + join per shingle instead of n element_at + concat —
+    # 3x less per-element work through the lambda evaluator
     sh = F.when(
         F.size(toks) >= n,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + k + 1).cast("int")) for k in range(n)]),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
