@@ -106,6 +106,38 @@ def stream_live_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_live_global",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_v,
+           CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vmin,
+           CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS vmax
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_live_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global window (never closes, windowed_operations.rs:305-308) as a
+    real complete-mode streaming aggregation. Exact columns only —
+    n_distinct is approximate on streams by design and is checked by
+    pytest instead; per-row decimal casts keep the sums engine-identical."""
+    from dd_graphdb_spark.streaming.windows import global_agg
+
+    s = events_stream(spark, sf_dir).withColumn("v", F.col("value").cast("decimal(18,6)"))
+    agg = global_agg(s, value_col="v", key_cols=("event_type",))
+    out = run_to_memory(agg, output_mode="complete")
+    total_d = F.col("total").cast("double")
+    return out.select(
+        "event_type",
+        "n",
+        total_d.alias("total"),
+        F.round(total_d / F.col("n"), 6).alias("mean_v"),
+        F.col("vmin").cast("double").alias("vmin"),
+        F.col("vmax").cast("double").alias("vmax"),
+    )
+
+
+@_q(
     "stream_live_count_window",
     """
     WITH r AS (
