@@ -117,6 +117,39 @@ def mutation_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Retention vacuum: snapshots older than keep_last are dropped, the rest
+# stay readable and current state is untouched (checkpoint truncation,
+# graph/storage/src/lib.rs:600-611). Fully determined -> VALUES oracle.
+# ---------------------------------------------------------------------------
+@_q(
+    "mutation_vacuum_retention",
+    """
+    SELECT * FROM (VALUES
+        (0::BIGINT, false),
+        (1::BIGINT, false),
+        (2::BIGINT, true),
+        (3::BIGINT, true)
+    ) t(version, readable)
+    """,
+)
+def mutation_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from dd_graphdb_spark.storage import GraphStore, add_vertex
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+    for i in (1, 2, 3):
+        store.apply_batch([add_vertex(i, "Person", {"name": f"p{i}"})])
+    store.vacuum(keep_last=2)  # v3 current -> v2, v3 survive
+    rows = [
+        (v, os.path.isdir(os.path.join(store.path, f"v{v}")))
+        for v in range(store.version + 1)
+    ]
+    assert store.vertices().count() == 3  # current state untouched
+    return spark.createDataFrame(rows, "version long, readable boolean")
+
+
+# ---------------------------------------------------------------------------
 # OCC: conflicting transaction must fail; surviving state is the first
 # committer's write (begin/commit_transaction, lib.rs:429-494).
 # ---------------------------------------------------------------------------
