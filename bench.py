@@ -27,6 +27,7 @@ HEADLINE = [
     "gql_multi_hop",
     "traverse_2hop",
     "common_neighbors_suppliers",
+    "skew_common_neighbors_events",
     "stream_late_events",
     "algo_pagerank_top3",
     "algo_cc_derived",

@@ -251,6 +251,37 @@ def common_neighbors_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Skew stress: user --has--> event_type edges have only 5 distinct
+# targets, so EVERY dst is a hot key (1,500 members each at sf0.1 — a
+# d^2/key pair explosion). salt_threshold=100 forces the whole workload
+# through the salted pair path (operators._skew); exact output.
+# ---------------------------------------------------------------------------
+@_q(
+    "skew_common_neighbors_events",
+    """
+    WITH e AS (SELECT DISTINCT user_id, event_type FROM events),
+    p AS (
+        SELECT a.user_id AS a, b.user_id AS b, COUNT(*) AS common_count
+        FROM e a JOIN e b ON a.event_type = b.event_type AND a.user_id < b.user_id
+        GROUP BY 1, 2
+    )
+    SELECT a, b, common_count FROM p WHERE common_count >= 4
+    """,
+)
+def skew_common_neighbors_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.graph import read_events
+
+    ev = (
+        read_events(spark, sf_dir)
+        .select(F.col("user_id").alias("src"), F.col("event_type").alias("dst"))
+        .distinct()
+        .withColumn("label", F.lit("has"))
+    )
+    g = PropertyGraph(ev.select(F.col("src").alias("id")).distinct(), ev)
+    return T.common_neighbors(g, min_common=4, salt_threshold=100, n_salts=16)
+
+
+# ---------------------------------------------------------------------------
 # Edge lookup (get_edge_by_label, graph/storage/src/lib.rs:524-528)
 # ---------------------------------------------------------------------------
 @_q(
