@@ -148,6 +148,35 @@ def resize_image(df: DataFrame, height: int, width: int, channels: int = 3) -> D
     return df.mapInPandas(batches, schema="id long, payload binary, height int, width int")
 
 
+FEATURES_SCHEMA = "id long, n_bytes long, distinct_bytes long, mean_byte double"
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature extraction → (id, n_bytes, distinct_bytes, mean_byte)
+    over (id, payload BINARY). Unlike decode/resize this kernel needs no
+    codec: content statistics are computed directly from the bytes
+    (numpy over the Arrow batch), so the stage is REAL end-to-end — the
+    shape a 100 TB pipeline uses for embedding/feature UDFs: one Arrow
+    batch in, one fixed-width feature row per payload out, no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            n, d, m = [], [], []
+            for p in pdf["payload"]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                n.append(int(arr.size))
+                d.append(int(np.unique(arr).size) if arr.size else 0)
+                m.append(round(float(arr.mean()), 6) if arr.size else 0.0)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "n_bytes": n, "distinct_bytes": d, "mean_byte": m}
+            )
+
+    return df.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 2, frame_bytes: int = 128) -> DataFrame:
     """Video frame sampling → (id, frame_idx, frame_digest): the payload
     is treated as a stream of fixed-size frames and every ``every_n``-th

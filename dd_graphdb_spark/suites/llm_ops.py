@@ -435,6 +435,28 @@ def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_feature_extract",
+    """
+    SELECT doc_id AS id,
+           strlen(text)::BIGINT AS n_bytes,
+           len(list_distinct(list_transform(generate_series(1, strlen(text)), i -> text[i])))::BIGINT AS distinct_bytes,
+           CASE WHEN strlen(text) = 0 THEN 0.0 ELSE ROUND(
+               list_reduce(list_prepend(0.0, list_transform(generate_series(1, strlen(text)),
+                           i -> ascii(text[i])::DOUBLE)), (a, b) -> a + b) / strlen(text), 6)
+           END AS mean_byte
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-statistics feature extraction through the Arrow
+    mapInPandas plumbing — a REAL kernel (no codec needed): byte sums are
+    integer-valued so numpy's pairwise mean and the oracle's sequential
+    fold agree exactly (text is ASCII, bytes == chars)."""
+    payload = M.to_binary_column(_docs(spark, sf_dir), "text", "doc_id")
+    return M.extract_features(payload)
+
+
+@_q(
     "multimodal_frame_sample",
     """
     SELECT doc_id AS id, idx::INT AS frame_idx,
