@@ -401,6 +401,41 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch: deterministic hash family -> the oracle restates the
+# identical arithmetic; estimates are exact-match comparable.
+# ---------------------------------------------------------------------------
+@_q(
+    "sketch_count_min_estimates",
+    """
+    WITH params(j, a, b) AS (VALUES (0,3,1), (1,5,7), (2,7,13), (3,11,19)),
+    keys(user_id) AS (VALUES (1), (2), (3), (4), (5)),
+    sketch AS (
+        SELECT p.j, ((p.a * e.user_id + p.b) % 1000000007) % 64 AS bucket, COUNT(*) AS cnt
+        FROM events e CROSS JOIN params p GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT k.user_id, p.j, ((p.a * k.user_id + p.b) % 1000000007) % 64 AS bucket
+        FROM keys k CROSS JOIN params p
+    )
+    SELECT pr.user_id::BIGINT AS user_id, MIN(COALESCE(s.cnt, 0))::BIGINT AS est
+    FROM probes pr LEFT JOIN sketch s ON pr.j = s.j AND pr.bucket = s.bucket
+    GROUP BY 1
+    """,
+)
+def sketch_count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for user ids 1..5 over the events
+    stream — d x width counters regardless of input size; estimates are
+    upper bounds (collisions inflate, never deflate)."""
+    from dd_graphdb_spark.graph import read_events
+    from dd_graphdb_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = read_events(spark, sf_dir)
+    sk = cms_build(ev, "user_id", width=64)
+    keys = spark.createDataFrame([(i,) for i in range(1, 6)], "user_id long")
+    return cms_estimate(sk, keys, "user_id", width=64)
+
+
+# ---------------------------------------------------------------------------
 # Multimodal binary plumbing (Arrow mapInPandas; text bytes as payload)
 # ---------------------------------------------------------------------------
 @_q(
