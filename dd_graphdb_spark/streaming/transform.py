@@ -223,14 +223,15 @@ class AlertEngine:
         cooldown_s, priority = rule.cooldown_s, rule.priority
 
         def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+            # the cooldown gate is a data-dependent sequential scan (each
+            # fire moves the window) — itertuples keeps it cheap
             pdf = pdf.sort_values(["ts", "_ord"])
             fires = []
             last = None
-            for _, row in pdf.iterrows():
-                t = row["ts"]
-                if last is None or (t - last).total_seconds() >= cooldown_s:
-                    fires.append((row["rule_id"], priority, t, row["metric_value"]))
-                    last = t
+            for row in pdf.itertuples(index=False):
+                if last is None or (row.ts - last).total_seconds() >= cooldown_s:
+                    fires.append((row.rule_id, priority, row.ts, row.metric_value))
+                    last = row.ts
             return pd.DataFrame(fires, columns=["rule_id", "priority", "ts", "metric_value"])
 
         return cand.groupBy("rule_id").applyInPandas(
