@@ -271,6 +271,104 @@ def cosine_near_dup_pairs(
     )
 
 
+def ivf_write_index(
+    emb: DataFrame,
+    path: str,
+    n_centroids: int = 8,
+    train_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the corpus as a CELL-PARTITIONED parquet index — the
+    write-time half of IVF at scale: one directory per inverted list, so
+    a probing query's `cell IN (...)` predicate becomes partition
+    pruning (the scan never opens non-probed cells). Centroids are saved
+    alongside as JSON."""
+    import json
+    import os
+
+    cents = train_centroids(emb, n_centroids, train_iters, id_col, vec_col)
+    base = (
+        emb.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nvec"))
+        .withColumn("cell", _nearest_centroid(F.col("nvec"), cents))
+        .withColumn("nn", norm(F.col("nvec")))
+    )
+    base.write.partitionBy("cell").mode("overwrite").parquet(os.path.join(path, "vectors"))
+    with open(os.path.join(path, "centroids.json"), "w") as f:
+        json.dump(cents, f)
+
+
+def _py_cosine(a: list[float], b: list[float]) -> float:
+    """Driver-side cosine with the SAME left-fold order as dot()/norm()
+    (IEEE doubles both sides), so probe selection matches the in-plan
+    expression bit-for-bit."""
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    na = 0.0
+    for x in a:
+        na += x * x
+    nb = 0.0
+    for y in b:
+        nb += y * y
+    return s / ((na**0.5) * (nb**0.5))
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vecs: dict[int, list[float]],
+    n_probe: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Query a persisted IVF index: probe lists are computed driver-side
+    from the saved centroids (n_centroids·d floats), the scan reads ONLY
+    the probed cell partitions (partition pruning — verify with
+    `explain`: PartitionFilters on `cell`), and ranking is exact within
+    the probed cells. Identical results to `ivf_topk` for the same
+    corpus/centroids/parameters."""
+    import json
+    import os
+
+    from pyspark.sql.window import Window
+
+    with open(os.path.join(index_path, "centroids.json")) as f:
+        cents = json.load(f)
+    probes = {
+        q: sorted(range(len(cents)), key=lambda c: (-_py_cosine(v, cents[c]), c))[:n_probe]
+        for q, v in query_vecs.items()
+    }
+    needed = sorted({c for cells in probes.values() for c in cells})
+    base = spark.read.parquet(os.path.join(index_path, "vectors")).filter(
+        F.col("cell").isin(needed)
+    )
+    q_rows = [
+        (q, [float(x) for x in v], _py_norm(v), c)
+        for q, v in query_vecs.items()
+        for c in probes[q]
+    ]
+    q = spark.createDataFrame(q_rows, "q_id long, qvec array<double>, qn double, cell int")
+    scored = (
+        F.broadcast(q)
+        .join(base, "cell")
+        .filter(F.col("q_id") != F.col("nid"))
+        .select(
+            "q_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _py_norm(a: list[float]) -> float:
+    s = 0.0
+    for x in a:
+        s += float(x) * float(x)
+    return s**0.5
+
+
 def lsh_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -95,7 +95,9 @@ class IncrementalAggState:
     reference additionally clamps count at 0 per-op for ill-formed
     removes (:886, ``(count - 1).max(0)``); that clamp is
     non-associative, so the batched form instead drops any group whose
-    net count reaches <= 0 — identical on well-formed input.
+    net count reaches <= 0 — identical on well-formed input, where a
+    group's sum is exactly 0 whenever its count is (every removed value
+    was previously added, so dropping the group loses nothing).
 
     The reference maintains ONE global AggregationState; ``group_cols``
     generalizes it per-group (its `_group_by` parameter exists but is

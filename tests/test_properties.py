@@ -96,18 +96,32 @@ def test_incremental_agg_matches_direct(spark, tmp_path_factory, rows, n_splits)
 
     from dd_graphdb_spark.views import IncrementalAggState
 
-    # model: net multiset per key (skip if any key count would go negative
-    # mid-stream — removes target previously-added rows in practice; the
-    # reference's per-op clamp at 0 (incremental_engine.rs:886) is
-    # non-associative and cannot survive batch pre-aggregation, so
-    # ill-formed histories are out of contract)
+    # Well-formed histories only: a remove must target a (key, value)
+    # row currently in the multiset — the reference's removes carry the
+    # removed entity's actual properties (DataChange::RemoveVertex
+    # {properties}), so a remove of a value never added is out of
+    # contract (and the per-op clamp it would hit,
+    # incremental_engine.rs:886, is non-associative — it cannot survive
+    # batch pre-aggregation). Ill-formed removes are dropped from the
+    # generated history rather than rejecting the whole example.
+    avail = defaultdict(int)
+    effective = []
+    for k, v, s in rows:
+        if s < 0:
+            if avail[(k, v)] == 0:
+                continue
+            avail[(k, v)] -= 1
+        else:
+            avail[(k, v)] += 1
+        effective.append((k, v, s))
+    rows = effective
+    if not rows:
+        return
     counts = defaultdict(int)
     sums = defaultdict(float)
     for k, v, s in rows:
         counts[k] += s
         sums[k] += s * v
-        if counts[k] < 0:
-            return
 
     state = IncrementalAggState(
         spark, str(tmp_path_factory.mktemp("prop_agg")), ["k"], "v"

@@ -67,6 +67,27 @@ def test_cosine_near_dup_salting_exact(spark):
     assert k(plain) == k(salted)
 
 
+def test_ivf_persisted_index_prunes_and_matches(spark, emb, tmp_path):
+    # write-time half: corpus persisted partitioned by cell; query-time
+    # half must (a) reproduce ivf_topk exactly and (b) prune partitions
+    idx = str(tmp_path / "ivf_index")
+    S.ivf_write_index(emb, idx, n_centroids=4)
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin([0, 1, 2])).collect()
+    }
+    out = S.ivf_topk_indexed(spark, idx, qvecs, n_probe=2, k=5)
+    direct = S.ivf_topk(emb, [0, 1, 2], n_centroids=4, n_probe=2, k=5)
+    assert _key(out) == _key(direct)
+    # the scan must carry a partition filter on cell — probing reads
+    # only the probed inverted lists
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_lsh_band_salting_exact(spark):
     # force the salted path (threshold 1) and check identical output
     docs = spark.createDataFrame(
