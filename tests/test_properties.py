@@ -6,12 +6,16 @@ The reference's tests are golden-output on hand-built fixtures
 example counts small (each example drives real Spark jobs).
 """
 
+import os
+
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+# each example drives real Spark jobs; default stays cheap, deep sweeps
+# opt in via SPARK_GRAFT_HYP_EXAMPLES=40
 SMALL = settings(
-    max_examples=8,
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "8")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
