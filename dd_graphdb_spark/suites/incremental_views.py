@@ -159,6 +159,184 @@ def view_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Connectivity view maintained incrementally (compute_connectivity,
+# incremental_engine.rs:1082-1136): batch 1 builds {1-2-3}, {4-5} plus
+# isolated vertex 6 (3 components); batch 2 removes (1,2) and adds
+# (3,4), (5,6) — net components {1}, {2,3,4,5,6} = 2. The oracle
+# recomputes components from scratch on the NET edge set via a
+# recursive min-label closure; the view goes through the real
+# ViewCatalog.register_incremental / apply_deltas path.
+# ---------------------------------------------------------------------------
+_CONN_VERTS = [1, 2, 3, 4, 5, 6]
+_CONN_B1 = [(1, 2), (2, 3), (4, 5)]
+_CONN_B2_ADDS = [(3, 4), (5, 6)]
+_CONN_B2_REMOVES = [(1, 2)]
+
+
+def _conn_oracle() -> str:
+    net = sorted((set(_CONN_B1) | set(_CONN_B2_ADDS)) - set(_CONN_B2_REMOVES))
+    vvals = ", ".join(f"({v})" for v in _CONN_VERTS)
+    evals = ", ".join(f"({s}, {d})" for s, d in net)
+    return f"""
+    WITH RECURSIVE
+    verts(id) AS (VALUES {vvals}),
+    edges(src, dst) AS (VALUES {evals}),
+    sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+    ),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+    SELECT COUNT(DISTINCT component)::BIGINT AS component_count,
+           COUNT(*)::BIGINT AS vertex_count
+    FROM comp
+    """
+
+
+@_q("view_incremental_connectivity", _conn_oracle())
+def view_incremental_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.views import (
+        IncrementalConnectivity,
+        ViewCatalog,
+        ViewDefinition,
+    )
+
+    catalog = ViewCatalog(spark, tempfile.mkdtemp(prefix="views_"))
+    state = IncrementalConnectivity(spark, tempfile.mkdtemp(prefix="iconn_"))
+    catalog.register_incremental(
+        ViewDefinition(name="connectivity", view_type="analytics"), state
+    )
+    catalog.apply_deltas(
+        "connectivity", spark.createDataFrame(_CONN_VERTS, "long").toDF("id")
+    )
+    catalog.apply_deltas(
+        "connectivity", spark.createDataFrame(_CONN_B1, "src long, dst long")
+    )
+    deltas = spark.createDataFrame(
+        [(s, d, 1) for s, d in _CONN_B2_ADDS]
+        + [(s, d, -1) for s, d in _CONN_B2_REMOVES],
+        "src long, dst long, _sign int",
+    )
+    catalog.apply_deltas("connectivity", deltas)
+    return catalog.read("connectivity")
+
+
+# ---------------------------------------------------------------------------
+# Shortest-path view maintained incrementally (compute_shortest_path,
+# incremental_engine.rs:1214-1285): batch 1 gives 1→3 dist 3.0 via
+# 1->2->3; batch 2 removes (2,3), re-weights (1,3) to 2.0 (UpdateEdge =
+# insert-overwrite, :1072-1077) and adds 2→4→3 — net best is
+# 1->2->4->3 at 2.5. Oracle enumerates all paths of the net DAG and
+# keeps the min-distance row for the target, with the reference's
+# "a->b->c" path string + path_length.
+# ---------------------------------------------------------------------------
+_SSSP_B1 = [(1, 2, 1.0), (2, 3, 2.0), (1, 3, 5.0)]
+_SSSP_B2 = [
+    (2, 3, None, -1),  # RemoveEdge
+    (1, 3, 2.0, 1),  # UpdateEdge: overwrite weight
+    (2, 4, 1.0, 1),
+    (4, 3, 0.5, 1),
+]
+
+
+def _sssp_net_edges():
+    state = {(s, d): w for s, d, w in _SSSP_B1}
+    for s, d, w, sign in _SSSP_B2:
+        if sign < 0:
+            state.pop((s, d), None)
+        else:
+            state[(s, d)] = w
+    return sorted((s, d, w) for (s, d), w in state.items())
+
+
+def _incr_sssp_oracle() -> str:
+    evals = ", ".join(f"({s}, {d}, {w})" for s, d, w in _sssp_net_edges())
+    return f"""
+    WITH RECURSIVE
+    edges_raw(src, dst, w) AS (VALUES {evals}),
+    edges AS (SELECT src, dst, w::DOUBLE AS w FROM edges_raw),
+    paths(id, distance, path, hops) AS (
+        SELECT 1, 0.0::DOUBLE, '1', 1
+        UNION ALL
+        SELECT e.dst, p.distance + e.w, p.path || '->' || e.dst::VARCHAR,
+               p.hops + 1
+        FROM paths p JOIN edges e ON p.id = e.src
+        WHERE p.hops < 10
+    )
+    SELECT distance, path, hops::INT AS path_length FROM paths
+    WHERE id = 3
+    QUALIFY ROW_NUMBER() OVER (ORDER BY distance, path) = 1
+    """
+
+
+@_q("view_incremental_sssp", _incr_sssp_oracle())
+def view_incremental_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.views import IncrementalSSSP
+
+    state = IncrementalSSSP(
+        spark, tempfile.mkdtemp(prefix="isssp_"), source=1, target=3
+    )
+    state.apply_deltas(
+        spark.createDataFrame(_SSSP_B1, "src long, dst long, weight double")
+    )
+    state.apply_deltas(
+        spark.createDataFrame(_SSSP_B2, "src long, dst long, weight double, _sign int")
+    )
+    return state.result()
+
+
+# ---------------------------------------------------------------------------
+# Degree-centrality view maintained incrementally
+# (compute_degree_centrality, incremental_engine.rs:1288-1326): net
+# graph = connectivity fixture's path 2-3-4-5-6 plus isolated vertex 1;
+# degree = |out-set|+|in-set|, centrality = max_degree / (2·(n−1)),
+# smallest id wins ties (deterministic stand-in for the reference's
+# HashMap iteration order). Oracle recomputes from the net edge set.
+# ---------------------------------------------------------------------------
+def _degree_oracle() -> str:
+    net = sorted((set(_CONN_B1) | set(_CONN_B2_ADDS)) - set(_CONN_B2_REMOVES))
+    vvals = ", ".join(f"({v})" for v in _CONN_VERTS)
+    evals = ", ".join(f"({s}, {d})" for s, d in net)
+    return f"""
+    WITH verts(id) AS (VALUES {vvals}),
+    edges(src, dst) AS (VALUES {evals}),
+    deg AS (
+        SELECT v.id, COUNT(e.id) AS degree
+        FROM verts v LEFT JOIN (
+            SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+        ) e ON v.id = e.id
+        GROUP BY v.id
+    ),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM deg)
+    SELECT d.id::BIGINT AS max_vertex,
+           d.degree::BIGINT AS max_degree,
+           ROUND(d.degree / (2.0 * (n.n - 1.0)), 9) AS centrality,
+           n.n::BIGINT AS vertex_count
+    FROM deg d CROSS JOIN n
+    ORDER BY d.degree DESC, d.id
+    LIMIT 1
+    """
+
+
+@_q("view_incremental_degree", _degree_oracle())
+def view_incremental_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.views import IncrementalDegreeCentrality
+
+    state = IncrementalDegreeCentrality(spark, tempfile.mkdtemp(prefix="ideg_"))
+    state.apply_vertex_deltas(spark.createDataFrame(_CONN_VERTS, "long").toDF("id"))
+    state.apply_edge_deltas(spark.createDataFrame(_CONN_B1, "src long, dst long"))
+    state.apply_edge_deltas(
+        spark.createDataFrame(
+            [(s, d, 1) for s, d in _CONN_B2_ADDS]
+            + [(s, d, -1) for s, d in _CONN_B2_REMOVES],
+            "src long, dst long, _sign int",
+        )
+    )
+    return state.result()
+
+
+# ---------------------------------------------------------------------------
 # End-to-end: the streaming pipeline feeds micro-batches into a
 # catalog-registered incremental aggregation view; the final view must
 # equal the all-data aggregate (full-recompute parity through the real

@@ -3,7 +3,13 @@ from dd_graphdb_spark.views.catalog import (
     ViewCatalog,
     ViewDefinition,
 )
-from dd_graphdb_spark.views.incremental import IncrementalAggState, IncrementalPageRank
+from dd_graphdb_spark.views.incremental import (
+    IncrementalAggState,
+    IncrementalConnectivity,
+    IncrementalDegreeCentrality,
+    IncrementalPageRank,
+    IncrementalSSSP,
+)
 from dd_graphdb_spark.views.router import QueryPattern, QueryRouter, RoutingDecision
 
 __all__ = [
@@ -11,7 +17,10 @@ __all__ = [
     "ViewCatalog",
     "ViewDefinition",
     "IncrementalAggState",
+    "IncrementalConnectivity",
+    "IncrementalDegreeCentrality",
     "IncrementalPageRank",
+    "IncrementalSSSP",
     "QueryPattern",
     "QueryRouter",
     "RoutingDecision",

@@ -177,6 +177,184 @@ class IncrementalAggState:
         )
 
 
+class _EdgeState:
+    """Maintained adjacency state shared by the incremental analytics
+    views (apply_change_to_analytics_state, incremental_engine.rs:
+    1009-1078): a distinct (src, dst[, weight]) edge set merged with
+    ±delta batches, plus an optional explicit vertex set (the
+    reference's ``vertex_properties`` keys — lets isolated vertices
+    count toward connectivity/centrality).
+
+    Merge semantics per batch (one op per edge key per batch, the
+    reference applies ops sequentially): sign<0 removes the key,
+    sign>0 (re-)inserts it — an insert overwrites any existing weight,
+    mirroring ``edge_weights.insert`` (:1059, :1075).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, weighted: bool = False):
+        self.spark = spark
+        self.weighted = weighted
+        cols = "src long, dst long" + (", weight double" if weighted else "")
+        self._edges = _VersionedTable(spark, os.path.join(path, "edges"), cols)
+        self._verts = _VersionedTable(spark, os.path.join(path, "verts"), "id long")
+
+    def apply_edge_deltas(self, deltas: DataFrame) -> None:
+        if "_sign" not in deltas.columns:
+            deltas = deltas.withColumn("_sign", F.lit(1))
+        if self.weighted:
+            if "weight" not in deltas.columns:
+                deltas = deltas.withColumn("weight", F.lit(1.0))
+            cols = ["src", "dst", "weight"]
+        else:
+            cols = ["src", "dst"]
+        adds = deltas.filter(F.col("_sign") > 0).select(*cols).distinct()
+        keys = deltas.select("src", "dst").distinct()
+        state = self._edges.read(deltas.sparkSession)
+        # any touched key leaves the state, then adds re-insert (insert
+        # overwrites weight; remove deletes) — one anti-join + union
+        merged = state.join(keys, ["src", "dst"], "left_anti").unionByName(adds)
+        self._edges.write(merged)
+
+    def apply_vertex_deltas(self, deltas: DataFrame) -> None:
+        if "_sign" not in deltas.columns:
+            deltas = deltas.withColumn("_sign", F.lit(1))
+        adds = deltas.filter(F.col("_sign") > 0).select("id").distinct()
+        removes = deltas.filter(F.col("_sign") < 0).select("id")
+        state = self._verts.read(deltas.sparkSession)
+        self._verts.write(
+            state.join(removes, ["id"], "left_anti").unionByName(adds).distinct()
+        )
+
+    def apply_deltas(self, deltas: DataFrame) -> None:
+        """Catalog interface — dispatch on batch shape: edge batches
+        carry (src, dst), vertex batches carry (id)."""
+        if "src" in deltas.columns:
+            self.apply_edge_deltas(deltas)
+        else:
+            self.apply_vertex_deltas(deltas)
+
+    def edges(self) -> DataFrame:
+        return self._edges.read()
+
+    def graph(self):
+        """State as a PropertyGraph: vertices = explicit set ∪ edge
+        endpoints (vertex_properties ∪ adjacency keys, :1152-1158)."""
+        from dd_graphdb_spark.graph import PropertyGraph
+
+        e = self._edges.read()
+        verts = (
+            self._verts.read()
+            .unionByName(e.select(F.col("src").alias("id")))
+            .unionByName(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        return PropertyGraph(verts, e.withColumn("label", F.lit("link")))
+
+
+class IncrementalConnectivity(_EdgeState):
+    """Connectivity view: component count over maintained adjacency
+    (compute_connectivity + dfs_visit, incremental_engine.rs:1082-1136).
+    Undirected (DFS follows out- AND in-neighbors); isolated vertices
+    from the vertex set count as their own components.
+
+    The reference's maintenance contract: state is merged per changeset,
+    then the algorithm re-runs over state — bounded by the maintained
+    graph, never re-derived from base tables. Here the re-run is the
+    min-label-propagation fixpoint (rounds ≈ diameter, all distributed).
+    Result: one row (component_count, vertex_count) — the value +
+    metadata pair of :1104-1107.
+    """
+
+    def result(self) -> DataFrame:
+        from dd_graphdb_spark.algorithms.components import connected_components
+
+        comp = connected_components(self.graph())
+        return comp.agg(
+            F.count_distinct("component").alias("component_count"),
+            F.count("*").alias("vertex_count"),
+        )
+
+
+class IncrementalSSSP(_EdgeState):
+    """Shortest-path view: dist + "a->b->c" path + path_length over
+    maintained weighted adjacency (compute_shortest_path,
+    incremental_engine.rs:1214-1285). Unreachable target ⇒ distance
+    +Infinity, path 'not_found' (:1277-1281). Weight defaults to 1.0
+    (:1264); UpdateEdge = re-insert with the new weight (:1072-1077).
+
+    The reference's FIFO "Dijkstra" is SPFA-shaped but converges to true
+    shortest distances on non-negative weights; we run the distributed
+    frontier-relaxation SSSP (algorithms/paths.py) and reproduce the
+    RESULT semantics, per SURVEY §2.8.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, source: int, target: int):
+        super().__init__(spark, path, weighted=True)
+        self.source = source
+        self.target = target
+
+    def result(self) -> DataFrame:
+        from dd_graphdb_spark.algorithms.paths import sssp
+
+        row = sssp(
+            self.graph(),
+            source=self.source,
+            weight_property="weight",
+            target=self.target,
+        )
+        return row.select(
+            F.col("distance"),
+            F.coalesce(F.col("path"), F.lit("not_found")).alias("path"),
+            F.when(
+                F.col("path").isNotNull(), F.size(F.split(F.col("path"), "->"))
+            ).alias("path_length"),
+        )
+
+
+class IncrementalDegreeCentrality(_EdgeState):
+    """Degree-centrality view: max-degree vertex + normalized score over
+    maintained adjacency (compute_degree_centrality,
+    incremental_engine.rs:1288-1326). Degree = |out-set| + |in-set|
+    (adjacency sets dedupe parallel edges); centrality =
+    max_degree / (2·(n−1)). The reference's max_vertex depends on
+    HashMap iteration order on ties; we deterministically take the
+    smallest vertex id among maxima. Result: one row
+    (max_vertex, max_degree, centrality, vertex_count) — the value +
+    metadata of :1313-1323.
+    """
+
+    def result(self) -> DataFrame:
+        g = self.graph()
+        deg = (
+            g.vertices.join(
+                g.edges.select(F.col("src").alias("id")).unionByName(
+                    g.edges.select(F.col("dst").alias("id"))
+                )
+                .groupBy("id")
+                .agg(F.count("*").alias("degree")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("degree", F.lit(0)).alias("degree"))
+        )
+        top = (
+            deg.orderBy(F.col("degree").desc(), F.col("id"))
+            .limit(1)
+            .select(F.col("id").alias("max_vertex"), F.col("degree").alias("max_degree"))
+        )
+        n = g.vertices.select(F.count("*").alias("n"))
+        return top.crossJoin(n).select(
+            "max_vertex",
+            "max_degree",
+            F.round(
+                F.col("max_degree").cast("double")
+                / (2.0 * (F.col("n").cast("double") - 1.0)),
+                9,
+            ).alias("centrality"),
+            F.col("n").alias("vertex_count"),
+        )
+
+
 class IncrementalPageRank:
     """Analytics-view incremental maintenance: PageRank warm-started from
     the previous score vector over maintained edge state
