@@ -56,6 +56,74 @@ def _with_hygiene(fn):
     return wrapped
 
 
+# The driver's correctness gate records the FIRST 50 queries() entries
+# (rounds 1-2 both recorded the same first-50, leaving everything after
+# llm_ops' 4th entry invisible to the gate of record). This list front-
+# loads one full rotation of the operators that have never had a driver
+# CORRECTNESS row — incremental views, mutations/catalog, sources,
+# streaming (batch + live), alerts, and the newer LLM-pipeline ops. The
+# remaining queries (relational/graph/algorithms, all driver-green in
+# r1 AND r2) follow in their natural suite order.
+GATE_PRIORITY = [
+    # incremental view maintenance (flagship)
+    "view_incremental_delta",
+    "view_incremental_stream",
+    "view_incremental_pagerank",
+    "view_incremental_connectivity",
+    "view_incremental_sssp",
+    "view_incremental_degree",
+    # mutations / transactions / catalog / router
+    "mutation_apply_batch",
+    "mutation_time_travel",
+    "mutation_vacuum_retention",
+    "mutation_occ_conflict",
+    "gql_create_delete",
+    "view_catalog_roundtrip",
+    "view_dependency_topo",
+    "router_scoring_table",
+    # sources + scalar enrichers
+    "source_json_extraction",
+    "source_regex_extraction",
+    "source_csv_extraction",
+    "fn_geo_enrich",
+    # streaming (batch-checked)
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_count_window",
+    "stream_dedup_first",
+    "stream_custom_agg_p90",
+    "stream_late_events",
+    "stream_filter_rules",
+    "stream_changeset_summary",
+    "alert_threshold_cooldown",
+    "alert_rate_rule",
+    "alert_pattern_rule",
+    "alert_anomaly_rule",
+    # streaming (live readStream)
+    "stream_live_tumbling",
+    "stream_live_session",
+    "stream_live_dedup_keys",
+    "stream_live_global",
+    "stream_live_count_window",
+    # LLM-pipeline ops without a driver row yet
+    "dedup_simhash",
+    "text_token_count",
+    "text_quality",
+    "text_lang_id",
+    "text_fingerprint",
+    "sim_cosine_topk",
+    "dedup_embedding_cosine",
+    "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
+    "sim_ann_ivf_indexed",
+    "sketch_count_min_estimates",
+    "multimodal_binary_meta",
+    "multimodal_feature_extract",
+    "multimodal_decode_dims",
+]
+
+
 def all_queries():
     q = {}
     o = {}
@@ -72,5 +140,8 @@ def all_queries():
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)
-    q = {name: _with_hygiene(fn) for name, fn in q.items()}
+    ordered = [n for n in GATE_PRIORITY if n in q] + [
+        n for n in q if n not in set(GATE_PRIORITY)
+    ]
+    q = {name: _with_hygiene(q[name]) for name in ordered}
     return q, o
