@@ -22,10 +22,11 @@ Spark shape:
 - changeset conversion is a groupBy over the micro-batch (each source's
   rows become one changeset, id = stream_{batch}_{source});
 - threshold alerts: a JVM-side filter narrows the stream to candidate
-  rows (rare), then a per-rule Arrow applyInPandas pass applies the
-  greedy cooldown chain (fire, then suppress until cooldown elapses —
-  inherently sequential per rule, but only over already-filtered
-  candidates);
+  rows, then the greedy cooldown chain (fire, then suppress until
+  cooldown elapses) is resolved DISTRIBUTED: per-candidate successor
+  pointers over cooldown-width time buckets + pointer-doubling path
+  extraction — no task ever holds a rule's full candidate set (see
+  greedy_cooldown_fires);
 - rate alerts: windowed counts vs threshold — pure aggregation.
 """
 
@@ -183,7 +184,9 @@ class AlertEngine:
     - threshold rules (evaluate_threshold_rule, :459-483): candidate
       rows = metric ⟨op⟩ threshold (JVM filter); the greedy cooldown
       chain (fire, suppress until cooldown passes — is_in_cooldown,
-      :524-533) runs per rule in one Arrow batch over the candidates.
+      :524-533) resolves via the distributed bucketed successor walk in
+      ``greedy_cooldown_fires`` — hot rules no longer serialize into a
+      single task.
     - rate rules (evaluate_rate_rule, :485-509): events-per-window
       count compared to the threshold; fires once per breaching window
       (windows are natural cooldown buckets).
@@ -208,34 +211,22 @@ class AlertEngine:
 
     def _threshold(self, df: DataFrame, rule: AlertRule, ts_col: str, order_col: str) -> DataFrame:
         cand = df.filter(_OPS[rule.operator](F.col(rule.metric), F.lit(rule.threshold))).select(
-            F.lit(rule.rule_id).alias("rule_id"),
             F.col(ts_col).alias("ts"),
             F.col(order_col).alias("_ord"),
             F.col(rule.metric).cast("double").alias("metric_value"),
         )
         if rule.cooldown_s <= 0:
             return cand.select(
-                "rule_id", F.lit(rule.priority).alias("priority"), "ts", "metric_value"
+                F.lit(rule.rule_id).alias("rule_id"),
+                F.lit(rule.priority).alias("priority"),
+                "ts",
+                "metric_value",
             )
-
-        import pandas as pd
-
-        cooldown_s, priority = rule.cooldown_s, rule.priority
-
-        def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-            # the cooldown gate is a data-dependent sequential scan (each
-            # fire moves the window) — itertuples keeps it cheap
-            pdf = pdf.sort_values(["ts", "_ord"])
-            fires = []
-            last = None
-            for row in pdf.itertuples(index=False):
-                if last is None or (row.ts - last).total_seconds() >= cooldown_s:
-                    fires.append((row.rule_id, priority, row.ts, row.metric_value))
-                    last = row.ts
-            return pd.DataFrame(fires, columns=["rule_id", "priority", "ts", "metric_value"])
-
-        return cand.groupBy("rule_id").applyInPandas(
-            greedy, "rule_id string, priority string, ts timestamp, metric_value double"
+        return greedy_cooldown_fires(cand, rule.cooldown_s).select(
+            F.lit(rule.rule_id).alias("rule_id"),
+            F.lit(rule.priority).alias("priority"),
+            "ts",
+            "metric_value",
         )
 
     def _rate(self, df: DataFrame, rule: AlertRule, ts_col: str) -> DataFrame:
@@ -249,3 +240,159 @@ class AlertEngine:
             F.col("w.start").alias("ts"),
             "metric_value",
         )
+
+
+# --------------------------------------------------------------------------
+# Distributed greedy cooldown chain (is_in_cooldown, realtime_analytics.rs:
+# 524-533): fire, then suppress candidates until >= cooldown has elapsed
+# since the last fire; repeat. The recurrence is sequential (each fire
+# moves the window) but decomposes exactly over cooldown-width time
+# buckets, so no task ever holds a rule's full candidate set — the r2
+# formulation (one applyInPandas task per rule) collapsed a hot rule into
+# a single Python task.
+#
+# Key facts (cd = cooldown in µs, buckets of width cd on unix-µs time):
+# 1. Two fires are >= cd apart, so each bucket fires at most once, and a
+#    fire at t is followed by a fire in bucket(t)+1 (if any candidate
+#    there is >= t+cd) or else by the FIRST candidate of any later
+#    bucket (their candidates all start >= t+cd).
+# 2. So the chain is a walk over succ(t) = coalesce(
+#       min{t' in bucket(t)+1 : t' >= t+cd},   -- per-candidate ceiling
+#       min candidate of first bucket > bucket(t)+1)  -- bucket summary
+#    succ is precomputable for EVERY candidate in parallel:
+#    - the ceiling queries resolve with one per-bucket window (sort
+#      data+query rows by time desc, running min of data rows) — each
+#      task holds ~2 adjacent buckets' candidates, never the rule total;
+#    - the fallback comes from the bucket-minimum table, one row per
+#      nonempty cooldown window — the same size as the maximum possible
+#      fire output, so the single-task window over it is output-bounded,
+#      not input-bounded.
+# 3. The fire set = the path from min(t) through succ — extracted by
+#    pointer doubling (succ, succ², succ⁴, ...): ceil(log2(#fires))
+#    rounds of self-joins, all distributed.
+# --------------------------------------------------------------------------
+def _bucket_ceilings(c: DataFrame, cdus: int) -> DataFrame:
+    """For each candidate row (t, _bucket): nxt_t = min candidate t' in
+    bucket+1 with t' >= t + cdus (NULL if none). One window task per
+    bucket; no cross-bucket data movement beyond the adjacent bucket."""
+    from pyspark.sql import Window
+
+    data = c.select("_bucket", F.col("t").alias("pos"), F.col("t").alias("data_t"),
+                    F.lit(None).cast("long").alias("src_t"))
+    qrys = c.select((F.col("_bucket") + 1).alias("_bucket"),
+                    (F.col("t") + F.lit(cdus)).alias("pos"),
+                    F.lit(None).cast("long").alias("data_t"),
+                    F.col("t").alias("src_t"))
+    u = data.unionByName(qrys)
+    # desc by time; on pos ties data rows sort first (non-null data_t) so
+    # a candidate exactly at t+cd is included in its own query's window
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col("pos").desc(), F.col("data_t").desc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = u.withColumn("ceil_t", F.min("data_t").over(w))
+    return u.filter(F.col("src_t").isNotNull()).select(
+        F.col("src_t").alias("t"), F.col("ceil_t").alias("nxt_t")
+    )
+
+
+SEQUENTIAL_CHAIN_MAX = 65536
+
+
+def greedy_cooldown_fires(
+    cand: DataFrame, cooldown_s: float, small_threshold: int = SEQUENTIAL_CHAIN_MAX
+) -> DataFrame:
+    """cand: (ts timestamp, _ord, metric_value). Returns the greedy
+    cooldown fire rows (ts, metric_value), exactly the sequential chain:
+    fire the earliest candidate, suppress anything < cooldown later,
+    fire the next survivor, ... Ties on ts fire the lowest _ord.
+
+    Candidate sets at or below ``small_threshold`` run the sequential
+    scan in ONE Arrow task — bounded by the constant, never by the data
+    (log-depth distributed rounds cost more than a 65k-row scan). Above
+    it, the bucketed successor walk resolves the chain with no task ever
+    holding the full candidate set.
+    """
+    from pyspark.sql import Window
+
+    spark = cand.sparkSession
+    cdus = int(round(cooldown_s * 1_000_000))
+    c = (
+        cand.select(F.unix_micros("ts").alias("t"), "ts", "_ord", "metric_value")
+        # per distinct ts only the first _ord can ever fire (a same-ts
+        # follower is 0 < cooldown after it)
+        .groupBy("t")
+        .agg(F.min_by(F.struct("ts", "metric_value"), "_ord").alias("b"))
+        .select("t", F.col("b.ts").alias("ts"), F.col("b.metric_value").alias("metric_value"))
+        .withColumn("_bucket", F.expr(f"t DIV {cdus}"))
+    )
+    n_cand = c.count()
+    if n_cand == 0:
+        return c.select("ts", "metric_value")
+    if n_cand <= small_threshold:
+        import pandas as pd
+
+        def seq_chain(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("t")
+            fires = []
+            last = None
+            for row in pdf.itertuples(index=False):
+                if last is None or row.t - last >= cdus:
+                    fires.append((row.ts, row.metric_value))
+                    last = row.t
+            return pd.DataFrame(fires, columns=["ts", "metric_value"])
+
+        return (
+            c.select("t", "ts", "metric_value")
+            .withColumn("_g", F.lit(1))
+            .groupBy("_g")
+            .applyInPandas(seq_chain, "ts timestamp, metric_value double")
+        )
+    c = c.localCheckpoint(eager=True)  # referenced 4× by the successor walk
+    start = c.agg(F.min("t")).collect()[0][0]
+
+    # bucket-minimum summary + "first bucket strictly past my successor
+    # bucket" fallback (output-proportional: one row per fired window max)
+    B = c.groupBy("_bucket").agg(F.min("t").alias("bmin"))
+    wb = Window.orderBy("_bucket")
+    fallback = B.select(
+        "_bucket",
+        F.when(
+            F.lead("_bucket", 1).over(wb) > F.col("_bucket") + 1,
+            F.lead("bmin", 1).over(wb),
+        )
+        .otherwise(F.lead("bmin", 2).over(wb))
+        .alias("fallback_t"),
+    )
+    succ = (
+        _bucket_ceilings(c, cdus)
+        .join(c.select("t", "_bucket"), "t")
+        .join(fallback, "_bucket", "left")
+        .select("t", F.coalesce("nxt_t", "fallback_t").alias("succ_t"))
+        .localCheckpoint(eager=True)
+    )
+
+    # pointer doubling: R holds the first 2^k chain elements after k
+    # rounds; J holds succ^(2^k)
+    reached = spark.createDataFrame([(int(start),)], "t long")
+    jumps = succ
+    n_reached = 1
+    while True:
+        stepped = (
+            reached.join(jumps, "t")
+            .select(F.col("succ_t").alias("t"))
+            .filter(F.col("t").isNotNull())
+        )
+        reached = reached.unionByName(stepped).distinct().localCheckpoint(eager=True)
+        n = reached.count()
+        if n == n_reached:
+            break
+        n_reached = n
+        jumps = (
+            jumps.alias("a")
+            .join(jumps.alias("b"), F.col("a.succ_t") == F.col("b.t"), "left")
+            .select(F.col("a.t").alias("t"), F.col("b.succ_t").alias("succ_t"))
+            .localCheckpoint(eager=True)
+        )
+    return c.join(reached, "t").select("ts", "metric_value")

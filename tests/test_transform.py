@@ -77,6 +77,57 @@ def test_alert_threshold_no_cooldown(events_df):
     assert eng.evaluate(events_df).count() == 3
 
 
+def test_cooldown_chain_distributed_matches_sequential(spark):
+    """The bucketed successor walk (forced via small_threshold=0) must
+    reproduce the sequential greedy chain exactly on a dense, adversarial
+    candidate stream — including same-ts ties, exact t+cooldown
+    boundaries, and multi-bucket gaps."""
+    import random
+
+    from dd_graphdb_spark.streaming.transform import greedy_cooldown_fires
+
+    rng = random.Random(7)
+    cd = 10  # seconds
+    base = 1_700_000_000_000_000  # µs epoch
+    ts_us = sorted(
+        rng.randrange(0, 400_000_000, 500_000) for _ in range(900)
+    )  # dense: ~22 candidates per cooldown window, incl. exact-boundary multiples
+    rows = [(i, base + t, float(i)) for i, t in enumerate(ts_us)]
+    cand = spark.createDataFrame(rows, "i long, t long, metric_value double").select(
+        F.timestamp_micros(F.col("t")).alias("ts"),
+        F.col("i").alias("_ord"),
+        "metric_value",
+    )
+
+    got = sorted(r["ts"] for r in greedy_cooldown_fires(cand, cd, small_threshold=0).collect())
+
+    # sequential reference (per distinct ts the lowest _ord wins)
+    last, want = None, []
+    for t in sorted(set(ts_us)):
+        if last is None or t - last >= cd * 1_000_000:
+            want.append(t)
+            last = t
+    assert [int(x.timestamp() * 1e6) - base for x in got] == want
+    assert len(want) > 30  # the chain is long enough to exercise doubling
+
+
+def test_cooldown_ceilings_partition_by_bucket(spark):
+    """Scale guard: the per-candidate ceiling stage must hash-partition
+    by the cooldown bucket (one window task per bucket) — never a
+    single-partition window over the full candidate set."""
+    from dd_graphdb_spark.streaming.transform import _bucket_ceilings
+
+    c = spark.createDataFrame(
+        [(i * 1_000_000, i // 10) for i in range(100)], "t long, _bucket long"
+    )
+    df = _bucket_ceilings(c, 10_000_000)
+    explained = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "hashpartitioning(_bucket" in explained
+    assert "SinglePartition" not in explained
+
+
 def test_alert_rate_rule(events_df):
     eng = AlertEngine([AlertRule("spike", "rate", "value", "ge", 3.0, window="1 hour")])
     rows = eng.evaluate(events_df).collect()
