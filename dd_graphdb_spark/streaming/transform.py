@@ -158,13 +158,18 @@ def changeset_summary(batch_df: DataFrame, source_col: str = "source", batch_id:
 @dataclass
 class AlertRule:
     rule_id: str
-    rule_type: str  # threshold | rate
+    rule_type: str  # threshold | rate | pattern | anomaly (AlertRuleType)
     metric: str  # column holding the metric value
     operator: str  # gt | ge | lt | le | eq | ne  (ComparisonOperator)
-    threshold: float
+    threshold: float  # threshold/rate: metric bound; anomaly: z-score bound
     priority: str = "medium"  # critical | high | medium | low | info
     cooldown_s: int = 0  # suppress re-fire within cooldown of last fire
-    window: str = "1 hour"  # rate rules: count window
+    window: str = "1 hour"  # rate: count window; anomaly: baseline window
+    # pattern rules: ordered stage values matched against `field`, the
+    # whole sequence must complete within `within_s` of its first event
+    sequence: list = dc_field(default_factory=list)
+    field: str = "event_type"
+    within_s: float = 3600.0
 
 
 _OPS = {
@@ -205,6 +210,10 @@ class AlertEngine:
                 alerts = alerts.unionByName(self._threshold(df, rule, ts_col, order_col))
             elif rule.rule_type == "rate":
                 alerts = alerts.unionByName(self._rate(df, rule, ts_col))
+            elif rule.rule_type == "pattern":
+                alerts = alerts.unionByName(self._pattern(df, rule, ts_col))
+            elif rule.rule_type == "anomaly":
+                alerts = alerts.unionByName(self._anomaly(df, rule, ts_col))
             else:
                 raise ValueError(f"unsupported rule type {rule.rule_type}")
         return alerts
@@ -240,6 +249,141 @@ class AlertEngine:
             F.col("w.start").alias("ts"),
             "metric_value",
         )
+
+    def _pattern(self, df: DataFrame, rule: AlertRule, ts_col: str) -> DataFrame:
+        """Pattern rule (AlertRuleType::Pattern + PatternDetector intent,
+        realtime_analytics.rs:103-104, 252-274 — the reference's
+        evaluate_pattern_rule is a stub, :511-515): windowed event-
+        sequence detection. For each event matching ``sequence[0]``, the
+        match advances greedily to the EARLIEST later event of each next
+        stage; the full sequence must complete within ``within_s`` of
+        the anchor. Fires at the completing event; metric_value = the
+        anchor→completion duration in microseconds.
+
+        Distributed shape: each stage advance is an earliest-successor
+        lookup bucketed on within_s-width windows (a match spans at most
+        one bucket boundary), so — like the cooldown chain — no task
+        ever holds a stage's full event set.
+        """
+        if len(rule.sequence) < 2:
+            raise ValueError("pattern rule needs a sequence of >= 2 stages")
+        wus = int(round(rule.within_s * 1_000_000))
+        tagged = df.select(
+            F.col(rule.field).alias("_v"), F.unix_micros(F.col(ts_col)).alias("t")
+        )
+        cur = (
+            tagged.filter(F.col("_v") == F.lit(rule.sequence[0]))
+            .select(F.col("t").alias("t1"), F.col("t").alias("tcur"))
+            .distinct()
+        )
+        for stage_val in rule.sequence[1:]:
+            nxt = tagged.filter(F.col("_v") == F.lit(stage_val)).select("t").distinct()
+            cur = _advance_stage(cur, nxt, wus)
+        return cur.select(
+            F.lit(rule.rule_id).alias("rule_id"),
+            F.lit(rule.priority).alias("priority"),
+            F.timestamp_micros(F.col("tcur")).alias("ts"),
+            (F.col("tcur") - F.col("t1")).cast("double").alias("metric_value"),
+        )
+
+    def _anomaly(self, df: DataFrame, rule: AlertRule, ts_col: str) -> DataFrame:
+        """Anomaly rule (AlertRuleType::Anomaly + AnomalyDetector intent,
+        realtime_analytics.rs:105-106, 276-289 — evaluate_anomaly_rule is
+        a stub, :517-521): each event's metric is z-scored against the
+        mean/stddev of the PREVIOUS non-empty baseline window
+        (``rule.window`` tumbling); fires when |z| ⟨op⟩ threshold.
+
+        Determinism: window sums of the metric and its square are exact
+        DECIMALs; mean/variance/z derive from them with a fixed double
+        expression tree, so Spark and a SQL oracle agree bit-for-bit.
+        Baseline stats are one row per window (output-proportional);
+        events join them via an equi-join on their window start.
+        """
+        from pyspark.sql import Window
+
+        dec = F.col(rule.metric).cast("decimal(18,6)")
+        wstats = df.groupBy(F.window(ts_col, rule.window).alias("w")).agg(
+            F.count("*").alias("n"),
+            F.sum(dec).alias("s"),
+            F.sum(dec * dec).alias("ss"),
+        )
+        wl = Window.orderBy(F.col("w.start"))
+        base = wstats.select(
+            F.col("w.start").alias("_wstart"),
+            F.lag("n").over(wl).alias("pn"),
+            F.lag("s").over(wl).alias("ps"),
+            F.lag("ss").over(wl).alias("pss"),
+        )
+        pn = F.col("pn").cast("double")
+        ps = F.col("ps").cast("double")
+        pss = F.col("pss").cast("double")
+        mean = ps / pn
+        var = (pss - ps * ps / pn) / pn
+        z = (F.col(rule.metric).cast("double") - mean) / F.sqrt(var)
+        ev = df.withColumn("_wstart", F.window(F.col(ts_col), rule.window)["start"]).join(
+            F.broadcast(base), "_wstart"
+        )
+        return (
+            ev.filter(
+                (F.col("pn") >= 2)
+                & (var > 0)
+                & _OPS[rule.operator](F.abs(z), F.lit(rule.threshold))
+            )
+            .select(
+                F.lit(rule.rule_id).alias("rule_id"),
+                F.lit(rule.priority).alias("priority"),
+                F.col(ts_col).alias("ts"),
+                F.round(z, 6).alias("metric_value"),
+            )
+        )
+
+
+def _advance_stage(cur: DataFrame, nxt: DataFrame, wus: int) -> DataFrame:
+    """One pattern-stage advance: for each partial match (t1, tcur) find
+    the earliest next-stage event strictly after tcur and within
+    t1 + wus. Candidates live in bucket(tcur) (strict in-bucket ceiling,
+    per-bucket window) or bucket(tcur)+1 (that bucket's minimum — any
+    event there is already > tcur); both are bounded per-task."""
+    from pyspark.sql import Window
+
+    data = nxt.select(
+        F.expr(f"t DIV {wus}").alias("_bucket"),
+        F.col("t").alias("pos"),
+        F.col("t").alias("data_t"),
+        F.lit(None).cast("long").alias("q_t1"),
+        F.lit(None).cast("long").alias("q_tcur"),
+    )
+    qrys = cur.select(
+        F.expr(f"tcur DIV {wus}").alias("_bucket"),
+        F.col("tcur").alias("pos"),
+        F.lit(None).cast("long").alias("data_t"),
+        F.col("t1").alias("q_t1"),
+        F.col("tcur").alias("q_tcur"),
+    )
+    # strict ceiling: desc by pos; on ties query rows come FIRST (null
+    # data_t) so an equal-t event is NOT taken as the successor
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy(F.col("pos").desc(), F.col("data_t").desc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ceil_same = (
+        data.unionByName(qrys)
+        .withColumn("_ceil", F.min("data_t").over(w))
+        .filter(F.col("q_tcur").isNotNull())
+        .select("_bucket", "q_t1", "q_tcur", "_ceil")
+    )
+    next_bmin = nxt.groupBy(F.expr(f"t DIV {wus}").alias("_b")).agg(
+        F.min("t").alias("_next_bmin")
+    ).select((F.col("_b") - 1).alias("_bucket"), "_next_bmin")
+    return (
+        ceil_same.join(next_bmin, "_bucket", "left")
+        .select(
+            F.col("q_t1").alias("t1"),
+            F.least("_ceil", "_next_bmin").alias("tcur"),
+        )
+        .filter(F.col("tcur").isNotNull() & (F.col("tcur") <= F.col("t1") + F.lit(wus)))
+    )
 
 
 # --------------------------------------------------------------------------

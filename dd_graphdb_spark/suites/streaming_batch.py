@@ -380,6 +380,112 @@ def alert_rate_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Pattern rule (AlertRuleType::Pattern, realtime_analytics.rs:103-104 —
+# declared, evaluation stubbed at :511-515; this implements the declared
+# intent): signup → purchase → error funnel over high-value events, each
+# stage advancing to the EARLIEST later event of the next stage, the
+# whole sequence within 6 hours of the anchor. The oracle re-derives the
+# greedy earliest-successor chain with correlated MIN subqueries;
+# metric_value = anchor→completion duration in µs (exact integer).
+# ---------------------------------------------------------------------------
+@_q(
+    "alert_pattern_rule",
+    """
+    WITH s1 AS (SELECT ts FROM events WHERE event_type = 'signup' AND value > 200),
+    s2 AS (SELECT ts FROM events WHERE event_type = 'purchase' AND value > 200),
+    s3 AS (SELECT ts FROM events WHERE event_type = 'error' AND value > 200),
+    m2 AS (
+        SELECT t1.ts AS ts1,
+               (SELECT MIN(s2.ts) FROM s2
+                WHERE s2.ts > t1.ts AND s2.ts <= t1.ts + INTERVAL 6 HOUR) AS ts2
+        FROM s1 t1
+    ),
+    m3 AS (
+        SELECT ts1,
+               (SELECT MIN(s3.ts) FROM s3
+                WHERE s3.ts > m2.ts2 AND s3.ts <= m2.ts1 + INTERVAL 6 HOUR) AS ts3
+        FROM m2 WHERE ts2 IS NOT NULL
+    )
+    SELECT 'funnel' AS rule_id,
+           strftime(ts3, '%Y-%m-%d %H:%M:%S.%f') AS fired_at,
+           (epoch_us(ts3) - epoch_us(ts1))::DOUBLE AS metric_value
+    FROM m3 WHERE ts3 IS NOT NULL
+    """,
+)
+def alert_pattern_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.streaming import AlertEngine, AlertRule
+
+    engine = AlertEngine(
+        [
+            AlertRule(
+                "funnel",
+                "pattern",
+                "value",
+                "gt",
+                0.0,
+                sequence=["signup", "purchase", "error"],
+                within_s=6 * 3600,
+            )
+        ]
+    )
+    alerts = engine.evaluate(_events(spark, sf_dir).filter(F.col("value") > 200))
+    return alerts.select(
+        "rule_id", F.date_format("ts", FMT_US).alias("fired_at"), "metric_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anomaly rule (AlertRuleType::Anomaly, realtime_analytics.rs:105-106 —
+# declared, evaluation stubbed at :517-521): z-score each event's value
+# against the previous non-empty hour's mean/stddev (population), fire
+# on |z| > 2. Baseline sums are exact decimals; the z expression tree is
+# identical on both engines, so boundary decisions agree bit-for-bit.
+# ---------------------------------------------------------------------------
+@_q(
+    "alert_anomaly_rule",
+    """
+    WITH wstats AS (
+        SELECT date_trunc('hour', ts) AS wstart, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(18,6))) AS s,
+               SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS ss
+        FROM events GROUP BY 1
+    ),
+    base AS (
+        SELECT wstart,
+               LAG(n) OVER (ORDER BY wstart) AS pn,
+               LAG(s) OVER (ORDER BY wstart) AS ps,
+               LAG(ss) OVER (ORDER BY wstart) AS pss
+        FROM wstats
+    )
+    SELECT 'zspike' AS rule_id,
+           strftime(events.ts, '%Y-%m-%d %H:%M:%S.%f') AS fired_at,
+           ROUND((events.value - CAST(ps AS DOUBLE) / CAST(pn AS DOUBLE))
+                 / sqrt((CAST(pss AS DOUBLE)
+                         - CAST(ps AS DOUBLE) * CAST(ps AS DOUBLE) / CAST(pn AS DOUBLE))
+                        / CAST(pn AS DOUBLE)), 6) AS metric_value
+    FROM events JOIN base ON date_trunc('hour', events.ts) = base.wstart
+    WHERE pn >= 2
+      AND (CAST(pss AS DOUBLE)
+           - CAST(ps AS DOUBLE) * CAST(ps AS DOUBLE) / CAST(pn AS DOUBLE))
+          / CAST(pn AS DOUBLE) > 0
+      AND ABS((events.value - CAST(ps AS DOUBLE) / CAST(pn AS DOUBLE))
+              / sqrt((CAST(pss AS DOUBLE)
+                      - CAST(ps AS DOUBLE) * CAST(ps AS DOUBLE) / CAST(pn AS DOUBLE))
+                     / CAST(pn AS DOUBLE))) > 2.0
+    """,
+)
+def alert_anomaly_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.streaming import AlertEngine, AlertRule
+
+    engine = AlertEngine(
+        [AlertRule("zspike", "anomaly", "value", "gt", 2.0, window="1 hour")]
+    )
+    return engine.evaluate(_events(spark, sf_dir)).select(
+        "rule_id", F.date_format("ts", FMT_US).alias("fired_at"), "metric_value"
+    )
+
+
 # events.parquet stores ts as TIMESTAMP(NANOS); read_events() truncates to
 # microseconds (Spark's native precision). Apply the identical truncation on
 # the DuckDB side so both engines compare equal values.
