@@ -43,6 +43,10 @@ HEADLINE = [
     "text_quality",
     "sim_cosine_topk",
     "sim_ann_ivf_topk",
+    "sim_ann_ivf_indexed",
+    "alert_pattern_rule",
+    "alert_anomaly_rule",
+    "view_incremental_connectivity",
 ]
 
 

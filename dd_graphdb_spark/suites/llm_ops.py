@@ -400,6 +400,27 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
 
 
+@_q("sim_ann_ivf_indexed", _sql_ivf_topk(8, 2, 5))
+def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED cell-partitioned IVF index must return exactly the
+    in-memory ivf_topk results for the same corpus/centroids/params —
+    the oracle is the identical SQL. Probes read only the probed cell
+    partitions (partition pruning, asserted in tests/test_plans.py)."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="ivf_idx_")
+    S.ivf_write_index(emb, path, n_centroids=8, train_iters=0)
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    out = S.ivf_topk_indexed(spark, path, qvecs, n_probe=2, k=5)
+    return out.select("q_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Count-Min sketch: deterministic hash family -> the oracle restates the
 # identical arithmetic; estimates are exact-match comparable.
