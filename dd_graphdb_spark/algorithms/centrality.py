@@ -66,6 +66,25 @@ def eigenvector_centrality(
     return run_loop(_eigenvector_loop, g, max_iterations, round_to)
 
 
+def _guard_settled(frontier, edges, visited, algo: str, max_depth: int) -> None:
+    """A BFS loop that exhausts ``max_depth`` with a frontier that would
+    STILL expand has truncated reachable sets — sigma counts and
+    centralities would be silently wrong. Raise instead, mirroring the
+    SCC non-convergence guard (one extra probe join, only paid on
+    exhaustion; a frontier whose next expansion is empty is fine)."""
+    probe = (
+        frontier.join(edges, frontier.id == edges.src)
+        .select("source", F.col("dst").alias("id"))
+        .distinct()
+        .join(visited.select("source", "id"), ["source", "id"], "left_anti")
+    )
+    if not probe.isEmpty():
+        raise RuntimeError(
+            f"{algo} BFS frontier still expanding at max_depth={max_depth}; "
+            f"increase max_depth (graph diameter exceeds it)"
+        )
+
+
 def _closeness_loop(
     g: PropertyGraph,
     sources: list[int] | None = None,
@@ -92,6 +111,8 @@ def _closeness_loop(
             break
         visited = _materialize(visited.union(new))
         frontier = new
+    else:
+        _guard_settled(frontier, edges, visited, "closeness", max_depth)
     per_src = visited.groupBy("source").agg(
         F.count("*").alias("r"), F.sum("hops").alias("total_d")
     )
@@ -160,6 +181,8 @@ def _betweenness_loop(
         visited = _materialize(visited.unionByName(new))
         frontier = new
         deepest = depth
+    else:
+        _guard_settled(frontier, edges, visited, "betweenness", max_depth)
 
     # -- SP-DAG: (source, v→w) where d(w) = d(v)+1 along an edge --------
     v_side = visited.select(

@@ -243,7 +243,16 @@ def materialized_tpch_graph(
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
     g = tpch_graph(spark, sf_dir)
-    vname, ename = "graft_graph_vertices", "graft_graph_edges"
+    # table names carry a digest of (sf_dir, buckets): a second call with
+    # a different sf_dir (or a concurrent session on a shared warehouse)
+    # gets its own tables instead of silently rewriting — and
+    # invalidating — the ones earlier cached PropertyGraphs resolve by
+    # name at action time
+    import hashlib
+
+    digest = hashlib.sha1(f"{sf_dir}|{buckets}".encode()).hexdigest()[:10]
+    vname = f"graft_graph_vertices_{digest}"
+    ename = f"graft_graph_edges_{digest}"
     # a previous session may have left the managed-table location behind
     # without a catalog entry — drop both sides before writing
     import shutil

@@ -243,12 +243,22 @@ class GraphStore:
         - update_edge_props: REPLACE map where the edge exists, keep
           edge identity, no-op on a missing edge (:313-318)
         """
+        from dd_graphdb_spark.algorithms._iter import _persistent_ids, _unpersist
+
         runs: list[tuple[str, list[dict]]] = []
         for op in ops:
             if runs and runs[-1][0] == op.kind:
                 runs[-1][1].append(op.payload)
             else:
                 runs.append((op.kind, [op.payload]))
+
+        # bracket the settle checkpoints (the run_loop pattern): once the
+        # version is parquet, every block this batch pinned is garbage —
+        # left pinned they accumulate and degrade later queries
+        try:
+            before = _persistent_ids(self.spark)
+        except Exception:  # Spark Connect: ContextCleaner self-manages
+            before = None
 
         v_df = self.vertices()
         e_df = self.edges()
@@ -262,6 +272,8 @@ class GraphStore:
         new_version = self.version + 1
         self._write_version(new_version, v_df, e_df)
         self._save_meta({"version": new_version})
+        if before is not None:
+            _unpersist(self.spark, _persistent_ids(self.spark) - before)
         return new_version
 
     def _apply_run(

@@ -21,12 +21,15 @@ a micro-batch.
 from __future__ import annotations
 
 import tempfile
+import threading
 import uuid
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from dd_graphdb_spark.graph import read_events
+
+_SHUFFLE_TUNE_LOCK = threading.Lock()
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,27 +89,35 @@ def run_to_memory(
     spark = df.sparkSession
     # Stateful operators create one state store per shuffle partition at
     # query start; under an untuned session (default 200) that is 200
-    # Python workers + stores for a single micro-batch. Right-size to
-    # core count for this harness and restore the caller's setting —
-    # production jobs size this explicitly for their state volume.
+    # Python workers + stores for a single micro-batch. Right-size ONLY
+    # untuned sessions (a caller who set the conf keeps their value
+    # untouched — no mutation at all on tuned sessions, e.g. get_spark's
+    # 32), and hold a lock across the mutate→run→restore bracket so
+    # overlapping harness calls on one session can't plan against each
+    # other's temporary value. Production sinks size this explicitly.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
-    )
-    try:
-        q = (
-            df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-            .start()
-        )
-        q.awaitTermination(timeout_s)
-        if q.isActive:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    untuned = prev == "200"
+    with _SHUFFLE_TUNE_LOCK:
+        if untuned:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(spark.sparkContext.defaultParallelism),
+            )
+        try:
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+                .start()
+            )
+            q.awaitTermination(timeout_s)
+            if q.isActive:
+                q.stop()
+        finally:
+            if untuned:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
 
 

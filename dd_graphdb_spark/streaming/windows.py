@@ -110,7 +110,20 @@ def tumbling_window_agg(
     extras = {n: c.alias(n) for n, c in (extra_aggs or {}).items()}
     if extras:
         ex = d.groupBy(*gb).agg(*extras.values())
-        base = base.join(ex, ["w", *key_cols])
+        # null-safe join keys: groupBy keeps NULL-keyed groups, a plain
+        # equality join would silently drop them when extras are present
+        import functools
+        import operator
+
+        cond = functools.reduce(
+            operator.and_,
+            [base["w"].eqNullSafe(ex["w"])]
+            + [base[k].eqNullSafe(ex[k]) for k in key_cols],
+        )
+        joined = base.join(ex, cond)
+        for c in [ex["w"], *[ex[k] for k in key_cols]]:
+            joined = joined.drop(c)
+        base = joined
     return base.select(
         F.col("w.start").alias("window_start"), F.col("w.end").alias("window_end"), *key_cols,
         "n", "total", "mean", "vmin", "vmax", "n_distinct", *extras.keys()
