@@ -42,6 +42,11 @@ class ExtractionRule:
     types: dict[str, str] = field(default_factory=dict)
     filters: list[str] = field(default_factory=list)
     csv_schema: str | None = None  # e.g. "a LONG, b STRING" (csv format)
+    # avro format: the writer's Avro schema JSON; requires the
+    # spark-avro package on the cluster (fails with a clear
+    # FAILED_TO_LOAD_DATA_SOURCE/AVRO error otherwise — shape-checked by
+    # tests/test_sources_connectors.py either way)
+    avro_schema: str | None = None
 
 
 def _extract_col(rule: ExtractionRule, raw: Column, out_col: str, parsed: Column | None) -> Column:
@@ -50,7 +55,7 @@ def _extract_col(rule: ExtractionRule, raw: Column, out_col: str, parsed: Column
         c = F.get_json_object(raw, sel)
     elif rule.format == "regex":
         c = F.regexp_extract(raw, sel, 1)
-    elif rule.format == "csv":
+    elif rule.format in ("csv", "avro"):
         c = parsed.getField(sel)
     else:
         raise ValueError(f"unsupported format {rule.format}")
@@ -67,6 +72,12 @@ def apply_extraction(df: DataFrame, raw_col: str, rule: ExtractionRule) -> DataF
         if rule.csv_schema is None:
             raise ValueError("csv extraction needs csv_schema")
         parsed = F.from_csv(raw, F.lit(rule.csv_schema))
+    elif rule.format == "avro":
+        if rule.avro_schema is None:
+            raise ValueError("avro extraction needs avro_schema")
+        from pyspark.sql.avro.functions import from_avro
+
+        parsed = from_avro(raw, rule.avro_schema)
     out = df
     for out_col in rule.field_mappings:
         out = out.withColumn(out_col, _extract_col(rule, raw, out_col, parsed))

@@ -117,9 +117,14 @@ class TransformPipeline:
 
     def stats(self, df: DataFrame, key_cols: list[str]) -> dict[str, int]:
         """PipelineStats parity (events_processed/transformed/filtered).
-        Batch-frame helper — runs two counts."""
-        n_in = df.count()
-        n_out = self.apply(df).count()
+        Batch-frame helper — the input is pinned so its source is scanned
+        once even though two counts run."""
+        df = df.persist()
+        try:
+            n_in = df.count()
+            n_out = self.apply(df).count()
+        finally:
+            df.unpersist()
         return {
             "events_processed": n_in,
             "events_transformed": n_out,

@@ -47,7 +47,17 @@ from pyspark.sql import functions as F
 class _VersionedTable:
     """Tiny versioned-parquet state cell: read current, write next,
     atomic meta.json pointer swap (snapshot/checkpoint mapping,
-    graph/storage/src/lib.rs:213-261)."""
+    graph/storage/src/lib.rs:213-261).
+
+    Commit protocol: data lands fully in a NEW version directory before
+    the meta.json pointer flips via ``os.replace`` — readers either see
+    the old version or the complete new one, never a torn write (a
+    crashed writer leaves an orphaned vN+1 dir that the next write
+    overwrites). ``os.replace`` atomicity is a POSIX-filesystem
+    guarantee; on an object store (S3 et al.) rename is copy+delete, so
+    there the pointer must become a content-addressed manifest object
+    written with put-if-absent (the Delta/Iceberg commit shape) —
+    the version-directory layout carries over unchanged."""
 
     def __init__(self, spark: SparkSession, path: str, schema: str):
         self.spark = spark

@@ -1,0 +1,133 @@
+"""Connector/format shape checks that run with OR without the optional
+packages (kafka, spark-avro), plus the versioned-state torn-write
+guarantee.
+
+The reference declares Kafka and Avro ingestion (stream_connectors.rs:
+68-118, 167-208 — dead code there); here the builder configs must be
+well-formed either way: with the package present they produce a real
+source/parse, without it they fail LOUDLY with the standard
+data-source-missing error, never silently.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _kafka_missing_err(spark):
+    """None if the kafka source loads; the error string if missing."""
+    try:
+        (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", "localhost:9092")
+            .option("subscribe", "probe")
+            .load()
+        )
+        return None
+    except Exception as e:  # noqa: BLE001
+        return str(e)
+
+
+def test_kafka_builder_shape(spark):
+    """kafka_stream wires brokers/topic/offsets into a well-formed
+    reader. Package present: the unbounded frame has the kafka schema.
+    Package absent: the standard DATA_SOURCE_NOT_FOUND error surfaces —
+    a config typo can never pass silently."""
+    from dd_graphdb_spark.sources.connectors import kafka_stream
+
+    err = _kafka_missing_err(spark)
+    if err is None:
+        df = kafka_stream(spark, "localhost:9092", "events", "earliest")
+        assert df.isStreaming
+        assert {"key", "value", "topic", "partition", "offset"} <= set(df.columns)
+    else:
+        assert "kafka" in err.lower()
+        with pytest.raises(Exception, match="(?i)kafka"):
+            kafka_stream(spark, "localhost:9092", "events", "earliest")
+
+
+AVRO_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Event",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "kind", "type": "string"},
+        ],
+    }
+)
+
+
+def _avro_available(spark):
+    try:
+        from pyspark.sql.avro.functions import to_avro
+
+        df = spark.range(1).select(to_avro(F.struct("id")).alias("b"))
+        df.collect()
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def test_avro_extraction_rule_shape(spark):
+    """The avro ExtractionRule composes from_avro + field mapping.
+    Package present: a to_avro→from_avro round-trip recovers the fields.
+    Package absent: evaluation fails mentioning avro — loud, not
+    silent."""
+    from dd_graphdb_spark.sources.formats import ExtractionRule, apply_extraction
+
+    rule = ExtractionRule(
+        "r1",
+        "avro",
+        {"event_id": "event_id", "kind": "kind"},
+        types={"event_id": "long"},
+        avro_schema=AVRO_SCHEMA,
+    )
+    if _avro_available(spark):
+        from pyspark.sql.avro.functions import to_avro
+
+        src = spark.createDataFrame([(7, "click")], "event_id long, kind string")
+        payload = src.select(
+            to_avro(F.struct("event_id", "kind"), AVRO_SCHEMA).alias("raw")
+        )
+        out = apply_extraction(payload, "raw", rule).select("event_id", "kind")
+        assert out.collect()[0].asDict() == {"event_id": 7, "kind": "click"}
+    else:
+        payload = spark.createDataFrame([(bytearray(b"x"),)], "raw binary")
+        with pytest.raises(Exception, match="(?i)avro"):
+            apply_extraction(payload, "raw", rule).collect()
+
+
+def test_avro_rule_requires_schema(spark):
+    from dd_graphdb_spark.sources.formats import ExtractionRule, apply_extraction
+
+    rule = ExtractionRule("r1", "avro", {"x": "x"})
+    payload = spark.createDataFrame([(bytearray(b"x"),)], "raw binary")
+    with pytest.raises(ValueError, match="avro_schema"):
+        apply_extraction(payload, "raw", rule)
+
+
+def test_versioned_table_torn_write_invisible(spark, tmp_path):
+    """Commit protocol: a writer that dies after writing data files but
+    BEFORE the meta.json pointer swap leaves readers on the previous
+    version — the half-written directory is invisible."""
+    from dd_graphdb_spark.views.incremental import _VersionedTable
+
+    t = _VersionedTable(spark, str(tmp_path / "cell"), "k string, v long")
+    t.write(spark.createDataFrame([("a", 1)], "k string, v long"))
+    committed = t.version
+
+    # simulate the torn write: next version dir exists, pointer not moved
+    torn = os.path.join(str(tmp_path / "cell"), f"v{committed + 1}")
+    spark.createDataFrame([("garbage", 999)], "k string, v long").write.mode(
+        "overwrite"
+    ).parquet(torn)
+
+    assert t.version == committed
+    assert [r.asDict() for r in t.read().collect()] == [{"k": "a", "v": 1}]
+
+    # the next committed write supersedes the orphan
+    t.write(spark.createDataFrame([("b", 2)], "k string, v long"))
+    assert [r.asDict() for r in t.read().collect()] == [{"k": "b", "v": 2}]
