@@ -10,22 +10,25 @@ Reference semantics:
 - SCC: forward ∩ reverse reachability, min-vertex representative
   (graph/algorithms/src/lib.rs:252-289).
 
-Spark shape: iterate comp(v) ← min(comp(v), min over neighbors comp(u))
-until no label changes. Each round is one join + one aggregation; rounds
-≈ graph diameter.
+Spark shape: each round does (1) comp(v) ← min(comp(v), min over
+neighbors comp(u)) and (2) a pointer-jumping shortcut
+comp(v) ← comp(comp(v)) (FastSV-style; Zhang/Azad/Buluç, and the
+shortcutting half of Kiveris et al., "Connected Components in MapReduce
+and Beyond"). Labels double their reach per round, so the fixpoint
+arrives in ~log2(diameter) rounds instead of ~diameter — the difference
+between 5 and 20 sequential shuffles on a 100 TB graph. The shortcut
+preserves the loop invariant (comp(v) is always the id of a vertex in
+v's component, and comp(x) ≤ x), so labels stay monotonically
+non-increasing.
 
 Iteration mechanics (important at any scale): the evolving state is
 eagerly localCheckpoint'ed EVERY round so each job reads a materialized
 RDD instead of re-executing the whole lineage (a lazily-persisted input
 re-runs its plan once per downstream job until first materialization —
 on a multi-table-union graph that dominates everything). Convergence is
-a scalar aggregate on the checkpointed state: min-label propagation only
-ever decreases labels, so sum(component) is strictly decreasing until
-the fixpoint — one cheap job, no self-join. For 100 TB graphs with large
-diameter, switch to large-star/small-star contraction (Kiveris et al.,
-"Connected Components in MapReduce and Beyond"); the propagation loop
-here converges in ~diameter rounds, which is right for the short-diameter
-graphs the reference targets.
+a scalar aggregate on the checkpointed state: both the neighbor-min and
+the shortcut only ever decrease labels, so sum(component) is strictly
+decreasing until the fixpoint — one cheap job, no self-join.
 """
 
 from __future__ import annotations
@@ -57,12 +60,25 @@ def _connected_components_loop(g: PropertyGraph, max_iterations: int = 50) -> Da
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        comp = _materialize(
+        stepped = _materialize(
             comp.join(nbr_min, "id", "left").select(
                 "id",
-                F.least(F.col("component"), F.coalesce("nbr_component", "component")).alias(
-                    "component"
-                ),
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        )
+        # pointer-jumping shortcut: comp(v) ← comp(comp(v)). Labels are
+        # vertex ids of the same component, so the |V|-row self-join
+        # resolves each label to its label's label — reach doubles per
+        # round (log-diameter convergence). left+coalesce keeps vertices
+        # whose label row lands in the other join side's null space safe.
+        parents = stepped.select(
+            F.col("id").alias("component"), F.col("component").alias("gp")
+        )
+        comp = _materialize(
+            stepped.join(parents, "component", "left").select(
+                "id", F.coalesce("gp", "component").alias("component")
             )
         )
         # labels are monotonically non-increasing → equal sums ⇔ fixpoint
@@ -112,9 +128,22 @@ def _strongly_connected_components_loop(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("color").alias("nbr_color"))
             )
-            color = _materialize(
+            stepped = _materialize(
                 color.join(nbr, "id", "left").select(
-                    "id", F.least(F.col("color"), F.coalesce("nbr_color", "color")).alias("color")
+                    "id",
+                    F.least(F.col("color"), F.coalesce("nbr_color", "color")).alias("color"),
+                )
+            )
+            # pointer-jumping shortcut (see _connected_components_loop):
+            # color(v)=u means u reaches v, and color(u)=w means w reaches
+            # u, so w reaches v — color(color(v)) keeps the invariant for
+            # directed reachability coloring too.
+            parents = stepped.select(
+                F.col("id").alias("color"), F.col("color").alias("gp")
+            )
+            color = _materialize(
+                stepped.join(parents, "color", "left").select(
+                    "id", F.coalesce("gp", "color").alias("color")
                 )
             )
             cur_sum = color.agg(F.sum("color")).collect()[0][0]

@@ -53,20 +53,24 @@ OFFSET = {
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Read the events table, normalizing its TIMESTAMP(NANOS) column.
+    """Read the events table, normalizing its ``ts`` column to a plain
+    session-local TIMESTAMP.
 
-    The driver's events.parquet stores ``ts`` as parquet INT64
-    TIMESTAMP(NANOS), which Spark's vectorized reader rejects. We read
-    nanos as long (runtime conf, works on any session including the
-    driver's) and truncate to microseconds — Spark's native timestamp
-    precision. Oracle SQL applies the identical truncation
-    (make_timestamp(epoch_ns(ts)//1000)) so both engines see the same
-    values.
+    Driver generations have stored ``ts`` two ways: parquet INT64
+    TIMESTAMP(NANOS) (rejected by Spark's vectorized reader — read nanos
+    as long and truncate to microseconds, Spark's native precision) and
+    parquet timestamp[us] without timezone (Spark reads TIMESTAMP_NTZ,
+    which ``withWatermark`` rejects — cast to TIMESTAMP; the session
+    timezone is pinned to UTC in get_spark, so the wall-clock values are
+    preserved exactly and match what DuckDB reads natively).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -53,8 +53,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import functions as F
 
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark rejects NTZ; session tz is UTC so the cast is
+        # value-preserving (see read_events)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

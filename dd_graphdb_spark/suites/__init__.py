@@ -24,6 +24,7 @@ from dd_graphdb_spark.suites import (
     engine_api,
     incremental_views,
     sources_fn,
+    timeseries,
 )
 
 
@@ -65,6 +66,11 @@ def _with_hygiene(fn):
 # remaining queries (relational/graph/algorithms, all driver-green in
 # r1 AND r2) follow in their natural suite order.
 GATE_PRIORITY = [
+    # round-4 additions (no driver CORRECTNESS row yet)
+    "asof_purchase_attribution",
+    "events_time_rollup",
+    "distinct_exact_vs_approx",
+    "sample_stratified_docs",
     # incremental view maintenance (flagship)
     "view_incremental_delta",
     "view_incremental_stream",
@@ -137,6 +143,7 @@ def all_queries():
         engine_api,
         incremental_views,
         sources_fn,
+        timeseries,
     ):
         q.update(mod.QUERIES)
         o.update(mod.ORACLES)

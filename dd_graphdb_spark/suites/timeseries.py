@@ -1,0 +1,224 @@
+"""Time-series + sampling suite: as-of join, hypertable rollup,
+approx-distinct scale path, deterministic stratified sampling.
+
+These extend the reference surface with the event-pipeline operations a
+training-data platform needs (SURVEY §2.3 note: the reference has only
+vertex-id equi-joins; no time-series joins or sampling exist anywhere in
+it). Oracles restate exact arithmetic per the determinism contract in
+suites/__init__.py — the sampling oracle re-derives the identical
+md5-bucket split in SQL, proving the split is engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dd_graphdb_spark.operators.sampling import BUCKETS, stratified_sample
+from dd_graphdb_spark.operators.timeseries import asof_join, time_rollup
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def reg(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return reg
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.graph import read_events
+
+    return read_events(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# As-of join: attribute each purchase to the user's latest click at or
+# before it (pandas merge_asof(direction='backward') semantics; ties on
+# timestamp resolved to the greatest click_id). Implemented as ONE
+# shuffle on user_id + an in-partition sort — no inequality join, no
+# per-key quadratic blowup (operators/timeseries.py docstring).
+# ---------------------------------------------------------------------------
+@_q(
+    "asof_purchase_attribution",
+    """
+    WITH p AS (
+        SELECT event_id, user_id, ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS cts, event_id AS click_id, value AS click_value
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               c.click_id, c.click_value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY c.cts DESC, c.click_id DESC
+               ) AS rn
+        FROM p LEFT JOIN c
+          ON c.user_id = p.user_id AND c.cts <= p.ts
+    )
+    SELECT event_id, user_id, ts, value,
+           COALESCE(click_id, -1) AS click_id,
+           COALESCE(click_value, -1.0) AS click_value
+    FROM j WHERE rn = 1
+    """,
+)
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["click_id", "click_value"],
+        tiebreak="click_id",
+    )
+    # sentinel-fill unmatched rows: nullable int columns round-trip as
+    # floats through the comparators' pandas path, so the gate result
+    # avoids NULLs (asof_join itself keeps them — see tests)
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce("click_value", F.lit(-1.0)).alias("click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style time rollup: (day), (day, hour) and grand-total
+# aggregates in ONE scan via ROLLUP (map-side partial agg covers all
+# grains simultaneously). gid: 0 = (day,hour), 1 = (day), 3 = total —
+# restated in SQL as a CASE over the null pattern so it is engine-
+# portable (ts is never null, so null day/hour only arise from rollup).
+# ---------------------------------------------------------------------------
+@_q(
+    "events_time_rollup",
+    """
+    SELECT COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
+           COALESCE(CAST(EXTRACT(hour FROM ts) AS INT), -1) AS hr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           CASE WHEN CAST(ts AS DATE) IS NULL
+                     AND CAST(EXTRACT(hour FROM ts) AS INT) IS NULL THEN 3
+                WHEN CAST(EXTRACT(hour FROM ts) AS INT) IS NULL THEN 1
+                ELSE 0 END AS gid
+    FROM events
+    GROUP BY ROLLUP (CAST(ts AS DATE), CAST(EXTRACT(hour FROM ts) AS INT))
+    """,
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return time_rollup(
+        ev,
+        "ts",
+        aggs=[
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+        ],
+        grains=("day", "hour"),
+    ).select(
+        # string/sentinel renderings: rollup nulls on day/hr would
+        # float-ify through the comparators' pandas path
+        F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+        F.coalesce(F.col("hour").cast("int"), F.lit(-1)).alias("hr"),
+        "n",
+        "total",
+        "gid",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approx-distinct scale path: exact COUNT(DISTINCT) per group next to
+# approx_count_distinct (HLL++, rsd 2%) with a 5% acceptance bound. The
+# oracle asserts the exact counts AND that the approx path landed inside
+# the bound (approx_ok = 1) — the windowed-distinct scale route SURVEY
+# §2.4 prescribes for 100 TB (exact distinct shuffles every value;
+# HLL++ ships constant-size sketches).
+# ---------------------------------------------------------------------------
+@_q(
+    "distinct_exact_vs_approx",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           1 AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_exact_vs_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            F.when(
+                F.abs(F.col("_approx") - F.col("n_users"))
+                / F.col("n_users")
+                <= 0.05,
+                1,
+            )
+            .otherwise(0)
+            .alias("approx_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling: downsample dominant languages, keep
+# more of rare ones, selected by md5-bucket of doc_id (NOT rand() — the
+# split must be reproducible across reruns, partitions and engines for
+# dataset versioning). The oracle re-derives the exact same split in
+# SQL: same md5 prefix, same bucket arithmetic, same per-stratum
+# thresholds — row-identical selection proven by the value hash over
+# per-language counts + char sums.
+# ---------------------------------------------------------------------------
+_RATES = {"en": 0.5, "zh": 0.2}
+_DEFAULT_RATE = 0.05
+
+
+def _sample_oracle() -> str:
+    return f"""
+    SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM documents
+    WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT <
+          CAST(FLOOR(CASE lang WHEN 'en' THEN 0.5
+                               WHEN 'zh' THEN 0.2
+                               ELSE {_DEFAULT_RATE} END * {float(BUCKETS)}) AS BIGINT)
+    GROUP BY lang
+    """
+
+
+@_q("sample_stratified_docs", _sample_oracle())
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = stratified_sample(
+        docs, "lang", "doc_id", _RATES, default_rate=_DEFAULT_RATE
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"), F.sum("n_chars").alias("chars_kept")
+    )
