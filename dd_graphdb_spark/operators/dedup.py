@@ -34,6 +34,9 @@ MOD = 1_000_000_007
 # small odd a keeps a*x < 2^63 for x < MOD.
 MINHASH_PARAMS = [(3, 1), (5, 7), (7, 13), (11, 19), (13, 29), (17, 37), (19, 43), (23, 53)]
 BAND_SIZE = 2
+# shingle combiner multiplier: token hashes (< MOD ≈ 2^30) fold as
+# (acc*MIX + t) % MOD, so acc*MIX < 2^50 — no 64-bit overflow
+MIX = 1_000_003
 
 
 def poly_hash(col: Column) -> Column:
@@ -62,6 +65,71 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
     return sh
+
+
+def _fold(arr: Column) -> Column:
+    """(acc*MIX + t) % MOD left-fold of a token-hash array."""
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, t: (acc * MIX + t) % MOD
+    )
+
+
+def token_hashes(text: Column) -> Column:
+    """Per-token polynomial char hash — each token hashed ONCE per doc
+    (a token appears in up to n shingles; hashing shingle *strings*
+    re-hashes every char n times and, worse, has to build the shingle
+    strings at all)."""
+    toks = F.split(F.trim(text), " ")
+    return F.transform(
+        toks,
+        lambda t: F.aggregate(
+            F.split(t, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % MOD,
+        ),
+    )
+
+
+def _shingles_from_token_hashes(th: Column, n: int = 3) -> Column:
+    """Distinct hashed n-shingles from a BOUND token-hash array column.
+
+    ``th`` MUST be a column reference (not the token_hashes expression
+    inline): this expression references ``th`` once per shingle, and an
+    inlined token_hashes would be re-evaluated per reference —
+    O(tokens · chars) per *shingle* instead of per doc (measured 6×
+    slower than even the string path at sf0.1)."""
+    return F.when(
+        F.size(th) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(th) - n),
+                lambda i: _fold(F.slice(th, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array(_fold(th)))
+
+
+def with_shingle_hashes(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, sh) with sh = distinct hashed word-n-shingle long array:
+    shingle hash = (acc*MIX + token_hash) % MOD fold of its n token
+    hashes. Profiling at sf0.1 shows building shingle STRINGS (slice +
+    array_join per shingle) dominates the MinHash pipeline; folding 3
+    longs per shingle replaces ~60 chars of string assembly per
+    shingle, and everything downstream (explode, groupBy, cache,
+    array_intersect verification) moves longs instead of strings. The
+    DuckDB oracles restate the identical arithmetic, so results stay
+    engine-portable by construction.
+
+    Two projection steps on purpose: token hashes bind to a real column
+    first so each token is hashed once per doc (see
+    _shingles_from_token_hashes).
+    """
+    t = df.select(
+        F.col(id_col).alias("id"), token_hashes(F.col(text_col)).alias("_th")
+    )
+    return t.select("id", _shingles_from_token_hashes(F.col("_th"), n).alias("sh"))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -112,9 +180,27 @@ def ngram_jaccard_pairs(
     return out
 
 
+def shingle_hash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, x) exploded distinct hashed-shingle table (the scale path —
+    see with_shingle_hashes).
+
+    explode_outer, not explode: plain explode makes the optimizer infer
+    a ``size(sh) > 0`` filter under the Generate, and predicate pushdown
+    substitutes the WHOLE shingle expression (token hashing included)
+    into that filter below the projections — re-hashing every doc
+    several times per row (measured 6× on sf0.1). ``sh`` is never
+    empty (the < n branch emits a 1-element array), so outer ≡ inner.
+    """
+    return with_shingle_hashes(df, text_col, id_col, n).select(
+        "id", F.explode_outer("sh").alias("x")
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, h0..h{k-1}) MinHash signature per document."""
-    sh = shingle_table(df, text_col, id_col, n).withColumn("x", poly_hash(F.col("s")))
+    sh = shingle_hash_table(df, text_col, id_col, n)
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % MOD).alias(f"h{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS)
@@ -143,16 +229,15 @@ def minhash_lsh_pairs(
     (operators._skew): buckets over ``band_salt_threshold`` members
     spread their d² candidate generation across ``n_salts`` tasks.
     """
-    # Compute shingle arrays ONCE and reuse for signatures (exploded) and
-    # verification (arrays). Without materialization the self-join below
-    # would re-execute the whole signature pipeline for each side, and the
-    # verification joins would re-shingle the corpus twice more — the plan
-    # is referenced 4×, so cache/checkpoint here is a 4× saving, not a
-    # micro-optimization. sig is n_docs × (k+1) longs — small at any scale.
-    sh_arr = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
-    ).persist()
-    sh = sh_arr.select("id", F.explode("sh").alias("s")).withColumn("x", poly_hash(F.col("s")))
+    # Compute hashed shingle arrays ONCE and reuse for signatures
+    # (exploded) and verification (arrays). Without materialization the
+    # self-join below would re-execute the whole signature pipeline for
+    # each side, and the verification joins would re-shingle the corpus
+    # twice more — the plan is referenced 4×, so cache/checkpoint here is
+    # a 4× saving, not a micro-optimization. Arrays are longs, not
+    # shingle strings — ~10× smaller in cache and in the verify join.
+    sh_arr = with_shingle_hashes(df, text_col, id_col, n).persist()
+    sh = sh_arr.select("id", F.explode("sh").alias("x"))
     sig = sh.groupBy("id").agg(
         *[
             F.min((F.lit(a) * F.col("x") + F.lit(b)) % MOD).alias(f"h{i}")
@@ -180,8 +265,11 @@ def minhash_lsh_pairs(
     ).distinct()
 
     # exact verification restricted to candidates: reuse the cached
-    # distinct-shingle ARRAYs and intersect JVM-side per pair — O(|A|+|B|)
-    # per candidate, vs. the |A|×|B| blow-up of a per-pair cross join
+    # hashed-shingle ARRAYs and intersect JVM-side per pair — O(|A|+|B|)
+    # per candidate, vs. the |A|×|B| blow-up of a per-pair cross join.
+    # Jaccard over distinct shingle hashes == Jaccard over shingles up
+    # to 1e-9-probability hash collisions; the oracle computes the
+    # identical quantity.
     shas = sh_arr.select(F.col("id").alias("a"), F.col("sh").alias("sa"))
     shbs = sh_arr.select(F.col("id").alias("b"), F.col("sh").alias("sb"))
     return (
@@ -202,7 +290,7 @@ def simhash_signatures(
     bit_j(sig) = 1 iff Σ_shingles (bit_j(h(shingle)) ? +1 : −1) > 0,
     with h = poly_hash mod 2^bits.
     """
-    sh = shingle_table(df, text_col, id_col, n).withColumn("x", poly_hash(F.col("s")) % (2**bits))
+    sh = shingle_hash_table(df, text_col, id_col, n).withColumn("x", F.col("x") % (2**bits))
     # one ±1 vote aggregate per bit (literal shift amounts keep this fully
     # JVM-side; no row explosion)
     aggs = [

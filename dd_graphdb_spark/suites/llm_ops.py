@@ -63,6 +63,31 @@ def _sql_ph(expr: str) -> str:
     )
 
 
+# hashed-shingle table (id, x) — matches operators.dedup.shingle_hashes:
+# per-token char hash, then (acc*MIX + t) % MOD fold of each 3-token
+# window (whole-token-list fold when < 3 tokens), distinct per doc
+SQL_SHINGLE_HASHES = f"""
+sh AS (
+    SELECT id, unnest(xs) AS x FROM (
+        SELECT id,
+               CASE WHEN len(th) >= 3
+                    THEN list_distinct(list_transform(generate_series(1, len(th)-2),
+                         i -> list_reduce(list_prepend(0::BIGINT, th[i:i+2]),
+                                          (h, v) -> (h * {D.MIX} + v) % {MOD})))
+                    ELSE [list_reduce(list_prepend(0::BIGINT, th),
+                                      (h, v) -> (h * {D.MIX} + v) % {MOD})]
+               END AS xs
+        FROM (
+            SELECT doc_id AS id,
+                   list_transform(string_split(trim(text), ' '),
+                                  tok -> {_sql_ph('tok')}) AS th
+            FROM documents
+        )
+    )
+)
+"""
+
+
 SQL_JACCARD_TAIL = f"""
 sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
 inter AS (
@@ -106,15 +131,14 @@ def _sql_minhash_sig() -> str:
         f"MIN(({a} * x + {b}) % {MOD})::BIGINT AS h{i}" for i, (a, b) in enumerate(MINHASH_PARAMS)
     )
     return f"""
-hx AS (SELECT id, {_sql_ph('s')} AS x FROM sh),
-sig AS (SELECT id, {mins} FROM hx GROUP BY id)
+sig AS (SELECT id, {mins} FROM sh GROUP BY id)
 """
 
 
 @_q(
     "dedup_minhash_signatures",
     "WITH "
-    + SQL_SHINGLES[1:]
+    + SQL_SHINGLE_HASHES[1:]
     + ", "
     + _sql_minhash_sig()[1:]
     + "SELECT id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sig",
@@ -138,7 +162,7 @@ cand AS (
 sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
 inter AS (
     SELECT c.a, c.b, COUNT(*) AS inter
-    FROM cand c JOIN sh x ON x.id = c.a JOIN sh y ON y.id = c.b AND x.s = y.s
+    FROM cand c JOIN sh sx ON sx.id = c.a JOIN sh sy ON sy.id = c.b AND sx.x = sy.x
     GROUP BY c.a, c.b
 )
 SELECT i.a, i.b, ROUND(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 6) AS jaccard
@@ -149,7 +173,7 @@ WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= {JACCARD_THRESHOLD}
 
 @_q(
     "dedup_minhash_lsh",
-    "WITH " + SQL_SHINGLES[1:] + ", " + _sql_minhash_sig()[1:] + ", " + _sql_lsh_pairs()[1:],
+    "WITH " + SQL_SHINGLE_HASHES[1:] + ", " + _sql_minhash_sig()[1:] + ", " + _sql_lsh_pairs()[1:],
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
@@ -161,9 +185,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "dedup_simhash",
     "WITH "
-    + SQL_SHINGLES[1:]
-    + f""",
-hx AS (SELECT id, {_sql_ph('s')} % 65536 AS x FROM sh),
+    + SQL_SHINGLE_HASHES[1:]
+    + """,
+hx AS (SELECT id, x % 65536 AS x FROM sh),
 bits AS (
     SELECT id, g.j,
            SUM(CASE WHEN (x // (1::BIGINT << g.j)) % 2 = 1 THEN 1 ELSE -1 END)::BIGINT AS v
