@@ -40,7 +40,11 @@ HEADLINE = [
     "view_incremental_delta",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "text_quality",
+    "asof_purchase_attribution",
+    "events_time_rollup",
+    "sample_stratified_docs",
     "sim_cosine_topk",
     "sim_ann_ivf_topk",
     "sim_ann_ivf_indexed",

@@ -57,76 +57,74 @@ def _with_hygiene(fn):
     return wrapped
 
 
-# The driver's correctness gate records the FIRST 50 queries() entries
-# (rounds 1-2 both recorded the same first-50, leaving everything after
-# llm_ops' 4th entry invisible to the gate of record). This list front-
-# loads one full rotation of the operators that have never had a driver
-# CORRECTNESS row — incremental views, mutations/catalog, sources,
-# streaming (batch + live), alerts, and the newer LLM-pipeline ops. The
-# remaining queries (relational/graph/algorithms, all driver-green in
-# r1 AND r2) follow in their natural suite order.
+# The driver's correctness gate records the FIRST 50 queries() entries.
+# Rotation policy (round 4): the never-recorded queries go first (4 new
+# time-series/sampling ops + multimodal_frame_sample, which fell past
+# r03's 50-entry window), followed by everything whose only driver rows
+# are from rounds 1-2 (r03 rotated in the then-unrecorded half; these
+# are the other half, stale since r02). The 5 entries past the 50-cap
+# are the most basic double-green relational scans (point lookup,
+# predicate scan, WHERE tree, DISTINCT, stats) — lowest-risk to leave
+# for the next rotation. Everything recorded in r03 follows.
 GATE_PRIORITY = [
-    # round-4 additions (no driver CORRECTNESS row yet)
+    # never recorded by any driver round
     "asof_purchase_attribution",
     "events_time_rollup",
     "distinct_exact_vs_approx",
     "sample_stratified_docs",
-    # incremental view maintenance (flagship)
-    "view_incremental_delta",
-    "view_incremental_stream",
-    "view_incremental_pagerank",
-    "view_incremental_connectivity",
-    "view_incremental_sssp",
-    "view_incremental_degree",
-    # mutations / transactions / catalog / router
-    "mutation_apply_batch",
-    "mutation_time_travel",
-    "mutation_vacuum_retention",
-    "mutation_occ_conflict",
-    "gql_create_delete",
-    "view_catalog_roundtrip",
-    "view_dependency_topo",
-    "router_scoring_table",
-    # sources + scalar enrichers
-    "source_json_extraction",
-    "source_regex_extraction",
-    "source_csv_extraction",
-    "fn_geo_enrich",
-    # streaming (batch-checked)
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_count_window",
-    "stream_dedup_first",
-    "stream_custom_agg_p90",
-    "stream_late_events",
-    "stream_filter_rules",
-    "stream_changeset_summary",
-    "alert_threshold_cooldown",
-    "alert_rate_rule",
-    "alert_pattern_rule",
-    "alert_anomaly_rule",
-    # streaming (live readStream)
-    "stream_live_tumbling",
-    "stream_live_session",
-    "stream_live_dedup_keys",
-    "stream_live_global",
-    "stream_live_count_window",
-    # LLM-pipeline ops without a driver row yet
-    "dedup_simhash",
-    "text_token_count",
-    "text_quality",
-    "text_lang_id",
-    "text_fingerprint",
-    "sim_cosine_topk",
-    "dedup_embedding_cosine",
-    "sim_ann_lsh_topk",
-    "sim_ann_ivf_topk",
-    "sim_ann_ivf_indexed",
-    "sketch_count_min_estimates",
-    "multimodal_binary_meta",
-    "multimodal_feature_extract",
-    "multimodal_decode_dims",
+    "multimodal_frame_sample",
+    # stale since r02: graph queries / algorithms / dedup / relational
+    "gql_match_filter",
+    "gql_inline_props",
+    "gql_match_edge",
+    "gql_multi_hop",
+    "gql_incoming_edge",
+    "gql_undirected",
+    "traverse_out_neighbors",
+    "traverse_in_neighbors",
+    "traverse_all_neighbors",
+    "traverse_2hop",
+    "degree_top_customers",
+    "common_neighbors_suppliers",
+    "skew_common_neighbors_events",
+    "edges_between_lookup",
+    "algo_pagerank_fixture",
+    "algo_pagerank_top3",
+    "algo_cc_derived",
+    "algo_component_count",
+    "algo_sssp_fixture",
+    "algo_bfs_full",
+    "algo_reachability_order",
+    "algo_triangle_colocation",
+    "algo_kcore_colocation",
+    "algo_degree_centrality",
+    "algo_eigenvector_fixture",
+    "algo_closeness_fixture",
+    "algo_betweenness_fixture",
+    "algo_scc_fixture",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "q1_pricing_summary",
+    "top_n_orders",
+    "group_by_agg_having",
+    "join_revenue_per_region",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "set_union_distinct_nations",
+    "set_intersect_nations",
+    "set_except_nations",
+    "window_topk_per_segment",
+    "window_lag_delta",
+    "rollup_status_priority",
+    "conditional_agg",
+    # past the 50-cap this round (double-green in r1+r2, trivial scans)
+    "point_lookup_customer",
+    "predicate_scan_customers",
+    "where_and_or",
+    "distinct_segments",
+    "db_stats",
 ]
 
 
