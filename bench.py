@@ -92,6 +92,16 @@ def main() -> None:
         except Exception:
             pass
 
+    # Fixed synthetic probe: machine-speed calibration. Headline timings
+    # on a shared host drift ±60% between rounds (measured: identical
+    # code, identical data, 40 s vs 64 s hours apart); this constant-work
+    # aggregation gives each bench record a denominator so cross-round
+    # comparisons can normalize out host state.
+    t0 = time.time()
+    spark.range(200_000_000).selectExpr("sum(id * 2)").collect()
+    calibration = round(time.time() - t0, 3)
+    print(f"# calibration: range-sum 2e8 in {calibration:.2f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -112,6 +122,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_range_sum_2e8_sec": calibration,
             }
         )
     )

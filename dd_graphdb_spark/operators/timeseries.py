@@ -34,18 +34,30 @@ def asof_join(
     payload_cols: Sequence[str],
     tiebreak: str | None = None,
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the payload of the latest right row
-    with ``right_ts <= left_ts`` sharing the ``on`` keys (inclusive on
-    ties, like pandas ``merge_asof(direction='backward')``).
+    """For each left row, attach the payload of the matching right row
+    sharing the ``on`` keys (pandas ``merge_asof`` semantics,
+    model-checked against it in tests/test_properties.py):
 
-    ``tiebreak``: right-side column deciding among right rows with equal
-    timestamps — the greatest value wins (deterministic output).
-    ``tolerance_seconds``: matches older than ``left_ts - tolerance``
-    are nulled out (the payload, not the left row).
+    - ``backward`` (default): latest right row with right_ts <= left_ts
+    - ``forward``: earliest right row with right_ts >= left_ts
+    - ``nearest``: whichever of the two is closer in time (exact
+      equidistant ties prefer the backward match)
+
+    All directions are inclusive on equal timestamps. ``tiebreak``:
+    right-side column deciding among right rows with equal timestamps —
+    deterministic in every direction: the backward match (and any
+    equal-ts match) takes the greatest value, a strictly-forward match
+    takes the least (both sides share one partition sort; the backward
+    frame ends at it, the forward frame starts at it).
+    ``tolerance_seconds``: matches farther than the tolerance are nulled
+    out (the payload, not the left row).
 
     Returns the left rows (original columns) plus the payload columns.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     on = list(on)
     payload_cols = list(payload_cols)
     overlap = [c for c in payload_cols if c in left.columns]
@@ -53,7 +65,8 @@ def asof_join(
         raise ValueError(f"payload columns collide with left side: {overlap}")
 
     # side marker: right rows sort BEFORE left rows at the same ts so
-    # equal timestamps are visible to the left row (inclusive as-of)
+    # equal timestamps land in the backward frame; the forward frame
+    # recovers the equal-ts case through the distance-0 backward match
     r = right.select(
         *on,
         F.col(right_ts).alias("_t"),
@@ -72,17 +85,47 @@ def asof_join(
     )
     u = l.unionByName(r, allowMissingColumns=True)
 
-    w = (
+    # both frames share one partition sort — Spark plans a single
+    # shuffle + sort for the two window columns
+    order = [F.col("_t").asc(), F.col("_side").asc(), F.col("_tb").asc()]
+    wb = (
         Window.partitionBy(*on)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = F.last("_payload", ignorenulls=True).over(w)
-    if tolerance_seconds is not None:
-        fresh = (
-            F.col("_t").cast("double") - matched["_matched_ts"].cast("double")
-        ) <= F.lit(float(tolerance_seconds))
-        matched = F.when(fresh, matched)
+    wf = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.col("_t").cast("double")
+
+    def _within(m, dist):
+        if tolerance_seconds is None:
+            return m
+        return F.when(dist(m) <= F.lit(float(tolerance_seconds)), m)
+
+    bwd = F.last("_payload", ignorenulls=True).over(wb)
+    b_dist = lambda m: t - m["_matched_ts"].cast("double")
+    if direction == "backward":
+        matched = _within(bwd, b_dist)
+    else:
+        fwd_raw = F.first("_payload", ignorenulls=True).over(wf)
+        # equal-ts right rows sort before the left row, so the forward
+        # frame misses them — the distance-0 backward match stands in
+        fwd = F.when(b_dist(bwd) == 0, bwd).otherwise(fwd_raw)
+        f_dist = lambda m: m["_matched_ts"].cast("double") - t
+        if direction == "forward":
+            matched = _within(fwd, f_dist)
+        else:
+            bq = _within(bwd, b_dist)
+            fq = _within(fwd, f_dist)
+            matched = (
+                F.when(bq.isNull(), fq)
+                .when(fq.isNull(), bq)
+                .when(f_dist(fq) < b_dist(bq), fq)
+                .otherwise(bq)
+            )
 
     out = (
         u.withColumn("_m", matched)

@@ -259,3 +259,70 @@ def test_gql_parser_never_crashes_weirdly(junk):
         parse_gql("MATCH " + junk)
     except ValueError:
         pass  # structured parse/lex error is the contract
+
+
+# --------------------------------------------------------------------------
+# asof_join vs the pandas merge_asof model (operators/timeseries.py)
+# --------------------------------------------------------------------------
+@settings(max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "8")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)), min_size=1, max_size=20
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 50)), min_size=0, max_size=20
+    ),
+    direction=st.sampled_from(["backward", "forward"]),
+    tol=st.sampled_from([None, 5]),
+)
+def test_asof_matches_pandas_model(spark, lefts, rights, direction, tol):
+    """Distinct right timestamps per key (merge_asof's own tie rule is
+    positional, ours is by tiebreak column — dedupe to sidestep that),
+    integer-second timestamps, both directions, with/without tolerance."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from dd_graphdb_spark.operators.timeseries import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    rights = list({(k, s): None for k, s in rights})  # distinct (key, ts)
+    ldf = pd.DataFrame(
+        [(i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)],
+        columns=["lid", "key", "ts"],
+    )
+    rdf = pd.DataFrame(
+        [(k, base + dt.timedelta(seconds=s), float(s)) for (k, s) in rights],
+        columns=["key", "rts", "val"],
+    )
+    sl = spark.createDataFrame(ldf)
+    sr = (
+        spark.createDataFrame(rdf)
+        if len(rdf)
+        else spark.createDataFrame([], "key long, rts timestamp, val double")
+    )
+    got = asof_join(
+        sl, sr, on=["key"], left_ts="ts", right_ts="rts",
+        payload_cols=["val"], tiebreak="val",
+        tolerance_seconds=tol, direction=direction,
+    ).toPandas().set_index("lid")["val"].to_dict()
+
+    if len(rdf):
+        exp_df = pd.merge_asof(
+            ldf.sort_values(["ts", "lid"]),
+            rdf.sort_values("rts"),
+            left_on="ts", right_on="rts", by="key",
+            direction=direction,
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        ).set_index("lid")["val"].to_dict()
+    else:
+        exp_df = {i: None for i in ldf["lid"]}
+
+    def norm(v):
+        return None if v is None or v != v else v  # NaN -> None
+
+    assert {k: norm(v) for k, v in got.items()} == {
+        k: norm(v) for k, v in exp_df.items()
+    }

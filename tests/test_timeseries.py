@@ -85,6 +85,30 @@ def test_asof_tolerance_nulls_stale_matches(spark, trades, quotes):
     assert out.count() == trades.count()
 
 
+def test_asof_forward_and_nearest(spark, trades, quotes):
+    fwd = asof_join(
+        trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+        payload_cols=["price", "qid"], tiebreak="qid", direction="forward",
+    )
+    got = {r["tid"]: r["qid"] for r in fwd.collect()}
+    assert got[1] == 11  # earliest at-or-after
+    assert got[2] == 12  # strictly-forward tie -> least qid
+    assert got[3] == 13  # inclusive equal-ts (via distance-0 backward)
+    assert got[4] is None  # nothing after 10:30
+    assert got[5] is None
+
+    near = asof_join(
+        trades, quotes, on=["key"], left_ts="tts", right_ts="qts",
+        payload_cols=["price", "qid"], tiebreak="qid", direction="nearest",
+    )
+    got = {r["tid"]: r["qid"] for r in near.collect()}
+    assert got[1] == 11  # only forward exists (1s away)
+    assert got[2] == 12  # forward 2s beats backward 3s
+    assert got[3] == 13  # distance 0
+    assert got[4] == 21  # only backward exists
+    assert got[5] is None
+
+
 def test_asof_rejects_payload_collision(spark, trades, quotes):
     with pytest.raises(ValueError, match="collide"):
         asof_join(
