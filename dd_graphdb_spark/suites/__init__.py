@@ -58,20 +58,22 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# Rotation policy (round 4): the never-recorded queries go first (4 new
-# time-series/sampling ops + multimodal_frame_sample, which fell past
-# r03's 50-entry window), followed by everything whose only driver rows
-# are from rounds 1-2 (r03 rotated in the then-unrecorded half; these
-# are the other half, stale since r02). The 5 entries past the 50-cap
-# are the most basic double-green relational scans (point lookup,
-# predicate scan, WHERE tree, DISTINCT, stats) — lowest-risk to leave
-# for the next rotation. Everything recorded in r03 follows.
+# Rotation policy (round 4): the never-recorded queries go first (7 new
+# round-4 ops + multimodal_frame_sample, which fell past r03's 50-entry
+# window), followed by everything whose only driver rows are from
+# rounds 1-2 (r03 rotated in the then-unrecorded half; these are the
+# other half, stale since r02). The 8 entries past the 50-cap are the
+# most basic double-green relational aggregates/scans — lowest-risk to
+# leave for the next rotation. Everything recorded in r03 follows.
 GATE_PRIORITY = [
     # never recorded by any driver round
     "asof_purchase_attribution",
     "events_time_rollup",
     "distinct_exact_vs_approx",
     "sample_stratified_docs",
+    "sample_topk_per_stratum",
+    "sketch_quantile_bounds",
+    "embedding_covariance",
     "multimodal_frame_sample",
     # stale since r02: graph queries / algorithms / dedup / relational
     "gql_match_filter",

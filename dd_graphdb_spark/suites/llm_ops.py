@@ -555,3 +555,46 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's character substrings."""
     payload = M.to_binary_column(_docs(spark, sf_dir), "text", "doc_id")
     return M.sample_frames(payload, every_n=2, frame_bytes=128)
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance (operators/embedding.py): second-order statistics
+# in one scan — decimal-exact Σx, Σxy partials, fixed final double
+# expression. The oracle restates the identical arithmetic per pair.
+# The full-width gram/PCA path (Arrow partials + driver eigh) is
+# pytest-checked in tests/test_embedding.py (eigendecomposition is not
+# SQL-expressible).
+# ---------------------------------------------------------------------------
+_COV_DIMS = [1, 2, 3, 4]
+
+
+def _cov_oracle() -> str:
+    xs = ", ".join(
+        f"CAST(CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(18,6)) AS x{i}"
+        for i in _COV_DIMS
+    )
+    sums = ", ".join(f"SUM(x{i}) AS s{i}" for i in _COV_DIMS)
+    prods = ", ".join(
+        f"SUM(x{i} * x{j}) AS p{i}_{j}"
+        for a, i in enumerate(_COV_DIMS)
+        for j in _COV_DIMS[a:]
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, "
+        f"ROUND((CAST(p{i}_{j} AS DOUBLE) - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE) / n) / n, 6) AS cov "
+        f"FROM s"
+        for a, i in enumerate(_COV_DIMS)
+        for j in _COV_DIMS[a:]
+    )
+    return f"""
+    WITH t AS (SELECT {xs} FROM embeddings),
+    s AS (SELECT COUNT(*) AS n, {sums}, {prods} FROM t)
+    {rows}
+    """
+
+
+@_q("embedding_covariance", _cov_oracle())
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.operators.embedding import covariance_pairs
+
+    return covariance_pairs(_emb(spark, sf_dir), "embedding", _COV_DIMS)

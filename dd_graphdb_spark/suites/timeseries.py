@@ -222,3 +222,78 @@ def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(
         F.count("*").alias("n_kept"), F.sum("n_chars").alias("chars_kept")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch acceptance: exact continuous percentiles next to the
+# Greenwald-Khanna percentile_approx with an acceptance bound — the
+# sketch route for percentile monitoring at 100 TB (exact percentile
+# sorts every value; GK ships bounded-size summaries). Oracle asserts
+# the exact values AND that the sketch landed inside the bound.
+# ---------------------------------------------------------------------------
+@_q(
+    "sketch_quantile_bounds",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90,
+           1 AS approx_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sketch_quantile_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("_e50"),
+        F.percentile("value", 0.9).alias("_e90"),
+        F.percentile_approx("value", 0.5, 10000).alias("_a50"),
+        F.percentile_approx("value", 0.9, 10000).alias("_a90"),
+    )
+    ok = (F.abs(F.col("_a50") - F.col("_e50")) <= 0.02 * F.abs(F.col("_e50")) + 0.5) & (
+        F.abs(F.col("_a90") - F.col("_e90")) <= 0.02 * F.abs(F.col("_e90")) + 0.5
+    )
+    return agg.select(
+        "event_type",
+        F.round("_e50", 6).alias("p50"),
+        F.round("_e90", 6).alias("p90"),
+        F.when(ok, 1).otherwise(0).alias("approx_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-stratum top-k sample: the k docs with the smallest
+# content-hash buckets per language — a fixed-size, reproducible,
+# engine-portable split (the "take k examples per language" eval-set
+# pattern). One shuffle on the stratum, k rows out per stratum.
+# ---------------------------------------------------------------------------
+_TOPK_PER_STRATUM = 3
+
+
+@_q(
+    "sample_topk_per_stratum",
+    f"""
+    SELECT lang, doc_id
+    FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= {_TOPK_PER_STRATUM}
+    """,
+)
+def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dd_graphdb_spark.operators.sampling import hash_bucket
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = Window.partitionBy("lang").orderBy(hash_bucket(F.col("doc_id")), "doc_id")
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= _TOPK_PER_STRATUM)
+        .select("lang", "doc_id")
+    )
