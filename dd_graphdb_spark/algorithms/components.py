@@ -55,30 +55,29 @@ def _connected_components_loop(g: PropertyGraph, max_iterations: int = 50) -> Da
     comp = _materialize(verts.withColumn("component", F.col("id")))
     prev_sum = None
     for _ in range(max_iterations):
+        # pointer-jumping shortcut first (FastSV's stale-grandparent
+        # form): gp(v) = comp(comp(v)) from the PREVIOUS round's
+        # materialized labels. Labels are vertex ids of the same
+        # component, so the |V|-row self-join resolves each label to its
+        # label's label — reach doubles per round (log-diameter
+        # convergence) with a single checkpoint per round.
+        parents = comp.select(
+            F.col("id").alias("component"), F.col("component").alias("gp")
+        )
+        gp = comp.join(parents, "component", "left").select(
+            "id", F.coalesce("gp", "component").alias("component")
+        )
         nbr_min = (
-            comp.join(sym, comp.id == sym.src)
+            gp.join(sym, gp.id == sym.src)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        stepped = _materialize(
-            comp.join(nbr_min, "id", "left").select(
+        comp = _materialize(
+            gp.join(nbr_min, "id", "left").select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
-            )
-        )
-        # pointer-jumping shortcut: comp(v) ← comp(comp(v)). Labels are
-        # vertex ids of the same component, so the |V|-row self-join
-        # resolves each label to its label's label — reach doubles per
-        # round (log-diameter convergence). left+coalesce keeps vertices
-        # whose label row lands in the other join side's null space safe.
-        parents = stepped.select(
-            F.col("id").alias("component"), F.col("component").alias("gp")
-        )
-        comp = _materialize(
-            stepped.join(parents, "component", "left").select(
-                "id", F.coalesce("gp", "component").alias("component")
             )
         )
         # labels are monotonically non-increasing → equal sums ⇔ fixpoint
@@ -123,27 +122,25 @@ def _strongly_connected_components_loop(
         color = _materialize(remaining_v.withColumn("color", F.col("id")))
         prev_sum = None
         for _ in range(max_iterations):
-            nbr = (
-                color.join(remaining_e, color.id == remaining_e.src)
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.min("color").alias("nbr_color"))
-            )
-            stepped = _materialize(
-                color.join(nbr, "id", "left").select(
-                    "id",
-                    F.least(F.col("color"), F.coalesce("nbr_color", "color")).alias("color"),
-                )
-            )
             # pointer-jumping shortcut (see _connected_components_loop):
             # color(v)=u means u reaches v, and color(u)=w means w reaches
             # u, so w reaches v — color(color(v)) keeps the invariant for
             # directed reachability coloring too.
-            parents = stepped.select(
+            parents = color.select(
                 F.col("id").alias("color"), F.col("color").alias("gp")
             )
+            gp = color.join(parents, "color", "left").select(
+                "id", F.coalesce("gp", "color").alias("color")
+            )
+            nbr = (
+                gp.join(remaining_e, gp.id == remaining_e.src)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("color").alias("nbr_color"))
+            )
             color = _materialize(
-                stepped.join(parents, "color", "left").select(
-                    "id", F.coalesce("gp", "color").alias("color")
+                gp.join(nbr, "id", "left").select(
+                    "id",
+                    F.least(F.col("color"), F.coalesce("nbr_color", "color")).alias("color"),
                 )
             )
             cur_sum = color.agg(F.sum("color")).collect()[0][0]
