@@ -74,6 +74,7 @@ GATE_PRIORITY = [
     "sample_topk_per_stratum",
     "sketch_quantile_bounds",
     "embedding_covariance",
+    "stream_live_interval_join",
     "multimodal_frame_sample",
     # stale since r02: graph queries / algorithms / dedup / relational
     "gql_match_filter",

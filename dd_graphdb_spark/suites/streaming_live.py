@@ -163,3 +163,53 @@ def stream_live_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = count_window_agg(events_stream(spark, sf_dir), size=5)
     return run_to_memory(s, output_mode="append")
+
+
+@_q(
+    "stream_live_interval_join",
+    f"""
+    WITH p AS (
+        SELECT user_id, ts AS pts, event_id AS pid
+        FROM {EVENTS_US} WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS cts, event_id AS cid
+        FROM {EVENTS_US} WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.pid, c.cid
+    FROM p JOIN c
+      ON c.user_id = p.user_id
+     AND c.cts <= p.pts
+     AND c.cts >= p.pts - INTERVAL 1 DAY
+    """,
+)
+def stream_live_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (two live readStream sources): each
+    purchase joins every click by the same user within the preceding
+    day. Watermarks on BOTH sides + the two-sided time constraint are
+    what lets Spark expire join state — the unbounded-state hazard of
+    stream-stream joins at 100 TB. Append mode emits matches once."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid"))
+        .withWatermark("pts", "10 minutes")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("cts"),
+            F.col("event_id").alias("cid"),
+        )
+        .withWatermark("cts", "10 minutes")
+    )
+    j = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 DAY")),
+        "inner",
+    ).select("user_id", "pid", "cid")
+    return run_to_memory(j, output_mode="append")
