@@ -75,6 +75,7 @@ GATE_PRIORITY = [
     "sketch_quantile_bounds",
     "embedding_covariance",
     "stream_live_interval_join",
+    "fn_json_props",
     "multimodal_frame_sample",
     # stale since r02: graph queries / algorithms / dedup / relational
     "gql_match_filter",

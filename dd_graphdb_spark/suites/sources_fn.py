@@ -134,3 +134,30 @@ def fn_geo_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("region_code")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON property extraction (PropertyValue <-> JSON conversion,
+# stream_transform.rs:335-377): parse the events.props JSON payload with
+# a typed schema (from_json stays inside codegen - no Python), extract
+# the numeric property, aggregate per decile.
+# ---------------------------------------------------------------------------
+@_q(
+    "fn_json_props",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_decile,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY 1
+    """,
+)
+def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsed = _events(spark, sf_dir).select(
+        F.from_json("props", "k BIGINT").alias("p")
+    )
+    return (
+        parsed.select((F.col("p.k") % 10).alias("k_decile"), F.col("p.k").alias("k"))
+        .groupBy("k_decile")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
+    )
