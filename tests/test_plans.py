@@ -71,3 +71,79 @@ def test_brute_force_topk_broadcasts_query_side(spark):
     p = plan(spark, "sim_cosine_topk")
     assert "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_asof_join_single_sort_no_nested_loop(spark):
+    p = plan(spark, "asof_purchase_attribution")
+    # the union+window formulation must not degrade to an inequality
+    # join (nested-loop / cartesian) ...
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    # ... and both window frames must share ONE partition sort on the
+    # key: exactly one Window node, fed by exactly one sort+exchange
+    assert p.count("Window") >= 1
+    import re
+
+    sorts = [l for l in p.splitlines() if re.match(r"^\(\d+\) Sort", l.strip())]
+    assert len(sorts) == 1, sorts
+
+
+def _tree_nodes(p):
+    """Operator names from the formatted plan's tree section (the
+    details section repeats every name, so raw substring counts lie)."""
+    import re
+
+    out = []
+    for l in p.splitlines():
+        m = re.match(r"^[\s:+*-]*\(\d+\)\s+([A-Za-z]+)", l)
+        if m:
+            out.append(m.group(1))
+    return out
+
+
+def test_time_rollup_single_scan(spark):
+    nodes = _tree_nodes(plan(spark, "events_time_rollup"))
+    # every grain comes out of ONE parquet scan (Expand + partial agg)
+    assert nodes.count("Scan") == 1, nodes
+    assert "Expand" in nodes
+    assert "partial" in plan(spark, "events_time_rollup").lower()
+
+
+def test_sampling_no_shuffle_before_aggregate(spark):
+    nodes = _tree_nodes(plan(spark, "sample_stratified_docs"))
+    # hash-bucket selection is row-local: exactly the one aggregation
+    # exchange, no repartition/sort before it
+    assert nodes.count("Exchange") == 1, nodes
+    assert "Sort" not in nodes
+
+
+def test_interval_join_uses_time_bounds(spark):
+    """Stream-stream interval join, checked on its batch shape: the
+    equi-key must be the join key (hash join), the time bounds the
+    residual condition — not a nested-loop over the cross product."""
+    import __spark_entry__ as E
+    from pyspark.sql import functions as F
+
+    from dd_graphdb_spark.graph import read_events
+
+    ev = read_events(spark, SF)
+    p_side = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    c_side = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    j = p_side.join(
+        c_side,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 DAY")),
+        "inner",
+    )
+    p = j._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
