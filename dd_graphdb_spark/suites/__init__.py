@@ -76,6 +76,7 @@ GATE_PRIORITY = [
     "embedding_covariance",
     "stream_live_interval_join",
     "fn_json_props",
+    "view_incremental_triangles",
     "multimodal_frame_sample",
     # stale since r02: graph queries / algorithms / dedup / relational
     "gql_match_filter",

@@ -371,3 +371,50 @@ def view_incremental_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta_map={"events_by_type": lambda b: b.select("event_type", "value")},
     )
     return catalog.read("events_by_type").select("event_type", "n", "total")
+
+
+# ---------------------------------------------------------------------------
+# Triangle-count view maintained incrementally (beyond the reference's
+# four maintained analytics; same contract). Batch 1 builds K4 on
+# {1,2,3,4} (4 triangles); batch 2 removes (1,2) and adds (4,5),(5,1)
+# — net: 2 triangles from the K4 remnant plus {1,4,5}. The oracle
+# enumerates a<b<c wedge-closures over the net undirected edge set.
+# ---------------------------------------------------------------------------
+_TRI_B1 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+_TRI_B2_ADDS = [(4, 5), (5, 1)]
+_TRI_B2_REMOVES = [(1, 2)]
+
+
+def _tri_oracle() -> str:
+    net = sorted((set(_TRI_B1) | set(_TRI_B2_ADDS)) - set(_TRI_B2_REMOVES))
+    evals = ", ".join(f"({s}, {d})" for s, d in net)
+    return f"""
+    WITH e(src, dst) AS (VALUES {evals}),
+    und AS (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM e WHERE src <> dst
+    ),
+    tri AS (
+        SELECT COUNT(*)::BIGINT AS triangle_count
+        FROM und xy JOIN und yz ON xy.b = yz.a
+        JOIN und xz ON xz.a = xy.a AND xz.b = yz.b
+    )
+    SELECT triangle_count, (SELECT COUNT(*)::BIGINT FROM und) AS edge_count
+    FROM tri
+    """
+
+
+@_q("view_incremental_triangles", _tri_oracle())
+def view_incremental_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.views import IncrementalTriangles
+
+    state = IncrementalTriangles(spark, tempfile.mkdtemp(prefix="itri_"))
+    state.apply_edge_deltas(spark.createDataFrame(_TRI_B1, "src long, dst long"))
+    state.apply_edge_deltas(
+        spark.createDataFrame(
+            [(s, d, 1) for s, d in _TRI_B2_ADDS]
+            + [(s, d, -1) for s, d in _TRI_B2_REMOVES],
+            "src long, dst long, _sign int",
+        )
+    )
+    return state.result()

@@ -9,6 +9,7 @@ from dd_graphdb_spark.views.incremental import (
     IncrementalDegreeCentrality,
     IncrementalPageRank,
     IncrementalSSSP,
+    IncrementalTriangles,
 )
 from dd_graphdb_spark.views.router import QueryPattern, QueryRouter, RoutingDecision
 
@@ -21,6 +22,7 @@ __all__ = [
     "IncrementalDegreeCentrality",
     "IncrementalPageRank",
     "IncrementalSSSP",
+    "IncrementalTriangles",
     "QueryPattern",
     "QueryRouter",
     "RoutingDecision",

@@ -285,6 +285,29 @@ class IncrementalConnectivity(_EdgeState):
         )
 
 
+class IncrementalTriangles(_EdgeState):
+    """Triangle-count view over maintained adjacency — beyond the
+    reference's four maintained analytics (connectivity / PageRank /
+    shortest-path / degree, incremental_engine.rs:1082-1326) but the
+    same maintenance contract: state merged per changeset, algorithm
+    re-run bounded by the maintained graph, never re-derived from base
+    tables. Result: one row (triangle_count, edge_count)."""
+
+    def result(self) -> DataFrame:
+        from dd_graphdb_spark.algorithms.structure import triangle_count
+
+        g = self.graph()
+        tri = triangle_count(g)
+        und = (
+            g.edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        return tri.crossJoin(und.agg(F.count("*").alias("edge_count")))
+
+
 class IncrementalSSSP(_EdgeState):
     """Shortest-path view: dist + "a->b->c" path + path_length over
     maintained weighted adjacency (compute_shortest_path,
