@@ -247,14 +247,18 @@ def materialized_tpch_graph(
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
     g = tpch_graph(spark, sf_dir)
-    # table names carry a digest of (sf_dir, buckets): a second call with
-    # a different sf_dir (or a concurrent session on a shared warehouse)
-    # gets its own tables instead of silently rewriting — and
-    # invalidating — the ones earlier cached PropertyGraphs resolve by
-    # name at action time
+    # table names carry a digest of (pid, sf_dir, buckets): a second
+    # call with a different sf_dir gets its own tables instead of
+    # silently rewriting — and invalidating — the ones earlier cached
+    # PropertyGraphs resolve by name at action time; the pid isolates
+    # concurrent PROCESSES sharing one warehouse dir (two local runs
+    # drop/rewrite each other's tables mid-read otherwise — observed as
+    # a reader hang). Cost: throwaway local runs leave per-pid table
+    # dirs behind; on a real cluster the layout build is a named ETL
+    # step, not a per-process side effect.
     import hashlib
 
-    digest = hashlib.sha1(f"{sf_dir}|{buckets}".encode()).hexdigest()[:10]
+    digest = hashlib.sha1(f"{os.getpid()}|{sf_dir}|{buckets}".encode()).hexdigest()[:10]
     vname = f"graft_graph_vertices_{digest}"
     ename = f"graft_graph_edges_{digest}"
     # a previous session may have left the managed-table location behind
