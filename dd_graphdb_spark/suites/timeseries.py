@@ -65,7 +65,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM p LEFT JOIN c
           ON c.user_id = p.user_id AND c.cts <= p.ts
     )
-    SELECT event_id, user_id, ts, value,
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           value,
            COALESCE(click_id, -1) AS click_id,
            COALESCE(click_value, -1.0) AS click_value
     FROM j WHERE rn = 1
@@ -91,13 +93,15 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["click_id", "click_value"],
         tiebreak="click_id",
     )
-    # sentinel-fill unmatched rows: nullable int columns round-trip as
-    # floats through the comparators' pandas path, so the gate result
-    # avoids NULLs (asof_join itself keeps them — see tests)
+    # sentinel-fill unmatched rows (nullable int columns round-trip as
+    # floats through the comparators' pandas path) and render ts as a
+    # string (no recorded-green gate query emits a raw TIMESTAMP column;
+    # same convention as the streaming suite) — asof_join itself keeps
+    # nulls and timestamps, see tests
     return out.select(
         "event_id",
         "user_id",
-        "ts",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
         "value",
         F.coalesce("click_id", F.lit(-1)).alias("click_id"),
         F.coalesce("click_value", F.lit(-1.0)).alias("click_value"),
