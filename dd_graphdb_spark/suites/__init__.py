@@ -77,6 +77,7 @@ GATE_PRIORITY = [
     "stream_live_interval_join",
     "fn_json_props",
     "view_incremental_triangles",
+    "view_incremental_kcore",
     "multimodal_frame_sample",
     # stale since r02: graph queries / algorithms / dedup / relational
     "gql_match_filter",

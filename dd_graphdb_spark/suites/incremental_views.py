@@ -418,3 +418,65 @@ def view_incremental_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return state.result()
+
+
+# ---------------------------------------------------------------------------
+# K-core membership view maintained incrementally (k_core itself:
+# graph/algorithms/src/lib.rs:46-82). Batch 1 = K4 on {1,2,3,4} plus a
+# degree-1 tail (4,5); batch 2 removes (1,2) and attaches 5 to {1,2} —
+# net: every vertex reaches degree >= 3, so the 3-core grows from the
+# K4 to all 5 vertices. The oracle value comes from an independent
+# in-suite peeling model over the net edge set (k-core peeling is
+# iterated deletion — not expressible as a recursive CTE with
+# aggregation), evaluated at definition time.
+# ---------------------------------------------------------------------------
+_KCORE_K = 3
+_KCORE_B1 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+_KCORE_B2_ADDS = [(5, 1), (5, 2)]
+_KCORE_B2_REMOVES = [(1, 2)]
+
+
+def _kcore_model() -> tuple[int, int]:
+    und = {
+        tuple(sorted(e))
+        for e in (set(_KCORE_B1) | set(_KCORE_B2_ADDS)) - set(_KCORE_B2_REMOVES)
+    }
+    verts = {v for e in und for v in e}
+    while True:
+        deg = {v: 0 for v in verts}
+        for a, b in und:
+            if a in verts and b in verts:
+                deg[a] += 1
+                deg[b] += 1
+        drop = {v for v, d in deg.items() if d < _KCORE_K}
+        if not drop:
+            return len(verts), len(und)
+        verts -= drop
+        und = {e for e in und if e[0] in verts and e[1] in verts}
+
+
+_KCORE_SIZE, _KCORE_EDGES = _kcore_model()
+# edge_count in the view result is the MAINTAINED undirected edge set
+# (pre-peel), matching IncrementalTriangles' metadata semantics
+_KCORE_NET_EDGES = len(
+    {tuple(sorted(e)) for e in (set(_KCORE_B1) | set(_KCORE_B2_ADDS)) - set(_KCORE_B2_REMOVES)}
+)
+
+
+@_q(
+    "view_incremental_kcore",
+    f"SELECT {_KCORE_SIZE}::BIGINT AS core_size, {_KCORE_NET_EDGES}::BIGINT AS edge_count",
+)
+def view_incremental_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.views import IncrementalKCore
+
+    state = IncrementalKCore(spark, tempfile.mkdtemp(prefix="ikcore_"), k=_KCORE_K)
+    state.apply_edge_deltas(spark.createDataFrame(_KCORE_B1, "src long, dst long"))
+    state.apply_edge_deltas(
+        spark.createDataFrame(
+            [(s, d, 1) for s, d in _KCORE_B2_ADDS]
+            + [(s, d, -1) for s, d in _KCORE_B2_REMOVES],
+            "src long, dst long, _sign int",
+        )
+    )
+    return state.result()

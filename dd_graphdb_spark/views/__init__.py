@@ -7,6 +7,7 @@ from dd_graphdb_spark.views.incremental import (
     IncrementalAggState,
     IncrementalConnectivity,
     IncrementalDegreeCentrality,
+    IncrementalKCore,
     IncrementalPageRank,
     IncrementalSSSP,
     IncrementalTriangles,
@@ -20,6 +21,7 @@ __all__ = [
     "IncrementalAggState",
     "IncrementalConnectivity",
     "IncrementalDegreeCentrality",
+    "IncrementalKCore",
     "IncrementalPageRank",
     "IncrementalSSSP",
     "IncrementalTriangles",

@@ -308,6 +308,34 @@ class IncrementalTriangles(_EdgeState):
         return tri.crossJoin(und.agg(F.count("*").alias("edge_count")))
 
 
+class IncrementalKCore(_EdgeState):
+    """K-core membership view over maintained adjacency (same contract
+    as IncrementalTriangles; the reference's k-core itself is
+    graph/algorithms/src/lib.rs:46-82). Result: one row
+    (core_size, edge_count) — the surviving-vertex count of the k-core
+    plus the maintained undirected edge count."""
+
+    def __init__(self, spark: SparkSession, path: str, k: int):
+        super().__init__(spark, path)
+        self.k = k
+
+    def result(self) -> DataFrame:
+        from dd_graphdb_spark.algorithms.structure import k_core
+
+        g = self.graph()
+        core = k_core(g, self.k)
+        und = (
+            g.edges.select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        return core.agg(F.count("*").alias("core_size")).crossJoin(
+            und.agg(F.count("*").alias("edge_count"))
+        )
+
+
 class IncrementalSSSP(_EdgeState):
     """Shortest-path view: dist + "a->b->c" path + path_length over
     maintained weighted adjacency (compute_shortest_path,
