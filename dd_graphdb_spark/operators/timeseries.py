@@ -35,6 +35,7 @@ def asof_join(
     tiebreak: str | None = None,
     tolerance_seconds: float | None = None,
     direction: str = "backward",
+    hot_key_bucket_seconds: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the matching right row
     sharing the ``on`` keys (pandas ``merge_asof`` semantics,
@@ -53,6 +54,17 @@ def asof_join(
     frame ends at it, the forward frame starts at it).
     ``tolerance_seconds``: matches farther than the tolerance are nulled
     out (the payload, not the left row).
+
+    ``hot_key_bucket_seconds``: optional two-level mode for skewed keys.
+    The default windows partition by key alone, so ONE task sorts a hot
+    key's entire history. With a bucket width set, windows partition by
+    (key, time-bucket) — per-task rows bounded by bucket population —
+    and cross-bucket matches come from an output-bounded carry table
+    (one row per non-empty (key, bucket): the bucket's last/first right
+    payload, running-carried across buckets per key, joined back). The
+    same two-level shape as the late-event watermark fix; results are
+    identical to the single-level plan (covered by the pandas
+    model-check and the fixture equivalence test).
 
     Returns the left rows (original columns) plus the payload columns.
     """
@@ -85,16 +97,48 @@ def asof_join(
     )
     u = l.unionByName(r, allowMissingColumns=True)
 
+    part: list = list(on)
+    if hot_key_bucket_seconds is not None:
+        width = float(hot_key_bucket_seconds)
+        u = u.withColumn("_bkt", F.floor(F.col("_t").cast("double") / width))
+        part = [*on, "_bkt"]
+        # carry table: per non-empty (key, bucket), the bucket's
+        # last/first RIGHT payload (max_by/min_by skip the left rows'
+        # null ordering), then running-carry across buckets per key —
+        # the per-key window here holds #buckets rows, not data rows
+        is_right = F.col("_side") == 0
+        summ = u.groupBy(*on, "_bkt").agg(
+            F.max_by("_payload", F.when(is_right, F.struct("_t", "_tb"))).alias("_last_r"),
+            F.min_by("_payload", F.when(is_right, F.struct("_t", "_tb"))).alias("_first_r"),
+        )
+        wprev = (
+            Window.partitionBy(*on)
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        wnext = (
+            Window.partitionBy(*on)
+            .orderBy("_bkt")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carry = summ.select(
+            *on,
+            "_bkt",
+            F.last("_last_r", ignorenulls=True).over(wprev).alias("_prev"),
+            F.first("_first_r", ignorenulls=True).over(wnext).alias("_next"),
+        )
+        u = u.join(carry, [*on, "_bkt"], "left")
+
     # both frames share one partition sort — Spark plans a single
     # shuffle + sort for the two window columns
     order = [F.col("_t").asc(), F.col("_side").asc(), F.col("_tb").asc()]
     wb = (
-        Window.partitionBy(*on)
+        Window.partitionBy(*part)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     wf = (
-        Window.partitionBy(*on)
+        Window.partitionBy(*part)
         .orderBy(*order)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
@@ -106,11 +150,15 @@ def asof_join(
         return F.when(dist(m) <= F.lit(float(tolerance_seconds)), m)
 
     bwd = F.last("_payload", ignorenulls=True).over(wb)
+    if hot_key_bucket_seconds is not None:
+        bwd = F.coalesce(bwd, F.col("_prev"))
     b_dist = lambda m: t - m["_matched_ts"].cast("double")
     if direction == "backward":
         matched = _within(bwd, b_dist)
     else:
         fwd_raw = F.first("_payload", ignorenulls=True).over(wf)
+        if hot_key_bucket_seconds is not None:
+            fwd_raw = F.coalesce(fwd_raw, F.col("_next"))
         # equal-ts right rows sort before the left row, so the forward
         # frame misses them — the distance-0 backward match stands in
         fwd = F.when(b_dist(bwd) == 0, bwd).otherwise(fwd_raw)

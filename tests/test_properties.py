@@ -276,8 +276,9 @@ def test_gql_parser_never_crashes_weirdly(junk):
     ),
     direction=st.sampled_from(["backward", "forward"]),
     tol=st.sampled_from([None, 5]),
+    bucket=st.sampled_from([None, 7.0]),
 )
-def test_asof_matches_pandas_model(spark, lefts, rights, direction, tol):
+def test_asof_matches_pandas_model(spark, lefts, rights, direction, tol, bucket):
     """Distinct right timestamps per key (merge_asof's own tie rule is
     positional, ours is by tiebreak column — dedupe to sidestep that),
     integer-second timestamps, both directions, with/without tolerance."""
@@ -307,6 +308,8 @@ def test_asof_matches_pandas_model(spark, lefts, rights, direction, tol):
         sl, sr, on=["key"], left_ts="ts", right_ts="rts",
         payload_cols=["val"], tiebreak="val",
         tolerance_seconds=tol, direction=direction,
+        hot_key_bucket_seconds=bucket,  # None = single-level; 7 s forces
+        # cross-bucket carries (timestamps span 0-50 s)
     ).toPandas().set_index("lid")["val"].to_dict()
 
     if len(rdf):

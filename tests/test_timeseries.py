@@ -109,6 +109,23 @@ def test_asof_forward_and_nearest(spark, trades, quotes):
     assert got[5] is None
 
 
+def test_asof_bucketed_equals_single_level(spark, trades, quotes):
+    """The two-level hot-key plan returns exactly the single-level
+    result in every direction (2-second buckets force cross-bucket
+    carries on this fixture)."""
+    for direction in ("backward", "forward", "nearest"):
+        kw = dict(
+            on=["key"], left_ts="tts", right_ts="qts",
+            payload_cols=["price", "qid"], tiebreak="qid", direction=direction,
+        )
+        single = asof_join(trades, quotes, **kw)
+        bucketed = asof_join(trades, quotes, hot_key_bucket_seconds=2.0, **kw)
+        norm = lambda df: sorted(
+            (r["tid"], r["price"], r["qid"]) for r in df.collect()
+        )
+        assert norm(bucketed) == norm(single), direction
+
+
 def test_asof_rejects_payload_collision(spark, trades, quotes):
     with pytest.raises(ValueError, match="collide"):
         asof_join(
