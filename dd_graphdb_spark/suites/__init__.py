@@ -78,6 +78,7 @@ GATE_PRIORITY = [
     "fn_json_props",
     "view_incremental_triangles",
     "view_incremental_kcore",
+    "embedding_pca_project",
     "multimodal_frame_sample",
     # stale since r02: graph queries / algorithms / dedup / relational
     "gql_match_filter",

@@ -598,3 +598,21 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_graphdb_spark.operators.embedding import covariance_pairs
 
     return covariance_pairs(_emb(spark, sf_dir), "embedding", _COV_DIMS)
+
+
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 PCA projection of the embeddings table (gram partials via
+    Arrow mapInPandas + driver eigh + literal-matrix projection).
+    Deliberately oracle-less: eigendecomposition is not SQL-expressible,
+    so the gate records the rows-only check — the numeric semantics are
+    model-checked against numpy in tests/test_embedding.py."""
+    from dd_graphdb_spark.operators.embedding import pca_project
+
+    emb = _emb(spark, sf_dir)
+    d = len(emb.select("embedding").first()["embedding"])
+    return pca_project(emb, "embedding", d, k=2).select(
+        "vec_id", F.round("pc0", 6).alias("pc0"), F.round("pc1", 6).alias("pc1")
+    )
+
+
+QUERIES["embedding_pca_project"] = embedding_pca_project
