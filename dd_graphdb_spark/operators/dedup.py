@@ -282,6 +282,42 @@ def minhash_lsh_pairs(
     )
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup resolution: MinHash-LSH verified pairs →
+    connected components over the pair graph → survivor (min id) per
+    cluster. Returns (doc_id, keep_id) for every doc in at least one
+    near-dup pair; docs without a near-dup are their own survivors and
+    are omitted (the output is duplicate-resolution-sized, not
+    corpus-sized — at 100 TB the pair graph is orders of magnitude
+    smaller than the corpus, and the component fixpoint runs on it,
+    never on the corpus)."""
+    from dd_graphdb_spark.algorithms.components import connected_components
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    pairs = minhash_lsh_pairs(df, threshold, text_col, id_col, n)
+    verts = (
+        pairs.select(F.col("a").alias("id"))
+        .union(pairs.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    g = PropertyGraph(
+        verts,
+        pairs.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), F.lit("dup").alias("label")
+        ),
+    )
+    comp = connected_components(g)
+    return comp.select(
+        F.col("id").alias(id_col), F.col("component").alias("keep_id")
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3, bits: int = 16
 ) -> DataFrame:

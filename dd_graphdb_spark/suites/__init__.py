@@ -79,6 +79,7 @@ GATE_PRIORITY = [
     "view_incremental_triangles",
     "view_incremental_kcore",
     "embedding_pca_project",
+    "dedup_cluster_survivors",
     "multimodal_frame_sample",
     # stale since r02: graph queries / algorithms / dedup / relational
     "gql_match_filter",

@@ -147,7 +147,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(_docs(spark, sf_dir))
 
 
-def _sql_lsh_pairs() -> str:
+def _sql_lsh_ctes() -> str:
+    """bands/cand/sizes/inter CTEs + a ``pairs`` CTE holding the
+    verified pair set (shared by the pair query and the clustering
+    oracle)."""
     k = len(MINHASH_PARAMS)
     bands = " UNION ALL ".join(
         f"SELECT id, {bi} AS band, h{bi*2}::VARCHAR || '_' || h{bi*2+1}::VARCHAR AS bucket FROM sig"
@@ -164,11 +167,52 @@ inter AS (
     SELECT c.a, c.b, COUNT(*) AS inter
     FROM cand c JOIN sh sx ON sx.id = c.a JOIN sh sy ON sy.id = c.b AND sx.x = sy.x
     GROUP BY c.a, c.b
+),
+pairs AS (
+    SELECT i.a, i.b, ROUND(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON i.a = sa.id JOIN sizes sb ON i.b = sb.id
+    WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= {JACCARD_THRESHOLD}
 )
-SELECT i.a, i.b, ROUND(i.inter::DOUBLE / (sa.sz + sb.sz - i.inter), 6) AS jaccard
-FROM inter i JOIN sizes sa ON i.a = sa.id JOIN sizes sb ON i.b = sb.id
-WHERE i.inter::DOUBLE / (sa.sz + sb.sz - i.inter) >= {JACCARD_THRESHOLD}
 """
+
+
+def _sql_lsh_pairs() -> str:
+    return _sql_lsh_ctes() + "SELECT a, b, jaccard FROM pairs"
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster resolution: LSH pairs -> connected components ->
+# min-id survivor per cluster. The oracle closes the pair graph with a
+# recursive min-label fixpoint over the same pairs CTE the LSH oracle
+# verifies.
+# ---------------------------------------------------------------------------
+def _sql_cluster() -> str:
+    return _sql_lsh_ctes() + """,
+sym AS (
+    SELECT a AS src, b AS dst FROM pairs
+    UNION SELECT b, a FROM pairs
+),
+verts AS (SELECT DISTINCT src AS id FROM sym),
+reach(id, r) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src
+)
+SELECT id AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY id
+"""
+
+
+@_q(
+    "dedup_cluster_survivors",
+    "WITH RECURSIVE "
+    + SQL_SHINGLE_HASHES[1:]
+    + ", "
+    + _sql_minhash_sig()[1:]
+    + ", "
+    + _sql_cluster()[1:],
+)
+def dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.near_dup_clusters(_docs(spark, sf_dir), JACCARD_THRESHOLD)
 
 
 @_q(
