@@ -80,6 +80,8 @@ GATE_PRIORITY = [
     "view_incremental_kcore",
     "embedding_pca_project",
     "dedup_cluster_survivors",
+    "events_sessionize",
+    "window_running_total",
     "multimodal_frame_sample",
     # stale since r02: graph queries / algorithms / dedup / relational
     "gql_match_filter",

@@ -301,3 +301,84 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOPK_PER_STRATUM)
         .select("lang", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: gap > 30 min starts a new session per user
+# (lag + conditional cumulative sum — the standard two-window plan, one
+# shuffle on user_id). Returns per-session aggregates. The streaming
+# equivalent is session_window_agg (streaming/windows.py); this is the
+# backfill/batch path over the same events.
+# ---------------------------------------------------------------------------
+@_q(
+    "events_sessionize",
+    """
+    WITH o AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        FROM o
+    )
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    brk = F.when(gap > 1800.0, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    s = ev.withColumn("brk", brk).withColumn("session_no", F.sum("brk").over(wrun))
+    return s.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Running total per user over event time (cumulative frame — one
+# shuffle + in-partition scan; §2.5 window-function depth beyond the
+# reference's sort+take top-k).
+# ---------------------------------------------------------------------------
+@_q(
+    "window_running_total",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM events
+    WHERE user_id < 10
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_total"),
+    )
