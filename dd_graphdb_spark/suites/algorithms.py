@@ -135,12 +135,51 @@ def algo_pagerank_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return A.pagerank(g, damping=0.85, max_iterations=10, round_to=9)
 
 
-@_q("algo_pagerank_top3")  # rows-only companion on the derived TPC-H graph
+def _pagerank_top3_oracle(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power iterations over the DERIVED TPC-H graph (same
+    expression structure as `_pagerank_oracle`, vertex count dynamic via
+    the `nv` CTE). Both engines round to 9 decimals BEFORE the top-3
+    sort, so ulp-level sum-order differences (doubles summed in
+    different orders across engines, relative ~1e-15 of values ~1e-5)
+    cannot flip the selection — the round-9 grid is ~1e10 ulps wide."""
+    steps = []
+    prev = "pr0"
+    for i in range(1, n_iter + 1):
+        cur = f"pr{i}"
+        steps.append(
+            f"""{cur} AS (
+    SELECT v.id,
+           (1.0::DOUBLE - {damping}::DOUBLE)/nv.n
+             + {damping}::DOUBLE * COALESCE(m.s, 0.0::DOUBLE) AS rank
+    FROM vertices v CROSS JOIN nv LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.rank / o.d) AS s
+        FROM {prev} p JOIN edges e ON p.id = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ) m ON v.id = m.id
+)"""
+        )
+        prev = cur
+    return (
+        GRAPH_CTE
+        + f""",
+    outdeg AS (SELECT src, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src),
+    nv AS (SELECT COUNT(*)::DOUBLE AS n FROM vertices),
+    pr0 AS (SELECT id, 1.0::DOUBLE / nv.n AS rank FROM vertices CROSS JOIN nv),
+    """
+        + ",\n".join(steps)
+        + f"""
+    SELECT id::BIGINT AS id, ROUND(rank, 9) AS rank FROM {prev}
+    ORDER BY rank DESC, id ASC LIMIT 3"""
+    )
+
+
+@_q("algo_pagerank_top3", _pagerank_top3_oracle())
 def algo_pagerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_graphdb_spark.algorithms.pagerank import top_n
 
     g = materialized_tpch_graph(spark, sf_dir)
-    return top_n(A.pagerank(g, max_iterations=5), 3)
+    return top_n(A.pagerank(g, max_iterations=5, round_to=9), 3)
 
 
 # --------------------------------------------------------------------------

@@ -605,9 +605,9 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding covariance (operators/embedding.py): second-order statistics
 # in one scan — decimal-exact Σx, Σxy partials, fixed final double
 # expression. The oracle restates the identical arithmetic per pair.
-# The full-width gram/PCA path (Arrow partials + driver eigh) is
-# pytest-checked in tests/test_embedding.py (eigendecomposition is not
-# SQL-expressible).
+# The full-width gram/PCA path (Arrow partials + driver eigh) is gated
+# by the SQL invariants of `_pca_invariant_oracle` below plus numpy
+# model checks in tests/test_embedding.py.
 # ---------------------------------------------------------------------------
 _COV_DIMS = [1, 2, 3, 4]
 
@@ -644,19 +644,98 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return covariance_pairs(_emb(spark, sf_dir), "embedding", _COV_DIMS)
 
 
+_PCA_D = 8
+
+
+def _pca_invariant_oracle() -> str:
+    """Eigendecomposition is not SQL-expressible, but a full-width PCA
+    (k = d) is fully *pinnable* by SQL invariants on the raw table:
+
+    - row_sqnorm: Σ_i pc_i² per row == ‖x − mean‖² — holds iff the
+      component matrix is orthonormal and spans the subspace and the
+      centering mean is right;
+    - spectrum_p1: Σ_i var(pc_i) == trace(C) (C = population covariance
+      of the 8 dims);
+    - spectrum_p2: Σ_i var(pc_i)² == trace(C²) = ‖C‖²_F. Given p1, the
+      diagonal of VᵀCV is majorized by C's spectrum (Schur–Horn), so
+      Σdiag² ≤ ‖C‖²_F with equality iff VᵀCV is exactly diagonal with
+      the eigenvalues on it — i.e. the axes ARE principal axes with the
+      right spectrum. (Eigenvalue ORDER and signs are convention,
+      checked in tests/test_embedding.py.)
+
+    Spark computes the left-hand sides from the actually-projected
+    columns; DuckDB computes the right-hand sides from the raw
+    embeddings — no eigen machinery crosses the comparison."""
+    dims = list(range(1, _PCA_D + 1))
+    xs = ", ".join(f"CAST(embedding[{i}] AS DOUBLE) AS x{i}" for i in dims)
+    avgs = ", ".join(f"AVG(x{i}) AS a{i}" for i in dims)
+    covs = ", ".join(
+        f"COVAR_POP(x{i}, x{j}) AS c{i}_{j}" for i in dims for j in dims if i <= j
+    )
+    sqnorm = " + ".join(f"(t.x{i} - m.a{i}) * (t.x{i} - m.a{i})" for i in dims)
+    tr1 = " + ".join(f"c{i}_{i}" for i in dims)
+    tr2 = " + ".join(
+        (f"c{i}_{j} * c{i}_{j}" if i == j else f"2.0 * c{i}_{j} * c{i}_{j}")
+        for i in dims
+        for j in dims
+        if i <= j
+    )
+    return f"""
+    WITH t AS (SELECT vec_id, {xs} FROM embeddings),
+    m AS (SELECT {avgs} FROM t),
+    c AS (SELECT {covs} FROM t)
+    SELECT 'row_sqnorm' AS metric, t.vec_id::BIGINT AS k, ROUND({sqnorm}, 6) AS value
+    FROM t CROSS JOIN m
+    UNION ALL
+    SELECT 'spectrum_p1', 0, ROUND({tr1}, 6) FROM c
+    UNION ALL
+    SELECT 'spectrum_p2', 0, ROUND({tr2}, 6) FROM c
+    """
+
+
+@_q("embedding_pca_project", _pca_invariant_oracle())
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-2 PCA projection of the embeddings table (gram partials via
-    Arrow mapInPandas + driver eigh + literal-matrix projection).
-    Deliberately oracle-less: eigendecomposition is not SQL-expressible,
-    so the gate records the rows-only check — the numeric semantics are
-    model-checked against numpy in tests/test_embedding.py."""
+    """Full-width PCA of an 8-dim embedding subspace (gram partials via
+    Arrow mapInPandas + driver eigh + literal-matrix projection), gated
+    by the SQL invariants of `_pca_invariant_oracle`: every output row
+    is a function of the real projected columns, hash-compared against
+    DuckDB's independent restatement over the raw table."""
     from dd_graphdb_spark.operators.embedding import pca_project
 
-    emb = _emb(spark, sf_dir)
-    d = len(emb.select("embedding").first()["embedding"])
-    return pca_project(emb, "embedding", d, k=2).select(
-        "vec_id", F.round("pc0", 6).alias("pc0"), F.round("pc1", 6).alias("pc1")
+    d = _PCA_D
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.slice(F.col("embedding"), 1, d).alias("sub")
     )
-
-
-QUERIES["embedding_pca_project"] = embedding_pca_project
+    proj = pca_project(emb, "sub", d, k=d)
+    pcs = [F.col(f"pc{i}") for i in range(d)]
+    sq = pcs[0] * pcs[0]
+    for c in pcs[1:]:
+        sq = sq + c * c
+    rows = proj.select(
+        F.lit("row_sqnorm").alias("metric"),
+        F.col("vec_id").cast("long").alias("k"),
+        F.round(sq, 6).alias("value"),
+    )
+    variances = proj.agg(*[F.var_pop(f"pc{i}").alias(f"v{i}") for i in range(d)])
+    p1 = F.col("v0")
+    p2 = F.col("v0") * F.col("v0")
+    for i in range(1, d):
+        p1 = p1 + F.col(f"v{i}")
+        p2 = p2 + F.col(f"v{i}") * F.col(f"v{i}")
+    spectrum = variances.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("spectrum_p1").alias("metric"),
+                    F.lit(0).cast("long").alias("k"),
+                    F.round(p1, 6).alias("value"),
+                ),
+                F.struct(
+                    F.lit("spectrum_p2").alias("metric"),
+                    F.lit(0).cast("long").alias("k"),
+                    F.round(p2, 6).alias("value"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.metric", "r.k", "r.value")
+    return rows.unionByName(spectrum)
