@@ -75,6 +75,20 @@ def asof_join(
     overlap = [c for c in payload_cols if c in left.columns]
     if overlap:
         raise ValueError(f"payload columns collide with left side: {overlap}")
+    # internal working columns live flat on the union frame — a left
+    # column with one of these names would silently shadow them
+    reserved = {"_t", "_side", "_payload", "_tb", "_bkt", "_prev", "_next",
+                "_m", "_last_r", "_first_r"}
+    bad = sorted(reserved.intersection(left.columns))
+    if bad:
+        raise ValueError(
+            f"left columns collide with asof_join internals: {bad}; rename them first"
+        )
+    bad = sorted(reserved.union({"_matched_ts"}).intersection(payload_cols))
+    if bad:
+        raise ValueError(
+            f"payload columns collide with asof_join internals: {bad}; rename them first"
+        )
 
     # side marker: right rows sort BEFORE left rows at the same ts so
     # equal timestamps land in the backward frame; the forward frame

@@ -314,7 +314,7 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionize",
     """
     WITH o AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, event_id, ts, value,
                CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
                     OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
         FROM events
@@ -322,7 +322,7 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
         SELECT user_id, ts, value,
-               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+               CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
         FROM o
     )
@@ -337,9 +337,12 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # running sum ordered by (ts, event_id) — ts alone leaves the tie
+    # order (duplicate timestamps at a session boundary) nondeterministic
+    # between engines and across runs
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")

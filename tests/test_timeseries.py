@@ -138,6 +138,27 @@ def test_asof_rejects_payload_collision(spark, trades, quotes):
         )
 
 
+def test_asof_rejects_reserved_internal_columns(spark, trades, quotes):
+    with pytest.raises(ValueError, match="internals"):
+        asof_join(
+            trades.withColumn("_payload", trades.tid),
+            quotes,
+            on=["key"],
+            left_ts="tts",
+            right_ts="qts",
+            payload_cols=["price"],
+        )
+    with pytest.raises(ValueError, match="internals"):
+        asof_join(
+            trades,
+            quotes.withColumnRenamed("price", "_matched_ts"),
+            on=["key"],
+            left_ts="tts",
+            right_ts="qts",
+            payload_cols=["_matched_ts"],
+        )
+
+
 def test_time_rollup_grains_and_gid(spark):
     df = spark.createDataFrame(
         [
