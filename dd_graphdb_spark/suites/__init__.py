@@ -58,15 +58,86 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# Rotation policy (round 4): the never-recorded queries go first (7 new
-# round-4 ops + multimodal_frame_sample, which fell past r03's 50-entry
-# window), followed by everything whose only driver rows are from
-# rounds 1-2 (r03 rotated in the then-unrecorded half; these are the
-# other half, stale since r02). The 8 entries past the 50-cap are the
-# most basic double-green relational aggregates/scans — lowest-risk to
-# leave for the next rotation. Everything recorded in r03 follows.
+# Rotation policy (round 5): the 16 entries whose only driver rows are
+# from round 2 go first, then the 3 whose oracle changed this round
+# (algo_pagerank_top3 and embedding_pca_project gained real oracles;
+# events_sessionize fixed its tie order) — that fills the 50-window
+# along with 31 of the round-3-recorded entries (incremental views,
+# mutations, similarity, alerts, text — the highest-value re-checks,
+# including the two bench-weak queries stream_late_events and
+# sim_cosine_topk). The remaining 19 round-3 entries follow, then the
+# round-4-recorded block; after r5 every query has a driver row ≤2
+# rounds old. NEW queries with oracles must be inserted at the TOP.
 GATE_PRIORITY = [
-    # never recorded by any driver round
+    "group_by_agg_having",
+    "join_revenue_per_region",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "set_union_distinct_nations",
+    "set_intersect_nations",
+    "set_except_nations",
+    "window_topk_per_segment",
+    "window_lag_delta",
+    "rollup_status_priority",
+    "conditional_agg",
+    "point_lookup_customer",
+    "predicate_scan_customers",
+    "where_and_or",
+    "distinct_segments",
+    "db_stats",
+    "algo_pagerank_top3",
+    "embedding_pca_project",
+    "events_sessionize",
+    "view_incremental_connectivity",
+    "view_incremental_degree",
+    "view_incremental_delta",
+    "view_incremental_pagerank",
+    "view_incremental_sssp",
+    "view_incremental_stream",
+    "view_catalog_roundtrip",
+    "view_dependency_topo",
+    "mutation_apply_batch",
+    "mutation_occ_conflict",
+    "mutation_time_travel",
+    "mutation_vacuum_retention",
+    "sim_ann_ivf_indexed",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_cosine_topk",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "alert_anomaly_rule",
+    "alert_pattern_rule",
+    "alert_rate_rule",
+    "alert_threshold_cooldown",
+    "stream_late_events",
+    "stream_changeset_summary",
+    "stream_custom_agg_p90",
+    "stream_dedup_first",
+    "stream_filter_rules",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "fn_geo_enrich",
+    "gql_create_delete",
+    "multimodal_binary_meta",
+    "multimodal_decode_dims",
+    "multimodal_feature_extract",
+    "router_scoring_table",
+    "sketch_count_min_estimates",
+    "source_csv_extraction",
+    "source_json_extraction",
+    "source_regex_extraction",
+    "stream_count_window",
+    "stream_live_count_window",
+    "stream_live_dedup_keys",
+    "stream_live_global",
+    "stream_live_session",
+    "stream_live_tumbling",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
     "asof_purchase_attribution",
     "events_time_rollup",
     "distinct_exact_vs_approx",
@@ -78,12 +149,9 @@ GATE_PRIORITY = [
     "fn_json_props",
     "view_incremental_triangles",
     "view_incremental_kcore",
-    "embedding_pca_project",
     "dedup_cluster_survivors",
-    "events_sessionize",
     "window_running_total",
     "multimodal_frame_sample",
-    # stale since r02: graph queries / algorithms / dedup / relational
     "gql_match_filter",
     "gql_inline_props",
     "gql_match_edge",
@@ -99,7 +167,6 @@ GATE_PRIORITY = [
     "skew_common_neighbors_events",
     "edges_between_lookup",
     "algo_pagerank_fixture",
-    "algo_pagerank_top3",
     "algo_cc_derived",
     "algo_component_count",
     "algo_sssp_fixture",
@@ -118,23 +185,6 @@ GATE_PRIORITY = [
     "dedup_minhash_lsh",
     "q1_pricing_summary",
     "top_n_orders",
-    "group_by_agg_having",
-    "join_revenue_per_region",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "set_union_distinct_nations",
-    "set_intersect_nations",
-    "set_except_nations",
-    "window_topk_per_segment",
-    "window_lag_delta",
-    "rollup_status_priority",
-    "conditional_agg",
-    # past the 50-cap this round (double-green in r1+r2, trivial scans)
-    "point_lookup_customer",
-    "predicate_scan_customers",
-    "where_and_or",
-    "distinct_segments",
-    "db_stats",
 ]
 
 
