@@ -75,6 +75,21 @@ def brute_force_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _seed_frame(emb: DataFrame, n: int, id_col: str, vec_col: str) -> DataFrame:
+    """The ``n`` lowest-id corpus vectors — deterministic seeds for IVF
+    centroids and LSH hyperplanes. ``orderBy + limit`` plans
+    ``TakeOrderedAndProject``: a bounded per-partition top-n heap (n
+    rows of state per task, no shuffle, NO global sort) merged on the
+    driver — the scale-appropriate plan for "n smallest ids out of N"
+    (guarded by tests/test_plans.py::test_seed_selection_no_global_sort)."""
+    return emb.orderBy(id_col).limit(n).select(vec_col)
+
+
+def _seed_vectors(emb: DataFrame, n: int, id_col: str, vec_col: str) -> list[list[float]]:
+    """Collect the seed vectors: only n × d floats reach the driver."""
+    return [[float(x) for x in r[0]] for r in _seed_frame(emb, n, id_col, vec_col).collect()]
+
+
 def _matrix_lit(rows: list[list[float]]) -> Column:
     """One array<array<double>> literal for a plane/centroid matrix.
 
@@ -105,14 +120,12 @@ def train_centroids(
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """IVF coarse quantizer. Centroids seed from the first
-    ``n_centroids`` corpus vectors (deterministic); ``iters`` Lloyd
-    rounds refine them (assign by max cosine, recompute element-wise
-    means). Each round is one broadcast scoring pass + one aggregation;
-    only n_centroids × d values ever reach the driver."""
-    cents = [
-        [float(x) for x in r[0]]
-        for r in emb.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
-    ]
+    ``n_centroids`` corpus vectors (deterministic, bounded-heap pick —
+    see `_seed_frame`); ``iters`` Lloyd rounds refine them (assign by
+    max cosine, recompute element-wise means). Each round is one
+    broadcast scoring pass + one aggregation; only n_centroids × d
+    values ever reach the driver."""
+    cents = _seed_vectors(emb, n_centroids, id_col, vec_col)
     base = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     for _ in range(iters):
         assigned = base.withColumn("cid", _nearest_centroid(F.col("v"), cents))
@@ -244,10 +257,7 @@ def cosine_near_dup_pairs(
     from dd_graphdb_spark.operators._skew import salted_self_pairs
 
     n_planes = n_bands * band_bits
-    planes = [
-        [float(x) for x in r[0]]
-        for r in emb.orderBy(id_col).limit(n_planes).select(vec_col).collect()
-    ]
+    planes = _seed_vectors(emb, n_planes, id_col, vec_col)
     base = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     bands = []
     for b in range(n_bands):
@@ -383,10 +393,7 @@ def lsh_topk(
     construction; that's the documented ANN tradeoff."""
     from pyspark.sql.window import Window
 
-    planes = [
-        [float(x) for x in r[0]]
-        for r in emb.orderBy(id_col).limit(n_planes).select(vec_col).collect()
-    ]
+    planes = _seed_vectors(emb, n_planes, id_col, vec_col)
     base = (
         emb.select(F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nvec"))
         .withColumn("bucket", hyperplane_signature(F.col("nvec"), planes))

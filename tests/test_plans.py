@@ -117,6 +117,24 @@ def test_sampling_no_shuffle_before_aggregate(spark):
     assert "Sort" not in nodes
 
 
+def test_seed_selection_no_global_sort(spark):
+    """IVF-centroid / LSH-plane seed pick (similarity._seed_frame):
+    "n smallest ids" must plan TakeOrderedAndProject — a bounded
+    per-partition heap — never a global Sort or an Exchange of the
+    corpus. This is the index-BUILD path at 100 TB."""
+    from dd_graphdb_spark.operators.similarity import _seed_frame
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = _seed_frame(emb, 8, "vec_id", "embedding")
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    nodes = _tree_nodes(p)
+    assert "TakeOrderedAndProject" in nodes, nodes
+    assert "Sort" not in nodes, nodes
+    assert "Exchange" not in nodes, nodes
+
+
 def test_interval_join_uses_time_bounds(spark):
     """Stream-stream interval join, checked on its batch shape: the
     equi-key must be the join key (hash join), the time bounds the
