@@ -163,27 +163,33 @@ def incremental_view_pipeline(
         incr = getattr(catalog, "incremental", {})
         if group_by_source is not None:
             # event→changeset conversion (stream_processing.rs:670-711):
-            # one changeset per source, applied individually in source
-            # order. The distinct-source fetch is one tiny job.
-            from pyspark.sql import functions as F
-
+            # tag one changeset per source, then apply ALL changesets in
+            # a SINGLE partitioned pass — no per-batch distinct+collect
+            # of source names, no per-source jobs. Equivalent to
+            # sequential per-source application because every state's
+            # delta merge is changeset-commutative: agg states pre-sum
+            # ± deltas (count/sum exact, min/max conservative add-only
+            # least/greatest), graph states resolve per key (adds win
+            # within the batch). The old per-source loop applied sources
+            # in ALPHABETICAL order — an arbitrary tie-break, not event
+            # order — so no ordering semantics are lost; the end-to-end
+            # equality with a batch recompute is pinned by
+            # tests/test_transform.py::test_pipeline_per_source_changesets.
             from dd_graphdb_spark.streaming.transform import convert_to_changesets
 
-            tagged = convert_to_changesets(batch_df, group_by_source, batch_id)
-            sources = sorted(
-                r[0] for r in tagged.select(group_by_source).distinct().collect()
-            )
-            parts = [
-                tagged.filter(F.col(group_by_source) == s).drop("changeset_id")
-                for s in sources
-            ]
+            deltas_frame = convert_to_changesets(
+                batch_df, group_by_source, batch_id
+            ).drop("changeset_id")
         else:
-            parts = [batch_df]
+            deltas_frame = batch_df
         for n in names:
             if n in incr:
-                for part in parts:
-                    deltas = delta_map[n](part) if delta_map and n in delta_map else part
-                    catalog.apply_deltas(n, deltas)
+                deltas = (
+                    delta_map[n](deltas_frame)
+                    if delta_map and n in delta_map
+                    else deltas_frame
+                )
+                catalog.apply_deltas(n, deltas)
             else:
                 catalog.mark_dirty(n)
         main_session = catalog.spark

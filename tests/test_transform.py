@@ -135,8 +135,13 @@ def test_alert_rate_rule(events_df):
 
 
 def test_pipeline_per_source_changesets(spark, sf_dir, tmp_path):
-    """End-to-end: foreachBatch splits the batch into per-source
-    changesets; the incremental view accumulates identically."""
+    """End-to-end: foreachBatch converts the batch into per-source
+    changesets applied in one partitioned pass; the incremental view
+    accumulates identically to a batch recompute — and the batch loop
+    never collects to the driver (the changeset split used to fetch the
+    distinct source list per micro-batch)."""
+    from pyspark.sql import DataFrame
+
     from dd_graphdb_spark.graph import read_events
     from dd_graphdb_spark.streaming import events_stream, incremental_view_pipeline
     from dd_graphdb_spark.views import IncrementalAggState, ViewCatalog, ViewDefinition
@@ -146,12 +151,19 @@ def test_pipeline_per_source_changesets(spark, sf_dir, tmp_path):
     catalog.register_incremental(
         ViewDefinition(name="by_type", view_type="aggregation"), state
     )
-    incremental_view_pipeline(
-        events_stream(spark, sf_dir),
-        catalog,
-        delta_map={"by_type": lambda b: b.select("event_type", "value")},
-        group_by_source="event_type",
-    )
+    collects = []
+    orig_collect = DataFrame.collect
+    DataFrame.collect = lambda self: (collects.append(1), orig_collect(self))[1]
+    try:
+        incremental_view_pipeline(
+            events_stream(spark, sf_dir),
+            catalog,
+            delta_map={"by_type": lambda b: b.select("event_type", "value")},
+            group_by_source="event_type",
+        )
+    finally:
+        DataFrame.collect = orig_collect
+    assert not collects, "driver collect inside the micro-batch loop"
     got = {r["event_type"]: r["n"] for r in catalog.read("by_type").collect()}
     want = {
         r["event_type"]: r["n"]
