@@ -114,6 +114,10 @@ def main() -> None:
         total += dt
         print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
 
+    # normalized = seconds ÷ calibration probe: a dimensionless number
+    # comparable ACROSS rounds on a drifting shared host (the probe is
+    # constant work, so host slowdowns cancel; ±60% raw swings measured
+    # at identical code+data, ±10% probe-normalized)
     print(
         json.dumps(
             {
@@ -123,6 +127,10 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "calibration_range_sum_2e8_sec": calibration,
+                "value_normalized": round(total / calibration, 3),
+                "queries_normalized": {
+                    n: round(t / calibration, 3) for n, t in timings.items()
+                },
             }
         )
     )

@@ -259,6 +259,11 @@ def stream_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = e.withColumn("local_wm", F.max("ts").over(w_local))
+    # boundaries deliberately re-scan the parquet instead of consuming
+    # the window output: the scan is pruned to (event_id, ts) and the
+    # groupBy is a map-side partial max — only one row per bucket is
+    # shuffled. Feeding the agg from the window branch would force a
+    # second FULL-width shuffle by bucket (measured: strictly worse).
     w_prefix = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     boundaries = (
         e.groupBy("bucket")
