@@ -17,6 +17,20 @@ each one:
 Each returns an unbounded streaming DataFrame; pair with
 ``sources.formats.apply_extraction`` for payload parsing and
 ``streaming.windows`` / ``streaming.pipeline`` for processing.
+
+Deploying the real Kafka source: the jar is not bundled with pyspark —
+start the session with
+
+    spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 ...
+    # or: SparkSession.builder.config("spark.jars.packages",
+    #         "org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2")
+
+``kafka_available`` probes the classpath at runtime;
+``mock_kafka_stream`` is a file-backed source with the IDENTICAL output
+schema, so pipelines built on it run unchanged against the real source
+(integration-tested by tests/test_sources_connectors.py::
+test_stream_kafka_roundtrip, which switches to a real broker when one
+is configured).
 """
 
 from __future__ import annotations
@@ -26,6 +40,72 @@ from pyspark.sql import DataFrame, SparkSession
 # canonical implementations live in streaming.pipeline (kept importable
 # from either module)
 from dd_graphdb_spark.streaming.pipeline import events_stream, kafka_stream  # noqa: F401
+
+# --packages coordinate for the real source (scala 2.13 build matching
+# the pyspark 4.x line)
+KAFKA_PACKAGE = "org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2"
+
+# the kafka source's fixed output schema (Spark's kafka relation): the
+# mock below reproduces it exactly so downstream code is source-agnostic
+KAFKA_SOURCE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset long, timestamp timestamp, timestampType int"
+)
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True when the spark-sql-kafka jar is on the session classpath
+    (builder construction succeeds); False on the standard
+    DATA_SOURCE_NOT_FOUND error. No broker contact happens — source
+    construction is lazy."""
+    try:
+        (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", "localhost:1")
+            .option("subscribe", "probe")
+            .load()
+        )
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def mock_kafka_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-backed Kafka stand-in: a directory of parquet files in
+    ``KAFKA_SOURCE_SCHEMA``. Every downstream step (key/value
+    deserialization, extraction rules, windowing) sees exactly what the
+    real source would emit — swap this for ``kafka_stream`` at deploy
+    time and nothing else changes."""
+    return file_stream(
+        spark, path, KAFKA_SOURCE_SCHEMA, "parquet", max_files_per_trigger
+    )
+
+
+def to_kafka_records(
+    df: DataFrame,
+    topic: str,
+    value_cols: list[str],
+    key_col: str | None = None,
+) -> DataFrame:
+    """Encode rows as Kafka wire records: ``value`` = JSON bytes of the
+    selected columns, ``key`` = the key column's bytes (or null). The
+    output matches what ``df.write.format("kafka")`` expects, and —
+    with the metadata columns a broker would add — what the source
+    re-emits; used for the mock roundtrip and as the sink-side encoder."""
+    from pyspark.sql import functions as F
+
+    key = (
+        F.col(key_col).cast("string").cast("binary")
+        if key_col
+        else F.lit(None).cast("binary")
+    )
+    return df.select(
+        key.alias("key"),
+        F.to_json(F.struct(*value_cols)).cast("binary").alias("value"),
+        F.lit(topic).alias("topic"),
+    )
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

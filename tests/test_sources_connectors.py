@@ -109,6 +109,73 @@ def test_avro_rule_requires_schema(spark):
         apply_extraction(payload, "raw", rule)
 
 
+def test_stream_kafka_roundtrip(spark, sf_dir, tmp_path):
+    """End-to-end source contract: events → Kafka wire records (JSON
+    value bytes + key + topic/partition/offset/timestamp metadata) →
+    streaming source → JSON extraction recovers the typed rows.
+
+    Runs against a REAL broker when the spark-sql-kafka jar is on the
+    classpath (see connectors.KAFKA_PACKAGE for the --packages
+    coordinate) and $SPARK_KAFKA_TEST_BROKER points at one; otherwise
+    through the file-backed mock emitting the IDENTICAL source schema —
+    every downstream step (deserialize, extract, cast) is the same code
+    path either way, so a green mock run certifies the pipeline and the
+    broker leg only re-certifies transport."""
+    from dd_graphdb_spark.graph import read_events
+    from dd_graphdb_spark.sources.connectors import (
+        kafka_available,
+        kafka_stream,
+        mock_kafka_stream,
+        to_kafka_records,
+    )
+    from dd_graphdb_spark.sources.formats import ExtractionRule, apply_extraction
+    from dd_graphdb_spark.streaming.pipeline import run_to_memory
+
+    ev = (
+        read_events(spark, sf_dir)
+        .filter(F.col("event_id") < 200)
+        .select("event_id", "event_type", "value")
+    )
+    records = to_kafka_records(
+        ev, "events_rt", ["event_id", "event_type", "value"], key_col="event_id"
+    )
+    broker = os.environ.get("SPARK_KAFKA_TEST_BROKER")
+    if kafka_available(spark) and broker:
+        records.write.format("kafka").option(
+            "kafka.bootstrap.servers", broker
+        ).save()
+        stream = kafka_stream(spark, broker, "events_rt", "earliest")
+    else:
+        src = str(tmp_path / "kafka_mock")
+        (
+            records.withColumn(
+                "partition", F.pmod(F.crc32(F.col("key")), F.lit(4)).cast("int")
+            )
+            .withColumn("offset", F.monotonically_increasing_id())
+            .withColumn("timestamp", F.current_timestamp())
+            .withColumn("timestampType", F.lit(0))
+            .write.parquet(src)
+        )
+        stream = mock_kafka_stream(spark, src)
+    assert stream.isStreaming
+    rule = ExtractionRule(
+        "kafka_json",
+        "json",
+        {
+            "event_id": "$.event_id",
+            "event_type": "$.event_type",
+            "v": "$.value",
+        },
+        types={"event_id": "long", "v": "double"},
+    )
+    parsed = apply_extraction(
+        stream.select(F.col("value").cast("string").alias("raw")), "raw", rule
+    ).select("event_id", "event_type", "v")
+    got = run_to_memory(parsed, output_mode="append")
+    want = {(r["event_id"], r["event_type"], r["value"]) for r in ev.collect()}
+    assert {(r["event_id"], r["event_type"], r["v"]) for r in got.collect()} == want
+
+
 def test_versioned_table_torn_write_invisible(spark, tmp_path):
     """Commit protocol: a writer that dies after writing data files but
     BEFORE the meta.json pointer swap leaves readers on the previous
