@@ -1,0 +1,87 @@
+"""REST wrapper smoke tests (api_service.rs:163-183 demo parity): every
+route drives the same shell/catalog/router calls over a local HTTP
+client against an ephemeral-port stdlib server."""
+
+import json
+import urllib.request
+
+import pytest
+
+from dd_graphdb_spark.api import GraphApiServer
+from dd_graphdb_spark.shell import GraphShell
+from dd_graphdb_spark.views.catalog import RefreshPolicy, ViewCatalog, ViewDefinition
+
+
+@pytest.fixture()
+def server(spark, tmp_path):
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string") \
+        .createOrReplaceTempView("vertices")
+    cat = ViewCatalog(spark, str(tmp_path / "views"))
+    cat.register(
+        ViewDefinition(name="user_lookup", view_type="lookup",
+                       refresh_policy=RefreshPolicy(kind="on_demand")),
+        builder=lambda s: s.sql("SELECT id FROM vertices"),
+    )
+    srv = GraphApiServer(GraphShell(spark, cat)).start()
+    yield srv
+    srv.stop()
+
+
+def _call(srv, method, path, body=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}",
+        method=method,
+        data=json.dumps(body).encode() if body is not None else None,
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_view_crud_over_http(server):
+    status, out = _call(server, "POST", "/views",
+                        {"name": "v_names", "sql": "SELECT id, name FROM vertices"})
+    assert status == 201, out
+    status, out = _call(server, "GET", "/views")
+    assert status == 200 and out["views"]["v_names"] == "sql"
+    status, out = _call(server, "POST", "/views/v_names/refresh", {"force": True})
+    assert status == 200, out
+    status, out = _call(server, "GET", "/views/v_names?limit=10")
+    assert status == 200
+    assert sorted(r["name"] for r in out["rows"]) == ["a", "b"]
+    status, out = _call(server, "DELETE", "/views/v_names")
+    assert status == 200
+    status, out = _call(server, "GET", "/views/v_names")
+    assert status == 404
+
+
+def test_query_routing_over_http(server):
+    status, out = _call(server, "POST", "/query", {"kind": "vertex_lookup"})
+    assert status == 200, out
+    assert out["routed_to"] == "user_lookup" and out["score"] == 100
+    assert sorted(r["id"] for r in out["rows"]) == [1, 2]
+    status, out = _call(server, "POST", "/query", {"kind": "aggregation"})
+    assert status == 404  # no aggregation view registered
+
+
+def test_stats_cache_incremental_routes(server):
+    status, out = _call(server, "GET", "/stats")
+    assert status == 200 and out["stats"]["views"] == 1
+    status, out = _call(server, "GET", "/cache/stats")
+    assert status == 200 and "cache" in out
+    status, out = _call(server, "POST", "/cache/warm")
+    assert status == 200
+    status, out = _call(server, "GET", "/incremental/stats")
+    assert status == 200 and out["incremental"]["user_lookup"]["incremental"] is False
+    status, out = _call(server, "POST", "/incremental/batch")
+    assert status == 200
+
+
+def test_errors_are_json(server):
+    status, out = _call(server, "GET", "/nope")
+    assert status == 404 and "error" in out
+    status, out = _call(server, "POST", "/views", {"name": "x"})
+    assert status == 400 and "error" in out
