@@ -196,6 +196,85 @@ class GraphStore:
             e = e.withColumn(k, prop_typed("properties", k, t))
         return PropertyGraph(v, e)
 
+    def changes(
+        self, table: str, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed between two committed versions — the
+        CDC read the reference declares as an external connector intent
+        (ConnectionConfig::CDC, stream_connectors.rs:119-166, ⚫ dead
+        there), expressed over this store's own versioned snapshots in
+        the Delta Change-Data-Feed shape:
+
+            _change_type ∈ insert | delete | update_preimage |
+                           update_postimage,  _commit_version
+
+        ``table``: "vertices" (key: id) or "edges" (key: src,dst,label).
+        Computed as a single full-outer key join of the two snapshots —
+        one shuffle, O(|old|+|new|), no per-version replay. Update
+        detection canonicalizes the property map as sorted entries
+        (map column order is not comparable directly). The diff spans
+        the endpoints; per-commit granularity = call once per adjacent
+        version pair."""
+        if table not in ("vertices", "edges"):
+            raise ValueError(f"unknown table {table!r}")
+        to_v = self.version if to_version is None else to_version
+        read = self.vertices if table == "vertices" else self.edges
+        keys = ["id"] if table == "vertices" else ["src", "dst", "label"]
+
+        def canon(col: str):
+            return F.to_json(F.array_sort(F.map_entries(F.col(col))))
+
+        old = read(version=from_version).select(
+            *keys,
+            F.col("properties").alias("_old_props"),
+            *([F.col("label").alias("_old_label")] if table == "vertices" else []),
+        )
+        new = read(version=to_v).select(
+            *keys,
+            F.col("properties").alias("_new_props"),
+            *([F.col("label").alias("_new_label")] if table == "vertices" else []),
+        )
+        # presence markers survive the outer join even for all-null rows
+        j = (
+            old.withColumn("_in_old", F.lit(True))
+            .join(new.withColumn("_in_new", F.lit(True)), keys, "full_outer")
+            .localCheckpoint(eager=True)  # 4 branches below read it once
+        )
+        in_old, in_new = F.col("_in_old").isNotNull(), F.col("_in_new").isNotNull()
+        label_old = [F.col("_old_label").alias("label")] if table == "vertices" else []
+        label_new = [F.col("_new_label").alias("label")] if table == "vertices" else []
+        # eqNullSafe: a null↔non-null property map (or label) IS a change
+        changed = in_old & in_new & (
+            ~canon("_old_props").eqNullSafe(canon("_new_props"))
+            | (
+                ~F.col("_old_label").eqNullSafe(F.col("_new_label"))
+                if table == "vertices"
+                else F.lit(False)
+            )
+        )
+        frames = [
+            j.filter(in_new & ~in_old).select(
+                *keys, *label_new, F.col("_new_props").alias("properties"),
+                F.lit("insert").alias("_change_type"),
+            ),
+            j.filter(in_old & ~in_new).select(
+                *keys, *label_old, F.col("_old_props").alias("properties"),
+                F.lit("delete").alias("_change_type"),
+            ),
+            j.filter(changed).select(
+                *keys, *label_old, F.col("_old_props").alias("properties"),
+                F.lit("update_preimage").alias("_change_type"),
+            ),
+            j.filter(changed).select(
+                *keys, *label_new, F.col("_new_props").alias("properties"),
+                F.lit("update_postimage").alias("_change_type"),
+            ),
+        ]
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr)
+        return out.withColumn("_commit_version", F.lit(to_v).cast("long"))
+
     def stats(self) -> dict[str, int]:
         """get_stats parity (:571-579)."""
         return {

@@ -69,6 +69,7 @@ def _with_hygiene(fn):
 # round-4-recorded block; after r5 every query has a driver row ≤2
 # rounds old. NEW queries with oracles must be inserted at the TOP.
 GATE_PRIORITY = [
+    "mutation_cdc_changes",
     "group_by_agg_having",
     "join_revenue_per_region",
     "semi_join_customers_with_orders",

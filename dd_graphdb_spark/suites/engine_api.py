@@ -117,6 +117,55 @@ def mutation_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CDC change feed between two versions (ConnectionConfig::CDC intent,
+# stream_connectors.rs:119-166 — declared-but-dead in the reference;
+# real here over the store's versioned snapshots, Delta-CDF-shaped).
+# Batch 2: adds vertex 3, deletes vertex 2, renames vertex 1 — the diff
+# is fully determined, so the oracle is a VALUES literal.
+# ---------------------------------------------------------------------------
+@_q(
+    "mutation_cdc_changes",
+    """
+    SELECT * FROM (VALUES
+        ('insert',           3::BIGINT, 'Carol'),
+        ('delete',           2::BIGINT, 'Bob'),
+        ('update_preimage',  1::BIGINT, 'Alice'),
+        ('update_postimage', 1::BIGINT, 'Alicia')
+    ) t(change, id, name)
+    """,
+)
+def mutation_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.storage import (
+        GraphStore,
+        add_vertex,
+        remove_vertex,
+        update_vertex_props,
+    )
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+    store.apply_batch(
+        [
+            add_vertex(1, "Person", {"name": "Alice"}),
+            add_vertex(2, "Person", {"name": "Bob"}),
+        ]
+    )
+    v1 = store.version
+    store.apply_batch(
+        [
+            add_vertex(3, "Person", {"name": "Carol"}),
+            remove_vertex(2),
+            update_vertex_props(1, {"type": "Person", "name": "Alicia"}),
+        ]
+    )
+    return store.changes("vertices", v1).select(
+        F.col("_change_type").alias("change"),
+        "id",
+        prop_typed("properties", "name").alias("name"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Retention vacuum: snapshots older than keep_last are dropped, the rest
 # stay readable and current state is untouched (checkpoint truncation,
 # graph/storage/src/lib.rs:600-611). Fully determined -> VALUES oracle.

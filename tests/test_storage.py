@@ -125,3 +125,60 @@ def test_prop_typed_accessor(store):
     assert ages == {1: 30, 2: 25}
     older = store.vertices().filter(prop_typed("properties", "age", "long") > 25)
     assert [r["id"] for r in older.collect()] == [1]
+
+
+def test_cdc_vertex_changes(store):
+    from dd_graphdb_spark.storage import update_edge_props
+
+    v1 = store.version
+    store.apply_batch(
+        [
+            add_vertex(3, "Person", {"name": "Carol"}),
+            remove_vertex(2),
+            update_vertex_props(1, {"type": "Person", "name": "Alicia", "age": 30}),
+        ]
+    )
+    ch = {
+        (r["_change_type"], r["id"]): r
+        for r in store.changes("vertices", v1).collect()
+    }
+    assert set(ch) == {
+        ("insert", 3),
+        ("delete", 2),
+        ("update_preimage", 1),
+        ("update_postimage", 1),
+    }
+    assert ch[("update_preimage", 1)]["properties"]["name"] == '"Alice"'
+    assert ch[("update_postimage", 1)]["properties"]["name"] == '"Alicia"'
+    assert all(r["_commit_version"] == store.version for r in ch.values())
+
+
+def test_cdc_edge_changes_and_noop(store):
+    from dd_graphdb_spark.storage import update_edge_props
+
+    v1 = store.version
+    # no-op batch: re-assert identical state -> empty diff
+    store.apply_batch([add_vertex(1, "Person", {"name": "Alice", "age": 30})])
+    assert store.changes("vertices", v1).count() == 0
+
+    v2 = store.version
+    store.apply_batch(
+        [
+            add_edge(2, 1, "follows"),
+            update_edge_props(1, 2, "friend", {"since": 2021}),
+        ]
+    )
+    ch = {
+        (r["_change_type"], r["src"], r["dst"], r["label"])
+        for r in store.changes("edges", v2).collect()
+    }
+    assert ch == {
+        ("insert", 2, 1, "follows"),
+        ("update_preimage", 1, 2, "friend"),
+        ("update_postimage", 1, 2, "friend"),
+    }
+
+
+def test_cdc_rejects_unknown_table(store):
+    with pytest.raises(ValueError, match="unknown table"):
+        store.changes("nope", 0)
