@@ -115,6 +115,22 @@ def prop_typed(col: str | Column, key: str, dtype: str = "string") -> Column:
     return unquoted.cast(dtype)
 
 
+def cdc_to_deltas(changes: DataFrame) -> DataFrame:
+    """Change feed → ±``_sign`` delta frame for incremental view
+    states: insert / update_postimage → +1, delete / update_preimage →
+    −1. An update thus retracts the old row and adds the new one —
+    exact for count/sum, conservative for min/max, the same ± algebra
+    the reference's incremental engine applies to changesets
+    (incremental_engine.rs:875-892). Compose:
+    ``state.apply_deltas(cdc_to_deltas(store.changes(...)))``."""
+    return changes.withColumn(
+        "_sign",
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        ).otherwise(F.lit(-1)),
+    ).drop("_change_type", "_commit_version")
+
+
 class GraphStore:
     """Versioned, transactional property-graph store over parquet."""
 

@@ -70,6 +70,7 @@ def _with_hygiene(fn):
 # rounds old. NEW queries with oracles must be inserted at the TOP.
 GATE_PRIORITY = [
     "mutation_cdc_changes",
+    "view_incremental_cdc",
     "group_by_agg_having",
     "join_revenue_per_region",
     "semi_join_customers_with_orders",

@@ -166,6 +166,60 @@ def mutation_cdc_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Flagship dataflow with REAL change capture (SURVEY §3.3: write →
+# changeset → incremental view maintenance): mutations commit versions;
+# each adjacent version pair's CDC diff feeds the incremental agg state
+# as ± deltas via cdc_to_deltas. Exact for count/sum (updates retract
+# the preimage), conservative min/max. Fully determined → VALUES oracle:
+# adds 30+25, then +40, 30→31, −25 ⇒ n=2, total=71, avg=35.5.
+# ---------------------------------------------------------------------------
+@_q(
+    "view_incremental_cdc",
+    """
+    SELECT * FROM (VALUES
+        ('Person', 2::BIGINT, 71.0::DOUBLE, 35.5::DOUBLE)
+    ) t(label, n, total, avg_v)
+    """,
+)
+def view_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.storage import (
+        GraphStore,
+        add_vertex,
+        remove_vertex,
+        update_vertex_props,
+    )
+    from dd_graphdb_spark.storage.store import cdc_to_deltas, prop_typed
+    from dd_graphdb_spark.views import IncrementalAggState
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+    state = IncrementalAggState(
+        spark, tempfile.mkdtemp(prefix="iagg_"), ["label"], "age"
+    )
+    v0 = store.version
+    store.apply_batch(
+        [
+            add_vertex(1, "Person", {"name": "Alice", "age": 30}),
+            add_vertex(2, "Person", {"name": "Bob", "age": 25}),
+        ]
+    )
+    v1 = store.version
+    store.apply_batch(
+        [
+            add_vertex(3, "Person", {"name": "Carol", "age": 40}),
+            update_vertex_props(1, {"type": "Person", "name": "Alice", "age": 31}),
+            remove_vertex(2),
+        ]
+    )
+    v2 = store.version
+    for a, b in ((v0, v1), (v1, v2)):
+        deltas = cdc_to_deltas(store.changes("vertices", a, b)).select(
+            "label", prop_typed("properties", "age", "long").alias("age"), "_sign"
+        )
+        state.apply_deltas(deltas)
+    return state.result().select("label", "n", "total", "avg_v")
+
+
+# ---------------------------------------------------------------------------
 # Retention vacuum: snapshots older than keep_last are dropped, the rest
 # stay readable and current state is untouched (checkpoint truncation,
 # graph/storage/src/lib.rs:600-611). Fully determined -> VALUES oracle.

@@ -182,3 +182,26 @@ def test_cdc_edge_changes_and_noop(store):
 def test_cdc_rejects_unknown_table(store):
     with pytest.raises(ValueError, match="unknown table"):
         store.changes("nope", 0)
+
+
+def test_cdc_to_deltas_signs(store):
+    from dd_graphdb_spark.storage.store import cdc_to_deltas
+
+    v1 = store.version
+    store.apply_batch(
+        [
+            add_vertex(3, "Person", {"name": "Carol"}),
+            remove_vertex(2),
+            update_vertex_props(1, {"type": "Person", "name": "Alicia", "age": 30}),
+        ]
+    )
+    d = {
+        (r["id"], r["_sign"], r["properties"].get("name"))
+        for r in cdc_to_deltas(store.changes("vertices", v1)).collect()
+    }
+    assert d == {
+        (3, 1, '"Carol"'),
+        (2, -1, '"Bob"'),
+        (1, -1, '"Alice"'),
+        (1, 1, '"Alicia"'),
+    }
