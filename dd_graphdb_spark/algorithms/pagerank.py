@@ -36,10 +36,19 @@ def _pagerank_loop(
     max_iterations: int = 20,
     tolerance: float | None = None,
     round_to: int | None = None,
+    ckpt_every: int = 8,
 ) -> DataFrame:
     """Returns (id, rank). ``tolerance``: stop when the L1 delta between
     iterations drops below it (basic.rs convergence check); None = run all
-    ``max_iterations`` (deterministic, oracle-friendly)."""
+    ``max_iterations`` (deterministic, oracle-friendly).
+
+    ``ckpt_every``: without a tolerance there is ONE action at the end,
+    so materializing every iteration just buys per-iteration job
+    overhead — checkpoint on a cadence instead (measured at sf0.1 ×20
+    iterations: every-1 9.6 s, every-10 7.2 s, never 7.8 s — plan
+    depth starts costing past ~10 chained join-aggs). With a tolerance
+    the per-iteration delta job forces materialization anyway, so the
+    loop checkpoints every iteration there."""
     verts = g.vertices.select("id").localCheckpoint(eager=True)
     n = verts.count()
     if n == 0:
@@ -51,7 +60,7 @@ def _pagerank_loop(
     base = float((1.0 - damping) / n)
 
     ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
-    for _ in range(max_iterations):
+    for i in range(max_iterations):
         contribs = (
             ranks.join(contrib_edges, ranks.id == contrib_edges.src)
             .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("contrib"))
@@ -61,7 +70,13 @@ def _pagerank_loop(
         new_ranks = verts.join(contribs, "id", "left").select(
             "id",
             (F.lit(base) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"),
-        ).localCheckpoint(eager=True)
+        )
+        if (
+            tolerance is not None
+            or (i + 1) % ckpt_every == 0
+            or i == max_iterations - 1
+        ):
+            new_ranks = new_ranks.localCheckpoint(eager=True)
         if tolerance is not None:
             delta = (
                 new_ranks.alias("n")
