@@ -1,0 +1,150 @@
+"""Training-data curation operators: contamination, packing, repetition.
+
+The north-star brief's pipeline family beyond dedup/similarity — the
+three checks every large-scale pretraining data pipeline runs between
+raw corpus and training shards:
+
+- ``ngram_contamination``: which corpus docs share ≥ k distinct n-gram
+  hashes with a benchmark/eval set (train-test leakage detection);
+- ``pack_sequences``: deterministic concat-and-chunk of docs into
+  fixed-token windows (sequence packing for training);
+- ``repetition_scores``: intra-document repetition ratios (a standard
+  quality signal — boilerplate/spam detection).
+
+All three reuse the token-hash-fold shingle arithmetic from
+operators.dedup (engine-portable; the DuckDB oracles restate it) and
+stay JVM-side — no Python in any hot path.
+
+Scale notes (100 TB):
+- contamination: the probe (benchmark) side is tiny by construction —
+  its exploded shingle set broadcasts; the corpus side streams through
+  one scan + one broadcast-hash join + one partial-agg groupBy. No
+  corpus self-join anywhere.
+- packing: a global running token count is the single-task trap; docs
+  are hash-bucketed first (deterministic md5 bucket, same trick as
+  operators.sampling) and each bucket packs independently — one
+  shuffle, per-task rows bounded by bucket population. Packing quality
+  is unaffected: chunks never span buckets by design, exactly like
+  parallel shard writers.
+- repetition: pure per-row projection (whole-stage codegen, zero
+  shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dd_graphdb_spark.operators.dedup import _fold, token_hashes
+
+
+def _all_shingle_hashes(th: Column, n: int) -> Column:
+    """Hashed n-shingles WITHOUT the distinct (repetition needs
+    multiplicity; contamination applies distinct itself). ``th`` must be
+    a bound column — see dedup._shingles_from_token_hashes."""
+    return F.when(
+        F.size(th) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(th) - n),
+            lambda i: _fold(F.slice(th, i + 1, n)),
+        ),
+    ).otherwise(F.array(_fold(th)))
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 3,
+    min_overlap: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, probe_id, n_shared): corpus docs sharing at least
+    ``min_overlap`` DISTINCT n-gram hashes with a probe document —
+    the train/eval contamination check. The probe side (benchmark) is
+    assumed small and is broadcast after shingling."""
+    def shingled(df, out_id):
+        t = df.select(
+            F.col(id_col).alias(out_id), token_hashes(F.col(text_col)).alias("_th")
+        )
+        return t.select(
+            out_id,
+            F.explode(
+                F.array_distinct(_all_shingle_hashes(F.col("_th"), n))
+            ).alias("x"),
+        )
+
+    d = shingled(docs, "doc_id_")
+    p = shingled(probes, "probe_id")
+    return (
+        d.join(F.broadcast(p), "x")
+        .groupBy(F.col("doc_id_").alias(id_col), "probe_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_overlap)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    window_tokens: int,
+    n_buckets: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic concat-and-chunk sequence packing: docs are
+    md5-hash-bucketed, ordered by id within their bucket, and assigned
+    to the chunk where their running token offset starts:
+
+        chunk = floor(exclusive_prefix_token_sum / window_tokens)
+
+    Returns (doc_id, bucket, chunk, n_tokens, offset) — offset is the
+    doc's token start position within its bucket stream. Engine-portable
+    (md5 bucket + window cumsum restate identically in SQL)."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), " "))
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(n_buckets),
+    )
+    d = docs.select(
+        F.col(id_col), toks.alias("n_tokens"), b.cast("int").alias("bucket")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return d.select(
+        id_col,
+        "bucket",
+        "n_tokens",
+        F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("offset"),
+    ).withColumn(
+        "chunk", F.floor(F.col("offset") / F.lit(window_tokens)).cast("long")
+    )
+
+
+def repetition_scores(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_distinct, dup_ratio): intra-document
+    repetition — dup_ratio = 1 − distinct/total n-gram hashes. 0 for a
+    repetition-free doc, → 1 for pure boilerplate. One projection, no
+    shuffle."""
+    t = docs.select(
+        F.col(id_col), token_hashes(F.col(text_col)).alias("_th")
+    )
+    sh = t.select(id_col, _all_shingle_hashes(F.col("_th"), n).alias("_sh"))
+    total = F.size("_sh")
+    distinct = F.size(F.array_distinct("_sh"))
+    return sh.select(
+        id_col,
+        total.alias("n_shingles"),
+        distinct.alias("n_distinct"),
+        F.round(F.lit(1.0) - distinct.cast("double") / total, 6).alias("dup_ratio"),
+    )

@@ -71,6 +71,9 @@ def _with_hygiene(fn):
 GATE_PRIORITY = [
     "mutation_cdc_changes",
     "view_incremental_cdc",
+    "curation_contamination",
+    "curation_pack_sequences",
+    "curation_repetition",
     "group_by_agg_having",
     "join_revenue_per_region",
     "semi_join_customers_with_orders",

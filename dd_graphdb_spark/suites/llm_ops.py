@@ -739,3 +739,103 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("r")
     ).select("r.metric", "r.k", "r.value")
     return rows.unionByName(spectrum)
+
+
+# ---------------------------------------------------------------------------
+# Curation family (operators/curation.py): contamination, packing,
+# repetition — the checks between raw corpus and training shards. All
+# three restate the token-hash-fold shingle arithmetic in SQL.
+# ---------------------------------------------------------------------------
+# non-distinct shingle list per doc (repetition needs multiplicity)
+_SQL_SH_ALL = f"""
+sha AS (
+    SELECT id, CASE WHEN len(th) >= 3
+                THEN list_transform(generate_series(1, len(th)-2),
+                     i -> list_reduce(list_prepend(0::BIGINT, th[i:i+2]),
+                                      (h, v) -> (h * {D.MIX} + v) % {MOD}))
+                ELSE [list_reduce(list_prepend(0::BIGINT, th),
+                                  (h, v) -> (h * {D.MIX} + v) % {MOD})]
+           END AS xs
+    FROM (
+        SELECT doc_id AS id,
+               list_transform(string_split(trim(text), ' '),
+                              tok -> {_sql_ph('tok')}) AS th
+        FROM documents
+    )
+)
+"""
+
+
+@_q(
+    "curation_contamination",
+    "WITH "
+    + SQL_SHINGLE_HASHES[1:]
+    + """,
+    probes AS (SELECT id, x FROM sh WHERE id % 97 = 0)
+    SELECT d.id AS doc_id, p.id AS probe_id, COUNT(*) AS n_shared
+    FROM sh d JOIN probes p ON d.x = p.x
+    GROUP BY d.id, p.id
+    HAVING COUNT(*) >= 3
+    """,
+)
+def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: corpus docs sharing >= 3 distinct
+    3-gram hashes with the probe set (docs with doc_id % 97 == 0 stand
+    in for an eval benchmark). Probe side broadcast; no corpus
+    self-join."""
+    from dd_graphdb_spark.operators.curation import ngram_contamination
+
+    docs = _docs(spark, sf_dir)
+    probes = docs.filter(F.col("doc_id") % 97 == 0)
+    return ngram_contamination(docs, probes, n=3, min_overlap=3)
+
+
+@_q(
+    "curation_pack_sequences",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8
+                    AS INT) AS bucket
+        FROM documents
+    ),
+    o AS (
+        SELECT doc_id, bucket, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                             0) AS BIGINT) AS "offset"
+        FROM d
+    )
+    SELECT doc_id, bucket, n_tokens, "offset",
+           CAST(FLOOR("offset" / 512.0) AS BIGINT) AS chunk
+    FROM o
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: md5-bucketed concat-and-chunk into 512-token
+    windows; chunk = exclusive-prefix-sum div window. One shuffle,
+    per-task rows bounded by bucket population."""
+    from dd_graphdb_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), window_tokens=512, n_buckets=8)
+
+
+@_q(
+    "curation_repetition",
+    "WITH "
+    + _SQL_SH_ALL[1:]
+    + """
+    SELECT id AS doc_id,
+           len(xs) AS n_shingles,
+           len(list_distinct(xs)) AS n_distinct,
+           ROUND(1.0 - len(list_distinct(xs))::DOUBLE / len(xs), 6) AS dup_ratio
+    FROM sha
+    """,
+)
+def curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition ratio over 3-gram hashes — pure projection,
+    zero shuffles."""
+    from dd_graphdb_spark.operators.curation import repetition_scores
+
+    return repetition_scores(_docs(spark, sf_dir), n=3)
