@@ -51,6 +51,11 @@ HEADLINE = [
     "alert_pattern_rule",
     "alert_anomaly_rule",
     "view_incremental_connectivity",
+    # round-5 additions: curation family + near-dup clustering
+    "dedup_cluster_survivors",
+    "curation_contamination",
+    "curation_pack_sequences",
+    "curation_repetition",
 ]
 
 

@@ -74,6 +74,7 @@ GATE_PRIORITY = [
     "curation_contamination",
     "curation_pack_sequences",
     "curation_repetition",
+    "cube_status_priority",
     "group_by_agg_having",
     "join_revenue_per_region",
     "semi_join_customers_with_orders",

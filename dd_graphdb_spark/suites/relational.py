@@ -379,6 +379,31 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUBE — all four grouping sets of (status, priority) in one scan, with
+# grouping_id distinguishing the subtotal level (completes the §2.4
+# "grouping sets / cube / rollup" row beyond ROLLUP; absent in ref).
+# ---------------------------------------------------------------------------
+@_q(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Conditional aggregation (CASE WHEN — reference has when/otherwise only as
 # dead stream-transform code, stream_transform.rs:196-315).
 # ---------------------------------------------------------------------------
