@@ -386,3 +386,42 @@ def test_cdc_changes_reconstruct_snapshot(spark, tmp_path_factory, ops1, ops2):
                     r["label"],
                 )
         assert rebuilt == new, f"{table}: CDC replay diverged"
+
+
+# --------------------------------------------------------------------------
+# pack_sequences vs a direct python model: per bucket, offsets are the
+# exclusive prefix sums in id order and chunk = offset // window.
+# --------------------------------------------------------------------------
+@SMALL
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 40), st.integers(1, 12)), min_size=1, max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(4, 32),
+)
+def test_pack_sequences_matches_model(spark, docs_and_lens, window):
+    import hashlib
+
+    from dd_graphdb_spark.operators.curation import pack_sequences
+
+    rows = [(i, " ".join(["w"] * ln)) for i, ln in docs_and_lens]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["bucket"], r["offset"], r["chunk"], r["n_tokens"])
+        for r in pack_sequences(df, window_tokens=window, n_buckets=4).collect()
+    }
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 4
+
+    by_b: dict = {}
+    for i, ln in sorted(docs_and_lens):
+        by_b.setdefault(bucket(i), []).append((i, ln))
+    want = {}
+    for b, ds in by_b.items():
+        cum = 0
+        for i, ln in ds:
+            want[i] = (b, cum, cum // window, ln)
+            cum += ln
+    assert got == want
