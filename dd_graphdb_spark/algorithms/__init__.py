@@ -2,6 +2,7 @@ from dd_graphdb_spark.algorithms.pagerank import pagerank
 from dd_graphdb_spark.algorithms.components import connected_components, component_count, strongly_connected_components
 from dd_graphdb_spark.algorithms.paths import sssp, bfs_shortest_path, reachability
 from dd_graphdb_spark.algorithms.structure import k_core, triangle_count, degree_centrality
+from dd_graphdb_spark.algorithms.community import label_propagation
 from dd_graphdb_spark.algorithms.centrality import (
     betweenness_centrality,
     closeness_centrality,
@@ -9,6 +10,7 @@ from dd_graphdb_spark.algorithms.centrality import (
 )
 
 __all__ = [
+    "label_propagation",
     "eigenvector_centrality",
     "betweenness_centrality",
     "closeness_centrality",

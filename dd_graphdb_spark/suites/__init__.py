@@ -58,16 +58,16 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# Rotation policy (round 5): the 16 entries whose only driver rows are
-# from round 2 go first, then the 3 whose oracle changed this round
-# (algo_pagerank_top3 and embedding_pca_project gained real oracles;
-# events_sessionize fixed its tie order) — that fills the 50-window
-# along with 31 of the round-3-recorded entries (incremental views,
-# mutations, similarity, alerts, text — the highest-value re-checks,
-# including the two bench-weak queries stream_late_events and
-# sim_cosine_topk). The remaining 19 round-3 entries follow, then the
-# round-4-recorded block; after r5 every query has a driver row ≤2
-# rounds old. NEW queries with oracles must be inserted at the TOP.
+# Rotation policy (round 5): the 6 NEW round-5 queries (CDC ×2,
+# curation ×3, cube) go first — never recorded — then the 16 entries
+# whose only driver rows are from round 2, then the 3 whose oracle
+# changed this round (algo_pagerank_top3 and embedding_pca_project
+# gained real oracles; events_sessionize fixed its tie order), then
+# round-3-recorded re-checks fill the window (incremental views,
+# mutations, similarity, alerts — including the two bench-weak queries
+# stream_late_events and sim_cosine_topk). Remaining round-3 entries
+# follow, then the round-4-recorded block. NEW queries with oracles
+# must be inserted at the TOP.
 GATE_PRIORITY = [
     "mutation_cdc_changes",
     "view_incremental_cdc",
@@ -75,6 +75,7 @@ GATE_PRIORITY = [
     "curation_pack_sequences",
     "curation_repetition",
     "cube_status_priority",
+    "algo_lpa_fixture",
     "group_by_agg_having",
     "join_revenue_per_region",
     "semi_join_customers_with_orders",

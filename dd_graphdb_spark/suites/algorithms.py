@@ -493,6 +493,61 @@ def algo_betweenness_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Label-propagation communities (beyond-ref; algorithms/community.py):
+# synchronized rounds, argmax-frequency label with min-label ties,
+# isolated vertices keep theirs — a pure function of the input, so the
+# oracle unrolls the rounds. Fixture: two triangles joined by a bridge
+# plus an isolated vertex.
+# --------------------------------------------------------------------------
+LPA_VERTS = [1, 2, 3, 4, 5, 6, 7]
+LPA_EDGES = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle(n_rounds: int = _LPA_ROUNDS) -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, n_rounds + 1):
+        steps.append(
+            f"""f{i} AS (
+    SELECT e.src AS id, l.lbl, COUNT(*) AS c
+    FROM sym e JOIN {prev} l ON e.dst = l.id
+    GROUP BY e.src, l.lbl
+),
+p{i} AS (
+    SELECT id, lbl FROM f{i}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) = 1
+),
+l{i} AS (
+    SELECT v.id, COALESCE(p.lbl, l.lbl) AS lbl
+    FROM verts v JOIN {prev} l ON v.id = l.id LEFT JOIN p{i} p ON v.id = p.id
+)"""
+        )
+        prev = f"l{i}"
+    return (
+        f"""
+    WITH verts(id) AS (VALUES {_vals_v(LPA_VERTS)}),
+    edges(src, dst) AS (VALUES {_values(LPA_EDGES)}),
+    sym AS (
+        SELECT src, dst FROM edges WHERE src <> dst
+        UNION SELECT dst, src FROM edges WHERE src <> dst
+    ),
+    l0 AS (SELECT id, id AS lbl FROM verts),
+    """
+        + ",\n".join(steps)
+        + f"\nSELECT id::BIGINT AS id, lbl::BIGINT AS community FROM {prev}"
+    )
+
+
+@_q("algo_lpa_fixture", _lpa_oracle())
+def algo_lpa_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.algorithms import label_propagation
+
+    g = fixture_graph(spark, LPA_VERTS, LPA_EDGES)
+    return label_propagation(g, max_iterations=_LPA_ROUNDS)
+
+
+# --------------------------------------------------------------------------
 # SCC on the cyclic fixture; oracle = mutual reachability with min-id rep.
 # --------------------------------------------------------------------------
 @_q(

@@ -163,3 +163,17 @@ def test_reachability(spark, people_graph):
     assert ids == [1, 2, 3]
     ids2 = sorted(r["id"] for r in A.reachability(people_graph, 3).collect())
     assert ids2 == [3]
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two triangles joined by a bridge resolve to two communities; the
+    isolated vertex keeps its own label."""
+    from dd_graphdb_spark.algorithms import label_propagation
+    from dd_graphdb_spark.suites.algorithms import LPA_EDGES, LPA_VERTS, fixture_graph
+
+    g = fixture_graph(spark, LPA_VERTS, LPA_EDGES)
+    out = {r["id"]: r["community"] for r in label_propagation(g, 4).collect()}
+    assert out[7] == 7  # isolated
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+    assert out[1] != out[4]
