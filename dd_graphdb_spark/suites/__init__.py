@@ -76,6 +76,7 @@ GATE_PRIORITY = [
     "curation_repetition",
     "cube_status_priority",
     "algo_lpa_fixture",
+    "range_join_value_bands",
     "group_by_agg_having",
     "join_revenue_per_region",
     "semi_join_customers_with_orders",

@@ -385,3 +385,37 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Banded range join (operators/rangejoin.py — the brief's named custom
+# operator family next to as-of and rollup): events.value against
+# OVERLAPPING value bands. The banding recovers a hash join on the band
+# key (a raw inequality join plans BroadcastNestedLoopJoin — plan-
+# guarded); the oracle is the plain inequality join.
+# ---------------------------------------------------------------------------
+RJ_BANDS = [(i, i * 40.0 - 10.0, i * 40.0 + 50.0) for i in range(13)]
+
+
+@_q(
+    "range_join_value_bands",
+    """
+    WITH bands(band_id, lo, hi) AS (VALUES """
+    + ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in RJ_BANDS)
+    + """)
+    SELECT b.band_id, COUNT(*) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.operators.rangejoin import range_join
+
+    bands = spark.createDataFrame(RJ_BANDS, "band_id int, lo double, hi double")
+    ev = _events(spark, sf_dir).select("event_id", "value")
+    joined = range_join(ev, bands, "value", "lo", "hi", band_width=60.0)
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+    )
