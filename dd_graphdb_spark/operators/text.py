@@ -24,6 +24,27 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.select(F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens"))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+# lookarounds, leftmost-first alternation. Contractions, space-prefixed
+# letter/digit/punctuation runs, residual whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """BPE-ish token count: non-overlapping matches of the GPT-2-style
+    pre-tokenizer regex (the merge-table lookup of a real BPE belongs in
+    a pandas-UDF tokenizer; the pre-token count is the deterministic
+    JVM-side path and the standard budget estimator). ``regexp_count``
+    stays inside whole-stage codegen."""
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).alias("n_bpe_tokens"),
+    )
+
+
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Quality heuristics: mean token length, stopword ratio, and a
     composite score. Mirrors the shape of C4/Gopher-style quality rules

@@ -77,6 +77,7 @@ GATE_PRIORITY = [
     "cube_status_priority",
     "algo_lpa_fixture",
     "range_join_value_bands",
+    "text_bpe_token_count",
     "group_by_agg_having",
     "join_revenue_per_region",
     "semi_join_customers_with_orders",

@@ -258,6 +258,21 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
 
 
+_BPE_SQL = X.BPE_PATTERN.replace("'", "''")
+
+
+@_q(
+    "text_bpe_token_count",
+    f"SELECT doc_id, len(regexp_extract_all(text, '{_BPE_SQL}'))::INT AS n_bpe_tokens "
+    "FROM documents",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer count (operators/text.py BPE_PATTERN —
+    constructs chosen for identical Java-regex/RE2 semantics; the
+    DuckDB oracle runs the same pattern through RE2)."""
+    return X.bpe_token_count(_docs(spark, sf_dir))
+
+
 _STOP_SQL = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
 
 

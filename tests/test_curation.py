@@ -85,3 +85,18 @@ def test_repetition_has_no_shuffle(spark, docs):
         )
     )
     assert "Exchange" not in p
+
+
+def test_bpe_token_count_segments(spark):
+    from dd_graphdb_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "it's fine, really!"),   # it|'s| fine|,| really|! = 6
+            (2, "abc123 x"),             # abc|123| x = 3
+            (3, "  "),                   # one whitespace run
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_count(df).collect()}
+    assert out == {1: 6, 2: 3, 3: 1}
