@@ -1,4 +1,4 @@
-from dd_graphdb_spark.algorithms.pagerank import pagerank
+from dd_graphdb_spark.algorithms.pagerank import pagerank, personalized_pagerank
 from dd_graphdb_spark.algorithms.components import connected_components, component_count, strongly_connected_components
 from dd_graphdb_spark.algorithms.paths import sssp, bfs_shortest_path, reachability
 from dd_graphdb_spark.algorithms.structure import k_core, triangle_count, degree_centrality
@@ -10,6 +10,7 @@ from dd_graphdb_spark.algorithms.centrality import (
 )
 
 __all__ = [
+    "personalized_pagerank",
     "label_propagation",
     "eigenvector_centrality",
     "betweenness_centrality",

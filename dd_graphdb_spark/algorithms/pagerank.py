@@ -111,3 +111,58 @@ def pagerank(
     checkpoint blocks (the loop frame must be gone before GC can free its
     py4j references — see algorithms/_iter.py)."""
     return run_loop(_pagerank_loop, g, damping, max_iterations, tolerance, round_to)
+
+
+def _ppr_loop(
+    g: PropertyGraph,
+    sources: list[int],
+    damping: float = 0.85,
+    max_iterations: int = 10,
+    round_to: int | None = None,
+    ckpt_every: int = 8,
+) -> DataFrame:
+    """Personalized PageRank: the (1−d) restart mass flows only to the
+    ``sources`` set (uniform over it) instead of all vertices —
+    new(v) = (1−d)·[v ∈ S]/|S| + d·Σ_{u→v} rank(u)/outdeg(u), rank⁰ =
+    restart. Same plan shape and checkpoint cadence as `_pagerank_loop`;
+    deterministic fixed iterations, so the oracle unrolls rounds."""
+    if not sources:
+        raise ValueError("personalized_pagerank needs a non-empty source set")
+    verts = g.vertices.select("id").localCheckpoint(eager=True)
+    edges = g.edges.select("src", "dst")
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    contrib_edges = (
+        edges.join(outdeg, "src").select("src", "dst", "outdeg").localCheckpoint(eager=True)
+    )
+    restart = F.when(
+        F.col("id").isin([int(s) for s in sources]), F.lit(1.0 / len(sources))
+    ).otherwise(F.lit(0.0))
+    base = restart * F.lit(1.0 - damping)
+    ranks = verts.withColumn("rank", restart).localCheckpoint(eager=True)
+    for i in range(max_iterations):
+        contribs = (
+            ranks.join(contrib_edges, ranks.id == contrib_edges.src)
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .groupBy("id")
+            .agg(F.sum("contrib").alias("msum"))
+        )
+        ranks = verts.join(contribs, "id", "left").select(
+            "id",
+            (base + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"),
+        )
+        if (i + 1) % ckpt_every == 0 or i == max_iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    if round_to is not None:
+        ranks = ranks.select("id", F.round("rank", round_to).alias("rank"))
+    return ranks
+
+
+def personalized_pagerank(
+    g: PropertyGraph,
+    sources: list[int],
+    damping: float = 0.85,
+    max_iterations: int = 10,
+    round_to: int | None = None,
+) -> DataFrame:
+    """(id, rank) with restart mass pinned to ``sources``."""
+    return run_loop(_ppr_loop, g, sources, damping, max_iterations, round_to)

@@ -78,6 +78,7 @@ GATE_PRIORITY = [
     "algo_lpa_fixture",
     "range_join_value_bands",
     "text_bpe_token_count",
+    "algo_ppr_customers",
     "group_by_agg_having",
     "join_revenue_per_region",
     "semi_join_customers_with_orders",

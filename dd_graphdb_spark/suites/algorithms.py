@@ -183,6 +183,67 @@ def algo_pagerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Personalized PageRank (beyond-ref): restart mass pinned to two
+# customer vertices of the derived graph; rank flows customer → nation
+# → region only, so the top-k is dominated by that cone. Oracle =
+# unrolled rounds with the restart CASE, round(9) before the sort.
+# --------------------------------------------------------------------------
+_PPR_SOURCES = [CUST + 1, CUST + 2]
+_PPR_ITERS = 5
+_PPR_K = 8
+
+
+def _ppr_oracle(n_iter: int = _PPR_ITERS, damping: float = 0.85) -> str:
+    svals = ", ".join(f"({s})" for s in _PPR_SOURCES)
+    restart = (
+        f"CASE WHEN v.id IN (SELECT id FROM srcs) "
+        f"THEN {1.0 / len(_PPR_SOURCES)}::DOUBLE ELSE 0.0::DOUBLE END"
+    )
+    steps = []
+    prev = "pr0"
+    for i in range(1, n_iter + 1):
+        cur = f"pr{i}"
+        steps.append(
+            f"""{cur} AS (
+    SELECT v.id,
+           {restart} * (1.0::DOUBLE - {damping}::DOUBLE)
+             + {damping}::DOUBLE * COALESCE(m.s, 0.0::DOUBLE) AS rank
+    FROM vertices v LEFT JOIN (
+        SELECT e.dst AS id, SUM(p.rank / o.d) AS s
+        FROM {prev} p JOIN edges e ON p.id = e.src
+        JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst
+    ) m ON v.id = m.id
+)"""
+        )
+        prev = cur
+    return (
+        GRAPH_CTE
+        + f""",
+    outdeg AS (SELECT src, COUNT(*)::DOUBLE AS d FROM edges GROUP BY src),
+    srcs(id) AS (VALUES {svals}),
+    pr0 AS (SELECT v.id, {restart} AS rank FROM vertices v),
+    """
+        + ",\n".join(steps)
+        + f"""
+    SELECT id::BIGINT AS id, ROUND(rank, 9) AS rank FROM {prev}
+    ORDER BY rank DESC, id ASC LIMIT {_PPR_K}"""
+    )
+
+
+@_q("algo_ppr_customers", _ppr_oracle())
+def algo_ppr_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.algorithms import personalized_pagerank
+    from dd_graphdb_spark.algorithms.pagerank import top_n
+
+    g = materialized_tpch_graph(spark, sf_dir)
+    ranks = personalized_pagerank(
+        g, _PPR_SOURCES, max_iterations=_PPR_ITERS, round_to=9
+    )
+    return top_n(ranks, _PPR_K)
+
+
+# --------------------------------------------------------------------------
 # Connected components on the derived FK graph: components are exactly the
 # region subtrees, so the oracle maps every vertex to its region key.
 # --------------------------------------------------------------------------

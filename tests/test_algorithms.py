@@ -177,3 +177,20 @@ def test_label_propagation_two_triangles(spark):
     assert out[1] == out[2] == out[3]
     assert out[4] == out[5] == out[6]
     assert out[1] != out[4]
+
+
+def test_personalized_pagerank_cone(spark):
+    """Restart mass stays in the source's downstream cone: on the chain
+    1->2->3 with source {1}, vertex 4 (disconnected) scores 0 and
+    rank decays along the chain."""
+    from dd_graphdb_spark.algorithms import personalized_pagerank
+    from dd_graphdb_spark.suites.algorithms import fixture_graph
+
+    g = fixture_graph(spark, [1, 2, 3, 4], [(1, 2), (2, 3)])
+    out = {r["id"]: r["rank"] for r in personalized_pagerank(g, [1], max_iterations=8).collect()}
+    assert out[4] == 0.0
+    assert out[1] > out[2] > out[3] > 0.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="non-empty"):
+        personalized_pagerank(g, [])
