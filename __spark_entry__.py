@@ -4,8 +4,9 @@
 - ``queries()``: every implemented operator from SURVEY.md §2 (+ the
   LLM-pipeline extensions), as (spark, sf_dir) -> DataFrame callables.
 - ``oracle_sql()``: DuckDB-equivalent SQL per query for the correctness
-  gate. Non-SQL-expressible entries are intentionally absent (rows-only
-  check).
+  gate. As of round 5 EVERY query has an oracle (non-SQL-expressible
+  numerics are pinned by SQL invariants instead — see
+  suites/llm_ops.py `_pca_invariant_oracle`).
 
 Query implementations live in dd_graphdb_spark/suites/.
 """
