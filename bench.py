@@ -51,11 +51,14 @@ HEADLINE = [
     "alert_pattern_rule",
     "alert_anomaly_rule",
     "view_incremental_connectivity",
-    # round-5 additions: curation family + near-dup clustering
+    # round-5 additions: curation family, near-dup clustering, banded
+    # range join, personalized pagerank
     "dedup_cluster_survivors",
     "curation_contamination",
     "curation_pack_sequences",
     "curation_repetition",
+    "range_join_value_bands",
+    "algo_ppr_customers",
 ]
 
 

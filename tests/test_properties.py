@@ -425,3 +425,41 @@ def test_pack_sequences_matches_model(spark, docs_and_lens, window):
             want[i] = (b, cum, cum // window, ln)
             cum += ln
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Banded range join == naive inequality join for ANY points/intervals
+# and ANY band width (band explosion + residual verify must not change
+# the match set).
+# --------------------------------------------------------------------------
+@SMALL
+@given(
+    st.lists(st.floats(-50, 50, allow_nan=False), min_size=1, max_size=15),
+    st.lists(
+        st.tuples(st.floats(-50, 50, allow_nan=False), st.floats(0, 30, allow_nan=False)),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from([0.7, 3.0, 17.0, 100.0]),
+)
+def test_range_join_matches_naive(spark, vals, intervals, width):
+    from dd_graphdb_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "pid long, v double"
+    )
+    ivs = spark.createDataFrame(
+        [(i, float(lo), float(lo + ln)) for i, (lo, ln) in enumerate(intervals)],
+        "iid long, lo double, hi double",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(pts, ivs, "v", "lo", "hi", width).collect()
+    }
+    want = {
+        (i, j)
+        for i, v in enumerate(vals)
+        for j, (lo, ln) in enumerate(intervals)
+        if lo <= v < lo + ln
+    }
+    assert got == want

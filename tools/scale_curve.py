@@ -93,6 +93,19 @@ def dedup_clusters(docs):
     return near_dup_clusters(docs, 0.18)
 
 
+def range_join_bands(ev):
+    from dd_graphdb_spark.operators.rangejoin import range_join
+
+    bands = ev.sparkSession.createDataFrame(
+        [(i, i * 40.0 - 10.0, i * 40.0 + 50.0) for i in range(13)],
+        "band_id int, lo double, hi double",
+    )
+    joined = range_join(
+        ev.select("event_id", "value"), bands, "value", "lo", "hi", band_width=60.0
+    )
+    return joined.groupBy("band_id").agg(F.count("*").alias("n"))
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     only = set(sys.argv[2:])
@@ -112,6 +125,7 @@ def main():
     ops = {
         "asof_hotkey": (events_input, asof_hotkey),
         "dedup_clusters": (docs_input, dedup_clusters),
+        "range_join_bands": (events_input, range_join_bands),
     }
     for name, (builder, op) in ops.items():
         if only and name not in only:
