@@ -58,8 +58,9 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# Rotation policy (round 5): the 6 NEW round-5 queries (CDC ×2,
-# curation ×3, cube) go first — never recorded — then the 16 entries
+# Rotation policy (round 5): the 11 NEW round-5 queries (CDC ×2,
+# curation ×3, cube, LPA ×2, range join, BPE tokens, personalized
+# pagerank) go first — never recorded — then the 16 entries
 # whose only driver rows are from round 2, then the 3 whose oracle
 # changed this round (algo_pagerank_top3 and embedding_pca_project
 # gained real oracles; events_sessionize fixed its tie order), then
@@ -79,6 +80,7 @@ GATE_PRIORITY = [
     "range_join_value_bands",
     "text_bpe_token_count",
     "algo_ppr_customers",
+    "view_incremental_lpa",
     "group_by_agg_having",
     "join_revenue_per_region",
     "semi_join_customers_with_orders",

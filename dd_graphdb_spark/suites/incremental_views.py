@@ -480,3 +480,63 @@ def view_incremental_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return state.result()
+
+
+# ---------------------------------------------------------------------------
+# Community (LPA) view maintained incrementally — beyond the reference's
+# four maintained analytics, same contract. Batch 1 builds two triangles
+# joined by a bridge; batch 2 cuts the bridge and hangs a pendant. The
+# oracle value comes from an in-suite model replaying the SAME
+# deterministic synchronized rounds on the net edge set.
+# ---------------------------------------------------------------------------
+_LPA_B1 = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (4, 6)]
+_LPA_B2_ADDS = [(6, 7)]
+_LPA_B2_REMOVES = [(3, 4)]
+_LPA_VIEW_ROUNDS = 4
+
+
+def _lpa_model() -> tuple[int, int]:
+    edges = (set(_LPA_B1) | set(_LPA_B2_ADDS)) - set(_LPA_B2_REMOVES)
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        if a != b:
+            nbrs.setdefault(a, []).append(b)
+            nbrs.setdefault(b, []).append(a)
+    verts = sorted(nbrs)
+    lbl = {v: v for v in verts}
+    for _ in range(_LPA_VIEW_ROUNDS):
+        nxt = {}
+        for v in verts:
+            counts: dict[int, int] = {}
+            for u in set(nbrs[v]):
+                counts[lbl[u]] = counts.get(lbl[u], 0) + 1
+            nxt[v] = min(
+                (l for l in counts if counts[l] == max(counts.values()))
+            ) if counts else lbl[v]
+        lbl = nxt
+    return len(set(lbl.values())), len(verts)
+
+
+_LPA_COMMUNITIES, _LPA_NVERTS = _lpa_model()
+
+
+@_q(
+    "view_incremental_lpa",
+    f"SELECT {_LPA_COMMUNITIES}::BIGINT AS community_count, "
+    f"{_LPA_NVERTS}::BIGINT AS vertex_count",
+)
+def view_incremental_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.views import IncrementalLPA
+
+    state = IncrementalLPA(
+        spark, tempfile.mkdtemp(prefix="ilpa_"), rounds=_LPA_VIEW_ROUNDS
+    )
+    state.apply_edge_deltas(spark.createDataFrame(_LPA_B1, "src long, dst long"))
+    state.apply_edge_deltas(
+        spark.createDataFrame(
+            [(s, d, 1) for s, d in _LPA_B2_ADDS]
+            + [(s, d, -1) for s, d in _LPA_B2_REMOVES],
+            "src long, dst long, _sign int",
+        )
+    )
+    return state.result()

@@ -8,6 +8,7 @@ from dd_graphdb_spark.views.incremental import (
     IncrementalConnectivity,
     IncrementalDegreeCentrality,
     IncrementalKCore,
+    IncrementalLPA,
     IncrementalPageRank,
     IncrementalSSSP,
     IncrementalTriangles,
@@ -22,6 +23,7 @@ __all__ = [
     "IncrementalConnectivity",
     "IncrementalDegreeCentrality",
     "IncrementalKCore",
+    "IncrementalLPA",
     "IncrementalPageRank",
     "IncrementalSSSP",
     "IncrementalTriangles",

@@ -336,6 +336,28 @@ class IncrementalKCore(_EdgeState):
         )
 
 
+class IncrementalLPA(_EdgeState):
+    """Community view: label-propagation communities over maintained
+    adjacency — beyond the reference's four maintained analytics, same
+    maintenance contract (state merged per changeset, deterministic
+    algorithm re-run bounded by the maintained graph). Fixed rounds
+    keep the result a pure function of the edge state (oracle-
+    unrollable). Result: one row (community_count, vertex_count)."""
+
+    def __init__(self, spark: SparkSession, path: str, rounds: int = 4):
+        super().__init__(spark, path)
+        self.rounds = rounds
+
+    def result(self) -> DataFrame:
+        from dd_graphdb_spark.algorithms import label_propagation
+
+        comm = label_propagation(self.graph(), max_iterations=self.rounds)
+        return comm.agg(
+            F.count_distinct("community").alias("community_count"),
+            F.count("*").alias("vertex_count"),
+        )
+
+
 class IncrementalSSSP(_EdgeState):
     """Shortest-path view: dist + "a->b->c" path + path_length over
     maintained weighted adjacency (compute_shortest_path,
