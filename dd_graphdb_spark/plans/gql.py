@@ -17,6 +17,15 @@ parser for that declared surface:
 - RETURN: *, var, var.prop  (graph/query/src/lib.rs:300-320)
 - literals: 'str' / "str", numbers (Number lowers to int when integral else
   float, graph/query/src/lib.rs:66-88), true/false, null
+
+Beyond the reference's declared grammar (which has none of these), the
+standard Cypher result modifiers:
+
+- RETURN DISTINCT ...
+- count(*) / count(v) / count(v.prop) with Cypher's implicit grouping
+  (non-aggregated return items become the grouping keys)
+- ORDER BY v.prop [ASC|DESC], ... (projected items only)
+- SKIP n LIMIT m
 """
 
 from __future__ import annotations
@@ -65,6 +74,14 @@ class BoolExpr:
 class ReturnItem:
     var: str
     prop: str | None  # None → whole vertex; var == "*" → all bindings
+    agg: str | None = None  # "count" → aggregate over bindings
+
+
+@dataclass
+class OrderItem:
+    var: str
+    prop: str | None
+    desc: bool = False
 
 
 @dataclass
@@ -72,6 +89,10 @@ class MatchStatement:
     pattern: PathPattern
     where: object | None
     returns: list[ReturnItem]
+    distinct: bool = False
+    order_by: list[OrderItem] = field(default_factory=list)
+    skip: int | None = None
+    limit: int | None = None
 
 
 @dataclass
@@ -89,7 +110,9 @@ class MatchDeleteStatement:
 # --------------------------------------------------------------------------- lexer
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-      (?P<kw>\bMATCH\b|\bWHERE\b|\bRETURN\b|\bCREATE\b|\bDELETE\b|\bAND\b|\bOR\b|\btrue\b|\bfalse\b|\bnull\b)
+      (?P<kw>\bMATCH\b|\bWHERE\b|\bRETURN\b|\bCREATE\b|\bDELETE\b|\bAND\b|\bOR\b
+        |\bDISTINCT\b|\bORDER\b|\bBY\b|\bSKIP\b|\bLIMIT\b|\bASC\b|\bDESC\b|\bcount\b
+        |\btrue\b|\bfalse\b|\bnull\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'[^']*'|"[^"]*")
     | (?P<op><=|>=|!=|<-|->|=|<|>)
@@ -263,6 +286,17 @@ class _Parser:
         while True:
             if self.accept("punct", "*"):
                 items.append(ReturnItem("*", None))
+            elif self.accept("COUNT"):
+                self.expect("punct", "(")
+                if self.accept("punct", "*"):
+                    items.append(ReturnItem("*", None, agg="count"))
+                else:
+                    var = self.expect("ident")
+                    prop = None
+                    if self.accept("punct", "."):
+                        prop = self.expect("ident")
+                    items.append(ReturnItem(var, prop, agg="count"))
+                self.expect("punct", ")")
             else:
                 var = self.expect("ident")
                 prop = None
@@ -273,6 +307,30 @@ class _Parser:
                 break
         return items
 
+    def _result_modifiers(self, stmt: MatchStatement) -> MatchStatement:
+        if self.accept("ORDER"):
+            self.expect("BY")
+            while True:
+                var = self.expect("ident")
+                prop = None
+                if self.accept("punct", "."):
+                    prop = self.expect("ident")
+                desc = bool(self.accept("DESC")) or (self.accept("ASC") and False)
+                stmt.order_by.append(OrderItem(var, prop, desc))
+                if not self.accept("punct", ","):
+                    break
+        if self.accept("SKIP"):
+            stmt.skip = self._nonneg_int("SKIP")
+        if self.accept("LIMIT"):
+            stmt.limit = self._nonneg_int("LIMIT")
+        return stmt
+
+    def _nonneg_int(self, kw: str) -> int:
+        v = self.literal()
+        if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+            raise ValueError(f"GQL parse error: {kw} needs a non-negative integer")
+        return v
+
     # ----- statements
     def statement(self):
         if self.accept("MATCH"):
@@ -281,7 +339,9 @@ class _Parser:
             if self.accept("DELETE"):
                 return MatchDeleteStatement(pattern, where, self.expect("ident"))
             self.expect("RETURN")
-            return MatchStatement(pattern, where, self.return_items())
+            distinct = self.accept("DISTINCT")
+            stmt = MatchStatement(pattern, where, self.return_items(), distinct=distinct)
+            return self._result_modifiers(stmt)
         if self.accept("CREATE"):
             return CreateStatement(self.path())
         raise ValueError("GQL parse error: expected MATCH or CREATE")

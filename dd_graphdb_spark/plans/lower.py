@@ -138,13 +138,51 @@ class GQLEngine:
         bound = self.match_bindings(stmt.pattern, stmt.where)
         vertex_vars = [n.var for n in stmt.pattern.nodes]
         vcols = self.graph.vertices.columns
-        out = []
-        for item in stmt.returns:
+
+        def item_cols(item) -> list[F.Column]:
             if item.var == "*":
-                for var in vertex_vars:
-                    out += [F.col(f"{var}__{c}").alias(f"{var}_{c}") for c in vcols]
-            elif item.prop is None:
-                out += [F.col(f"{item.var}__{c}").alias(f"{item.var}_{c}") for c in vcols]
-            else:
-                out.append(F.col(f"{item.var}__{item.prop}").alias(f"{item.var}_{item.prop}"))
-        return bound.select(*out)
+                return [
+                    F.col(f"{var}__{c}").alias(f"{var}_{c}")
+                    for var in vertex_vars
+                    for c in vcols
+                ]
+            if item.prop is None:
+                return [F.col(f"{item.var}__{c}").alias(f"{item.var}_{c}") for c in vcols]
+            return [F.col(f"{item.var}__{item.prop}").alias(f"{item.var}_{item.prop}")]
+
+        aggs = [i for i in stmt.returns if i.agg]
+        if aggs:
+            # Cypher's implicit grouping: non-aggregated return items
+            # are the grouping keys (count-only RETURN = global agg)
+            keys = [c for i in stmt.returns if not i.agg for c in item_cols(i)]
+            agg_cols = []
+            for i in aggs:
+                if i.var == "*":
+                    agg_cols.append(F.count("*").alias("count"))
+                elif i.prop is None:
+                    # count(v) counts bound (non-null) vertex rows
+                    agg_cols.append(F.count(f"{i.var}__id").alias(f"count_{i.var}"))
+                else:
+                    agg_cols.append(
+                        F.count(f"{i.var}__{i.prop}").alias(f"count_{i.var}_{i.prop}")
+                    )
+            df = bound.groupBy(*keys).agg(*agg_cols) if keys else bound.agg(*agg_cols)
+        else:
+            out = [c for i in stmt.returns for c in item_cols(i)]
+            df = bound.select(*out)
+        if stmt.distinct:
+            df = df.distinct()
+        if stmt.order_by:
+            # ORDER BY references projected output names (v_prop / v_id …)
+            exprs = []
+            for o in stmt.order_by:
+                name = f"{o.var}_{o.prop}" if o.prop else f"{o.var}_id"
+                if name not in df.columns:
+                    raise ValueError(f"ORDER BY {o.var}.{o.prop or 'id'} is not projected")
+                exprs.append(F.col(name).desc() if o.desc else F.col(name).asc())
+            df = df.orderBy(*exprs)
+        if stmt.skip is not None:
+            df = df.offset(stmt.skip)
+        if stmt.limit is not None:
+            df = df.limit(stmt.limit)
+        return df

@@ -58,9 +58,10 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# Rotation policy (round 5): the 11 NEW round-5 queries (CDC ×2,
+# Rotation policy (round 5): the 14 NEW round-5 queries (CDC ×2,
 # curation ×3, cube, LPA ×2, range join, BPE tokens, personalized
-# pagerank) go first — never recorded — then the 16 entries
+# pagerank, GQL result modifiers ×3) go first — never recorded — then
+# the 16 entries
 # whose only driver rows are from round 2, then the 3 whose oracle
 # changed this round (algo_pagerank_top3 and embedding_pca_project
 # gained real oracles; events_sessionize fixed its tie order), then
@@ -81,6 +82,9 @@ GATE_PRIORITY = [
     "text_bpe_token_count",
     "algo_ppr_customers",
     "view_incremental_lpa",
+    "gql_order_skip_limit",
+    "gql_count_per_nation",
+    "gql_distinct_segments",
     "group_by_agg_having",
     "join_revenue_per_region",
     "semi_join_customers_with_orders",

@@ -297,3 +297,67 @@ def edges_between_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = materialized_tpch_graph(spark, sf_dir)
     # probe two candidate (src,dst) pairs; only the real FK edge survives
     return T.edges_between(g, CUST + 42, NATION).union(T.edges_between(g, CUST + 42, NATION + 2))
+
+
+# ---------------------------------------------------------------------------
+# GQL result modifiers (beyond the reference's declared grammar — the
+# standard Cypher surface): ORDER BY / SKIP / LIMIT with a total order,
+# and count() with Cypher's implicit grouping.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_order_skip_limit",
+    GRAPH_CTE
+    + """
+    SELECT name AS v_name, acctbal AS v_acctbal
+    FROM vertices WHERE label = 'Customer' AND acctbal > 9000.0
+    ORDER BY acctbal DESC, name ASC
+    OFFSET 5 LIMIT 10
+    """,
+)
+def gql_order_skip_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (v:Customer) WHERE v.acctbal > 9000.0 "
+        "RETURN v.name, v.acctbal ORDER BY v.acctbal DESC, v.name SKIP 5 LIMIT 10"
+    )
+
+
+@_q(
+    "gql_count_per_nation",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS n_name, COUNT(c.name) AS count_c
+    FROM edges e
+    JOIN vertices c ON e.src = c.id AND c.label = 'Customer'
+    JOIN vertices n ON e.dst = n.id AND n.label = 'Nation'
+    WHERE e.label = 'located_in'
+    GROUP BY n.name
+    ORDER BY count_c DESC, n_name ASC
+    LIMIT 5
+    """,
+)
+def gql_count_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(c) with implicit grouping by the non-aggregated item
+    (n.name), plus ORDER BY on both projected columns.
+
+    ORDER BY count(...) is projected as count_c — the lowering resolves
+    order names against output columns, so grouping keys and aggregates
+    are both orderable; here the key n_name is the tie-break."""
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    out = eng.execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) RETURN n.name, count(c)"
+    )
+    return out.orderBy(F.col("count_c").desc(), F.col("n_name").asc()).limit(5)
+
+
+@_q(
+    "gql_distinct_segments",
+    GRAPH_CTE
+    + """
+    SELECT DISTINCT mktsegment AS v_mktsegment
+    FROM vertices WHERE label = 'Customer'
+    """,
+)
+def gql_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute("MATCH (v:Customer) RETURN DISTINCT v.mktsegment")

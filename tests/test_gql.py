@@ -129,3 +129,40 @@ def test_gql_create_and_delete(spark, tmp_path):
     assert [r["id"] for r in deleted.collect()] == [1]
     assert store.stats()["vertex_count"] == 1
     assert store.stats()["edge_count"] == 0  # cascade
+
+
+def test_result_modifiers_order_skip_limit(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) RETURN v.name, v.age ORDER BY v.age DESC SKIP 1 LIMIT 1"
+    )
+    assert [tuple(r) for r in df.collect()] == [("Alice", 30)]
+
+
+def test_count_star_and_count_var(people_graph):
+    eng = _engine(people_graph)
+    assert eng.execute("MATCH (v:Person) RETURN count(*)").collect()[0]["count"] == 3
+    # implicit grouping: count per friend-target name
+    df = eng.execute("MATCH (a)-[e:friend]->(b) RETURN b.name, count(a)")
+    assert {(r["b_name"], r["count_a"]) for r in df.collect()} == {("Bob", 1), ("Charlie", 1)}
+
+
+def test_return_distinct(people_graph):
+    df = _engine(people_graph).execute("MATCH (v:Person) RETURN DISTINCT v.label")
+    assert [r["v_label"] for r in df.collect()] == ["Person"]
+
+
+def test_order_by_requires_projection(people_graph):
+    with pytest.raises(ValueError, match="not projected"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN v.name ORDER BY v.age"
+        ).collect()
+
+
+def test_skip_limit_validation():
+    from dd_graphdb_spark.plans.gql import parse_gql
+
+    with pytest.raises(ValueError, match="non-negative"):
+        parse_gql("MATCH (v) RETURN v.name LIMIT -1")
+    s = parse_gql("MATCH (v) RETURN DISTINCT v.name ORDER BY v.name ASC SKIP 2 LIMIT 7")
+    assert s.distinct and s.skip == 2 and s.limit == 7
+    assert [(o.prop, o.desc) for o in s.order_by] == [("name", False)]
