@@ -111,7 +111,8 @@ class MatchDeleteStatement:
 _TOKEN_RE = re.compile(
     r"""\s*(?:
       (?P<kw>\bMATCH\b|\bWHERE\b|\bRETURN\b|\bCREATE\b|\bDELETE\b|\bAND\b|\bOR\b
-        |\bDISTINCT\b|\bORDER\b|\bBY\b|\bSKIP\b|\bLIMIT\b|\bASC\b|\bDESC\b|\bcount\b
+        |\bDISTINCT\b|\bORDER\b|\bBY\b|\bSKIP\b|\bLIMIT\b|\bASC\b|\bDESC\b
+        |\bcount\b|\bsum\b|\bavg\b|\bmin\b|\bmax\b
         |\btrue\b|\bfalse\b|\bnull\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'[^']*'|"[^"]*")
@@ -286,16 +287,23 @@ class _Parser:
         while True:
             if self.accept("punct", "*"):
                 items.append(ReturnItem("*", None))
-            elif self.accept("COUNT"):
+            elif self.peek()[0] in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+                agg = self.next()[0].lower()
                 self.expect("punct", "(")
                 if self.accept("punct", "*"):
+                    if agg != "count":
+                        raise ValueError(f"GQL parse error: {agg}(*) is not defined")
                     items.append(ReturnItem("*", None, agg="count"))
                 else:
                     var = self.expect("ident")
                     prop = None
                     if self.accept("punct", "."):
                         prop = self.expect("ident")
-                    items.append(ReturnItem(var, prop, agg="count"))
+                    if agg != "count" and prop is None:
+                        raise ValueError(
+                            f"GQL parse error: {agg}() needs a property (var.prop)"
+                        )
+                    items.append(ReturnItem(var, prop, agg=agg))
                 self.expect("punct", ")")
             else:
                 var = self.expect("ident")

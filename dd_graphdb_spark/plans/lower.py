@@ -155,6 +155,7 @@ class GQLEngine:
             # Cypher's implicit grouping: non-aggregated return items
             # are the grouping keys (count-only RETURN = global agg)
             keys = [c for i in stmt.returns if not i.agg for c in item_cols(i)]
+            agg_fns = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
             agg_cols = []
             for i in aggs:
                 if i.var == "*":
@@ -164,7 +165,9 @@ class GQLEngine:
                     agg_cols.append(F.count(f"{i.var}__id").alias(f"count_{i.var}"))
                 else:
                     agg_cols.append(
-                        F.count(f"{i.var}__{i.prop}").alias(f"count_{i.var}_{i.prop}")
+                        agg_fns[i.agg](F.col(f"{i.var}__{i.prop}")).alias(
+                            f"{i.agg}_{i.var}_{i.prop}"
+                        )
                     )
             df = bound.groupBy(*keys).agg(*agg_cols) if keys else bound.agg(*agg_cols)
         else:

@@ -58,7 +58,7 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# Rotation policy (round 5): the 14 NEW round-5 queries (CDC ×2,
+# Rotation policy (round 5): the 15 NEW round-5 queries (CDC ×2,
 # curation ×3, cube, LPA ×2, range join, BPE tokens, personalized
 # pagerank, GQL result modifiers ×3) go first — never recorded — then
 # the 16 entries
@@ -85,6 +85,7 @@ GATE_PRIORITY = [
     "gql_order_skip_limit",
     "gql_count_per_nation",
     "gql_distinct_segments",
+    "gql_agg_per_nation",
     "group_by_agg_having",
     "join_revenue_per_region",
     "semi_join_customers_with_orders",

@@ -361,3 +361,28 @@ def gql_count_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gql_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
     return eng.execute("MATCH (v:Customer) RETURN DISTINCT v.mktsegment")
+
+
+@_q(
+    "gql_agg_per_nation",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS n_name,
+           MIN(c.acctbal) AS min_c_acctbal,
+           MAX(c.acctbal) AS max_c_acctbal,
+           COUNT(c.name) AS count_c
+    FROM edges e
+    JOIN vertices c ON e.src = c.id AND c.label = 'Customer'
+    JOIN vertices n ON e.dst = n.id AND n.label = 'Nation'
+    WHERE e.label = 'located_in'
+    GROUP BY n.name
+    """,
+)
+def gql_agg_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/count aggregation with Cypher implicit grouping — min/max
+    are order-exact, so no rounding is needed for engine parity."""
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "RETURN n.name, min(c.acctbal), max(c.acctbal), count(c)"
+    )

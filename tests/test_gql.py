@@ -166,3 +166,16 @@ def test_skip_limit_validation():
     s = parse_gql("MATCH (v) RETURN DISTINCT v.name ORDER BY v.name ASC SKIP 2 LIMIT 7")
     assert s.distinct and s.skip == 2 and s.limit == 7
     assert [(o.prop, o.desc) for o in s.order_by] == [("name", False)]
+
+
+def test_sum_avg_min_max_aggregates(people_graph):
+    eng = _engine(people_graph)
+    row = eng.execute(
+        "MATCH (v:Person) RETURN sum(v.age), avg(v.age), min(v.age), max(v.age)"
+    ).collect()[0]
+    assert row["sum_v_age"] == 90 and row["avg_v_age"] == 30.0
+    assert row["min_v_age"] == 25 and row["max_v_age"] == 35
+    with pytest.raises(ValueError, match="is not defined"):
+        eng.execute("MATCH (v) RETURN sum(*)")
+    with pytest.raises(ValueError, match="needs a property"):
+        eng.execute("MATCH (v) RETURN max(v)")
