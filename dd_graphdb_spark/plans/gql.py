@@ -47,6 +47,11 @@ class EdgePattern:
     var: str | None
     label: str | None
     direction: str  # "out" | "in" | "undirected"
+    # Variable-length quantifier `*min..max` (None/None = plain single
+    # edge). Unbounded `*` / `*n..` is rejected at parse time: a bounded
+    # hop count is what keeps the lowered plan a finite join union.
+    min_hops: int | None = None
+    max_hops: int | None = None
 
 
 @dataclass
@@ -142,6 +147,18 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
     return toks
 
 
+# Word-shaped keyword tokens that may still be used as identifiers (labels,
+# variables, property keys) in name positions — `(o:Order)` must not break
+# because ORDER BY exists. TRUE/FALSE/NULL stay reserved: they are literals.
+_NAMEABLE_KEYWORDS = frozenset(
+    {
+        "MATCH", "WHERE", "RETURN", "CREATE", "DELETE", "AND", "OR",
+        "DISTINCT", "ORDER", "BY", "SKIP", "LIMIT", "ASC", "DESC",
+        "COUNT", "SUM", "AVG", "MIN", "MAX",
+    }
+)
+
+
 class _Parser:
     def __init__(self, toks: list[tuple[str, str]]):
         self.toks = toks
@@ -169,6 +186,17 @@ class _Parser:
             return True
         return False
 
+    # ----- identifiers (keywords allowed in name positions)
+    def at_name(self) -> bool:
+        k, _ = self.peek()
+        return k == "ident" or k in _NAMEABLE_KEYWORDS
+
+    def expect_name(self) -> str:
+        k, v = self.next()
+        if k == "ident" or k in _NAMEABLE_KEYWORDS:
+            return v
+        raise ValueError(f"GQL parse error: expected identifier, got {v!r}")
+
     # ----- literals
     def literal(self):
         k, v = self.next()
@@ -190,13 +218,13 @@ class _Parser:
         self.expect("punct", "(")
         var = label = None
         props: dict = {}
-        if self.peek()[0] == "ident":
+        if self.at_name():
             var = self.next()[1]
         if self.accept("punct", ":"):
-            label = self.expect("ident")
+            label = self.expect_name()
         if self.accept("punct", "{"):
             while not self.accept("punct", "}"):
-                key = self.expect("ident")
+                key = self.expect_name()
                 self.expect("punct", ":")
                 props[key] = self.literal()
                 self.accept("punct", ",")
@@ -229,10 +257,10 @@ class _Parser:
     def _edge_body(self) -> tuple[str | None, str | None]:
         var = label = None
         if self.accept("punct", "["):
-            if self.peek()[0] == "ident":
+            if self.at_name():
                 var = self.next()[1]
             if self.accept("punct", ":"):
-                label = self.expect("ident")
+                label = self.expect_name()
             self.expect("punct", "]")
         return var, label
 
@@ -268,9 +296,9 @@ class _Parser:
             inner = self.where_expr()
             self.expect("punct", ")")
             return inner
-        var = self.expect("ident")
+        var = self.expect_name()
         self.expect("punct", ".")
-        prop = self.expect("ident")
+        prop = self.expect_name()
         op = self.expect("op")
         if op == "<-":
             # `a.age<-5` lexes as the edge arrow '<-' + '5'; in WHERE
@@ -287,7 +315,7 @@ class _Parser:
         while True:
             if self.accept("punct", "*"):
                 items.append(ReturnItem("*", None))
-            elif self.peek()[0] in ("COUNT", "SUM", "AVG", "MIN", "MAX"):
+            elif self.peek()[0] in ("COUNT", "SUM", "AVG", "MIN", "MAX") and self.toks[self.i + 1][1] == "(":
                 agg = self.next()[0].lower()
                 self.expect("punct", "(")
                 if self.accept("punct", "*"):
@@ -295,10 +323,10 @@ class _Parser:
                         raise ValueError(f"GQL parse error: {agg}(*) is not defined")
                     items.append(ReturnItem("*", None, agg="count"))
                 else:
-                    var = self.expect("ident")
+                    var = self.expect_name()
                     prop = None
                     if self.accept("punct", "."):
-                        prop = self.expect("ident")
+                        prop = self.expect_name()
                     if agg != "count" and prop is None:
                         raise ValueError(
                             f"GQL parse error: {agg}() needs a property (var.prop)"
@@ -306,10 +334,10 @@ class _Parser:
                     items.append(ReturnItem(var, prop, agg=agg))
                 self.expect("punct", ")")
             else:
-                var = self.expect("ident")
+                var = self.expect_name()
                 prop = None
                 if self.accept("punct", "."):
-                    prop = self.expect("ident")
+                    prop = self.expect_name()
                 items.append(ReturnItem(var, prop))
             if not self.accept("punct", ","):
                 break
@@ -319,10 +347,10 @@ class _Parser:
         if self.accept("ORDER"):
             self.expect("BY")
             while True:
-                var = self.expect("ident")
+                var = self.expect_name()
                 prop = None
                 if self.accept("punct", "."):
-                    prop = self.expect("ident")
+                    prop = self.expect_name()
                 desc = bool(self.accept("DESC")) or (self.accept("ASC") and False)
                 stmt.order_by.append(OrderItem(var, prop, desc))
                 if not self.accept("punct", ","):
@@ -345,7 +373,7 @@ class _Parser:
             pattern = self.path()
             where = self.where_expr() if self.accept("WHERE") else None
             if self.accept("DELETE"):
-                return MatchDeleteStatement(pattern, where, self.expect("ident"))
+                return MatchDeleteStatement(pattern, where, self.expect_name())
             self.expect("RETURN")
             distinct = self.accept("DISTINCT")
             stmt = MatchStatement(pattern, where, self.return_items(), distinct=distinct)

@@ -179,3 +179,19 @@ def test_sum_avg_min_max_aggregates(people_graph):
         eng.execute("MATCH (v) RETURN sum(*)")
     with pytest.raises(ValueError, match="needs a property"):
         eng.execute("MATCH (v) RETURN max(v)")
+
+
+def test_keywords_usable_as_identifiers():
+    """Regression: `(o:Order)` must parse even though ORDER BY exists —
+    word keywords are valid labels/variables/property keys in name
+    positions (TRUE/FALSE/NULL stay reserved as literals)."""
+    from dd_graphdb_spark.plans.gql import parse_gql
+
+    s = parse_gql("MATCH (o:Order)-[:placed_by]->(c:Customer) RETURN o.id")
+    assert s.pattern.nodes[0].label == "Order"
+    s = parse_gql("MATCH (order:Order {count: 3}) RETURN order.limit ORDER BY order.limit")
+    assert s.pattern.nodes[0].var == "order"
+    assert s.pattern.nodes[0].props == {"count": 3}
+    assert s.order_by[0].prop == "limit"
+    with pytest.raises(ValueError, match="expected identifier"):
+        parse_gql("MATCH (v:null) RETURN v")
