@@ -26,6 +26,9 @@ standard Cypher result modifiers:
   (non-aggregated return items become the grouping keys)
 - ORDER BY v.prop [ASC|DESC], ... (projected items only)
 - SKIP n LIMIT m
+- variable-length edges `-[p:LBL*1..3]->` (also `*n`, `*..m`, `*0..m`);
+  the upper bound is mandatory (the plan is a finite union of hop
+  joins), and the edge variable binds one property, `p.hops`
 """
 
 from __future__ import annotations
@@ -235,34 +238,69 @@ class _Parser:
         return NodePattern(var, label, props)
 
     def edge(self) -> EdgePattern | None:
-        # -[v:LBL]-> | <-[v:LBL]- | -[v:LBL]-   and bare forms  -> | <- | --
+        # -[v:LBL*n..m]-> | <-[...]- | -[...]-  and bare forms  -> | <- | --
         k, v = self.peek()
         if v == "<-":
             self.next()
-            var, label = self._edge_body()
+            var, label, lo, hi = self._edge_body()
             self.expect("punct", "-")
-            return EdgePattern(var, label, "in")
+            return EdgePattern(var, label, "in", lo, hi)
         if v == "->":
             self.next()
             return EdgePattern(None, None, "out")
         if v == "-":
             self.next()
-            var, label = self._edge_body()
+            var, label, lo, hi = self._edge_body()
             if self.accept("op", "->"):
-                return EdgePattern(var, label, "out")
+                return EdgePattern(var, label, "out", lo, hi)
             self.expect("punct", "-")
-            return EdgePattern(var, label, "undirected")
+            return EdgePattern(var, label, "undirected", lo, hi)
         return None
 
-    def _edge_body(self) -> tuple[str | None, str | None]:
-        var = label = None
+    def _edge_body(self) -> tuple[str | None, str | None, int | None, int | None]:
+        var = label = lo = hi = None
         if self.accept("punct", "["):
             if self.at_name():
                 var = self.next()[1]
             if self.accept("punct", ":"):
                 label = self.expect_name()
+            if self.accept("punct", "*"):
+                lo, hi = self._hop_bounds()
             self.expect("punct", "]")
-        return var, label
+        return var, label, lo, hi
+
+    def _hop_bounds(self) -> tuple[int, int]:
+        """Cypher-style quantifier after `*`: `n` (exact), `n..m`, `..m`
+        (1..m). Unbounded (`*`, `n..`) is rejected — the lowered plan is
+        a finite union of hop joins, so a bound is required."""
+        lo = hi = None
+        if self.peek()[0] == "num":
+            lo = self._hop_int()
+            if self.accept("punct", "."):
+                self.expect("punct", ".")
+                if self.peek()[0] == "num":
+                    hi = self._hop_int()
+            else:
+                hi = lo
+        elif self.accept("punct", "."):
+            self.expect("punct", ".")
+            lo, hi = 1, self._hop_int()
+        else:
+            lo = 1
+        if hi is None:
+            raise ValueError(
+                "GQL parse error: unbounded variable-length pattern — "
+                "give an upper bound, e.g. *1..4"
+            )
+        if hi < lo or hi < 1:
+            raise ValueError(f"GQL parse error: bad hop range *{lo}..{hi}")
+        return lo, hi
+
+    def _hop_int(self) -> int:
+        k, v = self.next()
+        if k != "num" or "." in v or v.startswith("-"):
+            raise ValueError(f"GQL parse error: hop bound must be a non-negative integer, got {v!r}")
+        return int(v)
 
     def path(self) -> PathPattern:
         nodes = [self.node()]

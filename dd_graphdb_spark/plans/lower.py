@@ -98,6 +98,46 @@ class GQLEngine:
         raise ValueError(f"unsupported statement {type(stmt).__name__}")
 
     # -- pattern matching ----------------------------------------------------
+    def _var_length_pairs(self, e, evar: str, tag: str) -> DataFrame:
+        """(start, end, hops) walk pairs for a variable-length edge —
+        a finite union of hop-chained equi-joins (the parser rejects
+        unbounded quantifiers). Bindings stay WALKS, matching the
+        single-edge semantics: one output row per distinct walk.
+        Zero-hop (``*0..m``) contributes the identity pairs."""
+        start, end = f"{tag}_start", f"{tag}_end"
+        base = (
+            self.graph.undirected_edges()
+            if e.direction == "undirected"
+            else self.graph.edges
+        )
+        if e.label is not None:
+            base = base.filter(F.col("label") == e.label)
+        if e.direction == "in":
+            base = base.select(F.col("dst").alias("_b_src"), F.col("src").alias("_b_dst"))
+        else:
+            base = base.select(F.col("src").alias("_b_src"), F.col("dst").alias("_b_dst"))
+        frames = []
+        if e.min_hops == 0:
+            frames.append(
+                self.graph.vertices.select(
+                    F.col("id").alias(start),
+                    F.col("id").alias(end),
+                    F.lit(0).alias(f"{evar}__hops"),
+                )
+            )
+        cur = base.select(F.col("_b_src").alias(start), F.col("_b_dst").alias(end))
+        for h in range(1, e.max_hops + 1):
+            if h > 1:
+                cur = cur.join(base, F.col(end) == F.col("_b_src")).select(
+                    F.col(start), F.col("_b_dst").alias(end)
+                )
+            if h >= max(e.min_hops, 1):
+                frames.append(cur.withColumn(f"{evar}__hops", F.lit(h)))
+        pairs = frames[0]
+        for fr in frames[1:]:
+            pairs = pairs.unionByName(fr)
+        return pairs
+
     def match_bindings(self, pattern, where=None) -> DataFrame:
         nodes, edges = pattern.nodes, pattern.edges
         v0 = nodes[0]
@@ -106,11 +146,25 @@ class GQLEngine:
         for i, e in enumerate(edges):
             tgt = nodes[i + 1]
             prev = nodes[i].var
+            evar = e.var or f"_e{i}"
+            if e.min_hops is not None:
+                tag = f"_vl{i}"
+                pairs = self._var_length_pairs(e, evar, tag)
+                bound = bound.join(pairs, F.col(f"{prev}__id") == F.col(f"{tag}_start"))
+                dst_side = f"{tag}_end"
+                if tgt.var in seen_vars:
+                    bound = bound.filter(F.col(dst_side) == F.col(f"{tgt.var}__id"))
+                    bound = _node_filter(bound, tgt, tgt.var)
+                else:
+                    tdf = _node_filter(_prefix(self.graph.vertices, tgt.var), tgt, tgt.var)
+                    bound = bound.join(tdf, F.col(dst_side) == F.col(f"{tgt.var}__id"))
+                    seen_vars.add(tgt.var)
+                bound = bound.drop(f"{tag}_start", f"{tag}_end")
+                continue
             edf = self.graph.edges
             if e.direction == "undirected":
                 # `--` = union of both directions (executor.rs:322-326)
                 edf = self.graph.undirected_edges()
-            evar = e.var or f"_e{i}"
             if e.label is not None:
                 edf = edf.filter(F.col("label") == e.label)
             edf = _prefix(edf, evar)

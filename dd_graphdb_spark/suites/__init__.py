@@ -71,6 +71,7 @@ def _with_hygiene(fn):
 # follow, then the round-4-recorded block. NEW queries with oracles
 # must be inserted at the TOP.
 GATE_PRIORITY = [
+    "gql_var_length",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

@@ -386,3 +386,47 @@ def gql_agg_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH (c:Customer)-[:located_in]->(n:Nation) "
         "RETURN n.name, min(c.acctbal), max(c.acctbal), count(c)"
     )
+
+
+# ---------------------------------------------------------------------------
+# GQL: variable-length path `*2..3` (beyond the reference's declared
+# grammar — its multi-hop matcher, executor.rs:219-277, only walks fixed
+# chains). Walk semantics (no repeated-vertex check) on mixed edge
+# labels: 2 hops from an Order reach its Nation, 3 hops its Region.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_var_length",
+    GRAPH_CTE
+    + """
+    , starts AS (
+        SELECT id FROM vertices WHERE label = 'Order' AND acctbal > 450000.0
+    ),
+    h2 AS (
+        SELECT e2.dst AS tid
+        FROM starts s
+        JOIN edges e1 ON s.id = e1.src
+        JOIN edges e2 ON e1.dst = e2.src
+    ),
+    h3 AS (
+        SELECT e3.dst AS tid
+        FROM starts s
+        JOIN edges e1 ON s.id = e1.src
+        JOIN edges e2 ON e1.dst = e2.src
+        JOIN edges e3 ON e2.dst = e3.src
+    ),
+    walks AS (
+        SELECT tid, 2 AS p_hops FROM h2
+        UNION ALL
+        SELECT tid, 3 AS p_hops FROM h3
+    )
+    SELECT v.name AS t_name, w.p_hops AS p_hops, COUNT(*) AS "count"
+    FROM walks w JOIN vertices v ON w.tid = v.id
+    GROUP BY 1, 2
+    """,
+)
+def gql_var_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (o:Order)-[p*2..3]->(t) WHERE o.acctbal > 450000.0 "
+        "RETURN t.name, p.hops, count(*)"
+    )

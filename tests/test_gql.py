@@ -195,3 +195,49 @@ def test_keywords_usable_as_identifiers():
     assert s.order_by[0].prop == "limit"
     with pytest.raises(ValueError, match="expected identifier"):
         parse_gql("MATCH (v:null) RETURN v")
+
+
+def test_var_length_path_basic(people_graph):
+    # Alice -friend-> Bob -friend-> Charlie
+    df = _engine(people_graph).execute(
+        "MATCH (a {name: 'Alice'})-[p:friend*1..2]->(b) RETURN b.name, p.hops"
+    )
+    assert {(r[0], r[1]) for r in df.collect()} == {("Bob", 1), ("Charlie", 2)}
+
+
+def test_var_length_exact_and_zero(people_graph):
+    eng = _engine(people_graph)
+    df = eng.execute("MATCH (a {name: 'Alice'})-[p:friend*2]->(b) RETURN b.name")
+    assert [r[0] for r in df.collect()] == ["Charlie"]
+    # *0..1 includes the zero-hop identity binding (b = a)
+    df = eng.execute("MATCH (a {name: 'Bob'})-[p:friend*0..1]->(b) RETURN b.name, p.hops")
+    assert {(r[0], r[1]) for r in df.collect()} == {("Bob", 0), ("Charlie", 1)}
+
+
+def test_var_length_undirected_walks(people_graph):
+    # walks, not simple paths: 2 undirected hops from Alice may backtrack
+    df = _engine(people_graph).execute(
+        "MATCH (a {name: 'Alice'})-[p:friend*2]-(b) RETURN b.name"
+    )
+    assert {r[0] for r in df.collect()} == {"Alice", "Charlie"}
+
+
+def test_var_length_requires_upper_bound():
+    from dd_graphdb_spark.plans.gql import parse_gql
+
+    with pytest.raises(ValueError, match="upper bound"):
+        parse_gql("MATCH (a)-[p*]->(b) RETURN b.name")
+    with pytest.raises(ValueError, match="upper bound"):
+        parse_gql("MATCH (a)-[p:friend*2..]->(b) RETURN b.name")
+    with pytest.raises(ValueError, match="bad hop range"):
+        parse_gql("MATCH (a)-[p*3..2]->(b) RETURN b.name")
+    s = parse_gql("MATCH (a)-[p:friend*..3]->(b) RETURN b.name")
+    assert (s.pattern.edges[0].min_hops, s.pattern.edges[0].max_hops) == (1, 3)
+
+
+def test_var_length_with_aggregation(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (a:Person)-[p:friend*1..2]->(b) RETURN p.hops, count(*) ORDER BY p.hops"
+    )
+    # 1-hop walks: A->B, B->C; 2-hop: A->B->C
+    assert [(r[0], r[1]) for r in df.collect()] == [(1, 2), (2, 1)]

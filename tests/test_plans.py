@@ -30,6 +30,7 @@ BATCH_QUERIES = [
     "window_topk_per_segment",
     "gql_match_filter",
     "gql_multi_hop",
+    "gql_var_length",
     "traverse_2hop",
     "dedup_exact",
     "text_quality",
