@@ -148,3 +148,92 @@ def repetition_scores(
         distinct.alias("n_distinct"),
         F.round(F.lit(1.0) - distinct.cast("double") / total, 6).alias("dup_ratio"),
     )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: pick per-source hash-sample
+    rates so each source contributes ≈ ``token_budget * weights[source]``
+    tokens (rate capped at 1 when a source is too small). The training-
+    data "data mixing" step — e.g. 60% web / 30% code / 10% books out
+    of a skewed raw corpus.
+
+    Unlike operators.sampling.stratified_sample (caller-fixed rates),
+    the rates here are DERIVED from corpus statistics, yet selection
+    stays content-hash deterministic: same corpus + budget ⇒ same rows,
+    on any engine. Returns (doc_id, source, n_tokens, rate).
+
+    Scale: one partial-agg groupBy for per-source token totals (a
+    handful of rows), broadcast back; acceptance is a row-local
+    predicate. Sources absent from ``weights`` get weight 0 (dropped).
+    """
+    from dd_graphdb_spark.operators.sampling import BUCKETS, hash_bucket
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), " "))
+    d = docs.select(F.col(id_col), F.col(source_col), toks.alias("n_tokens"))
+    totals = d.groupBy(source_col).agg(F.sum("n_tokens").alias("_tot"))
+    wmap = F.create_map(
+        *[F.lit(x) for k, v in weights.items() for x in (k, float(v))]
+    )
+    rates = totals.select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(token_budget))
+            * F.coalesce(wmap[F.col(source_col)], F.lit(0.0))
+            / F.col("_tot").cast("double"),
+        ).alias("_rate"),
+    )
+    return (
+        d.join(F.broadcast(rates), source_col)
+        .filter(
+            hash_bucket(F.col(id_col))
+            < F.floor(F.col("_rate") * F.lit(float(BUCKETS))).cast("bigint")
+        )
+        .select(id_col, source_col, "n_tokens", F.round("_rate", 6).alias("rate"))
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding token-window chunking (context-window preparation):
+    chunk ``i`` covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens − overlap; the final chunk may be short, and
+    a doc shorter than one window yields exactly one chunk. Returns
+    (doc_id, chunk_id, start_token, n_tokens, chunk_text).
+
+    Pure per-row explode — no shuffle; the token array binds to a real
+    column before slicing so it is materialized once per doc, not once
+    per chunk (same trap as dedup's shingle transform).
+    """
+    if overlap < 0 or overlap >= chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    d = docs.select(F.col(id_col), toks.alias("_t")).withColumn("_n", F.size("_t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - overlap - 1, F.lit(0)), F.lit(stride)
+    )
+    e = d.select(id_col, "_t", "_n", F.posexplode(starts).alias("chunk_id", "start_token"))
+    return e.select(
+        id_col,
+        F.col("chunk_id").cast("long"),
+        F.col("start_token").cast("long"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("start_token"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("_t"), F.col("start_token") + 1, F.lit(chunk_tokens)), " "
+        ).alias("chunk_text"),
+    )

@@ -85,3 +85,35 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint"),
     )
+
+
+# PII patterns restricted to constructs with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): ASCII classes, \b word
+# boundaries, bounded repetition — no lookarounds. Applied in list
+# order; replacement tags are single tokens so later patterns never
+# match inside an earlier redaction.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{2,3}-\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Regex PII redaction (emails, dashed phone/SSN shapes, IPv4) —
+    the scrubbing pass a pretraining pipeline runs before tokenization.
+    Returns (id, redacted, n_email, n_phone, n_ssn, n_ipv4); counts are
+    non-overlapping matches against the ORIGINAL text.
+
+    Pure regexp_replace/regexp_count projection: whole-stage codegen,
+    zero shuffles, linear scan at any scale.
+    """
+    out = F.col(text_col)
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return df.select(F.col(id_col), out.alias("redacted"), *counts)

@@ -72,6 +72,9 @@ def _with_hygiene(fn):
 # must be inserted at the TOP.
 GATE_PRIORITY = [
     "gql_var_length",
+    "curation_mixture_sample",
+    "curation_chunk_docs",
+    "text_redact_pii",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

@@ -854,3 +854,173 @@ def curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_graphdb_spark.operators.curation import repetition_scores
 
     return repetition_scores(_docs(spark, sf_dir), n=3)
+
+
+@_q(
+    "curation_mixture_sample",
+    """
+    WITH d AS (
+        SELECT doc_id, source,
+               len(string_split(trim(text), ' ')) AS n_tokens
+        FROM documents
+    ),
+    tot AS (
+        SELECT source, SUM(n_tokens)::DOUBLE AS tot FROM d GROUP BY source
+    ),
+    r AS (
+        SELECT source,
+               least(1.0::DOUBLE,
+                     3000.0::DOUBLE *
+                     CASE source
+                         WHEN 'src0' THEN 0.4::DOUBLE
+                         WHEN 'src1' THEN 0.3::DOUBLE
+                         WHEN 'src2' THEN 0.2::DOUBLE
+                         WHEN 'src3' THEN 1.2::DOUBLE
+                         ELSE 0.0::DOUBLE
+                     END / tot) AS rate
+        FROM tot
+    )
+    SELECT d.doc_id, d.source, d.n_tokens, ROUND(r.rate, 6) AS rate
+    FROM d JOIN r ON d.source = r.source
+    WHERE ('0x' || substring(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+          < CAST(FLOOR(r.rate * 4294967296.0::DOUBLE) AS BIGINT)
+    """,
+)
+def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: data-derived per-source rates hit a
+    token budget per mixture weight (src3 over-weighted to exercise the
+    rate-capped-at-1 branch); selection is content-hash deterministic,
+    so DuckDB re-derives the identical sample."""
+    from dd_graphdb_spark.operators.curation import mixture_sample
+
+    return mixture_sample(
+        _docs(spark, sf_dir),
+        weights={"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 1.2},
+        token_budget=3000,
+    )
+
+
+@_q(
+    "curation_chunk_docs",
+    """
+    WITH d AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t,
+               len(string_split(trim(text), ' ')) AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, t, n,
+               unnest(generate_series(0, greatest(n - 16 - 1, 0), 48)) AS start
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start_token,
+           CAST(least(64, n - start) AS BIGINT) AS n_tokens,
+           array_to_string(t[start + 1 : start + 64], ' ') AS chunk_text
+    FROM s
+    """,
+)
+def curation_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking into 64-token chunks with 16-token
+    overlap (stride 48) — context-window preparation. Zero-shuffle
+    explode; the oracle re-derives every chunk string."""
+    from dd_graphdb_spark.operators.curation import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=16)
+
+
+# Deterministic PII-bearing text derived from customer keys (the
+# trimmed testdata customer table has no phone/comment columns); the
+# SAME arithmetic renders in Spark and DuckDB, so the redaction oracle
+# hash-compares real match work, not a no-op passthrough.
+_PII_SQL_TEXT = """
+        SELECT c_custkey AS doc_id,
+               'call ' || (10 + c_custkey % 90)::VARCHAR
+                   || '-' || (100 + (c_custkey * 7) % 900)::VARCHAR
+                   || '-' || (100 + (c_custkey * 13) % 900)::VARCHAR
+                   || '-' || (1000 + (c_custkey * 31) % 9000)::VARCHAR ||
+               CASE WHEN c_custkey % 10 = 0
+                    THEN ' mail user' || c_custkey::VARCHAR || '@example.com'
+                    ELSE '' END ||
+               CASE WHEN c_custkey % 7 = 0
+                    THEN ' ssn ' || (100 + c_custkey % 900)::VARCHAR
+                        || '-' || (10 + c_custkey % 90)::VARCHAR
+                        || '-' || (1000 + c_custkey % 9000)::VARCHAR
+                    ELSE '' END ||
+               ' ip ' || (c_custkey % 256)::VARCHAR
+                   || '.' || ((c_custkey * 3) % 256)::VARCHAR
+                   || '.' || ((c_custkey * 5) % 256)::VARCHAR
+                   || '.' || ((c_custkey * 7) % 256)::VARCHAR ||
+               ' note: ' || c_name AS text
+        FROM customer
+"""
+
+
+@_q(
+    "text_redact_pii",
+    r"""
+    WITH b AS (
+"""
+    + _PII_SQL_TEXT
+    + r"""
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{2,3}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text, '\b\d{2,3}-\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+           len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4
+    FROM b
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over customer contact text (TPC-H c_phone is a
+    real dashed phone shape; every 10th row gains a synthetic email).
+    Redacted strings and match counts are hash-compared against DuckDB
+    running the same RE2/Java-common regexes — an engine-parity check
+    of the regex subset the scrubber is allowed to use."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+
+    def s(expr):
+        return expr.cast("string")
+
+    base = cust.select(
+        k.alias("doc_id"),
+        F.concat(
+            F.lit("call "),
+            s(k % 90 + 10), F.lit("-"),
+            s((k * 7) % 900 + 100), F.lit("-"),
+            s((k * 13) % 900 + 100), F.lit("-"),
+            s((k * 31) % 9000 + 1000),
+            F.when(
+                k % 10 == 0,
+                F.concat(F.lit(" mail user"), s(k), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                k % 7 == 0,
+                F.concat(
+                    F.lit(" ssn "),
+                    s(k % 900 + 100), F.lit("-"),
+                    s(k % 90 + 10), F.lit("-"),
+                    s(k % 9000 + 1000),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(" ip "),
+            s(k % 256), F.lit("."),
+            s((k * 3) % 256), F.lit("."),
+            s((k * 5) % 256), F.lit("."),
+            s((k * 7) % 256),
+            F.lit(" note: "),
+            F.col("c_name"),
+        ).alias("text"),
+    )
+    return X.redact_pii(base, "text", "doc_id")

@@ -100,3 +100,73 @@ def test_bpe_token_count_segments(spark):
     )
     out = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_count(df).collect()}
     assert out == {1: 6, 2: 3, 3: 1}
+
+
+def test_chunk_documents_sliding_windows(spark):
+    from dd_graphdb_spark.operators.curation import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(d, chunk_tokens=4, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.chunk_id, r.start_token, r.n_tokens, r.chunk_text)
+        )
+        by_doc[r.doc_id].sort()
+    # doc 1: 10 tokens, stride 2 → starts 0,2,4,6 (start 8 would add no
+    # new tokens beyond overlap reach: last start <= n - overlap - 1 = 7)
+    assert by_doc[1] == [
+        (0, 0, 4, "a b c d"),
+        (1, 2, 4, "c d e f"),
+        (2, 4, 4, "e f g h"),
+        (3, 6, 4, "g h i j"),
+    ]
+    # short docs yield exactly one (possibly short) chunk
+    assert by_doc[2] == [(0, 0, 2, "x y")]
+    assert by_doc[3] == [(0, 0, 1, "solo")]
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(d, chunk_tokens=4, overlap=4)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from dd_graphdb_spark.operators.curation import mixture_sample
+
+    rows = [(i, "s0" if i % 2 == 0 else "s1", "t " * 10) for i in range(200)]
+    d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mixture_sample(d, weights={"s0": 0.5, "s1": 2.0}, token_budget=1100)
+    got = out.collect()
+    # s1 is over-weighted past its size → rate caps at 1.0, all 100 kept
+    s1 = [r for r in got if r.source == "s1"]
+    assert len(s1) == 100 and all(r.rate == 1.0 for r in s1)
+    # s0 rate = 1100*0.5/1100 = 0.5 → roughly half kept, deterministically
+    s0 = [r for r in got if r.source == "s0"]
+    assert 0 < len(s0) < 100
+    again = {r.doc_id for r in mixture_sample(
+        d, weights={"s0": 0.5, "s1": 2.0}, token_budget=1100).collect()}
+    assert {r.doc_id for r in got} == again
+    # unknown sources are dropped
+    d2 = d.withColumn("source", F.lit("other"))
+    assert mixture_sample(d2, weights={"s0": 1.0}, token_budget=1000).count() == 0
+
+
+def test_redact_pii_patterns(spark):
+    from dd_graphdb_spark.operators.text import redact_pii
+
+    d = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-a.co.uk and 10.0.255.1"),
+            (2, "phone 25-989-741-2988 ssn 123-45-6789"),
+            (3, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(d, "text", "doc_id").collect()}
+    assert out[1].redacted == "mail <EMAIL> and <IP>"
+    assert (out[1].n_email, out[1].n_ipv4) == (1, 1)
+    assert out[2].redacted == "phone <PHONE> ssn <SSN>"
+    assert (out[2].n_phone, out[2].n_ssn) == (1, 1)
+    assert out[3].redacted == out[3].asDict()["redacted"] == "clean text with no pii at all"
+    assert out[3].n_email == out[3].n_phone == out[3].n_ssn == out[3].n_ipv4 == 0
