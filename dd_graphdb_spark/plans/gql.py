@@ -26,6 +26,8 @@ standard Cypher result modifiers:
   (non-aggregated return items become the grouping keys)
 - ORDER BY v.prop [ASC|DESC], ... (projected items only)
 - SKIP n LIMIT m
+- OPTIONAL MATCH (left-outer pattern extension; its WHERE applies within
+  the optional pattern, and it must share a variable with MATCH)
 - variable-length edges `-[p:LBL*1..3]->` (also `*n`, `*..m`, `*0..m`);
   the upper bound is mandatory (the plan is a finite union of hop
   joins), and the edge variable binds one property, `p.hops`
@@ -93,6 +95,12 @@ class OrderItem:
 
 
 @dataclass
+class OptionalMatch:
+    pattern: PathPattern
+    where: object | None  # applies WITHIN the optional pattern (Cypher)
+
+
+@dataclass
 class MatchStatement:
     pattern: PathPattern
     where: object | None
@@ -101,6 +109,7 @@ class MatchStatement:
     order_by: list[OrderItem] = field(default_factory=list)
     skip: int | None = None
     limit: int | None = None
+    optionals: list[OptionalMatch] = field(default_factory=list)
 
 
 @dataclass
@@ -118,7 +127,7 @@ class MatchDeleteStatement:
 # --------------------------------------------------------------------------- lexer
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-      (?P<kw>\bMATCH\b|\bWHERE\b|\bRETURN\b|\bCREATE\b|\bDELETE\b|\bAND\b|\bOR\b
+      (?P<kw>\bMATCH\b|\bOPTIONAL\b|\bWHERE\b|\bRETURN\b|\bCREATE\b|\bDELETE\b|\bAND\b|\bOR\b
         |\bDISTINCT\b|\bORDER\b|\bBY\b|\bSKIP\b|\bLIMIT\b|\bASC\b|\bDESC\b
         |\bcount\b|\bsum\b|\bavg\b|\bmin\b|\bmax\b
         |\btrue\b|\bfalse\b|\bnull\b)
@@ -155,7 +164,7 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 # because ORDER BY exists. TRUE/FALSE/NULL stay reserved: they are literals.
 _NAMEABLE_KEYWORDS = frozenset(
     {
-        "MATCH", "WHERE", "RETURN", "CREATE", "DELETE", "AND", "OR",
+        "MATCH", "OPTIONAL", "WHERE", "RETURN", "CREATE", "DELETE", "AND", "OR",
         "DISTINCT", "ORDER", "BY", "SKIP", "LIMIT", "ASC", "DESC",
         "COUNT", "SUM", "AVG", "MIN", "MAX",
     }
@@ -412,9 +421,18 @@ class _Parser:
             where = self.where_expr() if self.accept("WHERE") else None
             if self.accept("DELETE"):
                 return MatchDeleteStatement(pattern, where, self.expect_name())
+            optionals = []
+            while self.accept("OPTIONAL"):
+                self.expect("MATCH")
+                opat = self.path()
+                owhere = self.where_expr() if self.accept("WHERE") else None
+                optionals.append(OptionalMatch(opat, owhere))
             self.expect("RETURN")
             distinct = self.accept("DISTINCT")
-            stmt = MatchStatement(pattern, where, self.return_items(), distinct=distinct)
+            stmt = MatchStatement(
+                pattern, where, self.return_items(), distinct=distinct,
+                optionals=optionals,
+            )
             return self._result_modifiers(stmt)
         if self.accept("CREATE"):
             return CreateStatement(self.path())

@@ -138,7 +138,7 @@ class GQLEngine:
             pairs = pairs.unionByName(fr)
         return pairs
 
-    def match_bindings(self, pattern, where=None) -> DataFrame:
+    def match_bindings(self, pattern, where=None, anon_prefix: str = "_e") -> DataFrame:
         nodes, edges = pattern.nodes, pattern.edges
         v0 = nodes[0]
         bound = _node_filter(_prefix(self.graph.vertices, v0.var), v0, v0.var)
@@ -146,7 +146,7 @@ class GQLEngine:
         for i, e in enumerate(edges):
             tgt = nodes[i + 1]
             prev = nodes[i].var
-            evar = e.var or f"_e{i}"
+            evar = e.var or f"{anon_prefix}{i}"
             if e.min_hops is not None:
                 tag = f"_vl{i}"
                 pairs = self._var_length_pairs(e, evar, tag)
@@ -191,6 +191,28 @@ class GQLEngine:
     def _execute_match(self, stmt: MatchStatement) -> DataFrame:
         bound = self.match_bindings(stmt.pattern, stmt.where)
         vertex_vars = [n.var for n in stmt.pattern.nodes]
+        for j, opt in enumerate(stmt.optionals):
+            # Cypher OPTIONAL MATCH: per binding row, extend with matches
+            # of the optional pattern (its WHERE applies WITHIN the
+            # pattern); rows without a match keep nulls. Relationally:
+            # match the optional pattern on its own, then LEFT JOIN on
+            # the shared variables' vertex ids.
+            obound = self.match_bindings(opt.pattern, opt.where, anon_prefix=f"_o{j}e")
+            ovars = list(dict.fromkeys(n.var for n in opt.pattern.nodes))
+            shared = [v for v in ovars if v in vertex_vars]
+            if not shared:
+                raise ValueError(
+                    "OPTIONAL MATCH must share at least one variable with MATCH "
+                    "(a disconnected optional pattern would be a cross product)"
+                )
+            keys = [f"{v}__id" for v in shared]
+            dup = [
+                c
+                for c in obound.columns
+                if c not in keys and any(c.startswith(f"{v}__") for v in shared)
+            ]
+            bound = bound.join(obound.drop(*dup), on=keys, how="left")
+            vertex_vars.extend(v for v in ovars if v not in shared)
         vcols = self.graph.vertices.columns
 
         def item_cols(item) -> list[F.Column]:

@@ -72,6 +72,7 @@ def _with_hygiene(fn):
 # must be inserted at the TOP.
 GATE_PRIORITY = [
     "gql_var_length",
+    "gql_optional_match",
     "curation_mixture_sample",
     "curation_chunk_docs",
     "text_redact_pii",

@@ -430,3 +430,35 @@ def gql_var_length(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH (o:Order)-[p*2..3]->(t) WHERE o.acctbal > 450000.0 "
         "RETURN t.name, p.hops, count(*)"
     )
+
+
+# ---------------------------------------------------------------------------
+# GQL: OPTIONAL MATCH (beyond the reference's declared grammar) — the
+# left-outer pattern extension: customers keep a row even with no
+# qualifying order; the optional WHERE applies within the pattern.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_optional_match",
+    GRAPH_CTE
+    + """
+    SELECT c.name AS c_name, COUNT(o.id) AS count_o
+    FROM vertices c
+    LEFT JOIN (
+        SELECT e.dst AS cid, v.id
+        FROM edges e JOIN vertices v ON e.src = v.id
+        WHERE e.label = 'placed_by' AND v.label = 'Order' AND v.acctbal > 450000.0
+    ) o ON c.id = o.cid
+    WHERE c.label = 'Customer' AND c.mktsegment = 'MACHINERY'
+    GROUP BY c.name
+    """,
+)
+def gql_optional_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(o) is Cypher's count-non-null: customers with no
+    qualifying order keep a row with count 0 — the observable proof of
+    the left-outer pattern extension."""
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer {mktsegment: 'MACHINERY'}) "
+        "OPTIONAL MATCH (c)<-[:placed_by]-(o:Order) WHERE o.acctbal > 450000.0 "
+        "RETURN c.name, count(o)"
+    )

@@ -241,3 +241,35 @@ def test_var_length_with_aggregation(people_graph):
     )
     # 1-hop walks: A->B, B->C; 2-hop: A->B->C
     assert [(r[0], r[1]) for r in df.collect()] == [(1, 2), (2, 1)]
+
+
+def test_optional_match_left_join(people_graph):
+    eng = _engine(people_graph)
+    # Charlie has no outgoing friend edge → null binding for b
+    df = eng.execute(
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[e:friend]->(b) RETURN a.name, b.name"
+    )
+    assert {(r[0], r[1]) for r in df.collect()} == {
+        ("Alice", "Bob"), ("Bob", "Charlie"), ("Charlie", None)
+    }
+    # WHERE inside the OPTIONAL applies within the pattern, not as a
+    # post-filter: non-matching rows stay, with nulls
+    df = eng.execute(
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[e:friend]->(b) WHERE b.age > 30 "
+        "RETURN a.name, b.name"
+    )
+    assert {(r[0], r[1]) for r in df.collect()} == {
+        ("Alice", None), ("Bob", "Charlie"), ("Charlie", None)
+    }
+    # count(b) skips nulls (Cypher count-non-null semantics)
+    df = eng.execute(
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[e:friend]->(b) RETURN count(b)"
+    )
+    assert df.collect()[0][0] == 2
+
+
+def test_optional_match_requires_shared_variable(people_graph):
+    with pytest.raises(ValueError, match="share at least one variable"):
+        _engine(people_graph).execute(
+            "MATCH (a:Person) OPTIONAL MATCH (x)-[e:friend]->(y) RETURN a.name"
+        ).collect()
