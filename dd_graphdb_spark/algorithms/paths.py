@@ -60,6 +60,11 @@ def _sssp_loop(
         g.vertices.select("id")
         .filter(F.col("id") == source)
         .select("id", F.lit(0.0).alias("distance"), F.col("id").cast("string").alias("path"))
+        # checkpoint-root the initial state like every later round: when
+        # vertices and edges share a scan (e.g. a co-location graph
+        # self-joined from one table), the round-1 best⋈dist self-join
+        # otherwise fails attribute dedup ("key not found: id#N")
+        .localCheckpoint(eager=True)
     )
     frontier = dist
     for i in range(max_iterations):
@@ -85,9 +90,18 @@ def _sssp_loop(
         )
         if improved.isEmpty():
             break
+        # merge as ONE full-outer join (improved wins) rather than
+        # anti-join + union: the latter places the same checkpointed
+        # relation on two branches, which Spark 4.1's relation dedup
+        # mis-rewrites for scan-backed graphs ("key not found: id#N")
         dist = (
-            dist.join(improved.select("id"), "id", "left_anti")
-            .union(improved)
+            dist.alias("o")
+            .join(improved.alias("n"), "id", "full")
+            .select(
+                "id",
+                F.coalesce(F.col("n.distance"), F.col("o.distance")).alias("distance"),
+                F.coalesce(F.col("n.path"), F.col("o.path")).alias("path"),
+            )
             .localCheckpoint(eager=True)
         )
         frontier = improved

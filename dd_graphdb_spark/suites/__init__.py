@@ -73,6 +73,7 @@ def _with_hygiene(fn):
 GATE_PRIORITY = [
     "gql_var_length",
     "gql_optional_match",
+    "algo_sssp_colocation",
     "curation_mixture_sample",
     "curation_chunk_docs",
     "text_redact_pii",

@@ -630,3 +630,57 @@ def algo_lpa_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def algo_scc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = fixture_graph(spark, S_VERTS, S_EDGES)
     return A.strongly_connected_components(g)
+
+
+# --------------------------------------------------------------------------
+# Weighted SSSP at bench scale (the fixture variant proves the math on 5
+# vertices; this runs the same engine loop on the supplier co-location
+# cliques, where multi-hop detours genuinely beat direct edges). Weight
+# w(a,b) = (a+b) % 97 + 1 is symmetric and engine-portable; vertices
+# outside the source's clique keep the reference's +Infinity
+# (incremental_engine.rs:1214-1285 INF semantics).
+# --------------------------------------------------------------------------
+def _sssp_colocation_oracle(rounds: int = 10) -> str:
+    head = f"""
+    WITH sup AS (
+        SELECT s_suppkey::BIGINT + {SUPP} AS id, s_nationkey AS nk FROM supplier
+    ),
+    e AS (
+        SELECT a.id AS src, b.id AS dst,
+               ((a.id + b.id) % 97 + 1)::DOUBLE AS w
+        FROM sup a JOIN sup b ON a.nk = b.nk AND a.id <> b.id
+    ),
+    d0 AS (SELECT {SUPP}::BIGINT AS id, 0.0::DOUBLE AS d)
+    """
+    for r in range(1, rounds + 1):
+        head += f"""
+    , d{r} AS (
+        SELECT id, MIN(d) AS d FROM (
+            SELECT id, d FROM d{r-1}
+            UNION ALL
+            SELECT e.dst AS id, p.d + e.w AS d
+            FROM d{r-1} p JOIN e ON p.id = e.src
+        ) GROUP BY id
+    )"""
+    return head + f"""
+    SELECT s.id AS id, COALESCE(dN.d, 'infinity'::DOUBLE) AS distance
+    FROM sup s LEFT JOIN d{rounds} dN ON s.id = dN.id
+    """
+
+
+@_q("algo_sssp_colocation", _sssp_colocation_oracle())
+def algo_sssp_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _supplier_colocation(spark, sf_dir)
+    sym = g.edges.select("src", "dst").union(
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    weighted = sym.select(
+        "src",
+        "dst",
+        F.lit("colocated").alias("label"),
+        ((F.col("src") + F.col("dst")) % 97 + 1).cast("double").alias("w"),
+    )
+    res = A.sssp(
+        PropertyGraph(g.vertices, weighted), source=SUPP, weight_property="w"
+    )
+    return res.select("id", "distance")
