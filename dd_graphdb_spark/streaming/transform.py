@@ -177,6 +177,36 @@ class AlertRule:
     within_s: float = 3600.0
 
 
+#: windows folded per bucket in the anomaly rule's two-level lag
+_ANOMALY_FOLD = 4096
+
+_DUR_UNITS_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def _duration_us(s: str) -> int:
+    """Parse a Spark interval string like '10 seconds' / '1 hour' to µs
+    (the subset window() accepts; multi-part intervals summed)."""
+    total, parts = 0, s.strip().lower().split()
+    if len(parts) % 2:
+        raise ValueError(f"bad duration {s!r}")
+    for i in range(0, len(parts), 2):
+        n, unit = parts[i], parts[i + 1].rstrip("s")
+        if unit not in _DUR_UNITS_US:
+            raise ValueError(f"bad duration unit in {s!r}")
+        total += int(n) * _DUR_UNITS_US[unit]
+    if total <= 0:
+        raise ValueError(f"non-positive duration {s!r}")
+    return total
+
+
 _OPS = {
     "gt": lambda c, t: c > t,
     "ge": lambda c, t: c >= t,
@@ -303,6 +333,14 @@ class AlertEngine:
         expression tree, so Spark and a SQL oracle agree bit-for-bit.
         Baseline stats are one row per window (output-proportional);
         events join them via an equi-join on their window start.
+
+        The previous-window lookup is a TWO-LEVEL lag, not a global-order
+        window (which would move every window-stat row to one task): rows
+        lag within a 4096-window bucket partition (_ANOMALY_FOLD), and
+        each bucket's first row takes the nearest preceding non-empty
+        bucket's last row from a per-bucket summary — one row per
+        non-empty bucket, a 4096× reduction at level 2. Same values,
+        bounded tasks.
         """
         from pyspark.sql import Window
 
@@ -312,12 +350,31 @@ class AlertEngine:
             F.sum(dec).alias("s"),
             F.sum(dec * dec).alias("ss"),
         )
-        wl = Window.orderBy(F.col("w.start"))
-        base = wstats.select(
-            F.col("w.start").alias("_wstart"),
-            F.lag("n").over(wl).alias("pn"),
-            F.lag("s").over(wl).alias("ps"),
-            F.lag("ss").over(wl).alias("pss"),
+        bkt_us = _ANOMALY_FOLD * _duration_us(rule.window)
+        stats = wstats.select(
+            F.col("w.start").alias("_wstart"), "n", "s", "ss"
+        ).withColumn("_bkt", F.expr(f"unix_micros(_wstart) DIV {bkt_us}"))
+        wloc = Window.partitionBy("_bkt").orderBy("_wstart")
+        loc = stats.select(
+            "_wstart",
+            "_bkt",
+            F.lag("n").over(wloc).alias("_ln"),
+            F.lag("s").over(wloc).alias("_ls"),
+            F.lag("ss").over(wloc).alias("_lss"),
+        )
+        last = stats.groupBy("_bkt").agg(
+            F.max_by(F.struct("n", "s", "ss"), "_wstart").alias("b")
+        )
+        prev = last.select(
+            "_bkt", F.lag("b").over(Window.orderBy("_bkt")).alias("pb")
+        )
+        base = loc.join(prev, "_bkt").select(
+            "_wstart",
+            # n/s/ss are never null, so a null lag means first-in-bucket
+            # → fall back to the preceding non-empty bucket's last row
+            F.coalesce(F.col("_ln"), F.col("pb.n")).alias("pn"),
+            F.coalesce(F.col("_ls"), F.col("pb.s")).alias("ps"),
+            F.coalesce(F.col("_lss"), F.col("pb.ss")).alias("pss"),
         )
         pn = F.col("pn").cast("double")
         ps = F.col("ps").cast("double")
