@@ -59,6 +59,14 @@ HEADLINE = [
     "curation_repetition",
     "range_join_value_bands",
     "algo_ppr_customers",
+    # late round-5 additions: GQL var-length/optional, weighted SSSP at
+    # bench scale, chunking/mixing/redaction curation ops
+    "gql_var_length",
+    "gql_optional_match",
+    "algo_sssp_colocation",
+    "curation_chunk_docs",
+    "curation_mixture_sample",
+    "text_redact_pii",
 ]
 
 

@@ -130,6 +130,7 @@ _TOKEN_RE = re.compile(
       (?P<kw>\bMATCH\b|\bOPTIONAL\b|\bWHERE\b|\bRETURN\b|\bCREATE\b|\bDELETE\b|\bAND\b|\bOR\b
         |\bDISTINCT\b|\bORDER\b|\bBY\b|\bSKIP\b|\bLIMIT\b|\bASC\b|\bDESC\b
         |\bcount\b|\bsum\b|\bavg\b|\bmin\b|\bmax\b
+        |\bCONTAINS\b|\bSTARTS\b|\bENDS\b|\bWITH\b|\bIN\b
         |\btrue\b|\bfalse\b|\bnull\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'[^']*'|"[^"]*")
@@ -167,6 +168,7 @@ _NAMEABLE_KEYWORDS = frozenset(
         "MATCH", "OPTIONAL", "WHERE", "RETURN", "CREATE", "DELETE", "AND", "OR",
         "DISTINCT", "ORDER", "BY", "SKIP", "LIMIT", "ASC", "DESC",
         "COUNT", "SUM", "AVG", "MIN", "MAX",
+        "CONTAINS", "STARTS", "ENDS", "WITH", "IN",
     }
 )
 
@@ -346,6 +348,21 @@ class _Parser:
         var = self.expect_name()
         self.expect("punct", ".")
         prop = self.expect_name()
+        if self.accept("CONTAINS"):
+            return Compare(var, prop, "contains", self._str_literal("CONTAINS"))
+        if self.accept("STARTS"):
+            self.expect("WITH")
+            return Compare(var, prop, "starts_with", self._str_literal("STARTS WITH"))
+        if self.accept("ENDS"):
+            self.expect("WITH")
+            return Compare(var, prop, "ends_with", self._str_literal("ENDS WITH"))
+        if self.accept("IN"):
+            self.expect("punct", "[")
+            vals = []
+            while not self.accept("punct", "]"):
+                vals.append(self.literal())
+                self.accept("punct", ",")
+            return Compare(var, prop, "in", vals)
         op = self.expect("op")
         if op == "<-":
             # `a.age<-5` lexes as the edge arrow '<-' + '5'; in WHERE
@@ -355,6 +372,12 @@ class _Parser:
                 raise ValueError("GQL parse error: expected number after '<-'")
             return Compare(var, prop, "<", -val)
         return Compare(var, prop, op, self.literal())
+
+    def _str_literal(self, ctx: str) -> str:
+        v = self.literal()
+        if not isinstance(v, str):
+            raise ValueError(f"GQL parse error: {ctx} needs a string literal")
+        return v
 
     # ----- returns
     def return_items(self) -> list[ReturnItem]:

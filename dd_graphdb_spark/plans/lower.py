@@ -62,6 +62,14 @@ def _lower_condition(cond) -> F.Column:
         return left & right if cond.op == "AND" else left | right
     assert isinstance(cond, Compare)
     col = F.col(f"{cond.var}__{cond.prop}")
+    if cond.op == "contains":
+        return col.contains(cond.value)
+    if cond.op == "starts_with":
+        return col.startswith(cond.value)
+    if cond.op == "ends_with":
+        return col.endswith(cond.value)
+    if cond.op == "in":
+        return col.isin(*cond.value)
     lit = F.lit(cond.value)
     # int↔float coercion is native in Spark (reference: executor.rs:641-650)
     ops = {

@@ -58,10 +58,12 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# Rotation policy (round 5): the 15 NEW round-5 queries (CDC ×2,
+# Rotation policy (round 5): the NEW round-5 queries go first — never
+# recorded — (second-session additions gql_var_length /
+# gql_optional_match / algo_sssp_colocation / curation_mixture_sample /
+# curation_chunk_docs / text_redact_pii at the very top, then CDC ×2,
 # curation ×3, cube, LPA ×2, range join, BPE tokens, personalized
-# pagerank, GQL result modifiers ×3) go first — never recorded — then
-# the 16 entries
+# pagerank, GQL result modifiers ×3) — then the 16 entries
 # whose only driver rows are from round 2, then the 3 whose oracle
 # changed this round (algo_pagerank_top3 and embedding_pca_project
 # gained real oracles; events_sessionize fixed its tie order), then
@@ -77,6 +79,7 @@ GATE_PRIORITY = [
     "curation_mixture_sample",
     "curation_chunk_docs",
     "text_redact_pii",
+    "gql_string_predicates",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

@@ -462,3 +462,27 @@ def gql_optional_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "OPTIONAL MATCH (c)<-[:placed_by]-(o:Order) WHERE o.acctbal > 450000.0 "
         "RETURN c.name, count(o)"
     )
+
+
+# ---------------------------------------------------------------------------
+# GQL: string predicates CONTAINS / STARTS WITH / ENDS WITH / IN
+# (FilterOperator::Contains intent, stream_transform.rs:196-315, lifted
+# into the query language WHERE clause).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_string_predicates",
+    GRAPH_CTE
+    + """
+    SELECT id AS c_id, name AS c_name
+    FROM vertices
+    WHERE label = 'Customer'
+      AND name LIKE '%7'
+      AND mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+)
+def gql_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer) WHERE c.name ENDS WITH '7' "
+        "AND c.mktsegment IN ['BUILDING', 'MACHINERY'] RETURN c.id, c.name"
+    )

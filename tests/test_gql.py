@@ -273,3 +273,19 @@ def test_optional_match_requires_shared_variable(people_graph):
         _engine(people_graph).execute(
             "MATCH (a:Person) OPTIONAL MATCH (x)-[e:friend]->(y) RETURN a.name"
         ).collect()
+
+
+def test_string_predicates(people_graph):
+    eng = _engine(people_graph)
+    df = eng.execute("MATCH (v:Person) WHERE v.name CONTAINS 'li' RETURN v.name")
+    assert {r[0] for r in df.collect()} == {"Alice", "Charlie"}
+    df = eng.execute("MATCH (v:Person) WHERE v.name STARTS WITH 'A' RETURN v.name")
+    assert {r[0] for r in df.collect()} == {"Alice"}
+    df = eng.execute("MATCH (v:Person) WHERE v.name ENDS WITH 'e' RETURN v.name")
+    assert {r[0] for r in df.collect()} == {"Alice", "Charlie"}
+    df = eng.execute("MATCH (v:Person) WHERE v.name IN ['Bob', 'Zed'] RETURN v.age")
+    assert [r[0] for r in df.collect()] == [25]
+    df = eng.execute("MATCH (v:Person) WHERE v.age IN [25, 35] RETURN v.name")
+    assert {r[0] for r in df.collect()} == {"Bob", "Charlie"}
+    with pytest.raises(ValueError, match="needs a string literal"):
+        eng.execute("MATCH (v:Person) WHERE v.name CONTAINS 5 RETURN v.name")
