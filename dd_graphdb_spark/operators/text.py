@@ -117,3 +117,46 @@ def redact_pii(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     for _, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return df.select(F.col(id_col), out.alias("redacted"), *counts)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: score = tf · ln(N / df) with
+    raw counts (tf = term occurrences in the doc, df = docs containing
+    the term, N = corpus size). Ties break on the term string, so the
+    top-k is a total order. Returns (id, term, tf, df, score, rank).
+
+    Shape: explode → two partial-agg groupBys (term-in-doc, then doc
+    frequency) → broadcast-size N → per-doc top-k window. The df table
+    is corpus-vocabulary-sized; the join to it shuffles on term, which
+    at 100 TB is the standard term-partitioned inverted-index build.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

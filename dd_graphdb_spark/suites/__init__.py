@@ -80,6 +80,8 @@ GATE_PRIORITY = [
     "curation_chunk_docs",
     "text_redact_pii",
     "gql_string_predicates",
+    "text_tfidf_topk",
+    "window_ntile_lead",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

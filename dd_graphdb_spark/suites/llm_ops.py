@@ -1024,3 +1024,34 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return X.redact_pii(base, "text", "doc_id")
+
+
+@_q(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               ROUND(tf.tf * ln(n.n / dfreq.df), 6) AS score
+        FROM tf JOIN dfreq USING (term), n
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC
+        ) AS "rank"
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, score, "rank" FROM r WHERE "rank" <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tf · ln(N/df), raw counts,
+    term-string tie-break) — the standard keyword-extraction pass;
+    score arithmetic restates identically in SQL."""
+    return X.tfidf_top_terms(_docs(spark, sf_dir), k=3)

@@ -459,3 +459,36 @@ def db_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVENTS_US = "(SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events) events"
 for _k in list(ORACLES):
     ORACLES[_k] = ORACLES[_k].replace("FROM events", f"FROM {_EVENTS_US}")
+
+
+# --------------------------------------------------------------------------
+# ntile / lead window functions (§2.5 — absent from the reference, free
+# on Spark): acctbal quartiles within segment plus each customer's
+# next-lower balance, on one window sort.
+# --------------------------------------------------------------------------
+@_q(
+    "window_ntile_lead",
+    """
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           NTILE(4) OVER w AS quartile,
+           COALESCE(LEAD(c_acctbal) OVER w, -999999.0) AS next_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+)
+def window_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        # sentinel instead of NULL: pandas turns a nullable double
+        # column into NaN, which would sham-mismatch the hash compare
+        F.coalesce(F.lead("c_acctbal").over(w), F.lit(-999999.0)).alias("next_bal"),
+    )
