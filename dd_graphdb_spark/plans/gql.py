@@ -57,6 +57,7 @@ class EdgePattern:
     # hop count is what keeps the lowered plan a finite join union.
     min_hops: int | None = None
     max_hops: int | None = None
+    props: dict = field(default_factory=dict)  # inline {prop: literal}
 
 
 @dataclass
@@ -253,23 +254,24 @@ class _Parser:
         k, v = self.peek()
         if v == "<-":
             self.next()
-            var, label, lo, hi = self._edge_body()
+            var, label, lo, hi, props = self._edge_body()
             self.expect("punct", "-")
-            return EdgePattern(var, label, "in", lo, hi)
+            return EdgePattern(var, label, "in", lo, hi, props)
         if v == "->":
             self.next()
             return EdgePattern(None, None, "out")
         if v == "-":
             self.next()
-            var, label, lo, hi = self._edge_body()
+            var, label, lo, hi, props = self._edge_body()
             if self.accept("op", "->"):
-                return EdgePattern(var, label, "out", lo, hi)
+                return EdgePattern(var, label, "out", lo, hi, props)
             self.expect("punct", "-")
-            return EdgePattern(var, label, "undirected", lo, hi)
+            return EdgePattern(var, label, "undirected", lo, hi, props)
         return None
 
-    def _edge_body(self) -> tuple[str | None, str | None, int | None, int | None]:
+    def _edge_body(self):
         var = label = lo = hi = None
+        props: dict = {}
         if self.accept("punct", "["):
             if self.at_name():
                 var = self.next()[1]
@@ -277,8 +279,19 @@ class _Parser:
                 label = self.expect_name()
             if self.accept("punct", "*"):
                 lo, hi = self._hop_bounds()
+            if self.accept("punct", "{"):
+                if lo is not None:
+                    raise ValueError(
+                        "GQL parse error: inline edge properties are not "
+                        "supported on variable-length patterns"
+                    )
+                while not self.accept("punct", "}"):
+                    key = self.expect_name()
+                    self.expect("punct", ":")
+                    props[key] = self.literal()
+                    self.accept("punct", ",")
             self.expect("punct", "]")
-        return var, label, lo, hi
+        return var, label, lo, hi, props
 
     def _hop_bounds(self) -> tuple[int, int]:
         """Cypher-style quantifier after `*`: `n` (exact), `n..m`, `..m`

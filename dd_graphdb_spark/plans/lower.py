@@ -175,6 +175,8 @@ class GQLEngine:
                 edf = self.graph.undirected_edges()
             if e.label is not None:
                 edf = edf.filter(F.col("label") == e.label)
+            for pk, pv in e.props.items():
+                edf = edf.filter(F.col(pk).eqNullSafe(F.lit(pv)))
             edf = _prefix(edf, evar)
             if e.direction == "in":
                 src_side, dst_side = f"{evar}__dst", f"{evar}__src"

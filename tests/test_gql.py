@@ -289,3 +289,13 @@ def test_string_predicates(people_graph):
     assert {r[0] for r in df.collect()} == {"Bob", "Charlie"}
     with pytest.raises(ValueError, match="needs a string literal"):
         eng.execute("MATCH (v:Person) WHERE v.name CONTAINS 5 RETURN v.name")
+
+
+def test_inline_edge_properties(people_graph):
+    eng = _engine(people_graph)
+    df = eng.execute("MATCH (a)-[e:friend {since: 2021}]->(b) RETURN a.name, b.name")
+    assert [(r[0], r[1]) for r in df.collect()] == [("Bob", "Charlie")]
+    df = eng.execute("MATCH (a)<-[e:friend {since: 2020}]-(b) RETURN a.name")
+    assert [r[0] for r in df.collect()] == ["Bob"]
+    with pytest.raises(ValueError, match="variable-length"):
+        eng.execute("MATCH (a)-[e:friend*1..2 {since: 2020}]->(b) RETURN a.name")

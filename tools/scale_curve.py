@@ -106,6 +106,18 @@ def range_join_bands(ev):
     return joined.groupBy("band_id").agg(F.count("*").alias("n"))
 
 
+def chunk_docs(docs):
+    from dd_graphdb_spark.operators.curation import chunk_documents
+
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+def tfidf_topk(docs):
+    from dd_graphdb_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(docs, k=3)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     only = set(sys.argv[2:])
@@ -126,6 +138,8 @@ def main():
         "asof_hotkey": (events_input, asof_hotkey),
         "dedup_clusters": (docs_input, dedup_clusters),
         "range_join_bands": (events_input, range_join_bands),
+        "chunk_docs": (docs_input, chunk_docs),
+        "tfidf_topk": (docs_input, tfidf_topk),
     }
     for name, (builder, op) in ops.items():
         if only and name not in only:
