@@ -44,9 +44,13 @@ class GraphApiServer:
     and serves from a daemon thread, ``stop()`` shuts down cleanly."""
 
     def __init__(self, shell: GraphShell, host: str = "127.0.0.1", port: int = 0,
-                 row_limit: int = 1000):
+                 row_limit: int = 1000, gql_engine=None):
         self.shell = shell
         self.row_limit = row_limit
+        # optional library-path exposure: the SHELL keeps the reference's
+        # views-only philosophy (main.rs:167-175), but a deployment may
+        # opt into the GQL library surface (graph/query) over HTTP
+        self.gql_engine = gql_engine
         self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
         self._thread: threading.Thread | None = None
 
@@ -113,6 +117,17 @@ class GraphApiServer:
                 "score": decision["score"],
                 "rows": _df_rows(df, self.row_limit),
             }
+        if seg == ["gql"] and method == "POST":
+            if self.gql_engine is None:
+                return 404, {"error": "no GQL engine attached (views-only deployment)"}
+            q = body.get("query")
+            if not q:
+                return 400, {"error": "need query"}
+            try:
+                df = self.gql_engine.execute(q)
+            except ValueError as ex:
+                return 400, {"error": str(ex)}
+            return 200, {"rows": _df_rows(df, self.row_limit)}
         if seg == ["cache", "stats"] and method == "GET":
             return 200, {"cache": shell.execute("CACHE STATS").data}
         if seg == ["cache", "clear"] and method == "POST":

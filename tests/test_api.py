@@ -85,3 +85,33 @@ def test_errors_are_json(server):
     assert status == 404 and "error" in out
     status, out = _call(server, "POST", "/views", {"name": "x"})
     assert status == 400 and "error" in out
+
+
+def test_gql_endpoint(spark, tmp_path):
+    from dd_graphdb_spark.graph import PropertyGraph
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    v = spark.createDataFrame(
+        [(1, "Person", "Alice", 30), (2, "Person", "Bob", 25)],
+        "id long, label string, name string, age long",
+    )
+    e = spark.createDataFrame([(1, 2, "friend")], "src long, dst long, label string")
+    cat = ViewCatalog(spark, str(tmp_path / "views"))
+    srv = GraphApiServer(
+        GraphShell(spark, cat), gql_engine=GQLEngine(PropertyGraph(v, e))
+    ).start()
+    try:
+        code, payload = _call(
+            srv, "POST", "/gql",
+            {"query": "MATCH (v:Person) WHERE v.age > 26 RETURN v.name"},
+        )
+        assert code == 200 and payload["rows"] == [{"v_name": "Alice"}]
+        code, payload = _call(srv, "POST", "/gql", {"query": "MATCH ("})
+        assert code == 400 and "error" in payload
+    finally:
+        srv.stop()
+
+
+def test_gql_endpoint_absent_without_engine(server):
+    code, payload = _call(server, "POST", "/gql", {"query": "MATCH (v) RETURN v"})
+    assert code == 404 and "views-only" in payload["error"]
