@@ -134,3 +134,25 @@ def pca_project(df: DataFrame, vec_col: str, d: int, k: int) -> DataFrame:
             ).alias(f"pc{ci}")
         )
     return df.select("*", *out_cols)
+
+
+def group_centroids(df: DataFrame, vec_col: str, group_col: str) -> DataFrame:
+    """Per-group centroid vectors, emitted as (group, dim, centroid)
+    rows (dim is 1-based): decimal-exact per-dimension sums, then one
+    fixed double division. posexplode → partial-agg groupBy on
+    (group, dim) — one shuffle whose width is n_groups × d, independent
+    of corpus size. The k-means/IVF training-stats primitive."""
+    e = df.select(
+        F.col(group_col).alias("_grp"),
+        F.posexplode(F.col(vec_col)).alias("_pos", "_x"),
+    )
+    dec = F.col("_x").cast("double").cast("decimal(18,6)")
+    return (
+        e.groupBy("_grp", "_pos")
+        .agg(F.count("*").alias("_n"), F.sum(dec).alias("_s"))
+        .select(
+            F.col("_grp").alias(group_col),
+            (F.col("_pos") + 1).cast("long").alias("dim"),
+            F.round(F.col("_s").cast("double") / F.col("_n"), 6).alias("centroid"),
+        )
+    )

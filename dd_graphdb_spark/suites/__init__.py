@@ -82,6 +82,7 @@ GATE_PRIORITY = [
     "gql_string_predicates",
     "text_tfidf_topk",
     "window_ntile_lead",
+    "embedding_group_centroids",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

@@ -1055,3 +1055,25 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     term-string tie-break) — the standard keyword-extraction pass;
     score arithmetic restates identically in SQL."""
     return X.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+@_q(
+    "embedding_group_centroids",
+    """
+    WITH e AS (
+        SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
+                     i -> {'dim': i,
+                           'x': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))})) AS u
+        FROM embeddings
+    )
+    SELECT label, u.dim AS dim,
+           ROUND(CAST(SUM(u.x) AS DOUBLE) / COUNT(*), 6) AS centroid
+    FROM e GROUP BY 1, 2
+    """,
+)
+def embedding_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (decimal-exact per-dim means) — the
+    k-means/IVF training-stats primitive, shuffle width n_groups x d."""
+    from dd_graphdb_spark.operators.embedding import group_centroids
+
+    return group_centroids(_emb(spark, sf_dir), "embedding", "label")
