@@ -125,13 +125,20 @@ class MatchDeleteStatement:
     delete_var: str
 
 
+@dataclass
+class MatchSetStatement:
+    pattern: PathPattern
+    where: object | None
+    assignments: list  # [(var, prop, literal), ...] — Cypher SET semantics
+
+
 # --------------------------------------------------------------------------- lexer
 _TOKEN_RE = re.compile(
     r"""\s*(?:
       (?P<kw>\bMATCH\b|\bOPTIONAL\b|\bWHERE\b|\bRETURN\b|\bCREATE\b|\bDELETE\b|\bAND\b|\bOR\b
         |\bDISTINCT\b|\bORDER\b|\bBY\b|\bSKIP\b|\bLIMIT\b|\bASC\b|\bDESC\b
         |\bcount\b|\bsum\b|\bavg\b|\bmin\b|\bmax\b
-        |\bCONTAINS\b|\bSTARTS\b|\bENDS\b|\bWITH\b|\bIN\b
+        |\bCONTAINS\b|\bSTARTS\b|\bENDS\b|\bWITH\b|\bIN\b|\bSET\b
         |\btrue\b|\bfalse\b|\bnull\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'[^']*'|"[^"]*")
@@ -169,7 +176,7 @@ _NAMEABLE_KEYWORDS = frozenset(
         "MATCH", "OPTIONAL", "WHERE", "RETURN", "CREATE", "DELETE", "AND", "OR",
         "DISTINCT", "ORDER", "BY", "SKIP", "LIMIT", "ASC", "DESC",
         "COUNT", "SUM", "AVG", "MIN", "MAX",
-        "CONTAINS", "STARTS", "ENDS", "WITH", "IN",
+        "CONTAINS", "STARTS", "ENDS", "WITH", "IN", "SET",
     }
 )
 
@@ -457,6 +464,17 @@ class _Parser:
             where = self.where_expr() if self.accept("WHERE") else None
             if self.accept("DELETE"):
                 return MatchDeleteStatement(pattern, where, self.expect_name())
+            if self.accept("SET"):
+                assigns = []
+                while True:
+                    var = self.expect_name()
+                    self.expect("punct", ".")
+                    prop = self.expect_name()
+                    self.expect("op", "=")
+                    assigns.append((var, prop, self.literal()))
+                    if not self.accept("punct", ","):
+                        break
+                return MatchSetStatement(pattern, where, assigns)
             optionals = []
             while self.accept("OPTIONAL"):
                 self.expect("MATCH")

@@ -36,6 +36,7 @@ from dd_graphdb_spark.plans.gql import (
     Compare,
     CreateStatement,
     MatchDeleteStatement,
+    MatchSetStatement,
     MatchStatement,
     NodePattern,
     parse_gql,
@@ -99,7 +100,7 @@ class GQLEngine:
         stmt = parse_gql(query)
         if isinstance(stmt, MatchStatement):
             return self._execute_match(stmt)
-        if isinstance(stmt, (CreateStatement, MatchDeleteStatement)):
+        if isinstance(stmt, (CreateStatement, MatchDeleteStatement, MatchSetStatement)):
             if self.store is None:
                 raise ValueError("mutations require a GraphStore (pass store=)")
             return self.store.execute_mutation(stmt, self)

@@ -440,6 +440,35 @@ class GraphStore:
         self._save_meta({"version": new_version})
         return new_version
 
+    def update_vertices(self, ids_df: DataFrame, props: dict) -> int:
+        """Bulk per-key property update — the distributed MATCH..SET
+        path. Cypher SET semantics: listed keys overwrite, other keys
+        are KEPT (unlike update_vertex_props' whole-map replace,
+        lib.rs:310-312). ``ids_df`` must have a single ``id`` column."""
+        ids = ids_df.select("id").distinct().withColumn("_hit", F.lit(True))
+        v = self.vertices().join(ids, "id", "left")
+        updated = F.coalesce(F.col("properties"), F.expr("map()"))
+
+        def drop_key(key):
+            return lambda mk, _mv: mk != F.lit(key)
+
+        for k, val in props.items():
+            updated = F.map_concat(
+                F.map_filter(updated, drop_key(k)),
+                F.create_map(F.lit(k), F.lit(json.dumps(val))),
+            )
+        v_df = v.select(
+            "id",
+            "label",
+            F.when(F.col("_hit"), updated).otherwise(F.col("properties")).alias(
+                "properties"
+            ),
+        )
+        new_version = self.version + 1
+        self._write_version(new_version, v_df, self.edges())
+        self._save_meta({"version": new_version})
+        return new_version
+
     def execute_mutation(self, stmt, engine) -> DataFrame:
         """Apply a parsed GQL CREATE / MATCH..DELETE statement.
 
@@ -469,6 +498,24 @@ class GraphStore:
                 ops.append(add_edge(node_ids[i], node_ids[i + 1], e.label or "related", {}))
             self.apply_batch(ops)
             return self.spark.createDataFrame([(i,) for i in node_ids], "id long")
+
+        from dd_graphdb_spark.plans.gql import MatchSetStatement
+
+        if isinstance(stmt, MatchSetStatement):
+            bindings = engine.match_bindings(stmt.pattern, stmt.where)
+            by_var: dict[str, dict] = {}
+            for var, prop, val in stmt.assignments:
+                by_var.setdefault(var, {})[prop] = val
+            out = None
+            for var, props in by_var.items():
+                ids = (
+                    bindings.select(F.col(f"{var}__id").alias("id"))
+                    .distinct()
+                    .localCheckpoint(eager=True)  # settle before rewrite
+                )
+                self.update_vertices(ids, props)
+                out = ids if out is None else out.unionByName(ids).distinct()
+            return out
 
         if isinstance(stmt, MatchDeleteStatement):
             bindings = engine.match_bindings(stmt.pattern, stmt.where)

@@ -409,3 +409,45 @@ def router_scoring_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     rows = [(p, v, router.score(QueryPattern(p), v)) for p, v in cases]
     return spark.createDataFrame(rows, "pattern string, view string, score long")
+
+
+# ---------------------------------------------------------------------------
+# GQL MATCH..SET (beyond the reference's declared grammar; Cypher SET
+# semantics — listed keys overwrite, other keys kept, unlike
+# UpdateVertexProperties' whole-map replace, lib.rs:310-312).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_match_set",
+    """
+    SELECT * FROM (VALUES
+        (1::BIGINT, 'Ann', 41::BIGINT, 'north'),
+        (2::BIGINT, 'Ben', 20::BIGINT, NULL)
+    ) t(id, name, age, region)
+    """,
+)
+def gql_match_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph({"name": "string", "age": "long", "region": "string"}),
+            store=store,
+        )
+
+    engine().execute(
+        "CREATE (a:Person {name: 'Ann', age: 40})-[:knows]->(b:Person {name: 'Ben', age: 20})"
+    )
+    # bump Ann's age and tag a region; Ben (age <= 25) is untouched
+    engine().execute(
+        "MATCH (v:Person) WHERE v.age > 25 SET v.age = 41, v.region = 'north'"
+    )
+    return store.vertices().select(
+        "id",
+        prop_typed("properties", "name").alias("name"),
+        prop_typed("properties", "age", "long").alias("age"),
+        prop_typed("properties", "region").alias("region"),
+    )
