@@ -83,6 +83,8 @@ GATE_PRIORITY = [
     "text_tfidf_topk",
     "window_ntile_lead",
     "embedding_group_centroids",
+    "gql_match_set",
+    "stream_live_left_outer_join",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

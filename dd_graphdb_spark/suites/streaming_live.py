@@ -213,3 +213,69 @@ def stream_live_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     ).select("user_id", "pid", "cid")
     return run_to_memory(j, output_mode="append")
+
+
+@_q(
+    "stream_live_left_outer_join",
+    f"""
+    WITH p AS (
+        SELECT user_id, ts AS pts, event_id AS pid
+        FROM {EVENTS_US} WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS cts, event_id AS cid
+        FROM {EVENTS_US} WHERE event_type = 'click'
+    ),
+    wm AS (
+        SELECT least((SELECT max(pts) FROM p), (SELECT max(cts) FROM c))
+               - INTERVAL 10 MINUTE AS w
+    ),
+    matches AS (
+        SELECT p.user_id, p.pid, c.cid
+        FROM p JOIN c
+          ON c.user_id = p.user_id
+         AND c.cts <= p.pts
+         AND c.cts >= p.pts - INTERVAL 1 DAY
+    )
+    SELECT user_id, pid, cid FROM matches
+    UNION ALL
+    SELECT p.user_id, p.pid, -1::BIGINT AS cid
+    FROM p
+    LEFT JOIN (SELECT DISTINCT pid FROM matches) m ON p.pid = m.pid
+    JOIN wm ON p.pts < wm.w
+    WHERE m.pid IS NULL
+    """,
+)
+def stream_live_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: matched purchases emit
+    like the inner join; unmatched ones emit a null-side row only once
+    the global watermark — min over BOTH inputs' (max event time −
+    delay) — passes their timestamp, because eviction of left state is
+    what produces the null row. The oracle restates exactly that rule:
+    the latest unmatched purchases (pts ≥ watermark) are STILL IN STATE
+    when the stream ends and correctly never emit. Null cid maps to -1
+    on both sides (pandas NaN-coerces nullable ints in the compare)."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid"))
+        .withWatermark("pts", "10 minutes")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("cts"),
+            F.col("event_id").alias("cid"),
+        )
+        .withWatermark("cts", "10 minutes")
+    )
+    j = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 DAY")),
+        "leftOuter",
+    ).select("user_id", "pid", F.coalesce("cid", F.lit(-1)).alias("cid"))
+    return run_to_memory(j, output_mode="append")
