@@ -85,6 +85,7 @@ GATE_PRIORITY = [
     "embedding_group_centroids",
     "gql_match_set",
     "stream_live_left_outer_join",
+    "algo_lpa_colocation",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

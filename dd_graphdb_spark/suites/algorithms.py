@@ -565,6 +565,37 @@ LPA_EDGES = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
 _LPA_ROUNDS = 4
 
 
+def _lpa_unrolled(head: str, n_rounds: int) -> str:
+    """Round-unrolled LPA oracle over any ``head`` that defines
+    verts(id) and sym(src, dst) CTEs (synchronized rounds, argmax
+    frequency, min-label ties, isolated vertices keep theirs)."""
+    steps = []
+    prev = "l0"
+    for i in range(1, n_rounds + 1):
+        steps.append(
+            f"""f{i} AS (
+    SELECT e.src AS id, l.lbl, COUNT(*) AS c
+    FROM sym e JOIN {prev} l ON e.dst = l.id
+    GROUP BY e.src, l.lbl
+),
+p{i} AS (
+    SELECT id, lbl FROM f{i}
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) = 1
+),
+l{i} AS (
+    SELECT v.id, COALESCE(p.lbl, l.lbl) AS lbl
+    FROM verts v JOIN {prev} l ON v.id = l.id LEFT JOIN p{i} p ON v.id = p.id
+)"""
+        )
+        prev = f"l{i}"
+    return (
+        head
+        + ",\n    l0 AS (SELECT id, id AS lbl FROM verts),\n    "
+        + ",\n".join(steps)
+        + f"\nSELECT id::BIGINT AS id, lbl::BIGINT AS community FROM {prev}"
+    )
+
+
 def _lpa_oracle(n_rounds: int = _LPA_ROUNDS) -> str:
     steps = []
     prev = "l0"
@@ -684,3 +715,34 @@ def algo_sssp_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         PropertyGraph(g.vertices, weighted), source=SUPP, weight_property="w"
     )
     return res.select("id", "distance")
+
+
+# --------------------------------------------------------------------------
+# LPA at bench scale: co-location cliques converge to the clique-minimum
+# label, so communities == nations — but the oracle does not assume
+# that: it replays the identical synchronized rounds.
+# --------------------------------------------------------------------------
+_LPA_COLOC_ROUNDS = 3
+
+
+@_q(
+    "algo_lpa_colocation",
+    _lpa_unrolled(
+        f"""
+    WITH sup AS (
+        SELECT s_suppkey::BIGINT + {SUPP} AS id, s_nationkey AS nk FROM supplier
+    ),
+    verts AS (SELECT id FROM sup),
+    sym AS (
+        SELECT a.id AS src, b.id AS dst
+        FROM sup a JOIN sup b ON a.nk = b.nk AND a.id <> b.id
+    )""",
+        _LPA_COLOC_ROUNDS,
+    ),
+)
+def algo_lpa_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.algorithms import label_propagation
+
+    return label_propagation(
+        _supplier_colocation(spark, sf_dir), max_iterations=_LPA_COLOC_ROUNDS
+    )
