@@ -86,6 +86,7 @@ GATE_PRIORITY = [
     "gql_match_set",
     "stream_live_left_outer_join",
     "algo_lpa_colocation",
+    "stream_live_static_enrich",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

@@ -279,3 +279,31 @@ def stream_live_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftOuter",
     ).select("user_id", "pid", F.coalesce("cid", F.lit(-1)).alias("cid"))
     return run_to_memory(j, output_mode="append")
+
+
+@_q(
+    "stream_live_static_enrich",
+    f"""
+    SELECT events.event_id, events.user_id, c.c_mktsegment AS segment, events.value
+    FROM {EVENTS_US}
+    JOIN customer c ON events.user_id = c.c_custkey
+    WHERE events.event_type = 'purchase'
+    """,
+)
+def stream_live_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the live purchase stream joins a
+    broadcast customer dimension per micro-batch (no state store, no
+    watermark needed — the static side is re-resolved each batch, which
+    is exactly the production dim-table refresh story)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("cust_id"), "c_mktsegment"
+    )
+    ev = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    j = ev.join(F.broadcast(cust), ev.user_id == cust.cust_id).select(
+        "event_id", "user_id", F.col("c_mktsegment").alias("segment"), "value"
+    )
+    return run_to_memory(j, output_mode="append")
