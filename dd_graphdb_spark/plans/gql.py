@@ -119,6 +119,11 @@ class CreateStatement:
 
 
 @dataclass
+class MergeStatement:
+    node: NodePattern  # single-node get-or-create (Cypher MERGE subset)
+
+
+@dataclass
 class MatchDeleteStatement:
     pattern: PathPattern
     where: object | None
@@ -135,7 +140,7 @@ class MatchSetStatement:
 # --------------------------------------------------------------------------- lexer
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-      (?P<kw>\bMATCH\b|\bOPTIONAL\b|\bWHERE\b|\bRETURN\b|\bCREATE\b|\bDELETE\b|\bAND\b|\bOR\b
+      (?P<kw>\bMATCH\b|\bOPTIONAL\b|\bMERGE\b|\bWHERE\b|\bRETURN\b|\bCREATE\b|\bDELETE\b|\bAND\b|\bOR\b
         |\bDISTINCT\b|\bORDER\b|\bBY\b|\bSKIP\b|\bLIMIT\b|\bASC\b|\bDESC\b
         |\bcount\b|\bsum\b|\bavg\b|\bmin\b|\bmax\b
         |\bCONTAINS\b|\bSTARTS\b|\bENDS\b|\bWITH\b|\bIN\b|\bSET\b
@@ -173,7 +178,7 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
 # because ORDER BY exists. TRUE/FALSE/NULL stay reserved: they are literals.
 _NAMEABLE_KEYWORDS = frozenset(
     {
-        "MATCH", "OPTIONAL", "WHERE", "RETURN", "CREATE", "DELETE", "AND", "OR",
+        "MATCH", "OPTIONAL", "MERGE", "WHERE", "RETURN", "CREATE", "DELETE", "AND", "OR",
         "DISTINCT", "ORDER", "BY", "SKIP", "LIMIT", "ASC", "DESC",
         "COUNT", "SUM", "AVG", "MIN", "MAX",
         "CONTAINS", "STARTS", "ENDS", "WITH", "IN", "SET",
@@ -490,7 +495,14 @@ class _Parser:
             return self._result_modifiers(stmt)
         if self.accept("CREATE"):
             return CreateStatement(self.path())
-        raise ValueError("GQL parse error: expected MATCH or CREATE")
+        if self.accept("MERGE"):
+            pattern = self.path()
+            if len(pattern.nodes) != 1:
+                raise ValueError(
+                    "GQL parse error: MERGE supports single-node patterns only"
+                )
+            return MergeStatement(pattern.nodes[0])
+        raise ValueError("GQL parse error: expected MATCH, CREATE or MERGE")
 
 
 def parse_gql(text: str):

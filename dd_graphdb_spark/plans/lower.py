@@ -38,6 +38,7 @@ from dd_graphdb_spark.plans.gql import (
     MatchDeleteStatement,
     MatchSetStatement,
     MatchStatement,
+    MergeStatement,
     NodePattern,
     parse_gql,
 )
@@ -100,7 +101,10 @@ class GQLEngine:
         stmt = parse_gql(query)
         if isinstance(stmt, MatchStatement):
             return self._execute_match(stmt)
-        if isinstance(stmt, (CreateStatement, MatchDeleteStatement, MatchSetStatement)):
+        if isinstance(
+            stmt,
+            (CreateStatement, MatchDeleteStatement, MatchSetStatement, MergeStatement),
+        ):
             if self.store is None:
                 raise ValueError("mutations require a GraphStore (pass store=)")
             return self.store.execute_mutation(stmt, self)

@@ -499,7 +499,27 @@ class GraphStore:
             self.apply_batch(ops)
             return self.spark.createDataFrame([(i,) for i in node_ids], "id long")
 
-        from dd_graphdb_spark.plans.gql import MatchSetStatement
+        from dd_graphdb_spark.plans.gql import MatchSetStatement, MergeStatement
+
+        if isinstance(stmt, MergeStatement):
+            # get-or-create (Cypher MERGE subset: single node, exact
+            # label + inline-props match). Existing matches are returned
+            # untouched; otherwise one vertex is created.
+            node = stmt.node
+            from dd_graphdb_spark.plans.gql import PathPattern
+
+            bindings = engine.match_bindings(PathPattern([node], []))
+            ids = (
+                bindings.select(F.col(f"{node.var}__id").alias("id"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            if not ids.isEmpty():
+                return ids
+            row = self.vertices().agg(F.max("id").alias("m")).collect()[0]
+            next_id = (row["m"] or 0) + 1
+            self.apply_batch([add_vertex(next_id, node.label, dict(node.props))])
+            return self.spark.createDataFrame([(next_id,)], "id long")
 
         if isinstance(stmt, MatchSetStatement):
             bindings = engine.match_bindings(stmt.pattern, stmt.where)

@@ -87,6 +87,7 @@ GATE_PRIORITY = [
     "stream_live_left_outer_join",
     "algo_lpa_colocation",
     "stream_live_static_enrich",
+    "gql_merge",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

@@ -451,3 +451,37 @@ def gql_match_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         prop_typed("properties", "age", "long").alias("age"),
         prop_typed("properties", "region").alias("region"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GQL MERGE (Cypher get-or-create subset: single node, exact label +
+# inline-props match — beyond the reference's declared grammar).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_merge",
+    """
+    SELECT * FROM (VALUES
+        (1::BIGINT, 'Ann'),
+        (2::BIGINT, 'Ben')
+    ) t(id, name)
+    """,
+)
+def gql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph({"name": "string"}), store=store
+        )
+
+    engine().execute("MERGE (a:Person {name: 'Ann'})")   # creates id 1
+    engine().execute("MERGE (a:Person {name: 'Ann'})")   # matches, no-op
+    engine().execute("MERGE (b:Person {name: 'Ben'})")   # creates id 2
+    engine().execute("MERGE (b:Person {name: 'Ben'})")   # matches, no-op
+    return store.vertices().select(
+        "id", prop_typed("properties", "name").alias("name")
+    )

@@ -299,3 +299,12 @@ def test_inline_edge_properties(people_graph):
     assert [r[0] for r in df.collect()] == ["Bob"]
     with pytest.raises(ValueError, match="variable-length"):
         eng.execute("MATCH (a)-[e:friend*1..2 {since: 2020}]->(b) RETURN a.name")
+
+
+def test_merge_single_node_only():
+    from dd_graphdb_spark.plans.gql import parse_gql
+
+    s = parse_gql("MERGE (a:Person {name: 'Ann'})")
+    assert s.node.label == "Person" and s.node.props == {"name": "Ann"}
+    with pytest.raises(ValueError, match="single-node"):
+        parse_gql("MERGE (a:Person)-[:knows]->(b:Person)")
