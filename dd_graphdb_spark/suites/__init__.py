@@ -88,6 +88,7 @@ GATE_PRIORITY = [
     "algo_lpa_colocation",
     "stream_live_static_enrich",
     "gql_merge",
+    "view_incremental_centroids",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

@@ -540,3 +540,36 @@ def view_incremental_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return state.result()
+
+
+# ---------------------------------------------------------------------------
+# Maintained per-group centroids (LLM-ops counterpart of the agg state):
+# add the whole embeddings table, then retract every 5th vector — the
+# state must equal a direct recompute over the survivors.
+# ---------------------------------------------------------------------------
+@_q(
+    "view_incremental_centroids",
+    """
+    WITH e AS (
+        SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
+                     i -> {'dim': i,
+                           'x': CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))})) AS u
+        FROM embeddings WHERE vec_id % 5 <> 0
+    )
+    SELECT label::VARCHAR AS label, u.dim AS dim,
+           ROUND(CAST(SUM(u.x) AS DOUBLE) / COUNT(*), 6) AS centroid
+    FROM e GROUP BY 1, 2
+    """,
+)
+def view_incremental_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.views.incremental import IncrementalCentroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    state = IncrementalCentroids(spark, tempfile.mkdtemp(prefix="icent_"), "label")
+    state.apply_deltas(emb.select("label", "embedding"))
+    state.apply_deltas(
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .select("label", "embedding")
+        .withColumn("_sign", F.lit(-1))
+    )
+    return state.result()

@@ -187,6 +187,66 @@ class IncrementalAggState:
         )
 
 
+class IncrementalCentroids:
+    """Maintained per-group centroid vectors under ±embedding deltas —
+    the LLM-ops counterpart of IncrementalAggState: state is one
+    (group, dim) row holding exact decimal sums and counts, so adds and
+    retractions merge with one full-outer join per batch and the
+    centroid is always sum/count of the surviving rows. Update =
+    retract preimage + add postimage, like every other view here."""
+
+    def __init__(self, spark: SparkSession, path: str, group_col: str):
+        self.spark = spark
+        self.group_col = group_col
+        self._table = _VersionedTable(
+            spark,
+            path,
+            f"{group_col} string, dim long, _count long, _sum decimal(18,6)",
+        )
+
+    def apply_deltas(self, deltas: DataFrame, vec_col: str = "embedding") -> None:
+        g = self.group_col
+        if "_sign" not in deltas.columns:
+            deltas = deltas.withColumn("_sign", F.lit(1))
+        e = deltas.select(
+            F.col(g).cast("string").alias(g),
+            "_sign",
+            F.posexplode(F.col(vec_col)).alias("_pos", "_x"),
+        )
+        batch = e.groupBy(g, (F.col("_pos") + 1).alias("dim")).agg(
+            F.sum("_sign").cast("long").alias("d_count"),
+            F.sum(
+                F.col("_sign") * F.col("_x").cast("double").cast("decimal(18,6)")
+            ).alias("d_sum"),
+        )
+        state = self._table.read(deltas.sparkSession)
+        zero = F.lit(0).cast("decimal(18,6)")
+        merged = (
+            state.join(batch, [g, "dim"], "full_outer")
+            .select(
+                g,
+                "dim",
+                (F.coalesce("_count", F.lit(0)) + F.coalesce("d_count", F.lit(0)))
+                .cast("long")
+                .alias("_count"),
+                (F.coalesce(F.col("_sum"), zero) + F.coalesce(F.col("d_sum"), zero))
+                .cast("decimal(18,6)")
+                .alias("_sum"),
+            )
+            .filter(F.col("_count") > 0)
+        )
+        self._table.write(merged)
+
+    def result(self) -> DataFrame:
+        return self._table.read().select(
+            self.group_col,
+            "dim",
+            F.round(F.col("_sum").cast("double") / F.col("_count"), 6).alias(
+                "centroid"
+            ),
+        )
+
+
 class _EdgeState:
     """Maintained adjacency state shared by the incremental analytics
     views (apply_change_to_analytics_state, incremental_engine.rs:
