@@ -89,6 +89,7 @@ GATE_PRIORITY = [
     "stream_live_static_enrich",
     "gql_merge",
     "view_incremental_centroids",
+    "view_gql_materialized",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

@@ -12,6 +12,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dd_graphdb_spark.graph import GRAPH_CTE
+
 QUERIES = {}
 ORACLES = {}
 
@@ -485,3 +487,43 @@ def gql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.vertices().select(
         "id", prop_typed("properties", "name").alias("name")
     )
+
+
+# ---------------------------------------------------------------------------
+# GQL-backed materialized view: the definition persists as GQL text and
+# survives a catalog reload; refresh materializes through the engine.
+# ---------------------------------------------------------------------------
+@_q(
+    "view_gql_materialized",
+    GRAPH_CTE
+    + """
+    SELECT v1.name AS c_name, v2.name AS n_name
+    FROM vertices v1
+    JOIN edges e ON v1.id = e.src AND e.label = 'located_in'
+    JOIN vertices v2 ON e.dst = v2.id
+    WHERE v1.label = 'Customer' AND v2.label = 'Nation' AND v1.acctbal > 9500.0
+    """,
+)
+def view_gql_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.graph import materialized_tpch_graph
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.views import RefreshPolicy, ViewCatalog, ViewDefinition
+
+    path = tempfile.mkdtemp(prefix="views_")
+    catalog = ViewCatalog(spark, path)
+    catalog.register(
+        ViewDefinition(
+            name="rich_customers",
+            view_type="gql",
+            gql=(
+                "MATCH (c:Customer)-[e:located_in]->(n:Nation) "
+                "WHERE c.acctbal > 9500.0 RETURN c.name, n.name"
+            ),
+            refresh_policy=RefreshPolicy(kind="on_demand"),
+        )
+    )
+    # reload from disk: the definition round-trips as JSON text
+    catalog2 = ViewCatalog(spark, path)
+    catalog2.attach_gql_engine(GQLEngine(materialized_tpch_graph(spark, sf_dir)))
+    catalog2.refresh("rich_customers", force=True)
+    return catalog2.read("rich_customers")

@@ -68,8 +68,9 @@ class RefreshPolicy:
 @dataclass
 class ViewDefinition:
     name: str
-    view_type: str  # lookup | aggregation | analytics | hybrid | sql
+    view_type: str  # lookup | aggregation | analytics | hybrid | sql | gql
     sql: str | None = None  # SqlQuery views
+    gql: str | None = None  # GQL MATCH views (materialized pattern queries)
     refresh_policy: RefreshPolicy = field(default_factory=RefreshPolicy)
     dependencies: list[str] = field(default_factory=list)  # other view names
 
@@ -78,6 +79,7 @@ class ViewDefinition:
             "name": self.name,
             "view_type": self.view_type,
             "sql": self.sql,
+            "gql": self.gql,
             "refresh_policy": vars(self.refresh_policy),
             "dependencies": self.dependencies,
         }
@@ -88,6 +90,7 @@ class ViewDefinition:
             name=d["name"],
             view_type=d["view_type"],
             sql=d.get("sql"),
+            gql=d.get("gql"),
             refresh_policy=RefreshPolicy(**d.get("refresh_policy", {})),
             dependencies=list(d.get("dependencies", [])),
         )
@@ -159,7 +162,15 @@ class ViewCatalog:
         self.builders: dict[str, Callable[[SparkSession], DataFrame]] = {}
         self.state: dict[str, dict] = {}  # name -> {last_refresh, dirty, cached}
         self.incremental: dict[str, object] = {}  # name -> delta-state object
+        self.gql_engine = None  # attach_gql_engine() enables gql views
         self._load()
+
+    def attach_gql_engine(self, engine) -> None:
+        """Attach a GQLEngine used to materialize ``gql=`` views — the
+        definition persists as text; the engine is runtime wiring
+        (mirrors ViewType::Hybrid's dsl_definition intent,
+        view_registry.rs:21-40)."""
+        self.gql_engine = engine
 
     # ---- persistence ------------------------------------------------------
     def _defn_path(self, name: str) -> str:
@@ -193,8 +204,13 @@ class ViewCatalog:
                 defn.dependencies = sorted(
                     t[3:] for t in extract_tables(self.spark, defn.sql) if t.startswith("mv_")
                 )
-        if defn.sql is None and builder is None:
-            raise ValueError("view needs sql or builder")
+        if defn.gql is not None:
+            from dd_graphdb_spark.plans.gql import MatchStatement, parse_gql
+
+            if not isinstance(parse_gql(defn.gql), MatchStatement):
+                raise ValueError("GQL views must be MATCH queries")
+        if defn.sql is None and defn.gql is None and builder is None:
+            raise ValueError("view needs sql, gql or builder")
         self._check_acyclic(defn)
         self.defs[defn.name] = defn
         if builder is not None:
@@ -288,6 +304,12 @@ class ViewCatalog:
             self.read(dep).createOrReplaceTempView(f"mv_{dep}")
         if name in self.builders:
             return self.builders[name](self.spark)
+        if d.gql is not None:
+            if self.gql_engine is None:
+                raise ValueError(
+                    f"view {name} is a GQL view — attach_gql_engine() first"
+                )
+            return self.gql_engine.execute(d.gql)
         return self.spark.sql(d.sql)
 
     def refresh(self, name: str, force: bool = False) -> bool:
