@@ -31,6 +31,11 @@ BATCH_QUERIES = [
     "gql_match_filter",
     "gql_multi_hop",
     "gql_var_length",
+    "gql_optional_match",
+    "gql_string_predicates",
+    "text_tfidf_topk",
+    "curation_chunk_docs",
+    "curation_mixture_sample",
     "traverse_2hop",
     "dedup_exact",
     "text_quality",
