@@ -463,3 +463,69 @@ def test_range_join_matches_naive(spark, vals, intervals, width):
         if lo <= v < lo + ln
     }
     assert got == want
+
+
+@settings(deadline=None, max_examples=12, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.integers(1, 40), min_size=1, max_size=6),  # tokens per doc
+    st.integers(2, 10),  # chunk_tokens
+    st.data(),
+)
+def test_chunking_tiles_every_token(spark, n_tokens_list, chunk_tokens, data):
+    """Every token of every doc is covered, chunk starts advance by the
+    stride, and the last chunk reaches exactly the end of the doc."""
+    from dd_graphdb_spark.operators.curation import chunk_documents
+
+    overlap = data.draw(st.integers(0, chunk_tokens - 1))
+    rows = [
+        (i, " ".join(f"t{i}_{k}" for k in range(n)))
+        for i, n in enumerate(n_tokens_list)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(d, chunk_tokens, overlap)
+    stride = chunk_tokens - overlap
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, n in enumerate(n_tokens_list):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        covered = set()
+        for c in chunks:
+            assert c.start_token == c.chunk_id * stride
+            assert c.n_tokens == min(chunk_tokens, n - c.start_token)
+            assert len(c.chunk_text.split(" ")) == c.n_tokens
+            covered.update(range(c.start_token, c.start_token + c.n_tokens))
+        assert covered == set(range(n))
+        last = chunks[-1]
+        assert last.start_token + last.n_tokens == n
+
+
+@settings(deadline=None, max_examples=8, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(1, 30)),
+             min_size=1, max_size=30),
+    st.integers(10, 2000),
+)
+def test_mixture_sample_matches_model(spark, rows, budget):
+    """The engine's sample equals a pure-python re-derivation of the
+    hash-acceptance rule with the same derived rates."""
+    import hashlib
+
+    from dd_graphdb_spark.operators.curation import mixture_sample
+    from dd_graphdb_spark.operators.sampling import BUCKETS
+
+    weights = {"a": 0.5, "b": 0.3, "c": 1.5}
+    data = [(i, src, "w " * n) for i, (src, n) in enumerate(rows)]
+    d = spark.createDataFrame(data, "doc_id long, source string, text string")
+    got = {r.doc_id for r in mixture_sample(d, weights, budget).collect()}
+
+    tot: dict[str, int] = {}
+    for i, (src, n) in enumerate(rows):
+        tot[src] = tot.get(src, 0) + n
+    expect = set()
+    for i, (src, n) in enumerate(rows):
+        rate = min(1.0, float(budget) * weights[src] / float(tot[src]))
+        bucket = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        if bucket < int(rate * BUCKETS):
+            expect.add(i)
+    assert got == expect
