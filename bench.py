@@ -67,6 +67,10 @@ HEADLINE = [
     "curation_chunk_docs",
     "curation_mixture_sample",
     "text_redact_pii",
+    "text_tfidf_topk",
+    "algo_lpa_colocation",
+    "stream_live_left_outer_join",
+    "embedding_group_centroids",
 ]
 
 

@@ -67,11 +67,17 @@ class PathPattern:
 
 
 @dataclass
+class PropRef:
+    var: str
+    prop: str
+
+
+@dataclass
 class Compare:
     var: str
     prop: str
     op: str  # = != < > <= >=
-    value: object
+    value: object  # literal, list (IN), or PropRef (cross-variable compare)
 
 
 @dataclass
@@ -389,6 +395,14 @@ class _Parser:
                 self.accept("punct", ",")
             return Compare(var, prop, "in", vals)
         op = self.expect("op")
+        if (
+            self.at_name()
+            and self.peek()[0] not in ("TRUE", "FALSE", "NULL")
+            and self.toks[self.i + 1][1] == "."
+        ):
+            rvar = self.expect_name()
+            self.expect("punct", ".")
+            return Compare(var, prop, op, PropRef(rvar, self.expect_name()))
         if op == "<-":
             # `a.age<-5` lexes as the edge arrow '<-' + '5'; in WHERE
             # context it means '<' followed by a unary minus

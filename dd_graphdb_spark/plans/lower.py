@@ -34,6 +34,7 @@ from dd_graphdb_spark.graph import PropertyGraph
 from dd_graphdb_spark.plans.gql import (
     BoolExpr,
     Compare,
+    PropRef,
     CreateStatement,
     MatchDeleteStatement,
     MatchSetStatement,
@@ -72,7 +73,10 @@ def _lower_condition(cond) -> F.Column:
         return col.endswith(cond.value)
     if cond.op == "in":
         return col.isin(*cond.value)
-    lit = F.lit(cond.value)
+    if isinstance(cond.value, PropRef):
+        lit = F.col(f"{cond.value.var}__{cond.value.prop}")
+    else:
+        lit = F.lit(cond.value)
     # int↔float coercion is native in Spark (reference: executor.rs:641-650)
     ops = {
         "=": col == lit,

@@ -90,6 +90,7 @@ GATE_PRIORITY = [
     "gql_merge",
     "view_incremental_centroids",
     "view_gql_materialized",
+    "gql_prop_compare",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

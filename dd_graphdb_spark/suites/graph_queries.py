@@ -486,3 +486,27 @@ def gql_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH (c:Customer) WHERE c.name ENDS WITH '7' "
         "AND c.mktsegment IN ['BUILDING', 'MACHINERY'] RETURN c.id, c.name"
     )
+
+
+# ---------------------------------------------------------------------------
+# GQL: cross-variable property comparison — orders cheaper than their
+# customer's account balance.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_prop_compare",
+    GRAPH_CTE
+    + """
+    SELECT o.id AS o_id, o.acctbal AS o_acctbal, c.acctbal AS c_acctbal
+    FROM vertices o
+    JOIN edges e ON o.id = e.src AND e.label = 'placed_by'
+    JOIN vertices c ON e.dst = c.id
+    WHERE o.label = 'Order' AND c.label = 'Customer'
+      AND o.acctbal < c.acctbal
+    """,
+)
+def gql_prop_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (o:Order)-[:placed_by]->(c:Customer) WHERE o.acctbal < c.acctbal "
+        "RETURN o.id, o.acctbal, c.acctbal"
+    )

@@ -308,3 +308,16 @@ def test_merge_single_node_only():
     assert s.node.label == "Person" and s.node.props == {"name": "Ann"}
     with pytest.raises(ValueError, match="single-node"):
         parse_gql("MERGE (a:Person)-[:knows]->(b:Person)")
+
+
+def test_property_to_property_compare(people_graph):
+    # friendships where the source is older than the target
+    df = _engine(people_graph).execute(
+        "MATCH (a)-[e:friend]->(b) WHERE a.age > b.age RETURN a.name, b.name"
+    )
+    assert [(r[0], r[1]) for r in df.collect()] == [("Alice", "Bob")]
+    # literal comparisons still parse (regression: 'true' is not a PropRef)
+    df = _engine(people_graph).execute(
+        "MATCH (a:Person) WHERE a.age = 25 RETURN a.name"
+    )
+    assert [r[0] for r in df.collect()] == ["Bob"]
