@@ -91,6 +91,7 @@ GATE_PRIORITY = [
     "view_incremental_centroids",
     "view_gql_materialized",
     "gql_prop_compare",
+    "algo_scc_colocation",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

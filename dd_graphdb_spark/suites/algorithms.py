@@ -746,3 +746,29 @@ def algo_lpa_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(
         _supplier_colocation(spark, sf_dir), max_iterations=_LPA_COLOC_ROUNDS
     )
+
+
+# --------------------------------------------------------------------------
+# SCC at bench scale: the co-location graph made symmetric is strongly
+# connected exactly within each clique, so the FW-BW loop must recover
+# one component per nation with the min-id representative.
+# --------------------------------------------------------------------------
+@_q(
+    "algo_scc_colocation",
+    f"""
+    WITH sup AS (
+        SELECT s_suppkey::BIGINT + {SUPP} AS id, s_nationkey AS nk FROM supplier
+    )
+    SELECT s.id, m.rep AS scc
+    FROM sup s JOIN (SELECT nk, MIN(id) AS rep FROM sup GROUP BY nk) m
+      ON s.nk = m.nk
+    """,
+)
+def algo_scc_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _supplier_colocation(spark, sf_dir)
+    sym = g.edges.unionByName(
+        g.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "label"
+        )
+    )
+    return A.strongly_connected_components(PropertyGraph(g.vertices, sym))
