@@ -92,6 +92,7 @@ class ReturnItem:
     var: str
     prop: str | None  # None → whole vertex; var == "*" → all bindings
     agg: str | None = None  # "count" → aggregate over bindings
+    alias: str | None = None  # RETURN ... AS name
 
 
 @dataclass
@@ -146,7 +147,7 @@ class MatchSetStatement:
 # --------------------------------------------------------------------------- lexer
 _TOKEN_RE = re.compile(
     r"""\s*(?:
-      (?P<kw>\bMATCH\b|\bOPTIONAL\b|\bMERGE\b|\bWHERE\b|\bRETURN\b|\bCREATE\b|\bDELETE\b|\bAND\b|\bOR\b
+      (?P<kw>\bMATCH\b|\bOPTIONAL\b|\bMERGE\b|\bWHERE\b|\bAS\b|\bRETURN\b|\bCREATE\b|\bDELETE\b|\bAND\b|\bOR\b
         |\bDISTINCT\b|\bORDER\b|\bBY\b|\bSKIP\b|\bLIMIT\b|\bASC\b|\bDESC\b
         |\bcount\b|\bsum\b|\bavg\b|\bmin\b|\bmax\b
         |\bCONTAINS\b|\bSTARTS\b|\bENDS\b|\bWITH\b|\bIN\b|\bSET\b
@@ -187,7 +188,7 @@ _NAMEABLE_KEYWORDS = frozenset(
         "MATCH", "OPTIONAL", "MERGE", "WHERE", "RETURN", "CREATE", "DELETE", "AND", "OR",
         "DISTINCT", "ORDER", "BY", "SKIP", "LIMIT", "ASC", "DESC",
         "COUNT", "SUM", "AVG", "MIN", "MAX",
-        "CONTAINS", "STARTS", "ENDS", "WITH", "IN", "SET",
+        "CONTAINS", "STARTS", "ENDS", "WITH", "IN", "SET", "AS",
     }
 )
 
@@ -448,6 +449,10 @@ class _Parser:
                 if self.accept("punct", "."):
                     prop = self.expect_name()
                 items.append(ReturnItem(var, prop))
+            if self.accept("AS"):
+                if items[-1].var == "*" and items[-1].agg is None:
+                    raise ValueError("GQL parse error: RETURN * cannot be aliased")
+                items[-1].alias = self.expect_name()
             if not self.accept("punct", ","):
                 break
         return items

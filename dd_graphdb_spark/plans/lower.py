@@ -242,8 +242,11 @@ class GQLEngine:
                     for c in vcols
                 ]
             if item.prop is None:
+                if item.alias is not None:
+                    raise ValueError("aliasing a whole vertex is not supported")
                 return [F.col(f"{item.var}__{c}").alias(f"{item.var}_{c}") for c in vcols]
-            return [F.col(f"{item.var}__{item.prop}").alias(f"{item.var}_{item.prop}")]
+            name = item.alias or f"{item.var}_{item.prop}"
+            return [F.col(f"{item.var}__{item.prop}").alias(name)]
 
         aggs = [i for i in stmt.returns if i.agg]
         if aggs:
@@ -254,14 +257,16 @@ class GQLEngine:
             agg_cols = []
             for i in aggs:
                 if i.var == "*":
-                    agg_cols.append(F.count("*").alias("count"))
+                    agg_cols.append(F.count("*").alias(i.alias or "count"))
                 elif i.prop is None:
                     # count(v) counts bound (non-null) vertex rows
-                    agg_cols.append(F.count(f"{i.var}__id").alias(f"count_{i.var}"))
+                    agg_cols.append(
+                        F.count(f"{i.var}__id").alias(i.alias or f"count_{i.var}")
+                    )
                 else:
                     agg_cols.append(
                         agg_fns[i.agg](F.col(f"{i.var}__{i.prop}")).alias(
-                            f"{i.agg}_{i.var}_{i.prop}"
+                            i.alias or f"{i.agg}_{i.var}_{i.prop}"
                         )
                     )
             df = bound.groupBy(*keys).agg(*agg_cols) if keys else bound.agg(*agg_cols)
@@ -274,7 +279,10 @@ class GQLEngine:
             # ORDER BY references projected output names (v_prop / v_id …)
             exprs = []
             for o in stmt.order_by:
-                name = f"{o.var}_{o.prop}" if o.prop else f"{o.var}_id"
+                if o.prop is None and o.var in df.columns:
+                    name = o.var  # a RETURN ... AS alias
+                else:
+                    name = f"{o.var}_{o.prop}" if o.prop else f"{o.var}_id"
                 if name not in df.columns:
                     raise ValueError(f"ORDER BY {o.var}.{o.prop or 'id'} is not projected")
                 exprs.append(F.col(name).desc() if o.desc else F.col(name).asc())

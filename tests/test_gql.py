@@ -321,3 +321,16 @@ def test_property_to_property_compare(people_graph):
         "MATCH (a:Person) WHERE a.age = 25 RETURN a.name"
     )
     assert [r[0] for r in df.collect()] == ["Bob"]
+
+
+def test_return_aliases(people_graph):
+    eng = _engine(people_graph)
+    df = eng.execute(
+        "MATCH (v:Person) RETURN v.name AS who, v.age AS age ORDER BY age DESC LIMIT 1"
+    )
+    assert df.columns == ["who", "age"]
+    assert df.collect()[0].who == "Charlie"
+    df = eng.execute("MATCH (v:Person) RETURN count(*) AS n")
+    assert df.columns == ["n"] and df.collect()[0].n == 3
+    with pytest.raises(ValueError, match="cannot be aliased"):
+        eng.execute("MATCH (v) RETURN * AS everything")
