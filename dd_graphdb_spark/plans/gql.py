@@ -28,6 +28,12 @@ standard Cypher result modifiers:
 - SKIP n LIMIT m
 - OPTIONAL MATCH (left-outer pattern extension; its WHERE applies within
   the optional pattern, and it must share a variable with MATCH)
+- WITH pipeline (restricted): project/aggregate, filter the intermediate
+  by bare alias (the HAVING idiom), then RETURN references the WITH
+  output by bare name
+- RETURN ... AS alias; WHERE string predicates (CONTAINS / STARTS WITH /
+  ENDS WITH / IN [..]) and cross-variable property comparisons
+- MATCH..SET (Cypher per-key update semantics) and single-node MERGE
 - variable-length edges `-[p:LBL*1..3]->` (also `*n`, `*..m`, `*0..m`);
   the upper bound is mandatory (the plan is a finite union of hop
   joins), and the edge variable binds one property, `p.hops`
@@ -75,7 +81,7 @@ class PropRef:
 @dataclass
 class Compare:
     var: str
-    prop: str
+    prop: str | None  # None → bare column reference (post-WITH aliases)
     op: str  # = != < > <= >=
     value: object  # literal, list (IN), or PropRef (cross-variable compare)
 
@@ -118,6 +124,10 @@ class MatchStatement:
     skip: int | None = None
     limit: int | None = None
     optionals: list[OptionalMatch] = field(default_factory=list)
+    # restricted WITH pipeline: project/aggregate, then filter (HAVING
+    # idiom), then RETURN references the WITH output by bare alias
+    with_items: list[ReturnItem] | None = None
+    with_where: object | None = None
 
 
 @dataclass
@@ -378,8 +388,9 @@ class _Parser:
             self.expect("punct", ")")
             return inner
         var = self.expect_name()
-        self.expect("punct", ".")
-        prop = self.expect_name()
+        prop = None
+        if self.accept("punct", "."):
+            prop = self.expect_name()
         if self.accept("CONTAINS"):
             return Compare(var, prop, "contains", self._str_literal("CONTAINS"))
         if self.accept("STARTS"):
@@ -420,7 +431,7 @@ class _Parser:
         return v
 
     # ----- returns
-    def return_items(self) -> list[ReturnItem]:
+    def return_items(self, bare_ok: bool = False) -> list[ReturnItem]:
         items = []
         while True:
             if self.accept("punct", "*"):
@@ -437,7 +448,7 @@ class _Parser:
                     prop = None
                     if self.accept("punct", "."):
                         prop = self.expect_name()
-                    if agg != "count" and prop is None:
+                    if agg != "count" and prop is None and not bare_ok:
                         raise ValueError(
                             f"GQL parse error: {agg}() needs a property (var.prop)"
                         )
@@ -505,11 +516,20 @@ class _Parser:
                 opat = self.path()
                 owhere = self.where_expr() if self.accept("WHERE") else None
                 optionals.append(OptionalMatch(opat, owhere))
+            with_items = with_where = None
+            if self.accept("WITH"):
+                with_items = self.return_items()
+                if any(i.var == "*" and i.agg is None for i in with_items):
+                    raise ValueError("GQL parse error: WITH does not support *")
+                if self.accept("WHERE"):
+                    with_where = self.where_expr()
             self.expect("RETURN")
             distinct = self.accept("DISTINCT")
             stmt = MatchStatement(
-                pattern, where, self.return_items(), distinct=distinct,
-                optionals=optionals,
+                pattern, where,
+                self.return_items(bare_ok=with_items is not None),
+                distinct=distinct,
+                optionals=optionals, with_items=with_items, with_where=with_where,
             )
             return self._result_modifiers(stmt)
         if self.accept("CREATE"):

@@ -64,7 +64,8 @@ def _lower_condition(cond) -> F.Column:
         left, right = _lower_condition(cond.left), _lower_condition(cond.right)
         return left & right if cond.op == "AND" else left | right
     assert isinstance(cond, Compare)
-    col = F.col(f"{cond.var}__{cond.prop}")
+    # prop None = bare column reference (post-WITH alias)
+    col = F.col(f"{cond.var}__{cond.prop}") if cond.prop else F.col(cond.var)
     if cond.op == "contains":
         return col.contains(cond.value)
     if cond.op == "starts_with":
@@ -233,46 +234,16 @@ class GQLEngine:
             bound = bound.join(obound.drop(*dup), on=keys, how="left")
             vertex_vars.extend(v for v in ovars if v not in shared)
         vcols = self.graph.vertices.columns
-
-        def item_cols(item) -> list[F.Column]:
-            if item.var == "*":
-                return [
-                    F.col(f"{var}__{c}").alias(f"{var}_{c}")
-                    for var in vertex_vars
-                    for c in vcols
-                ]
-            if item.prop is None:
-                if item.alias is not None:
-                    raise ValueError("aliasing a whole vertex is not supported")
-                return [F.col(f"{item.var}__{c}").alias(f"{item.var}_{c}") for c in vcols]
-            name = item.alias or f"{item.var}_{item.prop}"
-            return [F.col(f"{item.var}__{item.prop}").alias(name)]
-
-        aggs = [i for i in stmt.returns if i.agg]
-        if aggs:
-            # Cypher's implicit grouping: non-aggregated return items
-            # are the grouping keys (count-only RETURN = global agg)
-            keys = [c for i in stmt.returns if not i.agg for c in item_cols(i)]
-            agg_fns = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
-            agg_cols = []
-            for i in aggs:
-                if i.var == "*":
-                    agg_cols.append(F.count("*").alias(i.alias or "count"))
-                elif i.prop is None:
-                    # count(v) counts bound (non-null) vertex rows
-                    agg_cols.append(
-                        F.count(f"{i.var}__id").alias(i.alias or f"count_{i.var}")
-                    )
-                else:
-                    agg_cols.append(
-                        agg_fns[i.agg](F.col(f"{i.var}__{i.prop}")).alias(
-                            i.alias or f"{i.agg}_{i.var}_{i.prop}"
-                        )
-                    )
-            df = bound.groupBy(*keys).agg(*agg_cols) if keys else bound.agg(*agg_cols)
+        if stmt.with_items is not None:
+            # restricted WITH pipeline: project/aggregate the bindings,
+            # filter the intermediate by bare alias (the HAVING idiom),
+            # then RETURN references the WITH output columns by name
+            inter = self._project(bound, stmt.with_items, vertex_vars, vcols)
+            if stmt.with_where is not None:
+                inter = inter.filter(_lower_condition(stmt.with_where))
+            df = self._project(inter, stmt.returns, [], [], bare=True)
         else:
-            out = [c for i in stmt.returns for c in item_cols(i)]
-            df = bound.select(*out)
+            df = self._project(bound, stmt.returns, vertex_vars, vcols)
         if stmt.distinct:
             df = df.distinct()
         if stmt.order_by:
@@ -292,3 +263,60 @@ class GQLEngine:
         if stmt.limit is not None:
             df = df.limit(stmt.limit)
         return df
+
+    def _project(self, bound, items, vertex_vars, vcols, bare: bool = False):
+        """RETURN/WITH projection with Cypher's implicit grouping.
+
+        ``bare`` = the input columns are already projected output names
+        (a WITH intermediate): items reference them by bare name and
+        var.prop forms are rejected."""
+
+        def item_cols(item) -> list[F.Column]:
+            if item.var == "*":
+                if bare:
+                    raise ValueError("RETURN * is not available after WITH")
+                return [
+                    F.col(f"{var}__{c}").alias(f"{var}_{c}")
+                    for var in vertex_vars
+                    for c in vcols
+                ]
+            if item.prop is None:
+                if bare:
+                    return [F.col(item.var).alias(item.alias or item.var)]
+                if item.alias is not None:
+                    raise ValueError("aliasing a whole vertex is not supported")
+                return [F.col(f"{item.var}__{c}").alias(f"{item.var}_{c}") for c in vcols]
+            if bare:
+                raise ValueError(
+                    "after WITH, reference the projected aliases by bare name"
+                )
+            name = item.alias or f"{item.var}_{item.prop}"
+            return [F.col(f"{item.var}__{item.prop}").alias(name)]
+
+        aggs = [i for i in items if i.agg]
+        if not aggs:
+            return bound.select(*[c for i in items for c in item_cols(i)])
+        # Cypher's implicit grouping: non-aggregated items are the keys
+        keys = [c for i in items if not i.agg for c in item_cols(i)]
+        agg_fns = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+        agg_cols = []
+        for i in aggs:
+            if i.var == "*":
+                agg_cols.append(F.count("*").alias(i.alias or "count"))
+            elif i.prop is None:
+                src = F.col(i.var) if bare else F.col(f"{i.var}__id")
+                if bare and i.agg != "count":
+                    # post-WITH, sum(x)/avg(x)/... aggregate the alias column
+                    agg_cols.append(
+                        agg_fns[i.agg](src).alias(i.alias or f"{i.agg}_{i.var}")
+                    )
+                else:
+                    # count(v) counts bound (non-null) rows
+                    agg_cols.append(F.count(src).alias(i.alias or f"count_{i.var}"))
+            else:
+                agg_cols.append(
+                    agg_fns[i.agg](F.col(f"{i.var}__{i.prop}")).alias(
+                        i.alias or f"{i.agg}_{i.var}_{i.prop}"
+                    )
+                )
+        return bound.groupBy(*keys).agg(*agg_cols) if keys else bound.agg(*agg_cols)

@@ -92,6 +92,7 @@ GATE_PRIORITY = [
     "view_gql_materialized",
     "gql_prop_compare",
     "algo_scc_colocation",
+    "gql_with_having",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

@@ -510,3 +510,29 @@ def gql_prop_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH (o:Order)-[:placed_by]->(c:Customer) WHERE o.acctbal < c.acctbal "
         "RETURN o.id, o.acctbal, c.acctbal"
     )
+
+
+# ---------------------------------------------------------------------------
+# GQL: WITH pipeline (HAVING idiom) — aggregate per nation, filter on
+# the aggregate, project the aliases.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_with_having",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS nation, COUNT(*) AS n_cust
+    FROM vertices c
+    JOIN edges e ON c.id = e.src AND e.label = 'located_in'
+    JOIN vertices n ON e.dst = n.id
+    WHERE c.label = 'Customer' AND n.label = 'Nation'
+    GROUP BY n.name
+    HAVING COUNT(*) > 25
+    """,
+)
+def gql_with_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "WITH n.name AS nation, count(*) AS n_cust "
+        "WHERE n_cust > 25 RETURN nation, n_cust"
+    )

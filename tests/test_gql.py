@@ -334,3 +334,22 @@ def test_return_aliases(people_graph):
     assert df.columns == ["n"] and df.collect()[0].n == 3
     with pytest.raises(ValueError, match="cannot be aliased"):
         eng.execute("MATCH (v) RETURN * AS everything")
+
+
+def test_with_clause_having_idiom(people_graph):
+    eng = _engine(people_graph)
+    # group by source, count friendships, keep prolific sources only
+    df = eng.execute(
+        "MATCH (a)-[e:friend]->(b) WITH a.name AS who, count(*) AS n "
+        "WHERE n >= 1 RETURN who, n ORDER BY who"
+    )
+    assert [(r.who, r.n) for r in df.collect()] == [("Alice", 1), ("Bob", 1)]
+    # aggregate over the WITH output
+    df = eng.execute(
+        "MATCH (v:Person) WITH v.age AS age RETURN sum(age) AS total"
+    )
+    assert df.collect()[0].total == 90
+    with pytest.raises(ValueError, match="bare name"):
+        eng.execute("MATCH (v:Person) WITH v.age AS age RETURN v.age").collect()
+    with pytest.raises(ValueError, match="does not support"):
+        eng.execute("MATCH (v:Person) WITH * RETURN v.name")
