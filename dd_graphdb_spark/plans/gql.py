@@ -123,7 +123,10 @@ class MatchStatement:
     order_by: list[OrderItem] = field(default_factory=list)
     skip: int | None = None
     limit: int | None = None
-    optionals: list[OptionalMatch] = field(default_factory=list)
+    # additional MATCH / OPTIONAL MATCH clauses in source order:
+    # ("match", clause) inner-joins on shared variables, ("optional",
+    # clause) left-joins (clause.where applies within the pattern)
+    clauses: list = field(default_factory=list)
     # restricted WITH pipeline: project/aggregate, then filter (HAVING
     # idiom), then RETURN references the WITH output by bare alias
     with_items: list[ReturnItem] | None = None
@@ -510,12 +513,19 @@ class _Parser:
                     if not self.accept("punct", ","):
                         break
                 return MatchSetStatement(pattern, where, assigns)
-            optionals = []
-            while self.accept("OPTIONAL"):
-                self.expect("MATCH")
-                opat = self.path()
-                owhere = self.where_expr() if self.accept("WHERE") else None
-                optionals.append(OptionalMatch(opat, owhere))
+            clauses = []
+            while True:
+                if self.accept("OPTIONAL"):
+                    self.expect("MATCH")
+                    opat = self.path()
+                    owhere = self.where_expr() if self.accept("WHERE") else None
+                    clauses.append(("optional", OptionalMatch(opat, owhere)))
+                elif self.accept("MATCH"):
+                    mpat = self.path()
+                    mwhere = self.where_expr() if self.accept("WHERE") else None
+                    clauses.append(("match", OptionalMatch(mpat, mwhere)))
+                else:
+                    break
             with_items = with_where = None
             if self.accept("WITH"):
                 with_items = self.return_items()
@@ -529,7 +539,7 @@ class _Parser:
                 pattern, where,
                 self.return_items(bare_ok=with_items is not None),
                 distinct=distinct,
-                optionals=optionals, with_items=with_items, with_where=with_where,
+                clauses=clauses, with_items=with_items, with_where=with_where,
             )
             return self._result_modifiers(stmt)
         if self.accept("CREATE"):

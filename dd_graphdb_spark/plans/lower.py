@@ -211,19 +211,22 @@ class GQLEngine:
     def _execute_match(self, stmt: MatchStatement) -> DataFrame:
         bound = self.match_bindings(stmt.pattern, stmt.where)
         vertex_vars = [n.var for n in stmt.pattern.nodes]
-        for j, opt in enumerate(stmt.optionals):
-            # Cypher OPTIONAL MATCH: per binding row, extend with matches
-            # of the optional pattern (its WHERE applies WITHIN the
-            # pattern); rows without a match keep nulls. Relationally:
-            # match the optional pattern on its own, then LEFT JOIN on
-            # the shared variables' vertex ids.
+        for j, (kind, opt) in enumerate(stmt.clauses):
+            # Additional MATCH / OPTIONAL MATCH clauses, in source order.
+            # Each is matched on its own, then joined to the bindings on
+            # the shared variables' vertex ids: inner join for MATCH
+            # (conjunctive patterns), LEFT JOIN for OPTIONAL MATCH (its
+            # WHERE applies WITHIN the pattern; unmatched rows keep
+            # nulls). Disconnected clauses are rejected — they would be
+            # a cross product.
             obound = self.match_bindings(opt.pattern, opt.where, anon_prefix=f"_o{j}e")
             ovars = list(dict.fromkeys(n.var for n in opt.pattern.nodes))
             shared = [v for v in ovars if v in vertex_vars]
             if not shared:
                 raise ValueError(
-                    "OPTIONAL MATCH must share at least one variable with MATCH "
-                    "(a disconnected optional pattern would be a cross product)"
+                    f"{'OPTIONAL ' if kind == 'optional' else ''}MATCH must "
+                    "share at least one variable with an earlier MATCH "
+                    "(a disconnected pattern would be a cross product)"
                 )
             keys = [f"{v}__id" for v in shared]
             dup = [
@@ -231,7 +234,8 @@ class GQLEngine:
                 for c in obound.columns
                 if c not in keys and any(c.startswith(f"{v}__") for v in shared)
             ]
-            bound = bound.join(obound.drop(*dup), on=keys, how="left")
+            how = "left" if kind == "optional" else "inner"
+            bound = bound.join(obound.drop(*dup), on=keys, how=how)
             vertex_vars.extend(v for v in ovars if v not in shared)
         vcols = self.graph.vertices.columns
         if stmt.with_items is not None:

@@ -93,6 +93,7 @@ GATE_PRIORITY = [
     "gql_prop_compare",
     "algo_scc_colocation",
     "gql_with_having",
+    "gql_multi_match",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

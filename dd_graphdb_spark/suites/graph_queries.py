@@ -536,3 +536,31 @@ def gql_with_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH n.name AS nation, count(*) AS n_cust "
         "WHERE n_cust > 25 RETURN nation, n_cust"
     )
+
+
+# ---------------------------------------------------------------------------
+# GQL: consecutive MATCH clauses (conjunctive patterns) — customers with
+# their nation AND their big orders; counts roll up per nation.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_multi_match",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS n_name, COUNT(*) AS "count"
+    FROM vertices c
+    JOIN edges e1 ON c.id = e1.src AND e1.label = 'located_in'
+    JOIN vertices n ON e1.dst = n.id
+    JOIN edges e2 ON c.id = e2.dst AND e2.label = 'placed_by'
+    JOIN vertices o ON e2.src = o.id
+    WHERE c.label = 'Customer' AND n.label = 'Nation'
+      AND o.label = 'Order' AND o.acctbal > 450000.0
+    GROUP BY n.name
+    """,
+)
+def gql_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "MATCH (c)<-[:placed_by]-(o:Order) WHERE o.acctbal > 450000.0 "
+        "RETURN n.name, count(*)"
+    )

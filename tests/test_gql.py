@@ -353,3 +353,19 @@ def test_with_clause_having_idiom(people_graph):
         eng.execute("MATCH (v:Person) WITH v.age AS age RETURN v.age").collect()
     with pytest.raises(ValueError, match="does not support"):
         eng.execute("MATCH (v:Person) WITH * RETURN v.name")
+
+
+def test_consecutive_match_clauses(people_graph):
+    eng = _engine(people_graph)
+    # conjunctive patterns: b must have BOTH an incoming and outgoing edge
+    df = eng.execute(
+        "MATCH (a)-[e1:friend]->(b) MATCH (b)-[e2:friend]->(c) RETURN a.name, c.name"
+    )
+    assert [(r[0], r[1]) for r in df.collect()] == [("Alice", "Charlie")]
+    # second-clause WHERE applies to its pattern (inner join keeps filters)
+    df = eng.execute(
+        "MATCH (a:Person) MATCH (a)-[e:friend]->(b) WHERE b.age > 30 RETURN a.name"
+    )
+    assert [r[0] for r in df.collect()] == ["Bob"]
+    with pytest.raises(ValueError, match="share at least one variable"):
+        eng.execute("MATCH (a:Person) MATCH (x)-[e:friend]->(y) RETURN a.name")
