@@ -59,12 +59,16 @@ def _with_hygiene(fn):
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
 # Rotation policy (round 5): the NEW round-5 queries go first — never
-# recorded — (second-session additions gql_var_length /
-# gql_optional_match / algo_sssp_colocation / curation_mixture_sample /
-# curation_chunk_docs / text_redact_pii at the very top, then CDC ×2,
+# recorded — (the ~22 second-session additions at the very top: GQL
+# var-length/optional/string-predicates/SET/MERGE/WITH/multi-MATCH/
+# prop-compare, curation mixture/chunking/PII, TF-IDF, ntile/lead,
+# centroids ×2, SSSP/LPA/SCC at bench scale, left-outer + stream-static
+# live joins, GQL views; then the first-session batch: CDC ×2,
 # curation ×3, cube, LPA ×2, range join, BPE tokens, personalized
 # pagerank, GQL result modifiers ×3) — then the 16 entries
-# whose only driver rows are from round 2, then the 3 whose oracle
+# whose only driver rows are from round 2 (the ~36 new entries push the
+# tail of this block past the 50-entry window; those overflow to r6
+# with their old green rows standing), then the 3 whose oracle
 # changed this round (algo_pagerank_top3 and embedding_pca_project
 # gained real oracles; events_sessionize fixed its tie order), then
 # round-3-recorded re-checks fill the window (incremental views,
