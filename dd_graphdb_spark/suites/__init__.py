@@ -98,6 +98,7 @@ GATE_PRIORITY = [
     "algo_scc_colocation",
     "gql_with_having",
     "gql_multi_match",
+    "algo_bfs_region",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

@@ -772,3 +772,47 @@ def algo_scc_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return A.strongly_connected_components(PropertyGraph(g.vertices, sym))
+
+
+# --------------------------------------------------------------------------
+# BFS at bench scale: undirected hop distances from Region 0 over the
+# full derived graph (region→nation→customer/supplier→order tiers). The
+# fixture variant proves path reconstruction; this runs the frontier
+# loop on ~60k vertices. Unreachable vertices (other regions' subtrees)
+# are correctly absent.
+# --------------------------------------------------------------------------
+def _bfs_region_oracle(rounds: int = 4) -> str:
+    head = (
+        GRAPH_CTE
+        + """
+    , sym AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+    ),
+    d0(id, hops) AS (SELECT 0::BIGINT, 0)
+    """
+    )
+    for r in range(1, rounds + 1):
+        head += f"""
+    , d{r} AS (
+        SELECT id, MIN(hops) AS hops FROM (
+            SELECT id, hops FROM d{r-1}
+            UNION ALL
+            SELECT s.dst AS id, p.hops + 1 AS hops
+            FROM d{r-1} p JOIN sym s ON p.id = s.src
+        ) GROUP BY id
+    )"""
+    return head + f"""
+    SELECT id, hops::BIGINT AS hops FROM d{rounds}
+    """
+
+
+@_q("algo_bfs_region", _bfs_region_oracle())
+def algo_bfs_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = materialized_tpch_graph(spark, sf_dir)
+    sym = g.edges.unionByName(
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "label")
+    )
+    res = A.bfs_shortest_path(
+        PropertyGraph(g.vertices, sym), source=0, max_depth=4
+    )
+    return res.select("id", F.col("hops").cast("long").alias("hops"))
