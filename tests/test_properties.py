@@ -529,3 +529,49 @@ def test_mixture_sample_matches_model(spark, rows, budget):
         if bucket < int(rate * BUCKETS):
             expect.add(i)
     assert got == expect
+
+
+@settings(deadline=None, max_examples=10, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.tuples(st.integers(1, 6), st.integers(1, 6)), min_size=1, max_size=12),
+    st.integers(1, 3),
+    st.integers(0, 2),
+)
+def test_var_length_paths_match_walk_model(spark, raw_edges, lo_extra, span):
+    """gql `-[p*lo..hi]->` returns one row per distinct WALK of each
+    admissible length — checked against a python walk-enumeration model
+    (multiplicities included)."""
+    from collections import Counter
+
+    from dd_graphdb_spark.graph import PropertyGraph
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    lo, hi = lo_extra, lo_extra + span
+    edges = sorted(set(raw_edges))
+    nodes = sorted({v for e in edges for v in e})
+    v = spark.createDataFrame([(n, "N") for n in nodes], "id long, label string")
+    e = spark.createDataFrame([(a, b, "x") for a, b in edges], "src long, dst long, label string")
+    eng = GQLEngine(PropertyGraph(v, e))
+    df = eng.execute(f"MATCH (a)-[p:x*{lo}..{hi}]->(b) RETURN a.id, b.id, p.hops")
+    got = Counter((r[0], r[1], r[2]) for r in df.collect())
+
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    expect: Counter = Counter()
+    if lo == 0:
+        for n in nodes:
+            expect[(n, n, 0)] += 1
+    frontier = {((a,), a): 1 for a in nodes}  # walks keyed by (start, end)
+    walks = Counter({(a, a): 1 for a in nodes})
+    cur = Counter({(a, a): 1 for a in nodes})
+    for h in range(1, hi + 1):
+        nxt: Counter = Counter()
+        for (s, t), m in cur.items():
+            for u in adj.get(t, []):
+                nxt[(s, u)] += m
+        cur = nxt
+        if h >= max(lo, 1):
+            for (s, t), m in cur.items():
+                expect[(s, t, h)] += m
+    assert got == expect
