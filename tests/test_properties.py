@@ -562,8 +562,6 @@ def test_var_length_paths_match_walk_model(spark, raw_edges, lo_extra, span):
     if lo == 0:
         for n in nodes:
             expect[(n, n, 0)] += 1
-    frontier = {((a,), a): 1 for a in nodes}  # walks keyed by (start, end)
-    walks = Counter({(a, a): 1 for a in nodes})
     cur = Counter({(a, a): 1 for a in nodes})
     for h in range(1, hi + 1):
         nxt: Counter = Counter()
