@@ -99,6 +99,7 @@ GATE_PRIORITY = [
     "gql_with_having",
     "gql_multi_match",
     "algo_bfs_region",
+    "view_incremental_minhash",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

@@ -573,3 +573,49 @@ def view_incremental_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_sign", F.lit(-1))
     )
     return state.result()
+
+
+# ---------------------------------------------------------------------------
+# Maintained MinHash signatures: add the corpus, retract every 7th doc,
+# update every 11th surviving doc (retract preimage + add postimage with
+# appended tokens) — the state must equal signatures computed directly
+# over the resulting corpus. Ingest cost is O(batch), never a rescan.
+# ---------------------------------------------------------------------------
+def _inc_minhash_oracle() -> str:
+    from dd_graphdb_spark.suites.llm_ops import SQL_SHINGLE_HASHES, _sql_minhash_sig
+
+    body = (SQL_SHINGLE_HASHES[1:] + ", " + _sql_minhash_sig()[1:]).replace(
+        "FROM documents", "FROM docs2"
+    )
+    return (
+        """
+    WITH docs2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN text || ' zz zz zz'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0
+    ),
+    """
+        + body
+        + "SELECT id, h0, h1, h2, h3, h4, h5, h6, h7 FROM sig"
+    )
+
+
+@_q("view_incremental_minhash", _inc_minhash_oracle())
+def view_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.views.incremental import IncrementalMinHash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    st = IncrementalMinHash(spark, tempfile.mkdtemp(prefix="imh_"))
+    st.apply_deltas(docs)
+    st.apply_deltas(
+        docs.filter(F.col("doc_id") % 7 == 0).withColumn("_sign", F.lit(-1))
+    )
+    upd = docs.filter((F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 7 != 0))
+    st.apply_deltas(
+        upd.withColumn("_sign", F.lit(-1)).unionByName(
+            upd.withColumn("text", F.concat(F.col("text"), F.lit(" zz zz zz")))
+            .withColumn("_sign", F.lit(1))
+        )
+    )
+    return st.result()

@@ -247,6 +247,40 @@ class IncrementalCentroids:
         )
 
 
+class IncrementalMinHash:
+    """Maintained MinHash signature table under ±document deltas — the
+    incremental half of the near-dup pipeline: signatures are computed
+    ONLY for newly added documents (per-doc work, no corpus rescan);
+    retractions drop rows; an update is retract + add. Downstream LSH
+    banding/candidate joins read the maintained table, so ingesting a
+    batch costs O(batch · signature) instead of O(corpus).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, n: int = 3):
+        from dd_graphdb_spark.operators.dedup import MINHASH_PARAMS
+
+        self.spark = spark
+        self.n = n
+        cols = ", ".join(f"h{i} long" for i in range(len(MINHASH_PARAMS)))
+        self._table = _VersionedTable(spark, path, f"id long, {cols}")
+
+    def apply_deltas(self, deltas: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> None:
+        from dd_graphdb_spark.operators.dedup import minhash_signatures
+
+        if "_sign" not in deltas.columns:
+            deltas = deltas.withColumn("_sign", F.lit(1))
+        touched = deltas.select(F.col(id_col).alias("id")).distinct()
+        adds = deltas.filter(F.col("_sign") > 0).select(id_col, text_col)
+        new_sigs = minhash_signatures(adds, text_col=text_col, id_col=id_col)
+        state = self._table.read(deltas.sparkSession)
+        merged = state.join(touched, "id", "left_anti").unionByName(new_sigs)
+        self._table.write(merged)
+
+    def result(self) -> DataFrame:
+        return self._table.read()
+
+
 class _EdgeState:
     """Maintained adjacency state shared by the incremental analytics
     views (apply_change_to_analytics_state, incremental_engine.rs:
