@@ -28,9 +28,11 @@ standard Cypher result modifiers:
 - SKIP n LIMIT m
 - OPTIONAL MATCH (left-outer pattern extension; its WHERE applies within
   the optional pattern, and it must share a variable with MATCH)
-- WITH pipeline (restricted): project/aggregate, filter the intermediate
-  by bare alias (the HAVING idiom), then RETURN references the WITH
-  output by bare name
+- WITH pipeline: project/aggregate, filter the intermediate by bare
+  alias (the HAVING idiom), then RETURN references the WITH output by
+  bare name; a NON-aggregating WITH may pass whole variables through
+  and be followed by further MATCH / OPTIONAL MATCH clauses that join
+  on them
 - RETURN ... AS alias; WHERE string predicates (CONTAINS / STARTS WITH /
   ENDS WITH / IN [..]) and cross-variable property comparisons
 - MATCH..SET (Cypher per-key update semantics) and single-node MERGE
@@ -131,6 +133,9 @@ class MatchStatement:
     # idiom), then RETURN references the WITH output by bare alias
     with_items: list[ReturnItem] | None = None
     with_where: object | None = None
+    # MATCH / OPTIONAL MATCH clauses AFTER the WITH (only for
+    # non-aggregating WITH; they join on passed-through variables)
+    post_clauses: list = field(default_factory=list)
 
 
 @dataclass
@@ -527,12 +532,30 @@ class _Parser:
                 else:
                     break
             with_items = with_where = None
+            post_clauses = []
             if self.accept("WITH"):
                 with_items = self.return_items()
                 if any(i.var == "*" and i.agg is None for i in with_items):
                     raise ValueError("GQL parse error: WITH does not support *")
                 if self.accept("WHERE"):
                     with_where = self.where_expr()
+                while True:
+                    if self.accept("OPTIONAL"):
+                        self.expect("MATCH")
+                        pat2 = self.path()
+                        w2 = self.where_expr() if self.accept("WHERE") else None
+                        post_clauses.append(("optional", OptionalMatch(pat2, w2)))
+                    elif self.accept("MATCH"):
+                        pat2 = self.path()
+                        w2 = self.where_expr() if self.accept("WHERE") else None
+                        post_clauses.append(("match", OptionalMatch(pat2, w2)))
+                    else:
+                        break
+                if post_clauses and any(i.agg for i in with_items):
+                    raise ValueError(
+                        "GQL parse error: MATCH after an aggregating WITH is "
+                        "not supported — aggregate in the final RETURN instead"
+                    )
             self.expect("RETURN")
             distinct = self.accept("DISTINCT")
             stmt = MatchStatement(
@@ -540,6 +563,7 @@ class _Parser:
                 self.return_items(bare_ok=with_items is not None),
                 distinct=distinct,
                 clauses=clauses, with_items=with_items, with_where=with_where,
+                post_clauses=post_clauses,
             )
             return self._result_modifiers(stmt)
         if self.accept("CREATE"):

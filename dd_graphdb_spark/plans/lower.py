@@ -211,41 +211,50 @@ class GQLEngine:
     def _execute_match(self, stmt: MatchStatement) -> DataFrame:
         bound = self.match_bindings(stmt.pattern, stmt.where)
         vertex_vars = [n.var for n in stmt.pattern.nodes]
-        for j, (kind, opt) in enumerate(stmt.clauses):
-            # Additional MATCH / OPTIONAL MATCH clauses, in source order.
-            # Each is matched on its own, then joined to the bindings on
-            # the shared variables' vertex ids: inner join for MATCH
-            # (conjunctive patterns), LEFT JOIN for OPTIONAL MATCH (its
-            # WHERE applies WITHIN the pattern; unmatched rows keep
-            # nulls). Disconnected clauses are rejected — they would be
-            # a cross product.
-            obound = self.match_bindings(opt.pattern, opt.where, anon_prefix=f"_o{j}e")
-            ovars = list(dict.fromkeys(n.var for n in opt.pattern.nodes))
-            shared = [v for v in ovars if v in vertex_vars]
-            if not shared:
-                raise ValueError(
-                    f"{'OPTIONAL ' if kind == 'optional' else ''}MATCH must "
-                    "share at least one variable with an earlier MATCH "
-                    "(a disconnected pattern would be a cross product)"
-                )
-            keys = [f"{v}__id" for v in shared]
-            dup = [
-                c
-                for c in obound.columns
-                if c not in keys and any(c.startswith(f"{v}__") for v in shared)
-            ]
-            how = "left" if kind == "optional" else "inner"
-            bound = bound.join(obound.drop(*dup), on=keys, how=how)
-            vertex_vars.extend(v for v in ovars if v not in shared)
+        bound, vertex_vars = self._apply_clauses(
+            bound, vertex_vars, stmt.clauses, "_o"
+        )
         vcols = self.graph.vertices.columns
         if stmt.with_items is not None:
-            # restricted WITH pipeline: project/aggregate the bindings,
-            # filter the intermediate by bare alias (the HAVING idiom),
-            # then RETURN references the WITH output columns by name
-            inter = self._project(bound, stmt.with_items, vertex_vars, vcols)
+            # WITH pipeline. Aggregating WITH: project/aggregate, filter
+            # by bare alias (the HAVING idiom). Non-aggregating WITH may
+            # also pass WHOLE variables through (their binding columns
+            # are kept), which is what post-WITH MATCH clauses join on.
+            has_aggs = any(i.agg for i in stmt.with_items)
+            passthrough = [
+                i.var for i in stmt.with_items if i.prop is None and i.agg is None
+            ]
+            if has_aggs:
+                if passthrough:
+                    raise ValueError(
+                        "WITH cannot mix whole-variable passthrough with "
+                        "aggregates — project the needed properties instead"
+                    )
+                inter = self._project(bound, stmt.with_items, vertex_vars, vcols)
+                pvars: list[str] = []
+            else:
+                cols = []
+                for i in stmt.with_items:
+                    if i.prop is None and i.agg is None:
+                        if i.var not in vertex_vars:
+                            raise ValueError(f"WITH {i.var}: unknown variable")
+                        cols.extend(
+                            F.col(f"{i.var}__{c}") for c in vcols
+                        )
+                    else:
+                        cols.append(
+                            F.col(f"{i.var}__{i.prop}").alias(
+                                i.alias or f"{i.var}_{i.prop}"
+                            )
+                        )
+                inter = bound.select(*cols)
+                pvars = passthrough
             if stmt.with_where is not None:
                 inter = inter.filter(_lower_condition(stmt.with_where))
-            df = self._project(inter, stmt.returns, [], [], bare=True)
+            inter, pvars = self._apply_clauses(
+                inter, pvars, stmt.post_clauses, "_p"
+            )
+            df = self._project(inter, stmt.returns, pvars, vcols, bare=True)
         else:
             df = self._project(bound, stmt.returns, vertex_vars, vcols)
         if stmt.distinct:
@@ -268,6 +277,37 @@ class GQLEngine:
             df = df.limit(stmt.limit)
         return df
 
+    def _apply_clauses(self, bound, vertex_vars, clauses, prefix):
+        """Additional MATCH / OPTIONAL MATCH clauses, in source order.
+        Each is matched on its own, then joined to the bindings on the
+        shared variables' vertex ids: inner join for MATCH (conjunctive
+        patterns), LEFT JOIN for OPTIONAL MATCH (its WHERE applies
+        WITHIN the pattern; unmatched rows keep nulls). Disconnected
+        clauses are rejected — they would be a cross product."""
+        vertex_vars = list(vertex_vars)
+        for j, (kind, opt) in enumerate(clauses):
+            obound = self.match_bindings(
+                opt.pattern, opt.where, anon_prefix=f"{prefix}{j}e"
+            )
+            ovars = list(dict.fromkeys(n.var for n in opt.pattern.nodes))
+            shared = [v for v in ovars if v in vertex_vars]
+            if not shared:
+                raise ValueError(
+                    f"{'OPTIONAL ' if kind == 'optional' else ''}MATCH must "
+                    "share at least one variable with an earlier MATCH "
+                    "(a disconnected pattern would be a cross product)"
+                )
+            keys = [f"{v}__id" for v in shared]
+            dup = [
+                c
+                for c in obound.columns
+                if c not in keys and any(c.startswith(f"{v}__") for v in shared)
+            ]
+            how = "left" if kind == "optional" else "inner"
+            bound = bound.join(obound.drop(*dup), on=keys, how=how)
+            vertex_vars.extend(v for v in ovars if v not in shared)
+        return bound, vertex_vars
+
     def _project(self, bound, items, vertex_vars, vcols, bare: bool = False):
         """RETURN/WITH projection with Cypher's implicit grouping.
 
@@ -285,12 +325,12 @@ class GQLEngine:
                     for c in vcols
                 ]
             if item.prop is None:
-                if bare:
+                if bare and item.var not in vertex_vars:
                     return [F.col(item.var).alias(item.alias or item.var)]
                 if item.alias is not None:
                     raise ValueError("aliasing a whole vertex is not supported")
                 return [F.col(f"{item.var}__{c}").alias(f"{item.var}_{c}") for c in vcols]
-            if bare:
+            if bare and item.var not in vertex_vars:
                 raise ValueError(
                     "after WITH, reference the projected aliases by bare name"
                 )
@@ -308,8 +348,9 @@ class GQLEngine:
             if i.var == "*":
                 agg_cols.append(F.count("*").alias(i.alias or "count"))
             elif i.prop is None:
-                src = F.col(i.var) if bare else F.col(f"{i.var}__id")
-                if bare and i.agg != "count":
+                scalar = bare and i.var not in vertex_vars
+                src = F.col(i.var) if scalar else F.col(f"{i.var}__id")
+                if scalar and i.agg != "count":
                     # post-WITH, sum(x)/avg(x)/... aggregate the alias column
                     agg_cols.append(
                         agg_fns[i.agg](src).alias(i.alias or f"{i.agg}_{i.var}")

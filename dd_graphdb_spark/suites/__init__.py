@@ -100,6 +100,7 @@ GATE_PRIORITY = [
     "gql_multi_match",
     "algo_bfs_region",
     "view_incremental_minhash",
+    "gql_with_passthrough",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

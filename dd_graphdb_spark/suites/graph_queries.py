@@ -564,3 +564,32 @@ def gql_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MATCH (c)<-[:placed_by]-(o:Order) WHERE o.acctbal > 450000.0 "
         "RETURN n.name, count(*)"
     )
+
+
+# ---------------------------------------------------------------------------
+# GQL: WITH passthrough + second MATCH — filter customers by nation in
+# the pipeline stage, then extend the passed-through variable with a
+# second pattern.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_with_passthrough",
+    GRAPH_CTE
+    + """
+    SELECT c.name AS c_name, COUNT(o.id) AS count_o
+    FROM vertices c
+    JOIN edges e1 ON c.id = e1.src AND e1.label = 'located_in'
+    JOIN vertices n ON e1.dst = n.id
+    JOIN edges e2 ON c.id = e2.dst AND e2.label = 'placed_by'
+    JOIN vertices o ON e2.src = o.id
+    WHERE c.label = 'Customer' AND n.label = 'Nation' AND n.name = 'CHINA'
+      AND o.label = 'Order'
+    GROUP BY c.name
+    """,
+)
+def gql_with_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation {name: 'CHINA'}) "
+        "WITH c MATCH (c)<-[:placed_by]-(o:Order) "
+        "RETURN c.name, count(o)"
+    )

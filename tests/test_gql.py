@@ -369,3 +369,32 @@ def test_consecutive_match_clauses(people_graph):
     assert [r[0] for r in df.collect()] == ["Bob"]
     with pytest.raises(ValueError, match="share at least one variable"):
         eng.execute("MATCH (a:Person) MATCH (x)-[e:friend]->(y) RETURN a.name")
+
+
+def test_with_passthrough_then_match(people_graph):
+    eng = _engine(people_graph)
+    # pass the vertex through, filter on a projected scalar, then a
+    # SECOND pattern extends from the passed-through variable
+    df = eng.execute(
+        "MATCH (a:Person)-[e1:friend]->(x) WITH a, a.age AS age WHERE age < 31 "
+        "MATCH (a)-[e2:friend]->(b) RETURN a.name, age, b.name"
+    )
+    assert {(r[0], r[1], r[2]) for r in df.collect()} == {
+        ("Alice", 30, "Bob"), ("Bob", 25, "Charlie")
+    }
+    # post-WITH OPTIONAL MATCH keeps unmatched rows
+    df = eng.execute(
+        "MATCH (a:Person) WITH a OPTIONAL MATCH (a)-[e:friend]->(b) "
+        "RETURN a.name, count(b)"
+    )
+    assert {(r[0], r[1]) for r in df.collect()} == {
+        ("Alice", 1), ("Bob", 1), ("Charlie", 0)
+    }
+    with pytest.raises(ValueError, match="cannot mix"):
+        eng.execute(
+            "MATCH (a:Person) WITH a, count(*) AS n RETURN a.name"
+        )
+    with pytest.raises(ValueError, match="not supported"):
+        eng.execute(
+            "MATCH (a) WITH count(*) AS n MATCH (b) RETURN n"
+        )
