@@ -71,6 +71,10 @@ HEADLINE = [
     "algo_lpa_colocation",
     "stream_live_left_outer_join",
     "embedding_group_centroids",
+    "algo_bfs_region",
+    "algo_scc_colocation",
+    "gql_with_passthrough",
+    "view_incremental_minhash",
 ]
 
 

@@ -101,6 +101,7 @@ GATE_PRIORITY = [
     "algo_bfs_region",
     "view_incremental_minhash",
     "gql_with_passthrough",
+    "sim_ann_recall",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

@@ -1077,3 +1077,33 @@ def embedding_group_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_graphdb_spark.operators.embedding import group_centroids
 
     return group_centroids(_emb(spark, sf_dir), "embedding", "label")
+
+
+@_q(
+    "sim_ann_recall",
+    f"""
+    WITH ivf AS ({_sql_ivf_topk(8, 2, 5)}),
+    ex AS ({_sql_cosine_topk("vec_id IN (0, 1, 2)", 5)})
+    SELECT ex.q_id, COUNT(ivf.neighbor_id) AS n_overlap
+    FROM ex LEFT JOIN ivf
+      ON ex.q_id = ivf.q_id AND ex.neighbor_id = ivf.neighbor_id
+    GROUP BY ex.q_id
+    """,
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured ANN quality IN the gate: per query, how many of the
+    exact top-5 the IVF (8 cells, 2 probed) recovers. Both sides are
+    deterministic, so the recall numbers are exact oracle-checked
+    values, not a bound."""
+    emb = _emb(spark, sf_dir)
+    ivf = S.ivf_topk(emb, QUERY_IDS, n_centroids=8, n_probe=2, k=5).select(
+        "q_id", "neighbor_id"
+    )
+    ex = S.brute_force_topk(emb, QUERY_IDS, k=5).select("q_id", "neighbor_id")
+    return (
+        ex.join(ivf.withColumnRenamed("neighbor_id", "hit"),
+                (ex.q_id == ivf.q_id) & (F.col("neighbor_id") == F.col("hit")),
+                "left")
+        .groupBy(ex.q_id.alias("q_id"))
+        .agg(F.count("hit").alias("n_overlap"))
+    )
