@@ -37,6 +37,7 @@ def _pagerank_loop(
     tolerance: float | None = None,
     round_to: int | None = None,
     ckpt_every: int = 8,
+    weight_property: str | None = None,
 ) -> DataFrame:
     """Returns (id, rank). ``tolerance``: stop when the L1 delta between
     iterations drops below it (basic.rs convergence check); None = run all
@@ -53,17 +54,33 @@ def _pagerank_loop(
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
-    edges = g.edges.select("src", "dst")
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # pre-compute each edge's share denominator once, materialized
-    contrib_edges = edges.join(outdeg, "src").select("src", "dst", "outdeg").localCheckpoint(eager=True)
+    if weight_property is not None and weight_property in g.edges.columns:
+        # weighted variant: contributions split proportionally to edge
+        # weight (share = w / Σw_out, precomputed once). The unweighted
+        # path below keeps its rank/outdeg float expression unchanged —
+        # existing oracles restate exactly that tree.
+        w = F.coalesce(F.col(weight_property).cast("double"), F.lit(1.0))
+        wedges = g.edges.select("src", "dst", w.alias("w"))
+        ow = wedges.groupBy("src").agg(F.sum("w").alias("outw"))
+        contrib_edges = (
+            wedges.join(ow, "src")
+            .select("src", "dst", (F.col("w") / F.col("outw")).alias("share"))
+            .localCheckpoint(eager=True)
+        )
+        contrib_expr = F.col("rank") * F.col("share")
+    else:
+        edges = g.edges.select("src", "dst")
+        outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+        # pre-compute each edge's share denominator once, materialized
+        contrib_edges = edges.join(outdeg, "src").select("src", "dst", "outdeg").localCheckpoint(eager=True)
+        contrib_expr = F.col("rank") / F.col("outdeg")
     base = float((1.0 - damping) / n)
 
     ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
     for i in range(max_iterations):
         contribs = (
             ranks.join(contrib_edges, ranks.id == contrib_edges.src)
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .select(F.col("dst").alias("id"), contrib_expr.alias("contrib"))
             .groupBy("id")
             .agg(F.sum("contrib").alias("msum"))
         )
@@ -106,11 +123,16 @@ def pagerank(
     max_iterations: int = 20,
     tolerance: float | None = None,
     round_to: int | None = None,
+    ckpt_every: int = 8,
+    weight_property: str | None = None,
 ) -> DataFrame:
     """Public entry: runs the loop, then releases the loop's intermediate
     checkpoint blocks (the loop frame must be gone before GC can free its
     py4j references — see algorithms/_iter.py)."""
-    return run_loop(_pagerank_loop, g, damping, max_iterations, tolerance, round_to)
+    return run_loop(
+        _pagerank_loop, g, damping, max_iterations, tolerance, round_to,
+        ckpt_every, weight_property,
+    )
 
 
 def _ppr_loop(

@@ -102,6 +102,7 @@ GATE_PRIORITY = [
     "view_incremental_minhash",
     "gql_with_passthrough",
     "sim_ann_recall",
+    "algo_pagerank_weighted",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

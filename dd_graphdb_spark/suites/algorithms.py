@@ -816,3 +816,59 @@ def algo_bfs_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         PropertyGraph(g.vertices, sym), source=0, max_depth=4
     )
     return res.select("id", F.col("hops").cast("long").alias("hops"))
+
+
+# --------------------------------------------------------------------------
+# Weighted PageRank (beyond-ref): contributions split proportionally to
+# edge weight; oracle unrolls 5 iterations over the co-location cliques
+# with precomputed shares, restating the identical float expression
+# tree (base = (1-d)/n, new = base + d * Σ rank·share).
+# --------------------------------------------------------------------------
+def _weighted_pr_oracle(rounds: int = 5, d: float = 0.85) -> str:
+    head = f"""
+    WITH sup AS (
+        SELECT s_suppkey::BIGINT + {SUPP} AS id, s_nationkey AS nk FROM supplier
+    ),
+    e AS (
+        SELECT a.id AS src, b.id AS dst,
+               ((a.id + b.id) % 97 + 1)::DOUBLE AS w
+        FROM sup a JOIN sup b ON a.nk = b.nk AND a.id <> b.id
+    ),
+    ow AS (SELECT src, SUM(w) AS outw FROM e GROUP BY src),
+    ce AS (SELECT e.src, e.dst, e.w / ow.outw AS share FROM e JOIN ow ON e.src = ow.src),
+    nv AS (SELECT COUNT(*)::DOUBLE AS n FROM sup),
+    r0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS rank FROM sup)
+    """
+    for t in range(1, rounds + 1):
+        head += f"""
+    , r{t} AS (
+        SELECT v.id,
+               (1.0 - {d}) / (SELECT n FROM nv)
+               + {d} * COALESCE(s.ms, 0.0) AS rank
+        FROM sup v LEFT JOIN (
+            SELECT ce.dst AS id, SUM(r.rank * ce.share) AS ms
+            FROM r{t-1} r JOIN ce ON r.id = ce.src
+            GROUP BY ce.dst
+        ) s ON v.id = s.id
+    )"""
+    return head + f"""
+    SELECT id, ROUND(rank, 6) AS rank FROM r{rounds}
+    """
+
+
+@_q("algo_pagerank_weighted", _weighted_pr_oracle())
+def algo_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _supplier_colocation(spark, sf_dir)
+    sym = g.edges.select("src", "dst").union(
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    weighted = sym.select(
+        "src", "dst", F.lit("colocated").alias("label"),
+        ((F.col("src") + F.col("dst")) % 97 + 1).cast("double").alias("w"),
+    )
+    return A.pagerank(
+        PropertyGraph(g.vertices, weighted),
+        max_iterations=5,
+        round_to=6,
+        weight_property="w",
+    )
