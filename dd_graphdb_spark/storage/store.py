@@ -469,6 +469,36 @@ class GraphStore:
         self._save_meta({"version": new_version})
         return new_version
 
+    def update_edges(self, keys_df: DataFrame, props: dict) -> int:
+        """Bulk per-key edge property update (Cypher SET semantics, like
+        update_vertices). ``keys_df`` needs (src, dst, label) columns."""
+        keys = keys_df.select("src", "dst", "label").distinct().withColumn(
+            "_hit", F.lit(True)
+        )
+        e = self.edges().join(keys, ["src", "dst", "label"], "left")
+        updated = F.coalesce(F.col("properties"), F.expr("map()"))
+
+        def drop_key(key):
+            return lambda mk, _mv: mk != F.lit(key)
+
+        for k, val in props.items():
+            updated = F.map_concat(
+                F.map_filter(updated, drop_key(k)),
+                F.create_map(F.lit(k), F.lit(json.dumps(val))),
+            )
+        e_df = e.select(
+            "src",
+            "dst",
+            "label",
+            F.when(F.col("_hit"), updated).otherwise(F.col("properties")).alias(
+                "properties"
+            ),
+        )
+        new_version = self.version + 1
+        self._write_version(new_version, self.vertices(), e_df)
+        self._save_meta({"version": new_version})
+        return new_version
+
     def execute_mutation(self, stmt, engine) -> DataFrame:
         """Apply a parsed GQL CREATE / MATCH..DELETE statement.
 
@@ -523,18 +553,32 @@ class GraphStore:
 
         if isinstance(stmt, MatchSetStatement):
             bindings = engine.match_bindings(stmt.pattern, stmt.where)
+            edge_vars = {e.var for e in stmt.pattern.edges if e.var}
             by_var: dict[str, dict] = {}
             for var, prop, val in stmt.assignments:
                 by_var.setdefault(var, {})[prop] = val
             out = None
             for var, props in by_var.items():
-                ids = (
-                    bindings.select(F.col(f"{var}__id").alias("id"))
-                    .distinct()
-                    .localCheckpoint(eager=True)  # settle before rewrite
-                )
-                self.update_vertices(ids, props)
-                out = ids if out is None else out.unionByName(ids).distinct()
+                if var in edge_vars:
+                    keys = (
+                        bindings.select(
+                            F.col(f"{var}__src").alias("src"),
+                            F.col(f"{var}__dst").alias("dst"),
+                            F.col(f"{var}__label").alias("label"),
+                        )
+                        .distinct()
+                        .localCheckpoint(eager=True)  # settle before rewrite
+                    )
+                    self.update_edges(keys, props)
+                    touched = keys.select(F.col("src").alias("id"))
+                else:
+                    touched = (
+                        bindings.select(F.col(f"{var}__id").alias("id"))
+                        .distinct()
+                        .localCheckpoint(eager=True)  # settle before rewrite
+                    )
+                    self.update_vertices(touched, props)
+                out = touched if out is None else out.unionByName(touched).distinct()
             return out
 
         if isinstance(stmt, MatchDeleteStatement):

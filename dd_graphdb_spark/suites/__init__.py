@@ -103,6 +103,7 @@ GATE_PRIORITY = [
     "gql_with_passthrough",
     "sim_ann_recall",
     "algo_pagerank_weighted",
+    "gql_set_edge",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

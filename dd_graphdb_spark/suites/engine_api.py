@@ -527,3 +527,47 @@ def view_gql_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog2.attach_gql_engine(GQLEngine(materialized_tpch_graph(spark, sf_dir)))
     catalog2.refresh("rich_customers", force=True)
     return catalog2.read("rich_customers")
+
+
+# ---------------------------------------------------------------------------
+# GQL MATCH..SET on an edge variable: per-key edge property update,
+# vertex rows untouched.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_set_edge",
+    """
+    SELECT * FROM (VALUES
+        (1::BIGINT, 2::BIGINT, 'knows', 5::BIGINT),
+        (2::BIGINT, 3::BIGINT, 'knows', -1::BIGINT)
+    ) t(src, dst, label, weight)
+    """,
+)
+def gql_set_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph({"name": "string", "age": "long"}), store=store
+        )
+
+    engine().execute(
+        "CREATE (a:Person {name: 'Ann', age: 40})-[:knows]->"
+        "(b:Person {name: 'Ben', age: 20})-[:knows]->(c:Person {name: 'Cy', age: 30})"
+    )
+    # only the edge into the younger endpoint gets a weight
+    engine().execute(
+        "MATCH (x)-[e:knows]->(y) WHERE y.age < 25 SET e.weight = 5"
+    )
+    # unset weight maps to a -1 sentinel (pandas NaN-coerces nullable ints)
+    return store.edges().select(
+        "src",
+        "dst",
+        "label",
+        F.coalesce(prop_typed("properties", "weight", "long"), F.lit(-1)).alias(
+            "weight"
+        ),
+    )
