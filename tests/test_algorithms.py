@@ -194,3 +194,40 @@ def test_personalized_pagerank_cone(spark):
 
     with _pt.raises(ValueError, match="non-empty"):
         personalized_pagerank(g, [])
+
+
+def test_weighted_pagerank_matches_numpy_model(spark):
+    import numpy as np
+
+    from dd_graphdb_spark.algorithms import pagerank
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    # weighted 4-cycle with a chord: weights steer rank toward node 3
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 9.0), (2, 0, 1.0), (3, 0, 1.0)]
+    v = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    e = spark.createDataFrame(
+        [(a, b, "x", w) for a, b, w in edges],
+        "src long, dst long, label string, w double",
+    )
+    got = {
+        r.id: r.rank
+        for r in pagerank(
+            PropertyGraph(v, e), max_iterations=8, round_to=6, weight_property="w"
+        ).collect()
+    }
+    # numpy replay of the identical recurrence
+    r = np.full(4, 0.25)
+    outw = {a: sum(w for x, _, w in edges if x == a) for a in range(4)}
+    for _ in range(8):
+        nxt = np.full(4, 0.15 / 4)
+        for a, b, w in edges:
+            nxt[b] += 0.85 * r[a] * (w / outw[a])
+        r = nxt
+    for i in range(4):
+        assert abs(got[i] - round(float(r[i]), 6)) < 1e-9, (i, got[i], r[i])
+    # unweighted path unchanged: ignores the w column unless asked
+    plain = {
+        r.id: r.rank
+        for r in pagerank(PropertyGraph(v, e), max_iterations=8, round_to=6).collect()
+    }
+    assert plain != got

@@ -205,3 +205,23 @@ def test_cdc_to_deltas_signs(store):
         (1, -1, '"Alice"'),
         (1, 1, '"Alicia"'),
     }
+
+
+def test_update_edges_per_key_semantics(spark, tmp_path):
+    from dd_graphdb_spark.storage import GraphStore, add_edge, add_vertex
+
+    store = GraphStore(spark, str(tmp_path / "st"))
+    store.apply_batch(
+        [
+            add_vertex(1), add_vertex(2), add_vertex(3),
+            add_edge(1, 2, "knows", {"since": 2020}),
+            add_edge(2, 3, "knows", {"since": 2021}),
+        ]
+    )
+    keys = spark.createDataFrame([(1, 2, "knows")], "src long, dst long, label string")
+    store.update_edges(keys, {"weight": 5})
+    rows = {(r.src, r.dst): r.properties for r in store.edges().collect()}
+    # updated edge keeps existing keys and gains the new one
+    assert rows[(1, 2)]["weight"] == "5" and rows[(1, 2)]["since"] == "2020"
+    # untouched edge unchanged
+    assert "weight" not in rows[(2, 3)] and rows[(2, 3)]["since"] == "2021"
