@@ -104,6 +104,7 @@ GATE_PRIORITY = [
     "sim_ann_recall",
     "algo_pagerank_weighted",
     "gql_set_edge",
+    "sim_lsh_recall",
     "mutation_cdc_changes",
     "view_incremental_cdc",
     "curation_contamination",

@@ -1107,3 +1107,29 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(ex.q_id.alias("q_id"))
         .agg(F.count("hit").alias("n_overlap"))
     )
+
+
+@_q(
+    "sim_lsh_recall",
+    f"""
+    WITH lsh AS ({_sql_lsh_topk(5)}),
+    ex AS ({_sql_cosine_topk("vec_id IN (0, 1, 2)", 5)})
+    SELECT ex.q_id, COUNT(lsh.neighbor_id) AS n_overlap
+    FROM ex LEFT JOIN lsh
+      ON ex.q_id = lsh.q_id AND ex.neighbor_id = lsh.neighbor_id
+    GROUP BY ex.q_id
+    """,
+)
+def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucket ANN recall vs exact top-5, per query — the companion
+    of sim_ann_recall for the hyperplane-LSH path."""
+    emb = _emb(spark, sf_dir)
+    lsh = S.lsh_topk(emb, QUERY_IDS, n_planes=4, k=5).select("q_id", "neighbor_id")
+    ex = S.brute_force_topk(emb, QUERY_IDS, k=5).select("q_id", "neighbor_id")
+    return (
+        ex.join(lsh.withColumnRenamed("neighbor_id", "hit"),
+                (ex.q_id == lsh.q_id) & (F.col("neighbor_id") == F.col("hit")),
+                "left")
+        .groupBy(ex.q_id.alias("q_id"))
+        .agg(F.count("hit").alias("n_overlap"))
+    )
