@@ -54,7 +54,14 @@ def _pagerank_loop(
     n = verts.count()
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
-    if weight_property is not None and weight_property in g.edges.columns:
+    if weight_property is not None and weight_property not in g.edges.columns:
+        # explicit fail over silent unweighted fallback: a typo'd property
+        # name would otherwise produce plausible but wrong ranks
+        raise ValueError(
+            f"weight_property {weight_property!r} is not an edge column "
+            f"(have: {sorted(g.edges.columns)})"
+        )
+    if weight_property is not None:
         # weighted variant: contributions split proportionally to edge
         # weight (share = w / Σw_out, precomputed once). The unweighted
         # path below keeps its rank/outdeg float expression unchanged —

@@ -44,13 +44,17 @@ class GraphApiServer:
     and serves from a daemon thread, ``stop()`` shuts down cleanly."""
 
     def __init__(self, shell: GraphShell, host: str = "127.0.0.1", port: int = 0,
-                 row_limit: int = 1000, gql_engine=None):
+                 row_limit: int = 1000, gql_engine=None, allow_mutations: bool = False):
         self.shell = shell
         self.row_limit = row_limit
         # optional library-path exposure: the SHELL keeps the reference's
         # views-only philosophy (main.rs:167-175), but a deployment may
         # opt into the GQL library surface (graph/query) over HTTP
         self.gql_engine = gql_engine
+        # /gql is read-only by default: opting into the read surface must
+        # NOT silently expose CREATE/DELETE/SET/MERGE to unauthenticated
+        # HTTP clients; writes require this explicit second opt-in
+        self.allow_mutations = allow_mutations
         self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
         self._thread: threading.Thread | None = None
 
@@ -124,6 +128,15 @@ class GraphApiServer:
             if not q:
                 return 400, {"error": "need query"}
             try:
+                if not self.allow_mutations:
+                    from dd_graphdb_spark.plans.gql import MatchStatement, parse_gql
+
+                    stmt = parse_gql(q)
+                    if not isinstance(stmt, MatchStatement):
+                        return 403, {
+                            "error": "mutations are disabled on this endpoint "
+                            "(start GraphApiServer with allow_mutations=True)"
+                        }
                 df = self.gql_engine.execute(q)
             except ValueError as ex:
                 return 400, {"error": str(ex)}

@@ -457,9 +457,19 @@ class GraphStore:
                 F.map_filter(updated, drop_key(k)),
                 F.create_map(F.lit(k), F.lit(json.dumps(val))),
             )
+        # the store treats vertex label as the 'type' property (apply_batch
+        # derives the label column from props['type']) — keep the two in
+        # sync: SET v.type = 'X' must also rewrite the label column, else
+        # label filters see the stale value.
+        if "type" in props:
+            label_col = F.when(F.col("_hit"), F.lit(str(props["type"]))).otherwise(
+                F.col("label")
+            ).alias("label")
+        else:
+            label_col = F.col("label")
         v_df = v.select(
             "id",
-            "label",
+            label_col,
             F.when(F.col("_hit"), updated).otherwise(F.col("properties")).alias(
                 "properties"
             ),

@@ -191,6 +191,21 @@ _DUR_UNITS_US = {
 }
 
 
+#: abbreviated unit spellings Spark's CalendarInterval parser also accepts
+#: (so any `window=` string F.window() took keeps working here); resolved
+#: BEFORE the plural rstrip — "ms".rstrip("s") would mangle to "m".
+_DUR_ALIASES = {
+    "us": "microsecond",
+    "ms": "millisecond",
+    "sec": "second",
+    "secs": "second",
+    "min": "minute",
+    "mins": "minute",
+    "hr": "hour",
+    "hrs": "hour",
+}
+
+
 def _duration_us(s: str) -> int:
     """Parse a Spark interval string like '10 seconds' / '1 hour' to µs
     (the subset window() accepts; multi-part intervals summed)."""
@@ -198,7 +213,8 @@ def _duration_us(s: str) -> int:
     if len(parts) % 2:
         raise ValueError(f"bad duration {s!r}")
     for i in range(0, len(parts), 2):
-        n, unit = parts[i], parts[i + 1].rstrip("s")
+        tok = parts[i + 1]
+        n, unit = parts[i], _DUR_ALIASES.get(tok, tok.rstrip("s"))
         if unit not in _DUR_UNITS_US:
             raise ValueError(f"bad duration unit in {s!r}")
         total += int(n) * _DUR_UNITS_US[unit]

@@ -453,7 +453,10 @@ def _eigenvector_oracle(n_iter: int = 8) -> str:
     ) m ON v.id = m.id
 ),
 ev{i} AS (
-    SELECT id, score / (SELECT MAX(score) FROM ev{i}_raw) AS score FROM ev{i}_raw
+    -- window MAX, not a scalar subquery: DuckDB inlines CTEs, and a second
+    -- reference to ev{i}_raw doubles work per unrolled iteration (2^n blow-up;
+    -- the old form took 534 s on a 4-vertex fixture).
+    SELECT id, score / MAX(score) OVER () AS score FROM ev{i}_raw
 )"""
         )
         prev = f"ev{i}"
@@ -711,8 +714,16 @@ def algo_sssp_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("colocated").alias("label"),
         ((F.col("src") + F.col("dst")) % 97 + 1).cast("double").alias("w"),
     )
+    # max_iterations=10 matches the oracle's hardcoded 10 Bellman-Ford
+    # rounds exactly — at larger SFs a weight-1 detour inside a 40+-node
+    # clique can need >10 hops, so a convergence-driven run would diverge
+    # from the truncated oracle; pinning the rounds keeps both sides
+    # computing the identical truncation at any scale.
     res = A.sssp(
-        PropertyGraph(g.vertices, weighted), source=SUPP, weight_property="w"
+        PropertyGraph(g.vertices, weighted),
+        source=SUPP,
+        weight_property="w",
+        max_iterations=10,
     )
     return res.select("id", "distance")
 

@@ -231,3 +231,17 @@ def test_weighted_pagerank_matches_numpy_model(spark):
         for r in pagerank(PropertyGraph(v, e), max_iterations=8, round_to=6).collect()
     }
     assert plain != got
+
+
+def test_weighted_pagerank_rejects_missing_weight_column(spark):
+    import pytest as _pt
+
+    from dd_graphdb_spark.algorithms import pagerank
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame([(0,), (1,)], "id long")
+    e = spark.createDataFrame([(0, 1, "x", 2.0)], "src long, dst long, label string, w double")
+    # a typo'd weight property must fail loudly, not silently fall back
+    # to the unweighted recurrence
+    with _pt.raises(ValueError, match="weight_property"):
+        pagerank(PropertyGraph(v, e), max_iterations=2, weight_property="wieght")

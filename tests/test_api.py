@@ -115,3 +115,33 @@ def test_gql_endpoint(spark, tmp_path):
 def test_gql_endpoint_absent_without_engine(server):
     code, payload = _call(server, "POST", "/gql", {"query": "MATCH (v) RETURN v"})
     assert code == 404 and "views-only" in payload["error"]
+
+
+def test_gql_endpoint_mutations_gated(spark, tmp_path):
+    from dd_graphdb_spark.graph import PropertyGraph
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    v = spark.createDataFrame(
+        [(1, "Person", "Alice")], "id long, label string, name string"
+    )
+    e = spark.createDataFrame([], "src long, dst long, label string")
+    cat = ViewCatalog(spark, str(tmp_path / "views"))
+    srv = GraphApiServer(
+        GraphShell(spark, cat), gql_engine=GQLEngine(PropertyGraph(v, e))
+    ).start()
+    try:
+        # default deployment: reads pass, every mutation statement is 403
+        code, _ = _call(
+            srv, "POST", "/gql", {"query": "MATCH (v:Person) RETURN v.name"}
+        )
+        assert code == 200
+        for q in (
+            "CREATE (n:Person {id: 99, name: 'Eve'})",
+            "MATCH (v:Person) WHERE v.id = 1 DELETE v",
+            "MATCH (v:Person) SET v.name = 'Mallory'",
+            "MERGE (n:Person {id: 1, name: 'Alice'})",
+        ):
+            code, payload = _call(srv, "POST", "/gql", {"query": q})
+            assert code == 403 and "mutations are disabled" in payload["error"], q
+    finally:
+        srv.stop()

@@ -225,3 +225,17 @@ def test_update_edges_per_key_semantics(spark, tmp_path):
     assert rows[(1, 2)]["weight"] == "5" and rows[(1, 2)]["since"] == "2020"
     # untouched edge unchanged
     assert "weight" not in rows[(2, 3)] and rows[(2, 3)]["since"] == "2021"
+
+
+def test_update_vertices_set_type_rewrites_label(spark, tmp_path):
+    """SET v.type must keep the label column consistent with the
+    properties map — the store derives label from props['type']."""
+    from dd_graphdb_spark.storage import GraphStore, add_vertex
+
+    store = GraphStore(spark, str(tmp_path / "st"))
+    store.apply_batch([add_vertex(1, "Person"), add_vertex(2, "Person")])
+    ids = spark.createDataFrame([(1,)], "id long")
+    store.update_vertices(ids, {"type": "Robot"})
+    rows = {r.id: (r.label, r.properties) for r in store.vertices().collect()}
+    assert rows[1][0] == "Robot" and rows[1][1]["type"] == '"Robot"'
+    assert rows[2][0] == "Person"

@@ -170,3 +170,18 @@ def test_pipeline_per_source_changesets(spark, sf_dir, tmp_path):
         for r in read_events(spark, sf_dir).groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_duration_parser_accepts_spark_abbreviations():
+    """Any window string F.window() accepted must parse here too —
+    including abbreviated units (min/mins/sec/secs/hr/hrs/ms/us)."""
+    from dd_graphdb_spark.streaming.transform import _duration_us
+
+    assert _duration_us("5 mins") == _duration_us("5 minutes") == 300_000_000
+    assert _duration_us("1 min") == 60_000_000
+    assert _duration_us("30 secs") == _duration_us("30 sec") == 30_000_000
+    assert _duration_us("2 hrs") == _duration_us("2 hr") == 7_200_000_000
+    assert _duration_us("250 ms") == 250_000
+    assert _duration_us("10 us") == 10
+    with pytest.raises(ValueError, match="bad duration unit"):
+        _duration_us("5 fortnights")
