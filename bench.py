@@ -100,6 +100,17 @@ def main() -> None:
     materialized_tpch_graph(spark, sf_dir)
     print(f"# load: bucketed graph build in {time.time() - t0:.2f}s", file=sys.stderr)
 
+    # Same LOAD-phase treatment for the persisted IVF index:
+    # sim_ann_ivf_indexed measures the indexed READ path (partition-pruned
+    # probes); building the index is one-time layout work, so timing it
+    # per-run only measured tempdir-write IO that the calibration probe
+    # (pure CPU) cannot normalize across hosts.
+    from dd_graphdb_spark.suites.llm_ops import ivf_index_path
+
+    t0 = time.time()
+    ivf_index_path(spark, sf_dir)
+    print(f"# load: IVF index build in {time.time() - t0:.2f}s", file=sys.stderr)
+
     def scrub() -> None:
         """Between queries: drop every persistent RDD and force GC. Bench
         queries are independent and collected eagerly, so nothing live is

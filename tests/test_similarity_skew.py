@@ -99,3 +99,18 @@ def test_lsh_band_salting_exact(spark):
     k = lambda df: sorted((r["a"], r["b"], r["jaccard"]) for r in df.collect())
     assert k(plain) == k(salted)
     assert len(k(plain)) > 0
+
+
+def test_ngram_jaccard_salting_exact(spark):
+    """Exact n-gram Jaccard through the salted pair path must be
+    bit-identical to the unsalted join — the hot boilerplate shingle
+    (shared by every doc) is the d-squared key the salting spreads."""
+    docs = spark.createDataFrame(
+        [(i, f"common boiler plate header then unique tail {i} {i+1} {i+2}") for i in range(24)],
+        "doc_id long, text string",
+    )
+    plain = D.ngram_jaccard_pairs(docs, 0.2, salt_threshold=10**9)
+    salted = D.ngram_jaccard_pairs(docs, 0.2, salt_threshold=1, n_salts=4)
+    k = lambda df: sorted((r["a"], r["b"], r["jaccard"]) for r in df.collect())
+    assert k(plain) == k(salted)
+    assert len(k(plain)) > 0
