@@ -23,7 +23,12 @@ standard Cypher result modifiers:
 
 - RETURN DISTINCT ...
 - count(*) / count(v) / count(v.prop) with Cypher's implicit grouping
-  (non-aggregated return items become the grouping keys)
+  (non-aggregated return items become the grouping keys); also
+  sum/avg/min/max(v.prop) and collect(v.prop) — the five aggregate
+  kinds the reference's incremental engine dispatches
+  (graph/views/src/incremental_engine.rs:931-946). collect() returns a
+  SORTED array (Cypher leaves the order unspecified; sorting makes the
+  result deterministic and engine-portable)
 - ORDER BY v.prop [ASC|DESC], ... (projected items only)
 - SKIP n LIMIT m
 - OPTIONAL MATCH (left-outer pattern extension; its WHERE applies within
@@ -167,7 +172,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
       (?P<kw>\bMATCH\b|\bOPTIONAL\b|\bMERGE\b|\bWHERE\b|\bAS\b|\bRETURN\b|\bCREATE\b|\bDELETE\b|\bAND\b|\bOR\b
         |\bDISTINCT\b|\bORDER\b|\bBY\b|\bSKIP\b|\bLIMIT\b|\bASC\b|\bDESC\b
-        |\bcount\b|\bsum\b|\bavg\b|\bmin\b|\bmax\b
+        |\bcount\b|\bsum\b|\bavg\b|\bmin\b|\bmax\b|\bcollect\b
         |\bCONTAINS\b|\bSTARTS\b|\bENDS\b|\bWITH\b|\bIN\b|\bSET\b
         |\btrue\b|\bfalse\b|\bnull\b)
     | (?P<num>-?\d+(?:\.\d+)?)
@@ -205,7 +210,7 @@ _NAMEABLE_KEYWORDS = frozenset(
     {
         "MATCH", "OPTIONAL", "MERGE", "WHERE", "RETURN", "CREATE", "DELETE", "AND", "OR",
         "DISTINCT", "ORDER", "BY", "SKIP", "LIMIT", "ASC", "DESC",
-        "COUNT", "SUM", "AVG", "MIN", "MAX",
+        "COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT",
         "CONTAINS", "STARTS", "ENDS", "WITH", "IN", "SET", "AS",
     }
 )
@@ -444,7 +449,7 @@ class _Parser:
         while True:
             if self.accept("punct", "*"):
                 items.append(ReturnItem("*", None))
-            elif self.peek()[0] in ("COUNT", "SUM", "AVG", "MIN", "MAX") and self.toks[self.i + 1][1] == "(":
+            elif self.peek()[0] in ("COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT") and self.toks[self.i + 1][1] == "(":
                 agg = self.next()[0].lower()
                 self.expect("punct", "(")
                 if self.accept("punct", "*"):

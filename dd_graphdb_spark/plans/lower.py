@@ -342,7 +342,17 @@ class GQLEngine:
             return bound.select(*[c for i in items for c in item_cols(i)])
         # Cypher's implicit grouping: non-aggregated items are the keys
         keys = [c for i in items if not i.agg for c in item_cols(i)]
-        agg_fns = {"count": F.count, "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}
+        agg_fns = {
+            "count": F.count,
+            "sum": F.sum,
+            "avg": F.avg,
+            "min": F.min,
+            "max": F.max,
+            # Cypher collect() leaves element order unspecified; sorting
+            # makes it deterministic (and oracle-comparable) — collect_list
+            # already drops nulls, matching Cypher
+            "collect": lambda c: F.array_sort(F.collect_list(c)),
+        }
         agg_cols = []
         for i in aggs:
             if i.var == "*":

@@ -557,6 +557,96 @@ def algo_betweenness_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Closeness & betweenness at BENCH scale via landmark sources — the
+# `sources` parameter is the documented 100 TB path (all-sources exact
+# centrality is inherently quadratic). Landmarks = the 5 region
+# vertices on the REVERSED derived FK graph, where each region's
+# shortest-path tree is exactly its subtree:
+#     region → nation (d1) → customer/supplier (d2) → order (d3)
+# Every vertex has a UNIQUE parent, so σ = 1 everywhere and both
+# centralities have closed-form oracles from per-region counts.
+# --------------------------------------------------------------------------
+def _reversed_tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    g = materialized_tpch_graph(spark, sf_dir)
+    rev = g.edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "label"
+    )
+    return PropertyGraph(g.vertices, rev)
+
+
+_LANDMARKS = [0, 1, 2, 3, 4]  # the region vertex ids (offset 0)
+
+
+@_q(
+    "algo_closeness_landmarks",
+    """
+    WITH nat AS (SELECT n_regionkey AS rk, COUNT(*) AS c FROM nation GROUP BY 1),
+    cust AS (
+        SELECT n_regionkey AS rk, COUNT(*) AS c
+        FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY 1
+    ),
+    supp AS (
+        SELECT n_regionkey AS rk, COUNT(*) AS c
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY 1
+    ),
+    ordr AS (
+        SELECT n_regionkey AS rk, COUNT(*) AS c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey GROUP BY 1
+    )
+    SELECT r.r_regionkey::BIGINT AS id,
+           ROUND(
+             CASE WHEN COALESCE(n.c,0) + 2*(COALESCE(cu.c,0)+COALESCE(s.c,0)) + 3*COALESCE(o.c,0) > 0
+                  THEN (COALESCE(n.c,0)+COALESCE(cu.c,0)+COALESCE(s.c,0)+COALESCE(o.c,0))::DOUBLE
+                       / (COALESCE(n.c,0) + 2*(COALESCE(cu.c,0)+COALESCE(s.c,0)) + 3*COALESCE(o.c,0))::DOUBLE
+                  ELSE 0.0 END, 9) AS closeness
+    FROM region r
+    LEFT JOIN nat n ON r.r_regionkey = n.rk
+    LEFT JOIN cust cu ON r.r_regionkey = cu.rk
+    LEFT JOIN supp s ON r.r_regionkey = s.rk
+    LEFT JOIN ordr o ON r.r_regionkey = o.rk
+    """,
+)
+def algo_closeness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = A.closeness_centrality(
+        _reversed_tpch_graph(spark, sf_dir), sources=_LANDMARKS, max_depth=6
+    )
+    return out.select("id", F.round("closeness", 9).alias("closeness"))
+
+
+@_q(
+    "algo_betweenness_landmarks",
+    f"""
+    WITH co AS (SELECT o_custkey AS ck, COUNT(*) AS c FROM orders GROUP BY 1),
+    nat_cust AS (
+        SELECT c_nationkey AS nk, COUNT(*) AS nc, SUM(COALESCE(co.c, 0)) AS nord
+        FROM customer LEFT JOIN co ON c_custkey = co.ck GROUP BY 1
+    ),
+    nat_supp AS (SELECT s_nationkey AS nk, COUNT(*) AS ns FROM supplier GROUP BY 1)
+    SELECT id, ROUND(bc, 6) AS betweenness FROM (
+        SELECT COALESCE(nc.nk, ns.nk)::BIGINT + {NATION} AS id,
+               (COALESCE(nc.nc,0) + COALESCE(nc.nord,0) + COALESCE(ns.ns,0))::DOUBLE AS bc
+        FROM nat_cust nc FULL JOIN nat_supp ns ON nc.nk = ns.nk
+        UNION ALL
+        SELECT ck::BIGINT + {CUST}, c::DOUBLE FROM co
+    ) WHERE bc > 0
+    """,
+)
+def algo_betweenness_landmarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-landmark-exact Brandes from the 5 region sources on the
+    reversed FK tree: bc(nation) = its customers + suppliers + their
+    orders; bc(customer) = its order count; leaves and sources are 0
+    (filtered — the >0 projection keeps the result set proportional to
+    the interior, not the whole vertex set)."""
+    out = A.betweenness_centrality(
+        _reversed_tpch_graph(spark, sf_dir), sources=_LANDMARKS, max_depth=6
+    )
+    return out.filter(F.col("betweenness") > 0).select(
+        "id", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
+# --------------------------------------------------------------------------
 # Label-propagation communities (beyond-ref; algorithms/community.py):
 # synchronized rounds, argmax-frequency label with min-label ties,
 # isolated vertices keep theirs — a pure function of the input, so the

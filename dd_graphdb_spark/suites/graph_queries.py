@@ -388,6 +388,33 @@ def gql_agg_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "gql_collect_nations",
+    GRAPH_CTE
+    + """
+    SELECT r.name AS r_name,
+           array_to_string(list_sort(list(n.name)), ',') AS nations
+    FROM edges e
+    JOIN vertices n ON e.src = n.id AND n.label = 'Nation'
+    JOIN vertices r ON e.dst = r.id AND r.label = 'Region'
+    WHERE e.label = 'in_region'
+    GROUP BY r.name
+    """,
+)
+def gql_collect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect() aggregate (the fifth aggregate kind the reference's
+    incremental engine dispatches, incremental_engine.rs:931-946) with
+    Cypher implicit grouping. The engine returns a SORTED array; the
+    suite joins it to a comma string so the value-hash comparison sees
+    one canonical rendering on both engines."""
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    out = eng.execute(
+        "MATCH (n:Nation)-[:in_region]->(r:Region) "
+        "RETURN r.name, collect(n.name) AS nations"
+    )
+    return out.select("r_name", F.array_join("nations", ",").alias("nations"))
+
+
 # ---------------------------------------------------------------------------
 # GQL: variable-length path `*2..3` (beyond the reference's declared
 # grammar — its multi-hop matcher, executor.rs:219-277, only walks fixed

@@ -398,3 +398,29 @@ def test_with_passthrough_then_match(people_graph):
         eng.execute(
             "MATCH (a) WITH count(*) AS n MATCH (b) RETURN n"
         )
+
+
+def test_collect_aggregate(people_graph):
+    eng = _engine(people_graph)
+    # collect() with implicit grouping: friends per source, sorted array
+    df = eng.execute(
+        "MATCH (a:Person)-[e:friend]->(b) RETURN a.name, collect(b.name) AS friends"
+    )
+    assert {(r[0], tuple(r[1])) for r in df.collect()} == {
+        ("Alice", ("Bob",)), ("Bob", ("Charlie",))
+    }
+    # global collect (no keys): one row, sorted
+    df = eng.execute("MATCH (v:Person) RETURN collect(v.age) AS ages")
+    assert [tuple(r[0]) for r in df.collect()] == [(25, 30, 35)]
+    # post-WITH collect of a bare alias
+    df = eng.execute(
+        "MATCH (v:Person) WITH v.name AS name WHERE name != 'Bob' "
+        "RETURN collect(name) AS names"
+    )
+    assert [tuple(r[0]) for r in df.collect()] == [("Alice", "Charlie")]
+    # collect(*) is not defined
+    with pytest.raises(ValueError, match=r"collect\(\*\) is not defined"):
+        eng.execute("MATCH (v:Person) RETURN collect(*)")
+    # collect of a whole vertex needs a property
+    with pytest.raises(ValueError, match="needs a property"):
+        eng.execute("MATCH (v:Person) RETURN collect(v)")
