@@ -75,6 +75,13 @@ HEADLINE = [
     "algo_scc_colocation",
     "gql_with_passthrough",
     "view_incremental_minhash",
+    # round-6 additions: adversarial skewed exact-Jaccard through the
+    # salted pair path, landmark-source centralities on the reversed FK
+    # tree, GQL collect() aggregate
+    "dedup_ngram_jaccard_skew",
+    "algo_closeness_landmarks",
+    "algo_betweenness_landmarks",
+    "gql_collect_nations",
 ]
 
 

@@ -1,4 +1,6 @@
 from dd_graphdb_spark.sources.connectors import (
+    MqttSource,
+    WebhookSource,
     events_stream,
     file_stream,
     kafka_stream,
@@ -8,6 +10,8 @@ from dd_graphdb_spark.sources.connectors import (
 from dd_graphdb_spark.sources.formats import ExtractionRule, apply_extraction
 
 __all__ = [
+    "MqttSource",
+    "WebhookSource",
     "ExtractionRule",
     "apply_extraction",
     "events_stream",

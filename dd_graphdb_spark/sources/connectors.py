@@ -13,7 +13,9 @@ each one:
 | synthetic/testing                      | ``rate_stream`` (rows/second) |
 | HTTP webhook (push endpoint)           | ``WebhookSource`` (HTTP spool →
 |                                        | file-source micro-batches) |
-| Redis/MQTT/CDC                         | external connectors (Delta CDF /
+| MQTT (broker/topics/QoS)               | ``MqttSource`` (paho-gated client →
+|                                        | spool → file-source micro-batches) |
+| Redis/CDC                              | external connectors (Delta CDF /
 |                                        | kafka-connect); out of local scope —
 |                                        | CDC over the local store: see
 |                                        | ``storage.store.GraphStore.changes`` |
@@ -227,6 +229,158 @@ class WebhookSource:
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .text(self.spool_dir)
             .withColumnRenamed("value", "raw")
+        )
+
+
+#: fixed output schema of MqttSource.stream() — mirrors the fields an
+#: MQTT broker delivers per message (stream_connectors.rs:119-166
+#: declares broker/client/topics/QoS config; the message surface is
+#: topic + payload + qos + retained + arrival time)
+MQTT_SOURCE_SCHEMA = (
+    "topic string, payload binary, qos int, retained boolean, timestamp timestamp"
+)
+
+
+class MqttSource:
+    """MQTT subscriber source (ConnectionConfig::MQTT intent,
+    stream_connectors.rs:119-166 — declared-but-dead in the reference).
+
+    Same spool-bridge shape as ``WebhookSource``: received messages are
+    spooled one-file-per-message (tmp-write + atomic rename) as JSON
+    lines, and ``stream()`` is a file source over the spool, so every
+    message becomes part of a micro-batch with exactly-once file-source
+    semantics. The broker client is the OPTIONAL part: ``connect()``
+    needs the ``paho-mqtt`` package (import-gated like Avro) and wires
+    the client's on_message callback to ``inject()``; ``inject()``
+    itself is dependency-free, which is also what tests drive.
+
+    Scale posture: identical to the webhook source — the spool is the
+    durability boundary (an object-store prefix at production scale,
+    written by any number of subscriber processes), and the Spark side
+    is a plain file source either way.
+    """
+
+    def __init__(
+        self,
+        spool_dir: str,
+        broker_url: str = "mqtt://127.0.0.1:1883",
+        client_id: str = "dd-graphdb-spark",
+        topics: tuple[str, ...] = ("#",),
+        qos: int = 1,
+        username: str | None = None,
+        password: str | None = None,
+    ):
+        import threading
+
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self.broker_url = broker_url
+        self.client_id = client_id
+        self.topics = tuple(topics)
+        self.qos = qos
+        self.username = username
+        self.password = password
+        self._client = None
+        self._seq = 0
+        self._lock = threading.Lock()
+
+    # -- broker side (optional dependency) ------------------------------
+    def connect(self) -> "MqttSource":
+        """Subscribe to ``topics`` on the configured broker. Requires
+        ``paho-mqtt``; everything else in this class works without it."""
+        try:
+            import paho.mqtt.client as mqtt  # type: ignore[import-not-found]
+        except ImportError as ex:  # pragma: no cover - package absent in CI
+            raise ImportError(
+                "MqttSource.connect() needs the optional paho-mqtt package "
+                "(pip install paho-mqtt); spooling via inject() and "
+                "stream() work without it"
+            ) from ex
+        import urllib.parse
+
+        u = urllib.parse.urlparse(self.broker_url)
+        host, port = u.hostname or "127.0.0.1", u.port or 1883
+        client = mqtt.Client(client_id=self.client_id)
+        if self.username is not None:
+            client.username_pw_set(self.username, self.password)
+        client.on_message = lambda _c, _u, msg: self.inject(
+            msg.topic, msg.payload, qos=msg.qos, retained=bool(msg.retain)
+        )
+        client.connect(host, port)
+        for t in self.topics:
+            client.subscribe(t, qos=self.qos)
+        client.loop_start()
+        self._client = client
+        return self
+
+    def stop(self) -> None:
+        if self._client is not None:
+            self._client.loop_stop()
+            self._client.disconnect()
+            self._client = None
+
+    # -- spool side (dependency-free) -----------------------------------
+    def inject(
+        self,
+        topic: str,
+        payload: bytes,
+        qos: int = 0,
+        retained: bool = False,
+        timestamp=None,
+    ) -> None:
+        """Spool one message (the on_message callback target; callable
+        directly in tests and by any other subscriber implementation)."""
+        import base64
+        import datetime
+        import json
+        import uuid
+
+        ts = timestamp or datetime.datetime.now(datetime.timezone.utc)
+        rec = json.dumps(
+            {
+                "topic": topic,
+                "payload_b64": base64.b64encode(payload).decode("ascii"),
+                "qos": qos,
+                "retained": retained,
+                "ts": ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+            }
+        )
+        with self._lock:
+            self._seq += 1
+            seq = self._seq
+        name = f"msg_{seq:08d}_{uuid.uuid4().hex[:8]}.jsonl"
+        tmp = os.path.join(self.spool_dir, f".{name}.tmp")
+        with open(tmp, "w", encoding="ascii") as f:
+            f.write(rec + "\n")
+        os.rename(tmp, os.path.join(self.spool_dir, name))
+
+    def stream(
+        self, spark: SparkSession, max_files_per_trigger: int = 10
+    ) -> DataFrame:
+        """The spooled messages as a streaming frame in
+        ``MQTT_SOURCE_SCHEMA``; payload bytes round-trip through base64
+        in the spool files."""
+        from pyspark.sql import functions as F
+
+        raw = (
+            spark.readStream.schema("raw string")
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .text(self.spool_dir)
+            .withColumnRenamed("value", "raw")
+        )
+        parsed = raw.select(
+            F.from_json(
+                "raw",
+                "topic string, payload_b64 string, qos int, "
+                "retained boolean, ts string",
+            ).alias("m")
+        )
+        return parsed.select(
+            F.col("m.topic").alias("topic"),
+            F.unbase64("m.payload_b64").alias("payload"),
+            F.col("m.qos").alias("qos"),
+            F.col("m.retained").alias("retained"),
+            F.to_timestamp("m.ts").alias("timestamp"),
         )
 
 

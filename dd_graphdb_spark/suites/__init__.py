@@ -58,28 +58,135 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# Rotation policy (round 5): the NEW round-5 queries go first — never
-# recorded — (the ~22 second-session additions at the very top: GQL
-# var-length/optional/string-predicates/SET/MERGE/WITH/multi-MATCH/
-# prop-compare, curation mixture/chunking/PII, TF-IDF, ntile/lead,
-# centroids ×2, SSSP/LPA/SCC at bench scale, left-outer + stream-static
-# live joins, GQL views; then the first-session batch: CDC ×2,
-# curation ×3, cube, LPA ×2, range join, BPE tokens, personalized
-# pagerank, GQL result modifiers ×3) — then the 16 entries
-# whose only driver rows are from round 2 (the ~36 new entries push the
-# tail of this block past the 50-entry window; those overflow to r6
-# with their old green rows standing), then the 3 whose oracle
-# changed this round (algo_pagerank_top3 and embedding_pca_project
-# gained real oracles; events_sessionize fixed its tie order), then
-# round-3-recorded re-checks fill the window (incremental views,
-# mutations, similarity, alerts — including the two bench-weak queries
-# stream_late_events and sim_cosine_topk). Remaining round-3 entries
-# follow, then the round-4-recorded block. NEW queries with oracles
-# must be inserted at the TOP.
+# Rotation policy (round 6): (1) the 4 NEW oracle-checked queries
+# (skewed exact-Jaccard, GQL collect, landmark closeness/betweenness);
+# (2) the queries whose oracle or engine path CHANGED this round and the
+# two whose last driver rows are stale r4 `no_oracle` reds
+# (algo_pagerank_top3, embedding_pca_project — both gained real oracles
+# in r5, judge-verified; plus the restructured eigenvector oracle, the
+# salted exact Jaccard, the iteration-pinned SSSP and the
+# index-cached IVF read); (3) the 9 entries whose only driver rows are
+# from round 2; (4) round-3-recorded re-checks fill the window. The
+# remaining round-3 entries overflow to r7 with their old green rows
+# standing, then the round-4 and round-5 blocks. NEW queries with
+# oracles must be inserted at the TOP.
 GATE_PRIORITY = [
+    "dedup_ngram_jaccard_skew",
+    "gql_collect_nations",
+    "algo_closeness_landmarks",
+    "algo_betweenness_landmarks",
+    "algo_pagerank_top3",
+    "embedding_pca_project",
+    "algo_eigenvector_fixture",
+    "dedup_ngram_jaccard",
+    "algo_sssp_colocation",
+    "sim_ann_ivf_indexed",
+    "window_topk_per_segment",
+    "window_lag_delta",
+    "rollup_status_priority",
+    "conditional_agg",
+    "point_lookup_customer",
+    "predicate_scan_customers",
+    "where_and_or",
+    "distinct_segments",
+    "db_stats",
+    "view_incremental_connectivity",
+    "view_incremental_degree",
+    "view_incremental_delta",
+    "view_incremental_pagerank",
+    "view_incremental_sssp",
+    "view_incremental_stream",
+    "view_catalog_roundtrip",
+    "view_dependency_topo",
+    "mutation_apply_batch",
+    "mutation_occ_conflict",
+    "mutation_time_travel",
+    "mutation_vacuum_retention",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_cosine_topk",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "alert_anomaly_rule",
+    "alert_pattern_rule",
+    "alert_rate_rule",
+    "alert_threshold_cooldown",
+    "stream_late_events",
+    "stream_changeset_summary",
+    "stream_custom_agg_p90",
+    "stream_dedup_first",
+    "stream_filter_rules",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "fn_geo_enrich",
+    "gql_create_delete",
+    "multimodal_binary_meta",
+    "multimodal_decode_dims",
+    "multimodal_feature_extract",
+    "router_scoring_table",
+    "sketch_count_min_estimates",
+    "source_csv_extraction",
+    "source_json_extraction",
+    "source_regex_extraction",
+    "stream_count_window",
+    "stream_live_count_window",
+    "stream_live_dedup_keys",
+    "stream_live_global",
+    "stream_live_session",
+    "stream_live_tumbling",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "events_sessionize",
+    "asof_purchase_attribution",
+    "events_time_rollup",
+    "distinct_exact_vs_approx",
+    "sample_stratified_docs",
+    "sample_topk_per_stratum",
+    "sketch_quantile_bounds",
+    "embedding_covariance",
+    "stream_live_interval_join",
+    "fn_json_props",
+    "view_incremental_triangles",
+    "view_incremental_kcore",
+    "dedup_cluster_survivors",
+    "window_running_total",
+    "multimodal_frame_sample",
+    "gql_match_filter",
+    "gql_inline_props",
+    "gql_match_edge",
+    "gql_multi_hop",
+    "gql_incoming_edge",
+    "gql_undirected",
+    "traverse_out_neighbors",
+    "traverse_in_neighbors",
+    "traverse_all_neighbors",
+    "traverse_2hop",
+    "degree_top_customers",
+    "common_neighbors_suppliers",
+    "skew_common_neighbors_events",
+    "edges_between_lookup",
+    "algo_pagerank_fixture",
+    "algo_cc_derived",
+    "algo_component_count",
+    "algo_sssp_fixture",
+    "algo_bfs_full",
+    "algo_reachability_order",
+    "algo_triangle_colocation",
+    "algo_kcore_colocation",
+    "algo_degree_centrality",
+    "algo_closeness_fixture",
+    "algo_betweenness_fixture",
+    "algo_scc_fixture",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "q1_pricing_summary",
+    "top_n_orders",
     "gql_var_length",
     "gql_optional_match",
-    "algo_sssp_colocation",
     "curation_mixture_sample",
     "curation_chunk_docs",
     "text_redact_pii",
@@ -127,115 +234,6 @@ GATE_PRIORITY = [
     "set_union_distinct_nations",
     "set_intersect_nations",
     "set_except_nations",
-    "window_topk_per_segment",
-    "window_lag_delta",
-    "rollup_status_priority",
-    "conditional_agg",
-    "point_lookup_customer",
-    "predicate_scan_customers",
-    "where_and_or",
-    "distinct_segments",
-    "db_stats",
-    "algo_pagerank_top3",
-    "embedding_pca_project",
-    "events_sessionize",
-    "view_incremental_connectivity",
-    "view_incremental_degree",
-    "view_incremental_delta",
-    "view_incremental_pagerank",
-    "view_incremental_sssp",
-    "view_incremental_stream",
-    "view_catalog_roundtrip",
-    "view_dependency_topo",
-    "mutation_apply_batch",
-    "mutation_occ_conflict",
-    "mutation_time_travel",
-    "mutation_vacuum_retention",
-    "sim_ann_ivf_indexed",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "sim_cosine_topk",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "alert_anomaly_rule",
-    "alert_pattern_rule",
-    "alert_rate_rule",
-    "alert_threshold_cooldown",
-    "stream_late_events",
-    "stream_changeset_summary",
-    "stream_custom_agg_p90",
-    "stream_dedup_first",
-    "stream_filter_rules",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "fn_geo_enrich",
-    "gql_create_delete",
-    "multimodal_binary_meta",
-    "multimodal_decode_dims",
-    "multimodal_feature_extract",
-    "router_scoring_table",
-    "sketch_count_min_estimates",
-    "source_csv_extraction",
-    "source_json_extraction",
-    "source_regex_extraction",
-    "stream_count_window",
-    "stream_live_count_window",
-    "stream_live_dedup_keys",
-    "stream_live_global",
-    "stream_live_session",
-    "stream_live_tumbling",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_tumbling_window",
-    "asof_purchase_attribution",
-    "events_time_rollup",
-    "distinct_exact_vs_approx",
-    "sample_stratified_docs",
-    "sample_topk_per_stratum",
-    "sketch_quantile_bounds",
-    "embedding_covariance",
-    "stream_live_interval_join",
-    "fn_json_props",
-    "view_incremental_triangles",
-    "view_incremental_kcore",
-    "dedup_cluster_survivors",
-    "window_running_total",
-    "multimodal_frame_sample",
-    "gql_match_filter",
-    "gql_inline_props",
-    "gql_match_edge",
-    "gql_multi_hop",
-    "gql_incoming_edge",
-    "gql_undirected",
-    "traverse_out_neighbors",
-    "traverse_in_neighbors",
-    "traverse_all_neighbors",
-    "traverse_2hop",
-    "degree_top_customers",
-    "common_neighbors_suppliers",
-    "skew_common_neighbors_events",
-    "edges_between_lookup",
-    "algo_pagerank_fixture",
-    "algo_cc_derived",
-    "algo_component_count",
-    "algo_sssp_fixture",
-    "algo_bfs_full",
-    "algo_reachability_order",
-    "algo_triangle_colocation",
-    "algo_kcore_colocation",
-    "algo_degree_centrality",
-    "algo_eigenvector_fixture",
-    "algo_closeness_fixture",
-    "algo_betweenness_fixture",
-    "algo_scc_fixture",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "q1_pricing_summary",
-    "top_n_orders",
 ]
 
 

@@ -246,3 +246,46 @@ def test_versioned_table_torn_write_invisible(spark, tmp_path):
     # the next committed write supersedes the orphan
     t.write(spark.createDataFrame([("b", 2)], "k string, v long"))
     assert [r.asDict() for r in t.read().collect()] == [{"k": "b", "v": 2}]
+
+
+def test_mqtt_spool_roundtrip(spark, tmp_path):
+    """MQTT spool-bridge source (ConnectionConfig::MQTT intent,
+    stream_connectors.rs:119-166 — dead in the reference): inject()
+    (the on_message callback target) spools messages; stream() delivers
+    them in MQTT_SOURCE_SCHEMA with payload bytes intact."""
+    from datetime import datetime, timezone
+
+    from dd_graphdb_spark.sources.connectors import MQTT_SOURCE_SCHEMA, MqttSource
+    from dd_graphdb_spark.streaming.pipeline import run_to_memory
+
+    src = MqttSource(str(tmp_path / "mqtt_spool"), topics=("sensors/#",))
+    ts = datetime(2026, 1, 1, 12, 0, 0, tzinfo=timezone.utc)
+    src.inject("sensors/a", b'{"v": 1}', qos=1, timestamp=ts)
+    src.inject("sensors/b", b"\x00\xffbinary", qos=0, retained=True, timestamp=ts)
+
+    stream = src.stream(spark)
+    assert stream.isStreaming
+    # schema is the fixed MQTT source schema
+    want = spark.createDataFrame([], MQTT_SOURCE_SCHEMA).schema
+    assert stream.schema == want
+
+    got = {
+        (r["topic"], bytes(r["payload"]), r["qos"], r["retained"])
+        for r in run_to_memory(stream, output_mode="append").collect()
+    }
+    assert got == {
+        ("sensors/a", b'{"v": 1}', 1, False),
+        ("sensors/b", b"\x00\xffbinary", 0, True),
+    }
+
+
+def test_mqtt_connect_requires_paho(tmp_path):
+    import pytest as _pt
+
+    from dd_graphdb_spark.sources.connectors import MqttSource
+
+    src = MqttSource(str(tmp_path / "spool"))
+    # the container has no paho-mqtt: connect() must fail with guidance,
+    # while the spool/stream surface stays fully usable
+    with _pt.raises(ImportError, match="paho-mqtt"):
+        src.connect()

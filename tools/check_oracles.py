@@ -17,6 +17,10 @@ import duckdb
 
 sys.path.insert(0, ".")
 
+#: per-oracle DuckDB time budget (seconds): with 160+ registered queries
+#: the driver's 50-query window cannot afford one slow oracle
+ORACLE_BUDGET_S = 30.0
+
 
 def normalize(rows, cols):
     out = []
@@ -52,6 +56,7 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     n_pass = n_fail = 0
+    oracle_times: dict[str, tuple[float, float]] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -64,15 +69,19 @@ def main():
             print(f"FAIL {name}: spark error: {str(ex)[:300]}")
             n_fail += 1
             continue
+        t_spark = time.time() - t0
         if name not in os_:
-            print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"ROWS-ONLY {name}: {len(srows)} rows ({t_spark:.1f}s)")
             continue
+        t1 = time.time()
         try:
             ddf = con.execute(os_[name]).fetchdf()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {str(ex)[:300]}")
             n_fail += 1
             continue
+        t_oracle = time.time() - t1
+        oracle_times[name] = (t_spark, t_oracle)
         dcols = list(ddf.columns)
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: columns spark={sorted(scols)} duckdb={sorted(dcols)}")
@@ -91,8 +100,18 @@ def main():
             print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
             n_fail += 1
             continue
-        print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+        print(
+            f"PASS {name}: {len(srows)} rows "
+            f"(spark {t_spark:.1f}s, oracle {t_oracle:.1f}s)"
+        )
         n_pass += 1
+    slow = {n: t for n, t in oracle_times.items() if t[1] > ORACLE_BUDGET_S}
+    if slow:
+        # a single slow DuckDB oracle is a gate-latency/timeout hazard
+        # (VERDICT r5: one 534s oracle nearly flaked the driver window)
+        print(f"\nWARNING: oracles over the {ORACLE_BUDGET_S:.0f}s budget:")
+        for n, (_, to) in sorted(slow.items(), key=lambda kv: -kv[1][1]):
+            print(f"  {n}: {to:.1f}s")
     print(f"\n{n_pass} pass, {n_fail} fail")
     spark.stop()
     sys.exit(1 if n_fail else 0)

@@ -118,6 +118,78 @@ def tfidf_topk(docs):
     return tfidf_top_terms(docs, k=3)
 
 
+V_OFF = 100_000_000
+
+
+def _write_graph(spark, g, n_replicas, path):
+    """Replicate a PropertyGraph with disjoint vertex-id spaces per
+    replica and materialize to parquet so the timed region is the
+    algorithm, not the replica union."""
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    vparts = [
+        g.vertices.select(
+            (F.col("id") + i * V_OFF).alias("id"),
+            *[c for c in g.vertices.columns if c != "id"],
+        )
+        for i in range(n_replicas)
+    ]
+    eparts = [
+        g.edges.select(
+            (F.col("src") + i * V_OFF).alias("src"),
+            (F.col("dst") + i * V_OFF).alias("dst"),
+            *[c for c in g.edges.columns if c not in ("src", "dst")],
+        )
+        for i in range(n_replicas)
+    ]
+    _union(vparts).write.mode("overwrite").parquet(f"{path}/vertices")
+    _union(eparts).write.mode("overwrite").parquet(f"{path}/edges")
+    return PropertyGraph(
+        spark.read.parquet(f"{path}/vertices"), spark.read.parquet(f"{path}/edges")
+    )
+
+
+def fk_graph_input(spark, sf_dir, n_replicas, path):
+    from dd_graphdb_spark.graph import materialized_tpch_graph
+
+    return _write_graph(spark, materialized_tpch_graph(spark, sf_dir), n_replicas, path)
+
+
+def colocation_graph_input(spark, sf_dir, n_replicas, path):
+    """The weighted symmetric supplier co-location graph the
+    algo_sssp_colocation query runs on (disjoint cliques per nation)."""
+    from dd_graphdb_spark.graph import PropertyGraph
+    from dd_graphdb_spark.suites.algorithms import _supplier_colocation
+
+    g = _supplier_colocation(spark, sf_dir)
+    sym = g.edges.select("src", "dst").union(
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    weighted = sym.select(
+        "src",
+        "dst",
+        F.lit("colocated").alias("label"),
+        ((F.col("src") + F.col("dst")) % 97 + 1).cast("double").alias("w"),
+    )
+    return _write_graph(spark, PropertyGraph(g.vertices, weighted), n_replicas, path)
+
+
+def cc_derived(g):
+    from dd_graphdb_spark import algorithms as A
+
+    return A.connected_components(g)
+
+
+def sssp_colocation(g):
+    from dd_graphdb_spark import algorithms as A
+    from dd_graphdb_spark.suites.algorithms import SUPP
+
+    # replica 0's source; 10x replicas grow the EDGE side of every
+    # Bellman-Ford round 10x while the reachable set stays constant —
+    # the per-round join/agg cost is what the curve measures
+    return A.sssp(g, source=SUPP, weight_property="w", max_iterations=10)
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     only = set(sys.argv[2:])
@@ -140,6 +212,8 @@ def main():
         "range_join_bands": (events_input, range_join_bands),
         "chunk_docs": (docs_input, chunk_docs),
         "tfidf_topk": (docs_input, tfidf_topk),
+        "cc_derived": (fk_graph_input, cc_derived),
+        "sssp_colocation": (colocation_graph_input, sssp_colocation),
     }
     for name, (builder, op) in ops.items():
         if only and name not in only:
