@@ -566,6 +566,45 @@ def gql_with_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL: sum/avg aggregates through a WITH pipeline with a HAVING filter
+# on the sum — the first query a Cypher user writes after count.
+# Float determinism: the engine sums doubles; both sides round the sum
+# to 2 and the average to 6 decimals AFTER aggregation (double-sum
+# order drift is ~1e-9 absolute here, far inside the rounding grid —
+# the same contract the relational suite uses for averages).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_agg_sum_avg",
+    GRAPH_CTE
+    + """
+    SELECT nation, ROUND(total, 2) AS total, ROUND(avg_bal, 6) AS avg_bal
+    FROM (
+        SELECT n.name AS nation,
+               SUM(c.acctbal::DECIMAL(18,2))::DOUBLE AS total,
+               SUM(c.acctbal::DECIMAL(18,2))::DOUBLE / COUNT(*) AS avg_bal
+        FROM vertices c
+        JOIN edges e ON c.id = e.src AND e.label = 'located_in'
+        JOIN vertices n ON e.dst = n.id
+        WHERE c.label = 'Customer' AND n.label = 'Nation'
+        GROUP BY n.name
+    ) WHERE total > 0.0
+    """,
+)
+def gql_agg_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    out = eng.execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "WITH n.name AS nation, sum(c.acctbal) AS total, avg(c.acctbal) AS avg_bal "
+        "WHERE total > 0.0 RETURN nation, total, avg_bal"
+    )
+    return out.select(
+        "nation",
+        F.round("total", 2).alias("total"),
+        F.round("avg_bal", 6).alias("avg_bal"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL: consecutive MATCH clauses (conjunctive patterns) — customers with
 # their nation AND their big orders; counts roll up per nation.
 # ---------------------------------------------------------------------------
