@@ -675,7 +675,7 @@ p{i} AS (
     SELECT id, lbl FROM f{i}
     QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) = 1
 ),
-l{i} AS (
+l{i} AS MATERIALIZED (
     SELECT v.id, COALESCE(p.lbl, l.lbl) AS lbl
     FROM verts v JOIN {prev} l ON v.id = l.id LEFT JOIN p{i} p ON v.id = p.id
 )"""
@@ -703,7 +703,7 @@ p{i} AS (
     SELECT id, lbl FROM f{i}
     QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) = 1
 ),
-l{i} AS (
+l{i} AS MATERIALIZED (
     SELECT v.id, COALESCE(p.lbl, l.lbl) AS lbl
     FROM verts v JOIN {prev} l ON v.id = l.id LEFT JOIN p{i} p ON v.id = p.id
 )"""
@@ -776,9 +776,12 @@ def _sssp_colocation_oracle(rounds: int = 10) -> str:
     ),
     d0 AS (SELECT {SUPP}::BIGINT AS id, 0.0::DOUBLE AS d)
     """
+    # AS MATERIALIZED: each round references d{r-1} twice (keep + relax);
+    # DuckDB inlines plain CTEs, so without it the prefix re-evaluates
+    # 2^rounds times (measured 31.5 s at sf0.01; sub-second materialized)
     for r in range(1, rounds + 1):
         head += f"""
-    , d{r} AS (
+    , d{r} AS MATERIALIZED (
         SELECT id, MIN(d) AS d FROM (
             SELECT id, d FROM d{r-1}
             UNION ALL
