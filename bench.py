@@ -144,6 +144,19 @@ def main() -> None:
     calibration = round(time.time() - t0, 3)
     print(f"# calibration: range-sum 2e8 in {calibration:.2f}s", file=sys.stderr)
 
+    # Second, IO-sided probe: full parquet scan + aggregate of the largest
+    # table. The CPU probe alone over- or under-corrects when a host's
+    # CPU:IO balance differs from the last round's (r5→r6: probe 1.121 →
+    # 0.811 made flat raw times look 1.19× normalized); recording both
+    # axes lets cross-round comparisons pick the probe that matches each
+    # query's bottleneck (or sanity-check the other).
+    t0 = time.time()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "sum(l_extendedprice)", "count(*)"
+    ).collect()
+    calibration_io = round(time.time() - t0, 3)
+    print(f"# calibration: lineitem scan in {calibration_io:.2f}s", file=sys.stderr)
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -169,6 +182,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "calibration_range_sum_2e8_sec": calibration,
+                "calibration_lineitem_scan_sec": calibration_io,
                 "value_normalized": round(total / calibration, 3),
                 "queries_normalized": {
                     n: round(t / calibration, 3) for n, t in timings.items()
