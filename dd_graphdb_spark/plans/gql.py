@@ -40,6 +40,10 @@ standard Cypher result modifiers:
   on them
 - RETURN ... AS alias; WHERE string predicates (CONTAINS / STARTS WITH /
   ENDS WITH / IN [..]) and cross-variable property comparisons
+- WHERE NOT <cond>, v.prop IS [NOT] NULL (with a bare post-WITH alias,
+  `x IS NULL` is the OPTIONAL-MATCH anti-join idiom), and DISTINCT
+  inside aggregates: count/sum/avg/collect(DISTINCT v.prop)
+  (avg(DISTINCT) = sum_distinct/count_distinct exactly)
 - MATCH..SET (Cypher per-key update semantics) and single-node MERGE
 - variable-length edges `-[p:LBL*1..3]->` (also `*n`, `*..m`, `*0..m`);
   the upper bound is mandatory (the plan is a finite union of hop
@@ -106,6 +110,7 @@ class ReturnItem:
     prop: str | None  # None → whole vertex; var == "*" → all bindings
     agg: str | None = None  # "count" → aggregate over bindings
     alias: str | None = None  # RETURN ... AS name
+    agg_distinct: bool = False  # count(DISTINCT v.prop) etc.
 
 
 @dataclass
@@ -174,6 +179,7 @@ _TOKEN_RE = re.compile(
         |\bDISTINCT\b|\bORDER\b|\bBY\b|\bSKIP\b|\bLIMIT\b|\bASC\b|\bDESC\b
         |\bcount\b|\bsum\b|\bavg\b|\bmin\b|\bmax\b|\bcollect\b
         |\bCONTAINS\b|\bSTARTS\b|\bENDS\b|\bWITH\b|\bIN\b|\bSET\b
+        |\bIS\b|\bNOT\b
         |\btrue\b|\bfalse\b|\bnull\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'[^']*'|"[^"]*")
@@ -211,7 +217,7 @@ _NAMEABLE_KEYWORDS = frozenset(
         "MATCH", "OPTIONAL", "MERGE", "WHERE", "RETURN", "CREATE", "DELETE", "AND", "OR",
         "DISTINCT", "ORDER", "BY", "SKIP", "LIMIT", "ASC", "DESC",
         "COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT",
-        "CONTAINS", "STARTS", "ENDS", "WITH", "IN", "SET", "AS",
+        "CONTAINS", "STARTS", "ENDS", "WITH", "IN", "SET", "AS", "IS", "NOT",
     }
 )
 
@@ -396,6 +402,10 @@ class _Parser:
         return left
 
     def comparison(self):
+        if self.accept("NOT"):
+            # unary negation binds tighter than AND/OR (Cypher NOT);
+            # three-valued semantics are Spark-native (~null = null)
+            return BoolExpr("NOT", self.comparison(), None)
         if self.accept("punct", "("):
             inner = self.where_expr()
             self.expect("punct", ")")
@@ -404,6 +414,10 @@ class _Parser:
         prop = None
         if self.accept("punct", "."):
             prop = self.expect_name()
+        if self.accept("IS"):
+            negated = self.accept("NOT")
+            self.expect("NULL")
+            return Compare(var, prop, "is_not_null" if negated else "is_null", None)
         if self.accept("CONTAINS"):
             return Compare(var, prop, "contains", self._str_literal("CONTAINS"))
         if self.accept("STARTS"):
@@ -452,8 +466,9 @@ class _Parser:
             elif self.peek()[0] in ("COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT") and self.toks[self.i + 1][1] == "(":
                 agg = self.next()[0].lower()
                 self.expect("punct", "(")
+                distinct = self.accept("DISTINCT")
                 if self.accept("punct", "*"):
-                    if agg != "count":
+                    if agg != "count" or distinct:
                         raise ValueError(f"GQL parse error: {agg}(*) is not defined")
                     items.append(ReturnItem("*", None, agg="count"))
                 else:
@@ -465,7 +480,9 @@ class _Parser:
                         raise ValueError(
                             f"GQL parse error: {agg}() needs a property (var.prop)"
                         )
-                    items.append(ReturnItem(var, prop, agg=agg))
+                    items.append(
+                        ReturnItem(var, prop, agg=agg, agg_distinct=distinct)
+                    )
                 self.expect("punct", ")")
             else:
                 var = self.expect_name()

@@ -61,11 +61,17 @@ def _node_filter(df: DataFrame, node: NodePattern, var: str) -> DataFrame:
 
 def _lower_condition(cond) -> F.Column:
     if isinstance(cond, BoolExpr):
+        if cond.op == "NOT":
+            return ~_lower_condition(cond.left)
         left, right = _lower_condition(cond.left), _lower_condition(cond.right)
         return left & right if cond.op == "AND" else left | right
     assert isinstance(cond, Compare)
     # prop None = bare column reference (post-WITH alias)
     col = F.col(f"{cond.var}__{cond.prop}") if cond.prop else F.col(cond.var)
+    if cond.op == "is_null":
+        return col.isNull()
+    if cond.op == "is_not_null":
+        return col.isNotNull()
     if cond.op == "contains":
         return col.contains(cond.value)
     if cond.op == "starts_with":
@@ -353,6 +359,19 @@ class GQLEngine:
             # already drops nulls, matching Cypher
             "collect": lambda c: F.array_sort(F.collect_list(c)),
         }
+        # DISTINCT variants; min/max are distinct-invariant, avg(DISTINCT)
+        # is computed exactly as sum_distinct/count_distinct
+        agg_fns_distinct = {
+            "count": F.countDistinct,
+            "sum": F.sum_distinct,
+            "avg": lambda c: F.sum_distinct(c) / F.countDistinct(c),
+            "min": F.min,
+            "max": F.max,
+            "collect": lambda c: F.array_sort(F.collect_set(c)),
+        }
+
+        def agg_fn(item):
+            return (agg_fns_distinct if item.agg_distinct else agg_fns)[item.agg]
         agg_cols = []
         for i in aggs:
             if i.var == "*":
@@ -363,14 +382,16 @@ class GQLEngine:
                 if scalar and i.agg != "count":
                     # post-WITH, sum(x)/avg(x)/... aggregate the alias column
                     agg_cols.append(
-                        agg_fns[i.agg](src).alias(i.alias or f"{i.agg}_{i.var}")
+                        agg_fn(i)(src).alias(i.alias or f"{i.agg}_{i.var}")
                     )
                 else:
-                    # count(v) counts bound (non-null) rows
-                    agg_cols.append(F.count(src).alias(i.alias or f"count_{i.var}"))
+                    # count(v) counts bound (non-null) rows;
+                    # count(DISTINCT v) counts distinct bound vertices
+                    cnt = F.countDistinct if i.agg_distinct else F.count
+                    agg_cols.append(cnt(src).alias(i.alias or f"count_{i.var}"))
             else:
                 agg_cols.append(
-                    agg_fns[i.agg](F.col(f"{i.var}__{i.prop}")).alias(
+                    agg_fn(i)(F.col(f"{i.var}__{i.prop}")).alias(
                         i.alias or f"{i.agg}_{i.var}_{i.prop}"
                     )
                 )

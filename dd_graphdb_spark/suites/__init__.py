@@ -71,6 +71,8 @@ def _with_hygiene(fn):
 # standing, then the round-4 and round-5 blocks. NEW queries with
 # oracles must be inserted at the TOP.
 GATE_PRIORITY = [
+    "gql_anti_join_null",
+    "gql_count_distinct_segments",
     "gql_agg_sum_avg",
     "dedup_ngram_jaccard_skew",
     "gql_collect_nations",

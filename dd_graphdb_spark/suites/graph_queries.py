@@ -388,6 +388,61 @@ def gql_agg_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GQL: the classic Cypher anti-join idiom — OPTIONAL MATCH, pass the
+# optional binding through WITH, keep rows where it IS NULL.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_anti_join_null",
+    GRAPH_CTE
+    + """
+    SELECT c.name AS name FROM vertices c
+    WHERE c.label = 'Customer' AND NOT EXISTS (
+        SELECT 1 FROM edges e JOIN vertices o ON e.src = o.id
+        WHERE e.label = 'placed_by' AND e.dst = c.id
+          AND o.label = 'Order' AND o.acctbal > 450000.0
+    )
+    """,
+)
+def gql_anti_join_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no BIG order: OPTIONAL MATCH (its WHERE applies
+    within the optional pattern) + IS NULL — the Cypher equivalent of
+    the relational anti-join (the reference can only express this
+    imperatively). The acctbal filter keeps the result non-trivial at
+    every SF (every customer has SOME order in this testdata)."""
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer) "
+        "OPTIONAL MATCH (o:Order)-[:placed_by]->(c) WHERE o.acctbal > 450000.0 "
+        "WITH c.name AS name, o.id AS oid WHERE oid IS NULL RETURN name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQL: NOT predicate + count(DISTINCT ...) with implicit grouping.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_count_distinct_segments",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS n_name, COUNT(DISTINCT c.mktsegment) AS segs
+    FROM vertices c
+    JOIN edges e ON c.id = e.src AND e.label = 'located_in'
+    JOIN vertices n ON e.dst = n.id
+    WHERE c.label = 'Customer' AND n.label = 'Nation'
+      AND NOT c.mktsegment = 'MACHINERY'
+    GROUP BY n.name
+    """,
+)
+def gql_count_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "WHERE NOT c.mktsegment = 'MACHINERY' "
+        "RETURN n.name, count(DISTINCT c.mktsegment) AS segs"
+    )
+
+
 @_q(
     "gql_collect_nations",
     GRAPH_CTE

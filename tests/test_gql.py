@@ -424,3 +424,66 @@ def test_collect_aggregate(people_graph):
     # collect of a whole vertex needs a property
     with pytest.raises(ValueError, match="needs a property"):
         eng.execute("MATCH (v:Person) RETURN collect(v)")
+
+
+def test_not_and_is_null_predicates(people_graph):
+    eng = _engine(people_graph)
+    df = eng.execute("MATCH (v:Person) WHERE NOT v.age > 26 RETURN v.name")
+    assert {r[0] for r in df.collect()} == {"Bob"}
+    # NOT binds tighter than AND: NOT a AND b == (NOT a) AND b
+    df = eng.execute(
+        "MATCH (v:Person) WHERE NOT v.name = 'Bob' AND v.age < 31 RETURN v.name"
+    )
+    assert {r[0] for r in df.collect()} == {"Alice"}
+    df = eng.execute("MATCH (v:Person) WHERE v.age IS NOT NULL RETURN v.name")
+    assert df.count() == 3
+    df = eng.execute("MATCH (v:Person) WHERE v.age IS NULL RETURN v.name")
+    assert df.count() == 0
+
+
+def test_optional_match_anti_join_idiom(people_graph):
+    # the classic Cypher anti-join: vertices with NO match in the
+    # optional pattern — OPTIONAL MATCH, pass through WITH, IS NULL
+    eng = _engine(people_graph)
+    df = eng.execute(
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[e:friend]->(b) "
+        "WITH a.name AS name, b.name AS friend WHERE friend IS NULL "
+        "RETURN name"
+    )
+    assert {r[0] for r in df.collect()} == {"Charlie"}
+
+
+def test_count_distinct_aggregates(spark):
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [
+            (1, "Person", "Alice", 30),
+            (2, "Person", "Bob", 25),
+            (3, "Person", "Carol", 30),
+        ],
+        "id long, label string, name string, age long",
+    )
+    e = spark.createDataFrame(
+        [(1, 2, "knows"), (1, 3, "knows"), (2, 3, "knows")],
+        "src long, dst long, label string",
+    )
+    eng = _engine(PropertyGraph(v, e))
+    df = eng.execute(
+        "MATCH (v:Person) RETURN count(DISTINCT v.age) AS ages, "
+        "sum(DISTINCT v.age) AS total, collect(DISTINCT v.age) AS vals"
+    )
+    r = df.collect()[0]
+    assert (r["ages"], r["total"], list(r["vals"])) == (2, 55, [25, 30])
+    # avg(DISTINCT) = sum_distinct / count_distinct
+    df = eng.execute("MATCH (v:Person) RETURN avg(DISTINCT v.age) AS a")
+    assert df.collect()[0]["a"] == 27.5
+    # count(DISTINCT b) counts distinct bound vertices per group
+    df = eng.execute(
+        "MATCH (a:Person)-[e:knows]->(b) RETURN a.name, count(DISTINCT b) AS nb"
+    )
+    assert {(r[0], r[1]) for r in df.collect()} == {("Alice", 2), ("Bob", 1)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match=r"is not defined"):
+        eng.execute("MATCH (v:Person) RETURN count(DISTINCT *)")
