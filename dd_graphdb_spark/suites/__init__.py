@@ -58,18 +58,21 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# Rotation policy (round 6): (1) the 4 NEW oracle-checked queries
-# (skewed exact-Jaccard, GQL collect, landmark closeness/betweenness);
+# Rotation policy (round 6): (1) the 7 NEW oracle-checked queries
+# (anti-join IS NULL, count(DISTINCT), sum/avg WITH, skewed
+# exact-Jaccard, GQL collect, landmark closeness/betweenness);
 # (2) the queries whose oracle or engine path CHANGED this round and the
 # two whose last driver rows are stale r4 `no_oracle` reds
 # (algo_pagerank_top3, embedding_pca_project — both gained real oracles
 # in r5, judge-verified; plus the restructured eigenvector oracle, the
-# salted exact Jaccard, the iteration-pinned SSSP and the
-# index-cached IVF read); (3) the 9 entries whose only driver rows are
-# from round 2; (4) round-3-recorded re-checks fill the window. The
-# remaining round-3 entries overflow to r7 with their old green rows
-# standing, then the round-4 and round-5 blocks. NEW queries with
-# oracles must be inserted at the TOP.
+# salted exact Jaccard, the iteration-pinned SSSP, the index-cached IVF
+# read, and the two STRENGTHENED queries that previously compared
+# 0 == 0 rows — gql_with_passthrough matched a nonexistent nation name,
+# edges_between_lookup probed the wrong nation pair); (3) the 9 entries
+# whose only driver rows are from round 2; (4) round-3-recorded
+# re-checks fill the window. The remaining round-3 entries overflow to
+# r7 with their old green rows standing, then the round-4 and round-5
+# blocks. NEW queries with oracles must be inserted at the TOP.
 GATE_PRIORITY = [
     "gql_anti_join_null",
     "gql_count_distinct_segments",
@@ -84,6 +87,8 @@ GATE_PRIORITY = [
     "dedup_ngram_jaccard",
     "algo_sssp_colocation",
     "sim_ann_ivf_indexed",
+    "gql_with_passthrough",
+    "edges_between_lookup",
     "window_topk_per_segment",
     "window_lag_delta",
     "rollup_status_priority",
@@ -170,7 +175,6 @@ GATE_PRIORITY = [
     "degree_top_customers",
     "common_neighbors_suppliers",
     "skew_common_neighbors_events",
-    "edges_between_lookup",
     "algo_pagerank_fixture",
     "algo_cc_derived",
     "algo_component_count",
@@ -210,7 +214,6 @@ GATE_PRIORITY = [
     "gql_multi_match",
     "algo_bfs_region",
     "view_incremental_minhash",
-    "gql_with_passthrough",
     "sim_ann_recall",
     "algo_pagerank_weighted",
     "gql_set_edge",

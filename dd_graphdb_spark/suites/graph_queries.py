@@ -289,14 +289,18 @@ def skew_common_neighbors_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     GRAPH_CTE
     + f"""
     SELECT src, dst, label FROM edges
-    WHERE src = {CUST + 42} AND dst = {NATION}
+    WHERE src = {CUST + 42} AND dst = {NATION + 17}
        OR (src = {CUST + 42} AND dst = {NATION + 2})
     """,
 )
 def edges_between_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = materialized_tpch_graph(spark, sf_dir)
     # probe two candidate (src,dst) pairs; only the real FK edge survives
-    return T.edges_between(g, CUST + 42, NATION).union(T.edges_between(g, CUST + 42, NATION + 2))
+    # (customer 42 is in nation 17 across all generated SFs — the old
+    # probes hit nations 0/2, so the query always compared 0 == 0 rows)
+    return T.edges_between(g, CUST + 42, NATION + 17).union(
+        T.edges_between(g, CUST + 42, NATION + 2)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -702,7 +706,7 @@ def gql_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN vertices n ON e1.dst = n.id
     JOIN edges e2 ON c.id = e2.dst AND e2.label = 'placed_by'
     JOIN vertices o ON e2.src = o.id
-    WHERE c.label = 'Customer' AND n.label = 'Nation' AND n.name = 'CHINA'
+    WHERE c.label = 'Customer' AND n.label = 'Nation' AND n.name = 'NATION_2'
       AND o.label = 'Order'
     GROUP BY c.name
     """,
@@ -710,7 +714,7 @@ def gql_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gql_with_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
     return eng.execute(
-        "MATCH (c:Customer)-[:located_in]->(n:Nation {name: 'CHINA'}) "
+        "MATCH (c:Customer)-[:located_in]->(n:Nation {name: 'NATION_2'}) "
         "WITH c MATCH (c)<-[:placed_by]-(o:Order) "
         "RETURN c.name, count(o)"
     )
