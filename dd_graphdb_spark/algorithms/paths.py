@@ -50,7 +50,17 @@ def _sssp_loop(
     distance (valid for non-negative weights; Dijkstra's target-pop rule,
     basic.rs:299-305) — and return only that vertex's row."""
     e = g.edges
-    if weight_property is not None and weight_property in e.columns:
+    if weight_property is not None and weight_property not in e.columns:
+        # same explicit-fail contract as pagerank: a typo'd property name
+        # must not silently degrade to hop-count distances. Per-EDGE
+        # missing values (nulls in an existing column) still fall back to
+        # default_weight below — that is the reference's "default 1.0".
+        raise ValueError(
+            f"weight_property {weight_property!r} is not an edge column "
+            f"(have: {sorted(e.columns)}); for unweighted SSSP pass "
+            "weight_property=None"
+        )
+    if weight_property is not None:
         w = F.coalesce(F.col(weight_property).cast("double"), F.lit(default_weight))
     else:
         w = F.lit(default_weight)

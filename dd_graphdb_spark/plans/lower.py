@@ -59,15 +59,31 @@ def _node_filter(df: DataFrame, node: NodePattern, var: str) -> DataFrame:
     return df
 
 
-def _lower_condition(cond) -> F.Column:
+def _lower_condition(cond, bare: bool = False) -> F.Column:
+    """``bare``: the frame's columns are projected output names (a WITH
+    intermediate) rather than ``var__col`` binding columns."""
     if isinstance(cond, BoolExpr):
         if cond.op == "NOT":
-            return ~_lower_condition(cond.left)
-        left, right = _lower_condition(cond.left), _lower_condition(cond.right)
+            return ~_lower_condition(cond.left, bare)
+        left = _lower_condition(cond.left, bare)
+        right = _lower_condition(cond.right, bare)
         return left & right if cond.op == "AND" else left | right
     assert isinstance(cond, Compare)
-    # prop None = bare column reference (post-WITH alias)
-    col = F.col(f"{cond.var}__{cond.prop}") if cond.prop else F.col(cond.var)
+    if cond.prop:
+        col = F.col(f"{cond.var}__{cond.prop}")
+    elif bare:
+        # bare column reference = a post-WITH alias
+        col = F.col(cond.var)
+    elif cond.op in ("is_null", "is_not_null"):
+        # Cypher `v IS NULL` on a pattern variable asks whether the
+        # binding is unbound (OPTIONAL MATCH misses) — the id column is
+        # the binding's existence witness
+        col = F.col(f"{cond.var}__id")
+    else:
+        raise ValueError(
+            f"bare name {cond.var!r} in WHERE is only valid after WITH "
+            "(reference a property as var.prop)"
+        )
     if cond.op == "is_null":
         return col.isNull()
     if cond.op == "is_not_null":
@@ -256,7 +272,7 @@ class GQLEngine:
                 inter = bound.select(*cols)
                 pvars = passthrough
             if stmt.with_where is not None:
-                inter = inter.filter(_lower_condition(stmt.with_where))
+                inter = inter.filter(_lower_condition(stmt.with_where, bare=True))
             inter, pvars = self._apply_clauses(
                 inter, pvars, stmt.post_clauses, "_p"
             )

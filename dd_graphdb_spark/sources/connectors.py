@@ -143,6 +143,19 @@ def file_stream(
     return getattr(reader, fmt)(path)
 
 
+def _spool_atomic(spool_dir: str, prefix: str, seq: int, body: bytes) -> None:
+    """One file per message, dot-tmp write + atomic rename so the Spark
+    file source never reads a half-written file — the exactly-once
+    contract both spool-bridge sources (webhook, MQTT) rely on."""
+    import uuid
+
+    name = f"{prefix}_{seq:08d}_{uuid.uuid4().hex[:8]}.jsonl"
+    tmp = os.path.join(spool_dir, f".{name}.tmp")
+    with open(tmp, "wb") as f:
+        f.write(body.rstrip(b"\n") + b"\n")
+    os.rename(tmp, os.path.join(spool_dir, name))
+
+
 class WebhookSource:
     """HTTP push-endpoint source (HttpWebhookSource intent,
     stream_connectors.rs:382-391 — declared-but-dead in the reference;
@@ -189,18 +202,10 @@ class WebhookSource:
         self._lock = threading.Lock()
 
     def _spool(self, body: bytes) -> None:
-        """One file per request, tmp-write + atomic rename so the file
-        source never reads a half-written file."""
-        import uuid
-
         with self._lock:
             self._seq += 1
             seq = self._seq
-        name = f"req_{seq:08d}_{uuid.uuid4().hex[:8]}.jsonl"
-        tmp = os.path.join(self.spool_dir, f".{name}.tmp")
-        with open(tmp, "wb") as f:
-            f.write(body.rstrip(b"\n") + b"\n")
-        os.rename(tmp, os.path.join(self.spool_dir, name))
+        _spool_atomic(self.spool_dir, "req", seq, body)
 
     @property
     def port(self) -> int:
@@ -300,15 +305,30 @@ class MqttSource:
 
         u = urllib.parse.urlparse(self.broker_url)
         host, port = u.hostname or "127.0.0.1", u.port or 1883
-        client = mqtt.Client(client_id=self.client_id)
+        # paho-mqtt >= 2.0 requires an explicit callback API version as
+        # the first Client argument (the 1.x constructor raises there)
+        if hasattr(mqtt, "CallbackAPIVersion"):
+            client = mqtt.Client(
+                mqtt.CallbackAPIVersion.VERSION1, client_id=self.client_id
+            )
+        else:
+            client = mqtt.Client(client_id=self.client_id)
         if self.username is not None:
             client.username_pw_set(self.username, self.password)
         client.on_message = lambda _c, _u, msg: self.inject(
             msg.topic, msg.payload, qos=msg.qos, retained=bool(msg.retain)
         )
+
+        # subscribe in on_connect, not inline: paho's auto-reconnect
+        # restores the CONNECTION after a broker drop, but with
+        # clean-session defaults the new session has NO subscriptions —
+        # re-issuing them on every (re)connect keeps the spool fed
+        def _on_connect(c, _u, _flags, _rc, *_props):
+            for t in self.topics:
+                c.subscribe(t, qos=self.qos)
+
+        client.on_connect = _on_connect
         client.connect(host, port)
-        for t in self.topics:
-            client.subscribe(t, qos=self.qos)
         client.loop_start()
         self._client = client
         return self
@@ -333,26 +353,27 @@ class MqttSource:
         import base64
         import datetime
         import json
-        import uuid
 
         ts = timestamp or datetime.datetime.now(datetime.timezone.utc)
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=datetime.timezone.utc)
         rec = json.dumps(
             {
                 "topic": topic,
                 "payload_b64": base64.b64encode(payload).decode("ascii"),
                 "qos": qos,
                 "retained": retained,
-                "ts": ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                # epoch microseconds, NOT a wall-clock string: a naive
+                # timestamp string would be re-parsed in the Spark
+                # SESSION timezone, shifting every instant on non-UTC
+                # sessions
+                "ts_us": int(ts.timestamp() * 1_000_000),
             }
         )
         with self._lock:
             self._seq += 1
             seq = self._seq
-        name = f"msg_{seq:08d}_{uuid.uuid4().hex[:8]}.jsonl"
-        tmp = os.path.join(self.spool_dir, f".{name}.tmp")
-        with open(tmp, "w", encoding="ascii") as f:
-            f.write(rec + "\n")
-        os.rename(tmp, os.path.join(self.spool_dir, name))
+        _spool_atomic(self.spool_dir, "msg", seq, rec.encode("ascii"))
 
     def stream(
         self, spark: SparkSession, max_files_per_trigger: int = 10
@@ -372,7 +393,7 @@ class MqttSource:
             F.from_json(
                 "raw",
                 "topic string, payload_b64 string, qos int, "
-                "retained boolean, ts string",
+                "retained boolean, ts_us long",
             ).alias("m")
         )
         return parsed.select(
@@ -380,7 +401,7 @@ class MqttSource:
             F.unbase64("m.payload_b64").alias("payload"),
             F.col("m.qos").alias("qos"),
             F.col("m.retained").alias("retained"),
-            F.to_timestamp("m.ts").alias("timestamp"),
+            F.timestamp_micros(F.col("m.ts_us")).alias("timestamp"),
         )
 
 

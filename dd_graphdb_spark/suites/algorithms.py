@@ -359,6 +359,24 @@ def algo_reachability_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Triangle count on the supplier co-location graph (same-nation supplier
 # pairs form disjoint cliques → plenty of real triangles, SQL-checkable).
 # --------------------------------------------------------------------------
+def _colocation_weighted_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    """Symmetric weighted co-location graph: both edge directions with
+    w(a,b) = (a+b) % 97 + 1 — the ONE definition shared by the SSSP and
+    weighted-PageRank bench queries and tools/scale_curve.py, so the
+    published scale curves measure exactly the gate queries' workload."""
+    g = _supplier_colocation(spark, sf_dir)
+    sym = g.edges.select("src", "dst").union(
+        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    weighted = sym.select(
+        "src",
+        "dst",
+        F.lit("colocated").alias("label"),
+        ((F.col("src") + F.col("dst")) % 97 + 1).cast("double").alias("w"),
+    )
+    return PropertyGraph(g.vertices, weighted)
+
+
 def _supplier_colocation(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     v = s.select((F.col("s_suppkey").cast("long") + SUPP).alias("id"))
@@ -797,23 +815,13 @@ def _sssp_colocation_oracle(rounds: int = 10) -> str:
 
 @_q("algo_sssp_colocation", _sssp_colocation_oracle())
 def algo_sssp_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _supplier_colocation(spark, sf_dir)
-    sym = g.edges.select("src", "dst").union(
-        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    weighted = sym.select(
-        "src",
-        "dst",
-        F.lit("colocated").alias("label"),
-        ((F.col("src") + F.col("dst")) % 97 + 1).cast("double").alias("w"),
-    )
     # max_iterations=10 matches the oracle's hardcoded 10 Bellman-Ford
     # rounds exactly — at larger SFs a weight-1 detour inside a 40+-node
     # clique can need >10 hops, so a convergence-driven run would diverge
     # from the truncated oracle; pinning the rounds keeps both sides
     # computing the identical truncation at any scale.
     res = A.sssp(
-        PropertyGraph(g.vertices, weighted),
+        _colocation_weighted_graph(spark, sf_dir),
         source=SUPP,
         weight_property="w",
         max_iterations=10,
@@ -962,16 +970,8 @@ def _weighted_pr_oracle(rounds: int = 5, d: float = 0.85) -> str:
 
 @_q("algo_pagerank_weighted", _weighted_pr_oracle())
 def algo_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _supplier_colocation(spark, sf_dir)
-    sym = g.edges.select("src", "dst").union(
-        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    weighted = sym.select(
-        "src", "dst", F.lit("colocated").alias("label"),
-        ((F.col("src") + F.col("dst")) % 97 + 1).cast("double").alias("w"),
-    )
     return A.pagerank(
-        PropertyGraph(g.vertices, weighted),
+        _colocation_weighted_graph(spark, sf_dir),
         max_iterations=5,
         round_to=6,
         weight_property="w",

@@ -245,3 +245,17 @@ def test_weighted_pagerank_rejects_missing_weight_column(spark):
     # to the unweighted recurrence
     with _pt.raises(ValueError, match="weight_property"):
         pagerank(PropertyGraph(v, e), max_iterations=2, weight_property="wieght")
+
+
+def test_sssp_rejects_missing_weight_column(spark):
+    import pytest as _pt
+
+    from dd_graphdb_spark.algorithms import sssp
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame([(1,), (2,)], "id long")
+    e = spark.createDataFrame([(1, 2, "x", 2.0)], "src long, dst long, label string, w double")
+    # same explicit-fail contract as pagerank: a typo'd weight property
+    # must not silently degrade to hop-count distances
+    with _pt.raises(ValueError, match="weight_property"):
+        sssp(PropertyGraph(v, e), source=1, weight_property="wieght")

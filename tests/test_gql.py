@@ -487,3 +487,17 @@ def test_count_distinct_aggregates(spark):
 
     with _pt.raises(ValueError, match=r"is not defined"):
         eng.execute("MATCH (v:Person) RETURN count(DISTINCT *)")
+
+
+def test_is_null_on_pattern_variable_and_bare_name_error(people_graph):
+    eng = _engine(people_graph)
+    # `v IS [NOT] NULL` on a pattern variable asks about the BINDING
+    # (id-column witness), not an unresolved bare column
+    df = eng.execute("MATCH (v:Person) WHERE v IS NOT NULL RETURN v.name")
+    assert df.count() == 3
+    df = eng.execute("MATCH (v:Person) WHERE v IS NULL RETURN v.name")
+    assert df.count() == 0
+    # a bare name in a pattern WHERE (outside IS NULL) is a clean
+    # ValueError, not a Spark AnalysisException leaking through /gql
+    with pytest.raises(ValueError, match="only valid after WITH"):
+        eng.execute("MATCH (v:Person) WHERE v > 5 RETURN v.name")

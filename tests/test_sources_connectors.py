@@ -269,14 +269,17 @@ def test_mqtt_spool_roundtrip(spark, tmp_path):
     want = spark.createDataFrame([], MQTT_SOURCE_SCHEMA).schema
     assert stream.schema == want
 
+    rows = run_to_memory(stream, output_mode="append").collect()
     got = {
-        (r["topic"], bytes(r["payload"]), r["qos"], r["retained"])
-        for r in run_to_memory(stream, output_mode="append").collect()
+        (r["topic"], bytes(r["payload"]), r["qos"], r["retained"]) for r in rows
     }
     assert got == {
         ("sensors/a", b'{"v": 1}', 1, False),
         ("sensors/b", b"\x00\xffbinary", 0, True),
     }
+    # the spool stores epoch micros, so the instant survives regardless
+    # of the Spark session timezone (UTC session → naive UTC datetime)
+    assert {r["timestamp"] for r in rows} == {datetime(2026, 1, 1, 12, 0, 0)}
 
 
 def test_mqtt_connect_requires_paho(tmp_path):

@@ -157,21 +157,14 @@ def fk_graph_input(spark, sf_dir, n_replicas, path):
 
 def colocation_graph_input(spark, sf_dir, n_replicas, path):
     """The weighted symmetric supplier co-location graph the
-    algo_sssp_colocation query runs on (disjoint cliques per nation)."""
-    from dd_graphdb_spark.graph import PropertyGraph
-    from dd_graphdb_spark.suites.algorithms import _supplier_colocation
+    algo_sssp_colocation query runs on (disjoint cliques per nation) —
+    the SAME builder the gate query uses, so the curve measures the
+    gate query's exact workload."""
+    from dd_graphdb_spark.suites.algorithms import _colocation_weighted_graph
 
-    g = _supplier_colocation(spark, sf_dir)
-    sym = g.edges.select("src", "dst").union(
-        g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return _write_graph(
+        spark, _colocation_weighted_graph(spark, sf_dir), n_replicas, path
     )
-    weighted = sym.select(
-        "src",
-        "dst",
-        F.lit("colocated").alias("label"),
-        ((F.col("src") + F.col("dst")) % 97 + 1).cast("double").alias("w"),
-    )
-    return _write_graph(spark, PropertyGraph(g.vertices, weighted), n_replicas, path)
 
 
 def cc_derived(g):
