@@ -171,3 +171,35 @@ def test_interval_join_uses_time_bounds(spark):
     )
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_ngram_jaccard_skew_salted_plan(spark):
+    """The skewed exact-Jaccard query must route hot shingles through
+    the salted path: the hot branch replicates the right side across
+    salts (Generate explode of the salt array) and joins on (key, salt),
+    so no single task computes a hot shingle's d^2 pairs; and nothing
+    degrades to a cartesian product."""
+    p = plan(spark, "dedup_ngram_jaccard_skew")
+    assert "CartesianProduct" not in p
+    assert "explode" in p  # salt replication branch present
+    assert "_salt" in p    # hot-side join key includes the salt
+    # the hot-key set is broadcast to both branches, never shuffled
+    assert "BroadcastHashJoin" in p
+
+
+def test_landmark_centrality_seed_pruning(spark):
+    """Landmark closeness seeds only the 5 region vertices: the source
+    filter must reach the vertex scan, not materialize all vertices."""
+    import __spark_entry__ as E
+    from dd_graphdb_spark.suites.algorithms import (
+        _LANDMARKS,
+        _reversed_tpch_graph,
+    )
+    from pyspark.sql import functions as F
+
+    g = _reversed_tpch_graph(spark, SF)
+    seeds = g.vertices.select("id").distinct().filter(F.col("id").isin(_LANDMARKS))
+    p = seeds._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "In(id" in p or "id IN" in p.replace("#", " ").replace("L", "")
