@@ -109,8 +109,16 @@ def prop_typed(col: str | Column, key: str, dtype: str = "string") -> Column:
     are unquoted before the cast."""
     c = F.col(col) if isinstance(col, str) else col
     raw = c.getItem(key)
+    # real JSON decode, not a quote strip: values are json.dumps-rendered,
+    # so a string containing quotes/backslashes/newlines carries escape
+    # sequences that stripping the outer quotes would leave in the value
+    # (`say \"hi\"` instead of `say "hi"`). from_json only takes
+    # struct/array/map schemas, so wrap the scalar in a 1-element array.
     unquoted = F.when(
-        raw.startswith('"'), F.regexp_replace(raw, r'^"|"$', "")
+        raw.startswith('"'),
+        F.from_json(
+            F.concat(F.lit("["), raw, F.lit("]")), "array<string>"
+        ).getItem(0),
     ).otherwise(raw)
     return unquoted.cast(dtype)
 
@@ -511,6 +519,15 @@ class GraphStore:
 
     def execute_mutation(self, stmt, engine) -> DataFrame:
         """Apply a parsed GQL CREATE / MATCH..DELETE statement.
+
+        Lifetime note: the MERGE/SET/DELETE paths localCheckpoint their
+        matched-key frames (load-bearing: the ids must settle BEFORE the
+        snapshot rewrite reads the store, and the returned frame
+        references those blocks). The blocks free once the caller drops
+        the result (ContextCleaner after GC — the suites' session
+        hygiene runs both GCs between queries); they are deliberately
+        NOT eagerly unpersisted here, which would invalidate the
+        returned DataFrame. Same contract for ``changes()``.
 
         CREATE (execute_create, graph/query/src/executor.rs:521-566):
         nodes get ids max+1.. (next_vertex_id, :618-625), label becomes

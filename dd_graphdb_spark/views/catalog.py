@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from dataclasses import dataclass, field
 from typing import Callable
@@ -243,6 +244,12 @@ class ViewCatalog:
         p = self._defn_path(name)
         if os.path.exists(p):
             os.remove(p)
+        # drop the materialized data too: a later re-register under the
+        # same name would otherwise serve the DROPPED view's stale rows
+        # from read() until an explicit refresh
+        data = self._data_path(name)
+        if os.path.exists(data):
+            shutil.rmtree(data, ignore_errors=True)
 
     def list_views(self) -> list[str]:
         return sorted(self.defs)
@@ -310,6 +317,15 @@ class ViewCatalog:
                     f"view {name} is a GQL view — attach_gql_engine() first"
                 )
             return self.gql_engine.execute(d.gql)
+        if d.sql is None:
+            # a builder-backed view reloaded from disk: the python
+            # builder cannot be persisted, so refresh needs it re-attached
+            raise ValueError(
+                f"view {name} was registered with a python builder, which "
+                "does not survive catalog reload — re-register it with "
+                "register(defn, builder=...) (or register_incremental) "
+                "before refreshing"
+            )
         return self.spark.sql(d.sql)
 
     def refresh(self, name: str, force: bool = False) -> bool:
@@ -330,7 +346,19 @@ class ViewCatalog:
         (process_pending_changes, incremental_engine.rs:272-310)."""
         refreshed = []
         for name in self.topo_order():
-            if self.refresh(name, force=force):
+            try:
+                ran = self.refresh(name, force=force)
+            except ValueError as ex:
+                # a reloaded builder-backed view with no re-attached
+                # builder must not abort the whole topo pass — its stale
+                # materialization stays readable; surface, skip, continue
+                if "python builder" not in str(ex):
+                    raise
+                import warnings
+
+                warnings.warn(str(ex), stacklevel=2)
+                continue
+            if ran:
                 refreshed.append(name)
         return refreshed
 

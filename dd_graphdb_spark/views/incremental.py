@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,6 +81,13 @@ class _VersionedTable:
             os.path.join(self.path, f"v{self.version}")
         )
 
+    #: state versions kept after the pointer swap — enough for any
+    #: in-flight reader of the previous version, bounded so a streaming
+    #: pipeline applying thousands of micro-batches doesn't retain
+    #: O(batches × state) snapshots on disk (GraphStore has vacuum();
+    #: this is the same retention, applied automatically)
+    KEEP_LAST = 3
+
     def write(self, df: DataFrame) -> int:
         nxt = (self.version + 1) if os.path.exists(self._meta) else 0
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{nxt}"))
@@ -87,6 +95,10 @@ class _VersionedTable:
         with open(tmp, "w") as f:
             json.dump({"version": nxt}, f)
         os.replace(tmp, self._meta)
+        for old in range(max(0, nxt - self.KEEP_LAST + 1)):
+            stale = os.path.join(self.path, f"v{old}")
+            if os.path.exists(stale):
+                shutil.rmtree(stale, ignore_errors=True)
         return nxt
 
 
@@ -149,25 +161,34 @@ class IncrementalAggState:
             F.max(F.when(F.col("_sign") > 0, val.cast("double"))).alias("d_max"),
         )
 
-        # MERGE: one outer join on group keys; untouched groups unchanged
-        state = self._table.read(deltas.sparkSession)
+        # MERGE: one outer join on group keys; untouched groups unchanged.
+        # NULL-SAFE key equality: a plain name-list join never matches a
+        # NULL group, so the existing NULL-group state row and the batch
+        # row would both survive — one duplicate NULL-group row per batch
+        state = self._table.read(deltas.sparkSession).alias("s")
+        batch = batch.alias("b")
+        cond = None
+        for c in g:
+            eq = F.col(f"s.{c}").eqNullSafe(F.col(f"b.{c}"))
+            cond = eq if cond is None else (cond & eq)
         merged = (
-            state.join(batch, g, "full_outer")
+            state.join(batch, cond, "full_outer")
             .select(
-                *g,
-                (F.coalesce("_count", F.lit(0)) + F.coalesce("d_count", F.lit(0))).alias(
-                    "_count"
-                ),
+                *[F.coalesce(F.col(f"s.{c}"), F.col(f"b.{c}")).alias(c) for c in g],
                 (
-                    F.coalesce(F.col("_sum"), F.lit(0).cast("decimal(18,6)"))
-                    + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(18,6)"))
+                    F.coalesce(F.col("s._count"), F.lit(0))
+                    + F.coalesce(F.col("b.d_count"), F.lit(0))
+                ).alias("_count"),
+                (
+                    F.coalesce(F.col("s._sum"), F.lit(0).cast("decimal(18,6)"))
+                    + F.coalesce(F.col("b.d_sum"), F.lit(0).cast("decimal(18,6)"))
                 )
                 .cast("decimal(18,6)")
                 .alias("_sum"),
                 # least/greatest skip nulls: tightens on adds, keeps the
                 # old bound on remove-only batches (conservative, :885-892)
-                F.least("_min", "d_min").alias("_min"),
-                F.greatest("_max", "d_max").alias("_max"),
+                F.least(F.col("s._min"), F.col("b.d_min")).alias("_min"),
+                F.greatest(F.col("s._max"), F.col("b.d_max")).alias("_max"),
             )
             .filter(F.col("_count") > 0)
         )
@@ -219,17 +240,25 @@ class IncrementalCentroids:
                 F.col("_sign") * F.col("_x").cast("double").cast("decimal(18,6)")
             ).alias("d_sum"),
         )
-        state = self._table.read(deltas.sparkSession)
+        state = self._table.read(deltas.sparkSession).alias("s")
+        batch = batch.alias("b")
         zero = F.lit(0).cast("decimal(18,6)")
+        # null-safe group equality (a NULL group must merge, not duplicate)
+        cond = F.col(f"s.{g}").eqNullSafe(F.col(f"b.{g}")) & (
+            F.col("s.dim").eqNullSafe(F.col("b.dim"))
+        )
         merged = (
-            state.join(batch, [g, "dim"], "full_outer")
+            state.join(batch, cond, "full_outer")
             .select(
-                g,
-                "dim",
-                (F.coalesce("_count", F.lit(0)) + F.coalesce("d_count", F.lit(0)))
+                F.coalesce(F.col(f"s.{g}"), F.col(f"b.{g}")).alias(g),
+                F.coalesce(F.col("s.dim"), F.col("b.dim")).alias("dim"),
+                (
+                    F.coalesce(F.col("s._count"), F.lit(0))
+                    + F.coalesce(F.col("b.d_count"), F.lit(0))
+                )
                 .cast("long")
                 .alias("_count"),
-                (F.coalesce(F.col("_sum"), zero) + F.coalesce(F.col("d_sum"), zero))
+                (F.coalesce(F.col("s._sum"), zero) + F.coalesce(F.col("b.d_sum"), zero))
                 .cast("decimal(18,6)")
                 .alias("_sum"),
             )
@@ -272,7 +301,7 @@ class IncrementalMinHash:
             deltas = deltas.withColumn("_sign", F.lit(1))
         touched = deltas.select(F.col(id_col).alias("id")).distinct()
         adds = deltas.filter(F.col("_sign") > 0).select(id_col, text_col)
-        new_sigs = minhash_signatures(adds, text_col=text_col, id_col=id_col)
+        new_sigs = minhash_signatures(adds, text_col=text_col, id_col=id_col, n=self.n)
         state = self._table.read(deltas.sparkSession)
         merged = state.join(touched, "id", "left_anti").unionByName(new_sigs)
         self._table.write(merged)
@@ -523,11 +552,18 @@ class IncrementalDegreeCentrality(_EdgeState):
         return top.crossJoin(n).select(
             "max_vertex",
             "max_degree",
-            F.round(
-                F.col("max_degree").cast("double")
-                / (2.0 * (F.col("n").cast("double") - 1.0)),
-                9,
-            ).alias("centrality"),
+            # n=1 → denominator 0 → non-ANSI divide yields NULL; a
+            # single-vertex graph has a defined centrality of 0.0
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    F.col("max_degree").cast("double")
+                    / (2.0 * (F.col("n").cast("double") - 1.0)),
+                    9,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("centrality"),
             F.col("n").alias("vertex_count"),
         )
 
@@ -568,10 +604,15 @@ class IncrementalPageRank:
     def apply_edge_deltas(self, deltas: DataFrame) -> None:
         if "_sign" not in deltas.columns:
             deltas = deltas.withColumn("_sign", F.lit(1))
-        adds = deltas.filter(F.col("_sign") > 0).select("src", "dst")
-        removes = deltas.filter(F.col("_sign") < 0).select("src", "dst")
+        # same per-batch key semantics as _EdgeState: any touched key
+        # leaves the state, then adds re-insert. The previous
+        # union-then-anti-join let a remove WIN over an add in the same
+        # batch — a CDC update (retract preimage + add postimage of one
+        # edge) would delete the edge from adjacency state entirely.
+        adds = deltas.filter(F.col("_sign") > 0).select("src", "dst").distinct()
+        keys = deltas.select("src", "dst").distinct()
         state = self._edges.read(deltas.sparkSession)
-        merged = state.unionByName(adds).distinct().join(removes, ["src", "dst"], "left_anti")
+        merged = state.join(keys, ["src", "dst"], "left_anti").unionByName(adds)
         self._edges.write(merged)
 
     def refresh(self) -> DataFrame:

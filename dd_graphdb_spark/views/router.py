@@ -100,6 +100,13 @@ class QueryRouter:
             raise LookupError(f"no view matches pattern {pattern.kind}")
         t0 = time.time()
         df = self.catalog.read(decision.view)
+        # force the read so the recorded latency measures EXECUTION (the
+        # reference's stats track real query latency, query_router.rs:
+        # 326-375) — catalog.read alone returns a lazy scan in
+        # microseconds, which would make the route() latency tie-break
+        # compare driver-side noise. The re-read downstream hits the
+        # same freshly-cached parquet.
+        df.count()
         st = self.stats.setdefault(decision.view, _ViewStats())
         st.hits += 1
         st.total_latency_s += time.time() - t0

@@ -239,3 +239,19 @@ def test_update_vertices_set_type_rewrites_label(spark, tmp_path):
     rows = {r.id: (r.label, r.properties) for r in store.vertices().collect()}
     assert rows[1][0] == "Robot" and rows[1][1]["type"] == '"Robot"'
     assert rows[2][0] == "Person"
+
+
+def test_prop_typed_decodes_json_escapes(spark, tmp_path):
+    """String properties containing quotes/backslashes/newlines must
+    round-trip exactly (real JSON decode, not an outer-quote strip)."""
+    from dd_graphdb_spark.storage import GraphStore, add_vertex
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, str(tmp_path / "st"))
+    tricky = 'say "hi" \\ and\nbye'
+    store.apply_batch([add_vertex(1, "Person", {"name": tricky, "age": 30})])
+    row = store.vertices().select(
+        prop_typed("properties", "name").alias("name"),
+        prop_typed("properties", "age", "long").alias("age"),
+    ).collect()[0]
+    assert row["name"] == tricky and row["age"] == 30

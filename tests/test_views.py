@@ -167,3 +167,44 @@ def test_catalog_reload(spark, tmp_path, sf_dir):
     c2 = ViewCatalog(spark, p)  # load_from_disk parity
     assert c2.list_views() == ["v1"]
     assert c2.read("v1").collect()[0]["x"] == 1
+
+
+def test_drop_removes_materialized_data(catalog):
+    catalog.register(ViewDefinition("dv", "sql", sql="SELECT 1 AS a"))
+    catalog.refresh("dv", force=True)
+    assert catalog.read("dv").collect()[0]["a"] == 1
+    catalog.drop("dv")
+    # re-register the same name with DIFFERENT content: read() must not
+    # serve the dropped view's stale parquet
+    catalog.register(ViewDefinition("dv", "sql", sql="SELECT 2 AS a"))
+    assert catalog.read("dv").collect()[0]["a"] == 2
+
+
+def test_builder_view_reload_skips_with_warning(spark, tmp_path, sf_dir):
+    import warnings
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView("orders")
+    path = str(tmp_path / "views_b")
+    cat = ViewCatalog(spark, path)
+    cat.register(
+        ViewDefinition("bv", "analytics"), builder=lambda s: s.sql("SELECT 41 AS a")
+    )
+    cat.refresh("bv", force=True)
+
+    cat2 = ViewCatalog(spark, path)  # reload: builder not persisted
+    # refresh() raises a CLEAR error, not spark.sql(None)
+    with pytest.raises(ValueError, match="python builder"):
+        cat2.refresh("bv", force=True)
+    # refresh_all() warns and continues instead of aborting the pass
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cat2.refresh_all(force=True)
+    assert any("python builder" in str(x.message) for x in w)
+    # the stale materialization stays readable
+    assert cat2.read("bv").collect()[0]["a"] == 41
+    # re-attaching the builder restores refresh
+    cat2.register(
+        ViewDefinition("bv", "analytics"), builder=lambda s: s.sql("SELECT 42 AS a")
+    )
+    cat2.refresh("bv", force=True)
+    assert cat2.read("bv").collect()[0]["a"] == 42
