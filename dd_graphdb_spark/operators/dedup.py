@@ -145,9 +145,16 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) exploded distinct-shingle table."""
+    """(id, shingle) exploded distinct-shingle table.
+
+    explode_outer for the same reason as shingle_hash_table: plain
+    explode lets pushdown substitute the whole shingle expression into
+    an inferred ``size(..) > 0`` filter (re-evaluating shingling per
+    row); word_shingles never yields an empty array, so outer ≡ inner.
+    """
     return df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(F.col(text_col), n)).alias("s")
+        F.col(id_col).alias("id"),
+        F.explode_outer(word_shingles(F.col(text_col), n)).alias("s"),
     )
 
 
@@ -175,7 +182,12 @@ def ngram_jaccard_pairs(
     quadratic in the carrier count per shingle — but the exact operator
     no longer serializes a hot key into a single straggler task.
     """
-    sh = shingle_table(df, text_col, id_col, n).persist()
+    # eager localCheckpoint, NOT .persist(): sh is read twice (sizes +
+    # pair generation) within one action, but CacheManager entries from
+    # persist() survive until explicit unpersist — repeated calls would
+    # pin shingle tables for the session lifetime. Checkpoint blocks
+    # free via GC once the result frame is dropped.
+    sh = shingle_table(df, text_col, id_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         salted_self_pairs(
@@ -250,7 +262,9 @@ def minhash_lsh_pairs(
     # twice more — the plan is referenced 4×, so cache/checkpoint here is
     # a 4× saving, not a micro-optimization. Arrays are longs, not
     # shingle strings — ~10× smaller in cache and in the verify join.
-    sh_arr = with_shingle_hashes(df, text_col, id_col, n).persist()
+    # localCheckpoint, not persist — same CacheManager-leak rationale
+    # as ngram_jaccard_pairs
+    sh_arr = with_shingle_hashes(df, text_col, id_col, n).localCheckpoint(eager=True)
     sh = sh_arr.select("id", F.explode("sh").alias("x"))
     sig = sh.groupBy("id").agg(
         *[

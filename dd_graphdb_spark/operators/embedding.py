@@ -118,14 +118,18 @@ def pca_project(df: DataFrame, vec_col: str, d: int, k: int) -> DataFrame:
     JVM fold per component."""
     mean, comps, _ = pca_components(df, vec_col, d, k)
     v = F.col(vec_col)
+    # ONE array literal per vector (F.lit(list)), not d per-element
+    # F.lit() nodes: per-element literals make the plan O(d*(k+1)) and
+    # similarity._matrix_lit measured that form at ~3s plan build + ~6s
+    # codegen at just 64 dims
     cent = F.zip_with(
         v.cast("array<double>"),
-        F.array(*[F.lit(float(m)) for m in mean]),
+        F.lit([float(m) for m in mean]),
         lambda x, m: x - m,
     )
     out_cols = []
     for ci, comp in enumerate(comps):
-        axis = F.array(*[F.lit(float(c)) for c in comp])
+        axis = F.lit([float(c) for c in comp])
         out_cols.append(
             F.aggregate(
                 F.zip_with(cent, axis, lambda x, c: x * c),

@@ -98,7 +98,11 @@ def common_neighbors(
 
     from dd_graphdb_spark.operators._skew import salted_self_pairs
 
-    e = _label_filter(g.edges, label).select("src", "dst")
+    # distinct (src,dst): common-neighbor counts are over the neighbor
+    # SET — multigraph parallel edges (first-class here, see
+    # edges_between) would otherwise inflate every pair's count by the
+    # product of the two edge multiplicities
+    e = _label_filter(g.edges, label).select("src", "dst").distinct()
     if max_degree is not None:
         w = Window.partitionBy("dst").orderBy("src")
         e = e.withColumn("_rn", F.row_number().over(w)).filter(

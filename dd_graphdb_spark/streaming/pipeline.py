@@ -100,9 +100,12 @@ def run_to_memory(
     # 32), and hold a lock across the mutate→run→restore bracket so
     # overlapping harness calls on one session can't plan against each
     # other's temporary value. Production sinks size this explicitly.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    untuned = prev == "200"
     with _SHUFFLE_TUNE_LOCK:
+        # read INSIDE the lock: reading before it could observe another
+        # caller's temporary in-bracket value (e.g. the right-sized "8"),
+        # classify the session as tuned, and skip the right-sizing
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        untuned = prev == "200"
         if untuned:
             spark.conf.set(
                 "spark.sql.shuffle.partitions",

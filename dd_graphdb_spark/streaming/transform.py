@@ -75,9 +75,21 @@ def apply_filter_rules(df: DataFrame, rules: list[FilterRule]) -> DataFrame:
         if r.action == "drop":
             df = df.filter(~m)
         elif r.action == "modify":
-            for col_name, new_val in r.modifications.items():
-                base = F.col(col_name) if col_name in df.columns else F.lit(None)
-                df = df.withColumn(col_name, F.when(m, F.lit(new_val)).otherwise(base))
+            # ONE select applying every modification against the same
+            # matched set: chained withColumn would re-resolve the match
+            # predicate against already-modified columns, so a rule that
+            # modifies its own match field would apply later
+            # modifications to the wrong rows (dict-order dependent)
+            mods = {
+                col_name: F.when(m, F.lit(new_val)).otherwise(
+                    F.col(col_name) if col_name in df.columns else F.lit(None)
+                )
+                for col_name, new_val in r.modifications.items()
+            }
+            df = df.select(
+                *[mods.get(c, F.col(c)).alias(c) for c in df.columns],
+                *[mods[c].alias(c) for c in mods if c not in df.columns],
+            )
         elif r.action != "keep":
             raise ValueError(f"unknown action {r.action}")
     return df
@@ -270,9 +282,16 @@ class AlertEngine:
         return alerts
 
     def _threshold(self, df: DataFrame, rule: AlertRule, ts_col: str, order_col: str) -> DataFrame:
+        # order_col is only consumed by the cooldown successor walk — a
+        # no-cooldown rule must not require it to exist in the frame
+        ord_col = (
+            F.col(order_col)
+            if (rule.cooldown_s > 0 or order_col in df.columns)
+            else F.lit(0)
+        )
         cand = df.filter(_OPS[rule.operator](F.col(rule.metric), F.lit(rule.threshold))).select(
             F.col(ts_col).alias("ts"),
-            F.col(order_col).alias("_ord"),
+            ord_col.alias("_ord"),
             F.col(rule.metric).cast("double").alias("metric_value"),
         )
         if rule.cooldown_s <= 0:
@@ -369,7 +388,7 @@ class AlertEngine:
         bkt_us = _ANOMALY_FOLD * _duration_us(rule.window)
         stats = wstats.select(
             F.col("w.start").alias("_wstart"), "n", "s", "ss"
-        ).withColumn("_bkt", F.expr(f"unix_micros(_wstart) DIV {bkt_us}"))
+        ).withColumn("_bkt", F.expr(_floor_div_expr("unix_micros(_wstart)", bkt_us)))
         wloc = Window.partitionBy("_bkt").orderBy("_wstart")
         loc = stats.select(
             "_wstart",
@@ -416,6 +435,15 @@ class AlertEngine:
         )
 
 
+def _floor_div_expr(expr: str, n: int) -> str:
+    """Integer FLOOR division as a SQL fragment: plain `DIV` truncates
+    toward zero, so bucket 0 would span (-n, +n) and the bucket-width
+    invariants (successor lives in bucket k or k+1) break for negative
+    (pre-1970) timestamps. (x - pmod(x, n)) is an exact multiple of n,
+    so the DIV is exact integer floor division at any magnitude."""
+    return f"(({expr}) - pmod({expr}, {n})) DIV {n}"
+
+
 def _advance_stage(cur: DataFrame, nxt: DataFrame, wus: int) -> DataFrame:
     """One pattern-stage advance: for each partial match (t1, tcur) find
     the earliest next-stage event strictly after tcur and within
@@ -425,14 +453,14 @@ def _advance_stage(cur: DataFrame, nxt: DataFrame, wus: int) -> DataFrame:
     from pyspark.sql import Window
 
     data = nxt.select(
-        F.expr(f"t DIV {wus}").alias("_bucket"),
+        F.expr(_floor_div_expr("t", wus)).alias("_bucket"),
         F.col("t").alias("pos"),
         F.col("t").alias("data_t"),
         F.lit(None).cast("long").alias("q_t1"),
         F.lit(None).cast("long").alias("q_tcur"),
     )
     qrys = cur.select(
-        F.expr(f"tcur DIV {wus}").alias("_bucket"),
+        F.expr(_floor_div_expr("tcur", wus)).alias("_bucket"),
         F.col("tcur").alias("pos"),
         F.lit(None).cast("long").alias("data_t"),
         F.col("t1").alias("q_t1"),
@@ -451,7 +479,7 @@ def _advance_stage(cur: DataFrame, nxt: DataFrame, wus: int) -> DataFrame:
         .filter(F.col("q_tcur").isNotNull())
         .select("_bucket", "q_t1", "q_tcur", "_ceil")
     )
-    next_bmin = nxt.groupBy(F.expr(f"t DIV {wus}").alias("_b")).agg(
+    next_bmin = nxt.groupBy(F.expr(_floor_div_expr("t", wus)).alias("_b")).agg(
         F.min("t").alias("_next_bmin")
     ).select((F.col("_b") - 1).alias("_bucket"), "_next_bmin")
     return (
@@ -547,7 +575,7 @@ def greedy_cooldown_fires(
         .groupBy("t")
         .agg(F.min_by(F.struct("ts", "metric_value"), "_ord").alias("b"))
         .select("t", F.col("b.ts").alias("ts"), F.col("b.metric_value").alias("metric_value"))
-        .withColumn("_bucket", F.expr(f"t DIV {cdus}"))
+        .withColumn("_bucket", F.expr(_floor_div_expr("t", cdus)))
     )
     n_cand = c.count()
     if n_cand == 0:

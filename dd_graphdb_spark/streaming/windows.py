@@ -216,7 +216,12 @@ def count_window_agg(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     import pandas as pd
 
-    out_schema = f"{key_col} long, chunk long, n long, first_event long, last_event long"
+    # key column keeps ITS dtype (the batch path handles any key type;
+    # hardcoding long here broke string keys at Arrow serialization)
+    key_type = dict(df.dtypes)[key_col]
+    out_schema = (
+        f"{key_col} {key_type}, chunk long, n long, first_event long, last_event long"
+    )
     state_schema = "chunk long, buf_n long, buf_first long, buf_last long"
 
     def fn(key, pdfs, state: GroupState):
@@ -225,17 +230,28 @@ def count_window_agg(
         else:
             chunk, buf_n, buf_first, buf_last = 0, 0, None, None
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values([ts_col, order_col])
-            for ev in pdf[order_col]:
-                ev = int(ev)
-                buf_n += 1
-                buf_first = ev if buf_first is None else buf_first
-                buf_last = ev
-                if buf_n == size:
-                    rows.append((key[0], chunk, buf_n, buf_first, buf_last))
-                    chunk += 1
-                    buf_n, buf_first, buf_last = 0, None, None
+        # concatenate BEFORE sorting: a group larger than the Arrow
+        # record-batch size arrives as several chunks in arbitrary
+        # order — sorting each chunk independently would buffer events
+        # out of (ts, order) order and diverge from the batch path's
+        # global row_number ordering
+        chunks = [pdf for pdf in pdfs]
+        if len(chunks) > 1:
+            pdf = pd.concat(chunks, ignore_index=True)
+        elif chunks:
+            pdf = chunks[0]
+        else:  # timeout-style invocation with no data
+            pdf = pd.DataFrame({ts_col: [], order_col: []})
+        pdf = pdf.sort_values([ts_col, order_col])
+        for ev in pdf[order_col]:
+            ev = int(ev)
+            buf_n += 1
+            buf_first = ev if buf_first is None else buf_first
+            buf_last = ev
+            if buf_n == size:
+                rows.append((key[0], chunk, buf_n, buf_first, buf_last))
+                chunk += 1
+                buf_n, buf_first, buf_last = 0, None, None
         state.update((chunk, buf_n, buf_first, buf_last))
         yield pd.DataFrame(rows, columns=[key_col, "chunk", "n", "first_event", "last_event"])
 

@@ -103,3 +103,38 @@ def test_incremental_view_pipeline(spark, sf_dir, tmp_path):
     total = catalog.read("total").collect()[0]["total"]
     # single-file source → one micro-batch containing the whole table
     assert total == read_events(spark, sf_dir).count()
+
+
+def test_count_window_stream_string_key(spark, tmp_path):
+    """Streaming count windows with a STRING key: the output schema must
+    carry the key's real dtype (it was hardcoded long), and multi-chunk
+    groups must sort globally before buffering."""
+    from datetime import datetime
+
+    from dd_graphdb_spark.streaming import count_window_agg
+    from dd_graphdb_spark.streaming.pipeline import run_to_memory
+
+    rows = [
+        ("alpha", i, datetime(2026, 1, 1, 0, 0, i)) for i in range(7)
+    ] + [("beta", i, datetime(2026, 1, 1, 0, 0, i)) for i in range(3)]
+    src_dir = str(tmp_path / "src")
+    spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp"
+    ).write.parquet(src_dir)
+    stream = spark.readStream.schema(
+        "user_id string, event_id long, ts timestamp"
+    ).parquet(src_dir)
+    out = run_to_memory(
+        count_window_agg(stream, size=3, key_col="user_id"),
+        output_mode="append",
+    )
+    got = {
+        (r["user_id"], r["chunk"]): (r["n"], r["first_event"], r["last_event"])
+        for r in out.collect()
+    }
+    # alpha: chunks [0,1,2], [3,4,5]; 6 stays buffered. beta: [0,1,2].
+    assert got == {
+        ("alpha", 0): (3, 0, 2),
+        ("alpha", 1): (3, 3, 5),
+        ("beta", 0): (3, 0, 2),
+    }

@@ -185,3 +185,66 @@ def test_duration_parser_accepts_spark_abbreviations():
     assert _duration_us("10 us") == 10
     with pytest.raises(ValueError, match="bad duration unit"):
         _duration_us("5 fortnights")
+
+
+def test_modify_rule_atomic_on_own_match_field(spark):
+    """A modify rule that rewrites its OWN match field must apply every
+    modification to the originally-matched rows (not re-evaluate the
+    match against already-modified columns, dict-order dependent)."""
+    from dd_graphdb_spark.streaming import FilterRule, apply_filter_rules
+
+    df = spark.createDataFrame(
+        [(1, "bad"), (2, "good")], "event_id long, status string"
+    )
+    out = apply_filter_rules(
+        df,
+        [
+            FilterRule(
+                "r1", "status", "equals", "bad",
+                action="modify",
+                modifications={"status": "ok", "flag": 1},
+            )
+        ],
+    )
+    rows = {r["event_id"]: (r["status"], r["flag"]) for r in out.collect()}
+    assert rows == {1: ("ok", 1), 2: ("good", None)}
+
+
+def test_threshold_rule_without_cooldown_needs_no_order_column(spark):
+    from datetime import datetime
+
+    from dd_graphdb_spark.streaming import AlertEngine, AlertRule
+
+    df = spark.createDataFrame(
+        [(datetime(2026, 1, 1), 0.95), (datetime(2026, 1, 2), 0.5)],
+        "ts timestamp, cpu double",
+    )
+    out = AlertEngine([AlertRule("r1", "threshold", "cpu", "gt", 0.9)]).evaluate(df)
+    assert out.count() == 1
+
+
+def test_cooldown_buckets_floor_for_pre_epoch_timestamps(spark):
+    """DIV truncates toward zero: bucket 0 would span (-cd, +cd) and the
+    successor walk (bucket k / k+1 only) would drop fires for pre-1970
+    timestamps; floor-division bucketing keeps the invariant."""
+    from datetime import datetime, timezone
+
+    from dd_graphdb_spark.streaming.transform import greedy_cooldown_fires
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+    cd = 10.0
+    # candidates at -9s and +3s: 12s apart (> cooldown), BOTH must fire
+    cand = spark.createDataFrame(
+        [(ts(-9), 1, 1.0), (ts(3), 2, 2.0)],
+        "ts timestamp, _ord long, metric_value double",
+    )
+    fires = greedy_cooldown_fires(cand, cd, small_threshold=0)
+    assert fires.count() == 2
+    # and at 5s apart (< cooldown) only the first fires
+    cand2 = spark.createDataFrame(
+        [(ts(-2), 1, 1.0), (ts(3), 2, 2.0)],
+        "ts timestamp, _ord long, metric_value double",
+    )
+    assert greedy_cooldown_fires(cand2, cd, small_threshold=0).count() == 1

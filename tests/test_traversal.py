@@ -59,3 +59,18 @@ def test_neighbors_and_hops(spark, people_graph):
     assert {r["neighbor_id"] for r in T.in_neighbors(people_graph, 3).collect()} == {2}
     two = T.traverse_2hop(people_graph, 1)
     assert {r["neighbor_id"] for r in two.collect()} == {3}
+
+
+def test_common_neighbors_multigraph_counts_distinct(spark):
+    """Parallel edges (multigraph) must not inflate common-neighbor
+    counts by the product of edge multiplicities."""
+    from dd_graphdb_spark.graph import PropertyGraph
+    from dd_graphdb_spark.operators.traversal import common_neighbors
+
+    v = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    e = spark.createDataFrame(
+        [(1, 3, "follows"), (1, 3, "likes"), (2, 3, "follows")],
+        "src long, dst long, label string",
+    )
+    out = common_neighbors(PropertyGraph(v, e), min_common=1)
+    assert [(r["a"], r["b"], r["common_count"]) for r in out.collect()] == [(1, 2, 1)]
