@@ -23,9 +23,17 @@ lineage is truncated), which is why the result must be re-checkpointed
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+
+#: serializes the snapshot→loop→unpersist bracket: the diff-based
+#: bookkeeping sees SESSION-global pinned-RDD state, so a second loop
+#: (e.g. another thread of an embedding HTTP server) pinning checkpoints
+#: between this loop's snapshots would have its blocks unpersisted —
+#: and a localCheckpoint cannot be recomputed after unpersist
+_PIN_LOCK = threading.RLock()
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -55,13 +63,14 @@ def run_loop(impl: Callable[..., DataFrame], g, *args, **kwargs) -> DataFrame:
     """Run a fixpoint loop and free every block it pinned except the
     result's. ``g`` is the PropertyGraph (first arg of every impl)."""
     spark = g.vertices.sparkSession
-    try:
-        before = _persistent_ids(spark)
-    except Exception:  # non-classic gateway (Spark Connect) — just run
-        return impl(g, *args, **kwargs)
-    result = impl(g, *args, **kwargs)
-    mid = _persistent_ids(spark)
-    final = result.localCheckpoint(eager=True)
-    final_ids = _persistent_ids(spark) - mid
-    _unpersist(spark, (mid - before) - final_ids)
-    return final
+    with _PIN_LOCK:
+        try:
+            before = _persistent_ids(spark)
+        except Exception:  # non-classic gateway (Spark Connect) — just run
+            return impl(g, *args, **kwargs)
+        result = impl(g, *args, **kwargs)
+        mid = _persistent_ids(spark)
+        final = result.localCheckpoint(eager=True)
+        final_ids = _persistent_ids(spark) - mid
+        _unpersist(spark, (mid - before) - final_ids)
+        return final

@@ -157,7 +157,19 @@ def _ppr_loop(
     deterministic fixed iterations, so the oracle unrolls rounds."""
     if not sources:
         raise ValueError("personalized_pagerank needs a non-empty source set")
+    # restart mass is 1/|S| per source matched via isin (a SET match):
+    # duplicates would shrink every share silently, and a typo'd id
+    # that matches no vertex loses its share entirely — fail fast on
+    # both, like the weight_property guard
+    if len(set(sources)) != len(sources):
+        raise ValueError(f"duplicate source ids in {sources}")
     verts = g.vertices.select("id").localCheckpoint(eager=True)
+    n_found = verts.filter(F.col("id").isin([int(s) for s in sources])).count()
+    if n_found != len(sources):
+        raise ValueError(
+            f"{len(sources) - n_found} of {len(sources)} source ids are not "
+            "vertices of the graph"
+        )
     edges = g.edges.select("src", "dst")
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     contrib_edges = (

@@ -39,6 +39,7 @@ def _sssp_loop(
     max_iterations: int = 50,
     target: int | None = None,
     include_unreachable: bool = True,
+    on_exhaustion: str = "raise",
 ) -> DataFrame:
     """Single-source shortest paths. Returns (id, distance, path) where
     path is the reference's "a->b->c" rendering; unreachable vertices get
@@ -48,7 +49,16 @@ def _sssp_loop(
     ``target``: early-terminate once the target's distance can no longer
     improve — no frontier vertex is closer than the target's settled
     distance (valid for non-negative weights; Dijkstra's target-pop rule,
-    basic.rs:299-305) — and return only that vertex's row."""
+    basic.rs:299-305) — and return only that vertex's row.
+
+    ``on_exhaustion``: what to do when ``max_iterations`` rounds elapse
+    with relaxation still improving (distances would be silently wrong:
+    reachable vertices reported +Infinity / too-long). "raise" (default)
+    errors like the centrality/SCC non-convergence guards; "truncate"
+    opts into the bounded-rounds semantics (e.g. a fixed-round
+    Bellman-Ford matched by an equally-truncated oracle)."""
+    if on_exhaustion not in ("raise", "truncate"):
+        raise ValueError(f"on_exhaustion must be 'raise' or 'truncate', got {on_exhaustion!r}")
     e = g.edges
     if weight_property is not None and weight_property not in e.columns:
         # same explicit-fail contract as pagerank: a typo'd property name
@@ -121,6 +131,23 @@ def _sssp_loop(
                 fmin = frontier.agg(F.min("distance")).collect()[0][0]
                 if fmin is None or fmin >= trow[0]["distance"]:
                     break
+    else:
+        if on_exhaustion == "raise":
+            # the loop ran out with the last round still improving —
+            # probe whether ANOTHER round would improve (the last merge
+            # may have settled everything); only paid on exhaustion
+            probe = (
+                frontier.join(edges, frontier.id == edges.src)
+                .select(F.col("dst").alias("id"), (F.col("distance") + F.col("w")).alias("nd"))
+                .join(dist.select("id", "distance"), "id", "left")
+                .filter(F.col("distance").isNull() | (F.col("nd") < F.col("distance")))
+            )
+            if not probe.isEmpty():
+                raise RuntimeError(
+                    f"sssp did not converge in max_iterations={max_iterations} "
+                    "rounds (distances still improving) — raise max_iterations, "
+                    "or pass on_exhaustion='truncate' for bounded-round semantics"
+                )
     if include_unreachable:
         dist = g.vertices.select("id").join(dist, "id", "left").select(
             "id",
@@ -197,6 +224,21 @@ def _reachability_loop(g: PropertyGraph, source: int, max_iterations: int = 50) 
             break
         reach = reach.union(new).localCheckpoint(eager=True)
         frontier = new
+    else:
+        # exhausted with the frontier still growing: the result would
+        # silently miss reachable vertices — probe and raise, matching
+        # the centrality/SCC non-convergence guards
+        probe = (
+            frontier.join(e, frontier.id == e.src)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(reach, "id", "left_anti")
+        )
+        if not probe.isEmpty():
+            raise RuntimeError(
+                f"reachability did not converge in max_iterations={max_iterations} "
+                "rounds (frontier still expanding) — raise max_iterations"
+            )
     return reach
 
 
@@ -208,6 +250,7 @@ def sssp(
     max_iterations: int = 50,
     target: int | None = None,
     include_unreachable: bool = True,
+    on_exhaustion: str = "raise",
 ) -> DataFrame:
     """Public entry; releases loop-intermediate checkpoint blocks."""
     return run_loop(
@@ -219,6 +262,7 @@ def sssp(
         max_iterations,
         target,
         include_unreachable,
+        on_exhaustion,
     )
 
 

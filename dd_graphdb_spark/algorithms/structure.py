@@ -34,6 +34,10 @@ def _k_core_loop(g: PropertyGraph, k: int, max_iterations: int = 50) -> DataFram
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # carry the edge count across rounds: und.count() always equals the
+    # previous round's pruned.count(), so one count job per round
+    # suffices (job launches dominate driver-side loop cost)
+    n_und = und.count()
     for _ in range(max_iterations):
         deg = (
             und.select(F.col("a").alias("id"))
@@ -48,10 +52,11 @@ def _k_core_loop(g: PropertyGraph, k: int, max_iterations: int = 50) -> DataFram
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-        if pruned.count() == und.count():
-            und = pruned
-            break
+        n_pruned = pruned.count()
         und = pruned
+        if n_pruned == n_und:
+            break
+        n_und = n_pruned
     deg = (
         und.select(F.col("a").alias("id"))
         .union(und.select(F.col("b").alias("id")))

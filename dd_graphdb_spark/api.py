@@ -97,7 +97,13 @@ class GraphApiServer:
                 res = shell.execute(f"VIEW QUERY {name}")
                 if not res.ok:
                     return 404, {"error": res.message}
-                limit = int(query.get("limit", [self.row_limit])[0])
+                raw_limit = query.get("limit", [self.row_limit])[0]
+                try:
+                    limit = int(raw_limit)
+                except (TypeError, ValueError):
+                    return 400, {"error": f"limit must be an integer, got {raw_limit!r}"}
+                if limit < 0:
+                    return 400, {"error": "limit must be non-negative"}
                 return 200, {"view": name, "rows": _df_rows(res.data, min(limit, self.row_limit))}
             if method == "DELETE":
                 res = shell.execute(f"VIEW DROP {name}")

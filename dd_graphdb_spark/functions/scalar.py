@@ -80,6 +80,9 @@ def geo_enrich(df: DataFrame, key_col: str = "user_id") -> DataFrame:
     only sane shape at 100 TB. Buckets by ``key_col % 5`` standing in
     for the IP-prefix lookup."""
     dim = geo_dim(df.sparkSession)
-    return df.withColumn("bucket", (F.col(key_col) % 5).cast("int")).join(
-        F.broadcast(dim), "bucket"
+    # pmod (signed % keeps the dividend's sign, so a negative key would
+    # bucket outside 0..4) + LEFT join (an enricher must never DROP fact
+    # rows — NULL keys keep their row with null region columns)
+    return df.withColumn("bucket", F.pmod(F.col(key_col), F.lit(5)).cast("int")).join(
+        F.broadcast(dim), "bucket", "left"
     )

@@ -435,6 +435,18 @@ class _Parser:
             return Compare(var, prop, "in", vals)
         op = self.expect("op")
         if (
+            op == "<-"
+            and self.at_name()
+            and self.peek()[0] not in ("TRUE", "FALSE", "NULL")
+        ):
+            # `a.age<-b.age` lexed as the edge arrow: no lowering exists
+            # for '<-' against a property reference — reject with a
+            # clear message instead of a KeyError deep in the lowerer
+            raise ValueError(
+                "GQL parse error: '<-' before a name is ambiguous — "
+                "write 'a.x < b.y' (spaced) or compare against a literal"
+            )
+        if (
             self.at_name()
             and self.peek()[0] not in ("TRUE", "FALSE", "NULL")
             and self.toks[self.i + 1][1] == "."
@@ -523,6 +535,24 @@ class _Parser:
         return v
 
     # ----- statements
+    def _match_clauses(self) -> list:
+        """Consecutive MATCH / OPTIONAL MATCH clauses in source order
+        (shared by the pre- and post-WITH positions)."""
+        clauses = []
+        while True:
+            if self.accept("OPTIONAL"):
+                self.expect("MATCH")
+                pat = self.path()
+                where = self.where_expr() if self.accept("WHERE") else None
+                clauses.append(("optional", OptionalMatch(pat, where)))
+            elif self.accept("MATCH"):
+                pat = self.path()
+                where = self.where_expr() if self.accept("WHERE") else None
+                clauses.append(("match", OptionalMatch(pat, where)))
+            else:
+                break
+        return clauses
+
     def statement(self):
         if self.accept("MATCH"):
             pattern = self.path()
@@ -540,19 +570,7 @@ class _Parser:
                     if not self.accept("punct", ","):
                         break
                 return MatchSetStatement(pattern, where, assigns)
-            clauses = []
-            while True:
-                if self.accept("OPTIONAL"):
-                    self.expect("MATCH")
-                    opat = self.path()
-                    owhere = self.where_expr() if self.accept("WHERE") else None
-                    clauses.append(("optional", OptionalMatch(opat, owhere)))
-                elif self.accept("MATCH"):
-                    mpat = self.path()
-                    mwhere = self.where_expr() if self.accept("WHERE") else None
-                    clauses.append(("match", OptionalMatch(mpat, mwhere)))
-                else:
-                    break
+            clauses = self._match_clauses()
             with_items = with_where = None
             post_clauses = []
             if self.accept("WITH"):
@@ -561,18 +579,7 @@ class _Parser:
                     raise ValueError("GQL parse error: WITH does not support *")
                 if self.accept("WHERE"):
                     with_where = self.where_expr()
-                while True:
-                    if self.accept("OPTIONAL"):
-                        self.expect("MATCH")
-                        pat2 = self.path()
-                        w2 = self.where_expr() if self.accept("WHERE") else None
-                        post_clauses.append(("optional", OptionalMatch(pat2, w2)))
-                    elif self.accept("MATCH"):
-                        pat2 = self.path()
-                        w2 = self.where_expr() if self.accept("WHERE") else None
-                        post_clauses.append(("match", OptionalMatch(pat2, w2)))
-                    else:
-                        break
+                post_clauses = self._match_clauses()
                 if post_clauses and any(i.agg for i in with_items):
                     raise ValueError(
                         "GQL parse error: MATCH after an aggregating WITH is "

@@ -59,26 +59,31 @@ def _node_filter(df: DataFrame, node: NodePattern, var: str) -> DataFrame:
     return df
 
 
-def _lower_condition(cond, bare: bool = False) -> F.Column:
+def _lower_condition(cond, bare: bool = False, pattern_vars: tuple = ()) -> F.Column:
     """``bare``: the frame's columns are projected output names (a WITH
-    intermediate) rather than ``var__col`` binding columns."""
+    intermediate) rather than ``var__col`` binding columns.
+    ``pattern_vars``: whole variables passed through a non-aggregating
+    WITH — their binding columns survive into the bare frame, so
+    `v IS NULL` on one still resolves via the id witness."""
     if isinstance(cond, BoolExpr):
         if cond.op == "NOT":
-            return ~_lower_condition(cond.left, bare)
-        left = _lower_condition(cond.left, bare)
-        right = _lower_condition(cond.right, bare)
+            return ~_lower_condition(cond.left, bare, pattern_vars)
+        left = _lower_condition(cond.left, bare, pattern_vars)
+        right = _lower_condition(cond.right, bare, pattern_vars)
         return left & right if cond.op == "AND" else left | right
     assert isinstance(cond, Compare)
     if cond.prop:
         col = F.col(f"{cond.var}__{cond.prop}")
-    elif bare:
-        # bare column reference = a post-WITH alias
-        col = F.col(cond.var)
-    elif cond.op in ("is_null", "is_not_null"):
+    elif cond.op in ("is_null", "is_not_null") and (
+        not bare or cond.var in pattern_vars
+    ):
         # Cypher `v IS NULL` on a pattern variable asks whether the
         # binding is unbound (OPTIONAL MATCH misses) — the id column is
         # the binding's existence witness
         col = F.col(f"{cond.var}__id")
+    elif bare:
+        # bare column reference = a post-WITH alias
+        col = F.col(cond.var)
     else:
         raise ValueError(
             f"bare name {cond.var!r} in WHERE is only valid after WITH "
@@ -232,7 +237,10 @@ class GQLEngine:
 
     def _execute_match(self, stmt: MatchStatement) -> DataFrame:
         bound = self.match_bindings(stmt.pattern, stmt.where)
-        vertex_vars = [n.var for n in stmt.pattern.nodes]
+        # dedupe: a repeated node variable (cycle pattern) binds ONCE —
+        # without this, RETURN * emits its columns twice and any ORDER
+        # BY / DISTINCT on them becomes ambiguous
+        vertex_vars = list(dict.fromkeys(n.var for n in stmt.pattern.nodes))
         bound, vertex_vars = self._apply_clauses(
             bound, vertex_vars, stmt.clauses, "_o"
         )
@@ -272,7 +280,11 @@ class GQLEngine:
                 inter = bound.select(*cols)
                 pvars = passthrough
             if stmt.with_where is not None:
-                inter = inter.filter(_lower_condition(stmt.with_where, bare=True))
+                inter = inter.filter(
+                    _lower_condition(
+                        stmt.with_where, bare=True, pattern_vars=tuple(pvars)
+                    )
+                )
             inter, pvars = self._apply_clauses(
                 inter, pvars, stmt.post_clauses, "_p"
             )

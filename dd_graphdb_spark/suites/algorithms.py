@@ -825,6 +825,7 @@ def algo_sssp_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         source=SUPP,
         weight_property="w",
         max_iterations=10,
+        on_exhaustion="truncate",  # the 10-round truncation IS the contract
     )
     return res.select("id", "distance")
 

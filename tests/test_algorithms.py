@@ -259,3 +259,57 @@ def test_sssp_rejects_missing_weight_column(spark):
     # must not silently degrade to hop-count distances
     with _pt.raises(ValueError, match="weight_property"):
         sssp(PropertyGraph(v, e), source=1, weight_property="wieght")
+
+
+def test_sssp_raises_on_truncation(spark):
+    import pytest as _pt
+
+    from dd_graphdb_spark.algorithms import sssp
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    # 6-vertex chain, max_iterations=3: vertices 4+ hops away would be
+    # silently reported unreachable — the default contract raises
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    e = spark.createDataFrame(
+        [(i, i + 1, "x") for i in range(5)], "src long, dst long, label string"
+    )
+    g = PropertyGraph(v, e)
+    with _pt.raises(RuntimeError, match="did not converge"):
+        sssp(g, source=0, max_iterations=3)
+    # explicit opt-in keeps bounded-round semantics
+    out = {r["id"]: r["distance"] for r in
+           sssp(g, source=0, max_iterations=3, on_exhaustion="truncate").collect()}
+    assert out[3] == 3.0 and out[5] == float("inf")
+    # and a converged run under the default raises nothing
+    assert len(sssp(g, source=0, max_iterations=10).collect()) == 6
+
+
+def test_reachability_raises_on_truncation(spark):
+    import pytest as _pt
+
+    from dd_graphdb_spark.algorithms import reachability
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    e = spark.createDataFrame(
+        [(i, i + 1, "x") for i in range(5)], "src long, dst long, label string"
+    )
+    g = PropertyGraph(v, e)
+    with _pt.raises(RuntimeError, match="did not converge"):
+        reachability(g, source=0, max_iterations=2)
+    assert reachability(g, source=0, max_iterations=10).count() == 6
+
+
+def test_personalized_pagerank_validates_sources(spark):
+    import pytest as _pt
+
+    from dd_graphdb_spark.algorithms import personalized_pagerank
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame([(1,), (2,)], "id long")
+    e = spark.createDataFrame([(1, 2, "x")], "src long, dst long, label string")
+    g = PropertyGraph(v, e)
+    with _pt.raises(ValueError, match="duplicate"):
+        personalized_pagerank(g, [1, 1], max_iterations=1)
+    with _pt.raises(ValueError, match="not"):
+        personalized_pagerank(g, [1, 99], max_iterations=1)

@@ -501,3 +501,28 @@ def test_is_null_on_pattern_variable_and_bare_name_error(people_graph):
     # ValueError, not a Spark AnalysisException leaking through /gql
     with pytest.raises(ValueError, match="only valid after WITH"):
         eng.execute("MATCH (v:Person) WHERE v > 5 RETURN v.name")
+
+
+def test_return_star_repeated_variable_dedupes(people_graph):
+    eng = _engine(people_graph)
+    # cycle pattern binds `a` twice; RETURN * must emit its columns ONCE
+    df = eng.execute("MATCH (a:Person)-[e1:friend]->(b)-[e2:friend]->(a) RETURN *")
+    assert len(df.columns) == len(set(df.columns))
+    df.collect()  # and the frame is actually resolvable
+
+
+def test_is_null_on_passthrough_variable(people_graph):
+    eng = _engine(people_graph)
+    # the standard Cypher anti-join with a WHOLE passthrough variable:
+    # WITH a, b WHERE b IS NULL (b's binding columns survive the WITH)
+    df = eng.execute(
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[e:friend]->(b) "
+        "WITH a, b WHERE b IS NULL RETURN a.name"
+    )
+    assert {r[0] for r in df.collect()} == {"Charlie"}
+
+
+def test_arrow_op_before_name_is_clean_error(people_graph):
+    eng = _engine(people_graph)
+    with pytest.raises(ValueError, match="ambiguous"):
+        eng.execute("MATCH (a:Person)-[e:friend]->(b) WHERE a.age<-b.age RETURN a.name")

@@ -108,3 +108,17 @@ def test_latency_and_geo_enrichers(spark):
     assert by_bucket[0] == "NA" and by_bucket[6] == "EU"
     # broadcast hint must survive into the plan (no shuffle of the fact side)
     assert "Broadcast" in geo._jdf.queryExecution().executedPlan().toString()
+
+
+def test_geo_enrich_keeps_negative_and_null_keys(spark):
+    """An enricher must never drop fact rows: negative keys bucket via
+    pmod, NULL keys keep their row with null region columns."""
+    from dd_graphdb_spark.functions.scalar import geo_enrich
+
+    df = spark.createDataFrame([(3,), (-3,), (None,)], "user_id long")
+    out = geo_enrich(df)
+    assert out.count() == 3
+    rows = {r["user_id"]: (r["bucket"], r["region"]) for r in out.collect()}
+    assert rows[3][0] == 3 and rows[3][1] is not None
+    assert rows[-3][0] == 2 and rows[-3][1] is not None  # pmod(-3,5)=2
+    assert rows[None][0] is None and rows[None][1] is None

@@ -180,7 +180,10 @@ def sssp_colocation(g):
     # replica 0's source; 10x replicas grow the EDGE side of every
     # Bellman-Ford round 10x while the reachable set stays constant —
     # the per-round join/agg cost is what the curve measures
-    return A.sssp(g, source=SUPP, weight_property="w", max_iterations=10)
+    return A.sssp(
+        g, source=SUPP, weight_property="w", max_iterations=10,
+        on_exhaustion="truncate",
+    )
 
 
 def main():
