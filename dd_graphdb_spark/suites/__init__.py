@@ -69,10 +69,14 @@ def _with_hygiene(fn):
 # read, and the two STRENGTHENED queries that previously compared
 # 0 == 0 rows — gql_with_passthrough matched a nonexistent nation name,
 # edges_between_lookup probed the wrong nation pair); (3) the 9 entries
-# whose only driver rows are from round 2; (4) round-3-recorded
-# re-checks fill the window. The remaining round-3 entries overflow to
-# r7 with their old green rows standing, then the round-4 and round-5
-# blocks. NEW queries with oracles must be inserted at the TOP.
+# whose only driver rows are from round 2; (4) the 8 queries whose
+# ENGINE PATHS changed in the round-6 deep-review passes (geo enricher
+# left-join/pmod, count-window chunk ordering, salted common-neighbors
+# distinct, k-core single-count loop, reachability exhaustion guard,
+# PPR source validation); (5) round-3-recorded re-checks fill the
+# window. The remaining round-3 entries overflow to r7 with their old
+# green rows standing, then the round-4 and round-5 blocks. NEW
+# queries with oracles must be inserted at the TOP.
 GATE_PRIORITY = [
     "gql_anti_join_null",
     "gql_count_distinct_segments",
@@ -89,6 +93,14 @@ GATE_PRIORITY = [
     "sim_ann_ivf_indexed",
     "gql_with_passthrough",
     "edges_between_lookup",
+    "fn_geo_enrich",
+    "stream_count_window",
+    "stream_live_count_window",
+    "common_neighbors_suppliers",
+    "skew_common_neighbors_events",
+    "algo_kcore_colocation",
+    "algo_reachability_order",
+    "algo_ppr_customers",
     "window_topk_per_segment",
     "window_lag_delta",
     "rollup_status_priority",
@@ -124,22 +136,11 @@ GATE_PRIORITY = [
     "stream_custom_agg_p90",
     "stream_dedup_first",
     "stream_filter_rules",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
-    "fn_geo_enrich",
     "gql_create_delete",
     "multimodal_binary_meta",
     "multimodal_decode_dims",
     "multimodal_feature_extract",
     "router_scoring_table",
-    "sketch_count_min_estimates",
-    "source_csv_extraction",
-    "source_json_extraction",
-    "source_regex_extraction",
-    "stream_count_window",
-    "stream_live_count_window",
     "stream_live_dedup_keys",
     "stream_live_global",
     "stream_live_session",
@@ -159,6 +160,14 @@ GATE_PRIORITY = [
     "fn_json_props",
     "view_incremental_triangles",
     "view_incremental_kcore",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_token_count",
+    "source_csv_extraction",
+    "source_json_extraction",
+    "source_regex_extraction",
+    "sketch_count_min_estimates",
     "dedup_cluster_survivors",
     "window_running_total",
     "multimodal_frame_sample",
@@ -173,16 +182,12 @@ GATE_PRIORITY = [
     "traverse_all_neighbors",
     "traverse_2hop",
     "degree_top_customers",
-    "common_neighbors_suppliers",
-    "skew_common_neighbors_events",
     "algo_pagerank_fixture",
     "algo_cc_derived",
     "algo_component_count",
     "algo_sssp_fixture",
     "algo_bfs_full",
-    "algo_reachability_order",
     "algo_triangle_colocation",
-    "algo_kcore_colocation",
     "algo_degree_centrality",
     "algo_closeness_fixture",
     "algo_betweenness_fixture",
@@ -227,7 +232,6 @@ GATE_PRIORITY = [
     "algo_lpa_fixture",
     "range_join_value_bands",
     "text_bpe_token_count",
-    "algo_ppr_customers",
     "view_incremental_lpa",
     "gql_order_skip_limit",
     "gql_count_per_nation",
