@@ -95,7 +95,10 @@ def main() -> None:
     from dd_graphdb_spark.suites import all_queries
 
     spark = get_spark("dd-graphdb-bench")
-    qs, _ = all_queries()
+    # hygiene=False: scrub() below is the ONE GC pass, run OUTSIDE the
+    # timed region (the wrapper's per-query GC would be charged to every
+    # timed window — hundreds of ms of JVM System.gc on a warm heap)
+    qs, _ = all_queries(hygiene=False)
 
     # LOAD PHASE (untimed, like any TPC load step): materialize the
     # src-bucketed derived graph the graph queries read. One-time layout
@@ -163,11 +166,16 @@ def main() -> None:
         scrub()
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        n = df.count()  # force full execution without driver-side collect cost
+        # noop sink, NOT count(): Catalyst prunes count() to an empty
+        # projection, so projection-only bodies (regex/token/window
+        # expressions with no aggregate on top) would never execute —
+        # the noop format materializes EVERY output column with no
+        # write IO and no driver transfer
+        df.write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {n} rows in {dt:.2f}s", file=sys.stderr)
+        print(f"# {name}: done in {dt:.2f}s", file=sys.stderr)
 
     # normalized = seconds ÷ calibration probe: a dimensionless number
     # comparable ACROSS rounds on a drifting shared host (the probe is

@@ -78,6 +78,46 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # read_events(). Use `FROM {EVENTS_US} e` / `FROM {EVENTS_US} events`.
 EVENTS_US = "(SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events)"
 
+_SQL_AFTER_FROM_KW = (
+    "JOIN|WHERE|GROUP|ORDER|LEFT|RIGHT|FULL|CROSS|INNER|UNION|HAVING|"
+    "QUALIFY|LIMIT|ON|USING|AS"
+)
+_EVENTS_FROM_RE = None  # compiled lazily
+
+
+def rewrite_events_oracles(oracles: dict) -> None:
+    """Rewrite every ``FROM events`` in the given ORACLES dict to the
+    microsecond-truncated ``EVENTS_US`` form (alias-preserving), so the
+    DuckDB side compares the same timestamp precision read_events()
+    produces — events.parquet is TIMESTAMP(NANOS) in some driver
+    generations and plain µs in others; the truncation is a no-op on µs
+    data. ONE shared implementation: per-module copies of this rewrite
+    drifted (one module missed it entirely), which is a latent
+    false-FAIL under a NANOS-generation testdata dir.
+
+    Call at the very END of a suite module (after ALL registrations) —
+    a mid-module call silently skips oracles registered below it.
+    """
+    import re
+
+    global _EVENTS_FROM_RE
+    if _EVENTS_FROM_RE is None:
+        _EVENTS_FROM_RE = re.compile(
+            rf"\bFROM\s+events\b"
+            rf"(?:\s+(?!(?:{_SQL_AFTER_FROM_KW})\b)(?P<alias>[A-Za-z_]\w*))?"
+        )
+
+    def _sub(m):
+        alias = m.group("alias") or "events"
+        return f"FROM {EVENTS_US} {alias}"
+
+    for k in list(oracles):
+        if EVENTS_US in oracles[k]:
+            # already truncated inline by the module author — rewriting
+            # again would wrap the subquery's own inner `FROM events`
+            continue
+        oracles[k] = _EVENTS_FROM_RE.sub(_sub, oracles[k])
+
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the driver-generated parquet tables and register temp views.

@@ -708,38 +708,17 @@ l{i} AS MATERIALIZED (
 
 
 def _lpa_oracle(n_rounds: int = _LPA_ROUNDS) -> str:
-    steps = []
-    prev = "l0"
-    for i in range(1, n_rounds + 1):
-        steps.append(
-            f"""f{i} AS (
-    SELECT e.src AS id, l.lbl, COUNT(*) AS c
-    FROM sym e JOIN {prev} l ON e.dst = l.id
-    GROUP BY e.src, l.lbl
-),
-p{i} AS (
-    SELECT id, lbl FROM f{i}
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) = 1
-),
-l{i} AS MATERIALIZED (
-    SELECT v.id, COALESCE(p.lbl, l.lbl) AS lbl
-    FROM verts v JOIN {prev} l ON v.id = l.id LEFT JOIN p{i} p ON v.id = p.id
-)"""
-        )
-        prev = f"l{i}"
-    return (
-        f"""
+    """Fixture-graph LPA oracle — the fixture VALUES head through the
+    ONE shared round-unroller (`_lpa_unrolled`), so the tie-break SQL
+    cannot diverge between the fixture and colocation oracles."""
+    head = f"""
     WITH verts(id) AS (VALUES {_vals_v(LPA_VERTS)}),
     edges(src, dst) AS (VALUES {_values(LPA_EDGES)}),
     sym AS (
         SELECT src, dst FROM edges WHERE src <> dst
         UNION SELECT dst, src FROM edges WHERE src <> dst
-    ),
-    l0 AS (SELECT id, id AS lbl FROM verts),
-    """
-        + ",\n".join(steps)
-        + f"\nSELECT id::BIGINT AS id, lbl::BIGINT AS community FROM {prev}"
-    )
+    )"""
+    return _lpa_unrolled(head, n_rounds)
 
 
 @_q("algo_lpa_fixture", _lpa_oracle())

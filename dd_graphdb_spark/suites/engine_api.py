@@ -571,3 +571,10 @@ def gql_set_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weight"
         ),
     )
+
+
+# Uniform events-precision handling (no-op for ts-free oracles; see
+# graph.rewrite_events_oracles).
+from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402
+
+_rw(ORACLES)

@@ -718,3 +718,10 @@ def gql_with_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH c MATCH (c)<-[:placed_by]-(o:Order) "
         "RETURN c.name, count(o)"
     )
+
+
+# Uniform events-precision handling (no-op for ts-free oracles; see
+# graph.rewrite_events_oracles).
+from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402
+
+_rw(ORACLES)

@@ -619,3 +619,10 @@ def view_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return st.result()
+
+
+# Uniform events-precision handling (no-op for ts-free oracles; see
+# graph.rewrite_events_oracles).
+from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402
+
+_rw(ORACLES)

@@ -1032,11 +1032,13 @@ _PII_SQL_TEXT = """
     """,
 )
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing over customer contact text (TPC-H c_phone is a
-    real dashed phone shape; every 10th row gains a synthetic email).
-    Redacted strings and match counts are hash-compared against DuckDB
-    running the same RE2/Java-common regexes — an engine-parity check
-    of the regex subset the scrubber is allowed to use."""
+    """PII scrubbing over synthesized customer contact text: the
+    trimmed customer table has NO phone column, so phone/SSN/IP/email
+    shapes are derived arithmetically from c_custkey — deterministic
+    and identical on both engines. Redacted strings and match counts
+    are hash-compared against DuckDB running the same RE2/Java-common
+    regexes — an engine-parity check of the regex subset the scrubber
+    is allowed to use."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     k = F.col("c_custkey")
 
@@ -1183,3 +1185,10 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(ex.q_id.alias("q_id"))
         .agg(F.count("hit").alias("n_overlap"))
     )
+
+
+# Uniform events-precision handling (no-op for ts-free oracles; see
+# graph.rewrite_events_oracles).
+from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402
+
+_rw(ORACLES)

@@ -303,12 +303,21 @@ def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT s_nationkey FROM supplier WHERE s_suppkey <= 10
     """,
 )
 def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the right side is restricted to the first 10 suppliers: every
+    # nation has both customers and suppliers in this testdata, so an
+    # unrestricted EXCEPT is empty by construction and would verify
+    # nothing (0 == 0 rows at every SF); restricted, the difference is
+    # non-empty at sf0.001/0.01/0.1 (15/14/17 nations)
     c = read(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = read(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    s = (
+        read(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 10)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
     return c.subtract(s)
 
 
@@ -454,11 +463,6 @@ def db_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Match read_events()'s nanosecond→microsecond truncation on the DuckDB side
-# (only window_lag_delta touches events here).
-_EVENTS_US = "(SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events) events"
-for _k in list(ORACLES):
-    ORACLES[_k] = ORACLES[_k].replace("FROM events", f"FROM {_EVENTS_US}")
 
 
 # --------------------------------------------------------------------------
@@ -492,3 +496,10 @@ def window_ntile_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         # column into NaN, which would sham-mismatch the hash compare
         F.coalesce(F.lead("c_acctbal").over(w), F.lit(-999999.0)).alias("next_bal"),
     )
+
+
+# Match read_events()'s nanosecond→microsecond truncation on the DuckDB
+# side — at module END so every registered oracle is covered.
+from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402
+
+_rw(ORACLES)

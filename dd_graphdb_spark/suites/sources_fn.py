@@ -161,3 +161,10 @@ def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_decile")
         .agg(F.count("*").alias("n"), F.sum("k").alias("k_sum"))
     )
+
+
+# Uniform events-precision handling (no-op for ts-free oracles; see
+# graph.rewrite_events_oracles).
+from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402
+
+_rw(ORACLES)

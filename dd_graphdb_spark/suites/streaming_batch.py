@@ -491,9 +491,8 @@ def alert_anomaly_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# events.parquet stores ts as TIMESTAMP(NANOS); read_events() truncates to
-# microseconds (Spark's native precision). Apply the identical truncation on
-# the DuckDB side so both engines compare equal values.
-_EVENTS_US = "(SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events) events"
-for _k in list(ORACLES):
-    ORACLES[_k] = ORACLES[_k].replace("FROM events", f"FROM {_EVENTS_US}")
+# Match read_events()'s ns→µs truncation on the DuckDB side (module END
+# so every oracle is covered; see graph.rewrite_events_oracles).
+from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402
+
+_rw(ORACLES)

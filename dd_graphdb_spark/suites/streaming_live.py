@@ -31,7 +31,10 @@ def _q(name: str, oracle: str | None = None):
 
 FMT = "yyyy-MM-dd HH:mm:ss"
 SQL_FMT = "%Y-%m-%d %H:%M:%S"
-EVENTS_US = "(SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM events) events"
+from dd_graphdb_spark.graph import EVENTS_US as _EVENTS_US_SUB
+
+# interpolated inline in this module's oracles (alias `events`)
+EVENTS_US = _EVENTS_US_SUB + " events"
 
 
 @_q(
@@ -307,3 +310,10 @@ def stream_live_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", F.col("c_mktsegment").alias("segment"), "value"
     )
     return run_to_memory(j, output_mode="append")
+
+
+# Safety net for oracles written with a raw `FROM events` (the
+# EVENTS_US-interpolated ones are skipped — see rewrite_events_oracles).
+from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402
+
+_rw(ORACLES)

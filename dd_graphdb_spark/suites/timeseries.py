@@ -419,3 +419,12 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
     )
+
+
+# Match read_events()'s ns→µs truncation on the DuckDB side — this
+# module had NO rewrite (latent false-FAIL under a NANOS-generation
+# testdata dir: asof ordering, sessionize gaps and rollup buckets would
+# compare ns-precision DuckDB values against µs-truncated Spark ones).
+from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402
+
+_rw(ORACLES)

@@ -55,6 +55,13 @@ def main():
     ):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    unknown = only - qs.keys()
+    if unknown:
+        # a typo'd filter otherwise yields "0 pass, 0 fail" + exit 0 —
+        # a false green from the correctness-gate replica
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
+
     n_pass = n_fail = 0
     oracle_times: dict[str, tuple[float, float]] = {}
     for name, fn in qs.items():

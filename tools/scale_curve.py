@@ -8,7 +8,8 @@ definition instead of the engine. Inputs are materialized to parquet
 first so the timed region is the operator, not the replica union.
 
 Usage: python tools/scale_curve.py [sf_dir] [op ...]
-Ops: asof_hotkey | dedup_clusters | late_events | skew_common | minhash_lsh
+Ops: asof_hotkey | dedup_clusters | range_join_bands | chunk_docs |
+     tfidf_topk | cc_derived | sssp_colocation
 """
 
 from __future__ import annotations
@@ -211,6 +212,10 @@ def main():
         "cc_derived": (fk_graph_input, cc_derived),
         "sssp_colocation": (colocation_graph_input, sssp_colocation),
     }
+    unknown = only - ops.keys()
+    if unknown:
+        print(f"ERROR: unknown op(s): {sorted(unknown)} (have: {sorted(ops)})")
+        sys.exit(2)
     for name, (builder, op) in ops.items():
         if only and name not in only:
             continue
