@@ -573,3 +573,73 @@ def test_var_length_paths_match_walk_model(spark, raw_edges, lo_extra, span):
             for (s, t), m in cur.items():
                 expect[(s, t, h)] += m
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# Exact n-gram Jaccard: salted path ≡ unsalted path ≡ pure-python set
+# model on arbitrary small corpora (guards the skew path end-to-end,
+# not just on the hand-built boilerplate fixture)
+# --------------------------------------------------------------------------
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+
+
+@SMALL
+@given(st.lists(st.lists(_word, min_size=1, max_size=6), min_size=2, max_size=8))
+def test_ngram_jaccard_salted_matches_set_model(spark, docs_tokens):
+    from dd_graphdb_spark.operators.dedup import ngram_jaccard_pairs
+
+    texts = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, 0.01, salt_threshold=1, n_salts=3
+        ).collect()
+    }
+
+    def shingles(toks):
+        if len(toks) >= 3:
+            return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        return {" ".join(toks)}
+
+    want = {}
+    sh = {i: shingles(t) for i, t in enumerate(docs_tokens)}
+    for a in sh:
+        for b in sh:
+            if a < b:
+                inter = len(sh[a] & sh[b])
+                if inter:
+                    j = inter / len(sh[a] | sh[b])
+                    if j >= 0.01:
+                        want[(a, b)] = round(j, 6)
+    assert got == pytest.approx(want)
+
+
+# --------------------------------------------------------------------------
+# Filter-rule Modify atomicity on arbitrary rule chains: every
+# modification of a rule applies to exactly the rows its predicate
+# matched BEFORE any of the rule's modifications
+# --------------------------------------------------------------------------
+@SMALL
+@given(
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=6),
+    st.sampled_from(["x", "y"]),
+)
+def test_modify_rules_match_python_model(spark, values, match_val):
+    from dd_graphdb_spark.streaming import FilterRule, apply_filter_rules
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "event_id long, status string")
+    rule = FilterRule(
+        "r", "status", "equals", match_val,
+        action="modify",
+        modifications={"status": "done", "tag": 7},
+    )
+    got = {
+        r["event_id"]: (r["status"], r["tag"])
+        for r in apply_filter_rules(df, [rule]).collect()
+    }
+    want = {
+        i: (("done", 7) if v == match_val else (v, None)) for i, v in rows
+    }
+    assert got == want
