@@ -80,7 +80,7 @@ EVENTS_US = "(SELECT * REPLACE (make_timestamp(epoch_ns(ts) // 1000) AS ts) FROM
 
 _SQL_AFTER_FROM_KW = (
     "JOIN|WHERE|GROUP|ORDER|LEFT|RIGHT|FULL|CROSS|INNER|UNION|HAVING|"
-    "QUALIFY|LIMIT|ON|USING|AS"
+    "QUALIFY|LIMIT|ON|USING"
 )
 _EVENTS_FROM_RE = None  # compiled lazily
 
@@ -104,7 +104,7 @@ def rewrite_events_oracles(oracles: dict) -> None:
     if _EVENTS_FROM_RE is None:
         _EVENTS_FROM_RE = re.compile(
             rf"\bFROM\s+events\b"
-            rf"(?:\s+(?!(?:{_SQL_AFTER_FROM_KW})\b)(?P<alias>[A-Za-z_]\w*))?"
+            rf"(?:\s+(?:AS\s+)?(?!(?:{_SQL_AFTER_FROM_KW})\b)(?P<alias>[A-Za-z_]\w*))?"
         )
 
     def _sub(m):
@@ -253,7 +253,7 @@ def tpch_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     return PropertyGraph(vertices, edges)
 
 
-_GRAPH_CACHE: dict[tuple[int, str], PropertyGraph] = {}
+_GRAPH_CACHE: dict[tuple[int, str, int], PropertyGraph] = {}
 
 
 def materialized_tpch_graph(
@@ -283,7 +283,10 @@ def materialized_tpch_graph(
     The cache key pins the session (DataFrames hold the session ref, so
     id() cannot be recycled while the entry lives).
     """
-    key = (id(spark), sf_dir)
+    # buckets is part of the key: the table-name digest already keeps
+    # layouts distinct on disk, but the session cache would otherwise
+    # silently return the previously built bucket count
+    key = (id(spark), sf_dir, buckets)
     if key in _GRAPH_CACHE:
         return _GRAPH_CACHE[key]
     g = tpch_graph(spark, sf_dir)

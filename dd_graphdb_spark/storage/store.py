@@ -120,7 +120,11 @@ def prop_typed(col: str | Column, key: str, dtype: str = "string") -> Column:
             F.concat(F.lit("["), raw, F.lit("]")), "array<string>"
         ).getItem(0),
     ).otherwise(raw)
-    return unquoted.cast(dtype)
+    # try_cast, not cast: under Spark 4's default ANSI mode a strict
+    # cast THROWS on a non-castable value — the reference's as_int64
+    # access-time typing returns None on a type mismatch (one bad bag
+    # value must not crash the whole query)
+    return unquoted.try_cast(dtype)
 
 
 def cdc_to_deltas(changes: DataFrame) -> DataFrame:
@@ -388,7 +392,15 @@ class GraphStore:
             # replacing map without "type" clears the label column too
             last: dict[int, tuple] = {}
             for p in ps:
-                last[p["id"]] = (p["id"], p["props"].get("type"), _render_props(p["props"]))
+                t = p["props"].get("type")
+                # label slot is string-typed; a non-string 'type' value
+                # (legal in the schemaless map) must coerce, matching
+                # update_vertices' str() handling
+                last[p["id"]] = (
+                    p["id"],
+                    None if t is None else str(t),
+                    _render_props(p["props"]),
+                )
             rows = spark.createDataFrame(list(last.values()), VERTEX_SCHEMA)
             v_df = v_df.join(rows.select("id"), "id", "left_anti").unionByName(rows)
         elif kind == "remove_vertex":
@@ -453,8 +465,19 @@ class GraphStore:
         path. Cypher SET semantics: listed keys overwrite, other keys
         are KEPT (unlike update_vertex_props' whole-map replace,
         lib.rs:310-312). ``ids_df`` must have a single ``id`` column."""
+        v_df = self._updated_vertices_df(self.vertices(), ids_df, props)
+        new_version = self.version + 1
+        self._write_version(new_version, v_df, self.edges())
+        self._save_meta({"version": new_version})
+        return new_version
+
+    @staticmethod
+    def _updated_vertices_df(v_base: DataFrame, ids_df: DataFrame, props: dict) -> DataFrame:
+        """Pure transform behind update_vertices — composable so a
+        multi-variable MATCH..SET can fold several updates into ONE
+        snapshot version."""
         ids = ids_df.select("id").distinct().withColumn("_hit", F.lit(True))
-        v = self.vertices().join(ids, "id", "left")
+        v = v_base.join(ids, "id", "left")
         updated = F.coalesce(F.col("properties"), F.expr("map()"))
 
         def drop_key(key):
@@ -475,25 +498,30 @@ class GraphStore:
             ).alias("label")
         else:
             label_col = F.col("label")
-        v_df = v.select(
+        return v.select(
             "id",
             label_col,
             F.when(F.col("_hit"), updated).otherwise(F.col("properties")).alias(
                 "properties"
             ),
         )
-        new_version = self.version + 1
-        self._write_version(new_version, v_df, self.edges())
-        self._save_meta({"version": new_version})
-        return new_version
 
     def update_edges(self, keys_df: DataFrame, props: dict) -> int:
         """Bulk per-key edge property update (Cypher SET semantics, like
         update_vertices). ``keys_df`` needs (src, dst, label) columns."""
+        e_df = self._updated_edges_df(self.edges(), keys_df, props)
+        new_version = self.version + 1
+        self._write_version(new_version, self.vertices(), e_df)
+        self._save_meta({"version": new_version})
+        return new_version
+
+    @staticmethod
+    def _updated_edges_df(e_base: DataFrame, keys_df: DataFrame, props: dict) -> DataFrame:
+        """Pure transform behind update_edges (see _updated_vertices_df)."""
         keys = keys_df.select("src", "dst", "label").distinct().withColumn(
             "_hit", F.lit(True)
         )
-        e = self.edges().join(keys, ["src", "dst", "label"], "left")
+        e = e_base.join(keys, ["src", "dst", "label"], "left")
         updated = F.coalesce(F.col("properties"), F.expr("map()"))
 
         def drop_key(key):
@@ -504,7 +532,7 @@ class GraphStore:
                 F.map_filter(updated, drop_key(k)),
                 F.create_map(F.lit(k), F.lit(json.dumps(val))),
             )
-        e_df = e.select(
+        return e.select(
             "src",
             "dst",
             "label",
@@ -512,10 +540,6 @@ class GraphStore:
                 "properties"
             ),
         )
-        new_version = self.version + 1
-        self._write_version(new_version, self.vertices(), e_df)
-        self._save_meta({"version": new_version})
-        return new_version
 
     def execute_mutation(self, stmt, engine) -> DataFrame:
         """Apply a parsed GQL CREATE / MATCH..DELETE statement.
@@ -579,11 +603,17 @@ class GraphStore:
             return self.spark.createDataFrame([(next_id,)], "id long")
 
         if isinstance(stmt, MatchSetStatement):
+            # ONE snapshot version for the whole statement: per-variable
+            # transforms compose on the pending frames and commit once —
+            # a crash or concurrent reader can never observe a
+            # half-applied SET (the old per-variable commit bumped one
+            # version per variable)
             bindings = engine.match_bindings(stmt.pattern, stmt.where)
             edge_vars = {e.var for e in stmt.pattern.edges if e.var}
             by_var: dict[str, dict] = {}
             for var, prop, val in stmt.assignments:
                 by_var.setdefault(var, {})[prop] = val
+            v_df, e_df = self.vertices(), self.edges()
             out = None
             for var, props in by_var.items():
                 if var in edge_vars:
@@ -596,7 +626,7 @@ class GraphStore:
                         .distinct()
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    self.update_edges(keys, props)
+                    e_df = self._updated_edges_df(e_df, keys, props)
                     touched = keys.select(F.col("src").alias("id"))
                 else:
                     touched = (
@@ -604,8 +634,11 @@ class GraphStore:
                         .distinct()
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    self.update_vertices(touched, props)
+                    v_df = self._updated_vertices_df(v_df, touched, props)
                 out = touched if out is None else out.unionByName(touched).distinct()
+            new_version = self.version + 1
+            self._write_version(new_version, v_df, e_df)
+            self._save_meta({"version": new_version})
             return out
 
         if isinstance(stmt, MatchDeleteStatement):

@@ -140,7 +140,7 @@ class IncrementalAggState:
         self._table = _VersionedTable(
             spark,
             path,
-            f"{gschema}, _count long, _sum decimal(18,6), _min double, _max double",
+            f"{gschema}, _count long, _sum decimal(38,6), _min double, _max double",
         )
 
     def apply_deltas(self, deltas: DataFrame) -> None:
@@ -148,9 +148,9 @@ class IncrementalAggState:
         if "_sign" not in deltas.columns:
             deltas = deltas.withColumn("_sign", F.lit(1))
         if self.value_col is not None:
-            val = F.col(self.value_col).cast("decimal(18,6)")
+            val = F.col(self.value_col).cast("decimal(38,6)")
         else:
-            val = F.lit(None).cast("decimal(18,6)")
+            val = F.lit(None).cast("decimal(38,6)")
 
         # O(batch) pre-aggregation with map-side combine: one row per
         # touched group leaves the shuffle
@@ -180,10 +180,10 @@ class IncrementalAggState:
                     + F.coalesce(F.col("b.d_count"), F.lit(0))
                 ).alias("_count"),
                 (
-                    F.coalesce(F.col("s._sum"), F.lit(0).cast("decimal(18,6)"))
-                    + F.coalesce(F.col("b.d_sum"), F.lit(0).cast("decimal(18,6)"))
+                    F.coalesce(F.col("s._sum"), F.lit(0).cast("decimal(38,6)"))
+                    + F.coalesce(F.col("b.d_sum"), F.lit(0).cast("decimal(38,6)"))
                 )
-                .cast("decimal(18,6)")
+                .cast("decimal(38,6)")
                 .alias("_sum"),
                 # least/greatest skip nulls: tightens on adds, keeps the
                 # old bound on remove-only batches (conservative, :885-892)
@@ -222,7 +222,7 @@ class IncrementalCentroids:
         self._table = _VersionedTable(
             spark,
             path,
-            f"{group_col} string, dim long, _count long, _sum decimal(18,6)",
+            f"{group_col} string, dim long, _count long, _sum decimal(38,6)",
         )
 
     def apply_deltas(self, deltas: DataFrame, vec_col: str = "embedding") -> None:
@@ -237,12 +237,12 @@ class IncrementalCentroids:
         batch = e.groupBy(g, (F.col("_pos") + 1).alias("dim")).agg(
             F.sum("_sign").cast("long").alias("d_count"),
             F.sum(
-                F.col("_sign") * F.col("_x").cast("double").cast("decimal(18,6)")
+                F.col("_sign") * F.col("_x").cast("double").cast("decimal(38,6)")
             ).alias("d_sum"),
         )
         state = self._table.read(deltas.sparkSession).alias("s")
         batch = batch.alias("b")
-        zero = F.lit(0).cast("decimal(18,6)")
+        zero = F.lit(0).cast("decimal(38,6)")
         # null-safe group equality (a NULL group must merge, not duplicate)
         cond = F.col(f"s.{g}").eqNullSafe(F.col(f"b.{g}")) & (
             F.col("s.dim").eqNullSafe(F.col("b.dim"))
@@ -259,7 +259,7 @@ class IncrementalCentroids:
                 .cast("long")
                 .alias("_count"),
                 (F.coalesce(F.col("s._sum"), zero) + F.coalesce(F.col("b.d_sum"), zero))
-                .cast("decimal(18,6)")
+                .cast("decimal(38,6)")
                 .alias("_sum"),
             )
             .filter(F.col("_count") > 0)
@@ -408,6 +408,19 @@ class IncrementalConnectivity(_EdgeState):
         )
 
 
+def _undirected_simple(edges: DataFrame) -> DataFrame:
+    """Canonical undirected simple-graph edge set: low→high pair,
+    parallel edges deduped, self-loops dropped — the ONE definition the
+    triangle/k-core views' edge_count metadata shares."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 class IncrementalTriangles(_EdgeState):
     """Triangle-count view over maintained adjacency — beyond the
     reference's four maintained analytics (connectivity / PageRank /
@@ -421,13 +434,7 @@ class IncrementalTriangles(_EdgeState):
 
         g = self.graph()
         tri = triangle_count(g)
-        und = (
-            g.edges.select(
-                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-            )
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-        )
+        und = _undirected_simple(g.edges)
         return tri.crossJoin(und.agg(F.count("*").alias("edge_count")))
 
 
@@ -447,13 +454,7 @@ class IncrementalKCore(_EdgeState):
 
         g = self.graph()
         core = k_core(g, self.k)
-        und = (
-            g.edges.select(
-                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-            )
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-        )
+        und = _undirected_simple(g.edges)
         return core.agg(F.count("*").alias("core_size")).crossJoin(
             und.agg(F.count("*").alias("edge_count"))
         )
@@ -507,6 +508,18 @@ class IncrementalSSSP(_EdgeState):
             source=self.source,
             weight_property="weight",
             target=self.target,
+        ).select("distance", "path")
+        # exactly-one-row contract (:1277-1281): when the target vertex
+        # is absent from maintained state entirely (fresh view, or every
+        # incident edge retracted), sssp's target filter yields ZERO
+        # rows — union an infinity fallback and keep the best row
+        fallback = self.spark.createDataFrame(
+            [(float("inf"), None)], "distance double, path string"
+        )
+        row = (
+            row.unionByName(fallback)
+            .orderBy(F.col("distance").asc(), F.col("path").asc_nulls_last())
+            .limit(1)
         )
         return row.select(
             F.col("distance"),
@@ -598,24 +611,38 @@ class IncrementalPageRank:
         self.spark = spark
         self.damping = damping
         self.iterations = iterations
-        self._edges = _VersionedTable(spark, os.path.join(path, "edges"), "src long, dst long")
+        # edge-delta maintenance delegates to _EdgeState — ONE copy of
+        # the per-batch key semantics (touched keys leave, adds
+        # re-insert; a same-batch retract+add keeps the edge)
+        self._state = _EdgeState(spark, path)
+        self._edges = self._state._edges
         self._ranks = _VersionedTable(spark, os.path.join(path, "ranks"), "id long, rank double")
 
     def apply_edge_deltas(self, deltas: DataFrame) -> None:
-        if "_sign" not in deltas.columns:
-            deltas = deltas.withColumn("_sign", F.lit(1))
-        # same per-batch key semantics as _EdgeState: any touched key
-        # leaves the state, then adds re-insert. The previous
-        # union-then-anti-join let a remove WIN over an add in the same
-        # batch — a CDC update (retract preimage + add postimage of one
-        # edge) would delete the edge from adjacency state entirely.
-        adds = deltas.filter(F.col("_sign") > 0).select("src", "dst").distinct()
-        keys = deltas.select("src", "dst").distinct()
-        state = self._edges.read(deltas.sparkSession)
-        merged = state.join(keys, ["src", "dst"], "left_anti").unionByName(adds)
-        self._edges.write(merged)
+        self._state.apply_edge_deltas(deltas)
 
     def refresh(self) -> DataFrame:
+        """Warm-started bounded refresh. The loop's localCheckpoint pins
+        are released before returning (the result is persisted to the
+        ranks table and re-read, so no returned frame references them) —
+        the same bracket discipline as run_loop/apply_batch."""
+        from dd_graphdb_spark.algorithms._iter import (
+            _PIN_LOCK,
+            _persistent_ids,
+            _unpersist,
+        )
+
+        with _PIN_LOCK:
+            try:
+                before = _persistent_ids(self.spark)
+            except Exception:  # Spark Connect: no gateway — just run
+                return self._refresh_impl()
+            try:
+                return self._refresh_impl()
+            finally:
+                _unpersist(self.spark, _persistent_ids(self.spark) - before)
+
+    def _refresh_impl(self) -> DataFrame:
         edges = self._edges.read()
         verts = edges.select(F.col("src").alias("id")).union(
             edges.select(F.col("dst").alias("id"))

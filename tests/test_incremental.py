@@ -197,3 +197,27 @@ def test_versioned_table_retention_bounded(spark, tmp_path):
     assert len(dirs) <= _VersionedTable.KEEP_LAST
     # the current version is readable and correct
     assert t.read().collect()[0]["x"] == 7
+
+
+def test_incremental_sssp_absent_target_one_row(spark, tmp_path):
+    """Fresh view / fully-retracted target: result() must still emit the
+    documented single (inf, 'not_found') row (incremental_engine.rs:
+    1277-1281), not an empty frame."""
+    from dd_graphdb_spark.views import IncrementalSSSP
+
+    view = IncrementalSSSP(spark, str(tmp_path / "ss"), source=1, target=99)
+    r = view.result().collect()
+    assert len(r) == 1
+    assert r[0]["distance"] == float("inf") and r[0]["path"] == "not_found"
+
+
+def test_agg_state_sums_past_decimal18(spark, tmp_path):
+    """Exact sums must survive past 10^12 (decimal(18,6) capped there:
+    ANSI overflow crash or silent NULL→0 reset)."""
+    from dd_graphdb_spark.views import IncrementalAggState
+
+    st = IncrementalAggState(spark, str(tmp_path / "big"), ["k"], "v")
+    for _ in range(3):
+        st.apply_deltas(spark.createDataFrame([("a", 9.0e11)], "k string, v double"))
+    row = st.result().collect()[0]
+    assert float(row["total"]) == 2.7e12 and row["n"] == 3

@@ -122,3 +122,17 @@ def test_geo_enrich_keeps_negative_and_null_keys(spark):
     assert rows[3][0] == 3 and rows[3][1] is not None
     assert rows[-3][0] == 2 and rows[-3][1] is not None  # pmod(-3,5)=2
     assert rows[None][0] is None and rows[None][1] is None
+
+
+def test_events_oracle_rewrite_preserves_as_alias():
+    from dd_graphdb_spark.graph import EVENTS_US, rewrite_events_oracles
+
+    o = {
+        "q1": "SELECT e.ts FROM events AS e WHERE e.v > 1",
+        "q2": "SELECT x FROM events JOIN b ON events.ts = b.ts",
+        "q3": "SELECT ts FROM events",
+    }
+    rewrite_events_oracles(o)
+    assert o["q1"] == f"SELECT e.ts FROM {EVENTS_US} e WHERE e.v > 1"
+    assert o["q2"].startswith(f"SELECT x FROM {EVENTS_US} events JOIN b")
+    assert o["q3"] == f"SELECT ts FROM {EVENTS_US} events"

@@ -255,3 +255,62 @@ def test_prop_typed_decodes_json_escapes(spark, tmp_path):
         prop_typed("properties", "age", "long").alias("age"),
     ).collect()[0]
     assert row["name"] == tricky and row["age"] == 30
+
+
+def test_prop_typed_mismatch_yields_null_not_crash(spark, tmp_path):
+    """Access-time typing returns NULL on a non-castable bag value
+    (reference as_int64 semantics) — under Spark 4's default ANSI mode
+    a strict cast would crash the whole query."""
+    from dd_graphdb_spark.storage import GraphStore, add_vertex
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, str(tmp_path / "st"))
+    store.apply_batch(
+        [
+            add_vertex(1, "P", {"age": 30}),
+            add_vertex(2, "P", {"age": "unknown"}),
+        ]
+    )
+    ages = {
+        r["id"]: r["age"]
+        for r in store.vertices()
+        .select("id", prop_typed("properties", "age", "long").alias("age"))
+        .collect()
+    }
+    assert ages == {1: 30, 2: None}
+
+
+def test_add_vertex_nonstring_type_coerces_label(spark, tmp_path):
+    from dd_graphdb_spark.storage import GraphStore, add_vertex
+
+    store = GraphStore(spark, str(tmp_path / "st"))
+    store.apply_batch([add_vertex(1, props={"type": 123})])
+    assert store.vertices().collect()[0]["label"] == "123"
+
+
+def test_match_set_multi_variable_single_version(spark, tmp_path):
+    """SET a.x=.., e.y=.. commits ONE snapshot version for the whole
+    statement (no observable half-applied state)."""
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore, add_edge, add_vertex
+
+    store = GraphStore(spark, str(tmp_path / "st"))
+    store.apply_batch(
+        [
+            add_vertex(1, "Person", {"name": "A"}),
+            add_vertex(2, "Person", {"name": "B"}),
+            add_edge(1, 2, "knows", {"since": 2020}),
+        ]
+    )
+    v_before = store.version
+    eng = GQLEngine(
+        store.as_property_graph({"name": "string"}), store=store
+    )
+    eng.execute(
+        "MATCH (a:Person)-[e:knows]->(b:Person) SET a.flag = 1, e.w = 2"
+    )
+    assert store.version == v_before + 1
+    vrow = {r["id"]: r["properties"] for r in store.vertices().collect()}
+    assert vrow[1]["flag"] == "1" and "flag" not in vrow[2]
+    erow = store.edges().collect()[0]["properties"]
+    assert erow["w"] == "2" and erow["since"] == "2020"
