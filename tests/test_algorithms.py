@@ -313,3 +313,42 @@ def test_personalized_pagerank_validates_sources(spark):
         personalized_pagerank(g, [1, 1], max_iterations=1)
     with _pt.raises(ValueError, match="not"):
         personalized_pagerank(g, [1, 99], max_iterations=1)
+
+
+def test_concurrent_loops_do_not_corrupt_each_other(spark):
+    """Two fixpoint loops on parallel threads of ONE session: the
+    pinned-RDD bracket is serialized (_iter._PIN_LOCK), so neither loop
+    unpersists the other's (unrecomputable) localCheckpoint blocks."""
+    import threading
+
+    from dd_graphdb_spark.algorithms import connected_components, pagerank
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame([(i,) for i in range(40)], "id long")
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 40, "x") for i in range(40)],
+        "src long, dst long, label string",
+    )
+    g = PropertyGraph(v, e)
+    results, errors = {}, []
+
+    def run(name, fn):
+        try:
+            results[name] = fn()
+        except Exception as ex:  # noqa: BLE001
+            errors.append((name, ex))
+
+    threads = [
+        threading.Thread(
+            target=run, args=("pr", lambda: pagerank(g, max_iterations=6).count())
+        ),
+        threading.Thread(
+            target=run, args=("cc", lambda: connected_components(g).count())
+        ),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errors, errors
+    assert results == {"pr": 40, "cc": 40}
