@@ -64,15 +64,15 @@ def ngram_contamination(
     ``min_overlap`` DISTINCT n-gram hashes with a probe document —
     the train/eval contamination check. The probe side (benchmark) is
     assumed small and is broadcast after shingling."""
+    # reuse dedup's shingle_hash_table: one definition of the distinct
+    # hashed-shingle explode (including its explode_outer pushdown
+    # guard — plain explode re-evaluates the shingle expression per row,
+    # measured 6x; see shingle_hash_table's docstring)
+    from dd_graphdb_spark.operators.dedup import shingle_hash_table
+
     def shingled(df, out_id):
-        t = df.select(
-            F.col(id_col).alias(out_id), token_hashes(F.col(text_col)).alias("_th")
-        )
-        return t.select(
-            out_id,
-            F.explode(
-                F.array_distinct(_all_shingle_hashes(F.col("_th"), n))
-            ).alias("x"),
+        return shingle_hash_table(df, text_col, id_col, n).withColumnRenamed(
+            "id", out_id
         )
 
     d = shingled(docs, "doc_id_")
@@ -102,12 +102,9 @@ def pack_sequences(
     doc's token start position within its bucket stream. Engine-portable
     (md5 bucket + window cumsum restate identically in SQL)."""
     toks = F.size(F.split(F.trim(F.col(text_col)), " "))
-    b = F.pmod(
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
-            "long"
-        ),
-        F.lit(n_buckets),
-    )
+    from dd_graphdb_spark.operators.sampling import hash_bucket
+
+    b = F.pmod(hash_bucket(F.col(id_col)), F.lit(n_buckets))
     d = docs.select(
         F.col(id_col), toks.alias("n_tokens"), b.cast("int").alias("bucket")
     )

@@ -62,16 +62,27 @@ def brute_force_topk(
         .select(F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qvec"))
         .withColumn("qn", norm(F.col("qvec")))
     )
-    scored = (
-        F.broadcast(q)
-        .join(base, F.col("q_id") != F.col("nid"))
-        .select(
-            "q_id",
-            F.col("nid").alias("neighbor_id"),
-            F.round(dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6).alias("sim"),
-        )
+    return _score_rank_topk(F.broadcast(q).join(base, F.col("q_id") != F.col("nid")), k)
+
+
+def _score_rank_topk(joined: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail of every top-k variant: cosine from the
+    precomputed norms, round(6), per-query rank with the (sim desc,
+    neighbor_id asc) tie-break. ONE definition so brute-force / IVF /
+    indexed-IVF / LSH cannot drift on rounding or tie order (the
+    ivf_topk ≡ ivf_topk_indexed guarantee depends on it)."""
+    from pyspark.sql.window import Window
+
+    scored = joined.select(
+        "q_id",
+        F.col("nid").alias("neighbor_id"),
+        F.round(
+            dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6
+        ).alias("sim"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
@@ -209,18 +220,9 @@ def ivf_topk(
         .withColumn("qn", norm(F.col("qvec")))
         .withColumn("cell", F.explode(probe_cells(F.col("qvec"))))
     )
-    scored = (
-        F.broadcast(q)
-        .join(base, "cell")
-        .filter(F.col("q_id") != F.col("nid"))
-        .select(
-            "q_id",
-            F.col("nid").alias("neighbor_id"),
-            F.round(dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6).alias("sim"),
-        )
+    return _score_rank_topk(
+        F.broadcast(q).join(base, "cell").filter(F.col("q_id") != F.col("nid")), k
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def cosine_near_dup_pairs(
@@ -358,18 +360,9 @@ def ivf_topk_indexed(
         for c in probes[q]
     ]
     q = spark.createDataFrame(q_rows, "q_id long, qvec array<double>, qn double, cell int")
-    scored = (
-        F.broadcast(q)
-        .join(base, "cell")
-        .filter(F.col("q_id") != F.col("nid"))
-        .select(
-            "q_id",
-            F.col("nid").alias("neighbor_id"),
-            F.round(dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6).alias("sim"),
-        )
+    return _score_rank_topk(
+        F.broadcast(q).join(base, "cell").filter(F.col("q_id") != F.col("nid")), k
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def _py_norm(a: list[float]) -> float:
@@ -405,15 +398,6 @@ def lsh_topk(
         .withColumn("bucket", hyperplane_signature(F.col("qvec"), planes))
         .withColumn("qn", norm(F.col("qvec")))
     )
-    scored = (
-        F.broadcast(q)
-        .join(base, "bucket")
-        .filter(F.col("q_id") != F.col("nid"))
-        .select(
-            "q_id",
-            F.col("nid").alias("neighbor_id"),
-            F.round(dot(F.col("qvec"), F.col("nvec")) / (F.col("qn") * F.col("nn")), 6).alias("sim"),
-        )
+    return _score_rank_topk(
+        F.broadcast(q).join(base, "bucket").filter(F.col("q_id") != F.col("nid")), k
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -353,9 +353,14 @@ class GQLEngine:
             if item.var == "*":
                 if bare:
                     raise ValueError("RETURN * is not available after WITH")
+                # only USER-NAMED variables: anonymous pattern nodes get
+                # synthetic _anonN bindings that must not leak into the
+                # result schema (build_result returns named bindings,
+                # executor.rs:467-518)
                 return [
                     F.col(f"{var}__{c}").alias(f"{var}_{c}")
                     for var in vertex_vars
+                    if not var.startswith("_anon")
                     for c in vcols
                 ]
             if item.prop is None:
@@ -411,6 +416,14 @@ class GQLEngine:
                     # post-WITH, sum(x)/avg(x)/... aggregate the alias column
                     agg_cols.append(
                         agg_fn(i)(src).alias(i.alias or f"{i.agg}_{i.var}")
+                    )
+                elif i.agg != "count":
+                    # sum/avg/min/max/collect of a WHOLE vertex variable
+                    # has no meaning — silently counting instead (the old
+                    # behavior) handed back a row count aliased as a sum
+                    raise ValueError(
+                        f"{i.agg}({i.var}) needs a property (var.prop); "
+                        "only count(v) aggregates a whole variable"
                     )
                 else:
                     # count(v) counts bound (non-null) rows;

@@ -174,15 +174,32 @@ def stream_dedup(
     key_cols: tuple[str, ...] = ("event_id",),
     ts_col: str = "ts",
     watermark: str | None = "10 minutes",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Keep-first dedup by key. The reference declares
     enable_deduplication but never implements it
     (stream_processing.rs:428,441). On streams the watermark bounds the
-    dedup state (dropDuplicatesWithinWatermark)."""
+    dedup state (dropDuplicatesWithinWatermark) and "first" means first
+    ARRIVED. On a batch frame arrival order is undefined and
+    dropDuplicates keeps an ARBITRARY row — here "first" is the
+    earliest ``ts_col`` (tie-broken by ``order_col`` when given), so
+    repeated runs keep the same survivor."""
     d = _wm(df, ts_col, watermark)
-    if d.isStreaming and watermark:
-        return d.dropDuplicatesWithinWatermark(list(key_cols))
-    return d.dropDuplicates(list(key_cols))
+    if d.isStreaming:
+        if watermark:
+            return d.dropDuplicatesWithinWatermark(list(key_cols))
+        return d.dropDuplicates(list(key_cols))
+    from pyspark.sql.window import Window
+
+    order = [F.col(ts_col).asc()]
+    if order_col is not None:
+        order.append(F.col(order_col).asc())
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        d.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def count_window_agg(
@@ -195,8 +212,12 @@ def count_window_agg(
     """Count windows: fixed-size chunks per key
     (windowed_operations.rs:301-304).
 
-    Batch: row_number chunking. Stream: applyInPandasWithState keyed by
-    ``key_col``, state = rows buffered since the last emitted chunk.
+    Batch: row_number chunking — the COMPLETE dataset, so the trailing
+    partial chunk is emitted. Stream: applyInPandasWithState keyed by
+    ``key_col``, state = rows buffered since the last emitted chunk;
+    only FULL chunks are emitted (the trailing partial stays buffered —
+    on an unbounded stream it may still fill; compare the two paths on
+    full chunks only, e.g. WHERE n = size, as the gate oracle does).
     """
     if not df.isStreaming:
         from pyspark.sql.window import Window
@@ -216,13 +237,16 @@ def count_window_agg(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     import pandas as pd
 
-    # key column keeps ITS dtype (the batch path handles any key type;
-    # hardcoding long here broke string keys at Arrow serialization)
-    key_type = dict(df.dtypes)[key_col]
+    # key AND order columns keep THEIR dtypes (the batch path handles
+    # any type; hardcoding long broke string keys/ids at Arrow
+    # serialization)
+    dtypes = dict(df.dtypes)
+    key_type, ord_type = dtypes[key_col], dtypes[order_col]
     out_schema = (
-        f"{key_col} {key_type}, chunk long, n long, first_event long, last_event long"
+        f"{key_col} {key_type}, chunk long, n long, "
+        f"first_event {ord_type}, last_event {ord_type}"
     )
-    state_schema = "chunk long, buf_n long, buf_first long, buf_last long"
+    state_schema = f"chunk long, buf_n long, buf_first {ord_type}, buf_last {ord_type}"
 
     def fn(key, pdfs, state: GroupState):
         if state.exists:
@@ -244,7 +268,8 @@ def count_window_agg(
             pdf = pd.DataFrame({ts_col: [], order_col: []})
         pdf = pdf.sort_values([ts_col, order_col])
         for ev in pdf[order_col]:
-            ev = int(ev)
+            # normalize numpy scalars to python for the state tuple
+            ev = ev.item() if hasattr(ev, "item") else ev
             buf_n += 1
             buf_first = ev if buf_first is None else buf_first
             buf_last = ev

@@ -526,3 +526,17 @@ def test_arrow_op_before_name_is_clean_error(people_graph):
     eng = _engine(people_graph)
     with pytest.raises(ValueError, match="ambiguous"):
         eng.execute("MATCH (a:Person)-[e:friend]->(b) WHERE a.age<-b.age RETURN a.name")
+
+
+def test_return_star_hides_anonymous_nodes(people_graph):
+    eng = _engine(people_graph)
+    df = eng.execute("MATCH (a:Person)-[e:friend]->() RETURN *")
+    assert all(not c.startswith("_anon") for c in df.columns), df.columns
+    assert any(c.startswith("a_") for c in df.columns)
+
+
+def test_whole_variable_non_count_agg_rejected(people_graph):
+    eng = _engine(people_graph)
+    # the old behavior silently returned a COUNT aliased as a sum
+    with pytest.raises(ValueError, match="needs a property"):
+        eng.execute("MATCH (a:Person) WITH a RETURN sum(a) AS s")

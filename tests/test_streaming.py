@@ -138,3 +138,50 @@ def test_count_window_stream_string_key(spark, tmp_path):
         ("alpha", 1): (3, 3, 5),
         ("beta", 0): (3, 0, 2),
     }
+
+
+def test_count_window_stream_string_order_col(spark, tmp_path):
+    """Streaming count windows with STRING event ids: first/last carry
+    the order column's real dtype (was hardcoded long + int())."""
+    from datetime import datetime
+
+    from dd_graphdb_spark.streaming import count_window_agg
+    from dd_graphdb_spark.streaming.pipeline import run_to_memory
+
+    rows = [(1, f"evt-{i:03d}", datetime(2026, 1, 1, 0, 0, i)) for i in range(6)]
+    src = str(tmp_path / "s2")
+    spark.createDataFrame(
+        rows, "user_id long, event_id string, ts timestamp"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, event_id string, ts timestamp"
+    ).parquet(src)
+    out = run_to_memory(
+        count_window_agg(stream, size=3, key_col="user_id"),
+        output_mode="append",
+    )
+    got = {
+        r["chunk"]: (r["first_event"], r["last_event"]) for r in out.collect()
+    }
+    assert got == {0: ("evt-000", "evt-002"), 1: ("evt-003", "evt-005")}
+
+
+def test_stream_dedup_batch_keeps_earliest(spark):
+    from datetime import datetime
+
+    from dd_graphdb_spark.streaming import stream_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1, 0, 5), "late"),
+            (1, datetime(2026, 1, 1, 0, 0), "first"),
+            (2, datetime(2026, 1, 1, 0, 1), "only"),
+        ],
+        "event_id long, ts timestamp, payload string",
+    )
+    got = {
+        r["event_id"]: r["payload"]
+        for r in stream_dedup(df, key_cols=("event_id",)).collect()
+    }
+    # deterministic keep-first by ts, not an arbitrary survivor
+    assert got == {1: "first", 2: "only"}
