@@ -290,11 +290,37 @@ class GQLEngine:
             )
             df = self._project(inter, stmt.returns, pvars, vcols, bare=True)
         else:
-            df = self._project(bound, stmt.returns, vertex_vars, vcols)
+            # Cypher: ORDER BY may reference non-projected properties of
+            # in-scope variables — legal when the RETURN is neither
+            # DISTINCT nor aggregating (after those, only outputs are in
+            # scope). Project them as hidden sort columns, dropped after
+            # the sort.
+            hidden: list[F.Column] = []
+            if (
+                stmt.order_by
+                and not stmt.distinct
+                and not any(i.agg for i in stmt.returns)
+            ):
+                projected = {
+                    (i.alias or f"{i.var}_{i.prop}")
+                    for i in stmt.returns
+                    if i.prop is not None
+                }
+                for o in stmt.order_by:
+                    if o.prop is None:
+                        continue
+                    name = f"{o.var}_{o.prop}"
+                    src = f"{o.var}__{o.prop}"
+                    if name not in projected and src in bound.columns:
+                        hidden.append(F.col(src).alias(f"__sort_{name}"))
+            df = self._project(
+                bound, stmt.returns, vertex_vars, vcols, extra_cols=hidden
+            )
         if stmt.distinct:
             df = df.distinct()
         if stmt.order_by:
             # ORDER BY references projected output names (v_prop / v_id …)
+            # or, pre-DISTINCT/aggregation, hidden sort columns
             exprs = []
             for o in stmt.order_by:
                 if o.prop is None and o.var in df.columns:
@@ -302,9 +328,17 @@ class GQLEngine:
                 else:
                     name = f"{o.var}_{o.prop}" if o.prop else f"{o.var}_id"
                 if name not in df.columns:
-                    raise ValueError(f"ORDER BY {o.var}.{o.prop or 'id'} is not projected")
+                    if f"__sort_{name}" in df.columns:
+                        name = f"__sort_{name}"
+                    else:
+                        raise ValueError(
+                            f"ORDER BY {o.var}.{o.prop or 'id'} is not projected"
+                        )
                 exprs.append(F.col(name).desc() if o.desc else F.col(name).asc())
             df = df.orderBy(*exprs)
+            drop_hidden = [c for c in df.columns if c.startswith("__sort_")]
+            if drop_hidden:
+                df = df.drop(*drop_hidden)
         if stmt.skip is not None:
             df = df.offset(stmt.skip)
         if stmt.limit is not None:
@@ -342,8 +376,13 @@ class GQLEngine:
             vertex_vars.extend(v for v in ovars if v not in shared)
         return bound, vertex_vars
 
-    def _project(self, bound, items, vertex_vars, vcols, bare: bool = False):
+    def _project(
+        self, bound, items, vertex_vars, vcols, bare: bool = False, extra_cols=None
+    ):
         """RETURN/WITH projection with Cypher's implicit grouping.
+
+        ``extra_cols``: hidden columns appended to a NON-aggregating
+        projection (ORDER BY on non-projected properties).
 
         ``bare`` = the input columns are already projected output names
         (a WITH intermediate): items reference them by bare name and
@@ -378,7 +417,9 @@ class GQLEngine:
 
         aggs = [i for i in items if i.agg]
         if not aggs:
-            return bound.select(*[c for i in items for c in item_cols(i)])
+            return bound.select(
+                *[c for i in items for c in item_cols(i)], *(extra_cols or [])
+            )
         # Cypher's implicit grouping: non-aggregated items are the keys
         keys = [c for i in items if not i.agg for c in item_cols(i)]
         agg_fns = {

@@ -78,6 +78,7 @@ def _with_hygiene(fn):
 # green rows standing, then the round-4 and round-5 blocks. NEW
 # queries with oracles must be inserted at the TOP.
 GATE_PRIORITY = [
+    "gql_order_hidden_prop",
     "gql_anti_join_null",
     "gql_count_distinct_segments",
     "gql_agg_sum_avg",

@@ -447,6 +447,28 @@ def gql_count_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GQL: ORDER BY on NON-projected properties (hidden sort columns —
+# legal Cypher when RETURN is neither DISTINCT nor aggregating); the
+# LIMIT makes the hidden ordering observable in the result set.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_order_hidden_prop",
+    GRAPH_CTE
+    + """
+    SELECT name AS c_name FROM vertices
+    WHERE label = 'Customer'
+    ORDER BY acctbal DESC, id ASC LIMIT 10
+    """,
+)
+def gql_order_hidden_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer) RETURN c.name "
+        "ORDER BY c.acctbal DESC, c.id ASC LIMIT 10"
+    )
+
+
 @_q(
     "gql_collect_nations",
     GRAPH_CTE

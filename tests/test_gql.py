@@ -152,9 +152,17 @@ def test_return_distinct(people_graph):
 
 
 def test_order_by_requires_projection(people_graph):
+    # after DISTINCT (or aggregation) only the projected outputs remain
+    # in scope — ORDER BY on anything else is an error (plain RETURN
+    # supports non-projected ORDER BY via hidden sort columns; see
+    # test_order_by_non_projected_property)
     with pytest.raises(ValueError, match="not projected"):
         _engine(people_graph).execute(
-            "MATCH (v:Person) RETURN v.name ORDER BY v.age"
+            "MATCH (v:Person) RETURN DISTINCT v.name ORDER BY v.age"
+        ).collect()
+    with pytest.raises(ValueError, match="not projected"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN v.label, count(v) ORDER BY v.age"
         ).collect()
 
 
@@ -540,3 +548,23 @@ def test_whole_variable_non_count_agg_rejected(people_graph):
     # the old behavior silently returned a COUNT aliased as a sum
     with pytest.raises(ValueError, match="needs a property"):
         eng.execute("MATCH (a:Person) WITH a RETURN sum(a) AS s")
+
+
+def test_order_by_non_projected_property(people_graph):
+    """Cypher allows ORDER BY on a non-projected property of an
+    in-scope variable (when RETURN is neither DISTINCT nor
+    aggregating) — hidden sort columns, dropped after the sort."""
+    eng = _engine(people_graph)
+    df = eng.execute("MATCH (v:Person) RETURN v.name ORDER BY v.age DESC")
+    assert df.columns == ["v_name"]
+    assert [r[0] for r in df.collect()] == ["Charlie", "Alice", "Bob"]
+    # ...combined with SKIP/LIMIT
+    df = eng.execute(
+        "MATCH (v:Person) RETURN v.name ORDER BY v.age ASC LIMIT 2"
+    )
+    assert [r[0] for r in df.collect()] == ["Bob", "Alice"]
+    # DISTINCT still restricts ORDER BY to projected outputs
+    with pytest.raises(ValueError, match="not projected"):
+        eng.execute(
+            "MATCH (v:Person) RETURN DISTINCT v.name ORDER BY v.age"
+        ).collect()
