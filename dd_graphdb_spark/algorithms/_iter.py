@@ -68,9 +68,16 @@ def run_loop(impl: Callable[..., DataFrame], g, *args, **kwargs) -> DataFrame:
             before = _persistent_ids(spark)
         except Exception:  # non-classic gateway (Spark Connect) — just run
             return impl(g, *args, **kwargs)
-        result = impl(g, *args, **kwargs)
-        mid = _persistent_ids(spark)
-        final = result.localCheckpoint(eager=True)
-        final_ids = _persistent_ids(spark) - mid
-        _unpersist(spark, (mid - before) - final_ids)
-        return final
+        final_ids: set[int] = set()
+        try:
+            result = impl(g, *args, **kwargs)
+            mid = _persistent_ids(spark)
+            final = result.localCheckpoint(eager=True)
+            final_ids = _persistent_ids(spark) - mid
+            return final
+        finally:
+            # also on a raising loop (e.g. a non-convergence guard):
+            # everything the aborted loop pinned is garbage — leaving it
+            # pinned is the 12s→400s same-session degradation this
+            # bracket exists to prevent
+            _unpersist(spark, (_persistent_ids(spark) - before) - final_ids)

@@ -85,6 +85,14 @@ def _connected_components_loop(g: PropertyGraph, max_iterations: int = 50) -> Da
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # exhausted with labels still decreasing: the result is NOT a
+        # fixpoint — raise like the SCC guard instead of returning
+        # silently-split components
+        raise RuntimeError(
+            f"connected_components did not converge in "
+            f"max_iterations={max_iterations} rounds — raise max_iterations"
+        )
     return comp
 
 
@@ -147,6 +155,11 @@ def _strongly_connected_components_loop(
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
+        else:
+            raise RuntimeError(
+                f"SCC forward coloring did not converge in "
+                f"max_iterations={max_iterations} rounds — raise max_iterations"
+            )
         # (2) backward mark: can v reach its color root via same-color path?
         colored_e = _materialize(
             remaining_e.join(
@@ -171,6 +184,15 @@ def _strongly_connected_components_loop(
                 break
             marked = _materialize(marked.union(new_frontier))
             frontier = new_frontier
+        else:
+            # exhausted with the mark frontier still growing: recording
+            # the partial `marked` set would SPLIT one SCC into many
+            # (confirmed: a 60-cycle at default limits returned 10 SCCs)
+            raise RuntimeError(
+                f"SCC backward mark did not converge in "
+                f"max_iterations={max_iterations} rounds (component "
+                "diameter exceeds it) — raise max_iterations"
+            )
         results.append(marked.select("id", F.col("color").alias("scc")))
         remaining_v = _materialize(remaining_v.join(marked.select("id"), "id", "left_anti"))
         remaining_e = _materialize(

@@ -49,7 +49,7 @@ def range_join(
     overlap = set(left.columns) & set(right.columns) - set(on)
     if overlap:
         raise ValueError(f"ambiguous columns (rename first): {sorted(overlap)}")
-    reserved = {"_band", "_bands"}
+    reserved = {"_band"}  # the only internal working column
     bad = sorted(reserved & (set(left.columns) | set(right.columns)))
     if bad:
         raise ValueError(f"columns collide with range_join internals: {bad}")

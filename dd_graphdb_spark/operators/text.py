@@ -15,7 +15,15 @@ EN_STOPWORDS = ("a", "the", "and", "of", "to", "in", "is")
 
 
 def tokens(text: Column) -> Column:
-    return F.split(F.trim(text), " ")
+    """Whitespace tokens: split on \s+ runs (a single-space split
+    counted empty tokens on double spaces and never split tabs or
+    newlines — corrupting every downstream ratio on real multi-line
+    text); empty/blank text yields an EMPTY array, not [''] — so
+    ratios divide by the true token count (null on empty via n=0)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
 
 
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -53,14 +61,18 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     total_chars = F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
-    stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+    # case-insensitive stopword match: C4/Gopher-style rules lowercase
+    # before matching ('The' is a stopword too)
+    stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
     return df.select(
         F.col(id_col),
         n.alias("n_tokens"),
-        F.round(total_chars / n, 6).alias("mean_token_len"),
-        F.round(stop / n, 6).alias("stopword_ratio"),
+        # try_divide: an EMPTY doc has n=0 (ratios NULL, pass 0) — a
+        # plain divide raises under Spark 4's default ANSI mode
+        F.round(F.try_divide(total_chars, n), 6).alias("mean_token_len"),
+        F.round(F.try_divide(stop, n), 6).alias("stopword_ratio"),
         # composite: long-enough docs with natural stopword density
-        ((n >= 20) & (stop / n >= 0.02)).cast("int").alias("quality_pass"),
+        ((n >= 20) & (F.try_divide(stop, n) >= 0.02)).cast("int").alias("quality_pass"),
     )
 
 
@@ -69,8 +81,8 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     (A real n-gram model plugs in here; the heuristic is the
     deterministic, oracle-checkable baseline.)"""
     toks = tokens(F.col(text_col))
-    stop = F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
-    ratio = stop / F.size(toks)
+    stop = F.size(F.filter(toks, lambda t: F.lower(t).isin(*EN_STOPWORDS)))
+    ratio = F.try_divide(stop, F.size(toks))  # NULL (→ unknown) on empty docs
     return df.select(
         F.col(id_col),
         F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_pred"),
@@ -94,7 +106,9 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # match inside an earlier redaction.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\b\d{2,3}-\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    # real phone shapes: optional +country, 3-3-4 with -, ., or space
+    # separators, optional parenthesized area code
+    ("phone", r"(?:\+\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )

@@ -102,6 +102,11 @@ GATE_PRIORITY = [
     "algo_kcore_colocation",
     "algo_reachability_order",
     "algo_ppr_customers",
+    "text_token_count",
+    "text_quality",
+    "text_lang_id",
+    "text_tfidf_topk",
+    "text_redact_pii",
     "set_except_nations",
     "window_topk_per_segment",
     "window_lag_delta",
@@ -138,11 +143,6 @@ GATE_PRIORITY = [
     "stream_custom_agg_p90",
     "stream_dedup_first",
     "stream_filter_rules",
-    "gql_create_delete",
-    "multimodal_binary_meta",
-    "multimodal_decode_dims",
-    "multimodal_feature_extract",
-    "router_scoring_table",
     "stream_live_dedup_keys",
     "stream_live_global",
     "stream_live_session",
@@ -162,10 +162,12 @@ GATE_PRIORITY = [
     "fn_json_props",
     "view_incremental_triangles",
     "view_incremental_kcore",
+    "multimodal_binary_meta",
+    "multimodal_decode_dims",
+    "multimodal_feature_extract",
+    "router_scoring_table",
+    "gql_create_delete",
     "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_token_count",
     "source_csv_extraction",
     "source_json_extraction",
     "source_regex_extraction",
@@ -203,9 +205,7 @@ GATE_PRIORITY = [
     "gql_optional_match",
     "curation_mixture_sample",
     "curation_chunk_docs",
-    "text_redact_pii",
     "gql_string_predicates",
-    "text_tfidf_topk",
     "window_ntile_lead",
     "embedding_group_centroids",
     "gql_match_set",

@@ -283,7 +283,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_q(
     "text_token_count",
-    "SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS n_tokens FROM documents",
+    # \s+ tokenization matching operators.text.tokens() (single-space
+    # split counted empty tokens / never split tabs or newlines)
+    "SELECT doc_id, len(CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)::BIGINT AS n_tokens FROM documents",
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = X.token_count(_docs(spark, sf_dir))
@@ -311,12 +313,12 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
 @_q(
     "text_quality",
     f"""
-    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS toks FROM documents),
     m AS (
         SELECT doc_id,
                len(toks)::BIGINT AS n,
                list_sum(list_transform(toks, x -> strlen(x)))::BIGINT AS total_chars,
-               len(list_filter(toks, x -> x IN ({_STOP_SQL})))::BIGINT AS stop
+               len(list_filter(toks, x -> lower(x) IN ({_STOP_SQL})))::BIGINT AS stop
         FROM t
     )
     SELECT doc_id, n AS n_tokens,
@@ -340,9 +342,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "text_lang_id",
     f"""
-    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    WITH t AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS toks FROM documents)
     SELECT doc_id,
-           CASE WHEN len(list_filter(toks, x -> x IN ({_STOP_SQL})))::DOUBLE / len(toks) >= 0.05
+           CASE WHEN len(list_filter(toks, x -> lower(x) IN ({_STOP_SQL})))::DOUBLE / len(toks) >= 0.05
                 THEN 'en' ELSE 'unknown' END AS lang_pred
     FROM t
     """,
@@ -986,8 +988,8 @@ def curation_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-compares real match work, not a no-op passthrough.
 _PII_SQL_TEXT = """
         SELECT c_custkey AS doc_id,
-               'call ' || (10 + c_custkey % 90)::VARCHAR
-                   || '-' || (100 + (c_custkey * 7) % 900)::VARCHAR
+               'call ' || CASE WHEN c_custkey % 3 = 0 THEN '+1-' ELSE '' END
+                   || (100 + (c_custkey * 7) % 900)::VARCHAR
                    || '-' || (100 + (c_custkey * 13) % 900)::VARCHAR
                    || '-' || (1000 + (c_custkey * 31) % 9000)::VARCHAR ||
                CASE WHEN c_custkey % 10 = 0
@@ -1021,11 +1023,11 @@ _PII_SQL_TEXT = """
                regexp_replace(
                  regexp_replace(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                 '\b\d{2,3}-\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                 '(?:\+\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
                '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
            len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-           len(regexp_extract_all(text, '\b\d{2,3}-\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+           len(regexp_extract_all(text, '(?:\+\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone,
            len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
            len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4
     FROM b
@@ -1049,7 +1051,7 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("doc_id"),
         F.concat(
             F.lit("call "),
-            s(k % 90 + 10), F.lit("-"),
+            F.when(k % 3 == 0, F.lit("+1-")).otherwise(F.lit("")),
             s((k * 7) % 900 + 100), F.lit("-"),
             s((k * 13) % 900 + 100), F.lit("-"),
             s((k * 31) % 9000 + 1000),
@@ -1082,7 +1084,7 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tfidf_topk",
     """
     WITH toks AS (
-        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+        SELECT doc_id, unnest(CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
         FROM documents
     ),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),

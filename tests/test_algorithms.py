@@ -352,3 +352,25 @@ def test_concurrent_loops_do_not_corrupt_each_other(spark):
         t.join(timeout=180)
     assert not errors, errors
     assert results == {"pr": 40, "cc": 40}
+
+
+def test_scc_raises_instead_of_splitting_long_cycle(spark):
+    """A directed cycle longer than the mark loop's round budget must
+    RAISE, not silently split one SCC into many (confirmed bug: a
+    60-cycle returned 10 SCCs at the old defaults)."""
+    import pytest as _pt
+
+    from dd_graphdb_spark.algorithms import strongly_connected_components
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    n = 12
+    v = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    e = spark.createDataFrame(
+        [(i, (i + 1) % n, "x") for i in range(n)], "src long, dst long, label string"
+    )
+    g = PropertyGraph(v, e)
+    with _pt.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components(g, max_iterations=3)
+    # with enough rounds the full cycle is ONE component
+    out = strongly_connected_components(g, max_iterations=20).collect()
+    assert len(out) == n and len({r["scc"] for r in out}) == 1

@@ -136,3 +136,39 @@ def test_events_oracle_rewrite_preserves_as_alias():
     assert o["q1"] == f"SELECT e.ts FROM {EVENTS_US} e WHERE e.v > 1"
     assert o["q2"].startswith(f"SELECT x FROM {EVENTS_US} events JOIN b")
     assert o["q3"] == f"SELECT ts FROM {EVENTS_US} events"
+
+
+def test_tokens_whitespace_runs_and_stopword_case(spark):
+    """\\s+ tokenization (double spaces, tabs, newlines) and
+    case-insensitive stopwords."""
+    from dd_graphdb_spark.operators.text import lang_id, quality_score, token_count
+
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, "a\tb\nc"), (3, ""), (4, "The Cat In The Hat Is A Cat")],
+        "doc_id long, text string",
+    )
+    counts = {r["doc_id"]: r["n_tokens"] for r in token_count(df).collect()}
+    assert counts == {1: 2, 2: 3, 3: 0, 4: 8}
+    q = {r["doc_id"]: r["stopword_ratio"] for r in quality_score(df).collect()}
+    assert q[4] == 0.625  # The/In/The/Is/A (5 of 8) match case-insensitively
+    langs = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert langs[4] == "en"
+
+
+def test_redact_pii_real_phone_shapes(spark):
+    from dd_graphdb_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "call 555-123-4567 now"),
+            (2, "intl +1-800-555-0123"),
+            (3, "dotted 555.123.4567"),
+            (4, "ssn 123-45-6789 stays ssn"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: (r["redacted"], r["n_phone"], r["n_ssn"]) for r in redact_pii(df).collect()}
+    assert rows[1] == ("call <PHONE> now", 1, 0)
+    assert rows[2] == ("intl <PHONE>", 1, 0)
+    assert rows[3] == ("dotted <PHONE>", 1, 0)
+    assert rows[4] == ("ssn <SSN> stays ssn", 0, 1)
