@@ -15,7 +15,7 @@ EN_STOPWORDS = ("a", "the", "and", "of", "to", "in", "is")
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokens: split on \s+ runs (a single-space split
+    r"""Whitespace tokens: split on \s+ runs (a single-space split
     counted empty tokens on double spaces and never split tabs or
     newlines — corrupting every downstream ratio on real multi-line
     text); empty/blank text yields an EMPTY array, not [''] — so

@@ -158,7 +158,7 @@ def test_redact_pii_patterns(spark):
     d = spark.createDataFrame(
         [
             (1, "mail a.b+c@ex-a.co.uk and 10.0.255.1"),
-            (2, "phone 25-989-741-2988 ssn 123-45-6789"),
+            (2, "phone 555-123-4567 ssn 123-45-6789"),
             (3, "clean text with no pii at all"),
         ],
         "doc_id long, text string",
