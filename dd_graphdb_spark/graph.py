@@ -111,12 +111,16 @@ def rewrite_events_oracles(oracles: dict) -> None:
         alias = m.group("alias") or "events"
         return f"FROM {EVENTS_US} {alias}"
 
+    # EVENTS_US itself contains an inner `FROM events`; mask any spans
+    # the module author already truncated inline so the rewrite can't
+    # double-wrap them, then rewrite the REMAINING raw references — an
+    # oracle mixing one interpolated EVENTS_US subquery with another
+    # raw `FROM events` gets the raw one truncated too (a blanket skip
+    # used to leave it at ns precision — latent false-FAIL).
+    mask = "\x00EVENTS_US\x00"
     for k in list(oracles):
-        if EVENTS_US in oracles[k]:
-            # already truncated inline by the module author — rewriting
-            # again would wrap the subquery's own inner `FROM events`
-            continue
-        oracles[k] = _EVENTS_FROM_RE.sub(_sub, oracles[k])
+        masked = oracles[k].replace(EVENTS_US, mask)
+        oracles[k] = _EVENTS_FROM_RE.sub(_sub, masked).replace(mask, EVENTS_US)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

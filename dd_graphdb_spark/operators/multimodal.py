@@ -23,6 +23,25 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+class FakeKernelWarning(UserWarning):
+    """Raised (as a warning) when a multimodal operator falls back to
+    its deterministic FAKE kernel because the codec library is absent.
+    A user must never mistake fake dims/pixels for real decode output;
+    the docstring note alone was too quiet (VERDICT r6)."""
+
+
+def _warn_fake(op: str, lib: str) -> None:
+    import warnings
+
+    warnings.warn(
+        f"{op}: {lib} is not installed — running the DETERMINISTIC FAKE "
+        f"kernel (outputs are size-derived, NOT decoded pixels). Install "
+        f"{lib} for real decoding.",
+        FakeKernelWarning,
+        stacklevel=3,
+    )
+
+
 MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
@@ -96,6 +115,7 @@ def decode_image(df: DataFrame) -> DataFrame:
             return img.height, img.width, len(img.getbands())
 
     except ImportError:
+        _warn_fake("decode_image", "Pillow")
 
         def kernel(b: bytes) -> tuple[int, int, int]:
             # DETERMINISTIC FAKE (no codecs in container): dims from size
@@ -121,25 +141,40 @@ def decode_image(df: DataFrame) -> DataFrame:
 
 def resize_image(df: DataFrame, height: int, width: int, channels: int = 3) -> DataFrame:
     """Resize → (id, payload BINARY, height, width): output payload is
-    exactly height·width·channels bytes. Real resampling needs a codec;
-    the fake kernel tiles/truncates the source bytes to the target size
-    (deterministic, size-contract-exact), keeping the downstream
-    fixed-size-tensor contract testable."""
+    exactly height·width·channels bytes. With Pillow installed, payloads
+    decode and resample for real; otherwise the fake kernel
+    tiles/truncates the source bytes to the target size (deterministic,
+    size-contract-exact), keeping the downstream fixed-size-tensor
+    contract testable."""
     import pandas as pd
 
     target = height * width * channels
 
+    try:  # pragma: no cover - codec libs absent in this container
+        import io
+
+        from PIL import Image
+
+        def kernel(b: bytes) -> bytes:
+            img = Image.open(io.BytesIO(b)).convert("RGB" if channels == 3 else "L")
+            raw = img.resize((width, height)).tobytes()
+            return raw[:target].ljust(target, b"\x00")
+
+    except ImportError:
+        _warn_fake("resize_image", "Pillow")
+
+        def kernel(b: bytes) -> bytes:
+            # DETERMINISTIC FAKE: tile/truncate bytes to the target size
+            b = b or b"\x00"
+            reps = (target + len(b) - 1) // len(b)
+            return (b * reps)[:target]
+
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
-            out = []
-            for p in pdf["payload"]:
-                b = bytes(p) or b"\x00"
-                reps = (target + len(b) - 1) // len(b)
-                out.append((b * reps)[:target])
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "payload": out,
+                    "payload": [kernel(bytes(p)) for p in pdf["payload"]],
                     "height": height,
                     "width": width,
                 }
@@ -187,6 +222,8 @@ def sample_frames(df: DataFrame, every_n: int = 2, frame_bytes: int = 128) -> Da
     import hashlib
 
     import pandas as pd
+
+    _warn_fake("sample_frames", "an ffmpeg binding (e.g. PyAV)")
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:

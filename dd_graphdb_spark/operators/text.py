@@ -107,8 +107,12 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     # real phone shapes: optional +country, 3-3-4 with -, ., or space
-    # separators, optional parenthesized area code
-    ("phone", r"(?:\+\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    # separators, optional parenthesized area code. The left guard is a
+    # `\b`-anchored alternation (not a lookbehind — RE2 has none): a
+    # digit-led match must start at a word boundary, so the pattern
+    # cannot start mid-digit-run ('5551-123-4567' and 14-digit IDs like
+    # '12345-678-9012' stay untouched instead of leaking a prefix).
+    ("phone", r"(?:\+\d{1,2}[-. ]\(?|\(|\b)\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )

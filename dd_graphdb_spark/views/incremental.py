@@ -77,9 +77,22 @@ class _VersionedTable:
     def read(self, spark: SparkSession | None = None) -> DataFrame:
         # caller may pass a foreachBatch session clone so state rows and
         # batch rows live in the same session
-        return (spark or self.spark).read.schema(self.schema).parquet(
-            os.path.join(self.path, f"v{self.version}")
-        )
+        s = spark or self.spark
+        raw = s.read.parquet(os.path.join(self.path, f"v{self.version}"))
+        # Migration-tolerant: cast the footer's types to the declared
+        # schema instead of forcing the declared schema onto the file.
+        # State persisted under an older declaration (e.g. the
+        # decimal(18,6) → decimal(38,6) widening) reads cleanly; a
+        # column added to the declaration since the state was written
+        # materializes as NULL rather than failing the read.
+        declared = s.createDataFrame([], self.schema).schema
+        cols = [
+            (F.col(f.name) if f.name in raw.columns else F.lit(None))
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in declared.fields
+        ]
+        return raw.select(cols)
 
     #: state versions kept after the pointer swap — enough for any
     #: in-flight reader of the previous version, bounded so a streaming

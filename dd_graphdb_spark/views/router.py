@@ -62,8 +62,17 @@ class _ViewStats:
 
 
 class QueryRouter:
-    def __init__(self, catalog: ViewCatalog):
+    """``measure_latency=True`` forces each routed read (a ``count()``)
+    so recorded latency measures real execution — the reference's stats
+    track query latency (query_router.rs:326-375). Default OFF: the
+    forcing count doubles IO per route and makes ``execute`` blocking
+    for large views, so production routing records hits only (the
+    latency tie-break then degrades to the deterministic name order)
+    and the consumer's own action is the one that pays for the scan."""
+
+    def __init__(self, catalog: ViewCatalog, measure_latency: bool = False):
         self.catalog = catalog
+        self.measure_latency = measure_latency
         self.stats: dict[str, _ViewStats] = {}
 
     def score(self, pattern: QueryPattern, view_name: str) -> int:
@@ -100,16 +109,14 @@ class QueryRouter:
             raise LookupError(f"no view matches pattern {pattern.kind}")
         t0 = time.time()
         df = self.catalog.read(decision.view)
-        # force the read so the recorded latency measures EXECUTION (the
-        # reference's stats track real query latency, query_router.rs:
-        # 326-375) — catalog.read alone returns a lazy scan in
-        # microseconds, which would make the route() latency tie-break
-        # compare driver-side noise. The re-read downstream hits the
-        # same freshly-cached parquet.
-        df.count()
         st = self.stats.setdefault(decision.view, _ViewStats())
         st.hits += 1
-        st.total_latency_s += time.time() - t0
+        if self.measure_latency:
+            # forcing count: recorded latency measures EXECUTION, not
+            # the microsecond lazy-scan construction; the consumer's
+            # re-read hits the freshly-cached parquet
+            df.count()
+            st.total_latency_s += time.time() - t0
         return df
 
     def report(self) -> dict[str, dict]:

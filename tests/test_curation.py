@@ -160,6 +160,11 @@ def test_redact_pii_patterns(spark):
             (1, "mail a.b+c@ex-a.co.uk and 10.0.255.1"),
             (2, "phone 555-123-4567 ssn 123-45-6789"),
             (3, "clean text with no pii at all"),
+            # left-boundary guard: a phone match must not start
+            # mid-digit-run, so 4-3-4 shapes and long dashed IDs
+            # stay whole instead of leaking a prefix
+            (4, "call 5551-123-4567 id 12345-678-9012"),
+            (5, "intl +1-555-123-4567 paren (555) 123-4567"),
         ],
         "doc_id long, text string",
     )
@@ -170,3 +175,7 @@ def test_redact_pii_patterns(spark):
     assert (out[2].n_phone, out[2].n_ssn) == (1, 1)
     assert out[3].redacted == out[3].asDict()["redacted"] == "clean text with no pii at all"
     assert out[3].n_email == out[3].n_phone == out[3].n_ssn == out[3].n_ipv4 == 0
+    assert out[4].redacted == "call 5551-123-4567 id 12345-678-9012"
+    assert out[4].n_phone == 0
+    assert out[5].redacted == "intl <PHONE> paren <PHONE>"
+    assert out[5].n_phone == 2

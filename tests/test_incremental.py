@@ -221,3 +221,23 @@ def test_agg_state_sums_past_decimal18(spark, tmp_path):
         st.apply_deltas(spark.createDataFrame([("a", 9.0e11)], "k string, v double"))
     row = st.result().collect()[0]
     assert float(row["total"]) == 2.7e12 and row["n"] == 3
+
+
+def test_versioned_table_reads_old_precision_state(spark, tmp_path):
+    """State persisted under an older declared schema (decimal(18,6))
+    must read cleanly after the declaration widens to decimal(38,6) —
+    the read casts the parquet footer types instead of forcing the
+    declared schema onto the file (ADVICE r6)."""
+    from dd_graphdb_spark.views.incremental import _VersionedTable
+
+    path = str(tmp_path / "mig")
+    old = _VersionedTable(spark, path, "k string, _sum decimal(18,6)")
+    old.write(spark.createDataFrame([("a", "1.5")], "k string, _sum string")
+              .selectExpr("k", "cast(_sum as decimal(18,6)) _sum"))
+    new = _VersionedTable(spark, path, "k string, _sum decimal(38,6), _extra long")
+    rows = new.read().collect()
+    assert rows[0]["k"] == "a"
+    assert float(rows[0]["_sum"]) == 1.5
+    assert str(new.read().schema["_sum"].dataType) == "DecimalType(38,6)"
+    # a column added to the declaration since the write reads as NULL
+    assert rows[0]["_extra"] is None

@@ -39,3 +39,22 @@ def test_frame_sample_fanout(spark):
     rows = sorted((r["id"], r["frame_idx"]) for r in out.collect())
     # doc1: 300B → 3 frames → idx 0, 2; doc2: 1 frame → 0; doc3: 129B → 2 frames → 0
     assert rows == [(1, 0), (1, 2), (2, 0), (3, 0)]
+
+
+def test_fake_kernel_emits_warning(spark):
+    """VERDICT r6 #4: the fake codec path must warn at runtime, not just
+    in the docstring — a user must not mistake fake dims for real
+    decode output. (Pillow/ffmpeg absent in this container, so the fake
+    branch is the one taken.)"""
+    import warnings
+
+    for op in (
+        lambda d: M.decode_image(d),
+        lambda d: M.resize_image(d, height=2, width=2),
+        lambda d: M.sample_frames(d),
+    ):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            op(_payloads(spark))
+        fake = [x for x in w if issubclass(x.category, M.FakeKernelWarning)]
+        assert fake and "DETERMINISTIC FAKE" in str(fake[0].message)

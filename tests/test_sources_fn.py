@@ -138,6 +138,23 @@ def test_events_oracle_rewrite_preserves_as_alias():
     assert o["q3"] == f"SELECT ts FROM {EVENTS_US} events"
 
 
+def test_events_oracle_rewrite_mixed_inline_and_raw():
+    """An oracle mixing a hand-interpolated EVENTS_US subquery with a
+    second RAW `FROM events` must get the raw one truncated too — and
+    the pre-substituted span must not be double-wrapped (ADVICE r6)."""
+    from dd_graphdb_spark.graph import EVENTS_US, rewrite_events_oracles
+
+    o = {"mix": f"WITH a AS (SELECT ts FROM {EVENTS_US} e) SELECT * FROM events"}
+    rewrite_events_oracles(o)
+    assert o["mix"] == (
+        f"WITH a AS (SELECT ts FROM {EVENTS_US} e) SELECT * FROM {EVENTS_US} events"
+    )
+    # idempotent: a second pass changes nothing
+    before = dict(o)
+    rewrite_events_oracles(o)
+    assert o == before
+
+
 def test_tokens_whitespace_runs_and_stopword_case(spark):
     """\\s+ tokenization (double spaces, tabs, newlines) and
     case-insensitive stopwords."""

@@ -156,6 +156,11 @@ def test_router_scoring(catalog):
     df = r.execute(QueryPattern("aggregation"))
     assert df.collect()[0]["n"] > 0
     assert r.report()["agg"]["hits"] == 1
+    # default: lazy route, no forced scan → latency stays unrecorded
+    assert r.report()["agg"]["avg_latency_s"] == 0.0
+    rm = QueryRouter(r.catalog, measure_latency=True)
+    rm.execute(QueryPattern("aggregation"))
+    assert rm.report()["agg"]["avg_latency_s"] > 0.0
 
 
 def test_catalog_reload(spark, tmp_path, sf_dir):
