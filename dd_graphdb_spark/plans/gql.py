@@ -48,6 +48,14 @@ standard Cypher result modifiers:
 - variable-length edges `-[p:LBL*1..3]->` (also `*n`, `*..m`, `*0..m`);
   the upper bound is mandatory (the plan is a finite union of hop
   joins), and the edge variable binds one property, `p.hops`
+- UNWIND: `UNWIND [lit, ...] AS x` at statement start or between the
+  MATCH clauses and RETURN (the list-literal driving-table form, a
+  broadcast value table), and `WITH ... UNWIND alias AS x` where the
+  alias is a WITH projection — typically `collect(...)` — exploded
+  back to one row per element (empty/null lists yield no rows, the
+  Cypher contract). The unwound name is referenceable in WHERE/RETURN
+  as a bare name, and a bare name is now also legal on the RHS of a
+  comparison (`WHERE r.name = x`)
 """
 
 from __future__ import annotations
@@ -127,6 +135,13 @@ class OptionalMatch:
 
 
 @dataclass
+class UnwindClause:
+    # list (literal elements) or str (a WITH alias to explode)
+    values: object
+    alias: str
+
+
+@dataclass
 class MatchStatement:
     pattern: PathPattern
     where: object | None
@@ -146,6 +161,12 @@ class MatchStatement:
     # MATCH / OPTIONAL MATCH clauses AFTER the WITH (only for
     # non-aggregating WITH; they join on passed-through variables)
     post_clauses: list = field(default_factory=list)
+    # UNWIND at statement start (pattern may be None for the pure
+    # `UNWIND [..] AS x RETURN ..` form); values must be a list literal
+    unwind_first: UnwindClause | None = None
+    # UNWIND between the MATCH clauses / WITH pipeline and RETURN;
+    # values may be a WITH alias (post-WITH only) or a list literal
+    unwind: UnwindClause | None = None
 
 
 @dataclass
@@ -179,7 +200,7 @@ _TOKEN_RE = re.compile(
         |\bDISTINCT\b|\bORDER\b|\bBY\b|\bSKIP\b|\bLIMIT\b|\bASC\b|\bDESC\b
         |\bcount\b|\bsum\b|\bavg\b|\bmin\b|\bmax\b|\bcollect\b
         |\bCONTAINS\b|\bSTARTS\b|\bENDS\b|\bWITH\b|\bIN\b|\bSET\b
-        |\bIS\b|\bNOT\b
+        |\bIS\b|\bNOT\b|\bUNWIND\b
         |\btrue\b|\bfalse\b|\bnull\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'[^']*'|"[^"]*")
@@ -218,6 +239,7 @@ _NAMEABLE_KEYWORDS = frozenset(
         "DISTINCT", "ORDER", "BY", "SKIP", "LIMIT", "ASC", "DESC",
         "COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT",
         "CONTAINS", "STARTS", "ENDS", "WITH", "IN", "SET", "AS", "IS", "NOT",
+        "UNWIND",
     }
 )
 
@@ -446,14 +468,13 @@ class _Parser:
                 "GQL parse error: '<-' before a name is ambiguous — "
                 "write 'a.x < b.y' (spaced) or compare against a literal"
             )
-        if (
-            self.at_name()
-            and self.peek()[0] not in ("TRUE", "FALSE", "NULL")
-            and self.toks[self.i + 1][1] == "."
-        ):
+        if self.at_name() and self.peek()[0] not in ("TRUE", "FALSE", "NULL"):
             rvar = self.expect_name()
-            self.expect("punct", ".")
-            return Compare(var, prop, op, PropRef(rvar, self.expect_name()))
+            if self.accept("punct", "."):
+                return Compare(var, prop, op, PropRef(rvar, self.expect_name()))
+            # bare-name RHS: a WITH alias or an UNWIND binding
+            # (PropRef with prop=None lowers to the bare column)
+            return Compare(var, prop, op, PropRef(rvar, None))
         if op == "<-":
             # `a.age<-5` lexes as the edge arrow '<-' + '5'; in WHERE
             # context it means '<' followed by a unary minus
@@ -553,48 +574,40 @@ class _Parser:
                 break
         return clauses
 
+    def _unwind_clause(self, allow_name: bool) -> UnwindClause:
+        """``UNWIND [lit, ..] AS x`` — or, after a WITH pipeline,
+        ``UNWIND alias AS x`` exploding a projected (collected) list."""
+        if self.accept("punct", "["):
+            vals = []
+            while not self.accept("punct", "]"):
+                vals.append(self.literal())
+                self.accept("punct", ",")
+            src: object = vals
+        elif allow_name and self.at_name():
+            src = self.expect_name()
+        else:
+            raise ValueError(
+                "GQL parse error: UNWIND needs a list literal [..]"
+                + (" or a WITH alias" if allow_name else "")
+            )
+        self.expect("AS")
+        return UnwindClause(src, self.expect_name())
+
     def statement(self):
-        if self.accept("MATCH"):
-            pattern = self.path()
-            where = self.where_expr() if self.accept("WHERE") else None
-            if self.accept("DELETE"):
-                return MatchDeleteStatement(pattern, where, self.expect_name())
-            if self.accept("SET"):
-                assigns = []
-                while True:
-                    var = self.expect_name()
-                    self.expect("punct", ".")
-                    prop = self.expect_name()
-                    self.expect("op", "=")
-                    assigns.append((var, prop, self.literal()))
-                    if not self.accept("punct", ","):
-                        break
-                return MatchSetStatement(pattern, where, assigns)
-            clauses = self._match_clauses()
-            with_items = with_where = None
-            post_clauses = []
-            if self.accept("WITH"):
-                with_items = self.return_items()
-                if any(i.var == "*" and i.agg is None for i in with_items):
-                    raise ValueError("GQL parse error: WITH does not support *")
-                if self.accept("WHERE"):
-                    with_where = self.where_expr()
-                post_clauses = self._match_clauses()
-                if post_clauses and any(i.agg for i in with_items):
-                    raise ValueError(
-                        "GQL parse error: MATCH after an aggregating WITH is "
-                        "not supported — aggregate in the final RETURN instead"
-                    )
+        if self.accept("UNWIND"):
+            first = self._unwind_clause(allow_name=False)
+            if self.accept("MATCH"):
+                return self._match_statement(unwind_first=first)
+            # pure value-table form: UNWIND [..] AS x RETURN ..
             self.expect("RETURN")
             distinct = self.accept("DISTINCT")
             stmt = MatchStatement(
-                pattern, where,
-                self.return_items(bare_ok=with_items is not None),
-                distinct=distinct,
-                clauses=clauses, with_items=with_items, with_where=with_where,
-                post_clauses=post_clauses,
+                None, None, self.return_items(bare_ok=True),
+                distinct=distinct, unwind_first=first,
             )
             return self._result_modifiers(stmt)
+        if self.accept("MATCH"):
+            return self._match_statement()
         if self.accept("CREATE"):
             return CreateStatement(self.path())
         if self.accept("MERGE"):
@@ -604,7 +617,52 @@ class _Parser:
                     "GQL parse error: MERGE supports single-node patterns only"
                 )
             return MergeStatement(pattern.nodes[0])
-        raise ValueError("GQL parse error: expected MATCH, CREATE or MERGE")
+        raise ValueError("GQL parse error: expected MATCH, UNWIND, CREATE or MERGE")
+
+    def _match_statement(self, unwind_first: UnwindClause | None = None):
+        pattern = self.path()
+        where = self.where_expr() if self.accept("WHERE") else None
+        if self.accept("DELETE"):
+            return MatchDeleteStatement(pattern, where, self.expect_name())
+        if self.accept("SET"):
+            assigns = []
+            while True:
+                var = self.expect_name()
+                self.expect("punct", ".")
+                prop = self.expect_name()
+                self.expect("op", "=")
+                assigns.append((var, prop, self.literal()))
+                if not self.accept("punct", ","):
+                    break
+            return MatchSetStatement(pattern, where, assigns)
+        clauses = self._match_clauses()
+        with_items = with_where = None
+        post_clauses = []
+        if self.accept("WITH"):
+            with_items = self.return_items()
+            if any(i.var == "*" and i.agg is None for i in with_items):
+                raise ValueError("GQL parse error: WITH does not support *")
+            if self.accept("WHERE"):
+                with_where = self.where_expr()
+            post_clauses = self._match_clauses()
+            if post_clauses and any(i.agg for i in with_items):
+                raise ValueError(
+                    "GQL parse error: MATCH after an aggregating WITH is "
+                    "not supported — aggregate in the final RETURN instead"
+                )
+        unwind = None
+        if self.accept("UNWIND"):
+            unwind = self._unwind_clause(allow_name=with_items is not None)
+        self.expect("RETURN")
+        distinct = self.accept("DISTINCT")
+        stmt = MatchStatement(
+            pattern, where,
+            self.return_items(bare_ok=with_items is not None or unwind is not None),
+            distinct=distinct,
+            clauses=clauses, with_items=with_items, with_where=with_where,
+            post_clauses=post_clauses, unwind_first=unwind_first, unwind=unwind,
+        )
+        return self._result_modifiers(stmt)
 
 
 def parse_gql(text: str):

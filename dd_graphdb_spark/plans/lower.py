@@ -59,21 +59,27 @@ def _node_filter(df: DataFrame, node: NodePattern, var: str) -> DataFrame:
     return df
 
 
-def _lower_condition(cond, bare: bool = False, pattern_vars: tuple = ()) -> F.Column:
+def _lower_condition(
+    cond, bare: bool = False, pattern_vars: tuple = (), bare_names: tuple = ()
+) -> F.Column:
     """``bare``: the frame's columns are projected output names (a WITH
     intermediate) rather than ``var__col`` binding columns.
     ``pattern_vars``: whole variables passed through a non-aggregating
     WITH — their binding columns survive into the bare frame, so
-    `v IS NULL` on one still resolves via the id witness."""
+    `v IS NULL` on one still resolves via the id witness.
+    ``bare_names``: names bound by UNWIND — bare columns even in a
+    non-bare (binding-column) frame."""
     if isinstance(cond, BoolExpr):
         if cond.op == "NOT":
-            return ~_lower_condition(cond.left, bare, pattern_vars)
-        left = _lower_condition(cond.left, bare, pattern_vars)
-        right = _lower_condition(cond.right, bare, pattern_vars)
+            return ~_lower_condition(cond.left, bare, pattern_vars, bare_names)
+        left = _lower_condition(cond.left, bare, pattern_vars, bare_names)
+        right = _lower_condition(cond.right, bare, pattern_vars, bare_names)
         return left & right if cond.op == "AND" else left | right
     assert isinstance(cond, Compare)
     if cond.prop:
         col = F.col(f"{cond.var}__{cond.prop}")
+    elif cond.var in bare_names:
+        col = F.col(cond.var)
     elif cond.op in ("is_null", "is_not_null") and (
         not bare or cond.var in pattern_vars
     ):
@@ -87,7 +93,7 @@ def _lower_condition(cond, bare: bool = False, pattern_vars: tuple = ()) -> F.Co
     else:
         raise ValueError(
             f"bare name {cond.var!r} in WHERE is only valid after WITH "
-            "(reference a property as var.prop)"
+            "or UNWIND (reference a property as var.prop)"
         )
     if cond.op == "is_null":
         return col.isNull()
@@ -102,7 +108,12 @@ def _lower_condition(cond, bare: bool = False, pattern_vars: tuple = ()) -> F.Co
     if cond.op == "in":
         return col.isin(*cond.value)
     if isinstance(cond.value, PropRef):
-        lit = F.col(f"{cond.value.var}__{cond.value.prop}")
+        # prop=None → bare-name RHS (a WITH alias or UNWIND binding)
+        lit = (
+            F.col(f"{cond.value.var}__{cond.value.prop}")
+            if cond.value.prop
+            else F.col(cond.value.var)
+        )
     else:
         lit = F.lit(cond.value)
     # int↔float coercion is native in Spark (reference: executor.rs:641-650)
@@ -235,16 +246,63 @@ class GQLEngine:
             bound = bound.filter(_lower_condition(where))
         return bound
 
+    def _unwind_literal_frame(self, uw) -> DataFrame:
+        """One-column value table from a list literal: a 1-row seed
+        exploded over an array literal — tiny by construction, always
+        broadcast into the bindings (a value table never shuffles)."""
+        spark = self.graph.vertices.sparkSession
+        vals = uw.values
+        if any(isinstance(v, float) for v in vals) and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
+        ):
+            cols = [F.lit(float(v)) for v in vals]  # unify int/float
+        else:
+            cols = [F.lit(v) for v in vals]
+        arr = F.array(*cols) if cols else F.array().cast("array<long>")
+        return spark.range(1).select(F.explode(arr).alias(uw.alias))
+
+    def _apply_unwind(self, df: DataFrame, uw, bare_names: tuple) -> tuple:
+        """Attach an UNWIND binding to a frame: list literal → broadcast
+        cross join with the value table; alias (post-WITH) → explode the
+        projected list column (empty/null lists yield no rows — Cypher)."""
+        if isinstance(uw.values, str):
+            if uw.values not in df.columns:
+                raise ValueError(f"UNWIND {uw.values}: not a WITH projection")
+            df = df.withColumn(uw.alias, F.explode(F.col(uw.values)))
+        else:
+            df = df.crossJoin(F.broadcast(self._unwind_literal_frame(uw)))
+        return df, bare_names + (uw.alias,)
+
     def _execute_match(self, stmt: MatchStatement) -> DataFrame:
-        bound = self.match_bindings(stmt.pattern, stmt.where)
-        # dedupe: a repeated node variable (cycle pattern) binds ONCE —
-        # without this, RETURN * emits its columns twice and any ORDER
-        # BY / DISTINCT on them becomes ambiguous
-        vertex_vars = list(dict.fromkeys(n.var for n in stmt.pattern.nodes))
-        bound, vertex_vars = self._apply_clauses(
-            bound, vertex_vars, stmt.clauses, "_o"
-        )
         vcols = self.graph.vertices.columns
+        unwound: tuple = ()
+        if stmt.pattern is None:
+            # pure value-table statement: UNWIND [..] AS x RETURN ..
+            bound = self._unwind_literal_frame(stmt.unwind_first)
+            vertex_vars: list[str] = []
+            unwound = (stmt.unwind_first.alias,)
+        else:
+            # with a leading UNWIND the WHERE may reference the unwound
+            # name, so it applies after the value-table join
+            bound = self.match_bindings(
+                stmt.pattern, None if stmt.unwind_first else stmt.where
+            )
+            # dedupe: a repeated node variable (cycle pattern) binds ONCE —
+            # without this, RETURN * emits its columns twice and any ORDER
+            # BY / DISTINCT on them becomes ambiguous
+            vertex_vars = list(dict.fromkeys(n.var for n in stmt.pattern.nodes))
+            bound, vertex_vars = self._apply_clauses(
+                bound, vertex_vars, stmt.clauses, "_o"
+            )
+            if stmt.unwind_first is not None:
+                bound, unwound = self._apply_unwind(bound, stmt.unwind_first, unwound)
+                if stmt.where is not None:
+                    bound = bound.filter(
+                        _lower_condition(stmt.where, bare_names=unwound)
+                    )
+        if stmt.unwind is not None and stmt.with_items is None:
+            # MATCH .. UNWIND [..] AS x RETURN .. (no WITH pipeline)
+            bound, unwound = self._apply_unwind(bound, stmt.unwind, unwound)
         if stmt.with_items is not None:
             # WITH pipeline. Aggregating WITH: project/aggregate, filter
             # by bare alias (the HAVING idiom). Non-aggregating WITH may
@@ -252,7 +310,9 @@ class GQLEngine:
             # are kept), which is what post-WITH MATCH clauses join on.
             has_aggs = any(i.agg for i in stmt.with_items)
             passthrough = [
-                i.var for i in stmt.with_items if i.prop is None and i.agg is None
+                i.var
+                for i in stmt.with_items
+                if i.prop is None and i.agg is None and i.var not in unwound
             ]
             if has_aggs:
                 if passthrough:
@@ -260,17 +320,20 @@ class GQLEngine:
                         "WITH cannot mix whole-variable passthrough with "
                         "aggregates — project the needed properties instead"
                     )
-                inter = self._project(bound, stmt.with_items, vertex_vars, vcols)
+                inter = self._project(
+                    bound, stmt.with_items, vertex_vars, vcols, bare_names=unwound
+                )
                 pvars: list[str] = []
             else:
                 cols = []
                 for i in stmt.with_items:
                     if i.prop is None and i.agg is None:
-                        if i.var not in vertex_vars:
+                        if i.var in unwound:
+                            cols.append(F.col(i.var).alias(i.alias or i.var))
+                        elif i.var not in vertex_vars:
                             raise ValueError(f"WITH {i.var}: unknown variable")
-                        cols.extend(
-                            F.col(f"{i.var}__{c}") for c in vcols
-                        )
+                        else:
+                            cols.extend(F.col(f"{i.var}__{c}") for c in vcols)
                     else:
                         cols.append(
                             F.col(f"{i.var}__{i.prop}").alias(
@@ -288,6 +351,9 @@ class GQLEngine:
             inter, pvars = self._apply_clauses(
                 inter, pvars, stmt.post_clauses, "_p"
             )
+            if stmt.unwind is not None:
+                # WITH .. UNWIND alias AS x: explode the projected list
+                inter, _ = self._apply_unwind(inter, stmt.unwind, ())
             df = self._project(inter, stmt.returns, pvars, vcols, bare=True)
         else:
             # Cypher: ORDER BY may reference non-projected properties of
@@ -314,7 +380,8 @@ class GQLEngine:
                     if name not in projected and src in bound.columns:
                         hidden.append(F.col(src).alias(f"__sort_{name}"))
             df = self._project(
-                bound, stmt.returns, vertex_vars, vcols, extra_cols=hidden
+                bound, stmt.returns, vertex_vars, vcols,
+                extra_cols=hidden, bare_names=unwound,
             )
         if stmt.distinct:
             df = df.distinct()
@@ -377,7 +444,8 @@ class GQLEngine:
         return bound, vertex_vars
 
     def _project(
-        self, bound, items, vertex_vars, vcols, bare: bool = False, extra_cols=None
+        self, bound, items, vertex_vars, vcols,
+        bare: bool = False, extra_cols=None, bare_names: tuple = (),
     ):
         """RETURN/WITH projection with Cypher's implicit grouping.
 
@@ -386,7 +454,10 @@ class GQLEngine:
 
         ``bare`` = the input columns are already projected output names
         (a WITH intermediate): items reference them by bare name and
-        var.prop forms are rejected."""
+        var.prop forms are rejected.
+
+        ``bare_names`` = UNWIND bindings: bare columns that coexist with
+        ``var__col`` binding columns in a non-bare frame."""
 
         def item_cols(item) -> list[F.Column]:
             if item.var == "*":
@@ -403,7 +474,7 @@ class GQLEngine:
                     for c in vcols
                 ]
             if item.prop is None:
-                if bare and item.var not in vertex_vars:
+                if (bare and item.var not in vertex_vars) or item.var in bare_names:
                     return [F.col(item.var).alias(item.alias or item.var)]
                 if item.alias is not None:
                     raise ValueError("aliasing a whole vertex is not supported")
@@ -451,7 +522,7 @@ class GQLEngine:
             if i.var == "*":
                 agg_cols.append(F.count("*").alias(i.alias or "count"))
             elif i.prop is None:
-                scalar = bare and i.var not in vertex_vars
+                scalar = (bare or i.var in bare_names) and i.var not in vertex_vars
                 src = F.col(i.var) if scalar else F.col(f"{i.var}__id")
                 if scalar and i.agg != "count":
                     # post-WITH, sum(x)/avg(x)/... aggregate the alias column

@@ -742,6 +742,37 @@ def gql_with_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GQL UNWIND (beyond the reference's declared grammar — its AST carries
+# list values, graph/query/src/lib.rs:24-30, but the grammar never
+# compiled; standard Cypher UNWIND). The query collect()s each nation's
+# customer segments, explodes them back to rows through the WITH
+# pipeline, and re-aggregates — the roundtrip is exact, so the oracle is
+# the direct relational group-by.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_unwind",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS nation, c.mktsegment AS seg, count(*) AS n_cust
+    FROM vertices c
+    JOIN edges e ON c.id = e.src AND e.label = 'located_in'
+    JOIN vertices n ON e.dst = n.id AND n.label = 'Nation'
+    WHERE c.label = 'Customer'
+    GROUP BY n.name, c.mktsegment
+    ORDER BY nation, seg
+    """,
+)
+def gql_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "WITH n.name AS nation, collect(c.mktsegment) AS segs "
+        "UNWIND segs AS seg "
+        "RETURN nation, seg, count(*) AS n_cust ORDER BY nation, seg"
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

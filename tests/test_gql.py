@@ -568,3 +568,72 @@ def test_order_by_non_projected_property(people_graph):
         eng.execute(
             "MATCH (v:Person) RETURN DISTINCT v.name ORDER BY v.age"
         ).collect()
+
+
+# --------------------------------------------------------------------------- UNWIND
+def test_unwind_pure_value_table(people_graph):
+    df = _engine(people_graph).execute("UNWIND [3, 1, 2] AS x RETURN x ORDER BY x")
+    assert [r["x"] for r in df.collect()] == [1, 2, 3]
+
+
+def test_unwind_drives_match_where(people_graph):
+    df = _engine(people_graph).execute(
+        "UNWIND ['Alice', 'Bob'] AS nm MATCH (v:Person) WHERE v.name = nm "
+        "RETURN v.name, v.age ORDER BY v.age"
+    )
+    assert [(r["v_name"], r["v_age"]) for r in df.collect()] == [("Bob", 25), ("Alice", 30)]
+
+
+def test_unwind_after_match_cross_product(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person {name: 'Bob'}) UNWIND [10, 20] AS bonus "
+        "RETURN v.name, bonus ORDER BY bonus"
+    )
+    assert [(r["v_name"], r["bonus"]) for r in df.collect()] == [("Bob", 10), ("Bob", 20)]
+
+
+def test_unwind_collected_list_roundtrip(people_graph):
+    # the verdict-r6 shape: collect() then UNWIND back to rows via WITH
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WITH collect(v.name) AS names "
+        "UNWIND names AS nm RETURN nm ORDER BY nm"
+    )
+    assert [r["nm"] for r in df.collect()] == ["Alice", "Bob", "Charlie"]
+
+
+def test_unwind_grouped_collect_then_reaggregate(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (a)-[e:friend]->(b) WITH a.name AS an, collect(b.name) AS fs "
+        "UNWIND fs AS f RETURN an, f ORDER BY an"
+    )
+    assert [(r["an"], r["f"]) for r in df.collect()] == [("Alice", "Bob"), ("Bob", "Charlie")]
+
+
+def test_unwind_empty_list_yields_no_rows(people_graph):
+    assert _engine(people_graph).execute("UNWIND [] AS x RETURN x").count() == 0
+
+
+def test_unwind_aggregate_over_binding(people_graph):
+    df = _engine(people_graph).execute("UNWIND [1.5, 2] AS x RETURN sum(x) AS s")
+    assert df.collect()[0]["s"] == 3.5
+
+
+def test_unwind_parse_errors(people_graph):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="list literal"):
+        # a bare name has no scope at statement start
+        _engine(people_graph).execute("UNWIND something AS x RETURN x")
+    with _pt.raises(ValueError, match="not a WITH projection"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) WITH collect(v.name) AS names "
+            "UNWIND wrong AS nm RETURN nm"
+        )
+
+
+def test_bare_name_rhs_comparison(people_graph):
+    # `WHERE v.name = nm` with nm an UNWIND binding (bare-name RHS)
+    df = _engine(people_graph).execute(
+        "UNWIND [30] AS cutoff MATCH (v:Person) WHERE v.age >= cutoff RETURN v.name ORDER BY v.name"
+    )
+    assert [r["v_name"] for r in df.collect()] == ["Alice", "Charlie"]
