@@ -135,6 +135,27 @@ class OptionalMatch:
 
 
 @dataclass
+class ShortestPathPattern:
+    """``p = shortestPath((a)-[:LBL*1..n]->(b))`` — hop-count shortest
+    path between the endpoint sets, bounded by the mandatory upper hop
+    bound (same rule as variable-length edges). The path variable binds
+    three properties: ``p.hops`` (long), ``p.distance`` (double — the
+    reference's routed shortest-path view exposes dist,
+    graph/views/src/incremental_engine.rs:1214-1285), and ``p.path``
+    (the "1->2->3" rendering). Unreachable pairs yield no row (Cypher);
+    the weighted form remains the routed analytics view / sssp API."""
+
+    pvar: str
+    src: NodePattern
+    edge: EdgePattern
+    dst: NodePattern
+
+    @property
+    def nodes(self):  # endpoint vars participate like pattern nodes
+        return [self.src, self.dst]
+
+
+@dataclass
 class UnwindClause:
     # list (literal elements) or str (a WITH alias to explode)
     values: object
@@ -619,9 +640,39 @@ class _Parser:
             return MergeStatement(pattern.nodes[0])
         raise ValueError("GQL parse error: expected MATCH, UNWIND, CREATE or MERGE")
 
+    def _shortest_path_pattern(self) -> ShortestPathPattern:
+        pvar = self.expect_name()
+        self.expect("op", "=")
+        self.next()  # the shortestPath identifier itself
+        self.expect("punct", "(")
+        src = self.node()
+        edge = self.edge()
+        if edge is None:
+            raise ValueError("GQL parse error: shortestPath needs an edge pattern")
+        dst = self.node()
+        self.expect("punct", ")")
+        if edge.min_hops is None:
+            edge.min_hops = edge.max_hops = 1  # plain edge = exactly one hop
+        return ShortestPathPattern(pvar, src, edge, dst)
+
+    def _at_shortest_path(self) -> bool:
+        return (
+            self.at_name()
+            and self.toks[self.i + 1] == ("op", "=")
+            and self.toks[self.i + 2][1].lower() == "shortestpath"
+        )
+
     def _match_statement(self, unwind_first: UnwindClause | None = None):
-        pattern = self.path()
-        where = self.where_expr() if self.accept("WHERE") else None
+        if self._at_shortest_path():
+            pattern: object = self._shortest_path_pattern()
+            where = self.where_expr() if self.accept("WHERE") else None
+            if self.peek()[0] in ("DELETE", "SET"):
+                raise ValueError(
+                    "GQL parse error: shortestPath patterns are read-only"
+                )
+        else:
+            pattern = self.path()
+            where = self.where_expr() if self.accept("WHERE") else None
         if self.accept("DELETE"):
             return MatchDeleteStatement(pattern, where, self.expect_name())
         if self.accept("SET"):

@@ -41,6 +41,7 @@ from dd_graphdb_spark.plans.gql import (
     MatchStatement,
     MergeStatement,
     NodePattern,
+    ShortestPathPattern,
     parse_gql,
 )
 
@@ -194,7 +195,90 @@ class GQLEngine:
             pairs = pairs.unionByName(fr)
         return pairs
 
+    def _shortest_path_bindings(self, sp: ShortestPathPattern) -> DataFrame:
+        """Hop-count shortest paths between two endpoint sets as ONE
+        declarative plan: seed from the filtered source vertices, chain
+        ≤ max_hops equi-joins on the edge table carrying the path
+        string, take min(hops, path) per (start, end) pair (the path
+        tie-break makes equal-length choices deterministic, matching
+        sssp's "first found" stability), then join the filtered target
+        side. Seeding from the source side keeps every hop join sized
+        by the SELECTED sources, not the whole graph — the endpoint
+        filters reach the first/last scans instead of a global
+        all-pairs table. Mirrors the reference's routed shortest-path
+        result shape (dist/path — incremental_engine.rs:1214-1285) with
+        Cypher shortestPath (hop) semantics; unreachable ⇒ no row."""
+        e, a, b, p = sp.edge, sp.src, sp.dst, sp.pvar
+        base = (
+            self.graph.undirected_edges()
+            if e.direction == "undirected"
+            else self.graph.edges
+        )
+        if e.label is not None:
+            base = base.filter(F.col("label") == e.label)
+        if e.direction == "in":
+            base = base.select(F.col("dst").alias("_b_src"), F.col("src").alias("_b_dst"))
+        else:
+            base = base.select(F.col("src").alias("_b_src"), F.col("dst").alias("_b_dst"))
+        base = base.distinct()  # parallel edges never change hop counts
+
+        adf = _node_filter(_prefix(self.graph.vertices, a.var), a, a.var)
+        bdf = _node_filter(_prefix(self.graph.vertices, b.var), b, b.var)
+        start, end, path = "_sp_start", "_sp_end", "_sp_path"
+        lo = max(e.min_hops, 0)
+        seed = adf.select(F.col(f"{a.var}__id").alias(start))
+        frames = []
+        if lo == 0:
+            frames.append(
+                seed.select(
+                    F.col(start),
+                    F.col(start).alias(end),
+                    F.lit(0).alias("_sp_hops"),
+                    F.col(start).cast("string").alias(path),
+                )
+            )
+        cur = seed.join(base, F.col(start) == F.col("_b_src")).select(
+            F.col(start),
+            F.col("_b_dst").alias(end),
+            F.concat(
+                F.col(start).cast("string"), F.lit("->"), F.col("_b_dst").cast("string")
+            ).alias(path),
+        )
+        for h in range(1, e.max_hops + 1):
+            if h > 1:
+                cur = cur.join(base, F.col(end) == F.col("_b_src")).select(
+                    F.col(start),
+                    F.col("_b_dst").alias(end),
+                    F.concat(F.col(path), F.lit("->"), F.col("_b_dst").cast("string")).alias(path),
+                )
+            if h >= max(lo, 1):
+                frames.append(cur.withColumn("_sp_hops", F.lit(h)))
+        pairs = frames[0]
+        for fr in frames[1:]:
+            pairs = pairs.unionByName(fr)
+        best = (
+            pairs.groupBy(start, end)
+            .agg(F.min(F.struct(F.col("_sp_hops"), F.col(path))).alias("_b"))
+            .select(
+                start,
+                end,
+                F.col("_b._sp_hops").cast("long").alias(f"{p}__hops"),
+                F.col(f"_b.{path}").alias(f"{p}__path"),
+            )
+        )
+        return (
+            best.join(adf, F.col(start) == F.col(f"{a.var}__id"))
+            .join(bdf, F.col(end) == F.col(f"{b.var}__id"))
+            .withColumn(f"{p}__distance", F.col(f"{p}__hops").cast("double"))
+            .drop(start, end)
+        )
+
     def match_bindings(self, pattern, where=None, anon_prefix: str = "_e") -> DataFrame:
+        if isinstance(pattern, ShortestPathPattern):
+            bound = self._shortest_path_bindings(pattern)
+            if where is not None:
+                bound = bound.filter(_lower_condition(where))
+            return bound
         nodes, edges = pattern.nodes, pattern.edges
         v0 = nodes[0]
         bound = _node_filter(_prefix(self.graph.vertices, v0.var), v0, v0.var)

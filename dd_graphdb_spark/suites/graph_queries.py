@@ -773,6 +773,40 @@ def gql_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GQL in-query shortest path: MATCH p = shortestPath((a)-[*1..n]->(b)).
+# Mirrors the reference's routed shortest-path view result shape
+# (dist + path string, incremental_engine.rs:1214-1285) with Cypher
+# hop semantics. Customer→Region is a unique 2-hop tree walk
+# (located_in then in_region), so the DuckDB oracle reconstructs the
+# identical hops/distance/path relationally — path string verified
+# byte-for-byte.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_shortest_path",
+    GRAPH_CTE
+    + """
+    SELECT c.name AS cust, r.name AS region, 2::BIGINT AS hops,
+           2.0::DOUBLE AS dist,
+           c.id::VARCHAR || '->' || n.id::VARCHAR || '->' || r.id::VARCHAR AS path
+    FROM vertices c
+    JOIN edges e1 ON c.id = e1.src AND e1.label = 'located_in'
+    JOIN vertices n ON e1.dst = n.id AND n.label = 'Nation'
+    JOIN edges e2 ON n.id = e2.src AND e2.label = 'in_region'
+    JOIN vertices r ON e2.dst = r.id
+    WHERE c.label = 'Customer'
+    ORDER BY cust
+    """,
+)
+def gql_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH p = shortestPath((c:Customer)-[*1..3]->(r:Region)) "
+        "RETURN c.name AS cust, r.name AS region, p.hops AS hops, "
+        "p.distance AS dist, p.path AS path ORDER BY cust"
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

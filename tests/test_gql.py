@@ -637,3 +637,59 @@ def test_bare_name_rhs_comparison(people_graph):
         "UNWIND [30] AS cutoff MATCH (v:Person) WHERE v.age >= cutoff RETURN v.name ORDER BY v.name"
     )
     assert [r["v_name"] for r in df.collect()] == ["Alice", "Charlie"]
+
+
+# --------------------------------------------------------------------------- shortestPath
+@pytest.fixture
+def diamond_graph(spark):
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [(1, "P", "a"), (2, "P", "b"), (3, "P", "c"), (4, "P", "d"), (5, "P", "e")],
+        "id long, label string, name string",
+    )
+    # a->b->c->d plus the direct shortcut a->d; e isolated
+    e = spark.createDataFrame(
+        [(1, 2, "x"), (2, 3, "x"), (3, 4, "x"), (1, 4, "x")],
+        "src long, dst long, label string",
+    )
+    return PropertyGraph(v, e)
+
+
+def test_shortest_path_picks_min_hops(diamond_graph):
+    df = _engine(diamond_graph).execute(
+        "MATCH p = shortestPath((a {name: 'a'})-[*1..5]->(b {name: 'd'})) "
+        "RETURN p.hops, p.distance, p.path"
+    )
+    r = df.collect()[0]
+    # the 1-hop shortcut wins over the 3-hop chain
+    assert (r["p_hops"], r["p_distance"], r["p_path"]) == (1, 1.0, "1->4")
+
+
+def test_shortest_path_unreachable_yields_no_row(diamond_graph):
+    df = _engine(diamond_graph).execute(
+        "MATCH p = shortestPath((a {name: 'a'})-[*1..5]->(b {name: 'e'})) RETURN p.hops"
+    )
+    assert df.count() == 0
+
+
+def test_shortest_path_where_and_order(diamond_graph):
+    df = _engine(diamond_graph).execute(
+        "MATCH p = shortestPath((a {name: 'a'})-[*1..5]->(b)) "
+        "WHERE p.hops > 1 RETURN b.name, p.hops"
+    )
+    assert [(r["b_name"], r["p_hops"]) for r in df.collect()] == [("c", 2)]
+
+
+def test_shortest_path_undirected_and_label(diamond_graph):
+    df = _engine(diamond_graph).execute(
+        "MATCH p = shortestPath((a {name: 'd'})-[:x*1..5]-(b {name: 'a'})) RETURN p.path"
+    )
+    assert df.collect()[0]["p_path"] == "4->1"
+
+
+def test_shortest_path_mutation_rejected(diamond_graph):
+    with pytest.raises(ValueError, match="read-only"):
+        _engine(diamond_graph).execute(
+            "MATCH p = shortestPath((a)-[*1..2]->(b)) DELETE a"
+        )
