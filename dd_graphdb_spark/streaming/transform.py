@@ -369,13 +369,15 @@ class AlertEngine:
         Baseline stats are one row per window (output-proportional);
         events join them via an equi-join on their window start.
 
-        The previous-window lookup is a TWO-LEVEL lag, not a global-order
-        window (which would move every window-stat row to one task): rows
-        lag within a 4096-window bucket partition (_ANOMALY_FOLD), and
-        each bucket's first row takes the nearest preceding non-empty
-        bucket's last row from a per-bucket summary — one row per
-        non-empty bucket, a 4096× reduction at level 2. Same values,
-        bounded tasks.
+        The previous-window lookup is a THREE-LEVEL lag, not a
+        global-order window (which would move every window-stat row to
+        one task): rows lag within a 4096-window bucket partition
+        (_ANOMALY_FOLD); each bucket's first row takes the nearest
+        preceding non-empty bucket's last row from a per-bucket summary,
+        which itself lags within a 4096-bucket SUPER-bucket partition;
+        only the per-super-bucket summary — windows/4096² rows — sees a
+        global-order window. Same values, bounded tasks at any window
+        count (10^9 windows → ~60 summary rows in the one global task).
         """
         from pyspark.sql import Window
 
@@ -399,9 +401,21 @@ class AlertEngine:
         )
         last = stats.groupBy("_bkt").agg(
             F.max_by(F.struct("n", "s", "ss"), "_wstart").alias("b")
+        ).withColumn("_sb", F.expr(_floor_div_expr("_bkt", _ANOMALY_FOLD)))
+        # level 2 recursed: bucket-summary rows lag within a super-bucket
+        # partition; only the super-bucket summary is globally ordered
+        wsup = Window.partitionBy("_sb").orderBy("_bkt")
+        sup_prev = (
+            last.groupBy("_sb")
+            .agg(F.max_by("b", "_bkt").alias("sb_last"))
+            .select(
+                "_sb", F.lag("sb_last").over(Window.orderBy("_sb")).alias("sb_pb")
+            )
         )
-        prev = last.select(
-            "_bkt", F.lag("b").over(Window.orderBy("_bkt")).alias("pb")
+        prev = (
+            last.withColumn("_pb_loc", F.lag("b").over(wsup))
+            .join(sup_prev, "_sb")
+            .select("_bkt", F.coalesce("_pb_loc", "sb_pb").alias("pb"))
         )
         base = loc.join(prev, "_bkt").select(
             "_wstart",
@@ -603,17 +617,48 @@ def greedy_cooldown_fires(
     start = c.agg(F.min("t")).collect()[0][0]
 
     # bucket-minimum summary + "first bucket strictly past my successor
-    # bucket" fallback (output-proportional: one row per fired window max)
-    B = c.groupBy("_bucket").agg(F.min("t").alias("bmin"))
-    wb = Window.orderBy("_bucket")
-    fallback = B.select(
-        "_bucket",
-        F.when(
-            F.lead("_bucket", 1).over(wb) > F.col("_bucket") + 1,
-            F.lead("bmin", 1).over(wb),
+    # bucket" fallback (output-proportional: one row per fired window max).
+    # The global lead-1/lead-2 lookup is TWO-LEVEL: leads resolve within
+    # a 4096-bucket super-partition; rows at a partition's tail borrow
+    # the first two entries of the REMAINING bucket stream from a
+    # per-super-bucket summary (first two rows each), whose own leads
+    # are the only globally-ordered window — over buckets/4096 rows.
+    B = c.groupBy("_bucket").agg(F.min("t").alias("bmin")).withColumn(
+        "_sb", F.expr(_floor_div_expr("_bucket", _ANOMALY_FOLD))
+    )
+    row = F.struct("_bucket", "bmin")
+    wloc = Window.partitionBy("_sb").orderBy("_bucket")
+    wsup = Window.orderBy("_sb")
+    rn = B.withColumn("_rn", F.row_number().over(wloc))
+    # min over a single-candidate conditional struct = "the _rn-th row";
+    # nulls are ignored by min, so a 1-row super-bucket gets f2 = null
+    sup = rn.groupBy("_sb").agg(
+        F.min(F.when(F.col("_rn") == 1, row)).alias("f1"),
+        F.min(F.when(F.col("_rn") == 2, row)).alias("f2"),
+    )
+    sup = sup.select(
+        "_sb",
+        # first two rows of the stream of buckets AFTER this super-bucket:
+        # next super's f1, then next super's f2 — or, when the next super
+        # holds a single row, the super after it contributes the second
+        F.lead("f1").over(wsup).alias("nxt1"),
+        F.coalesce(F.lead("f2").over(wsup), F.lead("f1", 2).over(wsup)).alias("nxt2"),
+    )
+    lead1 = F.coalesce(F.lead(row, 1).over(wloc), F.col("nxt1"))
+    lead2 = F.coalesce(
+        F.lead(row, 2).over(wloc),
+        F.when(F.lead(row, 1).over(wloc).isNull(), F.col("nxt2")).otherwise(
+            F.col("nxt1")
+        ),
+    )
+    fallback = (
+        B.join(sup, "_sb")
+        .select(
+            "_bucket",
+            F.when(lead1["_bucket"] > F.col("_bucket") + 1, lead1["bmin"])
+            .otherwise(lead2["bmin"])
+            .alias("fallback_t"),
         )
-        .otherwise(F.lead("bmin", 2).over(wb))
-        .alias("fallback_t"),
     )
     succ = (
         _bucket_ceilings(c, cdus)

@@ -248,3 +248,84 @@ def test_cooldown_buckets_floor_for_pre_epoch_timestamps(spark):
         "ts timestamp, _ord long, metric_value double",
     )
     assert greedy_cooldown_fires(cand2, cd, small_threshold=0).count() == 1
+
+
+def test_anomaly_prev_window_crosses_super_buckets(spark, monkeypatch):
+    """Three-level lag: with the fold shrunk to 2, baseline windows span
+    many buckets AND super-buckets, exercising every borrow path
+    (first-in-bucket -> previous bucket's last; first-in-super-bucket ->
+    previous super-bucket's last). Values must equal a brute-force
+    previous-non-empty-window z-score."""
+    import dd_graphdb_spark.streaming.transform as T
+
+    monkeypatch.setattr(T, "_ANOMALY_FOLD", 2)
+    base = datetime(2026, 1, 1)
+    rows = []
+    # 13 occupied minutes spread over 40 (empty gaps force non-adjacent
+    # lookups at both levels); window = 1 minute
+    occupied = [0, 1, 2, 5, 6, 9, 14, 15, 22, 23, 30, 37, 38]
+    vals = {}
+    rid = 0
+    for m in occupied:
+        for v in (10.0, 12.0, 30.0 if m % 3 == 0 else 11.0):
+            rows.append((rid, "e", "s", v, datetime(2026, 1, 1, 0, m, rid % 60)))
+            vals.setdefault(m, []).append(v)
+            rid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, source string, value double, ts timestamp"
+    )
+    eng = T.AlertEngine([T.AlertRule("z", "anomaly", "value", "gt", 1.0, window="1 minute")])
+    got = {(r["ts"], round(r["metric_value"], 6)) for r in eng.evaluate(df).collect()}
+
+    # brute force: z against the previous OCCUPIED minute's stats
+    want = set()
+    prev = None
+    for m in occupied:
+        if prev is not None:
+            import math
+
+            xs = vals[prev]
+            n, s = len(xs), sum(xs)
+            ss = sum(x * x for x in xs)
+            mean, var = s / n, (ss - s * s / n) / n
+            if n >= 2 and var > 0:
+                for r in rows:
+                    if r[4].minute == m:
+                        z = (r[3] - mean) / math.sqrt(var)
+                        if abs(z) > 1.0:
+                            want.add((r[4], round(z, 6)))
+        prev = m
+    assert got == want and len(want) > 5
+
+
+def test_cooldown_fallback_crosses_super_buckets(spark, monkeypatch):
+    """Two-level lead: fold=2 makes every cooldown bucket its own
+    super-bucket neighborhood, forcing the tail-borrow paths (last /
+    second-last row of a super-bucket, 1-row super-buckets). The
+    distributed walk must still match the sequential greedy chain."""
+    import dd_graphdb_spark.streaming.transform as T
+
+    monkeypatch.setattr(T, "_ANOMALY_FOLD", 2)
+    cd = 10
+    base = 1_700_000_000_000_000
+    # sparse-and-dense mix: singleton buckets, adjacent buckets, gaps
+    ts_us = sorted(
+        t * 1_000_000
+        for t in [0, 1, 2, 9, 10, 11, 29, 55, 56, 57, 58, 120, 121, 200, 305, 306, 400]
+    )
+    rows = [(i, base + t, float(i)) for i, t in enumerate(ts_us)]
+    cand = spark.createDataFrame(rows, "i long, t long, metric_value double").select(
+        F.timestamp_micros(F.col("t")).alias("ts"),
+        F.col("i").alias("_ord"),
+        "metric_value",
+    )
+    got = sorted(
+        int(r["ts"].timestamp() * 1e6) - base
+        for r in T.greedy_cooldown_fires(cand, cd, small_threshold=0).collect()
+    )
+    last, want = None, []
+    for t in ts_us:
+        if last is None or t - last >= cd * 1_000_000:
+            want.append(t)
+            last = t
+    assert got == want
