@@ -58,26 +58,139 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# Rotation policy (round 6): (1) the 7 NEW oracle-checked queries
-# (anti-join IS NULL, count(DISTINCT), sum/avg WITH, skewed
-# exact-Jaccard, GQL collect, landmark closeness/betweenness);
-# (2) the queries whose oracle or engine path CHANGED this round and the
-# two whose last driver rows are stale r4 `no_oracle` reds
-# (algo_pagerank_top3, embedding_pca_project — both gained real oracles
-# in r5, judge-verified; plus the restructured eigenvector oracle, the
-# salted exact Jaccard, the iteration-pinned SSSP, the index-cached IVF
-# read, and the two STRENGTHENED queries that previously compared
-# 0 == 0 rows — gql_with_passthrough matched a nonexistent nation name,
-# edges_between_lookup probed the wrong nation pair); (3) the 9 entries
-# whose only driver rows are from round 2; (4) the 8 queries whose
-# ENGINE PATHS changed in the round-6 deep-review passes (geo enricher
-# left-join/pmod, count-window chunk ordering, salted common-neighbors
-# distinct, k-core single-count loop, reachability exhaustion guard,
-# PPR source validation); (5) round-3-recorded re-checks fill the
-# window. The remaining round-3 entries overflow to r7 with their old
-# green rows standing, then the round-4 and round-5 blocks. NEW
-# queries with oracles must be inserted at the TOP.
+# Rotation policy (round 7): (1) the 2 NEW oracle-checked queries
+# (gql_unwind, gql_shortest_path); (2) ALL 32 queries whose newest
+# driver record was still round 3 (alert rules x4, stream windows x10,
+# multimodal x3, sim topk x3, source extraction x3, gql_create_delete,
+# router_scoring_table, mutation_vacuum_retention, dedup_simhash,
+# dedup_embedding_cosine, text_fingerprint, sketch_count_min_estimates,
+# stream_changeset_summary...) — several sit on code round 6/7 changed
+# (alert bucket math now three-level, stream dedup survivor, count
+# windows, multimodal fake-kernel warnings); (3) the 16 round-4 rows
+# most affected by this round's parser refactor (gql_* x6) plus the
+# r4 algorithm fixtures and multimodal_frame_sample. The remaining
+# r4/r5 rows follow, with the 48 freshest (r6-recorded) entries at the
+# END. NEW queries with oracles must be inserted at the TOP.
 GATE_PRIORITY = [
+    "gql_unwind",
+    "gql_shortest_path",
+    "alert_anomaly_rule",
+    "alert_pattern_rule",
+    "alert_rate_rule",
+    "alert_threshold_cooldown",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "gql_create_delete",
+    "multimodal_binary_meta",
+    "multimodal_decode_dims",
+    "multimodal_feature_extract",
+    "mutation_vacuum_retention",
+    "router_scoring_table",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_cosine_topk",
+    "sketch_count_min_estimates",
+    "source_csv_extraction",
+    "source_json_extraction",
+    "source_regex_extraction",
+    "stream_changeset_summary",
+    "stream_custom_agg_p90",
+    "stream_dedup_first",
+    "stream_filter_rules",
+    "stream_late_events",
+    "stream_live_dedup_keys",
+    "stream_live_global",
+    "stream_live_session",
+    "stream_live_tumbling",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "text_fingerprint",
+    "gql_match_filter",
+    "gql_match_edge",
+    "gql_multi_hop",
+    "gql_incoming_edge",
+    "gql_inline_props",
+    "gql_undirected",
+    "multimodal_frame_sample",
+    "algo_pagerank_fixture",
+    "algo_cc_derived",
+    "algo_sssp_fixture",
+    "algo_bfs_full",
+    "algo_scc_fixture",
+    "algo_betweenness_fixture",
+    "algo_closeness_fixture",
+    "algo_component_count",
+    "algo_degree_centrality",
+    "events_sessionize",
+    "asof_purchase_attribution",
+    "events_time_rollup",
+    "distinct_exact_vs_approx",
+    "sample_stratified_docs",
+    "sample_topk_per_stratum",
+    "sketch_quantile_bounds",
+    "embedding_covariance",
+    "stream_live_interval_join",
+    "fn_json_props",
+    "view_incremental_triangles",
+    "view_incremental_kcore",
+    "dedup_cluster_survivors",
+    "window_running_total",
+    "traverse_out_neighbors",
+    "traverse_in_neighbors",
+    "traverse_all_neighbors",
+    "traverse_2hop",
+    "degree_top_customers",
+    "algo_triangle_colocation",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "q1_pricing_summary",
+    "top_n_orders",
+    "gql_var_length",
+    "gql_optional_match",
+    "curation_mixture_sample",
+    "curation_chunk_docs",
+    "gql_string_predicates",
+    "window_ntile_lead",
+    "embedding_group_centroids",
+    "gql_match_set",
+    "stream_live_left_outer_join",
+    "algo_lpa_colocation",
+    "stream_live_static_enrich",
+    "gql_merge",
+    "view_incremental_centroids",
+    "view_gql_materialized",
+    "gql_prop_compare",
+    "algo_scc_colocation",
+    "gql_with_having",
+    "gql_multi_match",
+    "algo_bfs_region",
+    "view_incremental_minhash",
+    "sim_ann_recall",
+    "algo_pagerank_weighted",
+    "gql_set_edge",
+    "sim_lsh_recall",
+    "mutation_cdc_changes",
+    "view_incremental_cdc",
+    "curation_contamination",
+    "curation_pack_sequences",
+    "curation_repetition",
+    "cube_status_priority",
+    "algo_lpa_fixture",
+    "range_join_value_bands",
+    "text_bpe_token_count",
+    "view_incremental_lpa",
+    "gql_order_skip_limit",
+    "gql_count_per_nation",
+    "gql_distinct_segments",
+    "gql_agg_per_nation",
+    "group_by_agg_having",
+    "join_revenue_per_region",
+    "semi_join_customers_with_orders",
+    "anti_join_customers_without_orders",
+    "set_union_distinct_nations",
+    "set_intersect_nations",
     "gql_order_hidden_prop",
     "gql_anti_join_null",
     "gql_count_distinct_segments",
@@ -128,123 +241,6 @@ GATE_PRIORITY = [
     "mutation_apply_batch",
     "mutation_occ_conflict",
     "mutation_time_travel",
-    "mutation_vacuum_retention",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "sim_cosine_topk",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "alert_anomaly_rule",
-    "alert_pattern_rule",
-    "alert_rate_rule",
-    "alert_threshold_cooldown",
-    "stream_late_events",
-    "stream_changeset_summary",
-    "stream_custom_agg_p90",
-    "stream_dedup_first",
-    "stream_filter_rules",
-    "stream_live_dedup_keys",
-    "stream_live_global",
-    "stream_live_session",
-    "stream_live_tumbling",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_tumbling_window",
-    "events_sessionize",
-    "asof_purchase_attribution",
-    "events_time_rollup",
-    "distinct_exact_vs_approx",
-    "sample_stratified_docs",
-    "sample_topk_per_stratum",
-    "sketch_quantile_bounds",
-    "embedding_covariance",
-    "stream_live_interval_join",
-    "fn_json_props",
-    "view_incremental_triangles",
-    "view_incremental_kcore",
-    "multimodal_binary_meta",
-    "multimodal_decode_dims",
-    "multimodal_feature_extract",
-    "router_scoring_table",
-    "gql_create_delete",
-    "text_fingerprint",
-    "source_csv_extraction",
-    "source_json_extraction",
-    "source_regex_extraction",
-    "sketch_count_min_estimates",
-    "dedup_cluster_survivors",
-    "window_running_total",
-    "multimodal_frame_sample",
-    "gql_match_filter",
-    "gql_inline_props",
-    "gql_match_edge",
-    "gql_multi_hop",
-    "gql_incoming_edge",
-    "gql_undirected",
-    "traverse_out_neighbors",
-    "traverse_in_neighbors",
-    "traverse_all_neighbors",
-    "traverse_2hop",
-    "degree_top_customers",
-    "algo_pagerank_fixture",
-    "algo_cc_derived",
-    "algo_component_count",
-    "algo_sssp_fixture",
-    "algo_bfs_full",
-    "algo_triangle_colocation",
-    "algo_degree_centrality",
-    "algo_closeness_fixture",
-    "algo_betweenness_fixture",
-    "algo_scc_fixture",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "q1_pricing_summary",
-    "top_n_orders",
-    "gql_var_length",
-    "gql_optional_match",
-    "curation_mixture_sample",
-    "curation_chunk_docs",
-    "gql_string_predicates",
-    "window_ntile_lead",
-    "embedding_group_centroids",
-    "gql_match_set",
-    "stream_live_left_outer_join",
-    "algo_lpa_colocation",
-    "stream_live_static_enrich",
-    "gql_merge",
-    "view_incremental_centroids",
-    "view_gql_materialized",
-    "gql_prop_compare",
-    "algo_scc_colocation",
-    "gql_with_having",
-    "gql_multi_match",
-    "algo_bfs_region",
-    "view_incremental_minhash",
-    "sim_ann_recall",
-    "algo_pagerank_weighted",
-    "gql_set_edge",
-    "sim_lsh_recall",
-    "mutation_cdc_changes",
-    "view_incremental_cdc",
-    "curation_contamination",
-    "curation_pack_sequences",
-    "curation_repetition",
-    "cube_status_priority",
-    "algo_lpa_fixture",
-    "range_join_value_bands",
-    "text_bpe_token_count",
-    "view_incremental_lpa",
-    "gql_order_skip_limit",
-    "gql_count_per_nation",
-    "gql_distinct_segments",
-    "gql_agg_per_nation",
-    "group_by_agg_having",
-    "join_revenue_per_region",
-    "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
-    "set_union_distinct_nations",
-    "set_intersect_nations",
 ]
 
 
