@@ -34,12 +34,27 @@ def salted_self_pairs(
     a = base.select(F.col("_m").alias("a"), *key_cols)
     b = base.select(F.col("_m").alias("b"), *key_cols)
 
-    a_cold = a.join(F.broadcast(hot), key_cols, "left_anti")
+    # Explosive-join parallelism guard: the pair join's INPUTS are tiny
+    # (one row per member) while its OUTPUT is d² per key, so AQE —
+    # which sizes post-shuffle partitions by INPUT bytes — coalesces the
+    # probe side to ~1 partition and the whole explosion runs in one
+    # task (observed at sf1: 5 hot keys × 15k members = 1.1B join rows
+    # on a single core). An explicit repartition with a user-specified
+    # partition count is exempt from AQE coalescing, so the probe side
+    # keeps one slot per (key, salt) cell; per-task output is bounded
+    # by cell size (hot: d·d/n_salts; cold: ≤ salt_threshold² per key).
+    n_parts = max(n_salts * 16, base.sparkSession.sparkContext.defaultParallelism * 4)
+
+    a_cold = a.join(F.broadcast(hot), key_cols, "left_anti").repartition(
+        n_parts, *key_cols
+    )
     b_cold = b.join(F.broadcast(hot), key_cols, "left_anti")
     pairs_cold = a_cold.join(b_cold, key_cols).select("a", "b")
 
-    a_hot = a.join(F.broadcast(hot), key_cols).withColumn(
-        "_salt", F.pmod(F.hash("a"), F.lit(n_salts)).cast("int")
+    a_hot = (
+        a.join(F.broadcast(hot), key_cols)
+        .withColumn("_salt", F.pmod(F.hash("a"), F.lit(n_salts)).cast("int"))
+        .repartition(n_parts, *key_cols, "_salt")
     )
     b_hot = b.join(F.broadcast(hot), key_cols).select(
         *key_cols,

@@ -203,3 +203,24 @@ def test_landmark_centrality_seed_pruning(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "In(id" in p or "id IN" in p.replace("#", " ").replace("L", "")
+
+
+def test_salted_pairs_probe_side_user_repartition(spark):
+    """Explosive-join parallelism guard (found at sf1): the salted pair
+    join's inputs are tiny while its output is d^2 per key, so AQE used
+    to coalesce the probe side to ~1 partition and generate the whole
+    explosion in one task (1.1B rows single-core at sf1). The probe
+    sides must carry an explicit user repartition — `REPARTITION_BY_NUM`
+    shuffles are exempt from AQE coalescing."""
+    from pyspark.sql import functions as F
+
+    from dd_graphdb_spark.operators._skew import salted_self_pairs
+
+    df = spark.range(100).select(
+        F.col("id").alias("m"), (F.col("id") % 3).alias("k")
+    )
+    pairs = salted_self_pairs(df, "m", ["k"], salt_threshold=10, n_salts=4)
+    p = pairs._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert p.count("REPARTITION_BY_NUM") >= 2  # hot and cold probe sides
