@@ -43,9 +43,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    src = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(src).schema
     src_dir = tempfile.mkdtemp(prefix="events_src_")
-    os.symlink(f"{sf_dir}/events.parquet", os.path.join(src_dir, "events.parquet"))
+    if os.path.isdir(src):
+        # directory-shaped table (any real multi-file layout): link each
+        # data file flat into the staging dir — the file source does not
+        # recurse into a nested non-partition directory, so linking the
+        # directory itself would yield an EMPTY stream (found at sf1)
+        for fname in sorted(os.listdir(src)):
+            if fname.endswith(".parquet"):
+                os.symlink(os.path.join(src, fname), os.path.join(src_dir, fname))
+    else:
+        os.symlink(src, os.path.join(src_dir, "events.parquet"))
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)  # source-side rate limit
