@@ -56,6 +56,13 @@ standard Cypher result modifiers:
   Cypher contract). The unwound name is referenceable in WHERE/RETURN
   as a bare name, and a bare name is now also legal on the RHS of a
   comparison (`WHERE r.name = x`)
+- scalar expressions: arithmetic + - * / with parentheses over
+  properties / bare names / literals, on either side of a WHERE
+  comparison and as RETURN/WITH items (explicit alias mandatory for
+  computed items); scalar functions toUpper / toLower / length / abs /
+  round / coalesce (allow-listed 1:1 Spark/ANSI builtins); aggregates
+  over expressions — sum(v.a * 2), max(abs(v.x - y)) — incl. DISTINCT;
+  computed non-aggregated items participate in Cypher implicit grouping
 """
 
 from __future__ import annotations
@@ -98,11 +105,33 @@ class PropRef:
 
 
 @dataclass
+class Arith:
+    """Arithmetic expression node: + - * / over operands that are
+    literals, PropRef (prop=None → bare name), FuncCall, or Arith."""
+
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class FuncCall:
+    """Scalar function call. The allow-list maps 1:1 to Spark built-ins
+    and ANSI SQL (so oracles restate them verbatim): toUpper, toLower,
+    length, abs, round, coalesce."""
+
+    name: str
+    args: list
+
+
+@dataclass
 class Compare:
     var: str
     prop: str | None  # None → bare column reference (post-WITH aliases)
     op: str  # = != < > <= >=
-    value: object  # literal, list (IN), or PropRef (cross-variable compare)
+    value: object  # literal, list (IN), PropRef, Arith, or FuncCall
+    # non-trivial LHS (Arith/FuncCall); when set, var/prop are unused
+    lhs: object | None = None
 
 
 @dataclass
@@ -119,6 +148,10 @@ class ReturnItem:
     agg: str | None = None  # "count" → aggregate over bindings
     alias: str | None = None  # RETURN ... AS name
     agg_distinct: bool = False  # count(DISTINCT v.prop) etc.
+    # computed item (Arith/FuncCall); when set, var/prop are unused and
+    # an explicit alias is mandatory (deterministic output schema).
+    # With agg set too, the aggregate applies over the expression.
+    expr: object | None = None
 
 
 @dataclass
@@ -226,7 +259,7 @@ _TOKEN_RE = re.compile(
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'[^']*'|"[^"]*")
     | (?P<op><=|>=|!=|<-|->|=|<|>)
-    | (?P<punct>[()\[\]{}:,.*-])
+    | (?P<punct>[()\[\]{}:,.*+/-])
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     )""",
     re.VERBOSE | re.IGNORECASE,
@@ -431,6 +464,78 @@ class _Parser:
             nodes.append(self.node())
         return PathPattern(nodes, edges)
 
+    # ----- scalar expressions (+ - * / precedence, functions, parens)
+    SCALAR_FUNCS = {
+        "toupper": 1, "tolower": 1, "length": 1, "abs": 1,
+        "round": 2, "coalesce": -1,  # -1 = variadic (≥2)
+    }
+
+    def at_expr_operand(self) -> bool:
+        k, v = self.peek()
+        return (
+            k in ("num", "str", "TRUE", "FALSE", "NULL")
+            or self.at_name()
+            or v == "("
+        )
+
+    def expr(self):
+        left = self.term()
+        while True:
+            k, v = self.peek()
+            if v in ("+", "-") and k == "punct":
+                self.next()
+                left = Arith(v, left, self.term())
+            elif k == "num" and v.startswith("-"):
+                # 'a.x -1' lexes the minus into the number; absorb it as
+                # subtraction so spaced and unspaced forms agree
+                left = Arith("-", left, -self.literal())
+            else:
+                return left
+
+    def term(self):
+        left = self.factor()
+        while self.peek() == ("punct", "*") or self.peek() == ("punct", "/"):
+            op = self.next()[1]
+            left = Arith(op, left, self.factor())
+        return left
+
+    def factor(self):
+        k, v = self.peek()
+        if v == "(" and k == "punct":
+            self.next()
+            inner = self.expr()
+            self.expect("punct", ")")
+            return inner
+        if v == "-" and k == "punct":
+            self.next()
+            return Arith("-", 0, self.factor())
+        if self.at_name() and self.toks[self.i + 1] == ("punct", "("):
+            name = self.next()[1]
+            fname = name.lower()
+            if fname not in self.SCALAR_FUNCS:
+                raise ValueError(
+                    f"GQL parse error: unknown function {name}() — "
+                    f"have {sorted(self.SCALAR_FUNCS)}"
+                )
+            self.next()  # (
+            args = []
+            while not self.accept("punct", ")"):
+                args.append(self.expr())
+                self.accept("punct", ",")
+            arity = self.SCALAR_FUNCS[fname]
+            if (arity >= 0 and len(args) != arity) or (arity < 0 and len(args) < 2):
+                raise ValueError(
+                    f"GQL parse error: {name}() takes "
+                    f"{'≥2' if arity < 0 else arity} argument(s)"
+                )
+            return FuncCall(fname, args)
+        if self.at_name():
+            var = self.next()[1]
+            if self.accept("punct", "."):
+                return PropRef(var, self.expect_name())
+            return PropRef(var, None)
+        return self.literal()
+
     # ----- where expr (OR lowest precedence)
     def where_expr(self):
         left = self.and_expr()
@@ -449,33 +554,45 @@ class _Parser:
             # unary negation binds tighter than AND/OR (Cypher NOT);
             # three-valued semantics are Spark-native (~null = null)
             return BoolExpr("NOT", self.comparison(), None)
-        if self.accept("punct", "("):
-            inner = self.where_expr()
-            self.expect("punct", ")")
-            return inner
-        var = self.expect_name()
-        prop = None
-        if self.accept("punct", "."):
-            prop = self.expect_name()
-        if self.accept("IS"):
-            negated = self.accept("NOT")
-            self.expect("NULL")
-            return Compare(var, prop, "is_not_null" if negated else "is_null", None)
-        if self.accept("CONTAINS"):
-            return Compare(var, prop, "contains", self._str_literal("CONTAINS"))
-        if self.accept("STARTS"):
-            self.expect("WITH")
-            return Compare(var, prop, "starts_with", self._str_literal("STARTS WITH"))
-        if self.accept("ENDS"):
-            self.expect("WITH")
-            return Compare(var, prop, "ends_with", self._str_literal("ENDS WITH"))
-        if self.accept("IN"):
-            self.expect("punct", "[")
-            vals = []
-            while not self.accept("punct", "]"):
-                vals.append(self.literal())
-                self.accept("punct", ",")
-            return Compare(var, prop, "in", vals)
+        if self.peek() == ("punct", "("):
+            # '(' opens either a boolean group — (a.x > 1) AND … — or an
+            # arithmetic group — (a.x + 1) > 2. Try the boolean parse;
+            # if it fails, or a scalar operator follows the close paren,
+            # backtrack and re-parse as an expression comparison.
+            save = self.i
+            try:
+                self.next()
+                inner = self.where_expr()
+                self.expect("punct", ")")
+                k, v = self.peek()
+                if (k == "punct" and v in "+-*/") or k == "op":
+                    raise ValueError("_arith_backtrack")
+                return inner
+            except ValueError:
+                self.i = save
+        lhs = self.expr()
+        plain = isinstance(lhs, PropRef)
+        var, prop = (lhs.var, lhs.prop) if plain else (None, None)
+        if plain:
+            if self.accept("IS"):
+                negated = self.accept("NOT")
+                self.expect("NULL")
+                return Compare(var, prop, "is_not_null" if negated else "is_null", None)
+            if self.accept("CONTAINS"):
+                return Compare(var, prop, "contains", self._str_literal("CONTAINS"))
+            if self.accept("STARTS"):
+                self.expect("WITH")
+                return Compare(var, prop, "starts_with", self._str_literal("STARTS WITH"))
+            if self.accept("ENDS"):
+                self.expect("WITH")
+                return Compare(var, prop, "ends_with", self._str_literal("ENDS WITH"))
+            if self.accept("IN"):
+                self.expect("punct", "[")
+                vals = []
+                while not self.accept("punct", "]"):
+                    vals.append(self.literal())
+                    self.accept("punct", ",")
+                return Compare(var, prop, "in", vals)
         op = self.expect("op")
         if (
             op == "<-"
@@ -489,21 +606,15 @@ class _Parser:
                 "GQL parse error: '<-' before a name is ambiguous — "
                 "write 'a.x < b.y' (spaced) or compare against a literal"
             )
-        if self.at_name() and self.peek()[0] not in ("TRUE", "FALSE", "NULL"):
-            rvar = self.expect_name()
-            if self.accept("punct", "."):
-                return Compare(var, prop, op, PropRef(rvar, self.expect_name()))
-            # bare-name RHS: a WITH alias or an UNWIND binding
-            # (PropRef with prop=None lowers to the bare column)
-            return Compare(var, prop, op, PropRef(rvar, None))
         if op == "<-":
             # `a.age<-5` lexes as the edge arrow '<-' + '5'; in WHERE
             # context it means '<' followed by a unary minus
             val = self.literal()
             if not isinstance(val, (int, float)) or isinstance(val, bool):
                 raise ValueError("GQL parse error: expected number after '<-'")
-            return Compare(var, prop, "<", -val)
-        return Compare(var, prop, op, self.literal())
+            return Compare(var, prop, "<", -val, lhs=None if plain else lhs)
+        rhs = self.expr()
+        return Compare(var, prop, op, rhs, lhs=None if plain else lhs)
 
     def _str_literal(self, ctx: str) -> str:
         v = self.literal()
@@ -526,28 +637,41 @@ class _Parser:
                         raise ValueError(f"GQL parse error: {agg}(*) is not defined")
                     items.append(ReturnItem("*", None, agg="count"))
                 else:
-                    var = self.expect_name()
-                    prop = None
-                    if self.accept("punct", "."):
-                        prop = self.expect_name()
-                    if agg != "count" and prop is None and not bare_ok:
-                        raise ValueError(
-                            f"GQL parse error: {agg}() needs a property (var.prop)"
+                    inner = self.expr()
+                    if isinstance(inner, PropRef):
+                        var, prop = inner.var, inner.prop
+                        if agg != "count" and prop is None and not bare_ok:
+                            raise ValueError(
+                                f"GQL parse error: {agg}() needs a property (var.prop)"
+                            )
+                        items.append(
+                            ReturnItem(var, prop, agg=agg, agg_distinct=distinct)
                         )
-                    items.append(
-                        ReturnItem(var, prop, agg=agg, agg_distinct=distinct)
-                    )
+                    else:
+                        # aggregate over a computed expression,
+                        # e.g. sum(v.a * v.b)
+                        items.append(
+                            ReturnItem(
+                                "_expr", None, agg=agg,
+                                agg_distinct=distinct, expr=inner,
+                            )
+                        )
                 self.expect("punct", ")")
             else:
-                var = self.expect_name()
-                prop = None
-                if self.accept("punct", "."):
-                    prop = self.expect_name()
-                items.append(ReturnItem(var, prop))
+                e = self.expr()
+                if isinstance(e, PropRef):
+                    items.append(ReturnItem(e.var, e.prop))
+                else:
+                    items.append(ReturnItem("_expr", None, expr=e))
             if self.accept("AS"):
                 if items[-1].var == "*" and items[-1].agg is None:
                     raise ValueError("GQL parse error: RETURN * cannot be aliased")
                 items[-1].alias = self.expect_name()
+            elif items[-1].expr is not None:
+                raise ValueError(
+                    "GQL parse error: a computed item needs an explicit "
+                    "alias — write '<expr> AS name'"
+                )
             if not self.accept("punct", ","):
                 break
         return items

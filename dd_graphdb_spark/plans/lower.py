@@ -32,8 +32,10 @@ from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import PropertyGraph
 from dd_graphdb_spark.plans.gql import (
+    Arith,
     BoolExpr,
     Compare,
+    FuncCall,
     PropRef,
     CreateStatement,
     MatchDeleteStatement,
@@ -60,6 +62,47 @@ def _node_filter(df: DataFrame, node: NodePattern, var: str) -> DataFrame:
     return df
 
 
+_SCALAR_FNS = {
+    "toupper": lambda a: F.upper(a[0]),
+    "tolower": lambda a: F.lower(a[0]),
+    "length": lambda a: F.length(a[0]),
+    "abs": lambda a: F.abs(a[0]),
+    "round": lambda a: F.round(*a),
+    "coalesce": lambda a: F.coalesce(*a),
+}
+
+
+def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
+    """Scalar expression → Column. Operands: literals, PropRef (prop
+    None → bare column), FuncCall (allow-listed 1:1 Spark/ANSI
+    builtins), nested Arith. `/` is SQL float division in both Spark
+    and DuckDB, so oracle parity holds for int operands too."""
+    if isinstance(node, Arith):
+        lt = _lower_expr(node.left, bare, bare_names)
+        rt = _lower_expr(node.right, bare, bare_names)
+        return {"+": lt + rt, "-": lt - rt, "*": lt * rt, "/": lt / rt}[node.op]
+    if isinstance(node, FuncCall):
+        if node.name == "round":
+            # scale must be a literal int: F.round's second arg is not
+            # a column, and a non-constant scale has no SQL equivalent
+            if len(node.args) == 2 and not isinstance(node.args[1], int):
+                raise ValueError("round(x, n): n must be an integer literal")
+            args = [_lower_expr(node.args[0], bare, bare_names), node.args[1]]
+        else:
+            args = [_lower_expr(a, bare, bare_names) for a in node.args]
+        return _SCALAR_FNS[node.name](args)
+    if isinstance(node, PropRef):
+        if node.prop:
+            return F.col(f"{node.var}__{node.prop}")
+        if bare or node.var in bare_names:
+            return F.col(node.var)
+        raise ValueError(
+            f"bare name {node.var!r} in an expression is only valid "
+            "after WITH or UNWIND (reference a property as var.prop)"
+        )
+    return F.lit(node)
+
+
 def _lower_condition(
     cond, bare: bool = False, pattern_vars: tuple = (), bare_names: tuple = ()
 ) -> F.Column:
@@ -77,7 +120,9 @@ def _lower_condition(
         right = _lower_condition(cond.right, bare, pattern_vars, bare_names)
         return left & right if cond.op == "AND" else left | right
     assert isinstance(cond, Compare)
-    if cond.prop:
+    if cond.lhs is not None:
+        col = _lower_expr(cond.lhs, bare, bare_names)
+    elif cond.prop:
         col = F.col(f"{cond.var}__{cond.prop}")
     elif cond.var in bare_names:
         col = F.col(cond.var)
@@ -108,13 +153,10 @@ def _lower_condition(
         return col.endswith(cond.value)
     if cond.op == "in":
         return col.isin(*cond.value)
-    if isinstance(cond.value, PropRef):
-        # prop=None → bare-name RHS (a WITH alias or UNWIND binding)
-        lit = (
-            F.col(f"{cond.value.var}__{cond.value.prop}")
-            if cond.value.prop
-            else F.col(cond.value.var)
-        )
+    if isinstance(cond.value, (PropRef, Arith, FuncCall)):
+        # PropRef prop=None → bare-name RHS (WITH alias / UNWIND
+        # binding); Arith/FuncCall → computed RHS
+        lit = _lower_expr(cond.value, bare, bare_names)
     else:
         lit = F.lit(cond.value)
     # int↔float coercion is native in Spark (reference: executor.rs:641-650)
@@ -411,7 +453,11 @@ class GQLEngine:
             else:
                 cols = []
                 for i in stmt.with_items:
-                    if i.prop is None and i.agg is None:
+                    if i.expr is not None:
+                        cols.append(
+                            _lower_expr(i.expr, bare_names=unwound).alias(i.alias)
+                        )
+                    elif i.prop is None and i.agg is None:
                         if i.var in unwound:
                             cols.append(F.col(i.var).alias(i.alias or i.var))
                         elif i.var not in vertex_vars:
@@ -544,6 +590,11 @@ class GQLEngine:
         ``var__col`` binding columns in a non-bare frame."""
 
         def item_cols(item) -> list[F.Column]:
+            if item.expr is not None:
+                # computed item (parser enforces the explicit alias)
+                return [
+                    _lower_expr(item.expr, bare, bare_names).alias(item.alias)
+                ]
             if item.var == "*":
                 if bare:
                     raise ValueError("RETURN * is not available after WITH")
@@ -603,7 +654,13 @@ class GQLEngine:
             return (agg_fns_distinct if item.agg_distinct else agg_fns)[item.agg]
         agg_cols = []
         for i in aggs:
-            if i.var == "*":
+            if i.expr is not None:
+                # aggregate over a computed expression, e.g. sum(a*b);
+                # DISTINCT composes (sum_distinct over the expression)
+                agg_cols.append(
+                    agg_fn(i)(_lower_expr(i.expr, bare, bare_names)).alias(i.alias)
+                )
+            elif i.var == "*":
                 agg_cols.append(F.count("*").alias(i.alias or "count"))
             elif i.prop is None:
                 scalar = (bare or i.var in bare_names) and i.var not in vertex_vars

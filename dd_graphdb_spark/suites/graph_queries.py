@@ -807,6 +807,59 @@ def gql_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GQL scalar expressions (beyond the reference's declared grammar):
+# arithmetic + - * / with parentheses in WHERE and RETURN, scalar
+# functions (toUpper/toLower/length/abs/round/coalesce), aggregates
+# over expressions, Cypher implicit grouping on computed keys. Oracles
+# restate the identical arithmetic in ANSI SQL — doubles multiply/add
+# bit-identically on both engines.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_expr_arith",
+    GRAPH_CTE
+    + """
+    SELECT name AS nm, acctbal * 2.0 + 100.0 AS adj
+    FROM vertices
+    WHERE label = 'Customer' AND (acctbal - 1000.0) * 2.0 > 15000.0
+    ORDER BY nm
+    """,
+)
+def gql_expr_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer) WHERE (c.acctbal - 1000.0) * 2.0 > 15000.0 "
+        "RETURN c.name AS nm, c.acctbal * 2.0 + 100.0 AS adj ORDER BY nm"
+    )
+
+
+@_q(
+    "gql_expr_functions",
+    GRAPH_CTE
+    + """
+    SELECT upper(mktsegment) AS seg, length(mktsegment) AS seglen,
+           count(*) AS n, max(abs(acctbal - 1000.0)) AS maxdev,
+           sum(length(name) + 1)::BIGINT AS lensum
+    FROM vertices WHERE label = 'Customer'
+    GROUP BY upper(mktsegment), length(mktsegment)
+    ORDER BY seg
+    """,
+)
+def gql_expr_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar functions as implicit-grouping keys + aggregates over
+    computed expressions. The double aggregate is max() (summation
+    order changes sum-of-doubles in the last ulps between engines —
+    the suite's determinism contract); the sum aggregates an integer
+    expression, which is exact."""
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer) "
+        "RETURN toUpper(c.mktsegment) AS seg, length(c.mktsegment) AS seglen, "
+        "count(*) AS n, max(abs(c.acctbal - 1000.0)) AS maxdev, "
+        "sum(length(c.name) + 1) AS lensum ORDER BY seg"
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

@@ -693,3 +693,73 @@ def test_shortest_path_mutation_rejected(diamond_graph):
         _engine(diamond_graph).execute(
             "MATCH p = shortestPath((a)-[*1..2]->(b)) DELETE a"
         )
+
+
+# --------------------------------------------------------------------------- expressions
+def test_expr_arithmetic_in_where_and_return(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE v.age * 2 > 55 "
+        "RETURN v.name AS n, v.age * 2 + 1 AS dbl ORDER BY n"
+    )
+    assert [(r["n"], r["dbl"]) for r in df.collect()] == [("Alice", 61), ("Charlie", 71)]
+
+
+def test_expr_paren_grouping_vs_boolean_grouping(people_graph):
+    # arithmetic parens on the LHS…
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE (v.age - 20) * 2 < 15 RETURN v.name"
+    )
+    assert [r["v_name"] for r in df.collect()] == ["Bob"]
+    # …and boolean parens still group conditions
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE (v.age > 28 OR v.name = 'Bob') AND v.age < 33 "
+        "RETURN v.name ORDER BY v.name"
+    )
+    assert [r["v_name"] for r in df.collect()] == ["Alice", "Bob"]
+
+
+def test_expr_scalar_functions(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) RETURN toUpper(v.name) AS up, length(v.name) AS ln, "
+        "abs(v.age - 30) AS d ORDER BY up"
+    )
+    rows = [(r["up"], r["ln"], r["d"]) for r in df.collect()]
+    assert rows == [("ALICE", 5, 0), ("BOB", 3, 5), ("CHARLIE", 7, 5)]
+
+
+def test_expr_aggregate_over_expression(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) RETURN sum(v.age * 2) AS s, avg(v.age + 0) AS a"
+    )
+    r = df.collect()[0]
+    assert r["s"] == 180 and r["a"] == 30.0
+
+
+def test_expr_through_with_and_unwind(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WITH v.age * 2 AS dbl WHERE dbl > 55 "
+        "RETURN dbl ORDER BY dbl"
+    )
+    assert [r["dbl"] for r in df.collect()] == [60, 70]
+    df = _engine(people_graph).execute(
+        "UNWIND [1, 2, 3] AS x RETURN x * 10 AS tens ORDER BY tens"
+    )
+    assert [r["tens"] for r in df.collect()] == [10, 20, 30]
+
+
+def test_expr_errors(people_graph):
+    with pytest.raises(ValueError, match="explicit"):
+        _engine(people_graph).execute("MATCH (v:Person) RETURN v.age * 2")
+    with pytest.raises(ValueError, match="unknown function"):
+        _engine(people_graph).execute("MATCH (v:Person) RETURN foo(v.age) AS x")
+    with pytest.raises(ValueError, match="integer literal"):
+        _engine(people_graph).execute("MATCH (v:Person) RETURN round(v.age, v.age) AS x")
+
+
+def test_expr_unspaced_minus_still_subtracts(people_graph):
+    # 'v.age -1' lexes the minus into the number; the expr parser must
+    # absorb it as subtraction
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person {name: 'Bob'}) RETURN v.age -1 AS am"
+    )
+    assert df.collect()[0]["am"] == 24
