@@ -63,6 +63,9 @@ standard Cypher result modifiers:
   round / coalesce (allow-listed 1:1 Spark/ANSI builtins); aggregates
   over expressions — sum(v.a * 2), max(abs(v.x - y)) — incl. DISTINCT;
   computed non-aggregated items participate in Cypher implicit grouping
+- pattern predicates: WHERE [NOT] EXISTS((v)-[:LBL]->(u)) in the
+  top-level AND chain — lowered as LEFT SEMI / LEFT ANTI joins on the
+  shared variables' ids (the Spark-natural correlated-subquery rewrite)
 """
 
 from __future__ import annotations
@@ -139,6 +142,18 @@ class BoolExpr:
     op: str  # AND | OR
     left: object
     right: object
+
+
+@dataclass
+class PatternPred:
+    """``EXISTS((v)-[:LBL]->(u:Label))`` — an existential pattern
+    predicate. Lowered as a LEFT SEMI join of the bindings against the
+    inner pattern's matches on the shared variables' ids (LEFT ANTI
+    under NOT). Only valid in a top-level AND chain: under OR the
+    semi-join rewrite doesn't decompose (same restriction most engines
+    apply to join-rewritten subqueries)."""
+
+    pattern: PathPattern
 
 
 @dataclass
@@ -570,6 +585,16 @@ class _Parser:
                 return inner
             except ValueError:
                 self.i = save
+        if (
+            self.at_name()
+            and self.peek()[1].lower() == "exists"
+            and self.toks[self.i + 1] == ("punct", "(")
+        ):
+            self.next()
+            self.next()
+            pat = self.path()
+            self.expect("punct", ")")
+            return PatternPred(pat)
         lhs = self.expr()
         plain = isinstance(lhs, PropRef)
         var, prop = (lhs.var, lhs.prop) if plain else (None, None)

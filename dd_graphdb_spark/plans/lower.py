@@ -36,6 +36,7 @@ from dd_graphdb_spark.plans.gql import (
     BoolExpr,
     Compare,
     FuncCall,
+    PatternPred,
     PropRef,
     CreateStatement,
     MatchDeleteStatement,
@@ -113,6 +114,11 @@ def _lower_condition(
     `v IS NULL` on one still resolves via the id witness.
     ``bare_names``: names bound by UNWIND — bare columns even in a
     non-bare (binding-column) frame."""
+    if isinstance(cond, PatternPred):
+        raise ValueError(
+            "EXISTS(pattern) predicates are only supported in a top-level "
+            "AND chain of the WHERE clause (not under OR)"
+        )
     if isinstance(cond, BoolExpr):
         if cond.op == "NOT":
             return ~_lower_condition(cond.left, bare, pattern_vars, bare_names)
@@ -169,6 +175,29 @@ def _lower_condition(
         ">=": col >= lit,
     }
     return ops[cond.op]
+
+
+def _split_pattern_preds(cond):
+    """(column_condition | None, [(pattern, negated), ...]) from a WHERE
+    tree: PatternPred conjuncts (optionally NOT-wrapped) peel off the
+    top-level AND chain; everything else stays a Column condition."""
+    if isinstance(cond, PatternPred):
+        return None, [(cond.pattern, False)]
+    if isinstance(cond, BoolExpr):
+        if cond.op == "NOT" and isinstance(cond.left, PatternPred):
+            return None, [(cond.left.pattern, True)]
+        if cond.op == "AND":
+            lcol, lp = _split_pattern_preds(cond.left)
+            rcol, rp = _split_pattern_preds(cond.right)
+            col = (
+                lcol
+                if rcol is None
+                else rcol
+                if lcol is None
+                else BoolExpr("AND", lcol, rcol)
+            )
+            return col, lp + rp
+    return cond, []
 
 
 class GQLEngine:
@@ -315,11 +344,41 @@ class GQLEngine:
             .drop(start, end)
         )
 
+    def _apply_where(
+        self, bound: DataFrame, where, bare_names: tuple = (), anon_prefix: str = "_w"
+    ) -> DataFrame:
+        """Apply a WHERE tree: EXISTS pattern predicates peel off the
+        top-level AND chain as LEFT SEMI / LEFT ANTI joins on the shared
+        variables' ids (the Spark-natural subquery rewrite — no
+        correlated execution, Catalyst broadcasts the probe side when
+        small); the residual condition is a Column filter."""
+        col_cond, preds = _split_pattern_preds(where)
+        for j, (pat, negated) in enumerate(preds):
+            sub = self.match_bindings(pat, None, anon_prefix=f"{anon_prefix}{j}e")
+            shared = [
+                v
+                for v in dict.fromkeys(n.var for n in pat.nodes)
+                if f"{v}__id" in bound.columns
+            ]
+            if not shared:
+                raise ValueError(
+                    "EXISTS pattern must share at least one variable with "
+                    "the MATCH (an uncorrelated existence test is a "
+                    "constant — test it separately)"
+                )
+            keys = [f"{v}__id" for v in shared]
+            bound = bound.join(
+                sub.select(*keys), on=keys, how="left_anti" if negated else "left_semi"
+            )
+        if col_cond is not None:
+            bound = bound.filter(_lower_condition(col_cond, bare_names=bare_names))
+        return bound
+
     def match_bindings(self, pattern, where=None, anon_prefix: str = "_e") -> DataFrame:
         if isinstance(pattern, ShortestPathPattern):
             bound = self._shortest_path_bindings(pattern)
             if where is not None:
-                bound = bound.filter(_lower_condition(where))
+                bound = self._apply_where(bound, where, anon_prefix=anon_prefix)
             return bound
         nodes, edges = pattern.nodes, pattern.edges
         v0 = nodes[0]
@@ -369,7 +428,7 @@ class GQLEngine:
                 bound = bound.join(tdf, F.col(dst_side) == F.col(f"{tgt.var}__id"))
                 seen_vars.add(tgt.var)
         if where is not None:
-            bound = bound.filter(_lower_condition(where))
+            bound = self._apply_where(bound, where, anon_prefix=f"{anon_prefix}w")
         return bound
 
     def _unwind_literal_frame(self, uw) -> DataFrame:
@@ -423,8 +482,8 @@ class GQLEngine:
             if stmt.unwind_first is not None:
                 bound, unwound = self._apply_unwind(bound, stmt.unwind_first, unwound)
                 if stmt.where is not None:
-                    bound = bound.filter(
-                        _lower_condition(stmt.where, bare_names=unwound)
+                    bound = self._apply_where(
+                        bound, stmt.where, bare_names=unwound, anon_prefix="_uw"
                     )
         if stmt.unwind is not None and stmt.with_items is None:
             # MATCH .. UNWIND [..] AS x RETURN .. (no WITH pipeline)

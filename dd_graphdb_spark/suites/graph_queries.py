@@ -860,6 +860,37 @@ def gql_expr_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GQL pattern predicate: WHERE [NOT] EXISTS((v)-[:LBL]->(u)) — lowered
+# as a LEFT SEMI / LEFT ANTI join on the shared variables' ids (the
+# Spark-natural correlated-subquery rewrite). The gate query combines a
+# NOT EXISTS with a residual column conjunct to exercise the top-level
+# AND split.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_exists_pattern",
+    GRAPH_CTE
+    + """
+    SELECT c.name AS nm, c.acctbal AS bal
+    FROM vertices c
+    WHERE c.label = 'Customer' AND c.acctbal > 1000.0
+      AND NOT EXISTS (
+        SELECT 1 FROM edges e JOIN vertices o ON e.src = o.id
+        WHERE e.dst = c.id AND e.label = 'placed_by' AND o.label = 'Order'
+          AND o.name = 'F'
+      )
+    ORDER BY nm
+    """,
+)
+def gql_exists_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer) "
+        "WHERE NOT EXISTS((c)<-[:placed_by]-(o:Order {name: 'F'})) AND c.acctbal > 1000.0 "
+        "RETURN c.name AS nm, c.acctbal AS bal ORDER BY nm"
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

@@ -763,3 +763,45 @@ def test_expr_unspaced_minus_still_subtracts(people_graph):
         "MATCH (v:Person {name: 'Bob'}) RETURN v.age -1 AS am"
     )
     assert df.collect()[0]["am"] == 24
+
+
+# --------------------------------------------------------------------------- EXISTS
+def test_exists_pattern_semi_join(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE EXISTS((v)-[:friend]->(u)) RETURN v.name ORDER BY v.name"
+    )
+    assert [r["v_name"] for r in df.collect()] == ["Alice", "Bob"]
+
+
+def test_not_exists_pattern_anti_join(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE NOT EXISTS((v)-[:friend]->(u)) RETURN v.name"
+    )
+    assert [r["v_name"] for r in df.collect()] == ["Charlie"]
+
+
+def test_exists_with_residual_condition(people_graph):
+    # top-level AND split: semi-join + column filter
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE EXISTS((v)-[:friend]->(u)) AND v.age > 26 RETURN v.name"
+    )
+    assert [r["v_name"] for r in df.collect()] == ["Alice"]
+
+
+def test_exists_inner_node_filter(people_graph):
+    # inline props on the existentially-quantified node constrain it
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE EXISTS((v)-[:friend]->(u {name: 'Charlie'})) RETURN v.name"
+    )
+    assert [r["v_name"] for r in df.collect()] == ["Bob"]
+
+
+def test_exists_errors(people_graph):
+    with pytest.raises(ValueError, match="top-level AND"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) WHERE EXISTS((v)-[:friend]->(u)) OR v.age > 1 RETURN v.name"
+        ).collect()
+    with pytest.raises(ValueError, match="share at least one variable"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) WHERE EXISTS((x)-[:friend]->(y)) RETURN v.name"
+        ).collect()
