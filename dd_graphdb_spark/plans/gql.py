@@ -802,6 +802,11 @@ class _Parser:
         self.expect("punct", ")")
         if edge.min_hops is None:
             edge.min_hops = edge.max_hops = 1  # plain edge = exactly one hop
+        if pvar in (src.var, dst.var):
+            raise ValueError(
+                f"GQL parse error: path variable {pvar!r} collides with an "
+                "endpoint variable"
+            )
         return ShortestPathPattern(pvar, src, edge, dst)
 
     def _at_shortest_path(self) -> bool:

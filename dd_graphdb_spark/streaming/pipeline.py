@@ -51,9 +51,15 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # data file flat into the staging dir — the file source does not
         # recurse into a nested non-partition directory, so linking the
         # directory itself would yield an EMPTY stream (found at sf1)
+        linked = 0
         for fname in sorted(os.listdir(src)):
             if fname.endswith(".parquet"):
                 os.symlink(os.path.join(src, fname), os.path.join(src_dir, fname))
+                linked += 1
+        if linked == 0:
+            # fail loudly: an empty staging dir is a stream that "runs"
+            # and silently produces nothing
+            raise ValueError(f"no .parquet data files found under {src}")
     else:
         os.symlink(src, os.path.join(src_dir, "events.parquet"))
     stream = (

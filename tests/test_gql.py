@@ -805,3 +805,10 @@ def test_exists_errors(people_graph):
         _engine(people_graph).execute(
             "MATCH (v:Person) WHERE EXISTS((x)-[:friend]->(y)) RETURN v.name"
         ).collect()
+
+
+def test_shortest_path_pvar_collision_rejected(diamond_graph):
+    with pytest.raises(ValueError, match="collides"):
+        _engine(diamond_graph).execute(
+            "MATCH a = shortestPath((a)-[*1..2]->(b)) RETURN a.name"
+        )

@@ -185,3 +185,20 @@ def test_stream_dedup_batch_keeps_earliest(spark):
     }
     # deterministic keep-first by ts, not an arbitrary survivor
     assert got == {1: "first", 2: "only"}
+
+
+def test_events_stream_empty_dir_fails_loudly(spark, tmp_path):
+    """A directory table with no data files must raise, not start an
+    empty stream that silently produces nothing (found at sf1)."""
+    import os
+
+    import pytest as _pt
+
+    d = tmp_path / "empty_sf"
+    os.makedirs(d / "events.parquet")
+    # schema read needs at least... no: spark.read.parquet on empty dir
+    # raises first — either way the call must raise, not return a stream
+    from dd_graphdb_spark.streaming.pipeline import events_stream
+
+    with _pt.raises(Exception):
+        events_stream(spark, str(d))
