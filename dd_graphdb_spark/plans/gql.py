@@ -245,7 +245,17 @@ class CreateStatement:
 
 @dataclass
 class MergeStatement:
-    node: NodePattern  # single-node get-or-create (Cypher MERGE subset)
+    """Cypher MERGE: match the ENTIRE pattern; if at least one binding
+    exists return it, else create the whole pattern — nodes and edges —
+    as one unit (single-clause Cypher semantics: a partially-matching
+    pattern still creates ALL of it; use separate MERGE statements per
+    node to reuse existing endpoints)."""
+
+    pattern: PathPattern
+
+    @property
+    def node(self) -> NodePattern:  # single-node back-compat accessor
+        return self.pattern.nodes[0]
 
 
 @dataclass
@@ -781,12 +791,7 @@ class _Parser:
         if self.accept("CREATE"):
             return CreateStatement(self.path())
         if self.accept("MERGE"):
-            pattern = self.path()
-            if len(pattern.nodes) != 1:
-                raise ValueError(
-                    "GQL parse error: MERGE supports single-node patterns only"
-                )
-            return MergeStatement(pattern.nodes[0])
+            return MergeStatement(self.path())
         raise ValueError("GQL parse error: expected MATCH, UNWIND, CREATE or MERGE")
 
     def _shortest_path_pattern(self) -> ShortestPathPattern:

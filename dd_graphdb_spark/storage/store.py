@@ -541,6 +541,32 @@ class GraphStore:
             ),
         )
 
+    def _create_pattern(self, pattern) -> list[int]:
+        """Create a path pattern's nodes (ids max+1.., one per DISTINCT
+        variable — a repeated variable is the same node, Cypher) and its
+        chaining edges; returns one id per pattern node position.
+        (execute_create, graph/query/src/executor.rs:521-566; unlabeled
+        relationships default to "related", :unwrap_or_else)."""
+        row = self.vertices().agg(F.max("id").alias("m")).collect()[0]
+        next_id = (row["m"] or 0) + 1
+        ops: list[GraphOp] = []
+        ids_by_var: dict[str, int] = {}
+        node_ids: list[int] = []
+        for node in pattern.nodes:
+            if node.var in ids_by_var:
+                node_ids.append(ids_by_var[node.var])
+                continue
+            ops.append(add_vertex(next_id, node.label, dict(node.props)))
+            ids_by_var[node.var] = next_id
+            node_ids.append(next_id)
+            next_id += 1
+        for i, e in enumerate(pattern.edges):
+            ops.append(
+                add_edge(node_ids[i], node_ids[i + 1], e.label or "related", {})
+            )
+        self.apply_batch(ops)
+        return node_ids
+
     def execute_mutation(self, stmt, engine) -> DataFrame:
         """Apply a parsed GQL CREATE / MATCH..DELETE statement.
 
@@ -565,42 +591,41 @@ class GraphStore:
         from dd_graphdb_spark.plans.gql import CreateStatement, MatchDeleteStatement
 
         if isinstance(stmt, CreateStatement):
-            row = self.vertices().agg(F.max("id").alias("m")).collect()[0]
-            next_id = (row["m"] or 0) + 1
-            ops: list[GraphOp] = []
-            node_ids: list[int] = []
-            for node in stmt.pattern.nodes:
-                ops.append(add_vertex(next_id, node.label, dict(node.props)))
-                node_ids.append(next_id)
-                next_id += 1
-            for i, e in enumerate(stmt.pattern.edges):
-                # unlabeled relationship defaults to "related"
-                # (execute_create, executor.rs: unwrap_or_else(|| "related"))
-                ops.append(add_edge(node_ids[i], node_ids[i + 1], e.label or "related", {}))
-            self.apply_batch(ops)
+            node_ids = self._create_pattern(stmt.pattern)
             return self.spark.createDataFrame([(i,) for i in node_ids], "id long")
 
         from dd_graphdb_spark.plans.gql import MatchSetStatement, MergeStatement
 
         if isinstance(stmt, MergeStatement):
-            # get-or-create (Cypher MERGE subset: single node, exact
-            # label + inline-props match). Existing matches are returned
-            # untouched; otherwise one vertex is created.
-            node = stmt.node
-            from dd_graphdb_spark.plans.gql import PathPattern
-
-            bindings = engine.match_bindings(PathPattern([node], []))
+            # Cypher MERGE: match the WHOLE pattern (exact label +
+            # inline-props per node, edge labels); existing bindings are
+            # returned untouched, otherwise the entire pattern — nodes
+            # and edges — is created as one unit. Single-clause Cypher
+            # semantics: a partially-matching pattern still creates all
+            # of it.
+            pattern = stmt.pattern
+            uniq_vars = list(dict.fromkeys(n.var for n in pattern.nodes))
+            bindings = engine.match_bindings(pattern)
             ids = (
-                bindings.select(F.col(f"{node.var}__id").alias("id"))
+                bindings.select(
+                    *[F.col(f"{v}__id").alias("id" if len(uniq_vars) == 1 else v)
+                      for v in uniq_vars]
+                )
                 .distinct()
                 .localCheckpoint(eager=True)
             )
             if not ids.isEmpty():
                 return ids
-            row = self.vertices().agg(F.max("id").alias("m")).collect()[0]
-            next_id = (row["m"] or 0) + 1
-            self.apply_batch([add_vertex(next_id, node.label, dict(node.props))])
-            return self.spark.createDataFrame([(next_id,)], "id long")
+            node_ids = self._create_pattern(pattern)
+            by_var = dict(zip([n.var for n in pattern.nodes], node_ids))
+            if len(uniq_vars) == 1:
+                return self.spark.createDataFrame(
+                    [(by_var[uniq_vars[0]],)], "id long"
+                )
+            return self.spark.createDataFrame(
+                [tuple(by_var[v] for v in uniq_vars)],
+                ", ".join(f"{v} long" for v in uniq_vars),
+            )
 
         if isinstance(stmt, MatchSetStatement):
             # ONE snapshot version for the whole statement: per-variable

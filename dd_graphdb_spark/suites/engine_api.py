@@ -490,6 +490,44 @@ def gql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL relationship MERGE (whole-pattern Cypher semantics: a matching
+# pattern binds; otherwise the ENTIRE pattern — nodes and edge — is
+# created as one unit, even when an endpoint exists on its own).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_merge_edge",
+    """
+    SELECT * FROM (VALUES
+        (1::BIGINT, 2::BIGINT, 'works_at', 2::BIGINT),
+        (3::BIGINT, 4::BIGINT, 'works_at', 2::BIGINT)
+    ) t(src, dst, label, n_vertices_div2)
+    """,
+)
+def gql_merge_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+
+    def engine():
+        return GQLEngine(store.as_property_graph({"name": "string"}), store=store)
+
+    # whole pattern absent → creates Ann(1), Acme(2), edge 1→2
+    engine().execute("MERGE (a:Person {name: 'Ann'})-[:works_at]->(c:Org {name: 'Acme'})")
+    # pattern now matches → no new writes (idempotent)
+    engine().execute("MERGE (a:Person {name: 'Ann'})-[:works_at]->(c:Org {name: 'Acme'})")
+    # endpoint Acme EXISTS but the full pattern doesn't → single-clause
+    # Cypher creates the whole pattern: Bob(4), a NEW Org(5), edge 4→5
+    engine().execute("MERGE (b:Person {name: 'Bob'})-[:works_at]->(c:Org {name: 'Acme'})")
+    n = store.vertices().count()
+    return store.edges().select(
+        "src", "dst", "label", (F.lit(n) / 2).cast("long").alias("n_vertices_div2")
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL-backed materialized view: the definition persists as GQL text and
 # survives a catalog reload; refresh materializes through the engine.
 # ---------------------------------------------------------------------------

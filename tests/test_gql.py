@@ -309,13 +309,14 @@ def test_inline_edge_properties(people_graph):
         eng.execute("MATCH (a)-[e:friend*1..2 {since: 2020}]->(b) RETURN a.name")
 
 
-def test_merge_single_node_only():
+def test_merge_parses_node_and_pattern_forms():
     from dd_graphdb_spark.plans.gql import parse_gql
 
     s = parse_gql("MERGE (a:Person {name: 'Ann'})")
     assert s.node.label == "Person" and s.node.props == {"name": "Ann"}
-    with pytest.raises(ValueError, match="single-node"):
-        parse_gql("MERGE (a:Person)-[:knows]->(b:Person)")
+    # relationship MERGE (whole-pattern semantics, round 7)
+    s2 = parse_gql("MERGE (a:Person)-[:knows]->(b:Person)")
+    assert len(s2.pattern.nodes) == 2 and s2.pattern.edges[0].label == "knows"
 
 
 def test_property_to_property_compare(people_graph):
@@ -812,3 +813,35 @@ def test_shortest_path_pvar_collision_rejected(diamond_graph):
         _engine(diamond_graph).execute(
             "MATCH a = shortestPath((a)-[*1..2]->(b)) RETURN a.name"
         )
+
+
+def test_merge_edge_whole_pattern(spark, tmp_path):
+    """Relationship MERGE: whole-pattern semantics — match binds,
+    otherwise the ENTIRE pattern is created, even when an endpoint
+    exists on its own (single-clause Cypher)."""
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "m"))
+    eng = lambda: GQLEngine(store.as_property_graph({"name": "string"}), store=store)
+    r1 = eng().execute("MERGE (a:P {name: 'x'})-[:r]->(b:P {name: 'y'})").collect()
+    assert [(r["a"], r["b"]) for r in r1] == [(1, 2)]
+    assert store.stats() == {"vertex_count": 2, "edge_count": 1, "version": 1}
+    # idempotent re-merge: binds, no writes
+    r2 = eng().execute("MERGE (a:P {name: 'x'})-[:r]->(b:P {name: 'y'})").collect()
+    assert [(r["a"], r["b"]) for r in r2] == [(1, 2)]
+    assert store.stats()["version"] == 1
+    # endpoint x exists, full pattern doesn't → creates whole pattern
+    eng().execute("MERGE (a:P {name: 'x'})-[:r]->(b:P {name: 'z'})")
+    assert store.stats() == {"vertex_count": 4, "edge_count": 2, "version": 2}
+
+
+def test_create_repeated_variable_is_one_node(spark, tmp_path):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "c"))
+    eng = GQLEngine(store.as_property_graph({"name": "string"}), store=store)
+    out = eng.execute("CREATE (s:P {name: 'loop'})-[:self]->(s)").collect()
+    assert [r["id"] for r in out] == [1, 1]
+    assert store.stats() == {"vertex_count": 1, "edge_count": 1, "version": 1}
