@@ -643,3 +643,49 @@ def test_modify_rules_match_python_model(spark, values, match_val):
         i: (("done", 7) if v == match_val else (v, None)) for i, v in rows
     }
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# GQL scalar expressions vs a Python reference evaluator: random
+# expression trees over two columns and literals must compute the same
+# value through parse → lower → Spark as direct Python arithmetic.
+# --------------------------------------------------------------------------
+_leaf = st.one_of(
+    st.just("v.a"),
+    st.just("v.b"),
+    st.integers(1, 9).map(str),
+    st.floats(0.5, 9.5).map(lambda f: f"{round(f, 2)}"),
+)
+
+
+def _combine(children):
+    import random as _r
+
+    op = st.sampled_from(["+", "-", "*"])
+    return st.tuples(children, op, children).map(
+        lambda t: f"({t[0]} {t[1]} {t[2]})"
+    )
+
+
+_expr_text = st.recursive(_leaf, _combine, max_leaves=6)
+
+
+@SMALL
+@given(_expr_text)
+def test_gql_expression_matches_python_eval(spark, expr_text):
+    from dd_graphdb_spark.graph import PropertyGraph
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    rows = [(1, "P", 3, 2.5), (2, "P", 7, 0.5), (3, "P", 5, 4.0)]
+    v = spark.createDataFrame(rows, "id long, label string, a long, b double")
+    e = spark.createDataFrame([], "src long, dst long, label string")
+    eng = GQLEngine(PropertyGraph(v, e))
+    got = {
+        r["vid"]: r["x"]
+        for r in eng.execute(
+            f"MATCH (v:P) RETURN v.id AS vid, {expr_text} AS x"
+        ).collect()
+    }
+    for rid, _, a, b in rows:
+        want = eval(expr_text.replace("v.a", str(a)).replace("v.b", repr(b)))
+        assert got[rid] == pytest.approx(want, rel=1e-9), expr_text
