@@ -82,6 +82,12 @@ HEADLINE = [
     "algo_closeness_landmarks",
     "algo_betweenness_landmarks",
     "gql_collect_nations",
+    # round-7 additions: in-query shortest path (seeded bounded-hop
+    # union), UNWIND roundtrip, EXISTS anti-join, expression projection
+    "gql_shortest_path",
+    "gql_unwind",
+    "gql_exists_pattern",
+    "gql_expr_functions",
 ]
 
 
