@@ -845,3 +845,18 @@ def test_create_repeated_variable_is_one_node(spark, tmp_path):
     out = eng.execute("CREATE (s:P {name: 'loop'})-[:self]->(s)").collect()
     assert [r["id"] for r in out] == [1, 1]
     assert store.stats() == {"vertex_count": 1, "edge_count": 1, "version": 1}
+
+
+def test_exists_inside_optional_match_where(people_graph):
+    """EXISTS routes through _apply_where for clause WHEREs too: the
+    optional pattern keeps only targets that themselves have an
+    outgoing friend edge (Bob->Charlie: Charlie has none -> null)."""
+    df = _engine(people_graph).execute(
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[:friend]->(b) "
+        "WHERE EXISTS((b)-[:friend]->(c)) "
+        "RETURN a.name, b.name ORDER BY a.name"
+    )
+    rows = [(r["a_name"], r["b_name"]) for r in df.collect()]
+    # Alice->Bob kept (Bob has outgoing); Bob->Charlie dropped within
+    # the optional (Charlie has none) -> Bob keeps null; Charlie null
+    assert rows == [("Alice", "Bob"), ("Bob", None), ("Charlie", None)]
