@@ -107,6 +107,8 @@ class GraphApiServer:
                 return 200, {"view": name, "rows": _df_rows(res.data, min(limit, self.row_limit))}
             if method == "DELETE":
                 res = shell.execute(f"VIEW DROP {name}")
+                if not res.ok:
+                    return 404, {"error": res.message}
                 return 200, {"dropped": name}
         if len(seg) == 3 and seg[0] == "views" and seg[2] == "refresh" and method == "POST":
             force = " FORCE" if body.get("force") else ""

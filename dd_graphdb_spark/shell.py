@@ -148,14 +148,22 @@ class GraphShell:
             if name not in self.catalog.defs:
                 return ShellResult(False, "error", f"unknown view {name}")
             force = len(parts) > 3 and parts[3].upper() == "FORCE"
-            ran = self.catalog.refresh(name, force=force)
+            try:
+                ran = self.catalog.refresh(name, force=force)
+            except Exception as ex:  # bad SQL / lost builder: keep the shell alive
+                return ShellResult(False, "error", f"refresh {name} failed: {ex}")
             return ShellResult(True, "views", f"refreshed {name}" if ran else f"{name} fresh (policy)")
         if op == "QUERY":
             name = parts[2]
             if name not in self.catalog.defs:
                 return ShellResult(False, "error", f"unknown view {name}")
-            return ShellResult(True, "data", f"view {name}", data=self.catalog.read(name))
+            try:
+                return ShellResult(True, "data", f"view {name}", data=self.catalog.read(name))
+            except Exception as ex:
+                return ShellResult(False, "error", f"read {name} failed: {ex}")
         if op == "DROP":
+            if parts[2] not in self.catalog.defs:
+                return ShellResult(False, "error", f"unknown view {parts[2]}")
             self.catalog.drop(parts[2])
             return ShellResult(True, "views", f"dropped {parts[2]}")
         if op == "ROUTE":
@@ -208,7 +216,10 @@ class GraphShell:
             self.catalog.refresh(name, force=True)
             return ShellResult(True, "incremental", f"forced {name}")
         if op == "BATCH":
-            refreshed = self.catalog.refresh_all()
+            try:
+                refreshed = self.catalog.refresh_all()
+            except Exception as ex:
+                return ShellResult(False, "error", f"batch refresh failed: {ex}")
             return ShellResult(
                 True, "incremental", f"refreshed {len(refreshed)} views", data=refreshed
             )

@@ -136,6 +136,27 @@ def extract_tables(spark: SparkSession, sql: str) -> set[str]:
     return tables - ctes
 
 
+_VIEW_NAME_RE = None  # compiled lazily
+
+
+def validate_view_name(name: str) -> None:
+    """View names become filesystem paths (``<name>.view.json`` /
+    ``<name>.parquet``) and temp-view identifiers (``mv_<name>``): an
+    unvalidated name arriving over the REST API could traverse out of
+    the catalog directory (``../../etc``) or break SQL identifier
+    quoting. Identifier-shaped names only."""
+    import re
+
+    global _VIEW_NAME_RE
+    if _VIEW_NAME_RE is None:
+        _VIEW_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_-]{0,127}\Z")
+    if not isinstance(name, str) or not _VIEW_NAME_RE.match(name):
+        raise ValueError(
+            f"invalid view name {name!r}: use [A-Za-z_][A-Za-z0-9_-]* "
+            "(max 128 chars)"
+        )
+
+
 def validate_view_sql(sql: str) -> None:
     """Single-statement, SELECT-only validation (sql_parser.rs:49-139).
     Unlike the reference we allow DISTINCT/LIMIT (rejected there,
@@ -195,6 +216,7 @@ class ViewCatalog:
         defn: ViewDefinition,
         builder: Callable[[SparkSession], DataFrame] | None = None,
     ) -> None:
+        validate_view_name(defn.name)
         if defn.sql is not None:
             validate_view_sql(defn.sql)
             if not defn.dependencies:
@@ -237,6 +259,7 @@ class ViewCatalog:
         self.mark_dirty(name)
 
     def drop(self, name: str) -> None:
+        validate_view_name(name)  # name is a filesystem path component
         self.defs.pop(name, None)
         self.builders.pop(name, None)
         self.incremental.pop(name, None)
@@ -250,6 +273,12 @@ class ViewCatalog:
         data = self._data_path(name)
         if os.path.exists(data):
             shutil.rmtree(data, ignore_errors=True)
+        # a dependent's mv_<name> temp view would otherwise keep
+        # resolving against the deleted path (error only at action time)
+        try:
+            self.spark.catalog.dropTempView(f"mv_{name}")
+        except Exception:
+            pass
 
     def list_views(self) -> list[str]:
         return sorted(self.defs)
@@ -295,13 +324,19 @@ class ViewCatalog:
             visit(n)
         return out
 
-    def mark_dirty(self, name: str) -> None:
+    def mark_dirty(self, name: str, _seen: set | None = None) -> None:
         """Dirty marking cascades to dependents
-        (incremental_engine.rs:449-461)."""
+        (incremental_engine.rs:449-461). The visited set keeps a
+        diamond-shaped DAG from re-walking shared dependents (2^depth
+        calls without it)."""
+        seen = set() if _seen is None else _seen
+        if name in seen:
+            return
+        seen.add(name)
         self.state[name]["dirty"] = True
         for n, d in self.defs.items():
             if name in d.dependencies:
-                self.mark_dirty(n)
+                self.mark_dirty(n, seen)
 
     # ---- refresh ----------------------------------------------------------
     def _build(self, name: str) -> DataFrame:

@@ -213,3 +213,55 @@ def test_builder_view_reload_skips_with_warning(spark, tmp_path, sf_dir):
     )
     cat2.refresh("bv", force=True)
     assert cat2.read("bv").collect()[0]["a"] == 42
+
+
+def test_view_name_path_traversal_rejected(spark, tmp_path):
+    """View names become filesystem paths and mv_ identifiers: names
+    arriving over the REST API must be identifier-shaped — '../x' would
+    write <catalog>/../x.view.json and drop() would rmtree outside the
+    catalog dir."""
+    import pytest as _pt
+
+    c = ViewCatalog(spark, str(tmp_path / "v"))
+    for bad in ("../evil", "a/b", "a b", "", "x" * 200, "1leading"):
+        with _pt.raises(ValueError, match="invalid view name"):
+            c.register(ViewDefinition(name=bad, view_type="sql", sql="SELECT 1 AS x"))
+        with _pt.raises(ValueError, match="invalid view name"):
+            c.drop(bad)
+    # nothing escaped the catalog dir
+    import os
+
+    assert not os.path.exists(str(tmp_path / "evil.view.json"))
+
+
+def test_mark_dirty_diamond_no_blowup(spark, tmp_path):
+    """Visited-set guard: a deep diamond DAG must not re-walk shared
+    dependents exponentially (2^depth calls without the guard)."""
+    c = ViewCatalog(spark, str(tmp_path / "d"))
+    c.register(ViewDefinition(name="base", view_type="sql", sql="SELECT 1 AS x"))
+    prev = ["base"]
+    for lvl in range(12):  # 2^12 re-visits would hang without the guard
+        cur = [f"l{lvl}a", f"l{lvl}b"]
+        for n in cur:
+            c.register(ViewDefinition(name=n, view_type="sql",
+                                      sql="SELECT 1 AS x", dependencies=list(prev)))
+        prev = cur
+    import time as _t
+
+    t0 = _t.time()
+    c.mark_dirty("base")
+    assert _t.time() - t0 < 1.0
+    assert all(c.state[n]["dirty"] for n in c.defs)
+
+
+def test_shell_survives_refresh_failure_and_unknown_drop(spark, tmp_path):
+    from dd_graphdb_spark.shell import GraphShell
+
+    c = ViewCatalog(spark, str(tmp_path / "s"))
+    c.register(ViewDefinition(name="bad", view_type="sql",
+                              sql="SELECT nonexistent_col FROM missing_table"))
+    sh = GraphShell(spark, c)
+    res = sh.execute("VIEW REFRESH bad FORCE")
+    assert not res.ok and "failed" in res.message
+    res2 = sh.execute("VIEW DROP never_registered")
+    assert not res2.ok and "unknown view" in res2.message
