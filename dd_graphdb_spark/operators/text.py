@@ -178,3 +178,74 @@ def tfidf_top_terms(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    r"""Language-model quality scoring (the CCNet/RefinedWeb-style
+    perplexity-proxy filter): train an add-k-smoothed bigram LM on the
+    corpus itself, then score each document by its mean bigram
+    log-probability. Returns (id, n_bigrams, lm_score) — lm_score is
+    NULL for documents with fewer than two tokens; higher = more
+    corpus-typical text (boilerplate scores high, noise scores low).
+
+        P(w2 | w1) = (c(w1, w2) + k) / (c(w1·) + k·V)
+
+    with V the corpus vocabulary size and c(w1·) the count of w1 as a
+    bigram LEFT context (so unseen contexts reduce to ln(1/V)).
+
+    Determinism contract: each bigram's ln(P) is rounded to 9 decimals
+    BEFORE the per-doc sum (log() may differ between engines in the
+    last ulp — ~1e-16 relative, far below 1e-9), and the sum runs over
+    DECIMAL(28,9) so it is exact and order-independent; the mean is
+    rounded to 6.
+
+    Shape: one explode to the per-doc bigram table, two partial-agg
+    groupBys for the model (bigram counts; left-context counts derived
+    from them), a broadcast 1-row vocab size, and ONE shuffle joining
+    doc-bigrams to the model on (w1, w2) — the standard term-partitioned
+    LM-training/scoring layout; the model table is corpus-bigram-sized
+    and never collects to the driver.
+    """
+    toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    big = toks.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+            )
+        ).alias("bg"),
+    ).select("id", F.col("bg")["0"].alias("w1"), F.col("bg")["1"].alias("w2"))
+    c12 = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    model = c12.join(c1, "w1").crossJoin(F.broadcast(vocab))
+    scored = big.join(model, ["w1", "w2"]).select(
+        "id",
+        F.round(
+            F.log((F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("logp"),
+    )
+    per_doc = scored.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round((F.sum("logp") / F.count("*")).cast("double"), 6).alias("lm_score"),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "lm_score",
+        )
+    )

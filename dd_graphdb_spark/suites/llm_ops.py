@@ -292,6 +292,44 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"))
 
 
+@_q(
+    "text_bigram_lm_score",
+    r"""
+    WITH t AS (
+        SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+               ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, list_extract(toks, i) AS w1, list_extract(toks, i + 1) AS w2
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - 1)) AS i FROM t)
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+    vv AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM t)),
+    sc AS (
+        SELECT b.doc_id,
+               round(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * vv.v)), 9)::DECIMAL(28,9) AS logp
+        FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+    ),
+    pd AS (
+        SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+               round((sum(logp) / count(*))::DOUBLE, 6) AS lm_score
+        FROM sc GROUP BY 1
+    )
+    SELECT d.doc_id AS id, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams, pd.lm_score
+    FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-k bigram LM scoring (perplexity-proxy quality
+    filter — CCNet/RefinedWeb shape); per-bigram ln(P) rounded to 9
+    decimals then summed as DECIMAL so both engines agree exactly."""
+    out = X.bigram_lm_scores(_docs(spark, sf_dir))
+    return out.select("id", F.col("n_bigrams").cast("long").alias("n_bigrams"), "lm_score")
+
+
 _BPE_SQL = X.BPE_PATTERN.replace("'", "''")
 
 

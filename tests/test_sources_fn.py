@@ -189,3 +189,27 @@ def test_redact_pii_real_phone_shapes(spark):
     assert rows[2] == ("intl <PHONE>", 1, 0)
     assert rows[3] == ("dotted <PHONE>", 1, 0)
     assert rows[4] == ("ssn <SSN> stays ssn", 0, 1)
+
+
+def test_bigram_lm_scores_hand_computed(spark):
+    """Tiny corpus with hand-derivable probabilities: corpus 'a b',
+    'a b', 'a c', 'solo' → V=4 (every token counts, including 1-token
+    docs); c(a,b)=2, c(a,c)=1, c(a·)=3. k=0.5:
+    P(b|a)=(2+.5)/(3+2)=0.5; P(c|a)=(1+.5)/5=0.3."""
+    import math
+
+    from dd_graphdb_spark.operators.text import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo"), (5, "")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in bigram_lm_scores(df).collect()}
+    assert out[1]["n_bigrams"] == 1
+    assert out[1]["lm_score"] == pytest.approx(round(math.log(0.5), 6), abs=2e-6)
+    assert out[3]["lm_score"] == pytest.approx(round(math.log(0.3), 6), abs=2e-6)
+    # boilerplate ('a b' seen twice) scores higher than the rarer 'a c'
+    assert out[1]["lm_score"] > out[3]["lm_score"]
+    # <2 tokens → no bigrams, NULL score
+    assert out[4]["n_bigrams"] == 0 and out[4]["lm_score"] is None
+    assert out[5]["n_bigrams"] == 0 and out[5]["lm_score"] is None
