@@ -88,6 +88,7 @@ HEADLINE = [
     "gql_unwind",
     "gql_exists_pattern",
     "gql_expr_functions",
+    "text_bigram_lm_score",
 ]
 
 
