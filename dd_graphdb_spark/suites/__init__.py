@@ -72,6 +72,7 @@ def _with_hygiene(fn):
 # r4/r5 rows follow, with the 48 freshest (r6-recorded) entries at the
 # END. NEW queries with oracles must be inserted at the TOP.
 GATE_PRIORITY = [
+    "anti_join_customers_without_orders",
     "text_bigram_lm_score",
     "gql_merge_edge",
     "gql_exists_pattern",
@@ -193,7 +194,6 @@ GATE_PRIORITY = [
     "group_by_agg_having",
     "join_revenue_per_region",
     "semi_join_customers_with_orders",
-    "anti_join_customers_without_orders",
     "set_union_distinct_nations",
     "set_intersect_nations",
     "gql_order_hidden_prop",

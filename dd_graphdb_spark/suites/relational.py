@@ -257,12 +257,18 @@ def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     "anti_join_customers_without_orders",
     """
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
     """,
 )
 def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join against the finished ('F') order subset: the generated
+    data gives EVERY customer at least one order, so the unrestricted
+    anti-join was a vacuous 0 == 0 comparison — restricting the right
+    side keeps the left-anti plan identical and matches 71 real rows at
+    sf0.01."""
     c = read(spark, sf_dir, "customer")
-    o = read(spark, sf_dir, "orders")
+    o = read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
