@@ -66,6 +66,10 @@ standard Cypher result modifiers:
 - pattern predicates: WHERE [NOT] EXISTS((v)-[:LBL]->(u)) in the
   top-level AND chain — lowered as LEFT SEMI / LEFT ANTI joins on the
   shared variables' ids (the Spark-natural correlated-subquery rewrite)
+- WITH pipeline modifiers: `WITH .. ORDER BY .. SKIP .. LIMIT ..`
+  (the Cypher pipeline-top-k idiom) applied to the intermediate before
+  post-WITH MATCH / UNWIND / RETURN; modifiers may be written in any
+  order but apply as WHERE → ORDER BY → SKIP → LIMIT
 """
 
 from __future__ import annotations
@@ -230,6 +234,12 @@ class MatchStatement:
     # MATCH / OPTIONAL MATCH clauses AFTER the WITH (only for
     # non-aggregating WITH; they join on passed-through variables)
     post_clauses: list = field(default_factory=list)
+    # WITH-pipeline result modifiers (Cypher `WITH .. ORDER BY .. SKIP
+    # .. LIMIT ..` — the pipeline top-k idiom): applied to the WITH
+    # intermediate BEFORE post-WITH MATCH clauses / UNWIND / RETURN
+    with_order: list[OrderItem] = field(default_factory=list)
+    with_skip: int | None = None
+    with_limit: int | None = None
     # UNWIND at statement start (pattern may be None for the pure
     # `UNWIND [..] AS x RETURN ..` form); values must be a list literal
     unwind_first: UnwindClause | None = None
@@ -711,18 +721,23 @@ class _Parser:
                 break
         return items
 
+    def _order_items(self) -> list[OrderItem]:
+        items = []
+        while True:
+            var = self.expect_name()
+            prop = None
+            if self.accept("punct", "."):
+                prop = self.expect_name()
+            desc = bool(self.accept("DESC")) or (self.accept("ASC") and False)
+            items.append(OrderItem(var, prop, desc))
+            if not self.accept("punct", ","):
+                break
+        return items
+
     def _result_modifiers(self, stmt: MatchStatement) -> MatchStatement:
         if self.accept("ORDER"):
             self.expect("BY")
-            while True:
-                var = self.expect_name()
-                prop = None
-                if self.accept("punct", "."):
-                    prop = self.expect_name()
-                desc = bool(self.accept("DESC")) or (self.accept("ASC") and False)
-                stmt.order_by.append(OrderItem(var, prop, desc))
-                if not self.accept("punct", ","):
-                    break
+            stmt.order_by.extend(self._order_items())
         if self.accept("SKIP"):
             stmt.skip = self._nonneg_int("SKIP")
         if self.accept("LIMIT"):
@@ -848,12 +863,26 @@ class _Parser:
         clauses = self._match_clauses()
         with_items = with_where = None
         post_clauses = []
+        with_order: list[OrderItem] = []
+        with_skip = with_limit = None
         if self.accept("WITH"):
             with_items = self.return_items()
             if any(i.var == "*" and i.agg is None for i in with_items):
                 raise ValueError("GQL parse error: WITH does not support *")
-            if self.accept("WHERE"):
-                with_where = self.where_expr()
+            # pipeline modifiers in any written order; the applied
+            # semantics are fixed: WHERE → ORDER BY → SKIP → LIMIT
+            while True:
+                if with_where is None and self.accept("WHERE"):
+                    with_where = self.where_expr()
+                elif not with_order and self.accept("ORDER"):
+                    self.expect("BY")
+                    with_order = self._order_items()
+                elif with_skip is None and self.accept("SKIP"):
+                    with_skip = self._nonneg_int("SKIP")
+                elif with_limit is None and self.accept("LIMIT"):
+                    with_limit = self._nonneg_int("LIMIT")
+                else:
+                    break
             post_clauses = self._match_clauses()
             if post_clauses and any(i.agg for i in with_items):
                 raise ValueError(
@@ -871,6 +900,7 @@ class _Parser:
             distinct=distinct,
             clauses=clauses, with_items=with_items, with_where=with_where,
             post_clauses=post_clauses, unwind_first=unwind_first, unwind=unwind,
+            with_order=with_order, with_skip=with_skip, with_limit=with_limit,
         )
         return self._result_modifiers(stmt)
 

@@ -537,6 +537,32 @@ class GQLEngine:
                         stmt.with_where, bare=True, pattern_vars=tuple(pvars)
                     )
                 )
+            if stmt.with_order:
+                # pipeline top-k (WITH .. ORDER BY .. LIMIT ..): sorts
+                # the intermediate; with the LIMIT below Spark plans
+                # TakeOrderedAndProject (bounded per-partition heaps,
+                # no global sort materialization)
+                exprs = []
+                for o in stmt.with_order:
+                    name = o.var if o.prop is None else f"{o.var}_{o.prop}"
+                    if name not in inter.columns:
+                        alt = f"{o.var}__{o.prop}" if o.prop else None
+                        if alt and alt in inter.columns:
+                            name = alt  # passthrough variable's property
+                        else:
+                            raise ValueError(
+                                f"WITH ORDER BY {o.var}"
+                                f"{'.' + o.prop if o.prop else ''} is not "
+                                "projected by the WITH"
+                            )
+                    exprs.append(
+                        F.col(name).desc() if o.desc else F.col(name).asc()
+                    )
+                inter = inter.orderBy(*exprs)
+            if stmt.with_skip is not None:
+                inter = inter.offset(stmt.with_skip)
+            if stmt.with_limit is not None:
+                inter = inter.limit(stmt.with_limit)
             inter, pvars = self._apply_clauses(
                 inter, pvars, stmt.post_clauses, "_p"
             )

@@ -72,6 +72,7 @@ def _with_hygiene(fn):
 # r4/r5 rows follow, with the 48 freshest (r6-recorded) entries at the
 # END. NEW queries with oracles must be inserted at the TOP.
 GATE_PRIORITY = [
+    "gql_with_orderby_limit",
     "anti_join_customers_without_orders",
     "text_bigram_lm_score",
     "gql_merge_edge",

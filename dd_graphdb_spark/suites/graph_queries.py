@@ -891,6 +891,39 @@ def gql_exists_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GQL pipeline top-k: WITH .. ORDER BY .. LIMIT before RETURN (the
+# Cypher idiom for "aggregate, keep the top n, continue"). The LIMIT
+# under the sort plans TakeOrderedAndProject — bounded per-partition
+# heaps, no global sort materialization.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_with_orderby_limit",
+    GRAPH_CTE
+    + """
+    SELECT nation, n_cust FROM (
+        SELECT n.name AS nation, count(*) AS n_cust
+        FROM vertices c
+        JOIN edges e ON c.id = e.src AND e.label = 'located_in'
+        JOIN vertices n ON e.dst = n.id AND n.label = 'Nation'
+        WHERE c.label = 'Customer'
+        GROUP BY n.name
+        ORDER BY n_cust DESC, nation
+        LIMIT 3
+    )
+    ORDER BY nation
+    """,
+)
+def gql_with_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "WITH n.name AS nation, count(c) AS n_cust "
+        "ORDER BY n_cust DESC, nation LIMIT 3 "
+        "RETURN nation, n_cust ORDER BY nation"
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

@@ -860,3 +860,39 @@ def test_exists_inside_optional_match_where(people_graph):
     # Alice->Bob kept (Bob has outgoing); Bob->Charlie dropped within
     # the optional (Charlie has none) -> Bob keeps null; Charlie null
     assert rows == [("Alice", "Bob"), ("Bob", None), ("Charlie", None)]
+
+
+# --------------------------------------------------------------------------- WITH ORDER BY/LIMIT
+def test_with_orderby_limit_pipeline_topk(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (a:Person)-[:friend]->(b) WITH a.name AS an, count(b) AS n "
+        "ORDER BY n DESC, an LIMIT 1 RETURN an, n"
+    )
+    # Alice and Bob each have 1 outgoing friend; the name tie-break
+    # makes Alice the deterministic top-1
+    assert [tuple(r) for r in df.collect()] == [("Alice", 1)]
+
+
+def test_with_orderby_limit_then_post_match(people_graph):
+    # top-1 oldest person, then expand their friendships after the cut
+    df = _engine(people_graph).execute(
+        "MATCH (p:Person) WITH p ORDER BY p.age DESC LIMIT 1 "
+        "MATCH (x)-[:friend]->(p) RETURN p.name, x.name"
+    )
+    # oldest = Charlie(35); only Bob->Charlie exists
+    assert [tuple(r) for r in df.collect()] == [("Charlie", "Bob")]
+
+
+def test_with_skip_window(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (p:Person) WITH p.age AS age ORDER BY age SKIP 1 LIMIT 1 "
+        "RETURN age"
+    )
+    assert [r["age"] for r in df.collect()] == [30]
+
+
+def test_with_orderby_unprojected_errors(people_graph):
+    with pytest.raises(ValueError, match="not projected by the WITH"):
+        _engine(people_graph).execute(
+            "MATCH (p:Person) WITH p.age AS age ORDER BY nope RETURN age"
+        ).collect()
