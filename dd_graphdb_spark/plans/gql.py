@@ -500,9 +500,11 @@ class _Parser:
         return PathPattern(nodes, edges)
 
     # ----- scalar expressions (+ - * / precedence, functions, parens)
+    # arity: int = exact, -1 = variadic (≥2), (lo, hi) = inclusive range
     SCALAR_FUNCS = {
         "toupper": 1, "tolower": 1, "length": 1, "abs": 1,
-        "round": 2, "coalesce": -1,  # -1 = variadic (≥2)
+        "round": (1, 2),  # round(x) = round(x, 0) — Cypher/Spark/ANSI
+        "coalesce": -1,
     }
 
     def at_expr_operand(self) -> bool:
@@ -558,10 +560,17 @@ class _Parser:
                 args.append(self.expr())
                 self.accept("punct", ",")
             arity = self.SCALAR_FUNCS[fname]
-            if (arity >= 0 and len(args) != arity) or (arity < 0 and len(args) < 2):
+            if isinstance(arity, tuple):
+                bad = not (arity[0] <= len(args) <= arity[1])
+                want = f"{arity[0]}–{arity[1]}"
+            else:
+                bad = (arity >= 0 and len(args) != arity) or (
+                    arity < 0 and len(args) < 2
+                )
+                want = "≥2" if arity < 0 else str(arity)
+            if bad:
                 raise ValueError(
-                    f"GQL parse error: {name}() takes "
-                    f"{'≥2' if arity < 0 else arity} argument(s)"
+                    f"GQL parse error: {name}() takes {want} argument(s)"
                 )
             return FuncCall(fname, args)
         if self.at_name():
@@ -804,10 +813,29 @@ class _Parser:
         if self.accept("MATCH"):
             return self._match_statement()
         if self.accept("CREATE"):
-            return CreateStatement(self.path())
+            return CreateStatement(self._write_pattern("CREATE"))
         if self.accept("MERGE"):
-            return MergeStatement(self.path())
+            return MergeStatement(self._write_pattern("MERGE"))
         raise ValueError("GQL parse error: expected MATCH, UNWIND, CREATE or MERGE")
+
+    def _write_pattern(self, kw: str) -> PathPattern:
+        """A pattern in write position (CREATE/MERGE): every edge must be
+        directed and single-hop — an undirected edge doesn't say which
+        edge to create and a quantifier doesn't say how many (Cypher
+        rejects both)."""
+        pat = self.path()
+        for e in pat.edges:
+            if e.direction == "undirected":
+                raise ValueError(
+                    f"GQL parse error: {kw} requires directed edges — "
+                    "write -[:LBL]-> or <-[:LBL]-"
+                )
+            if e.min_hops is not None:
+                raise ValueError(
+                    f"GQL parse error: variable-length patterns are not "
+                    f"allowed in {kw}"
+                )
+        return pat
 
     def _shortest_path_pattern(self) -> ShortestPathPattern:
         pvar = self.expect_name()
@@ -822,10 +850,28 @@ class _Parser:
         self.expect("punct", ")")
         if edge.min_hops is None:
             edge.min_hops = edge.max_hops = 1  # plain edge = exactly one hop
+        if edge.min_hops > 1:
+            # Neo4j's own rule: shortestPath minimal length must be 0 or 1
+            # (a lower bound > 1 is not a shortest-path problem — the
+            # per-hop frontier reduction in the lowering would prune the
+            # longer-but-qualifying walks it asks for)
+            raise ValueError(
+                "GQL parse error: shortestPath supports a minimal length "
+                f"of 0 or 1 only, got *{edge.min_hops}..{edge.max_hops}"
+            )
         if pvar in (src.var, dst.var):
             raise ValueError(
                 f"GQL parse error: path variable {pvar!r} collides with an "
                 "endpoint variable"
+            )
+        if src.var == dst.var:
+            # the lowering joins the two endpoint vertex frames under
+            # var__-prefixed names — a shared variable would duplicate
+            # every column and die as an ambiguous-reference
+            # AnalysisException at run time; reject it up front
+            raise ValueError(
+                "GQL parse error: shortestPath endpoints must be distinct "
+                f"variables (both are {src.var!r})"
             )
         return ShortestPathPattern(pvar, src, edge, dst)
 

@@ -546,7 +546,13 @@ class GraphStore:
         variable — a repeated variable is the same node, Cypher) and its
         chaining edges; returns one id per pattern node position.
         (execute_create, graph/query/src/executor.rs:521-566; unlabeled
-        relationships default to "related", :unwrap_or_else)."""
+        relationships default to "related", :unwrap_or_else).
+
+        Edge direction is honored — ``(a)<-[:r]-(b)`` creates the edge
+        b→a — and inline edge properties persist, so a MERGE that fell
+        through to create always produces data its own pattern matches
+        (idempotency). Undirected / variable-length edges are rejected
+        at parse time (_write_pattern)."""
         row = self.vertices().agg(F.max("id").alias("m")).collect()[0]
         next_id = (row["m"] or 0) + 1
         ops: list[GraphOp] = []
@@ -561,9 +567,17 @@ class GraphStore:
             node_ids.append(next_id)
             next_id += 1
         for i, e in enumerate(pattern.edges):
-            ops.append(
-                add_edge(node_ids[i], node_ids[i + 1], e.label or "related", {})
-            )
+            if getattr(e, "direction", "out") == "undirected" or (
+                getattr(e, "min_hops", None) is not None
+            ):
+                # belt-and-braces: programmatic ASTs bypass the parser
+                raise ValueError(
+                    "pattern creation requires directed single-hop edges"
+                )
+            src, dst = node_ids[i], node_ids[i + 1]
+            if e.direction == "in":  # (a)<-[:r]-(b): arrow points at a
+                src, dst = dst, src
+            ops.append(add_edge(src, dst, e.label or "related", dict(e.props)))
         self.apply_batch(ops)
         return node_ids
 

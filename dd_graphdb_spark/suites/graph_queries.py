@@ -808,6 +808,39 @@ def gql_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Adversarial shortestPath over the supplier co-location CLIQUES (the
+# hub-graph gate VERDICT r7 asked for): every supplier pair inside a
+# clique of size d is connected, so *1..3 walk enumeration would
+# materialize d^3 walks per source (~59M rows at sf0.1) while the
+# frontier search's state stays one row per (start, end) pair (~41k).
+# All intra-clique pairs are at hop 1; the a.id < b.id WHERE keeps the
+# output to unordered pairs and drops the hop-2 self cycles.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_shortest_path_clique",
+    f"""
+    SELECT a.s_suppkey::BIGINT + {SUPP} AS a_id,
+           b.s_suppkey::BIGINT + {SUPP} AS b_id,
+           1::BIGINT AS hops,
+           (a.s_suppkey::BIGINT + {SUPP})::VARCHAR || '->' ||
+           (b.s_suppkey::BIGINT + {SUPP})::VARCHAR AS path
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    ORDER BY a_id, b_id
+    """,
+)
+def gql_shortest_path_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.suites.algorithms import _supplier_colocation
+
+    eng = GQLEngine(_supplier_colocation(spark, sf_dir))
+    return eng.execute(
+        "MATCH p = shortestPath((a)-[:colocated*1..3]-(b)) WHERE a.id < b.id "
+        "RETURN a.id AS a_id, b.id AS b_id, p.hops AS hops, p.path AS path "
+        "ORDER BY a_id, b_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL scalar expressions (beyond the reference's declared grammar):
 # arithmetic + - * / with parentheses in WHERE and RETURN, scalar
 # functions (toUpper/toLower/length/abs/round/coalesce), aggregates

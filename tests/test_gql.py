@@ -896,3 +896,175 @@ def test_with_orderby_unprojected_errors(people_graph):
         _engine(people_graph).execute(
             "MATCH (p:Person) WITH p.age AS age ORDER BY nope RETURN age"
         ).collect()
+
+
+# --------------------------------------------------------------------------- r8: frontier shortestPath + write-pattern fixes
+def test_shortest_path_frontier_state_stays_pairs_sized(spark, monkeypatch):
+    """The r7 scale-killer guard: on a hub graph, walk enumeration
+    materializes degree^hops rows while the frontier search carries at
+    most one row per (start, end) pair. Instrument the per-round
+    checkpoint to record every state frame's row count and assert the
+    BFS never materializes more than the pair bound — the walk count
+    for this graph at *1..4 is ~3.6k, the pair bound 62."""
+    from dd_graphdb_spark.algorithms import _iter
+    from dd_graphdb_spark.graph import PropertyGraph
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    hub_n = 60
+    v = spark.createDataFrame(
+        [(0, "Hub", "hub")] + [(i, "Spoke", f"s{i}") for i in range(1, hub_n + 1)],
+        "id long, label string, name string",
+    )
+    e = spark.createDataFrame(
+        [(i, 0, "x") for i in range(1, hub_n + 1)]
+        + [(0, i, "x") for i in range(1, hub_n + 1)],
+        "src long, dst long, label string",
+    )
+    sizes = []
+    real = _iter.materialize
+
+    def counting(df):
+        out = real(df)
+        sizes.append(out.count())
+        return out
+
+    monkeypatch.setattr(_iter, "materialize", counting)
+    df = GQLEngine(PropertyGraph(v, e)).execute(
+        "MATCH p = shortestPath((a {name: 's1'})-[*1..4]->(b)) "
+        "RETURN b.name AS nm, p.hops AS hops ORDER BY hops, nm"
+    )
+    rows = df.collect()
+    # s1 reaches the hub at 1 hop, every spoke (incl. itself, cycle) at 2
+    assert (rows[0]["nm"], rows[0]["hops"]) == ("hub", 1)
+    assert {r["hops"] for r in rows[1:]} == {2}
+    assert len(rows) == hub_n + 1
+    # every materialized state frame is pair-bounded, never walk-sized
+    assert sizes and max(sizes) <= hub_n + 2
+
+
+def test_shortest_path_frontier_drains_early(spark, monkeypatch):
+    """A 2-node chain explored to *1..9 must stop as soon as the
+    frontier drains instead of running 9 rounds."""
+    from dd_graphdb_spark.algorithms import _iter
+    from dd_graphdb_spark.graph import PropertyGraph
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    v = spark.createDataFrame(
+        [(1, "P", "a"), (2, "P", "b")], "id long, label string, name string"
+    )
+    e = spark.createDataFrame([(1, 2, "x")], "src long, dst long, label string")
+    calls = []
+    real = _iter.materialize
+    monkeypatch.setattr(_iter, "materialize", lambda df: calls.append(1) or real(df))
+    df = GQLEngine(PropertyGraph(v, e)).execute(
+        "MATCH p = shortestPath((a {name: 'a'})-[*1..9]->(b)) RETURN p.hops"
+    )
+    assert [r["p_hops"] for r in df.collect()] == [1]
+    # 1 hop-1 checkpoint + one drained round (frontier + best) — far
+    # fewer than 9 rounds' worth
+    assert len(calls) <= 5
+
+
+def test_shortest_path_min_hops_above_one_rejected(diamond_graph):
+    with pytest.raises(ValueError, match="minimal length"):
+        _engine(diamond_graph).execute(
+            "MATCH p = shortestPath((a)-[*2..4]->(b)) RETURN p.hops"
+        )
+
+
+def test_shortest_path_zero_hop_identity(diamond_graph):
+    df = _engine(diamond_graph).execute(
+        "MATCH p = shortestPath((a {name: 'a'})-[*0..3]->(b {name: 'a'})) "
+        "RETURN p.hops, p.path"
+    )
+    r = df.collect()[0]
+    assert (r["p_hops"], r["p_path"]) == (0, "1")
+
+
+def test_shortest_path_same_endpoint_var_rejected(diamond_graph):
+    with pytest.raises(ValueError, match="distinct variables"):
+        _engine(diamond_graph).execute(
+            "MATCH p = shortestPath((a)-[*1..2]->(a)) RETURN p.hops"
+        )
+
+
+def test_round_single_argument(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person {name: 'Bob'}) RETURN round(v.age / 7.0) AS r"
+    )
+    assert df.collect()[0]["r"] == 4.0
+    with pytest.raises(ValueError, match="argument"):
+        _engine(people_graph).execute("MATCH (v:Person) RETURN round() AS r")
+
+
+def test_exists_in_with_where_clear_error(people_graph):
+    with pytest.raises(ValueError, match="WITH ... WHERE"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) WITH v WHERE EXISTS((v)-[:friend]->(u)) "
+            "RETURN v.name"
+        ).collect()
+
+
+def test_create_honors_edge_direction_and_props(spark, tmp_path):
+    """ADVICE r7 (high): (a)<-[:r]-(b) must create the edge b->a and
+    persist inline edge properties."""
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, str(tmp_path / "dirp"))
+    eng = GQLEngine(store.as_property_graph({"name": "string"}), store=store)
+    eng.execute("CREATE (a:P {name: 's'})<-[:r {w: 2}]-(b:P {name: 't'})")
+    edges = store.edges().collect()
+    assert [(e["src"], e["dst"], e["label"]) for e in edges] == [(2, 1, "r")]
+    from pyspark.sql import functions as F
+
+    w = store.edges().select(prop_typed("properties", "w", "long").alias("w")).collect()
+    assert w[0]["w"] == 2
+
+
+def test_merge_incoming_edge_idempotent(spark, tmp_path):
+    """ADVICE r7 (high) regression: MERGE (a)<-[:r]-(b) used to create
+    the REVERSED edge, so the pattern never matched afterward and every
+    re-merge re-created all nodes and edges."""
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "mdir"))
+    eng = lambda: GQLEngine(store.as_property_graph({"name": "string"}), store=store)
+    eng().execute("MERGE (a:P {name: 'x'})<-[:r]-(b:P {name: 'y'})")
+    assert store.stats() == {"vertex_count": 2, "edge_count": 1, "version": 1}
+    # the created edge satisfies the pattern → re-merge binds, no writes
+    eng().execute("MERGE (a:P {name: 'x'})<-[:r]-(b:P {name: 'y'})")
+    assert store.stats()["version"] == 1
+    # and the edge really is y->x
+    e = store.edges().collect()[0]
+    assert (e["src"], e["dst"]) == (2, 1)
+
+
+def test_merge_inline_edge_props_idempotent(spark, tmp_path):
+    """MERGE with inline edge props: the created edge carries them, so
+    a re-merge with the same props binds instead of re-creating."""
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "mprops"))
+    eng = lambda: GQLEngine(
+        store.as_property_graph({"name": "string"}, {"w": "long"}), store=store
+    )
+    eng().execute("MERGE (a:P {name: 'x'})-[:r {w: 2}]->(b:P {name: 'y'})")
+    assert store.stats()["version"] == 1
+    eng().execute("MERGE (a:P {name: 'x'})-[:r {w: 2}]->(b:P {name: 'y'})")
+    assert store.stats()["version"] == 1
+    # a DIFFERENT weight is a different pattern → creates a new unit
+    eng().execute("MERGE (a:P {name: 'x'})-[:r {w: 3}]->(b:P {name: 'y'})")
+    assert store.stats()["version"] == 2
+
+
+def test_write_pattern_rejects_undirected_and_varlength():
+    from dd_graphdb_spark.plans.gql import parse_gql
+
+    with pytest.raises(ValueError, match="directed"):
+        parse_gql("CREATE (a:P)-[:r]-(b:P)")
+    with pytest.raises(ValueError, match="variable-length"):
+        parse_gql("MERGE (a:P)-[:r*1..2]->(b:P)")
