@@ -89,6 +89,13 @@ HEADLINE = [
     "gql_exists_pattern",
     "gql_expr_functions",
     "text_bigram_lm_score",
+    # round-8 additions: adversarial clique shortestPath (frontier BFS —
+    # walk enumeration would be d^3 per source), path variables, CASE,
+    # TTL-gated routed view read
+    "gql_shortest_path_clique",
+    "gql_path_variable",
+    "gql_case_expr",
+    "view_ttl_refresh",
 ]
 
 

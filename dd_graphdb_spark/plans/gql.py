@@ -103,6 +103,9 @@ class EdgePattern:
 class PathPattern:
     nodes: list[NodePattern]
     edges: list[EdgePattern]
+    # `p = (a)-[:X]->(b)` — binds p.path (the "1->2" id rendering),
+    # p.length, and the nodes(p)/relationships(p)/length(p) functions
+    pvar: str | None = None
 
 
 @dataclass
@@ -125,10 +128,23 @@ class Arith:
 class FuncCall:
     """Scalar function call. The allow-list maps 1:1 to Spark built-ins
     and ANSI SQL (so oracles restate them verbatim): toUpper, toLower,
-    length, abs, round, coalesce."""
+    length, abs, round, coalesce — plus the path functions nodes /
+    relationships / length over a bound path variable (rewritten to the
+    path's binding columns before lowering)."""
 
     name: str
     args: list
+
+
+@dataclass
+class CaseExpr:
+    """Searched CASE: ``CASE WHEN cond THEN expr .. [ELSE expr] END``.
+    Conditions are full WHERE trees; results are scalar expressions.
+    Lowered to chained ``F.when`` — identical semantics in Spark and
+    ANSI SQL (no ELSE ⇒ NULL)."""
+
+    whens: list  # [(condition_tree, result_expr), ...]
+    default: object | None = None
 
 
 @dataclass
@@ -270,9 +286,28 @@ class MergeStatement:
 
 @dataclass
 class MatchDeleteStatement:
+    """MATCH .. [DETACH] DELETE v. Both forms cascade incident-edge
+    deletion — the reference's execute_match_delete always cascades
+    (graph/query/src/executor.rs:569-615), so plain DELETE keeps that
+    contract and DETACH DELETE is the Cypher-explicit spelling."""
+
     pattern: PathPattern
     where: object | None
     delete_var: str
+    detach: bool = False
+
+
+@dataclass
+class MatchRemoveStatement:
+    """MATCH .. REMOVE v.prop [, e.prop ..] — drop property keys from
+    matched vertices/edges (Cypher REMOVE; the reference's schemaless
+    property bags make this a map-key deletion). Removing ``type``
+    clears the vertex label (label IS the type property,
+    executor.rs:290-295)."""
+
+    pattern: PathPattern
+    where: object | None
+    removals: list  # [(var, prop), ...]
 
 
 @dataclass
@@ -505,6 +540,10 @@ class _Parser:
         "toupper": 1, "tolower": 1, "length": 1, "abs": 1,
         "round": (1, 2),  # round(x) = round(x, 0) — Cypher/Spark/ANSI
         "coalesce": -1,
+        # path functions: valid only over a bound path variable — the
+        # lowering rewrites them to the path's binding columns and
+        # rejects any other argument
+        "nodes": 1, "relationships": 1,
     }
 
     def at_expr_operand(self) -> bool:
@@ -536,6 +575,36 @@ class _Parser:
             left = Arith(op, left, self.factor())
         return left
 
+    def _ident_kw(self, word: str) -> bool:
+        """CASE/WHEN/THEN/ELSE/END/DETACH/REMOVE are contextual keywords
+        (plain identifiers everywhere else)."""
+        k, v = self.peek()
+        return k == "ident" and v.upper() == word
+
+    def _case_expr(self) -> CaseExpr:
+        self.next()  # CASE
+        if not self._ident_kw("WHEN"):
+            raise ValueError(
+                "GQL parse error: only searched CASE is supported — "
+                "CASE WHEN cond THEN expr .. [ELSE expr] END"
+            )
+        whens = []
+        while self._ident_kw("WHEN"):
+            self.next()
+            cond = self.where_expr()
+            if not self._ident_kw("THEN"):
+                raise ValueError("GQL parse error: CASE WHEN needs THEN")
+            self.next()
+            whens.append((cond, self.expr()))
+        default = None
+        if self._ident_kw("ELSE"):
+            self.next()
+            default = self.expr()
+        if not self._ident_kw("END"):
+            raise ValueError("GQL parse error: CASE needs END")
+        self.next()
+        return CaseExpr(whens, default)
+
     def factor(self):
         k, v = self.peek()
         if v == "(" and k == "punct":
@@ -546,6 +615,8 @@ class _Parser:
         if v == "-" and k == "punct":
             self.next()
             return Arith("-", 0, self.factor())
+        if self._ident_kw("CASE"):
+            return self._case_expr()
         if self.at_name() and self.toks[self.i + 1] == ("punct", "("):
             name = self.next()[1]
             fname = name.lower()
@@ -882,19 +953,56 @@ class _Parser:
             and self.toks[self.i + 2][1].lower() == "shortestpath"
         )
 
+    def _at_path_assignment(self) -> bool:
+        return (
+            self.at_name()
+            and self.toks[self.i + 1] == ("op", "=")
+            and self.toks[self.i + 2][1] == "("
+        )
+
     def _match_statement(self, unwind_first: UnwindClause | None = None):
         if self._at_shortest_path():
             pattern: object = self._shortest_path_pattern()
             where = self.where_expr() if self.accept("WHERE") else None
-            if self.peek()[0] in ("DELETE", "SET"):
+            if self.peek()[0] in ("DELETE", "SET") or self._ident_kw(
+                "DETACH"
+            ) or self._ident_kw("REMOVE"):
                 raise ValueError(
                     "GQL parse error: shortestPath patterns are read-only"
                 )
         else:
+            pvar = None
+            if self._at_path_assignment():
+                pvar = self.expect_name()
+                self.expect("op", "=")
             pattern = self.path()
+            if pvar is not None:
+                taken = {n.var for n in pattern.nodes} | {
+                    e.var for e in pattern.edges if e.var
+                }
+                if pvar in taken:
+                    raise ValueError(
+                        f"GQL parse error: path variable {pvar!r} collides "
+                        "with a pattern variable"
+                    )
+                pattern.pvar = pvar
             where = self.where_expr() if self.accept("WHERE") else None
+        if self._ident_kw("DETACH"):
+            self.next()
+            self.expect("DELETE")
+            return MatchDeleteStatement(pattern, where, self.expect_name(), detach=True)
         if self.accept("DELETE"):
             return MatchDeleteStatement(pattern, where, self.expect_name())
+        if self._ident_kw("REMOVE"):
+            self.next()
+            removals = []
+            while True:
+                var = self.expect_name()
+                self.expect("punct", ".")
+                removals.append((var, self.expect_name()))
+                if not self.accept("punct", ","):
+                    break
+            return MatchRemoveStatement(pattern, where, removals)
         if self.accept("SET"):
             assigns = []
             while True:

@@ -34,16 +34,19 @@ from dd_graphdb_spark.graph import PropertyGraph
 from dd_graphdb_spark.plans.gql import (
     Arith,
     BoolExpr,
+    CaseExpr,
     Compare,
     FuncCall,
     PatternPred,
     PropRef,
     CreateStatement,
     MatchDeleteStatement,
+    MatchRemoveStatement,
     MatchSetStatement,
     MatchStatement,
     MergeStatement,
     NodePattern,
+    PathPattern,
     ShortestPathPattern,
     parse_gql,
 )
@@ -63,6 +66,13 @@ def _node_filter(df: DataFrame, node: NodePattern, var: str) -> DataFrame:
     return df
 
 
+def _path_fn_error(name):
+    raise ValueError(
+        f"{name}() applies to a bound path variable "
+        "(MATCH p = (..)-[..]->(..))"
+    )
+
+
 _SCALAR_FNS = {
     "toupper": lambda a: F.upper(a[0]),
     "tolower": lambda a: F.lower(a[0]),
@@ -70,7 +80,78 @@ _SCALAR_FNS = {
     "abs": lambda a: F.abs(a[0]),
     "round": lambda a: F.round(*a),
     "coalesce": lambda a: F.coalesce(*a),
+    # reachable only when the argument was not a path variable — the
+    # path-function rewrite replaces valid calls with binding columns
+    "nodes": lambda a: _path_fn_error("nodes"),
+    "relationships": lambda a: _path_fn_error("relationships"),
 }
+
+
+def _rewrite_path_funcs(node, pvar: str, has_varlen: bool):
+    """Replace nodes(p)/relationships(p)/length(p) — and leave p.path /
+    p.length property access alone — with the path's binding columns
+    (PropRef(p, nodes|rels|length) → p__nodes / p__rels / p__length).
+    Returns a rewritten copy of the expression/condition tree."""
+    _PATH_COLS = {"nodes": "nodes", "relationships": "rels", "length": "length"}
+    if isinstance(node, FuncCall):
+        if (
+            node.name in _PATH_COLS
+            and len(node.args) == 1
+            and isinstance(node.args[0], PropRef)
+            and node.args[0].var == pvar
+            and node.args[0].prop is None
+        ):
+            if has_varlen and node.name in ("nodes", "relationships"):
+                raise ValueError(
+                    f"{node.name}({pvar}) is not available on a pattern "
+                    "with variable-length edges (the intermediate "
+                    "bindings are not enumerated) — length() still is"
+                )
+            return PropRef(pvar, _PATH_COLS[node.name])
+        return FuncCall(
+            node.name,
+            [_rewrite_path_funcs(a, pvar, has_varlen) for a in node.args],
+        )
+    if isinstance(node, Arith):
+        return Arith(
+            node.op,
+            _rewrite_path_funcs(node.left, pvar, has_varlen),
+            _rewrite_path_funcs(node.right, pvar, has_varlen),
+        )
+    if isinstance(node, CaseExpr):
+        return CaseExpr(
+            [
+                (
+                    _rewrite_path_funcs(c, pvar, has_varlen),
+                    _rewrite_path_funcs(r, pvar, has_varlen),
+                )
+                for c, r in node.whens
+            ],
+            None
+            if node.default is None
+            else _rewrite_path_funcs(node.default, pvar, has_varlen),
+        )
+    if isinstance(node, BoolExpr):
+        return BoolExpr(
+            node.op,
+            _rewrite_path_funcs(node.left, pvar, has_varlen),
+            None
+            if node.right is None
+            else _rewrite_path_funcs(node.right, pvar, has_varlen),
+        )
+    if isinstance(node, Compare):
+        return Compare(
+            node.var,
+            node.prop,
+            node.op,
+            _rewrite_path_funcs(node.value, pvar, has_varlen)
+            if isinstance(node.value, (PropRef, Arith, FuncCall, CaseExpr))
+            else node.value,
+            lhs=None
+            if node.lhs is None
+            else _rewrite_path_funcs(node.lhs, pvar, has_varlen),
+        )
+    return node
 
 
 def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
@@ -82,7 +163,20 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
         lt = _lower_expr(node.left, bare, bare_names)
         rt = _lower_expr(node.right, bare, bare_names)
         return {"+": lt + rt, "-": lt - rt, "*": lt * rt, "/": lt / rt}[node.op]
+    if isinstance(node, CaseExpr):
+        col = None
+        for cond, res in node.whens:
+            c = _lower_condition(cond, bare, (), bare_names)
+            r = _lower_expr(res, bare, bare_names)
+            col = F.when(c, r) if col is None else col.when(c, r)
+        if node.default is not None:
+            col = col.otherwise(_lower_expr(node.default, bare, bare_names))
+        return col  # no ELSE ⇒ NULL (Cypher/SQL)
     if isinstance(node, FuncCall):
+        if node.name in ("nodes", "relationships"):
+            # args must not lower first (a vertex-variable arg would die
+            # on the bare-name check with a misleading message)
+            _path_fn_error(node.name)
         if node.name == "round":
             # scale must be a literal int: F.round's second arg is not
             # a column, and a non-constant scale has no SQL equivalent.
@@ -230,7 +324,13 @@ class GQLEngine:
             return self._execute_match(stmt)
         if isinstance(
             stmt,
-            (CreateStatement, MatchDeleteStatement, MatchSetStatement, MergeStatement),
+            (
+                CreateStatement,
+                MatchDeleteStatement,
+                MatchRemoveStatement,
+                MatchSetStatement,
+                MergeStatement,
+            ),
         ):
             if self.store is None:
                 raise ValueError("mutations require a GraphStore (pass store=)")
@@ -431,10 +531,12 @@ class GQLEngine:
         v0 = nodes[0]
         bound = _node_filter(_prefix(self.graph.vertices, v0.var), v0, v0.var)
         seen_vars = {v0.var}
+        edge_meta: list[tuple[str, bool]] = []  # (evar, is_var_length)
         for i, e in enumerate(edges):
             tgt = nodes[i + 1]
             prev = nodes[i].var
             evar = e.var or f"{anon_prefix}{i}"
+            edge_meta.append((evar, e.min_hops is not None))
             if e.min_hops is not None:
                 tag = f"_vl{i}"
                 pairs = self._var_length_pairs(e, evar, tag)
@@ -474,6 +576,30 @@ class GQLEngine:
                 tdf = _node_filter(_prefix(self.graph.vertices, tgt.var), tgt, tgt.var)
                 bound = bound.join(tdf, F.col(dst_side) == F.col(f"{tgt.var}__id"))
                 seen_vars.add(tgt.var)
+        if getattr(pattern, "pvar", None):
+            # bind the path variable's derived columns: p__length always;
+            # p__nodes / p__rels / p__path only when every hop is a single
+            # edge (var-length hops don't enumerate intermediate bindings)
+            pv = pattern.pvar
+            length_col = F.lit(0)
+            for evar, is_vl in edge_meta:
+                length_col = length_col + (
+                    F.col(f"{evar}__hops") if is_vl else F.lit(1)
+                )
+            bound = bound.withColumn(f"{pv}__length", length_col.cast("long"))
+            if not any(vl for _, vl in edge_meta):
+                id_cols = [F.col(f"{n.var}__id") for n in nodes]
+                bound = (
+                    bound.withColumn(f"{pv}__nodes", F.array(*id_cols))
+                    .withColumn(
+                        f"{pv}__rels",
+                        F.array(*[F.col(f"{evar}__label") for evar, _ in edge_meta]),
+                    )
+                    .withColumn(
+                        f"{pv}__path",
+                        F.concat_ws("->", *[c.cast("string") for c in id_cols]),
+                    )
+                )
         if where is not None:
             bound = self._apply_where(bound, where, anon_prefix=f"{anon_prefix}w")
         return bound
@@ -508,6 +634,24 @@ class GQLEngine:
     def _execute_match(self, stmt: MatchStatement) -> DataFrame:
         vcols = self.graph.vertices.columns
         unwound: tuple = ()
+        if isinstance(stmt.pattern, PathPattern) and stmt.pattern.pvar:
+            # rewrite nodes(p)/relationships(p)/length(p) to the path's
+            # binding columns everywhere an expression may carry them
+            pv = stmt.pattern.pvar
+            hv = any(e.min_hops is not None for e in stmt.pattern.edges)
+            if stmt.where is not None:
+                stmt.where = _rewrite_path_funcs(stmt.where, pv, hv)
+            if stmt.with_where is not None:
+                stmt.with_where = _rewrite_path_funcs(stmt.with_where, pv, hv)
+            for it in list(stmt.returns) + (stmt.with_items or []):
+                if it.expr is not None:
+                    it.expr = _rewrite_path_funcs(it.expr, pv, hv)
+                elif it.var == pv and it.prop is None and it.agg is None:
+                    raise ValueError(
+                        f"RETURN {pv}: a path variable is not a vertex — "
+                        f"project nodes({pv}) / relationships({pv}) / "
+                        f"length({pv}) / {pv}.path instead"
+                    )
         if stmt.pattern is None:
             # pure value-table statement: UNWIND [..] AS x RETURN ..
             bound = self._unwind_literal_frame(stmt.unwind_first)

@@ -506,6 +506,52 @@ class GraphStore:
             ),
         )
 
+    @staticmethod
+    def _removed_vertex_props_df(v_base: DataFrame, ids_df: DataFrame, keys: list[str]) -> DataFrame:
+        """Pure transform: drop property KEYS from matched vertices
+        (Cypher REMOVE — the schemaless bag makes this a map-key
+        deletion). Removing ``type`` also clears the label column
+        (label IS the type property, executor.rs:290-295)."""
+        ids = ids_df.select("id").distinct().withColumn("_hit", F.lit(True))
+        v = v_base.join(ids, "id", "left")
+        pruned = F.map_filter(
+            F.coalesce(F.col("properties"), F.expr("map()")),
+            lambda mk, _mv: ~mk.isin(*[F.lit(k) for k in keys]),
+        )
+        if "type" in keys:
+            label_col = F.when(F.col("_hit"), F.lit(None).cast("string")).otherwise(
+                F.col("label")
+            ).alias("label")
+        else:
+            label_col = F.col("label")
+        return v.select(
+            "id",
+            label_col,
+            F.when(F.col("_hit"), pruned).otherwise(F.col("properties")).alias(
+                "properties"
+            ),
+        )
+
+    @staticmethod
+    def _removed_edge_props_df(e_base: DataFrame, keys_df: DataFrame, keys: list[str]) -> DataFrame:
+        """Edge analogue of _removed_vertex_props_df."""
+        hit = keys_df.select("src", "dst", "label").distinct().withColumn(
+            "_hit", F.lit(True)
+        )
+        e = e_base.join(hit, ["src", "dst", "label"], "left")
+        pruned = F.map_filter(
+            F.coalesce(F.col("properties"), F.expr("map()")),
+            lambda mk, _mv: ~mk.isin(*[F.lit(k) for k in keys]),
+        )
+        return e.select(
+            "src",
+            "dst",
+            "label",
+            F.when(F.col("_hit"), pruned).otherwise(F.col("properties")).alias(
+                "properties"
+            ),
+        )
+
     def update_edges(self, keys_df: DataFrame, props: dict) -> int:
         """Bulk per-key edge property update (Cypher SET semantics, like
         update_vertices). ``keys_df`` needs (src, dst, label) columns."""
@@ -687,6 +733,45 @@ class GraphStore:
             ids = ids.localCheckpoint(eager=True)  # settle before rewrite
             self.delete_vertices(ids)
             return ids
+
+        from dd_graphdb_spark.plans.gql import MatchRemoveStatement
+
+        if isinstance(stmt, MatchRemoveStatement):
+            # one snapshot version for the whole statement (same contract
+            # as MATCH..SET): fold per-variable key removals over the
+            # pending frames, commit once
+            bindings = engine.match_bindings(stmt.pattern, stmt.where)
+            edge_vars = {e.var for e in stmt.pattern.edges if e.var}
+            by_var: dict[str, list[str]] = {}
+            for var, prop in stmt.removals:
+                by_var.setdefault(var, []).append(prop)
+            v_df, e_df = self.vertices(), self.edges()
+            out = None
+            for var, keys in by_var.items():
+                if var in edge_vars:
+                    hit = (
+                        bindings.select(
+                            F.col(f"{var}__src").alias("src"),
+                            F.col(f"{var}__dst").alias("dst"),
+                            F.col(f"{var}__label").alias("label"),
+                        )
+                        .distinct()
+                        .localCheckpoint(eager=True)  # settle before rewrite
+                    )
+                    e_df = self._removed_edge_props_df(e_df, hit, keys)
+                    touched = hit.select(F.col("src").alias("id"))
+                else:
+                    touched = (
+                        bindings.select(F.col(f"{var}__id").alias("id"))
+                        .distinct()
+                        .localCheckpoint(eager=True)  # settle before rewrite
+                    )
+                    v_df = self._removed_vertex_props_df(v_df, touched, keys)
+                out = touched if out is None else out.unionByName(touched).distinct()
+            new_version = self.version + 1
+            self._write_version(new_version, v_df, e_df)
+            self._save_meta({"version": new_version})
+            return out
 
         raise ValueError(f"unsupported mutation {type(stmt).__name__}")
 

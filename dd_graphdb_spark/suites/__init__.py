@@ -58,70 +58,24 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# Rotation policy (round 7): (1) the 2 NEW oracle-checked queries
-# (gql_unwind, gql_shortest_path); (2) ALL 32 queries whose newest
-# driver record was still round 3 (alert rules x4, stream windows x10,
-# multimodal x3, sim topk x3, source extraction x3, gql_create_delete,
-# router_scoring_table, mutation_vacuum_retention, dedup_simhash,
-# dedup_embedding_cosine, text_fingerprint, sketch_count_min_estimates,
-# stream_changeset_summary...) — several sit on code round 6/7 changed
-# (alert bucket math now three-level, stream dedup survivor, count
-# windows, multimodal fake-kernel warnings); (3) the 16 round-4 rows
-# most affected by this round's parser refactor (gql_* x6) plus the
-# r4 algorithm fixtures and multimodal_frame_sample. The remaining
-# r4/r5 rows follow, with the 48 freshest (r6-recorded) entries at the
-# END. NEW queries with oracles must be inserted at the TOP.
+# Rotation policy (round 8): (1) the 5 NEW oracle-checked queries
+# (gql_shortest_path_clique — the adversarial frontier-BFS gate,
+# view_ttl_refresh, gql_path_variable, gql_case_expr,
+# gql_remove_detach_delete); (2) ALL 32 queries whose newest driver
+# record was still round 4 (VERDICT r7 "What's wrong #3": algo fixtures,
+# traversals ×4, dedup ×4, sampling ×2, q1/top_n/window_running_total,
+# asof/rollup/sessionize, view_incremental_kcore/triangles,
+# stream_live_interval_join, fn_json_props, embedding_covariance,
+# distinct_exact_vs_approx, sketch_quantile_bounds,
+# degree_top_customers); (3) the next-stalest r5 rows fill the window
+# to 50. The r7-recorded block moves to the END (freshest last). NEW
+# queries with oracles must be inserted at the TOP.
 GATE_PRIORITY = [
-    "gql_with_orderby_limit",
-    "anti_join_customers_without_orders",
-    "text_bigram_lm_score",
-    "gql_merge_edge",
-    "gql_exists_pattern",
-    "gql_expr_arith",
-    "gql_expr_functions",
-    "gql_unwind",
-    "gql_shortest_path",
-    "alert_anomaly_rule",
-    "alert_pattern_rule",
-    "alert_rate_rule",
-    "alert_threshold_cooldown",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "gql_create_delete",
-    "multimodal_binary_meta",
-    "multimodal_decode_dims",
-    "multimodal_feature_extract",
-    "mutation_vacuum_retention",
-    "router_scoring_table",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "sim_cosine_topk",
-    "sketch_count_min_estimates",
-    "source_csv_extraction",
-    "source_json_extraction",
-    "source_regex_extraction",
-    "stream_changeset_summary",
-    "stream_custom_agg_p90",
-    "stream_dedup_first",
-    "stream_filter_rules",
-    "stream_late_events",
-    "stream_live_dedup_keys",
-    "stream_live_global",
-    "stream_live_session",
-    "stream_live_tumbling",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_tumbling_window",
-    "text_fingerprint",
-    "gql_match_filter",
-    "gql_match_edge",
-    "gql_multi_hop",
-    "gql_incoming_edge",
-    "gql_inline_props",
-    "gql_undirected",
-    "multimodal_frame_sample",
-    "algo_pagerank_fixture",
-    "algo_cc_derived",
+    "gql_shortest_path_clique",
+    "view_ttl_refresh",
+    "gql_path_variable",
+    "gql_case_expr",
+    "gql_remove_detach_delete",
     "algo_sssp_fixture",
     "algo_bfs_full",
     "algo_scc_fixture",
@@ -247,6 +201,57 @@ GATE_PRIORITY = [
     "mutation_apply_batch",
     "mutation_occ_conflict",
     "mutation_time_travel",
+    # ---- r7-recorded block (freshest driver rows — keep LAST) ----
+    "gql_with_orderby_limit",
+    "anti_join_customers_without_orders",
+    "text_bigram_lm_score",
+    "gql_merge_edge",
+    "gql_exists_pattern",
+    "gql_expr_arith",
+    "gql_expr_functions",
+    "gql_unwind",
+    "gql_shortest_path",
+    "alert_anomaly_rule",
+    "alert_pattern_rule",
+    "alert_rate_rule",
+    "alert_threshold_cooldown",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "gql_create_delete",
+    "multimodal_binary_meta",
+    "multimodal_decode_dims",
+    "multimodal_feature_extract",
+    "mutation_vacuum_retention",
+    "router_scoring_table",
+    "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_cosine_topk",
+    "sketch_count_min_estimates",
+    "source_csv_extraction",
+    "source_json_extraction",
+    "source_regex_extraction",
+    "stream_changeset_summary",
+    "stream_custom_agg_p90",
+    "stream_dedup_first",
+    "stream_filter_rules",
+    "stream_late_events",
+    "stream_live_dedup_keys",
+    "stream_live_global",
+    "stream_live_session",
+    "stream_live_tumbling",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
+    "text_fingerprint",
+    "gql_match_filter",
+    "gql_match_edge",
+    "gql_multi_hop",
+    "gql_incoming_edge",
+    "gql_inline_props",
+    "gql_undirected",
+    "multimodal_frame_sample",
+    "algo_pagerank_fixture",
+    "algo_cc_derived",
 ]
 
 

@@ -311,6 +311,52 @@ def gql_create_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL REMOVE + DETACH DELETE (Cypher surface over the store's cascade
+# delete, graph/storage/src/lib.rs:274-293, and map-key property
+# removal): REMOVE drops the age key from over-30s (clearing 'type'
+# would clear the label too); DETACH DELETE cascades Cal's incident
+# edge away with the vertex.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_remove_detach_delete",
+    # age as VARCHAR: a BIGINT column with a NULL row round-trips
+    # through pandas as float NaN and the hash compare diverges
+    """
+    SELECT * FROM (VALUES
+        (1::BIGINT, 'Ann', NULL::VARCHAR),
+        (2::BIGINT, 'Ben', '20')
+    ) t(id, name, age)
+    """,
+)
+def gql_remove_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph({"name": "string", "age": "long"}), store=store
+        )
+
+    engine().execute(
+        "CREATE (a:Person {name: 'Ann', age: 40})-[:knows]->"
+        "(b:Person {name: 'Ben', age: 20})-[:knows]->"
+        "(c:Person {name: 'Cal', age: 50})"
+    )
+    engine().execute("MATCH (v:Person) WHERE v.age > 30 REMOVE v.age")
+    # Cal keeps name but lost age — match by name, cascade the edge
+    engine().execute("MATCH (v:Person {name: 'Cal'}) DETACH DELETE v")
+    assert store.edges().count() == 1  # Ann->Ben survives; Ben->Cal gone
+    return store.vertices().select(
+        "id",
+        prop_typed("properties", "name").alias("name"),
+        prop_typed("properties", "age", "string").alias("age"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # View catalog: register SQL view over orders, refresh, read — result must
 # equal running the SQL directly (ViewRegistry round-trip,
 # graph/views/src/view_registry.rs:181-316).
@@ -377,6 +423,65 @@ def view_dependency_topo(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert order == ["base", "total"], order
     catalog.refresh_all()
     return catalog.read("total")
+
+
+# ---------------------------------------------------------------------------
+# TTL-expired OnDemand refresh driven through the ROUTER read path
+# (RefreshPolicy::OnDemand{ttl}.needs_refresh, view_types.rs:159-190;
+# execute_query_with_cache, query_router.rs:326-375): a routed read
+# inside the TTL serves the stale materialization even though the
+# source moved (the catalog was never told — that is exactly the case
+# TTL exists for); once the TTL lapses the next routed read recomputes.
+# ---------------------------------------------------------------------------
+@_q(
+    "view_ttl_refresh",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def view_ttl_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+
+    from dd_graphdb_spark.views import (
+        QueryPattern,
+        QueryRouter,
+        RefreshPolicy,
+        ViewCatalog,
+        ViewDefinition,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # v1 of the source: half the orders
+    orders.filter("o_orderkey % 2 = 0").createOrReplaceTempView("ttl_src_orders")
+    catalog = ViewCatalog(spark, tempfile.mkdtemp(prefix="views_"))
+    catalog.register(
+        ViewDefinition(
+            name="ttl_orders_by_status",
+            view_type="aggregation",
+            sql=(
+                "SELECT o_orderstatus, COUNT(*) AS n, "
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue "
+                "FROM ttl_src_orders GROUP BY o_orderstatus"
+            ),
+            refresh_policy=RefreshPolicy(kind="on_demand", ttl_s=1.0),
+        )
+    )
+    catalog.refresh_all()  # materialize v1; view is now clean
+    stale_n = sum(r["n"] for r in catalog.read("ttl_orders_by_status").collect())
+    # the source moves underneath — the catalog is NOT told (no
+    # mark_dirty): only the TTL can surface the change
+    orders.createOrReplaceTempView("ttl_src_orders")
+    router = QueryRouter(catalog)
+    within_ttl = router.execute(QueryPattern("aggregation"))
+    assert sum(r["n"] for r in within_ttl.collect()) == stale_n, (
+        "a routed read inside the TTL must serve the stale materialization"
+    )
+    _time.sleep(1.05)  # let the TTL lapse
+    fresh = router.execute(QueryPattern("aggregation"))
+    assert catalog.state["ttl_orders_by_status"]["last_refresh"] is not None
+    return fresh
 
 
 # ---------------------------------------------------------------------------

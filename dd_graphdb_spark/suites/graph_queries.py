@@ -808,6 +808,64 @@ def gql_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Path variable on a plain pattern: MATCH p = (..)->(..)->(..) binding
+# p.path / length(p) (+ nodes()/relationships(), pytest-verified as
+# arrays). Beyond the reference's declared grammar (its pest parser
+# never compiled — SURVEY §0.1); semantics follow Cypher.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_path_variable",
+    GRAPH_CTE
+    + """
+    SELECT o.id AS oid,
+           o.id::VARCHAR || '->' || c.id::VARCHAR || '->' || n.id::VARCHAR AS path,
+           2::BIGINT AS len
+    FROM vertices o
+    JOIN edges e1 ON o.id = e1.src AND e1.label = 'placed_by'
+    JOIN vertices c ON e1.dst = c.id
+    JOIN edges e2 ON c.id = e2.src AND e2.label = 'located_in'
+    JOIN vertices n ON e2.dst = n.id
+    WHERE o.label = 'Order' AND c.label = 'Customer' AND n.label = 'Nation'
+      AND o.acctbal > 400000.0
+    ORDER BY oid
+    """,
+)
+def gql_path_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH p = (o:Order)-[:placed_by]->(c:Customer)-[:located_in]->(n:Nation) "
+        "WHERE o.acctbal > 400000.0 "
+        "RETURN o.id AS oid, p.path AS path, length(p) AS len ORDER BY oid"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Searched CASE in RETURN as an implicit-grouping key — identical
+# CASE WHEN .. THEN .. ELSE .. END semantics in Spark and ANSI SQL.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_case_expr",
+    GRAPH_CTE
+    + """
+    SELECT CASE WHEN acctbal > 5000.0 THEN 'high'
+                WHEN acctbal > 0.0 THEN 'mid'
+                ELSE 'low' END AS band,
+           count(*) AS n
+    FROM vertices WHERE label = 'Customer'
+    GROUP BY 1 ORDER BY band
+    """,
+)
+def gql_case_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer) "
+        "RETURN CASE WHEN c.acctbal > 5000.0 THEN 'high' "
+        "WHEN c.acctbal > 0.0 THEN 'mid' ELSE 'low' END AS band, "
+        "count(*) AS n ORDER BY band"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Adversarial shortestPath over the supplier co-location CLIQUES (the
 # hub-graph gate VERDICT r7 asked for): every supplier pair inside a
 # clique of size d is connected, so *1..3 walk enumeration would

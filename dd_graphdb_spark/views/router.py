@@ -103,11 +103,16 @@ class QueryRouter:
 
     def execute(self, pattern: QueryPattern) -> DataFrame:
         """Route and read, recording latency stats
-        (execute_query_with_cache, query_router.rs:326-375)."""
+        (execute_query_with_cache, query_router.rs:326-375). The read
+        consults the view's refresh policy first — a dirty or
+        TTL-expired view (RefreshPolicy::OnDemand{ttl},
+        view_types.rs:159-190) recomputes before serving, so a routed
+        read never returns data older than the policy allows."""
         decision = self.route(pattern)
         if decision is None:
             raise LookupError(f"no view matches pattern {pattern.kind}")
         t0 = time.time()
+        self.catalog.refresh(decision.view)  # policy-gated, usually a no-op
         df = self.catalog.read(decision.view)
         st = self.stats.setdefault(decision.view, _ViewStats())
         st.hits += 1

@@ -1068,3 +1068,165 @@ def test_write_pattern_rejects_undirected_and_varlength():
         parse_gql("CREATE (a:P)-[:r]-(b:P)")
     with pytest.raises(ValueError, match="variable-length"):
         parse_gql("MERGE (a:P)-[:r*1..2]->(b:P)")
+
+
+# --------------------------------------------------------------------------- r8: path variables / CASE / REMOVE / DETACH DELETE
+def test_path_variable_bindings(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH p = (a:Person)-[:friend]->(b)-[:friend]->(c) "
+        "RETURN a.name AS an, nodes(p) AS ns, relationships(p) AS rels, "
+        "length(p) AS len, p.path AS path"
+    )
+    r = df.collect()[0]
+    assert r["an"] == "Alice"
+    assert r["ns"] == [1, 2, 3]
+    assert r["rels"] == ["friend", "friend"]
+    assert (r["len"], r["path"]) == (2, "1->2->3")
+
+
+def test_path_variable_length_in_where_with_varlength(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH p = (a:Person)-[*1..2]->(b) WHERE length(p) = 2 "
+        "RETURN a.name AS an, b.name AS bn"
+    )
+    assert [tuple(r) for r in df.collect()] == [("Alice", "Charlie")]
+
+
+def test_path_variable_nodes_on_varlength_rejected(people_graph):
+    with pytest.raises(ValueError, match="variable-length"):
+        _engine(people_graph).execute(
+            "MATCH p = (a:Person)-[*1..2]->(b) RETURN nodes(p) AS ns"
+        )
+
+
+def test_path_variable_whole_return_rejected(people_graph):
+    with pytest.raises(ValueError, match="path variable"):
+        _engine(people_graph).execute(
+            "MATCH p = (a:Person)-[:friend]->(b) RETURN p"
+        )
+
+
+def test_path_variable_collision_rejected(people_graph):
+    with pytest.raises(ValueError, match="collides"):
+        _engine(people_graph).execute(
+            "MATCH a = (a:Person)-[:friend]->(b) RETURN length(a) AS l"
+        )
+
+
+def test_nodes_on_non_path_rejected(people_graph):
+    with pytest.raises(ValueError, match="path variable"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN nodes(v) AS ns"
+        ).collect()
+
+
+def test_case_expression_in_return_and_where(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) "
+        "RETURN v.name AS nm, CASE WHEN v.age > 30 THEN 'old' "
+        "WHEN v.age > 26 THEN 'mid' ELSE 'young' END AS band ORDER BY nm"
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        ("Alice", "mid"), ("Bob", "young"), ("Charlie", "old"),
+    ]
+    # CASE compared in WHERE
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE CASE WHEN v.age > 30 THEN 'x' ELSE 'y' END = 'x' "
+        "RETURN v.name"
+    )
+    assert [r["v_name"] for r in df.collect()] == ["Charlie"]
+
+
+def test_case_no_else_yields_null(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person {name: 'Bob'}) "
+        "RETURN CASE WHEN v.age > 30 THEN 'old' END AS band"
+    )
+    assert df.collect()[0]["band"] is None
+
+
+def test_case_parse_errors(people_graph):
+    with pytest.raises(ValueError, match="searched CASE"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN CASE v.age WHEN 25 THEN 'b' END AS x"
+        )
+    with pytest.raises(ValueError, match="needs END"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN CASE WHEN v.age > 1 THEN 'a' AS x"
+        )
+
+
+def test_remove_vertex_property(spark, tmp_path):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, str(tmp_path / "rm"))
+    eng = lambda: GQLEngine(
+        store.as_property_graph({"name": "string", "age": "long"}), store=store
+    )
+    eng().execute("CREATE (a:P {name: 'Ann', age: 40})-[:r]->(b:P {name: 'Ben', age: 20})")
+    out = eng().execute("MATCH (v:P) WHERE v.age > 30 REMOVE v.age")
+    assert [r["id"] for r in out.collect()] == [1]
+    rows = {
+        r["nm"]: r["age"]
+        for r in store.vertices()
+        .select(
+            prop_typed("properties", "name").alias("nm"),
+            prop_typed("properties", "age", "long").alias("age"),
+        )
+        .collect()
+    }
+    assert rows == {"Ann": None, "Ben": 20}
+    # other keys survive
+    assert store.vertices().filter("id = 1").collect()[0]["properties"].keys() >= {"name", "type"}
+
+
+def test_remove_type_clears_label(spark, tmp_path):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "rmt"))
+    eng = lambda: GQLEngine(store.as_property_graph({"name": "string"}), store=store)
+    eng().execute("CREATE (a:P {name: 'Ann'})")
+    eng().execute("MATCH (v:P {name: 'Ann'}) REMOVE v.type")
+    row = store.vertices().collect()[0]
+    assert row["label"] is None and "type" not in row["properties"]
+
+
+def test_remove_edge_property(spark, tmp_path):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "rme"))
+    eng = lambda: GQLEngine(
+        store.as_property_graph({"name": "string"}, {"w": "long"}), store=store
+    )
+    eng().execute("CREATE (a:P {name: 'x'})-[:r {w: 5}]->(b:P {name: 'y'})")
+    eng().execute("MATCH (a:P)-[e:r]->(b:P) REMOVE e.w")
+    assert store.edges().collect()[0]["properties"] == {}
+
+
+def test_detach_delete_cascades(spark, tmp_path):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "dd"))
+    eng = lambda: GQLEngine(
+        store.as_property_graph({"name": "string"}), store=store
+    )
+    eng().execute("CREATE (a:P {name: 'x'})-[:r]->(b:P {name: 'y'})")
+    out = eng().execute("MATCH (v:P {name: 'y'}) DETACH DELETE v")
+    assert [r["id"] for r in out.collect()] == [2]
+    assert store.stats() == {"vertex_count": 1, "edge_count": 0, "version": 2}
+
+
+def test_shortest_path_rejects_remove_and_detach(diamond_graph):
+    with pytest.raises(ValueError, match="read-only"):
+        _engine(diamond_graph).execute(
+            "MATCH p = shortestPath((a)-[*1..2]->(b)) DETACH DELETE a"
+        )
+    with pytest.raises(ValueError, match="read-only"):
+        _engine(diamond_graph).execute(
+            "MATCH p = shortestPath((a)-[*1..2]->(b)) REMOVE a.name"
+        )

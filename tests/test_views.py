@@ -265,3 +265,45 @@ def test_shell_survives_refresh_failure_and_unknown_drop(spark, tmp_path):
     assert not res.ok and "failed" in res.message
     res2 = sh.execute("VIEW DROP never_registered")
     assert not res2.ok and "unknown view" in res2.message
+
+
+def test_router_read_honors_ttl(spark, catalog):
+    """A routed read is policy-gated (execute_query_with_cache +
+    OnDemand{ttl}, view_types.rs:159-190): within the TTL it serves the
+    stale materialization even when the source moved un-announced; past
+    the TTL it recomputes before serving."""
+    spark.sql("SELECT 1 AS x").createOrReplaceTempView("ttl_src")
+    catalog.register(
+        ViewDefinition(
+            name="ttlv",
+            view_type="aggregation",
+            sql="SELECT SUM(x)::BIGINT AS s FROM ttl_src",
+            refresh_policy=RefreshPolicy(kind="on_demand", ttl_s=0.5),
+        )
+    )
+    catalog.refresh_all()
+    # source moves; catalog not told
+    spark.sql("SELECT 2 AS x UNION ALL SELECT 3 AS x").createOrReplaceTempView("ttl_src")
+    r = QueryRouter(catalog)
+    assert r.execute(QueryPattern("aggregation")).collect()[0]["s"] == 1  # stale, in TTL
+    time.sleep(0.6)
+    assert r.execute(QueryPattern("aggregation")).collect()[0]["s"] == 5  # TTL lapsed
+
+
+def test_router_read_refreshes_dirty_view(spark, catalog):
+    """mark_dirty + OnDemand: the next ROUTED read recomputes without an
+    explicit refresh_all()."""
+    spark.sql("SELECT 10 AS x").createOrReplaceTempView("dirty_src")
+    catalog.register(
+        ViewDefinition(
+            name="dirtyv",
+            view_type="aggregation",
+            sql="SELECT SUM(x)::BIGINT AS s FROM dirty_src",
+        )
+    )
+    catalog.refresh_all()
+    spark.sql("SELECT 20 AS x").createOrReplaceTempView("dirty_src")
+    r = QueryRouter(catalog)
+    assert r.execute(QueryPattern("aggregation")).collect()[0]["s"] == 10
+    catalog.mark_dirty("dirtyv")
+    assert r.execute(QueryPattern("aggregation")).collect()[0]["s"] == 20
