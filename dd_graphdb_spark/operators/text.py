@@ -210,6 +210,18 @@ def bigram_lm_scores(
     doc-bigrams to the model on (w1, w2) — the standard term-partitioned
     LM-training/scoring layout; the model table is corpus-bigram-sized
     and never collects to the driver.
+
+    100 TB skew posture: the (w1, w2) model join's key distribution IS
+    the corpus bigram distribution — stop-word bigrams ("of the") are
+    Zipf-hot, so at corpus scale a handful of keys carry percent-level
+    shares of the shuffle. The join stays a plain shuffled equi-join on
+    purpose: the model side is exactly one row per key, so AQE's
+    skew-join split (spark.sql.adaptive.skewJoin, on by default here)
+    subdivides an oversized probe partition and replicates the matching
+    1-row build slice — no salting needed because nothing explodes
+    (output rows == probe rows). Salting would only be required if the
+    model side ever became multi-row per key (it cannot: groupBy(w1, w2)
+    precedes it).
     """
     toks = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
     big = toks.select(

@@ -23,8 +23,17 @@ Replication rules (one replica = one disjoint key universe):
   re-normalization is skipped — operators normalize internally) so no
   cross-replica zero-distance twins exist.
 
-Usage: python tools/make_scale_dir.py [out_dir] [n_replicas]
-       (defaults: /root/repo/.scale/sf1, 10)
+Usage: python tools/make_scale_dir.py [out_dir] [n_replicas] [src_dir] [off_mult]
+       (defaults: /root/repo/.scale/sf1, 10, /root/testdata/sf0.1, 1)
+
+The second decade composes: build sf10 from a built sf1 with the key
+offsets scaled by the source's own decade —
+
+    python tools/make_scale_dir.py .scale/sf10 10 .scale/sf1 10
+
+(sf1's key space is 10x sf0.1's, so replica offsets scale by 10; the
+dimension tables and scaling law are unchanged — facts x10, embeddings
+x4, constant per-entity fan-outs, per-dimension densities x10.)
 """
 
 from __future__ import annotations
@@ -80,8 +89,13 @@ def _shift(df, i, _offsets=None):
 
 
 def main():
+    global SRC
     out = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scale/sf1"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    SRC = sys.argv[3] if len(sys.argv) > 3 else SRC
+    off_mult = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    for k in OFF:
+        OFF[k] *= off_mult
 
     from dd_graphdb_spark import get_spark
     from dd_graphdb_spark.graph import read_events
