@@ -174,9 +174,18 @@ def main() -> None:
     calibration_io = round(time.time() - t0, 3)
     print(f"# calibration: lineitem scan in {calibration_io:.2f}s", file=sys.stderr)
 
+    # SPARK_GRAFT_QUERIES="a,b,c" restricts the run (scale-subset
+    # studies, e.g. the sf10 scale-sensitive set); default = full
+    # headline, driver contract unchanged
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    run_list = [n.strip() for n in only.split(",") if n.strip()] if only else HEADLINE
+    unknown = [n for n in run_list if n not in qs]
+    if unknown:
+        raise SystemExit(f"unknown queries in SPARK_GRAFT_QUERIES: {unknown}")
+
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in run_list:
         scrub()
         t0 = time.time()
         df = qs[name](spark, sf_dir)

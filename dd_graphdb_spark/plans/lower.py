@@ -445,8 +445,10 @@ class GQLEngine:
                 .agg(F.min(path).alias(path))
                 .select(start, end, F.lit(1).alias(hops), path)
             )
+            # only frontiers are checkpointed; `best` stays a lazy union
+            # of already-stored frames (flat lineage, no extra jobs)
             if lo == 0:
-                best = materialize(
+                zero = materialize(
                     seed.select(
                         F.col(start),
                         F.col(start).alias(end),
@@ -454,8 +456,8 @@ class GQLEngine:
                         F.col(start).cast("string").alias(path),
                     )
                 )
-                frontier = materialize(hop1.join(best, [start, end], "left_anti"))
-                best = materialize(best.unionByName(frontier))
+                frontier = materialize(hop1.join(zero, [start, end], "left_anti"))
+                best = zero.unionByName(frontier)
             else:
                 frontier = best = materialize(hop1)
             for h in range(2, e.max_hops + 1):
@@ -475,7 +477,7 @@ class GQLEngine:
                     .select(start, end, F.lit(h).alias(hops), path)
                 )
                 frontier = materialize(ext.join(best, [start, end], "left_anti"))
-                best = materialize(best.unionByName(frontier))
+                best = best.unionByName(frontier)
             return best
 
         best = run_loop(_bfs, self.graph).select(
