@@ -328,7 +328,7 @@ _TOKEN_RE = re.compile(
         |\btrue\b|\bfalse\b|\bnull\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'[^']*'|"[^"]*")
-    | (?P<op><=|>=|!=|<-|->|=|<|>)
+    | (?P<op><=|>=|!=|<-|->|=~|=|<|>)
     | (?P<punct>[()\[\]{}:,.*+/-])
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     )""",
@@ -718,6 +718,10 @@ class _Parser:
                     vals.append(self.literal())
                     self.accept("punct", ",")
                 return Compare(var, prop, "in", vals)
+            if self.accept("op", "=~"):
+                # Cypher regex match — FULL-string semantics (unlike
+                # Spark rlike's substring search; the lowering anchors)
+                return Compare(var, prop, "regex", self._str_literal("=~"))
         op = self.expect("op")
         if (
             op == "<-"

@@ -247,6 +247,10 @@ def _lower_condition(
         return col.isNull()
     if cond.op == "is_not_null":
         return col.isNotNull()
+    if cond.op == "regex":
+        # Cypher `=~` is a FULL-string match; rlike is substring search,
+        # so anchor the (non-capturing) whole pattern
+        return col.rlike(f"^(?:{cond.value})$")
     if cond.op == "contains":
         return col.contains(cond.value)
     if cond.op == "starts_with":

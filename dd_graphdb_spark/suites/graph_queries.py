@@ -808,6 +808,28 @@ def gql_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cypher regex predicate `=~` — FULL-string semantics (the lowering
+# anchors Spark's substring-searching rlike; the oracle uses DuckDB's
+# regexp_full_match). Pattern kept to the Java/RE2-common subset.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_regex_match",
+    GRAPH_CTE
+    + """
+    SELECT name AS nm FROM vertices
+    WHERE label = 'Customer' AND regexp_full_match(name, 'Customer#0+1[0-9](1|7)')
+    ORDER BY nm
+    """,
+)
+def gql_regex_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer) WHERE c.name =~ 'Customer#0+1[0-9](1|7)' "
+        "RETURN c.name AS nm ORDER BY nm"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Path variable on a plain pattern: MATCH p = (..)->(..)->(..) binding
 # p.path / length(p) (+ nodes()/relationships(), pytest-verified as
 # arrays). Beyond the reference's declared grammar (its pest parser

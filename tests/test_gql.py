@@ -1230,3 +1230,26 @@ def test_shortest_path_rejects_remove_and_detach(diamond_graph):
         _engine(diamond_graph).execute(
             "MATCH p = shortestPath((a)-[*1..2]->(b)) REMOVE a.name"
         )
+
+
+def test_regex_match_full_string(people_graph):
+    # =~ is FULL match (Cypher): 'Ali' alone must not match 'Alice'
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE v.name =~ 'Ali.*' RETURN v.name"
+    )
+    assert [r["v_name"] for r in df.collect()] == ["Alice"]
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE v.name =~ 'Ali' RETURN v.name"
+    )
+    assert df.count() == 0
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE v.name =~ '(Bob|Charlie)' RETURN v.name ORDER BY v.name"
+    )
+    assert [r["v_name"] for r in df.collect()] == ["Bob", "Charlie"]
+
+
+def test_regex_needs_string_literal(people_graph):
+    with pytest.raises(ValueError, match="string literal"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) WHERE v.name =~ 5 RETURN v.name"
+        )
