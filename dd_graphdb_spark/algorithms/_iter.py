@@ -59,6 +59,83 @@ def _unpersist(spark, ids: set[int]) -> None:
             e._2().unpersist(False)
 
 
+class RoundPins:
+    """Per-round checkpoint-and-release for fixpoint loops whose state is
+    re-checkpointed every round.
+
+    ``run_loop``'s bracket frees a loop's pinned blocks only AFTER the
+    loop finishes — so a loop that localCheckpoints an edge-sized frame
+    every round still accumulates rounds × |edges| of pinned storage
+    DURING the loop. On the sf10 colocation graph (~200 M undirected
+    edges) that starved execution memory inside k-core
+    (SparkOutOfMemoryError UNABLE_TO_ACQUIRE_MEMORY) long before the
+    end-of-loop cleanup could run. At 100 TB the same applies to
+    vertex-sized states (BFS ``visited`` grows, and every round pins a
+    fresh full copy).
+
+    Usage inside a loop ``impl`` (always under ``run_loop``, whose
+    ``_PIN_LOCK`` makes the id-diff bookkeeping safe):
+
+        pins = RoundPins(spark)
+        state = pins.materialize(initial)
+        for _ in range(n):
+            state = pins.materialize(step(state))
+            pins.release_except(state)          # frees all other rounds
+
+    Only frames materialized VIA this object are tracked — frames
+    checkpointed directly (e.g. the static edge list) are never freed.
+    ``release_except`` is safe to call once the surviving frames are
+    eagerly materialized: a localCheckpoint holds no lineage into the
+    frames it was computed from.
+    """
+
+    def __init__(self, spark) -> None:
+        self._spark = spark
+        try:
+            _persistent_ids(spark)
+            self._classic = True
+        except Exception:  # Spark Connect — no block bookkeeping
+            self._classic = False
+        #: id(frame) -> rdd ids its checkpoint pinned; frames are kept
+        #: referenced so CPython cannot reuse an id() key
+        self._ids: dict[int, set[int]] = {}
+        self._frames: dict[int, DataFrame] = {}
+
+    def materialize(self, df: DataFrame) -> DataFrame:
+        if not self._classic:
+            return df.localCheckpoint(eager=True)
+        before = _persistent_ids(self._spark)
+        out = df.localCheckpoint(eager=True)
+        self._ids[id(out)] = _persistent_ids(self._spark) - before
+        self._frames[id(out)] = out
+        return out
+
+    def forget(self, *dfs: DataFrame) -> None:
+        """Stop tracking frames WITHOUT unpersisting them — for per-round
+        outputs accumulated into the loop's result (e.g. SCC's peeled
+        components): they must stay pinned until ``run_loop``'s end
+        bracket re-checkpoints the final result and frees them."""
+        for df in dfs:
+            self._ids.pop(id(df), None)
+            self._frames.pop(id(df), None)
+
+    def release_except(self, *live: DataFrame) -> None:
+        """Free every tracked checkpoint except the given frames'."""
+        if not self._classic:
+            return
+        keep = {id(df) for df in live}
+        live_ids: set[int] = set()
+        for k in keep:
+            live_ids |= self._ids.get(k, set())
+        dead: set[int] = set()
+        for k, ids in list(self._ids.items()):
+            if k not in keep:
+                dead |= ids
+                del self._ids[k]
+                del self._frames[k]
+        _unpersist(self._spark, dead - live_ids)
+
+
 def run_loop(impl: Callable[..., DataFrame], g, *args, **kwargs) -> DataFrame:
     """Run a fixpoint loop and free every block it pinned except the
     result's. ``g`` is the PropertyGraph (first arg of every impl)."""

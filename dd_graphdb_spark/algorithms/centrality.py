@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import PropertyGraph
+from dd_graphdb_spark.algorithms._iter import RoundPins
 from dd_graphdb_spark.algorithms._iter import materialize as _materialize
 from dd_graphdb_spark.algorithms._iter import run_loop
 
@@ -39,7 +40,8 @@ def _eigenvector_loop(
 ) -> DataFrame:
     verts = g.vertices.select("id").distinct().localCheckpoint(eager=True)
     edges = g.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    x = _materialize(verts.withColumn("score", F.lit(1.0)))
+    pins = RoundPins(g.vertices.sparkSession)
+    x = pins.materialize(verts.withColumn("score", F.lit(1.0)))
     for _ in range(max_iterations):
         contrib = (
             x.join(edges, x.id == edges.src)
@@ -51,9 +53,11 @@ def _eigenvector_loop(
         )
         mx = y.agg(F.max("score")).collect()[0][0]
         if not mx:  # all-zero vector (no edges): stay at zero
-            x = _materialize(y)
+            x = pins.materialize(y)
+            pins.release_except(x)
             break
-        x = _materialize(y.select("id", (F.col("score") / F.lit(float(mx))).alias("score")))
+        x = pins.materialize(y.select("id", (F.col("score") / F.lit(float(mx))).alias("score")))
+        pins.release_except(x)
     if round_to is not None:
         x = x.select("id", F.round("score", round_to).alias("score"))
     return x
@@ -96,7 +100,10 @@ def _closeness_loop(
     edges = g.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     verts = g.vertices.select("id").distinct()
     seeds = verts if sources is None else verts.filter(F.col("id").isin(sources))
-    visited = _materialize(
+    # visited is CUMULATIVE and (source, vertex)-keyed — each round pins
+    # a fresh |S|·|reached| copy without per-round release (see RoundPins)
+    pins = RoundPins(g.vertices.sparkSession)
+    visited = pins.materialize(
         seeds.select(F.col("id").alias("source"), F.col("id"), F.lit(0).alias("hops"))
     )
     frontier = visited
@@ -106,11 +113,12 @@ def _closeness_loop(
             .select("source", F.col("dst").alias("id"), F.lit(depth).alias("hops"))
             .distinct()
         )
-        new = _materialize(nxt.join(visited, ["source", "id"], "left_anti"))
+        new = pins.materialize(nxt.join(visited, ["source", "id"], "left_anti"))
         if new.isEmpty():
             break
-        visited = _materialize(visited.union(new))
+        visited = pins.materialize(visited.union(new))
         frontier = new
+        pins.release_except(visited, frontier)
     else:
         _guard_settled(frontier, edges, visited, "closeness", max_depth)
     per_src = visited.groupBy("source").agg(
@@ -157,7 +165,10 @@ def _betweenness_loop(
     seeds = verts if sources is None else verts.filter(F.col("id").isin(sources))
 
     # -- forward: BFS levels + shortest-path counts ---------------------
-    visited = _materialize(
+    # (source, vertex)-keyed cumulative state: per-round release, as in
+    # _closeness_loop (see RoundPins)
+    pins = RoundPins(g.vertices.sparkSession)
+    visited = pins.materialize(
         seeds.select(
             F.col("id").alias("source"), F.col("id"), F.lit(0).alias("d"),
             F.lit(1.0).alias("sigma"),
@@ -172,15 +183,16 @@ def _betweenness_loop(
             .agg(F.sum("sigma").alias("sigma"))
             .withColumn("d", F.lit(depth))
         )
-        new = _materialize(
+        new = pins.materialize(
             nxt.join(visited.select("source", "id"), ["source", "id"], "left_anti")
             .select("source", "id", "d", "sigma")
         )
         if new.isEmpty():
             break
-        visited = _materialize(visited.unionByName(new))
+        visited = pins.materialize(visited.unionByName(new))
         frontier = new
         deepest = depth
+        pins.release_except(visited, frontier)
     else:
         _guard_settled(frontier, edges, visited, "betweenness", max_depth)
 
@@ -191,7 +203,7 @@ def _betweenness_loop(
     w_side = visited.select(
         "source", F.col("id").alias("w"), F.col("d").alias("dw"), F.col("sigma").alias("sigma_w")
     )
-    dag = _materialize(
+    dag = pins.materialize(
         v_side.join(edges, v_side.v == edges.src)
         .join(w_side, ["source"])
         .filter((F.col("dst") == F.col("w")) & (F.col("dw") == F.col("dv") + 1))
@@ -199,10 +211,11 @@ def _betweenness_loop(
     )
 
     # -- backward: δ accumulation, deepest level first ------------------
-    delta = _materialize(
+    delta = pins.materialize(
         visited.filter(F.col("d") == deepest)
         .select("source", "id", F.lit(0.0).alias("delta"))
     )
+    pins.release_except(visited, dag, delta)  # forward frontiers are dead
     for lvl in range(deepest - 1, -1, -1):
         contrib = (
             dag.filter(F.col("dv") == lvl)
@@ -222,7 +235,8 @@ def _betweenness_loop(
             .join(contrib, ["source", "id"], "left")
             .select("source", "id", F.coalesce("c", F.lit(0.0)).alias("delta"))
         )
-        delta = _materialize(delta.unionByName(level))
+        delta = pins.materialize(delta.unionByName(level))
+        pins.release_except(visited, dag, delta)
 
     bc = (
         delta.filter(F.col("id") != F.col("source"))

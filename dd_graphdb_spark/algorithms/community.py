@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dd_graphdb_spark.graph import PropertyGraph
-from dd_graphdb_spark.algorithms._iter import run_loop
+from dd_graphdb_spark.algorithms._iter import RoundPins, run_loop
 
 
 def _lpa_loop(
@@ -42,6 +42,7 @@ def _lpa_loop(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    pins = RoundPins(g.vertices.sparkSession)
     labels = verts.withColumn("lbl", F.col("id"))
     w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("lbl").asc())
     for i in range(max_iterations):
@@ -61,7 +62,8 @@ def _lpa_loop(
             .select("id", F.coalesce("new_lbl", "lbl").alias("lbl"))
         )
         if (i + 1) % ckpt_every == 0 or i == max_iterations - 1:
-            labels = labels.localCheckpoint(eager=True)
+            labels = pins.materialize(labels)
+            pins.release_except(labels)
     return labels.select("id", F.col("lbl").alias("community"))
 
 

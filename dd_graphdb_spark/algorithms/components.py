@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from dd_graphdb_spark.graph import PropertyGraph
 
 
+from dd_graphdb_spark.algorithms._iter import RoundPins
 from dd_graphdb_spark.algorithms._iter import materialize as _materialize
 from dd_graphdb_spark.algorithms._iter import run_loop
 
@@ -52,7 +53,10 @@ def _connected_components_loop(g: PropertyGraph, max_iterations: int = 50) -> Da
         e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     )
 
-    comp = _materialize(verts.withColumn("component", F.col("id")))
+    # comp is re-checkpointed every round; release superseded rounds
+    # eagerly so pinned state stays at one |V|-sized copy (see RoundPins)
+    pins = RoundPins(g.vertices.sparkSession)
+    comp = pins.materialize(verts.withColumn("component", F.col("id")))
     prev_sum = None
     for _ in range(max_iterations):
         # pointer-jumping shortcut first (FastSV's stale-grandparent
@@ -72,7 +76,7 @@ def _connected_components_loop(g: PropertyGraph, max_iterations: int = 50) -> Da
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        comp = _materialize(
+        comp = pins.materialize(
             gp.join(nbr_min, "id", "left").select(
                 "id",
                 F.least(
@@ -80,6 +84,7 @@ def _connected_components_loop(g: PropertyGraph, max_iterations: int = 50) -> Da
                 ).alias("component"),
             )
         )
+        pins.release_except(comp)
         # labels are monotonically non-increasing → equal sums ⇔ fixpoint
         cur_sum = comp.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -119,15 +124,20 @@ def _strongly_connected_components_loop(
 
     Returns (id, scc) where scc = min vertex id of the component.
     """
-    remaining_v = _materialize(g.vertices.select("id").distinct())
-    remaining_e = _materialize(g.edges.select("src", "dst").distinct())
+    # remaining_e is EDGE-sized and re-checkpointed per peeling round —
+    # the same accumulation class that OOM'd k-core at sf10; the peeled
+    # `marked` sets are the loop's OUTPUT and are `forget`-frozen instead
+    # (run_loop's end bracket frees them after the final re-checkpoint)
+    pins = RoundPins(g.vertices.sparkSession)
+    remaining_v = pins.materialize(g.vertices.select("id").distinct())
+    remaining_e = pins.materialize(g.edges.select("src", "dst").distinct())
     results: list[DataFrame] = []
 
     for _ in range(max_rounds):
         if remaining_v.isEmpty():
             break
         # (1) forward min-label coloring over remaining subgraph
-        color = _materialize(remaining_v.withColumn("color", F.col("id")))
+        color = pins.materialize(remaining_v.withColumn("color", F.col("id")))
         prev_sum = None
         for _ in range(max_iterations):
             # pointer-jumping shortcut (see _connected_components_loop):
@@ -145,12 +155,13 @@ def _strongly_connected_components_loop(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("color").alias("nbr_color"))
             )
-            color = _materialize(
+            color = pins.materialize(
                 gp.join(nbr, "id", "left").select(
                     "id",
                     F.least(F.col("color"), F.coalesce("nbr_color", "color")).alias("color"),
                 )
             )
+            pins.release_except(remaining_v, remaining_e, color)
             cur_sum = color.agg(F.sum("color")).collect()[0][0]
             if cur_sum == prev_sum:
                 break
@@ -161,7 +172,7 @@ def _strongly_connected_components_loop(
                 f"max_iterations={max_iterations} rounds — raise max_iterations"
             )
         # (2) backward mark: can v reach its color root via same-color path?
-        colored_e = _materialize(
+        colored_e = pins.materialize(
             remaining_e.join(
                 color.withColumnRenamed("id", "src").withColumnRenamed("color", "c_src"), "src"
             )
@@ -169,7 +180,7 @@ def _strongly_connected_components_loop(
             .filter(F.col("c_src") == F.col("c_dst"))
             .select("src", "dst")
         )
-        marked = _materialize(color.filter(F.col("id") == F.col("color")).select("id", "color"))
+        marked = pins.materialize(color.filter(F.col("id") == F.col("color")).select("id", "color"))
         frontier = marked
         for _ in range(max_iterations):
             # colored_e already restricts to same-color endpoints, so the
@@ -179,11 +190,12 @@ def _strongly_connected_components_loop(
                 .select(F.col("src").alias("id"), "color")
                 .distinct()
             )
-            new_frontier = _materialize(preds.join(marked, "id", "left_anti"))
+            new_frontier = pins.materialize(preds.join(marked, "id", "left_anti"))
             if new_frontier.isEmpty():
                 break
-            marked = _materialize(marked.union(new_frontier))
+            marked = pins.materialize(marked.union(new_frontier))
             frontier = new_frontier
+            pins.release_except(remaining_v, remaining_e, colored_e, marked, frontier)
         else:
             # exhausted with the mark frontier still growing: recording
             # the partial `marked` set would SPLIT one SCC into many
@@ -194,12 +206,16 @@ def _strongly_connected_components_loop(
                 "diameter exceeds it) — raise max_iterations"
             )
         results.append(marked.select("id", F.col("color").alias("scc")))
-        remaining_v = _materialize(remaining_v.join(marked.select("id"), "id", "left_anti"))
-        remaining_e = _materialize(
+        pins.forget(marked)  # part of the output — stays pinned
+        remaining_v = pins.materialize(
+            remaining_v.join(marked.select("id"), "id", "left_anti")
+        )
+        remaining_e = pins.materialize(
             remaining_e.join(marked.select(F.col("id").alias("src")), "src", "left_anti")
             .join(marked.select(F.col("id").alias("dst")), "dst", "left_anti")
             .select("src", "dst")
         )
+        pins.release_except(remaining_v, remaining_e)
 
     if not remaining_v.isEmpty():
         # every round peels ≥1 SCC, so this only triggers on graphs with

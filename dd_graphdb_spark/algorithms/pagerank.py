@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import PropertyGraph
-from dd_graphdb_spark.algorithms._iter import run_loop
+from dd_graphdb_spark.algorithms._iter import RoundPins, run_loop
 
 
 def _pagerank_loop(
@@ -83,7 +83,8 @@ def _pagerank_loop(
         contrib_expr = F.col("rank") / F.col("outdeg")
     base = float((1.0 - damping) / n)
 
-    ranks = verts.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=True)
+    pins = RoundPins(g.vertices.sparkSession)
+    ranks = pins.materialize(verts.withColumn("rank", F.lit(1.0 / n)))
     for i in range(max_iterations):
         contribs = (
             ranks.join(contrib_edges, ranks.id == contrib_edges.src)
@@ -95,12 +96,13 @@ def _pagerank_loop(
             "id",
             (F.lit(base) + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"),
         )
-        if (
+        ck = (
             tolerance is not None
             or (i + 1) % ckpt_every == 0
             or i == max_iterations - 1
-        ):
-            new_ranks = new_ranks.localCheckpoint(eager=True)
+        )
+        if ck:
+            new_ranks = pins.materialize(new_ranks)
         if tolerance is not None:
             delta = (
                 new_ranks.alias("n")
@@ -109,10 +111,15 @@ def _pagerank_loop(
                 .collect()[0]["l1"]
             )
             ranks = new_ranks
+            pins.release_except(ranks)
             if delta is not None and delta < tolerance:
                 break
         else:
             ranks = new_ranks
+            # release only on checkpointing rounds: a lazy `ranks` still
+            # READS the last checkpoint's blocks (which can't recompute)
+            if ck:
+                pins.release_except(ranks)
     if round_to is not None:
         ranks = ranks.select("id", F.round("rank", round_to).alias("rank"))
     return ranks
@@ -179,7 +186,8 @@ def _ppr_loop(
         F.col("id").isin([int(s) for s in sources]), F.lit(1.0 / len(sources))
     ).otherwise(F.lit(0.0))
     base = restart * F.lit(1.0 - damping)
-    ranks = verts.withColumn("rank", restart).localCheckpoint(eager=True)
+    pins = RoundPins(g.vertices.sparkSession)
+    ranks = pins.materialize(verts.withColumn("rank", restart))
     for i in range(max_iterations):
         contribs = (
             ranks.join(contrib_edges, ranks.id == contrib_edges.src)
@@ -192,7 +200,8 @@ def _ppr_loop(
             (base + F.lit(damping) * F.coalesce(F.col("msum"), F.lit(0.0))).alias("rank"),
         )
         if (i + 1) % ckpt_every == 0 or i == max_iterations - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = pins.materialize(ranks)
+            pins.release_except(ranks)
     if round_to is not None:
         ranks = ranks.select("id", F.round("rank", round_to).alias("rank"))
     return ranks

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import PropertyGraph
-from dd_graphdb_spark.algorithms._iter import run_loop
+from dd_graphdb_spark.algorithms._iter import RoundPins, run_loop
 
 CHECKPOINT_EVERY = 4
 
@@ -76,7 +76,10 @@ def _sssp_loop(
         w = F.lit(default_weight)
     edges = e.select("src", "dst", w.alias("w")).localCheckpoint(eager=True)
 
-    dist = (
+    # per-round state (dist carries path strings) is re-checkpointed each
+    # round; release superseded rounds eagerly (see RoundPins)
+    pins = RoundPins(g.vertices.sparkSession)
+    dist = pins.materialize(
         g.vertices.select("id")
         .filter(F.col("id") == source)
         .select("id", F.lit(0.0).alias("distance"), F.col("id").cast("string").alias("path"))
@@ -84,7 +87,6 @@ def _sssp_loop(
         # vertices and edges share a scan (e.g. a co-location graph
         # self-joined from one table), the round-1 best⋈dist self-join
         # otherwise fails attribute dedup ("key not found: id#N")
-        .localCheckpoint(eager=True)
     )
     frontier = dist
     for i in range(max_iterations):
@@ -101,12 +103,11 @@ def _sssp_loop(
         best = relaxed.groupBy("id").agg(
             F.min(F.struct("distance", "path")).alias("b")
         ).select("id", F.col("b.distance").alias("distance"), F.col("b.path").alias("path"))
-        improved = (
+        improved = pins.materialize(
             best.alias("n")
             .join(dist.alias("o"), "id", "left")
             .filter(F.col("o.id").isNull() | (F.col("n.distance") < F.col("o.distance")))
             .select(F.col("id"), F.col("n.distance").alias("distance"), F.col("n.path").alias("path"))
-            .localCheckpoint(eager=True)
         )
         if improved.isEmpty():
             break
@@ -114,7 +115,7 @@ def _sssp_loop(
         # anti-join + union: the latter places the same checkpointed
         # relation on two branches, which Spark 4.1's relation dedup
         # mis-rewrites for scan-backed graphs ("key not found: id#N")
-        dist = (
+        dist = pins.materialize(
             dist.alias("o")
             .join(improved.alias("n"), "id", "full")
             .select(
@@ -122,9 +123,9 @@ def _sssp_loop(
                 F.coalesce(F.col("n.distance"), F.col("o.distance")).alias("distance"),
                 F.coalesce(F.col("n.path"), F.col("o.path")).alias("path"),
             )
-            .localCheckpoint(eager=True)
         )
         frontier = improved
+        pins.release_except(dist, frontier)
         if target is not None:
             trow = dist.filter(F.col("id") == target).collect()
             if trow:
@@ -175,11 +176,13 @@ def _bfs_shortest_path_loop(
         e = e.filter(F.col("label") == label)
     e = e.select("src", "dst").distinct().localCheckpoint(eager=True)
 
-    visited = (
+    # visited is CUMULATIVE: each round re-checkpoints a full copy, so
+    # superseded rounds must be released as they go (see RoundPins)
+    pins = RoundPins(g.vertices.sparkSession)
+    visited = pins.materialize(
         g.vertices.select("id")
         .filter(F.col("id") == source)
         .select("id", F.lit(0).alias("hops"), F.col("id").cast("string").alias("path"))
-        .localCheckpoint(eager=True)
     )
     frontier = visited
     for depth in range(1, max_depth + 1):
@@ -196,11 +199,12 @@ def _bfs_shortest_path_loop(
             .agg(F.min(F.struct("hops", "path")).alias("b"))
             .select("id", F.col("b.hops").alias("hops"), F.col("b.path").alias("path"))
         )
-        new = nxt.join(visited.select("id"), "id", "left_anti").localCheckpoint(eager=True)
+        new = pins.materialize(nxt.join(visited.select("id"), "id", "left_anti"))
         if new.isEmpty():
             break
-        visited = visited.union(new).localCheckpoint(eager=True)
+        visited = pins.materialize(visited.union(new))
         frontier = new
+        pins.release_except(visited, frontier)
     if target is not None:
         return visited.filter(F.col("id") == target)
     return visited
@@ -211,19 +215,19 @@ def _reachability_loop(g: PropertyGraph, source: int, max_iterations: int = 50) 
     (id). Fixpoint reach ∪ (reach ⋈ edges) with a delta frontier so each
     round only expands newly found vertices."""
     e = g.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
-    reach = (
-        g.vertices.select("id").filter(F.col("id") == source).localCheckpoint(eager=True)
-    )
+    pins = RoundPins(g.vertices.sparkSession)
+    reach = pins.materialize(g.vertices.select("id").filter(F.col("id") == source))
     frontier = reach
     for i in range(max_iterations):
         nxt = (
             frontier.join(e, frontier.id == e.src).select(F.col("dst").alias("id")).distinct()
         )
-        new = nxt.join(reach, "id", "left_anti").localCheckpoint(eager=True)
+        new = pins.materialize(nxt.join(reach, "id", "left_anti"))
         if new.isEmpty():
             break
-        reach = reach.union(new).localCheckpoint(eager=True)
+        reach = pins.materialize(reach.union(new))
         frontier = new
+        pins.release_except(reach, frontier)
     else:
         # exhausted with the frontier still growing: the result would
         # silently miss reachable vertices — probe and raise, matching

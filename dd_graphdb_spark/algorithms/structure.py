@@ -21,18 +21,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import PropertyGraph
-from dd_graphdb_spark.algorithms._iter import run_loop
+from dd_graphdb_spark.algorithms._iter import RoundPins, run_loop
 
 
 def _k_core_loop(g: PropertyGraph, k: int, max_iterations: int = 50) -> DataFrame:
     """Vertices of the k-core (id). Undirected degrees."""
     e = g.edges.select("src", "dst")
+    # per-round state here is EDGE-sized (the pruned edge list), so each
+    # round's checkpoint must be released as soon as the next round's is
+    # materialized — accumulating them OOM'd at sf10 (~200 M-edge
+    # colocation graph, rounds × |E| pinned)
+    pins = RoundPins(g.vertices.sparkSession)
     # undirected simple graph: canonical low→high, dedupe, drop self-loops
-    und = (
+    und = pins.materialize(
         e.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # carry the edge count across rounds: und.count() always equals the
     # previous round's pruned.count(), so one count job per round
@@ -45,15 +49,15 @@ def _k_core_loop(g: PropertyGraph, k: int, max_iterations: int = 50) -> DataFram
             .groupBy("id")
             .agg(F.count("*").alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= k).select("id").localCheckpoint(eager=True)
-        pruned = (
+        keep = pins.materialize(deg.filter(F.col("deg") >= k).select("id"))
+        pruned = pins.materialize(
             und.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
         )
         n_pruned = pruned.count()
         und = pruned
+        pins.release_except(und)
         if n_pruned == n_und:
             break
         n_und = n_pruned

@@ -374,3 +374,52 @@ def test_scc_raises_instead_of_splitting_long_cycle(spark):
     # with enough rounds the full cycle is ONE component
     out = strongly_connected_components(g, max_iterations=20).collect()
     assert len(out) == n and len({r["scc"] for r in out}) == 1
+
+
+def test_round_pins_release_and_forget(spark):
+    """RoundPins frees superseded rounds' checkpoint blocks while the
+    loop runs (the sf10 k-core OOM class), keeps `release_except`
+    survivors readable, and `forget` stops tracking without freeing."""
+    from pyspark.sql import functions as F
+
+    from dd_graphdb_spark.algorithms._iter import RoundPins, _persistent_ids
+
+    before = _persistent_ids(spark)
+    pins = RoundPins(spark)
+    frames = [
+        pins.materialize(spark.range(100).select(F.col("id") + i))
+        for i in range(4)
+    ]
+    assert len(_persistent_ids(spark) - before) >= 4
+    kept, frozen = frames[3], frames[2]
+    pins.forget(frozen)
+    pins.release_except(kept)
+    after = _persistent_ids(spark) - before
+    # only the kept + frozen frames' blocks remain pinned
+    assert len(after) == 2
+    # both survivors still readable (their lineage is truncated — a
+    # wrongly-freed localCheckpoint would raise here)
+    assert kept.count() == 100 and frozen.count() == 100
+    # cleanup: frozen is untracked by design; free both directly
+    from dd_graphdb_spark.algorithms._iter import _unpersist
+
+    _unpersist(spark, after)
+
+
+def test_kcore_bounds_pinned_blocks_per_round(spark):
+    """After k_core returns, run_loop's bracket leaves only the result's
+    blocks; the per-round release inside means the loop never pinned
+    more than a bounded set (regression guard for the sf10 OOM)."""
+    from dd_graphdb_spark.algorithms._iter import _persistent_ids
+
+    v = spark.createDataFrame([(i,) for i in range(30)], "id long")
+    # a 10-clique (core number 9) plus a 20-chain that peels over many
+    # rounds, forcing several prune iterations
+    edges = [(a, b, "x") for a in range(10) for b in range(a + 1, 10)]
+    edges += [(9 + i, 10 + i, "x") for i in range(20)]
+    e = spark.createDataFrame(edges, "src long, dst long, label string")
+    before = _persistent_ids(spark)
+    out = A.k_core(PropertyGraph(v, e), k=3)
+    assert sorted(r["id"] for r in out.collect()) == list(range(10))
+    # bracket released everything but the final result's checkpoint
+    assert len(_persistent_ids(spark) - before) <= 1
