@@ -544,6 +544,10 @@ class _Parser:
         # lowering rewrites them to the path's binding columns and
         # rejects any other argument
         "nodes": 1, "relationships": 1,
+        # entity functions over a bound vertex/edge variable: id(v),
+        # labels(v) (one-element list — the data model is single-label,
+        # executor.rs:290-295), type(e) (the edge label)
+        "id": 1, "labels": 1, "type": 1,
     }
 
     def at_expr_operand(self) -> bool:

@@ -177,6 +177,23 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
             # args must not lower first (a vertex-variable arg would die
             # on the bare-name check with a misleading message)
             _path_fn_error(node.name)
+        if node.name in ("id", "labels", "type"):
+            # entity functions resolve straight to binding columns (no
+            # arg lowering — a bare variable is exactly what they take).
+            # id(v) → v__id; labels(v) → [v__label] (single-label data
+            # model); type(e) → e__label. A mistyped variable surfaces
+            # as Spark's unresolved-column error naming var__id/__label.
+            a = node.args[0]
+            if not isinstance(a, PropRef) or a.prop:
+                raise ValueError(
+                    f"{node.name}() takes a bound graph variable, "
+                    f"e.g. {node.name}(v)"
+                )
+            if node.name == "id":
+                return F.col(f"{a.var}__id")
+            if node.name == "labels":
+                return F.array(F.col(f"{a.var}__label"))
+            return F.col(f"{a.var}__label")
         if node.name == "round":
             # scale must be a literal int: F.round's second arg is not
             # a column, and a non-constant scale has no SQL equivalent.

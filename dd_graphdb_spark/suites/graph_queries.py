@@ -808,6 +808,30 @@ def gql_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Entity functions id(v) / type(e) resolving to binding columns (labels()
+# returns a list — covered by pytest; lists don't value-hash portably).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_entity_funcs",
+    GRAPH_CTE
+    + """
+    SELECT n.id AS nid, e.label AS etype, r.name AS rname
+    FROM edges e
+    JOIN vertices n ON e.src = n.id AND n.label = 'Nation'
+    JOIN vertices r ON e.dst = r.id AND r.label = 'Region'
+    WHERE e.label = 'in_region'
+    ORDER BY nid
+    """,
+)
+def gql_entity_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (n:Nation)-[e:in_region]->(r:Region) "
+        "RETURN id(n) AS nid, type(e) AS etype, r.name AS rname ORDER BY nid"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cypher regex predicate `=~` — FULL-string semantics (the lowering
 # anchors Spark's substring-searching rlike; the oracle uses DuckDB's
 # regexp_full_match). Pattern kept to the Java/RE2-common subset.

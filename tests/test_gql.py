@@ -1253,3 +1253,36 @@ def test_regex_needs_string_literal(people_graph):
         _engine(people_graph).execute(
             "MATCH (v:Person) WHERE v.name =~ 5 RETURN v.name"
         )
+
+
+def test_entity_functions_id_labels_type(people_graph):
+    rows = (
+        _engine(people_graph)
+        .execute(
+            "MATCH (a:Person)-[e:friend]->(b:Person) "
+            "RETURN id(a) AS aid, labels(a) AS albl, type(e) AS et, id(b) AS bid "
+            "ORDER BY aid"
+        )
+        .collect()
+    )
+    assert [(r["aid"], r["bid"], r["et"]) for r in rows] == [
+        (1, 2, "friend"),
+        (2, 3, "friend"),
+    ]
+    assert all(list(r["albl"]) == ["Person"] for r in rows)
+
+
+def test_entity_functions_in_where(people_graph):
+    rows = (
+        _engine(people_graph)
+        .execute("MATCH (v:Person) WHERE id(v) = 2 RETURN v.name AS nm")
+        .collect()
+    )
+    assert [r["nm"] for r in rows] == ["Bob"]
+
+
+def test_entity_functions_reject_property_arg(people_graph):
+    with pytest.raises(ValueError, match="bound graph variable"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN id(v.name) AS x"
+        )
