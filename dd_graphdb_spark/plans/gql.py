@@ -187,6 +187,8 @@ class ReturnItem:
     # an explicit alias is mandatory (deterministic output schema).
     # With agg set too, the aggregate applies over the expression.
     expr: object | None = None
+    # percentile for percentileCont/percentileDisc (literal in [0, 1])
+    agg_param: float | None = None
 
 
 @dataclass
@@ -534,6 +536,13 @@ class _Parser:
             nodes.append(self.node())
         return PathPattern(nodes, edges)
 
+    # statistical aggregates parsed from plain identifiers (the five
+    # core aggregates are lexer keywords): stDev/stDevP (sample /
+    # population), percentileCont (linear interpolation — Spark
+    # percentile() ≡ DuckDB quantile_cont), percentileDisc (Neo4j
+    # nearest-rank ceil(p·n) ≡ DuckDB quantile_disc, verified)
+    IDENT_AGGS = {"stdev", "stdevp", "percentilecont", "percentiledisc"}
+
     # ----- scalar expressions (+ - * / precedence, functions, parens)
     # arity: int = exact, -1 = variadic (≥2), (lo, hi) = inclusive range
     SCALAR_FUNCS = {
@@ -548,6 +557,17 @@ class _Parser:
         # labels(v) (one-element list — the data model is single-label,
         # executor.rs:290-295), type(e) (the edge label)
         "id": 1, "labels": 1, "type": 1,
+        # Cypher string surface. substring is 0-indexed (Cypher) and
+        # lowered to Spark's 1-indexed builtin; split takes a LITERAL
+        # delimiter (Cypher splits on a string, Spark's builtin on a
+        # regex — the lowering escapes, so a non-literal is rejected).
+        "substring": (2, 3), "trim": 1, "ltrim": 1, "rtrim": 1,
+        "replace": 3, "reverse": 1, "left": 2, "right": 2,
+        "split": 2, "size": 1,
+        # numeric + conversions (Cypher types: ceil/floor → Float,
+        # sign → Integer, toInteger truncates toward zero)
+        "sqrt": 1, "ceil": 1, "floor": 1, "sign": 1,
+        "tointeger": 1, "tofloat": 1, "tostring": 1,
     }
 
     def at_expr_operand(self) -> bool:
@@ -587,15 +607,26 @@ class _Parser:
 
     def _case_expr(self) -> CaseExpr:
         self.next()  # CASE
+        operand = None
         if not self._ident_kw("WHEN"):
-            raise ValueError(
-                "GQL parse error: only searched CASE is supported — "
-                "CASE WHEN cond THEN expr .. [ELSE expr] END"
-            )
+            # simple form: CASE expr WHEN val THEN res .. END — desugar
+            # to searched CASE over operand = val equality conditions
+            # (Cypher/SQL semantics coincide; a NULL operand matches no
+            # WHEN, falling through to ELSE/NULL on both engines)
+            operand = self.expr()
+            if not self._ident_kw("WHEN"):
+                raise ValueError(
+                    "GQL parse error: CASE needs WHEN — searched "
+                    "CASE WHEN cond THEN expr .. [ELSE expr] END or "
+                    "simple CASE expr WHEN val THEN expr .. END"
+                )
         whens = []
         while self._ident_kw("WHEN"):
             self.next()
-            cond = self.where_expr()
+            if operand is None:
+                cond = self.where_expr()
+            else:
+                cond = Compare("", None, "=", self.expr(), lhs=operand)
             if not self._ident_kw("THEN"):
                 raise ValueError("GQL parse error: CASE WHEN needs THEN")
             self.next()
@@ -761,16 +792,47 @@ class _Parser:
         while True:
             if self.accept("punct", "*"):
                 items.append(ReturnItem("*", None))
-            elif self.peek()[0] in ("COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT") and self.toks[self.i + 1][1] == "(":
-                agg = self.next()[0].lower()
+            elif (
+                self.peek()[0] in ("COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT")
+                or (
+                    self.peek()[0] == "ident"
+                    and self.peek()[1].lower() in self.IDENT_AGGS
+                )
+            ) and self.toks[self.i + 1][1] == "(":
+                k, v = self.next()
+                agg = v.lower() if k == "ident" else k.lower()
                 self.expect("punct", "(")
                 distinct = self.accept("DISTINCT")
+                if distinct and agg in self.IDENT_AGGS:
+                    raise ValueError(
+                        f"GQL parse error: {agg}(DISTINCT ..) is not defined"
+                    )
                 if self.accept("punct", "*"):
                     if agg != "count" or distinct:
                         raise ValueError(f"GQL parse error: {agg}(*) is not defined")
                     items.append(ReturnItem("*", None, agg="count"))
                 else:
                     inner = self.expr()
+                    param = None
+                    if agg in ("percentilecont", "percentiledisc"):
+                        # percentile is a LITERAL: it parameterizes the
+                        # aggregate itself (Neo4j signature)
+                        if not self.accept("punct", ","):
+                            raise ValueError(
+                                f"GQL parse error: {agg}(expr, p) needs a "
+                                "percentile argument"
+                            )
+                        param = self.literal()
+                        if (
+                            not isinstance(param, (int, float))
+                            or isinstance(param, bool)
+                            or not (0 <= param <= 1)
+                        ):
+                            raise ValueError(
+                                f"GQL parse error: {agg} percentile must be "
+                                "a literal number in [0, 1]"
+                            )
+                        param = float(param)
                     if isinstance(inner, PropRef):
                         var, prop = inner.var, inner.prop
                         if agg != "count" and prop is None and not bare_ok:
@@ -778,7 +840,10 @@ class _Parser:
                                 f"GQL parse error: {agg}() needs a property (var.prop)"
                             )
                         items.append(
-                            ReturnItem(var, prop, agg=agg, agg_distinct=distinct)
+                            ReturnItem(
+                                var, prop, agg=agg, agg_distinct=distinct,
+                                agg_param=param,
+                            )
                         )
                     else:
                         # aggregate over a computed expression,
@@ -787,6 +852,7 @@ class _Parser:
                             ReturnItem(
                                 "_expr", None, agg=agg,
                                 agg_distinct=distinct, expr=inner,
+                                agg_param=param,
                             )
                         )
                 self.expect("punct", ")")

@@ -27,6 +27,8 @@ src make these joins co-located.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -84,6 +86,27 @@ _SCALAR_FNS = {
     # path-function rewrite replaces valid calls with binding columns
     "nodes": lambda a: _path_fn_error("nodes"),
     "relationships": lambda a: _path_fn_error("relationships"),
+    # Cypher string surface (substring/split are special-cased in
+    # _lower_expr: 0→1 index shift, literal-delimiter escape)
+    "trim": lambda a: F.trim(a[0]),
+    "ltrim": lambda a: F.ltrim(a[0]),
+    "rtrim": lambda a: F.rtrim(a[0]),
+    "replace": lambda a: F.replace(a[0], a[1], a[2]),
+    "reverse": lambda a: F.reverse(a[0]),
+    "left": lambda a: F.left(a[0], a[1]),
+    "right": lambda a: F.right(a[0], a[1]),
+    # size() is Cypher's list cardinality — strings take length()
+    "size": lambda a: F.size(a[0]),
+    # numeric: Cypher types — ceil/floor return Float, sign Integer
+    "sqrt": lambda a: F.sqrt(a[0]),
+    "ceil": lambda a: F.ceil(a[0]).cast("double"),
+    "floor": lambda a: F.floor(a[0]).cast("double"),
+    "sign": lambda a: F.signum(a[0]).cast("long"),
+    # conversions: cast semantics match Cypher (toInteger truncates
+    # toward zero; a malformed string → NULL on both engines)
+    "tointeger": lambda a: a[0].cast("long"),
+    "tofloat": lambda a: a[0].cast("double"),
+    "tostring": lambda a: a[0].cast("string"),
 }
 
 
@@ -194,6 +217,30 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
             if node.name == "labels":
                 return F.array(F.col(f"{a.var}__label"))
             return F.col(f"{a.var}__label")
+        if node.name == "substring":
+            # Cypher substring(s, start[, len]) is 0-indexed; Spark's
+            # builtin is 1-indexed. The 2-arg form runs to end of
+            # string (len = length(s) is always enough).
+            s = _lower_expr(node.args[0], bare, bare_names)
+            start = _lower_expr(node.args[1], bare, bare_names) + F.lit(1)
+            ln = (
+                _lower_expr(node.args[2], bare, bare_names)
+                if len(node.args) == 3
+                else F.length(s)
+            )
+            return F.substring(s, start, ln)
+        if node.name == "split":
+            # Cypher splits on a literal string; Spark's builtin takes
+            # a regex — escape it, and reject non-literal delimiters
+            # (a column-valued delimiter can't be pre-escaped).
+            if not isinstance(node.args[1], str):
+                raise ValueError(
+                    "split(s, delim): delim must be a string literal"
+                )
+            return F.split(
+                _lower_expr(node.args[0], bare, bare_names),
+                re.escape(node.args[1]),
+            )
         if node.name == "round":
             # scale must be a literal int: F.round's second arg is not
             # a column, and a non-constant scale has no SQL equivalent.
@@ -958,6 +1005,30 @@ class GQLEngine:
         }
 
         def agg_fn(item):
+            # statistical aggregates (parser rejects DISTINCT for these)
+            if item.agg == "stdev":
+                return F.stddev_samp
+            if item.agg == "stdevp":
+                return F.stddev_pop
+            if item.agg == "percentilecont":
+                # exact interpolated percentile — Spark percentile() and
+                # DuckDB quantile_cont share the (n-1)·p rank formula
+                return lambda c: F.percentile(c, item.agg_param)
+            if item.agg == "percentiledisc":
+                # Neo4j nearest-rank: element ceil(p·n), 1-based (p=0 →
+                # first). Exact via per-group sorted collect — at corpus
+                # scale route to approx_percentile sketches instead
+                # (suite query sketch_quantile_bounds).
+                p = float(item.agg_param)
+
+                def disc(c):
+                    arr = F.array_sort(F.collect_list(c))
+                    idx = F.greatest(
+                        F.ceil(F.size(arr) * F.lit(p)), F.lit(1)
+                    ).cast("int")
+                    return F.element_at(arr, idx)
+
+                return disc
             return (agg_fns_distinct if item.agg_distinct else agg_fns)[item.agg]
         agg_cols = []
         for i in aggs:

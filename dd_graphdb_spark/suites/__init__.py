@@ -71,6 +71,8 @@ def _with_hygiene(fn):
 # to 50. The r7-recorded block moves to the END (freshest last). NEW
 # queries with oracles must be inserted at the TOP.
 GATE_PRIORITY = [
+    "gql_agg_stats",
+    "gql_string_funcs",
     "gql_entity_funcs",
     "gql_regex_match",
     "gql_shortest_path_clique",

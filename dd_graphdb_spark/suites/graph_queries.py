@@ -998,6 +998,78 @@ def gql_expr_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL string/numeric/conversion function surface (r8): substring
+# (Cypher 0-indexed, lowered to Spark's 1-indexed builtin), left,
+# replace, split (literal delimiter, regex-escaped for Spark), size,
+# toInteger (truncating cast), sign (Integer per Cypher), floor (Float
+# per Cypher). TPC-H customer names are 'Customer#000000001', so
+# toInteger(substring(name, 9)) recovers the customer number — an
+# exact, type-checked round-trip through four of the new functions.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_string_funcs",
+    GRAPH_CTE
+    + """
+    SELECT CAST(substr(name, 10) AS BIGINT) AS custno,
+           replace(left(name, 8), 'Customer', 'Cust') AS tag,
+           CAST(sign(acctbal - 9500.0) AS BIGINT) AS s,
+           CAST(floor(acctbal / 1000.0) AS DOUBLE) AS kbal,
+           CAST(len(string_split(name, '0')) AS BIGINT) AS zparts
+    FROM vertices
+    WHERE label = 'Customer' AND acctbal > 9000.0
+    ORDER BY custno
+    """,
+)
+def gql_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer) WHERE c.acctbal > 9000.0 "
+        "RETURN toInteger(substring(c.name, 9)) AS custno, "
+        "replace(left(c.name, 8), 'Customer', 'Cust') AS tag, "
+        "sign(c.acctbal - 9500.0) AS s, "
+        "floor(c.acctbal / 1000.0) AS kbal, "
+        "toInteger(size(split(c.name, '0'))) AS zparts "
+        "ORDER BY custno"
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQL statistical aggregates (r8): stDev/stDevP (single-pass moment
+# aggregation, identical partial-merge shape to sum/avg — map-side
+# combine applies), percentileCont (Spark percentile() ≡ DuckDB
+# quantile_cont, (n-1)·p interpolation), percentileDisc (Neo4j
+# nearest-rank ceil(p·n) ≡ DuckDB quantile_disc — verified; exact via
+# per-group sorted collect, with approx_percentile the documented
+# corpus-scale path). stdev/cont go through round(.., 2) because the
+# two engines' partial-aggregation ORDER differs in the last ulps;
+# percentileDisc is an exact element and compares byte-identical.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_agg_stats",
+    GRAPH_CTE
+    + """
+    SELECT mktsegment AS seg,
+           round(stddev_samp(acctbal), 2) AS sd,
+           round(stddev_pop(acctbal), 2) AS sdp,
+           round(quantile_cont(acctbal, 0.5), 2) AS med,
+           quantile_disc(acctbal, 0.9) AS p90
+    FROM vertices WHERE label = 'Customer'
+    GROUP BY mktsegment ORDER BY seg
+    """,
+)
+def gql_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer) "
+        "WITH c.mktsegment AS seg, stDev(c.acctbal) AS sd0, "
+        "stDevP(c.acctbal) AS sdp0, percentileCont(c.acctbal, 0.5) AS med0, "
+        "percentileDisc(c.acctbal, 0.9) AS p90 "
+        "RETURN seg, round(sd0, 2) AS sd, round(sdp0, 2) AS sdp, "
+        "round(med0, 2) AS med, p90 ORDER BY seg"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL pattern predicate: WHERE [NOT] EXISTS((v)-[:LBL]->(u)) — lowered
 # as a LEFT SEMI / LEFT ANTI join on the shared variables' ids (the
 # Spark-natural correlated-subquery rewrite). The gate query combines a

@@ -757,6 +757,107 @@ def test_expr_errors(people_graph):
         _engine(people_graph).execute("MATCH (v:Person) RETURN round(v.age, v.age) AS x")
 
 
+def test_aggregate_stdev_percentile(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) RETURN stDev(v.age) AS sd, stDevP(v.age) AS sdp, "
+        "percentileCont(v.age, 0.5) AS med, percentileDisc(v.age, 0.9) AS p90"
+    )
+    row = df.collect()[0]
+    # ages 25/30/35: sample sd = 5, population sd = sqrt(50/3)
+    assert abs(row["sd"] - 5.0) < 1e-9
+    assert abs(row["sdp"] - (50.0 / 3) ** 0.5) < 1e-9
+    assert row["med"] == 30.0
+    # nearest-rank: ceil(0.9 * 3) = 3 → third of [25, 30, 35]
+    assert row["p90"] == 35
+
+
+def test_aggregate_percentile_requires_literal(people_graph):
+    with pytest.raises(ValueError, match="percentile"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN percentileCont(v.age) AS m"
+        )
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN percentileDisc(v.age, 2) AS m"
+        )
+
+
+def test_simple_case_expression(people_graph):
+    # CASE expr WHEN val — desugared to searched CASE at parse time
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) RETURN v.name AS n, "
+        "CASE v.name WHEN 'Alice' THEN 1 WHEN 'Bob' THEN 2 ELSE 0 END AS tag "
+        "ORDER BY n"
+    )
+    assert [(r["n"], r["tag"]) for r in df.collect()] == [
+        ("Alice", 1), ("Bob", 2), ("Charlie", 0)
+    ]
+    # no ELSE ⇒ NULL for unmatched operands
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) RETURN v.name AS n, "
+        "CASE v.age WHEN 25 THEN 'young' END AS tag ORDER BY n"
+    )
+    assert [(r["n"], r["tag"]) for r in df.collect()] == [
+        ("Alice", None), ("Bob", "young"), ("Charlie", None)
+    ]
+
+
+def test_expr_string_functions(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person {name: 'Alice'}) RETURN "
+        "substring(v.name, 1) AS sub2, substring(v.name, 1, 3) AS sub3, "
+        "left(v.name, 2) AS lf, right(v.name, 2) AS rt, "
+        "replace(v.name, 'li', 'LI') AS rep, reverse(v.name) AS rev, "
+        "trim(v.name) AS tr"
+    )
+    row = df.collect()[0]
+    # Cypher substring is 0-indexed: start 1 = from the second char
+    assert row["sub2"] == "lice" and row["sub3"] == "lic"
+    assert row["lf"] == "Al" and row["rt"] == "ce"
+    assert row["rep"] == "ALIce" and row["rev"] == "ecilA"
+    assert row["tr"] == "Alice"
+
+
+def test_expr_split_size(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) RETURN v.name AS n, "
+        "size(split(v.name, 'l')) AS parts ORDER BY n"
+    )
+    assert [(r["n"], r["parts"]) for r in df.collect()] == [
+        ("Alice", 2), ("Bob", 1), ("Charlie", 2)
+    ]
+    # the delimiter is a LITERAL string, not a regex: '.' must split on
+    # dots only (unescaped it would match every character)
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person {name: 'Bob'}) RETURN size(split('a.b.c', '.')) AS n"
+    )
+    assert df.collect()[0]["n"] == 3
+
+
+def test_expr_split_requires_literal_delim(people_graph):
+    with pytest.raises(ValueError, match="string literal"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN split(v.name, v.name) AS x"
+        )
+
+
+def test_expr_numeric_and_conversions(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person {name: 'Bob'}) RETURN "
+        "toInteger(v.age / 10.0) AS ti, toInteger('42') AS ts_i, "
+        "toFloat(v.age) AS tf, toString(v.age) AS ts, "
+        "sign(v.age - 30) AS sg, floor(v.age / 10.0) AS fl, "
+        "ceil(v.age / 10.0) AS ce, sqrt(v.age * 0.0 + 25.0) AS sq"
+    )
+    row = df.collect()[0]
+    # toInteger truncates toward zero (Cypher): 2.5 → 2
+    assert row["ti"] == 2 and row["ts_i"] == 42
+    assert row["tf"] == 25.0 and row["ts"] == "25"
+    # Cypher types: sign → Integer, floor/ceil → Float
+    assert row["sg"] == -1 and row["fl"] == 2.0 and row["ce"] == 3.0
+    assert row["sq"] == 5.0
+
+
 def test_expr_unspaced_minus_still_subtracts(people_graph):
     # 'v.age -1' lexes the minus into the number; the expr parser must
     # absorb it as subtraction
@@ -1146,9 +1247,10 @@ def test_case_no_else_yields_null(people_graph):
 
 
 def test_case_parse_errors(people_graph):
-    with pytest.raises(ValueError, match="searched CASE"):
+    # an operand with no WHEN at all is neither searched nor simple CASE
+    with pytest.raises(ValueError, match="CASE needs WHEN"):
         _engine(people_graph).execute(
-            "MATCH (v:Person) RETURN CASE v.age WHEN 25 THEN 'b' END AS x"
+            "MATCH (v:Person) RETURN CASE v.age END AS x"
         )
     with pytest.raises(ValueError, match="needs END"):
         _engine(people_graph).execute(
