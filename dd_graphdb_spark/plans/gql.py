@@ -196,6 +196,10 @@ class OrderItem:
     var: str
     prop: str | None
     desc: bool = False
+    # computed sort key (Arith/FuncCall/CaseExpr); when set, var/prop
+    # are unused. May reference projected outputs (aliases or projected
+    # var.prop); non-projected properties must be aliased first.
+    expr: object | None = None
 
 
 @dataclass
@@ -878,12 +882,17 @@ class _Parser:
     def _order_items(self) -> list[OrderItem]:
         items = []
         while True:
-            var = self.expect_name()
-            prop = None
-            if self.accept("punct", "."):
-                prop = self.expect_name()
-            desc = bool(self.accept("DESC")) or (self.accept("ASC") and False)
-            items.append(OrderItem(var, prop, desc))
+            e = self.expr()
+            if isinstance(e, PropRef):
+                item = OrderItem(e.var, e.prop)
+            else:
+                # computed sort key — ORDER BY expr (scoped to the
+                # projected output; the lowering rewrites references)
+                item = OrderItem("_expr", None, expr=e)
+            item.desc = bool(self.accept("DESC")) or (
+                self.accept("ASC") and False
+            )
+            items.append(item)
             if not self.accept("punct", ","):
                 break
         return items

@@ -177,6 +177,91 @@ def _rewrite_path_funcs(node, pvar: str, has_varlen: bool):
     return node
 
 
+def _rewrite_order_expr(node, cols):
+    """Scope an ORDER BY expression to the projected output: rewrite
+    ``var.prop`` to the projection's ``var_prop`` output column (or keep
+    it when the ``var__prop`` binding column survived, e.g. a WITH
+    passthrough variable), and require bare names to be projected.
+    Anything else is a clear error — Cypher's "sort on what you
+    returned" rule for computed keys."""
+    if isinstance(node, PropRef):
+        if node.prop is not None:
+            if f"{node.var}_{node.prop}" in cols:
+                return PropRef(f"{node.var}_{node.prop}", None)
+            if f"{node.var}__{node.prop}" in cols:
+                return node
+            raise ValueError(
+                f"ORDER BY expression references {node.var}.{node.prop}, "
+                "which is not in the projected output — alias it in "
+                "RETURN/WITH first"
+            )
+        if node.var not in cols:
+            raise ValueError(
+                f"ORDER BY expression references {node.var!r}, which is "
+                "not in the projected output"
+            )
+        return node
+    if isinstance(node, Arith):
+        return Arith(
+            node.op,
+            _rewrite_order_expr(node.left, cols),
+            _rewrite_order_expr(node.right, cols),
+        )
+    if isinstance(node, FuncCall):
+        return FuncCall(
+            node.name, [_rewrite_order_expr(a, cols) for a in node.args]
+        )
+    if isinstance(node, CaseExpr):
+        return CaseExpr(
+            [
+                (
+                    _rewrite_order_expr(c, cols),
+                    _rewrite_order_expr(r, cols),
+                )
+                for c, r in node.whens
+            ],
+            None
+            if node.default is None
+            else _rewrite_order_expr(node.default, cols),
+        )
+    if isinstance(node, BoolExpr):
+        return BoolExpr(
+            node.op,
+            _rewrite_order_expr(node.left, cols),
+            None
+            if node.right is None
+            else _rewrite_order_expr(node.right, cols),
+        )
+    if isinstance(node, Compare):
+        var, prop = node.var, node.prop
+        if node.lhs is None and prop is not None:
+            if f"{var}_{prop}" in cols:
+                var, prop = f"{var}_{prop}", None
+            elif f"{var}__{prop}" not in cols:
+                raise ValueError(
+                    f"ORDER BY expression references {var}.{prop}, which "
+                    "is not in the projected output — alias it in "
+                    "RETURN/WITH first"
+                )
+        value = node.value
+        if isinstance(value, (PropRef, Arith, FuncCall, CaseExpr)):
+            value = _rewrite_order_expr(value, cols)
+        return Compare(
+            var, prop, node.op, value,
+            lhs=None if node.lhs is None else _rewrite_order_expr(node.lhs, cols),
+        )
+    return node
+
+
+def _lower_order_expr(o, cols) -> F.Column:
+    """Lower a computed ORDER BY key against the projected frame."""
+    col = _lower_expr(
+        _rewrite_order_expr(o.expr, set(cols)), bare=True,
+        bare_names=tuple(cols),
+    )
+    return col.desc() if o.desc else col.asc()
+
+
 def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
     """Scalar expression → Column. Operands: literals, PropRef (prop
     None → bare column), FuncCall (allow-listed 1:1 Spark/ANSI
@@ -813,6 +898,9 @@ class GQLEngine:
                 # no global sort materialization)
                 exprs = []
                 for o in stmt.with_order:
+                    if o.expr is not None:
+                        exprs.append(_lower_order_expr(o, inter.columns))
+                        continue
                     name = o.var if o.prop is None else f"{o.var}_{o.prop}"
                     if name not in inter.columns:
                         alt = f"{o.var}__{o.prop}" if o.prop else None
@@ -874,6 +962,9 @@ class GQLEngine:
             # or, pre-DISTINCT/aggregation, hidden sort columns
             exprs = []
             for o in stmt.order_by:
+                if o.expr is not None:
+                    exprs.append(_lower_order_expr(o, df.columns))
+                    continue
                 if o.prop is None and o.var in df.columns:
                     name = o.var  # a RETURN ... AS alias
                 else:

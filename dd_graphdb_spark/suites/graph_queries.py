@@ -1070,6 +1070,34 @@ def gql_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL ORDER BY expression (r8): computed sort keys — an arithmetic
+# distance and a CASE bucket — scoped to the projected output (Cypher's
+# sort-on-what-you-returned rule for computed keys; non-projected
+# properties are a parse-time error with an alias hint). The LIMIT
+# under the computed sort still plans TakeOrderedAndProject. Tie-break
+# on name keeps the order total for value-hashing.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_orderby_expr",
+    GRAPH_CTE
+    + """
+    SELECT name AS nm, acctbal AS bal
+    FROM vertices WHERE label = 'Customer'
+    ORDER BY CASE WHEN mktsegment = 'BUILDING' THEN 0 ELSE 1 END,
+             abs(acctbal - 5000.0), nm
+    LIMIT 25
+    """,
+)
+def gql_orderby_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (c:Customer) RETURN c.name AS nm, c.acctbal AS bal, "
+        "c.mktsegment AS seg "
+        "ORDER BY CASE WHEN seg = 'BUILDING' THEN 0 ELSE 1 END, "
+        "abs(bal - 5000.0), nm LIMIT 25"
+    ).select("nm", "bal")
+
+
+# ---------------------------------------------------------------------------
 # GQL pattern predicate: WHERE [NOT] EXISTS((v)-[:LBL]->(u)) — lowered
 # as a LEFT SEMI / LEFT ANTI join on the shared variables' ids (the
 # Spark-natural correlated-subquery rewrite). The gate query combines a

@@ -757,6 +757,41 @@ def test_expr_errors(people_graph):
         _engine(people_graph).execute("MATCH (v:Person) RETURN round(v.age, v.age) AS x")
 
 
+def test_order_by_expression(people_graph):
+    # computed sort key over a projected alias
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) RETURN v.name AS n, v.age AS a ORDER BY a * -1"
+    )
+    assert [r["n"] for r in df.collect()] == ["Charlie", "Alice", "Bob"]
+    # var.prop inside an ORDER BY expression resolves to the projected
+    # output column (v_age)
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) RETURN v.name, v.age ORDER BY v.age * -1"
+    )
+    assert [r["v_name"] for r in df.collect()] == ["Charlie", "Alice", "Bob"]
+    # CASE as a sort key, with a tie-break
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) RETURN v.name AS n "
+        "ORDER BY CASE WHEN n = 'Bob' THEN 0 ELSE 1 END, n"
+    )
+    assert [r["n"] for r in df.collect()] == ["Bob", "Alice", "Charlie"]
+
+
+def test_order_by_expression_in_with_pipeline(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WITH v.name AS nm, v.age AS a "
+        "ORDER BY length(nm) * -1 LIMIT 1 RETURN nm, a"
+    )
+    assert df.collect()[0]["nm"] == "Charlie"
+
+
+def test_order_by_expression_requires_projected_refs(people_graph):
+    with pytest.raises(ValueError, match="not in the projected output"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN v.name AS n ORDER BY v.age + 1"
+        )
+
+
 def test_aggregate_stdev_percentile(people_graph):
     df = _engine(people_graph).execute(
         "MATCH (v:Person) RETURN stDev(v.age) AS sd, stDevP(v.age) AS sdp, "
