@@ -572,6 +572,9 @@ class _Parser:
         # sign → Integer, toInteger truncates toward zero)
         "sqrt": 1, "ceil": 1, "floor": 1, "sign": 1,
         "tointeger": 1, "tofloat": 1, "tostring": 1,
+        # list surface: range is inclusive on both ends (Cypher ≡ Spark
+        # sequence ≡ DuckDB generate_series); head/last of empty → NULL
+        "range": (2, 3), "head": 1, "last": 1, "tail": 1,
     }
 
     def at_expr_operand(self) -> bool:
@@ -941,11 +944,25 @@ class _Parser:
                 vals.append(self.literal())
                 self.accept("punct", ",")
             src: object = vals
-        elif allow_name and self.at_name():
-            src = self.expect_name()
+        elif self.at_expr_operand():
+            # list-valued expression: UNWIND range(1, n) AS x,
+            # UNWIND split(d.text, ' ') AS tok, UNWIND v.tags AS t — or,
+            # post-WITH, a bare projected alias (kept as a plain name:
+            # the lowering explodes the projected column)
+            e = self.expr()
+            if isinstance(e, PropRef) and e.prop is None:
+                if not allow_name:
+                    raise ValueError(
+                        "GQL parse error: UNWIND over a bare name is only "
+                        "valid after WITH (it explodes a projected list)"
+                    )
+                src = e.var
+            else:
+                src = e
         else:
             raise ValueError(
-                "GQL parse error: UNWIND needs a list literal [..]"
+                "GQL parse error: UNWIND needs a list literal [..] or a "
+                "list expression"
                 + (" or a WITH alias" if allow_name else "")
             )
         self.expect("AS")

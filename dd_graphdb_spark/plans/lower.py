@@ -107,6 +107,15 @@ _SCALAR_FNS = {
     "tointeger": lambda a: a[0].cast("long"),
     "tofloat": lambda a: a[0].cast("double"),
     "tostring": lambda a: a[0].cast("string"),
+    # list surface. range materializes an array per row — fine for the
+    # UNWIND value-table idiom and per-row windows; a billion-element
+    # range belongs in spark.range, not a query literal.
+    "range": lambda a: F.sequence(*a),
+    "head": lambda a: F.get(a[0], 0),
+    "last": lambda a: F.get(a[0], F.size(a[0]) - 1),
+    "tail": lambda a: F.slice(
+        a[0], 2, F.greatest(F.size(a[0]) - 1, F.lit(0))
+    ),
 }
 
 
@@ -765,6 +774,12 @@ class GQLEngine:
         broadcast into the bindings (a value table never shuffles)."""
         spark = self.graph.vertices.sparkSession
         vals = uw.values
+        if not isinstance(vals, list):
+            # list-valued constant expression (UNWIND range(1, n) AS x):
+            # a PropRef inside raises the bare-name error naturally
+            return spark.range(1).select(
+                F.explode(_lower_expr(vals)).alias(uw.alias)
+            )
         if any(isinstance(v, float) for v in vals) and all(
             isinstance(v, (int, float)) and not isinstance(v, bool) for v in vals
         ):
@@ -774,16 +789,26 @@ class GQLEngine:
         arr = F.array(*cols) if cols else F.array().cast("array<long>")
         return spark.range(1).select(F.explode(arr).alias(uw.alias))
 
-    def _apply_unwind(self, df: DataFrame, uw, bare_names: tuple) -> tuple:
+    def _apply_unwind(
+        self, df: DataFrame, uw, bare_names: tuple, bare: bool = False
+    ) -> tuple:
         """Attach an UNWIND binding to a frame: list literal → broadcast
         cross join with the value table; alias (post-WITH) → explode the
-        projected list column (empty/null lists yield no rows — Cypher)."""
+        projected list column; list expression → per-row explode of the
+        lowered expression (empty/null lists yield no rows — Cypher)."""
         if isinstance(uw.values, str):
             if uw.values not in df.columns:
                 raise ValueError(f"UNWIND {uw.values}: not a WITH projection")
             df = df.withColumn(uw.alias, F.explode(F.col(uw.values)))
-        else:
+        elif isinstance(uw.values, list):
             df = df.crossJoin(F.broadcast(self._unwind_literal_frame(uw)))
+        else:
+            df = df.withColumn(
+                uw.alias,
+                F.explode(
+                    _lower_expr(uw.values, bare=bare, bare_names=bare_names)
+                ),
+            )
         return df, bare_names + (uw.alias,)
 
     def _execute_match(self, stmt: MatchStatement) -> DataFrame:
@@ -925,7 +950,8 @@ class GQLEngine:
             )
             if stmt.unwind is not None:
                 # WITH .. UNWIND alias AS x: explode the projected list
-                inter, _ = self._apply_unwind(inter, stmt.unwind, ())
+                # (bare=True: an expression references the WITH aliases)
+                inter, _ = self._apply_unwind(inter, stmt.unwind, (), bare=True)
             df = self._project(inter, stmt.returns, pvars, vcols, bare=True)
         else:
             # Cypher: ORDER BY may reference non-projected properties of

@@ -71,6 +71,8 @@ def _with_hygiene(fn):
 # to 50. The r7-recorded block moves to the END (freshest last). NEW
 # queries with oracles must be inserted at the TOP.
 GATE_PRIORITY = [
+    "gql_unwind_range",
+    "gql_list_funcs",
     "gql_orderby_expr",
     "gql_agg_stats",
     "gql_string_funcs",

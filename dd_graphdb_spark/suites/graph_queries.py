@@ -1070,6 +1070,43 @@ def gql_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL list surface (r8): UNWIND over a list expression (range() is the
+# generator idiom — explode of sequence(), a value table that never
+# shuffles), and head/last/tail over a deterministic (sorted) collect.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_unwind_range",
+    """
+    SELECT x, x * x AS sq FROM generate_series(1, 200, 3) t(x) ORDER BY x
+    """,
+)
+def gql_unwind_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "UNWIND range(1, 200, 3) AS x RETURN x, x * x AS sq ORDER BY x"
+    )
+
+
+@_q(
+    "gql_list_funcs",
+    GRAPH_CTE
+    + """
+    SELECT mktsegment AS seg, min(name) AS first_nm, max(name) AS last_nm,
+           CAST(count(*) - 1 AS BIGINT) AS n_rest
+    FROM vertices WHERE label = 'Customer'
+    GROUP BY mktsegment ORDER BY seg
+    """,
+)
+def gql_list_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect() sorts, so head = min and last = max — the oracle states
+    the same facts without materializing per-group lists."""
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (c:Customer) WITH c.mktsegment AS seg, collect(c.name) AS names "
+        "RETURN seg, head(names) AS first_nm, last(names) AS last_nm, "
+        "toInteger(size(tail(names))) AS n_rest ORDER BY seg"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL ORDER BY expression (r8): computed sort keys — an arithmetic
 # distance and a CASE bucket — scoped to the projected output (Cypher's
 # sort-on-what-you-returned rule for computed keys; non-projected

@@ -622,7 +622,7 @@ def test_unwind_aggregate_over_binding(people_graph):
 def test_unwind_parse_errors(people_graph):
     import pytest as _pt
 
-    with _pt.raises(ValueError, match="list literal"):
+    with _pt.raises(ValueError, match="bare name is only"):
         # a bare name has no scope at statement start
         _engine(people_graph).execute("UNWIND something AS x RETURN x")
     with _pt.raises(ValueError, match="not a WITH projection"):
@@ -755,6 +755,48 @@ def test_expr_errors(people_graph):
         _engine(people_graph).execute("MATCH (v:Person) RETURN foo(v.age) AS x")
     with pytest.raises(ValueError, match="integer literal"):
         _engine(people_graph).execute("MATCH (v:Person) RETURN round(v.age, v.age) AS x")
+
+
+def test_unwind_range(people_graph):
+    df = _engine(people_graph).execute(
+        "UNWIND range(1, 7, 3) AS x RETURN x, x * x AS sq ORDER BY x"
+    )
+    assert [(r["x"], r["sq"]) for r in df.collect()] == [(1, 1), (4, 16), (7, 49)]
+    # 2-arg range is step 1, inclusive on both ends
+    df = _engine(people_graph).execute(
+        "UNWIND range(3, 5) AS x RETURN x ORDER BY x"
+    )
+    assert [r["x"] for r in df.collect()] == [3, 4, 5]
+
+
+def test_unwind_list_expression_over_bindings(people_graph):
+    # per-row explode of a computed list (split of a bound property)
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) UNWIND split(v.name, 'l') AS part "
+        "RETURN v.name AS n, part ORDER BY n, part"
+    )
+    assert [(r["n"], r["part"]) for r in df.collect()] == [
+        ("Alice", "A"), ("Alice", "ice"),
+        ("Bob", "Bob"),
+        ("Charlie", "Char"), ("Charlie", "ie"),
+    ]
+
+
+def test_list_functions_head_last_tail(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WITH collect(v.name) AS names "
+        "RETURN head(names) AS h, last(names) AS l, "
+        "toInteger(size(tail(names))) AS t"
+    )
+    row = df.collect()[0]
+    # collect() is sorted for determinism: [Alice, Bob, Charlie]
+    assert row["h"] == "Alice" and row["l"] == "Charlie" and row["t"] == 2
+    # head/last of an empty list → NULL (Cypher)
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person {name: 'Bob'}) "
+        "RETURN head(tail(split('ab', 'x'))) AS h"
+    )
+    assert df.collect()[0]["h"] is None
 
 
 def test_order_by_expression(people_graph):
