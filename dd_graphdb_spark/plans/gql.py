@@ -165,6 +165,19 @@ class BoolExpr:
 
 
 @dataclass
+class QuantPred:
+    """``any/all/none/single(x IN <list> WHERE <pred>)`` — quantified
+    list predicate. Lowered to Spark higher-order functions
+    (exists / forall / filter): evaluated per row inside codegen, no
+    explode, no shuffle."""
+
+    kind: str  # any | all | none | single
+    var: str  # lambda variable
+    source: object  # list-valued expression
+    pred: object  # condition tree over the lambda variable
+
+
+@dataclass
 class PatternPred:
     """``EXISTS((v)-[:LBL]->(u:Label))`` — an existential pattern
     predicate. Lowered as a LEFT SEMI join of the bindings against the
@@ -737,6 +750,24 @@ class _Parser:
             pat = self.path()
             self.expect("punct", ")")
             return PatternPred(pat)
+        if (
+            self.at_name()
+            and self.peek()[1].lower() in ("any", "all", "none", "single")
+            and self.toks[self.i + 1] == ("punct", "(")
+        ):
+            kind = self.next()[1].lower()
+            self.next()  # (
+            lvar = self.expect_name()
+            self.expect("IN")
+            src = self.expr()
+            if not self.accept("WHERE"):
+                raise ValueError(
+                    f"GQL parse error: {kind}(x IN list WHERE pred) "
+                    "needs a WHERE predicate"
+                )
+            pred = self.where_expr()
+            self.expect("punct", ")")
+            return QuantPred(kind, lvar, src, pred)
         lhs = self.expr()
         plain = isinstance(lhs, PropRef)
         var, prop = (lhs.var, lhs.prop) if plain else (None, None)

@@ -41,6 +41,7 @@ from dd_graphdb_spark.plans.gql import (
     FuncCall,
     PatternPred,
     PropRef,
+    QuantPred,
     CreateStatement,
     MatchDeleteStatement,
     MatchRemoveStatement,
@@ -186,6 +187,88 @@ def _rewrite_path_funcs(node, pvar: str, has_varlen: bool):
     return node
 
 
+class _ColWrap:
+    """A pre-lowered Column smuggled through an expression tree — used
+    to substitute a quantifier's lambda variable with the higher-order
+    function's lambda argument."""
+
+    __slots__ = ("col",)
+
+    def __init__(self, col):
+        self.col = col
+
+
+def _subst_lambda_var(node, name, col):
+    """Replace references to a quantifier lambda variable with the
+    Spark lambda argument (a Column). Inner quantifiers re-binding the
+    same name shadow it (Cypher scoping)."""
+    if isinstance(node, PropRef):
+        if node.var == name:
+            if node.prop is not None:
+                raise ValueError(
+                    f"lambda variable {name!r} is a list element — it has "
+                    f"no properties ({name}.{node.prop})"
+                )
+            return _ColWrap(col)
+        return node
+    if isinstance(node, Arith):
+        return Arith(
+            node.op,
+            _subst_lambda_var(node.left, name, col),
+            _subst_lambda_var(node.right, name, col),
+        )
+    if isinstance(node, FuncCall):
+        return FuncCall(
+            node.name, [_subst_lambda_var(a, name, col) for a in node.args]
+        )
+    if isinstance(node, CaseExpr):
+        return CaseExpr(
+            [
+                (
+                    _subst_lambda_var(c, name, col),
+                    _subst_lambda_var(r, name, col),
+                )
+                for c, r in node.whens
+            ],
+            None
+            if node.default is None
+            else _subst_lambda_var(node.default, name, col),
+        )
+    if isinstance(node, BoolExpr):
+        return BoolExpr(
+            node.op,
+            _subst_lambda_var(node.left, name, col),
+            None
+            if node.right is None
+            else _subst_lambda_var(node.right, name, col),
+        )
+    if isinstance(node, Compare):
+        lhs = node.lhs
+        if lhs is None and node.var == name:
+            if node.prop is not None:
+                raise ValueError(
+                    f"lambda variable {name!r} is a list element — it has "
+                    f"no properties ({name}.{node.prop})"
+                )
+            lhs = _ColWrap(col)
+        elif lhs is not None:
+            lhs = _subst_lambda_var(lhs, name, col)
+        value = node.value
+        if isinstance(value, (PropRef, Arith, FuncCall, CaseExpr)):
+            value = _subst_lambda_var(value, name, col)
+        return Compare(node.var, node.prop, node.op, value, lhs=lhs)
+    if isinstance(node, QuantPred):
+        if node.var == name:  # inner binding shadows
+            return node
+        return QuantPred(
+            node.kind,
+            node.var,
+            _subst_lambda_var(node.source, name, col),
+            _subst_lambda_var(node.pred, name, col),
+        )
+    return node
+
+
 def _rewrite_order_expr(node, cols):
     """Scope an ORDER BY expression to the projected output: rewrite
     ``var.prop`` to the projection's ``var_prop`` output column (or keep
@@ -276,6 +359,8 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
     None → bare column), FuncCall (allow-listed 1:1 Spark/ANSI
     builtins), nested Arith. `/` is SQL float division in both Spark
     and DuckDB, so oracle parity holds for int operands too."""
+    if isinstance(node, _ColWrap):
+        return node.col
     if isinstance(node, Arith):
         lt = _lower_expr(node.left, bare, bare_names)
         rt = _lower_expr(node.right, bare, bare_names)
@@ -379,6 +464,23 @@ def _lower_condition(
         left = _lower_condition(cond.left, bare, pattern_vars, bare_names)
         right = _lower_condition(cond.right, bare, pattern_vars, bare_names)
         return left & right if cond.op == "AND" else left | right
+    if isinstance(cond, QuantPred):
+        # higher-order function, evaluated per row inside codegen
+        arr = _lower_expr(cond.source, bare, bare_names)
+
+        def lam(c):
+            return _lower_condition(
+                _subst_lambda_var(cond.pred, cond.var, c),
+                bare, pattern_vars, bare_names,
+            )
+
+        if cond.kind == "any":
+            return F.exists(arr, lam)
+        if cond.kind == "all":
+            return F.forall(arr, lam)
+        if cond.kind == "none":
+            return ~F.exists(arr, lam)
+        return F.size(F.filter(arr, lam)) == 1  # single
     assert isinstance(cond, Compare)
     if cond.lhs is not None:
         col = _lower_expr(cond.lhs, bare, bare_names)
@@ -417,9 +519,10 @@ def _lower_condition(
         return col.endswith(cond.value)
     if cond.op == "in":
         return col.isin(*cond.value)
-    if isinstance(cond.value, (PropRef, Arith, FuncCall)):
+    if isinstance(cond.value, (PropRef, Arith, FuncCall, CaseExpr, _ColWrap)):
         # PropRef prop=None → bare-name RHS (WITH alias / UNWIND
-        # binding); Arith/FuncCall → computed RHS
+        # binding); Arith/FuncCall/CaseExpr → computed RHS; _ColWrap →
+        # a substituted quantifier lambda argument
         lit = _lower_expr(cond.value, bare, bare_names)
     else:
         lit = F.lit(cond.value)

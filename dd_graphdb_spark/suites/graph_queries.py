@@ -1107,6 +1107,36 @@ def gql_list_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL quantified list predicates (r8): any/all/none/single(x IN list
+# WHERE pred) — lowered to Spark higher-order functions (exists /
+# forall / filter), evaluated per row inside codegen: no explode, no
+# shuffle, no correlated subquery. The oracle restates the quantifiers
+# with DuckDB lambda builtins over the same list.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_quantified_pred",
+    GRAPH_CTE
+    + """
+    SELECT name AS nm, acctbal AS bal
+    FROM vertices
+    WHERE label = 'Customer'
+      AND len(list_filter(generate_series(0, 9),
+                          x -> floor(acctbal / 1000.0) = x)) > 0
+      AND NOT len(list_filter(generate_series(0, 2),
+                              x -> floor(acctbal / 1000.0) = x)) > 0
+    ORDER BY nm
+    """,
+)
+def gql_quantified_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (c:Customer) "
+        "WHERE any(x IN range(0, 9) WHERE floor(c.acctbal / 1000.0) = x) "
+        "AND none(x IN range(0, 2) WHERE floor(c.acctbal / 1000.0) = x) "
+        "RETURN c.name AS nm, c.acctbal AS bal ORDER BY nm"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL ORDER BY expression (r8): computed sort keys — an arithmetic
 # distance and a CASE bucket — scoped to the projected output (Cypher's
 # sort-on-what-you-returned rule for computed keys; non-projected

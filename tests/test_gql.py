@@ -757,6 +757,53 @@ def test_expr_errors(people_graph):
         _engine(people_graph).execute("MATCH (v:Person) RETURN round(v.age, v.age) AS x")
 
 
+def test_quantified_list_predicates(people_graph):
+    # any: at least one split part longer than 3 chars
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE any(p IN split(v.name, 'l') WHERE length(p) > 3) "
+        "RETURN v.name AS n ORDER BY n"
+    )
+    assert [r["n"] for r in df.collect()] == ["Charlie"]
+    # all / none / single over a range value list
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE all(x IN range(1, 3) WHERE v.age > x * 8) "
+        "RETURN v.name AS n ORDER BY n"
+    )
+    # age > 24: all three ages qualify at x=1,2; x=3 needs age > 24
+    assert [r["n"] for r in df.collect()] == ["Alice", "Bob", "Charlie"]
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE none(x IN range(30, 34) WHERE v.age = x) "
+        "RETURN v.name AS n ORDER BY n"
+    )
+    assert [r["n"] for r in df.collect()] == ["Bob", "Charlie"]
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE single(p IN split(v.name, 'o') WHERE p = 'B') "
+        "RETURN v.name AS n"
+    )
+    assert [r["n"] for r in df.collect()] == ["Bob"]
+
+
+def test_quantified_predicate_composes_with_boolean_ops(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE v.age < 34 AND "
+        "NOT any(x IN range(25, 27) WHERE v.age = x) "
+        "RETURN v.name AS n ORDER BY n"
+    )
+    assert [r["n"] for r in df.collect()] == ["Alice"]
+
+
+def test_quantified_predicate_errors(people_graph):
+    with pytest.raises(ValueError, match="needs a WHERE"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) WHERE any(x IN range(1, 3)) RETURN v.name"
+        )
+    with pytest.raises(ValueError, match="no properties"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) WHERE any(x IN range(1, 3) WHERE x.p = 1) "
+            "RETURN v.name"
+        )
+
+
 def test_unwind_range(people_graph):
     df = _engine(people_graph).execute(
         "UNWIND range(1, 7, 3) AS x RETURN x, x * x AS sq ORDER BY x"
