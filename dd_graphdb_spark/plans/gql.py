@@ -165,6 +165,27 @@ class BoolExpr:
 
 
 @dataclass
+class ListComp:
+    """``[x IN <list> WHERE <pred> | <expr>]`` — Cypher list
+    comprehension (both clauses optional, at least one present for the
+    form to differ from a plain element). Lowered to Spark higher-order
+    ``filter`` + ``transform`` — per-row, inside codegen."""
+
+    var: str
+    source: object
+    pred: object | None  # WHERE clause
+    map: object | None  # | projection
+
+
+@dataclass
+class ListExpr:
+    """A list literal in expression position: ``[e1, e2, ..]`` with
+    arbitrary element expressions. Lowered to ``F.array``."""
+
+    items: list
+
+
+@dataclass
 class QuantPred:
     """``any/all/none/single(x IN <list> WHERE <pred>)`` — quantified
     list predicate. Lowered to Spark higher-order functions
@@ -348,7 +369,7 @@ _TOKEN_RE = re.compile(
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'[^']*'|"[^"]*")
     | (?P<op><=|>=|!=|<-|->|=~|=|<|>)
-    | (?P<punct>[()\[\]{}:,.*+/-])
+    | (?P<punct>[()\[\]{}:,.*+/|-])
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     )""",
     re.VERBOSE | re.IGNORECASE,
@@ -595,7 +616,7 @@ class _Parser:
         return (
             k in ("num", "str", "TRUE", "FALSE", "NULL")
             or self.at_name()
-            or v == "("
+            or v in ("(", "[")
         )
 
     def expr(self):
@@ -662,6 +683,26 @@ class _Parser:
 
     def factor(self):
         k, v = self.peek()
+        if v == "[" and k == "punct":
+            self.next()
+            # comprehension: [x IN list ...] — a name followed by IN
+            if self.at_name() and self.toks[self.i + 1][0] == "IN":
+                lvar = self.expect_name()
+                self.expect("IN")
+                src = self.expr()
+                pred = None
+                if self.accept("WHERE"):
+                    pred = self.where_expr()
+                mapped = None
+                if self.accept("punct", "|"):
+                    mapped = self.expr()
+                self.expect("punct", "]")
+                return ListComp(lvar, src, pred, mapped)
+            items = []
+            while not self.accept("punct", "]"):
+                items.append(self.expr())
+                self.accept("punct", ",")
+            return ListExpr(items)
         if v == "(" and k == "punct":
             self.next()
             inner = self.expr()
@@ -969,12 +1010,20 @@ class _Parser:
     def _unwind_clause(self, allow_name: bool) -> UnwindClause:
         """``UNWIND [lit, ..] AS x`` — or, after a WITH pipeline,
         ``UNWIND alias AS x`` exploding a projected (collected) list."""
-        if self.accept("punct", "["):
+        if (
+            self.peek() == ("punct", "[")
+            and self.i + 2 < len(self.toks)
+            and self.toks[self.i + 2][0] == "IN"
+        ):
+            # UNWIND [x IN .. WHERE .. | ..] AS y — a comprehension,
+            # not a literal list; parse as an expression
+            src: object = self.expr()
+        elif self.accept("punct", "["):
             vals = []
             while not self.accept("punct", "]"):
                 vals.append(self.literal())
                 self.accept("punct", ",")
-            src: object = vals
+            src = vals
         elif self.at_expr_operand():
             # list-valued expression: UNWIND range(1, n) AS x,
             # UNWIND split(d.text, ' ') AS tok, UNWIND v.tags AS t — or,

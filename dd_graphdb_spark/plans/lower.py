@@ -39,6 +39,8 @@ from dd_graphdb_spark.plans.gql import (
     CaseExpr,
     Compare,
     FuncCall,
+    ListComp,
+    ListExpr,
     PatternPred,
     PropRef,
     QuantPred,
@@ -266,6 +268,20 @@ def _subst_lambda_var(node, name, col):
             _subst_lambda_var(node.source, name, col),
             _subst_lambda_var(node.pred, name, col),
         )
+    if isinstance(node, ListComp):
+        # the source evaluates in the OUTER scope; pred/map are
+        # shadowed when the comprehension re-binds the same name
+        src = _subst_lambda_var(node.source, name, col)
+        if node.var == name:
+            return ListComp(node.var, src, node.pred, node.map)
+        return ListComp(
+            node.var,
+            src,
+            None if node.pred is None else _subst_lambda_var(node.pred, name, col),
+            None if node.map is None else _subst_lambda_var(node.map, name, col),
+        )
+    if isinstance(node, ListExpr):
+        return ListExpr([_subst_lambda_var(i, name, col) for i in node.items])
     return node
 
 
@@ -361,6 +377,27 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
     and DuckDB, so oracle parity holds for int operands too."""
     if isinstance(node, _ColWrap):
         return node.col
+    if isinstance(node, ListComp):
+        arr = _lower_expr(node.source, bare, bare_names)
+        if node.pred is not None:
+            arr = F.filter(
+                arr,
+                lambda c: _lower_condition(
+                    _subst_lambda_var(node.pred, node.var, c),
+                    bare, (), bare_names,
+                ),
+            )
+        if node.map is not None:
+            arr = F.transform(
+                arr,
+                lambda c: _lower_expr(
+                    _subst_lambda_var(node.map, node.var, c),
+                    bare, bare_names,
+                ),
+            )
+        return arr
+    if isinstance(node, ListExpr):
+        return F.array(*[_lower_expr(i, bare, bare_names) for i in node.items])
     if isinstance(node, Arith):
         lt = _lower_expr(node.left, bare, bare_names)
         rt = _lower_expr(node.right, bare, bare_names)

@@ -1107,6 +1107,36 @@ def gql_list_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL list comprehensions (r8): [x IN list WHERE pred | expr] →
+# filter + transform (higher-order, per-row in codegen). The projected
+# values are scalars derived FROM the lists (size / head) because raw
+# list columns don't value-hash portably across engines.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_list_comprehension",
+    GRAPH_CTE
+    + """
+    SELECT name AS nm,
+           CAST(len(list_filter(string_split(name, '0'),
+                                t -> len(t) > 0)) AS BIGINT) AS nz,
+           (list_transform(list_filter(generate_series(1, 10),
+                                       x -> x * 1000.0 > acctbal),
+                           x -> x * 1000.0))[1] AS ceilk
+    FROM vertices WHERE label = 'Customer' AND acctbal > 9900.0
+    ORDER BY nm
+    """,
+)
+def gql_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (c:Customer) WHERE c.acctbal > 9900.0 "
+        "RETURN c.name AS nm, "
+        "toInteger(size([t IN split(c.name, '0') WHERE length(t) > 0])) AS nz, "
+        "head([x IN range(1, 10) WHERE x * 1000.0 > c.acctbal | x * 1000.0]) "
+        "AS ceilk ORDER BY nm"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL quantified list predicates (r8): any/all/none/single(x IN list
 # WHERE pred) — lowered to Spark higher-order functions (exists /
 # forall / filter), evaluated per row inside codegen: no explode, no

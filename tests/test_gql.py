@@ -757,6 +757,39 @@ def test_expr_errors(people_graph):
         _engine(people_graph).execute("MATCH (v:Person) RETURN round(v.age, v.age) AS x")
 
 
+def test_list_comprehension(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person {name: 'Bob'}) "
+        "RETURN [x IN range(1, 5) WHERE x > 2 | x * 10] AS l, "
+        "size([1, 2, 3]) AS n, "
+        "[x IN range(1, 3) | x * x] AS sq, "
+        "[x IN range(1, 4) WHERE x > v.age / 10] AS gt"
+    )
+    row = df.collect()[0]
+    assert row["l"] == [30, 40, 50]
+    assert row["n"] == 3
+    assert row["sq"] == [1, 4, 9]
+    assert row["gt"] == [3, 4]  # age 25 → x > 2.5
+
+
+def test_unwind_list_comprehension(people_graph):
+    df = _engine(people_graph).execute(
+        "UNWIND [x IN range(1, 6) WHERE x > 3 | x + 100] AS y "
+        "RETURN y ORDER BY y"
+    )
+    assert [r["y"] for r in df.collect()] == [104, 105, 106]
+
+
+def test_nested_comprehension_scoping(people_graph):
+    # the outer lambda variable is visible in the inner quantifier's
+    # source (range(1, x)); the inner predicate sees both
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person {name: 'Bob'}) RETURN "
+        "size([x IN range(1, 3) WHERE any(y IN range(1, x) WHERE y = x) | x]) AS n"
+    )
+    assert df.collect()[0]["n"] == 3
+
+
 def test_quantified_list_predicates(people_graph):
     # any: at least one split part longer than 3 chars
     df = _engine(people_graph).execute(
