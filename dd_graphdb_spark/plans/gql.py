@@ -186,6 +186,19 @@ class ListExpr:
 
 
 @dataclass
+class ReduceExpr:
+    """``reduce(acc = <init>, x IN <list> | <step>)`` — Cypher list
+    fold. Lowered to Spark's higher-order ``aggregate`` (per-row in
+    codegen; the step expression sees both lambda variables)."""
+
+    acc: str
+    init: object
+    var: str
+    source: object
+    step: object
+
+
+@dataclass
 class QuantPred:
     """``any/all/none/single(x IN <list> WHERE <pred>)`` — quantified
     list predicate. Lowered to Spark higher-order functions
@@ -713,6 +726,30 @@ class _Parser:
             return Arith("-", 0, self.factor())
         if self._ident_kw("CASE"):
             return self._case_expr()
+        if (
+            self.at_name()
+            and self.peek()[1].lower() == "reduce"
+            and self.toks[self.i + 1] == ("punct", "(")
+        ):
+            self.next()
+            self.next()  # (
+            acc = self.expect_name()
+            if not self.accept("op", "="):
+                raise ValueError(
+                    "GQL parse error: reduce(acc = init, x IN list | step)"
+                )
+            init = self.expr()
+            self.expect("punct", ",")
+            lvar = self.expect_name()
+            self.expect("IN")
+            src = self.expr()
+            if not self.accept("punct", "|"):
+                raise ValueError(
+                    "GQL parse error: reduce needs a | step expression"
+                )
+            step = self.expr()
+            self.expect("punct", ")")
+            return ReduceExpr(acc, init, lvar, src, step)
         if self.at_name() and self.toks[self.i + 1] == ("punct", "("):
             name = self.next()[1]
             fname = name.lower()

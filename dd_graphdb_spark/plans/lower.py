@@ -44,6 +44,7 @@ from dd_graphdb_spark.plans.gql import (
     PatternPred,
     PropRef,
     QuantPred,
+    ReduceExpr,
     CreateStatement,
     MatchDeleteStatement,
     MatchRemoveStatement,
@@ -282,6 +283,15 @@ def _subst_lambda_var(node, name, col):
         )
     if isinstance(node, ListExpr):
         return ListExpr([_subst_lambda_var(i, name, col) for i in node.items])
+    if isinstance(node, ReduceExpr):
+        src = _subst_lambda_var(node.source, name, col)
+        init = _subst_lambda_var(node.init, name, col)
+        if name in (node.acc, node.var):  # inner re-binding shadows
+            return ReduceExpr(node.acc, init, node.var, src, node.step)
+        return ReduceExpr(
+            node.acc, init, node.var, src,
+            _subst_lambda_var(node.step, name, col),
+        )
     return node
 
 
@@ -398,6 +408,18 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
         return arr
     if isinstance(node, ListExpr):
         return F.array(*[_lower_expr(i, bare, bare_names) for i in node.items])
+    if isinstance(node, ReduceExpr):
+        return F.aggregate(
+            _lower_expr(node.source, bare, bare_names),
+            _lower_expr(node.init, bare, bare_names),
+            lambda acc, c: _lower_expr(
+                _subst_lambda_var(
+                    _subst_lambda_var(node.step, node.acc, acc),
+                    node.var, c,
+                ),
+                bare, bare_names,
+            ),
+        )
     if isinstance(node, Arith):
         lt = _lower_expr(node.left, bare, bare_names)
         rt = _lower_expr(node.right, bare, bare_names)

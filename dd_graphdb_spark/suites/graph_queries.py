@@ -1137,6 +1137,32 @@ def gql_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL reduce (r8): reduce(acc = init, x IN list | step) → Spark
+# higher-order aggregate(), per-row in codegen. The fold sums the
+# lengths of the non-'0' runs of the customer name, whose closed form
+# is length(replace(name, '0', '')) — the oracle states that instead
+# of re-folding, so the two sides derive the same number two ways.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_reduce",
+    GRAPH_CTE
+    + """
+    SELECT name AS nm,
+           CAST(length(replace(name, '0', '')) AS BIGINT) AS nzchars
+    FROM vertices WHERE label = 'Customer' AND acctbal > 9500.0
+    ORDER BY nm
+    """,
+)
+def gql_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (c:Customer) WHERE c.acctbal > 9500.0 "
+        "RETURN c.name AS nm, "
+        "toInteger(reduce(acc = 0, t IN split(c.name, '0') | acc + length(t))) "
+        "AS nzchars ORDER BY nm"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL quantified list predicates (r8): any/all/none/single(x IN list
 # WHERE pred) — lowered to Spark higher-order functions (exists /
 # forall / filter), evaluated per row inside codegen: no explode, no

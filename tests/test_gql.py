@@ -790,6 +790,34 @@ def test_nested_comprehension_scoping(people_graph):
     assert df.collect()[0]["n"] == 3
 
 
+def test_reduce_expression(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person {name: 'Bob'}) "
+        "RETURN reduce(acc = 0, x IN range(1, 10) | acc + x) AS s"
+    )
+    assert df.collect()[0]["s"] == 55
+    # step sees outer bindings too
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) RETURN v.name AS n, "
+        "reduce(acc = 0, t IN split(v.name, 'l') | acc + length(t)) AS chars "
+        "ORDER BY n"
+    )
+    assert [(r["n"], r["chars"]) for r in df.collect()] == [
+        ("Alice", 4), ("Bob", 3), ("Charlie", 6)
+    ]
+
+
+def test_reduce_parse_errors(people_graph):
+    with pytest.raises(ValueError, match="step expression"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN reduce(acc = 0, x IN range(1, 3)) AS s"
+        )
+    with pytest.raises(ValueError, match="reduce\\(acc = init"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN reduce(acc, x IN range(1, 3) | x) AS s"
+        )
+
+
 def test_quantified_list_predicates(people_graph):
     # any: at least one split part longer than 3 chars
     df = _engine(people_graph).execute(
