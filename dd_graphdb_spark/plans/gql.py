@@ -863,16 +863,37 @@ class _Parser:
                 self.expect("WITH")
                 return Compare(var, prop, "ends_with", self._str_literal("ENDS WITH"))
             if self.accept("IN"):
+                if self.peek() == ("punct", "[") and (
+                    self.i + 2 >= len(self.toks)
+                    or self.toks[self.i + 2][0] != "IN"
+                ):
+                    # literal list → isin (pushdown-friendly)
+                    self.expect("punct", "[")
+                    vals = []
+                    while not self.accept("punct", "]"):
+                        vals.append(self.literal())
+                        self.accept("punct", ",")
+                    return Compare(var, prop, "in", vals)
+                # list-valued expression (range/split/tail/comprehension/
+                # a WITH alias) → array_contains membership
+                return Compare(var, prop, "in_expr", self.expr())
+            if self.accept("op", "=~"):
+                # Cypher regex match — FULL-string semantics (unlike
+                # Spark rlike's substring search; the lowering anchors)
+                return Compare(var, prop, "regex", self._str_literal("=~"))
+        elif self.accept("IN"):
+            # computed LHS membership: toInteger(..) IN range(..)
+            if self.peek() == ("punct", "[") and (
+                self.i + 2 >= len(self.toks)
+                or self.toks[self.i + 2][0] != "IN"
+            ):
                 self.expect("punct", "[")
                 vals = []
                 while not self.accept("punct", "]"):
                     vals.append(self.literal())
                     self.accept("punct", ",")
-                return Compare(var, prop, "in", vals)
-            if self.accept("op", "=~"):
-                # Cypher regex match — FULL-string semantics (unlike
-                # Spark rlike's substring search; the lowering anchors)
-                return Compare(var, prop, "regex", self._str_literal("=~"))
+                return Compare(None, None, "in", vals, lhs=lhs)
+            return Compare(None, None, "in_expr", self.expr(), lhs=lhs)
         op = self.expect("op")
         if (
             op == "<-"

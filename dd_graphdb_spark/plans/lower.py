@@ -257,7 +257,10 @@ def _subst_lambda_var(node, name, col):
         elif lhs is not None:
             lhs = _subst_lambda_var(lhs, name, col)
         value = node.value
-        if isinstance(value, (PropRef, Arith, FuncCall, CaseExpr)):
+        if isinstance(
+            value,
+            (PropRef, Arith, FuncCall, CaseExpr, ListComp, ListExpr, ReduceExpr),
+        ):
             value = _subst_lambda_var(value, name, col)
         return Compare(node.var, node.prop, node.op, value, lhs=lhs)
     if isinstance(node, QuantPred):
@@ -578,6 +581,12 @@ def _lower_condition(
         return col.endswith(cond.value)
     if cond.op == "in":
         return col.isin(*cond.value)
+    if cond.op == "in_expr":
+        # membership in a list-valued expression (range / split / tail /
+        # comprehension / WITH alias) — per-row, inside codegen
+        return F.array_contains(
+            _lower_expr(cond.value, bare, bare_names), col
+        )
     if isinstance(cond.value, (PropRef, Arith, FuncCall, CaseExpr, _ColWrap)):
         # PropRef prop=None → bare-name RHS (WITH alias / UNWIND
         # binding); Arith/FuncCall/CaseExpr → computed RHS; _ColWrap →

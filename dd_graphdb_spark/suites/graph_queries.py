@@ -1137,6 +1137,31 @@ def gql_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL IN over list expressions (r8): <expr> IN <list-expr> →
+# array_contains (per-row, codegen); the literal-list form keeps its
+# isin lowering (pushdown-friendly). Computed LHS exercises the
+# non-PropRef branch.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_in_list_expr",
+    GRAPH_CTE
+    + """
+    SELECT name AS nm, acctbal AS bal
+    FROM vertices
+    WHERE label = 'Customer'
+      AND CAST(floor(acctbal / 100.0) AS BIGINT) IN (95, 96, 97, 98, 99)
+    ORDER BY nm
+    """,
+)
+def gql_in_list_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (c:Customer) "
+        "WHERE toInteger(floor(c.acctbal / 100.0)) IN range(95, 99) "
+        "RETURN c.name AS nm, c.acctbal AS bal ORDER BY nm"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL reduce (r8): reduce(acc = init, x IN list | step) → Spark
 # higher-order aggregate(), per-row in codegen. The fold sums the
 # lengths of the non-'0' runs of the customer name, whose closed form

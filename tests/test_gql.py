@@ -790,6 +790,32 @@ def test_nested_comprehension_scoping(people_graph):
     assert df.collect()[0]["n"] == 3
 
 
+def test_in_list_expression(people_graph):
+    # membership in a computed list (range)
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE v.age IN range(25, 30) "
+        "RETURN v.name AS n ORDER BY n"
+    )
+    assert [r["n"] for r in df.collect()] == ["Alice", "Bob"]
+    # membership in a string-derived list
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE v.name IN tail(split('xAlice', 'x')) "
+        "RETURN v.name AS n"
+    )
+    assert [r["n"] for r in df.collect()] == ["Alice"]
+    # computed LHS: toInteger(floor(..)) IN range(..)
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE toInteger(v.age / 10.0) IN range(3, 4) "
+        "RETURN v.name AS n ORDER BY n"
+    )
+    assert [r["n"] for r in df.collect()] == ["Alice", "Charlie"]
+    # literal-list IN is unchanged (isin pushdown path)
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE v.age IN [25, 35] RETURN v.name AS n ORDER BY n"
+    )
+    assert [r["n"] for r in df.collect()] == ["Bob", "Charlie"]
+
+
 def test_reduce_expression(people_graph):
     df = _engine(people_graph).execute(
         "MATCH (v:Person {name: 'Bob'}) "
