@@ -382,7 +382,7 @@ _TOKEN_RE = re.compile(
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'[^']*'|"[^"]*")
     | (?P<op><=|>=|!=|<-|->|=~|=|<|>)
-    | (?P<punct>[()\[\]{}:,.*+/|-])
+    | (?P<punct>[()\[\]{}:,.*+/|%^-])
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     )""",
     re.VERBOSE | re.IGNORECASE,
@@ -606,8 +606,11 @@ class _Parser:
         "nodes": 1, "relationships": 1,
         # entity functions over a bound vertex/edge variable: id(v),
         # labels(v) (one-element list — the data model is single-label,
-        # executor.rs:290-295), type(e) (the edge label)
+        # executor.rs:290-295), type(e) (the edge label).
+        # startNode/endNode resolve to the edge's endpoint IDS (the data
+        # model's node reference IS its id); id(startNode(e)) composes.
         "id": 1, "labels": 1, "type": 1,
+        "startnode": 1, "endnode": 1,
         # Cypher string surface. substring is 0-indexed (Cypher) and
         # lowered to Spark's 1-indexed builtin; split takes a LITERAL
         # delimiter (Cypher splits on a string, Spark's builtin on a
@@ -647,10 +650,18 @@ class _Parser:
                 return left
 
     def term(self):
-        left = self.factor()
-        while self.peek() == ("punct", "*") or self.peek() == ("punct", "/"):
+        left = self.power()
+        while self.peek()[0] == "punct" and self.peek()[1] in ("*", "/", "%"):
             op = self.next()[1]
-            left = Arith(op, left, self.factor())
+            left = Arith(op, left, self.power())
+        return left
+
+    def power(self):
+        # ^ binds tighter than * / % and is right-associative (Cypher)
+        left = self.factor()
+        if self.peek() == ("punct", "^"):
+            self.next()
+            return Arith("^", left, self.power())
         return left
 
     def _ident_kw(self, word: str) -> bool:

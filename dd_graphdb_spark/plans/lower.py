@@ -426,7 +426,12 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
     if isinstance(node, Arith):
         lt = _lower_expr(node.left, bare, bare_names)
         rt = _lower_expr(node.right, bare, bare_names)
-        return {"+": lt + rt, "-": lt - rt, "*": lt * rt, "/": lt / rt}[node.op]
+        if node.op == "^":
+            return F.pow(lt, rt)  # Cypher exponent → Float
+        return {
+            "+": lt + rt, "-": lt - rt, "*": lt * rt, "/": lt / rt,
+            "%": lt % rt,
+        }[node.op]
     if isinstance(node, CaseExpr):
         col = None
         for cond, res in node.whens:
@@ -441,6 +446,23 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
             # args must not lower first (a vertex-variable arg would die
             # on the bare-name check with a misleading message)
             _path_fn_error(node.name)
+        if node.name in ("startnode", "endnode"):
+            # endpoint ids of a bound edge variable — the data model's
+            # node reference IS its id (id(startNode(e)) composes)
+            a = node.args[0]
+            if not isinstance(a, PropRef) or a.prop:
+                raise ValueError(
+                    f"{node.name}() takes a bound edge variable, "
+                    f"e.g. {node.name}(e)"
+                )
+            return F.col(
+                f"{a.var}__src" if node.name == "startnode" else f"{a.var}__dst"
+            )
+        if node.name == "id" and (
+            isinstance(node.args[0], FuncCall)
+            and node.args[0].name in ("startnode", "endnode")
+        ):
+            return _lower_expr(node.args[0], bare, bare_names)
         if node.name in ("id", "labels", "type"):
             # entity functions resolve straight to binding columns (no
             # arg lowering — a bare variable is exactly what they take).

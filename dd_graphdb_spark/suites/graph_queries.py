@@ -1137,6 +1137,36 @@ def gql_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL % and ^ operators + startNode/endNode (r8). ^ lowers to pow()
+# (Float per Cypher; rounded to 4 decimals — libm pow may differ in
+# the last ulp across runtimes); endpoint functions are id-valued in
+# this data model (the node reference IS its id).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_arith_entity",
+    GRAPH_CTE
+    + """
+    SELECT e.src AS cid, e.dst AS nid,
+           CAST(substr(v1.name, 10) AS BIGINT) % 7 AS m7,
+           round(2.0 ** (v1.acctbal / 5000.0), 4) AS pw
+    FROM vertices v1
+    JOIN edges e ON v1.id = e.src AND e.label = 'located_in'
+    WHERE v1.label = 'Customer' AND v1.acctbal > 9000.0
+    ORDER BY cid
+    """,
+)
+def gql_arith_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (c:Customer)-[e:located_in]->(n:Nation) "
+        "WHERE c.acctbal > 9000.0 "
+        "RETURN startNode(e) AS cid, endNode(e) AS nid, "
+        "toInteger(substring(c.name, 9)) % 7 AS m7, "
+        "round(2.0 ^ (c.acctbal / 5000.0), 4) AS pw "
+        "ORDER BY cid"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL IN over list expressions (r8): <expr> IN <list-expr> →
 # array_contains (per-row, codegen); the literal-list form keeps its
 # isin lowering (pushdown-friendly). Computed LHS exercises the

@@ -790,6 +790,29 @@ def test_nested_comprehension_scoping(people_graph):
     assert df.collect()[0]["n"] == 3
 
 
+def test_arith_modulo_and_power(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) RETURN v.name AS n, v.age % 7 AS m, "
+        "2 ^ 3 AS p, 2 ^ 3 ^ 2 AS rp ORDER BY n"
+    )
+    rows = [(r["n"], r["m"], r["p"], r["rp"]) for r in df.collect()]
+    # ages 30/25/35 → %7 = 2/4/0; ^ is right-associative: 2^(3^2) = 512
+    assert rows == [
+        ("Alice", 2, 8.0, 512.0),
+        ("Bob", 4, 8.0, 512.0),
+        ("Charlie", 0, 8.0, 512.0),
+    ]
+
+
+def test_start_end_node(people_graph):
+    # endpoint references are id-valued in this data model
+    df = _engine(people_graph).execute(
+        "MATCH (a:Person)-[e:friend]->(b:Person) "
+        "RETURN startNode(e) AS s, id(endNode(e)) AS t ORDER BY s"
+    )
+    assert [(r["s"], r["t"]) for r in df.collect()] == [(1, 2), (2, 3)]
+
+
 def test_in_list_expression(people_graph):
     # membership in a computed list (range)
     df = _engine(people_graph).execute(
