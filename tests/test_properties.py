@@ -659,15 +659,35 @@ _leaf = st.one_of(
 
 
 def _combine(children):
-    import random as _r
-
     op = st.sampled_from(["+", "-", "*"])
     return st.tuples(children, op, children).map(
         lambda t: f"({t[0]} {t[1]} {t[2]})"
     )
 
 
-_expr_text = st.recursive(_leaf, _combine, max_leaves=6)
+def _wrap_fn(children):
+    # unary functions whose Python semantics match the GQL lowering
+    # exactly (round is excluded: Python rounds half-to-even, Spark
+    # half-up)
+    fn = st.sampled_from(["abs", "floor", "ceil", "sign", "toInteger", "toFloat"])
+    return st.tuples(fn, children).map(lambda t: f"{t[0]}({t[1]})")
+
+
+_expr_text = st.recursive(
+    _leaf, lambda ch: st.one_of(_combine(ch), _wrap_fn(ch)), max_leaves=6
+)
+
+# Python reference semantics for the GQL numeric function surface:
+# floor/ceil → Float (Cypher), sign → Integer, toInteger truncates
+# toward zero (Python int() does too)
+_PY_NUM_ENV = {
+    "abs": abs,
+    "floor": lambda x: float(__import__("math").floor(x)),
+    "ceil": lambda x: float(__import__("math").ceil(x)),
+    "sign": lambda x: (x > 0) - (x < 0),
+    "toInteger": int,
+    "toFloat": float,
+}
 
 
 @SMALL
@@ -687,8 +707,73 @@ def test_gql_expression_matches_python_eval(spark, expr_text):
         ).collect()
     }
     for rid, _, a, b in rows:
-        want = eval(expr_text.replace("v.a", str(a)).replace("v.b", repr(b)))
+        want = eval(
+            expr_text.replace("v.a", str(a)).replace("v.b", repr(b)),
+            dict(_PY_NUM_ENV),
+        )
         assert got[rid] == pytest.approx(want, rel=1e-9), expr_text
+
+
+# --------------------------------------------------------------------------
+# GQL string expressions vs Python: random compositions of the string
+# function surface over a bound name column must match straightforward
+# Python string semantics (substring is 0-indexed — the lowering's
+# 0→1 index shift is exactly what this hunts).
+# --------------------------------------------------------------------------
+_str_leaf = st.just("v.name")
+
+
+def _wrap_str(children):
+    unary = st.sampled_from(["toUpper", "toLower", "reverse", "trim"]).flatmap(
+        lambda f: children.map(lambda c: f"{f}({c})")
+    )
+    sized = st.tuples(
+        st.sampled_from(["left", "right"]), children, st.integers(1, 3)
+    ).map(lambda t: f"{t[0]}({t[1]}, {t[2]})")
+    sub = st.tuples(children, st.integers(0, 3), st.integers(1, 3)).map(
+        lambda t: f"substring({t[0]}, {t[1]}, {t[2]})"
+    )
+    rep = st.tuples(children, st.sampled_from("aeil"), st.sampled_from(["X", ""])).map(
+        lambda t: f"replace({t[0]}, '{t[1]}', '{t[2]}')"
+    )
+    return st.one_of(unary, sized, sub, rep)
+
+
+_str_expr_text = st.recursive(_str_leaf, _wrap_str, max_leaves=4)
+
+_PY_STR_ENV = {
+    "toUpper": lambda s: s.upper(),
+    "toLower": lambda s: s.lower(),
+    "reverse": lambda s: s[::-1],
+    "trim": lambda s: s.strip(),
+    "left": lambda s, n: s[:n],
+    "right": lambda s, n: s[len(s) - n:] if n <= len(s) else s,
+    "substring": lambda s, i, n: s[i:i + n],
+    "replace": lambda s, a, b: s.replace(a, b),
+}
+
+
+@SMALL
+@given(_str_expr_text)
+def test_gql_string_expression_matches_python(spark, expr_text):
+    from dd_graphdb_spark.graph import PropertyGraph
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    rows = [(1, "P", "Alice"), (2, "P", " bo B "), (3, "P", "xyz")]
+    v = spark.createDataFrame(rows, "id long, label string, name string")
+    e = spark.createDataFrame([], "src long, dst long, label string")
+    eng = GQLEngine(PropertyGraph(v, e))
+    got = {
+        r["vid"]: r["x"]
+        for r in eng.execute(
+            f"MATCH (v:P) RETURN v.id AS vid, {expr_text} AS x"
+        ).collect()
+    }
+    for rid, _, name in rows:
+        want = eval(
+            expr_text.replace("v.name", repr(name)), dict(_PY_STR_ENV)
+        )
+        assert got[rid] == want, expr_text
 
 
 # --------------------------------------------------------------------------
