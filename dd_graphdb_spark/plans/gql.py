@@ -611,6 +611,11 @@ class _Parser:
         # model's node reference IS its id); id(startNode(e)) composes.
         "id": 1, "labels": 1, "type": 1,
         "startnode": 1, "endnode": 1,
+        # keys(v) → sorted non-null property names; properties(v) → a
+        # JSON string of the non-null properties (Spark maps are
+        # homogeneous, Cypher maps are not — JSON is the Spark-native
+        # heterogeneous rendering, matching the engine's JSON surface)
+        "keys": 1, "properties": 1,
         # Cypher string surface. substring is 0-indexed (Cypher) and
         # lowered to Spark's 1-indexed builtin; split takes a LITERAL
         # delimiter (Cypher splits on a string, Spark's builtin on a

@@ -79,6 +79,13 @@ def _path_fn_error(name):
     )
 
 
+def _prop_map_fn_error(name):
+    raise ValueError(
+        f"{name}() applies to a bound MATCH-pattern variable (vertex "
+        "or edge) in RETURN/WHERE/WITH of the matching statement"
+    )
+
+
 _SCALAR_FNS = {
     "toupper": lambda a: F.upper(a[0]),
     "tolower": lambda a: F.lower(a[0]),
@@ -90,6 +97,11 @@ _SCALAR_FNS = {
     # path-function rewrite replaces valid calls with binding columns
     "nodes": lambda a: _path_fn_error("nodes"),
     "relationships": lambda a: _path_fn_error("relationships"),
+    # frame-aware functions: valid calls are rewritten to pre-lowered
+    # columns before lowering (_rewrite_prop_map_funcs); reaching here
+    # means the argument was not a bound pattern variable
+    "keys": lambda a: _prop_map_fn_error("keys"),
+    "properties": lambda a: _prop_map_fn_error("properties"),
     # Cypher string surface (substring/split are special-cased in
     # _lower_expr: 0→1 index shift, literal-delimiter escape)
     "trim": lambda a: F.trim(a[0]),
@@ -295,6 +307,96 @@ def _subst_lambda_var(node, name, col):
             node.acc, init, node.var, src,
             _subst_lambda_var(node.step, name, col),
         )
+    return node
+
+
+def _prop_map_col(name, var, prop_cols):
+    """Build the keys()/properties() Column for a bound variable.
+    keys: sorted non-null property names (label excluded — it is the
+    entity's type, see labels()/type()); properties: JSON string of
+    the non-null properties (to_json drops nulls)."""
+    if name == "keys":
+        return F.filter(
+            F.array(
+                *[
+                    F.when(F.col(f"{var}__{c}").isNotNull(), F.lit(c))
+                    for c in prop_cols
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    return F.to_json(
+        F.struct(*[F.col(f"{var}__{c}").alias(c) for c in prop_cols])
+    )
+
+
+def _rewrite_prop_map_funcs(node, vvars, evars, vcols, ecols):
+    """Replace keys(v)/properties(v) with their pre-lowered Columns
+    (the rewrite is frame-aware: it needs the graph's schema, which
+    plain expression lowering doesn't see)."""
+
+    def rec(n):
+        return _rewrite_prop_map_funcs(n, vvars, evars, vcols, ecols)
+
+    if isinstance(node, FuncCall):
+        if node.name in ("keys", "properties"):
+            a = node.args[0]
+            if not isinstance(a, PropRef) or a.prop:
+                raise ValueError(
+                    f"{node.name}() takes a bound graph variable, "
+                    f"e.g. {node.name}(v)"
+                )
+            if a.var in vvars:
+                cols = sorted(c for c in vcols if c not in ("id",))
+            elif a.var in evars:
+                cols = sorted(c for c in ecols if c not in ("src", "dst"))
+            else:
+                raise ValueError(
+                    f"{node.name}({a.var}): {a.var!r} is not a bound "
+                    "pattern variable"
+                )
+            # label is the entity's TYPE, not a property (labels()/type())
+            cols = [c for c in cols if c != "label"]
+            return _ColWrap(_prop_map_col(node.name, a.var, cols))
+        return FuncCall(node.name, [rec(a) for a in node.args])
+    if isinstance(node, Arith):
+        return Arith(node.op, rec(node.left), rec(node.right))
+    if isinstance(node, CaseExpr):
+        return CaseExpr(
+            [(rec(c), rec(r)) for c, r in node.whens],
+            None if node.default is None else rec(node.default),
+        )
+    if isinstance(node, BoolExpr):
+        return BoolExpr(
+            node.op, rec(node.left),
+            None if node.right is None else rec(node.right),
+        )
+    if isinstance(node, Compare):
+        value = node.value
+        if isinstance(
+            value,
+            (PropRef, Arith, FuncCall, CaseExpr, ListComp, ListExpr, ReduceExpr),
+        ):
+            value = rec(value)
+        return Compare(
+            node.var, node.prop, node.op, value,
+            lhs=None if node.lhs is None else rec(node.lhs),
+        )
+    if isinstance(node, ListComp):
+        return ListComp(
+            node.var, rec(node.source),
+            None if node.pred is None else rec(node.pred),
+            None if node.map is None else rec(node.map),
+        )
+    if isinstance(node, ListExpr):
+        return ListExpr([rec(i) for i in node.items])
+    if isinstance(node, ReduceExpr):
+        return ReduceExpr(
+            node.acc, rec(node.init), node.var, rec(node.source),
+            rec(node.step),
+        )
+    if isinstance(node, QuantPred):
+        return QuantPred(node.kind, node.var, rec(node.source), rec(node.pred))
     return node
 
 
@@ -1025,6 +1127,27 @@ class GQLEngine:
                         f"project nodes({pv}) / relationships({pv}) / "
                         f"length({pv}) / {pv}.path instead"
                     )
+        if isinstance(stmt.pattern, PathPattern):
+            # rewrite keys(v)/properties(v) to pre-lowered columns —
+            # frame-aware: needs the graph schema + vertex/edge var sets
+            pats = [stmt.pattern] + [
+                opt.pattern
+                for _, opt in (stmt.clauses or []) + (stmt.post_clauses or [])
+            ]
+            vv = {n.var for p in pats for n in p.nodes}
+            ev = {e.var for p in pats for e in p.edges if e.var}
+            ecols = self.graph.edges.columns
+
+            def _pm(n):
+                return _rewrite_prop_map_funcs(n, vv, ev, vcols, ecols)
+
+            if stmt.where is not None:
+                stmt.where = _pm(stmt.where)
+            if stmt.with_where is not None:
+                stmt.with_where = _pm(stmt.with_where)
+            for it in list(stmt.returns) + (stmt.with_items or []):
+                if it.expr is not None:
+                    it.expr = _pm(it.expr)
         if stmt.pattern is None:
             # pure value-table statement: UNWIND [..] AS x RETURN ..
             bound = self._unwind_literal_frame(stmt.unwind_first)

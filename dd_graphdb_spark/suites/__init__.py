@@ -71,6 +71,7 @@ def _with_hygiene(fn):
 # to 50. The r7-recorded block moves to the END (freshest last). NEW
 # queries with oracles must be inserted at the TOP.
 GATE_PRIORITY = [
+    "gql_keys_props",
     "gql_arith_entity",
     "gql_in_list_expr",
     "gql_reduce",

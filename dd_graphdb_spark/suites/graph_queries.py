@@ -1137,6 +1137,32 @@ def gql_list_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL keys() (r8): per-row non-null property names (label excluded —
+# it is the entity's TYPE, surfaced by labels()/type()). The gate
+# groups the whole graph by label × key-count; the oracle counts
+# non-null property columns explicitly.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_keys_props",
+    GRAPH_CTE
+    + """
+    SELECT label AS lbl,
+           CAST((CASE WHEN name IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN acctbal IS NOT NULL THEN 1 ELSE 0 END
+               + CASE WHEN mktsegment IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS nk,
+           count(*) AS n
+    FROM vertices GROUP BY 1, 2 ORDER BY lbl, nk
+    """,
+)
+def gql_keys_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (v) RETURN v.label AS lbl, toInteger(size(keys(v))) AS nk, "
+        "count(*) AS n ORDER BY lbl, nk"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL % and ^ operators + startNode/endNode (r8). ^ lowers to pow()
 # (Float per Cypher; rounded to 4 decimals — libm pow may differ in
 # the last ulp across runtimes); endpoint functions are id-valued in

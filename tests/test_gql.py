@@ -790,6 +790,33 @@ def test_nested_comprehension_scoping(people_graph):
     assert df.collect()[0]["n"] == 3
 
 
+def test_keys_and_properties(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person {name: 'Bob'})-[e:friend]->(w:Person) "
+        "RETURN keys(v) AS vk, properties(v) AS vp, "
+        "keys(e) AS ek, properties(e) AS ep"
+    )
+    row = df.collect()[0]
+    # label/id excluded: label is the TYPE (labels()/type()), id the ref
+    assert row["vk"] == ["age", "name"]
+    assert row["vp"] == '{"age":25,"name":"Bob"}'
+    assert row["ek"] == ["since"]
+    assert row["ep"] == '{"since":2021}'
+    # size(keys(..)) composes in WHERE
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE toInteger(size(keys(v))) = 2 "
+        "RETURN count(*) AS n"
+    )
+    assert df.collect()[0]["n"] == 3
+
+
+def test_keys_requires_bound_variable(people_graph):
+    with pytest.raises(ValueError, match="not a bound"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN keys(w) AS k"
+        )
+
+
 def test_arith_modulo_and_power(people_graph):
     df = _engine(people_graph).execute(
         "MATCH (v:Person) RETURN v.name AS n, v.age % 7 AS m, "
