@@ -224,3 +224,30 @@ def test_salted_pairs_probe_side_user_repartition(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert p.count("REPARTITION_BY_NUM") >= 2  # hot and cold probe sides
+
+
+def test_list_surface_stays_per_row(spark):
+    """Quantifiers, comprehensions, reduce, and IN-over-list lower to
+    higher-order functions evaluated per row inside codegen — the plan
+    must contain NO Generate (explode) and NO Exchange beyond what the
+    base table access itself needs (here: none — single-table scan)."""
+    from dd_graphdb_spark.graph import PropertyGraph
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    v = spark.createDataFrame(
+        [(1, "P", "ab", 3)], "id long, label string, name string, age long"
+    )
+    e = spark.createDataFrame([], "src long, dst long, label string")
+    df = GQLEngine(PropertyGraph(v, e)).execute(
+        "MATCH (v:P) "
+        "WHERE any(x IN range(1, 99) WHERE v.age = x) "
+        "AND v.age IN range(1, 50) "
+        "RETURN v.name AS n, "
+        "[x IN range(1, 9) WHERE x > 2 | x * 2] AS l, "
+        "reduce(acc = 0, x IN range(1, 9) | acc + x) AS s"
+    )
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Generate" not in p, p
+    assert "Exchange" not in p, p
