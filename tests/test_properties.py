@@ -818,7 +818,9 @@ def _stmt_graph(spark):
     use_where=st.booleans(),
     wop=st.sampled_from(["=", "!=", "<", ">", "<=", ">="]),
     wn=st.integers(0, 9),
-    shape=st.sampled_from(["proj", "proj_distinct", "agg", "with"]),
+    shape=st.sampled_from(
+        ["proj", "proj_distinct", "agg", "with", "orderby_expr"]
+    ),
     w2op=st.sampled_from(["<", ">", ">="]),
     w2n=st.integers(0, 9),
     skip=st.integers(0, 2),
@@ -873,6 +875,19 @@ def test_gql_statement_roundtrip_matches_python_model(
             model[l] = (c + 1, s + a)
         got = {r["lbl"]: (r["c"], r["s"]) for r in eng.execute(q).collect()}
         assert got == model, q
+    elif shape == "orderby_expr":
+        # computed sort key (modulo bucket) with an id tie-break —
+        # ORDER BY expressions end-to-end; duplicate bindings (one per
+        # matched edge) share identical output rows, so any engine
+        # order among equal keys yields the same list
+        q = (f"MATCH {pat}{where} RETURN v.id AS vid, v.a AS x "
+             f"ORDER BY x % 3, vid SKIP {skip} LIMIT {limit}")
+        keyed = sorted(
+            (_G_VERTS[b[0]][1] % 3, b[0], _G_VERTS[b[0]][1]) for b in binds
+        )
+        want = [(i, a) for (_, i, a) in keyed][skip : skip + limit]
+        got = [(r["vid"], r["x"]) for r in eng.execute(q).collect()]
+        assert got == want, q
     else:  # WITH pipeline: project, HAVING-style filter, re-return
         q = (f"MATCH {pat}{where} WITH v.a AS x WHERE x {w2op} {w2n} "
              f"RETURN x ORDER BY x SKIP {skip} LIMIT {limit}")
