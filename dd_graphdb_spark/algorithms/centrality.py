@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import PropertyGraph
-from dd_graphdb_spark.algorithms._iter import RoundPins
+from dd_graphdb_spark.algorithms._iter import RoundPins, copartitioned
 from dd_graphdb_spark.algorithms._iter import materialize as _materialize
 from dd_graphdb_spark.algorithms._iter import run_loop
 
@@ -39,7 +39,7 @@ def _eigenvector_loop(
     g: PropertyGraph, max_iterations: int = 10, round_to: int | None = None
 ) -> DataFrame:
     verts = g.vertices.select("id").distinct().localCheckpoint(eager=True)
-    edges = g.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    edges = copartitioned(g.edges.select("src", "dst").distinct(), "src")
     pins = RoundPins(g.vertices.sparkSession)
     x = pins.materialize(verts.withColumn("score", F.lit(1.0)))
     for _ in range(max_iterations):
@@ -97,7 +97,7 @@ def _closeness_loop(
     """(id, closeness) for every source (all vertices by default;
     landmark subset via ``sources`` at scale). Multi-source BFS: the
     frontier is keyed by (source, vertex), each round one join."""
-    edges = g.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    edges = copartitioned(g.edges.select("src", "dst").distinct(), "src")
     verts = g.vertices.select("id").distinct()
     seeds = verts if sources is None else verts.filter(F.col("id").isin(sources))
     # visited is CUMULATIVE and (source, vertex)-keyed — each round pins
@@ -160,7 +160,7 @@ def _betweenness_loop(
     pass ``sources`` (landmark/pivot sampling, the standard
     approximation) and keep per-landmark exactness.
     """
-    edges = g.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    edges = copartitioned(g.edges.select("src", "dst").distinct(), "src")
     verts = g.vertices.select("id").distinct()
     seeds = verts if sources is None else verts.filter(F.col("id").isin(sources))
 

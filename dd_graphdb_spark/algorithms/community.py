@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dd_graphdb_spark.graph import PropertyGraph
-from dd_graphdb_spark.algorithms._iter import RoundPins, run_loop
+from dd_graphdb_spark.algorithms._iter import RoundPins, copartitioned, run_loop
 
 
 def _lpa_loop(
@@ -36,11 +36,12 @@ def _lpa_loop(
 ) -> DataFrame:
     verts = g.vertices.select("id").localCheckpoint(eager=True)
     e = g.edges.select("src", "dst")
-    sym = (
+    # partitioned on dst — the per-round join key (sym.dst == labels.nbr)
+    sym = copartitioned(
         e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        "dst",
     )
     pins = RoundPins(g.vertices.sparkSession)
     labels = verts.withColumn("lbl", F.col("id"))

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from dd_graphdb_spark.graph import PropertyGraph
 
 
-from dd_graphdb_spark.algorithms._iter import RoundPins
+from dd_graphdb_spark.algorithms._iter import RoundPins, copartitioned
 from dd_graphdb_spark.algorithms._iter import materialize as _materialize
 from dd_graphdb_spark.algorithms._iter import run_loop
 
@@ -49,8 +49,10 @@ def _connected_components_loop(g: PropertyGraph, max_iterations: int = 50) -> Da
     via undirected edges."""
     verts = g.vertices.select("id").distinct()
     e = g.edges.select("src", "dst")
-    sym = _materialize(
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # partitioned on src — the per-round join key (gp.id == sym.src)
+    sym = copartitioned(
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct(),
+        "src",
     )
 
     # comp is re-checkpointed every round; release superseded rounds

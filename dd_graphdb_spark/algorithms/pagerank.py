@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import PropertyGraph
-from dd_graphdb_spark.algorithms._iter import RoundPins, run_loop
+from dd_graphdb_spark.algorithms._iter import RoundPins, copartitioned, run_loop
 
 
 def _pagerank_loop(
@@ -69,17 +69,22 @@ def _pagerank_loop(
         w = F.coalesce(F.col(weight_property).cast("double"), F.lit(1.0))
         wedges = g.edges.select("src", "dst", w.alias("w"))
         ow = wedges.groupBy("src").agg(F.sum("w").alias("outw"))
-        contrib_edges = (
+        # partitioned + sorted on src once: each iteration's ranks⋈edges
+        # join then exchanges only the vertex-sized ranks (copartitioned)
+        contrib_edges = copartitioned(
             wedges.join(ow, "src")
-            .select("src", "dst", (F.col("w") / F.col("outw")).alias("share"))
-            .localCheckpoint(eager=True)
+            .select("src", "dst", (F.col("w") / F.col("outw")).alias("share")),
+            "src",
         )
         contrib_expr = F.col("rank") * F.col("share")
     else:
         edges = g.edges.select("src", "dst")
         outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
         # pre-compute each edge's share denominator once, materialized
-        contrib_edges = edges.join(outdeg, "src").select("src", "dst", "outdeg").localCheckpoint(eager=True)
+        # partitioned on the per-iteration join key (copartitioned)
+        contrib_edges = copartitioned(
+            edges.join(outdeg, "src").select("src", "dst", "outdeg"), "src"
+        )
         contrib_expr = F.col("rank") / F.col("outdeg")
     base = float((1.0 - damping) / n)
 
@@ -179,8 +184,8 @@ def _ppr_loop(
         )
     edges = g.edges.select("src", "dst")
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    contrib_edges = (
-        edges.join(outdeg, "src").select("src", "dst", "outdeg").localCheckpoint(eager=True)
+    contrib_edges = copartitioned(
+        edges.join(outdeg, "src").select("src", "dst", "outdeg"), "src"
     )
     restart = F.when(
         F.col("id").isin([int(s) for s in sources]), F.lit(1.0 / len(sources))

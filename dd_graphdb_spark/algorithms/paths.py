@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import PropertyGraph
-from dd_graphdb_spark.algorithms._iter import RoundPins, run_loop
+from dd_graphdb_spark.algorithms._iter import RoundPins, copartitioned, run_loop
 
 CHECKPOINT_EVERY = 4
 
@@ -74,7 +74,11 @@ def _sssp_loop(
         w = F.coalesce(F.col(weight_property).cast("double"), F.lit(default_weight))
     else:
         w = F.lit(default_weight)
-    edges = e.select("src", "dst", w.alias("w")).localCheckpoint(eager=True)
+    # partitioned + sorted on the per-round join key ONCE — each relax
+    # round then exchanges only the frontier (see copartitioned; the
+    # unpartitioned checkpoint re-shuffled all ~400 M sf10 colocation
+    # edges every round: 1372 s → edge-linear after this)
+    edges = copartitioned(e.select("src", "dst", w.alias("w")), "src")
 
     # per-round state (dist carries path strings) is re-checkpointed each
     # round; release superseded rounds eagerly (see RoundPins)
@@ -174,7 +178,7 @@ def _bfs_shortest_path_loop(
     e = g.edges.select("src", "dst", "label")
     if label is not None:
         e = e.filter(F.col("label") == label)
-    e = e.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = copartitioned(e.select("src", "dst").distinct(), "src")
 
     # visited is CUMULATIVE: each round re-checkpoints a full copy, so
     # superseded rounds must be released as they go (see RoundPins)
@@ -214,7 +218,7 @@ def _reachability_loop(g: PropertyGraph, source: int, max_iterations: int = 50) 
     """All vertices reachable from ``source`` (the seed included), as
     (id). Fixpoint reach ∪ (reach ⋈ edges) with a delta frontier so each
     round only expands newly found vertices."""
-    e = g.edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    e = copartitioned(g.edges.select("src", "dst").distinct(), "src")
     pins = RoundPins(g.vertices.sparkSession)
     reach = pins.materialize(g.vertices.select("id").filter(F.col("id") == source))
     frontier = reach

@@ -864,7 +864,7 @@ class GQLEngine:
         end. Mirrors the reference's routed shortest-path result shape
         (dist/path — incremental_engine.rs:1214-1285) with Cypher
         shortestPath (hop) semantics; unreachable ⇒ no row."""
-        from dd_graphdb_spark.algorithms._iter import materialize, run_loop
+        from dd_graphdb_spark.algorithms._iter import copartitioned, materialize, run_loop
 
         e, a, b, p = sp.edge, sp.src, sp.dst, sp.pvar
         base = (
@@ -887,8 +887,12 @@ class GQLEngine:
         seed = adf.select(F.col(f"{a.var}__id").alias(start))
 
         def _bfs(_g) -> DataFrame:
+            # checkpoint the edge set partitioned + sorted on the
+            # per-round join key (inside run_loop so the bracket frees
+            # its blocks) — each round then exchanges only the frontier
+            fixed = copartitioned(base, "_b_src")
             hop1 = (
-                seed.join(base, F.col(start) == F.col("_b_src"))
+                seed.join(fixed, F.col(start) == F.col("_b_src"))
                 .select(
                     F.col(start),
                     F.col("_b_dst").alias(end),
@@ -921,7 +925,7 @@ class GQLEngine:
                 if frontier.isEmpty():
                     break  # all reachable pairs settled — stop early
                 ext = (
-                    frontier.join(base, F.col(end) == F.col("_b_src"))
+                    frontier.join(fixed, F.col(end) == F.col("_b_src"))
                     .select(
                         F.col(start),
                         F.col("_b_dst").alias(end),
