@@ -270,6 +270,9 @@ class ShortestPathPattern:
     src: NodePattern
     edge: EdgePattern
     dst: NodePattern
+    #: allShortestPaths((a)-[*..n]->(b)) — one row per TIED-minimum path
+    #: instead of the single lexicographic winner (Cypher semantics)
+    all_paths: bool = False
 
     @property
     def nodes(self):  # endpoint vars participate like pattern nodes
@@ -370,6 +373,19 @@ class MatchSetStatement:
     assignments: list  # [(var, prop, literal), ...] — Cypher SET semantics
 
 
+@dataclass
+class UnionStatement:
+    """``<query> UNION [ALL] <query> [UNION [ALL] <query> ..]`` between
+    full read statements (Cypher UNION; beyond the reference — its
+    parser never compiled, SURVEY §0.1, so Cypher-standard semantics are
+    the bar): plain UNION dedups the combined rows, UNION ALL keeps
+    duplicates; all parts must produce the SAME column names in the same
+    order, and one query cannot mix UNION with UNION ALL."""
+
+    parts: list  # [MatchStatement, ...] — read statements only
+    all: bool = False
+
+
 # --------------------------------------------------------------------------- lexer
 _TOKEN_RE = re.compile(
     r"""\s*(?:
@@ -377,7 +393,7 @@ _TOKEN_RE = re.compile(
         |\bDISTINCT\b|\bORDER\b|\bBY\b|\bSKIP\b|\bLIMIT\b|\bASC\b|\bDESC\b
         |\bcount\b|\bsum\b|\bavg\b|\bmin\b|\bmax\b|\bcollect\b
         |\bCONTAINS\b|\bSTARTS\b|\bENDS\b|\bWITH\b|\bIN\b|\bSET\b
-        |\bIS\b|\bNOT\b|\bUNWIND\b
+        |\bIS\b|\bNOT\b|\bUNWIND\b|\bUNION\b|\bALL\b
         |\btrue\b|\bfalse\b|\bnull\b)
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'[^']*'|"[^"]*")
@@ -416,7 +432,7 @@ _NAMEABLE_KEYWORDS = frozenset(
         "DISTINCT", "ORDER", "BY", "SKIP", "LIMIT", "ASC", "DESC",
         "COUNT", "SUM", "AVG", "MIN", "MAX", "COLLECT",
         "CONTAINS", "STARTS", "ENDS", "WITH", "IN", "SET", "AS", "IS", "NOT",
-        "UNWIND",
+        "UNWIND", "UNION", "ALL",
     }
 )
 
@@ -630,7 +646,40 @@ class _Parser:
         # list surface: range is inclusive on both ends (Cypher ≡ Spark
         # sequence ≡ DuckDB generate_series); head/last of empty → NULL
         "range": (2, 3), "head": 1, "last": 1, "tail": 1,
+        # temporal surface: date/datetime CONVERT a value (string in
+        # Cypher's ISO format, or an existing temporal) — the 0-arg
+        # "now" forms are deliberately absent (a query result must be a
+        # pure function of the graph — the oracle-parity contract);
+        # duration takes a LITERAL ISO-8601 string ('P1DT2H30M') and
+        # lowers to a Spark interval, composing with +/- on temporals.
+        # Components are POSTFIX properties (Cypher): date(x).year,
+        # o.orderdate.month — see _postfix/_TEMPORAL_COMPS.
+        "date": 1, "datetime": 1, "duration": 1,
     }
+
+    #: Cypher temporal-instant component properties (postfix .comp on
+    #: any expression). dayofweek is ISO (1 = Monday) like Cypher;
+    #: epochseconds matches datetime().epochSeconds.
+    _TEMPORAL_COMPS = frozenset(
+        {
+            "year", "quarter", "month", "week", "day",
+            "hour", "minute", "second", "dayofweek", "epochseconds",
+        }
+    )
+
+    def _postfix(self, node):
+        """Temporal component access: <expr>.year / .month / ... —
+        accepted after a function call, parenthesized expression, or
+        property reference (``o.ts.year`` reads component ``year`` of
+        property ``ts``). Lowered via the ``_temporal_*`` scalar fns."""
+        while (
+            self.peek() == ("punct", ".")
+            and self.toks[self.i + 1][1].lower() in self._TEMPORAL_COMPS
+        ):
+            self.next()
+            comp = self.expect_name().lower()
+            node = FuncCall(f"_temporal_{comp}", [node])
+        return node
 
     def at_expr_operand(self) -> bool:
         k, v = self.peek()
@@ -736,7 +785,7 @@ class _Parser:
             self.next()
             inner = self.expr()
             self.expect("punct", ")")
-            return inner
+            return self._postfix(inner)
         if v == "-" and k == "punct":
             self.next()
             return Arith("-", 0, self.factor())
@@ -792,11 +841,11 @@ class _Parser:
                 raise ValueError(
                     f"GQL parse error: {name}() takes {want} argument(s)"
                 )
-            return FuncCall(fname, args)
+            return self._postfix(FuncCall(fname, args))
         if self.at_name():
             var = self.next()[1]
             if self.accept("punct", "."):
-                return PropRef(var, self.expect_name())
+                return self._postfix(PropRef(var, self.expect_name()))
             return PropRef(var, None)
         return self.literal()
 
@@ -1165,7 +1214,7 @@ class _Parser:
     def _shortest_path_pattern(self) -> ShortestPathPattern:
         pvar = self.expect_name()
         self.expect("op", "=")
-        self.next()  # the shortestPath identifier itself
+        all_paths = self.next()[1].lower() == "allshortestpaths"
         self.expect("punct", "(")
         src = self.node()
         edge = self.edge()
@@ -1198,13 +1247,13 @@ class _Parser:
                 "GQL parse error: shortestPath endpoints must be distinct "
                 f"variables (both are {src.var!r})"
             )
-        return ShortestPathPattern(pvar, src, edge, dst)
+        return ShortestPathPattern(pvar, src, edge, dst, all_paths=all_paths)
 
     def _at_shortest_path(self) -> bool:
         return (
             self.at_name()
             and self.toks[self.i + 1] == ("op", "=")
-            and self.toks[self.i + 2][1].lower() == "shortestpath"
+            and self.toks[self.i + 2][1].lower() in ("shortestpath", "allshortestpaths")
         )
 
     def _at_path_assignment(self) -> bool:
@@ -1316,6 +1365,26 @@ class _Parser:
 def parse_gql(text: str):
     p = _Parser(_tokenize(text))
     stmt = p.statement()
+    if p.peek()[0] == "UNION":
+        parts, mode = [stmt], None
+        while p.accept("UNION"):
+            this_all = bool(p.accept("ALL"))
+            if mode is None:
+                mode = this_all
+            elif mode != this_all:
+                # Neo4j's own rule: one query can't mix the two
+                raise ValueError(
+                    "GQL parse error: cannot mix UNION and UNION ALL in "
+                    "one query"
+                )
+            parts.append(p.statement())
+        for s in parts:
+            if not isinstance(s, MatchStatement):
+                raise ValueError(
+                    "GQL parse error: UNION combines read queries only "
+                    f"(got {type(s).__name__})"
+                )
+        stmt = UnionStatement(parts, all=bool(mode))
     if p.peek()[0] != "EOF":
         raise ValueError(f"GQL parse error: trailing tokens at {p.peek()[1]!r}")
     return stmt

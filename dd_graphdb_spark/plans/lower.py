@@ -54,6 +54,7 @@ from dd_graphdb_spark.plans.gql import (
     NodePattern,
     PathPattern,
     ShortestPathPattern,
+    UnionStatement,
     parse_gql,
 )
 
@@ -132,6 +133,24 @@ _SCALAR_FNS = {
     "tail": lambda a: F.slice(
         a[0], 2, F.greatest(F.size(a[0]) - 1, F.lit(0))
     ),
+    # temporal conversions (duration is special-cased in _lower_expr —
+    # its ISO literal becomes a static interval). A malformed string →
+    # NULL on both engines (cast semantics), like toInteger.
+    "date": lambda a: a[0].cast("date"),
+    "datetime": lambda a: a[0].cast("timestamp"),
+    # postfix temporal components (parser _postfix → _temporal_* calls).
+    # dayofweek is ISO 1=Monday (Cypher); Spark's dayofweek() is
+    # 1=Sunday, weekday() is 0=Monday — weekday()+1 is the Cypher form.
+    "_temporal_year": lambda a: F.year(a[0]),
+    "_temporal_quarter": lambda a: F.quarter(a[0]),
+    "_temporal_month": lambda a: F.month(a[0]),
+    "_temporal_week": lambda a: F.weekofyear(a[0]),
+    "_temporal_day": lambda a: F.dayofmonth(a[0]),
+    "_temporal_hour": lambda a: F.hour(a[0]),
+    "_temporal_minute": lambda a: F.minute(a[0]),
+    "_temporal_second": lambda a: F.second(a[0]),
+    "_temporal_dayofweek": lambda a: F.weekday(a[0]) + F.lit(1),
+    "_temporal_epochseconds": lambda a: F.unix_timestamp(a[0]),
 }
 
 
@@ -606,6 +625,31 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
                 _lower_expr(node.args[0], bare, bare_names),
                 re.escape(node.args[1]),
             )
+        if node.name == "duration":
+            # duration('P1DT2H30M') — ISO-8601, LITERAL only (the
+            # interval is baked into the plan; a column-valued duration
+            # has no static interval form). Composes with +/- on
+            # date/datetime expressions (Spark interval arithmetic).
+            if not isinstance(node.args[0], str):
+                raise ValueError(
+                    "duration(s): s must be an ISO-8601 string literal "
+                    "like 'P1DT2H30M'"
+                )
+            m = re.fullmatch(
+                r"P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?"
+                r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?",
+                node.args[0],
+            )
+            if m is None or not any(m.groups()):
+                raise ValueError(
+                    f"duration(): {node.args[0]!r} is not an ISO-8601 "
+                    "duration (expected e.g. 'P3D', 'PT2H30M', 'P1Y2M')"
+                )
+            y, mo, w, d, h, mi, s = (g or "0" for g in m.groups())
+            return F.make_interval(
+                F.lit(int(y)), F.lit(int(mo)), F.lit(int(w)), F.lit(int(d)),
+                F.lit(int(h)), F.lit(int(mi)), F.lit(float(s)),
+            )
         if node.name == "round":
             # scale must be a literal int: F.round's second arg is not
             # a column, and a non-constant scale has no SQL equivalent.
@@ -777,6 +821,8 @@ class GQLEngine:
 
     def execute(self, query: str) -> DataFrame:
         stmt = parse_gql(query)
+        if isinstance(stmt, UnionStatement):
+            return self._execute_union(stmt)
         if isinstance(stmt, MatchStatement):
             return self._execute_match(stmt)
         if isinstance(
@@ -793,6 +839,30 @@ class GQLEngine:
                 raise ValueError("mutations require a GraphStore (pass store=)")
             return self.store.execute_mutation(stmt, self)
         raise ValueError(f"unsupported statement {type(stmt).__name__}")
+
+    def _execute_union(self, stmt: UnionStatement) -> DataFrame:
+        """UNION [ALL] between read queries (Cypher semantics; beyond the
+        reference, whose parser never compiled — SURVEY §0.1): all parts
+        must return the SAME column names in the same order; plain UNION
+        dedups the combined rows.
+
+        Spark shape: unionByName over the lowered parts — a pure narrow
+        concatenation; the dedup variant adds ONE shuffle on all
+        columns. Each part keeps its own optimized plan (pushdowns,
+        broadcast choices are per-branch)."""
+        frames = [self._execute_match(p) for p in stmt.parts]
+        cols0 = frames[0].columns
+        for i, f in enumerate(frames[1:], start=2):
+            if f.columns != cols0:
+                raise ValueError(
+                    "GQL error: all queries in a UNION must return the "
+                    f"same columns — part 1 returns {cols0}, part {i} "
+                    f"returns {f.columns}"
+                )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out if stmt.all else out.distinct()
 
     # -- pattern matching ----------------------------------------------------
     def _var_length_pairs(self, e, evar: str, tag: str) -> DataFrame:
@@ -859,6 +929,19 @@ class GQLEngine:
         shortestPath rule) — a lower bound > 1 would ask for
         longer-but-qualifying walks the reduction prunes.
 
+        ``allShortestPaths`` (sp.all_paths) keeps EVERY tied-minimum
+        path instead of the lexicographic winner: the per-hop min(path)
+        reduction is simply dropped — a length-h shortest path's prefix
+        is itself a shortest path to its hop-(h-1) vertex (else the full
+        path would be shorter), so extending ALL shortest paths of the
+        pairs settled last round enumerates exactly the shortest paths
+        of the pairs settling this round; the settled-PAIR anti-join is
+        unchanged. Extensions are duplicate-free without a distinct:
+        ``base`` is distinct and a path string determines its (prefix,
+        last-edge) decomposition uniquely. Per-round state is bounded by
+        tied-path counts (inherent to the ask — Cypher returns one row
+        per path), not pairs.
+
         Seeding from the filtered source side keeps every round sized
         by the SELECTED sources; the filtered target side joins at the
         end. Mirrors the reference's routed shortest-path result shape
@@ -886,14 +969,25 @@ class GQLEngine:
         lo = max(e.min_hops, 0)
         seed = adf.select(F.col(f"{a.var}__id").alias(start))
 
+        def _reduce(cands: DataFrame, h: int) -> DataFrame:
+            """Per-hop reduction: one winner per pair (shortestPath) or
+            every tied path (allShortestPaths — no reduction needed,
+            see docstring)."""
+            if sp.all_paths:
+                return cands.select(start, end, F.lit(h).alias(hops), path)
+            return (
+                cands.groupBy(start, end)
+                .agg(F.min(path).alias(path))
+                .select(start, end, F.lit(h).alias(hops), path)
+            )
+
         def _bfs(_g) -> DataFrame:
             # checkpoint the edge set partitioned + sorted on the
             # per-round join key (inside run_loop so the bracket frees
             # its blocks) — each round then exchanges only the frontier
             fixed = copartitioned(base, "_b_src")
-            hop1 = (
-                seed.join(fixed, F.col(start) == F.col("_b_src"))
-                .select(
+            hop1 = _reduce(
+                seed.join(fixed, F.col(start) == F.col("_b_src")).select(
                     F.col(start),
                     F.col("_b_dst").alias(end),
                     F.concat(
@@ -901,10 +995,8 @@ class GQLEngine:
                         F.lit("->"),
                         F.col("_b_dst").cast("string"),
                     ).alias(path),
-                )
-                .groupBy(start, end)
-                .agg(F.min(path).alias(path))
-                .select(start, end, F.lit(1).alias(hops), path)
+                ),
+                1,
             )
             # only frontiers are checkpointed; `best` stays a lazy union
             # of already-stored frames (flat lineage, no extra jobs)
@@ -924,18 +1016,15 @@ class GQLEngine:
             for h in range(2, e.max_hops + 1):
                 if frontier.isEmpty():
                     break  # all reachable pairs settled — stop early
-                ext = (
-                    frontier.join(fixed, F.col(end) == F.col("_b_src"))
-                    .select(
+                ext = _reduce(
+                    frontier.join(fixed, F.col(end) == F.col("_b_src")).select(
                         F.col(start),
                         F.col("_b_dst").alias(end),
                         F.concat(
                             F.col(path), F.lit("->"), F.col("_b_dst").cast("string")
                         ).alias(path),
-                    )
-                    .groupBy(start, end)
-                    .agg(F.min(path).alias(path))
-                    .select(start, end, F.lit(h).alias(hops), path)
+                    ),
+                    h,
                 )
                 frontier = materialize(ext.join(best, [start, end], "left_anti"))
                 best = best.unionByName(frontier)

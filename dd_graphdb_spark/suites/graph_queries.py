@@ -1365,6 +1365,132 @@ def gql_with_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GQL UNION (dedup) between full read queries — Cypher semantics (beyond
+# the reference: its gql.pest never compiled, SURVEY §0.1). The two parts
+# project OVERLAPPING segment sets, so the dedup is observable (plain
+# concatenation would return ~2x the rows).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_union",
+    GRAPH_CTE
+    + """
+    SELECT mktsegment AS seg FROM vertices
+    WHERE label = 'Customer' AND acctbal > 9000.0
+    UNION
+    SELECT mktsegment AS seg FROM vertices
+    WHERE label = 'Customer' AND acctbal < 1000.0
+    """,
+)
+def gql_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer) WHERE c.acctbal > 9000.0 RETURN c.mktsegment AS seg "
+        "UNION "
+        "MATCH (c:Customer) WHERE c.acctbal < 1000.0 RETURN c.mktsegment AS seg"
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQL UNION ALL — keeps duplicates (bag concatenation, zero shuffle: a
+# unionByName of the two branch plans).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_union_all",
+    GRAPH_CTE
+    + """
+    SELECT name AS nm FROM vertices WHERE label = 'Supplier'
+    UNION ALL
+    SELECT name AS nm FROM vertices
+    WHERE label = 'Customer' AND acctbal > 8000.0
+    """,
+)
+def gql_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (s:Supplier) RETURN s.name AS nm "
+        "UNION ALL "
+        "MATCH (c:Customer) WHERE c.acctbal > 8000.0 RETURN c.name AS nm"
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQL allShortestPaths on a diamond fixture with THREE tied 2-hop paths
+# (1->2->5, 1->3->5, 1->4->5) plus a longer decoy route (1->6->7->5) and
+# a noise edge (2->3): one row per tied-minimum path (Cypher), where
+# shortestPath returns only the lexicographic winner. Oracle: recursive
+# walk enumeration + min-hop filter.
+# ---------------------------------------------------------------------------
+_ASP_EDGES = [(1, 2), (1, 3), (1, 4), (2, 5), (3, 5), (4, 5), (1, 6), (6, 7), (7, 5), (2, 3)]
+
+
+@_q(
+    "gql_all_shortest_paths",
+    f"""
+    WITH RECURSIVE e(src, dst) AS (VALUES {", ".join(f"({s}, {d})" for s, d in _ASP_EDGES)}),
+    walks(dst, hops, path) AS (
+        SELECT dst, 1, '1->' || dst::VARCHAR FROM e WHERE src = 1
+        UNION ALL
+        SELECT x.dst, w.hops + 1, w.path || '->' || x.dst::VARCHAR
+        FROM walks w JOIN e x ON w.dst = x.src WHERE w.hops < 4
+    )
+    SELECT hops::BIGINT AS hops, path FROM walks
+    WHERE dst = 5 AND hops = (SELECT MIN(hops) FROM walks WHERE dst = 5)
+    """,
+)
+def gql_all_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.suites.algorithms import fixture_graph
+
+    g = fixture_graph(spark, range(1, 8), _ASP_EDGES)
+    eng = GQLEngine(g)
+    return eng.execute(
+        "MATCH p = allShortestPaths((a {id: 1})-[:link*1..4]->(b {id: 5})) "
+        "RETURN p.hops AS hops, p.path AS path"
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQL temporal surface over an events-derived graph (event vertices carry
+# a real timestamp property): date()/datetime() conversion, duration()
+# interval arithmetic in WHERE, and postfix component access
+# (.week / .dayofweek — ISO 1=Monday on both engines) feeding an
+# implicit-grouping aggregate.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_temporal",
+    """
+    SELECT week(ts)::BIGINT AS wk, isodow(ts)::BIGINT AS dow,
+           COUNT(*) AS n_events
+    FROM events
+    WHERE ts + INTERVAL 12 HOUR >= TIMESTAMP '2024-01-15 00:00:00'
+      AND CAST(ts AS DATE) >= DATE '2024-01-10'
+    GROUP BY wk, dow ORDER BY wk, dow
+    """,
+)
+def gql_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.graph import read_events
+
+    ev = read_events(spark, sf_dir)
+    verts = ev.select(
+        F.col("event_id").cast("long").alias("id"),
+        F.lit("Event").alias("label"),
+        F.col("ts"),
+    )
+    edges = ev.select(
+        F.col("event_id").cast("long").alias("src"),
+        F.col("user_id").cast("long").alias("dst"),
+        F.lit("by").alias("label"),
+    )
+    eng = GQLEngine(PropertyGraph(verts, edges))
+    return eng.execute(
+        "MATCH (e:Event) "
+        "WHERE e.ts + duration('PT12H') >= datetime('2024-01-15T00:00:00') "
+        "AND date(e.ts) >= date('2024-01-10') "
+        "RETURN e.ts.week AS wk, e.ts.dayofweek AS dow, count(e) AS n_events "
+        "ORDER BY wk, dow"
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

@@ -1649,3 +1649,177 @@ def test_entity_functions_reject_property_arg(people_graph):
         _engine(people_graph).execute(
             "MATCH (v:Person) RETURN id(v.name) AS x"
         )
+
+
+# --------------------------------------------------------------------------- UNION
+def test_union_dedups(people_graph):
+    # both branches return Bob (age 25) — plain UNION keeps one row
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE v.age <= 30 RETURN v.name AS nm "
+        "UNION MATCH (v:Person) WHERE v.age >= 25 RETURN v.name AS nm"
+    )
+    assert sorted(r["nm"] for r in df.collect()) == ["Alice", "Bob", "Charlie"]
+
+
+def test_union_all_keeps_duplicates(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE v.age <= 30 RETURN v.name AS nm "
+        "UNION ALL MATCH (v:Person) WHERE v.age >= 25 RETURN v.name AS nm"
+    )
+    assert sorted(r["nm"] for r in df.collect()) == [
+        "Alice", "Alice", "Bob", "Bob", "Charlie",
+    ]
+
+
+def test_union_three_parts(people_graph):
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE v.age = 25 RETURN v.name AS nm "
+        "UNION MATCH (v:Person) WHERE v.age = 30 RETURN v.name AS nm "
+        "UNION MATCH (v:Person) WHERE v.age = 35 RETURN v.name AS nm"
+    )
+    assert df.count() == 3
+
+
+def test_union_rejects_mixed_modes(people_graph):
+    with pytest.raises(ValueError, match="cannot mix UNION and UNION ALL"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN v.name AS a "
+            "UNION MATCH (v:Person) RETURN v.name AS a "
+            "UNION ALL MATCH (v:Person) RETURN v.name AS a"
+        )
+
+
+def test_union_rejects_column_mismatch(people_graph):
+    with pytest.raises(ValueError, match="same columns"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) RETURN v.name AS a "
+            "UNION MATCH (v:Person) RETURN v.name AS b"
+        )
+
+
+def test_union_quantified_all_still_parses(people_graph):
+    # ALL became a keyword for UNION ALL — the all() quantifier and
+    # identifiers named 'all' must keep working
+    df = _engine(people_graph).execute(
+        "MATCH (v:Person) WHERE all(x IN [1, 2] WHERE x > 0) "
+        "RETURN count(v) AS all"
+    )
+    assert df.collect()[0]["all"] == 3
+
+
+# --------------------------------------------------------------------------- allShortestPaths
+def test_all_shortest_paths_returns_ties(spark):
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame([(i, "N") for i in range(1, 6)], "id long, label string")
+    # two tied 2-hop routes 1->2->4 / 1->3->4 plus a 3-hop decoy 1->5->2->4
+    e = spark.createDataFrame(
+        [(1, 2, "x"), (1, 3, "x"), (2, 4, "x"), (3, 4, "x"), (1, 5, "x"), (5, 2, "x")],
+        "src long, dst long, label string",
+    )
+    df = _engine(PropertyGraph(v, e)).execute(
+        "MATCH p = allShortestPaths((a {id: 1})-[*1..4]->(b {id: 4})) "
+        "RETURN p.hops AS hops, p.path AS path"
+    )
+    rows = sorted((r["hops"], r["path"]) for r in df.collect())
+    assert rows == [(2, "1->2->4"), (2, "1->3->4")]
+
+
+def test_all_shortest_paths_single_winner_when_unique(diamond_graph):
+    df = _engine(diamond_graph).execute(
+        "MATCH p = allShortestPaths((a {name: 'a'})-[*1..5]->(b {name: 'd'})) "
+        "RETURN p.path AS path"
+    )
+    assert [r["path"] for r in df.collect()] == ["1->4"]
+
+
+# --------------------------------------------------------------------------- temporal
+@pytest.fixture()
+def event_graph(spark):
+    import datetime
+
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [
+            (1, "Event", datetime.datetime(2024, 3, 5, 14, 30, 15)),
+            (2, "Event", datetime.datetime(2023, 12, 31, 23, 59, 59)),
+        ],
+        "id long, label string, ts timestamp",
+    )
+    e = spark.createDataFrame([], "src long, dst long, label string")
+    return PropertyGraph(v, e)
+
+
+def test_temporal_components(event_graph):
+    rows = (
+        _engine(event_graph)
+        .execute(
+            "MATCH (e:Event) RETURN e.ts.year AS y, e.ts.quarter AS q, "
+            "e.ts.month AS mo, e.ts.day AS d, e.ts.hour AS h, "
+            "e.ts.minute AS mi, e.ts.second AS s, e.ts.dayofweek AS dow "
+            "ORDER BY y"
+        )
+        .collect()
+    )
+    # 2023-12-31 is a Sunday (ISO dow 7); 2024-03-05 a Tuesday (2)
+    assert (rows[0]["y"], rows[0]["mo"], rows[0]["dow"]) == (2023, 12, 7)
+    assert (rows[1]["y"], rows[1]["q"], rows[1]["mo"], rows[1]["d"]) == (2024, 1, 3, 5)
+    assert (rows[1]["h"], rows[1]["mi"], rows[1]["s"], rows[1]["dow"]) == (14, 30, 15, 2)
+
+
+def test_temporal_conversions_and_duration(event_graph):
+    rows = (
+        _engine(event_graph)
+        .execute(
+            "MATCH (e:Event) "
+            "WHERE e.ts >= datetime('2024-01-01T00:00:00') "
+            "RETURN date(e.ts) AS d, (e.ts + duration('P1DT2H')).day AS nd"
+        )
+        .collect()
+    )
+    assert len(rows) == 1
+    assert str(rows[0]["d"]) == "2024-03-05" and rows[0]["nd"] == 6
+
+
+def test_temporal_postfix_on_parenthesized(event_graph):
+    rows = (
+        _engine(event_graph)
+        .execute(
+            "MATCH (e:Event) RETURN (e.ts - duration('PT2H30M')).hour AS h "
+            "ORDER BY h"
+        )
+        .collect()
+    )
+    assert [r["h"] for r in rows] == [12, 21]
+
+
+def test_duration_rejects_non_literal(event_graph):
+    with pytest.raises(ValueError, match="ISO-8601 string literal"):
+        _engine(event_graph).execute(
+            "MATCH (e:Event) RETURN e.ts + duration(e.ts) AS x"
+        )
+
+
+def test_duration_rejects_malformed(event_graph):
+    with pytest.raises(ValueError, match="not an ISO-8601"):
+        _engine(event_graph).execute(
+            "MATCH (e:Event) RETURN e.ts + duration('3 days') AS x"
+        )
+
+
+def test_property_named_like_component_still_property(spark):
+    # v.year must read the PROPERTY year (first dot = property access);
+    # only a SECOND dot reaches temporal components
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [(1, "Y", 1999)], "id long, label string, year long"
+    )
+    e = spark.createDataFrame([], "src long, dst long, label string")
+    rows = (
+        _engine(PropertyGraph(v, e))
+        .execute("MATCH (v:Y) RETURN v.year AS y")
+        .collect()
+    )
+    assert rows[0]["y"] == 1999
