@@ -58,182 +58,149 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# Rotation policy (round 8): (1) the 5 NEW oracle-checked queries
-# (gql_shortest_path_clique — the adversarial frontier-BFS gate,
-# view_ttl_refresh, gql_path_variable, gql_case_expr,
-# gql_remove_detach_delete); (2) ALL 32 queries whose newest driver
-# record was still round 4 (VERDICT r7 "What's wrong #3": algo fixtures,
-# traversals ×4, dedup ×4, sampling ×2, q1/top_n/window_running_total,
-# asof/rollup/sessionize, view_incremental_kcore/triangles,
-# stream_live_interval_join, fn_json_props, embedding_covariance,
-# distinct_exact_vs_approx, sketch_quantile_bounds,
-# degree_top_customers); (3) the next-stalest r5 rows fill the window
-# to 50. The r7-recorded block moves to the END (freshest last). NEW
-# queries with oracles must be inserted at the TOP.
+# ROTATION CALENDAR (registry 197 > 50/window, so a full re-record
+# takes 4 rounds; every round: new queries at the TOP, then the
+# oldest-recorded block, fill to 50 with the rows most affected by
+# the round's engine changes; freshest block moves to the END):
+#   r9  = 4 new + ALL 43 r5-stale + 3 r6 picks (this list)
+#   r10 = r10's new + the r6-recorded block
+#   r11 = r11's new + the r7-recorded block
+#   r12 = r12's new + the r8-recorded block — then the cycle repeats,
+# so no query's newest driver row ever ages past 4 rounds.
 GATE_PRIORITY = [
-    "gql_keys_props",
-    "gql_arith_entity",
-    "gql_in_list_expr",
-    "gql_reduce",
-    "gql_list_comprehension",
-    "gql_quantified_pred",
-    "gql_unwind_range",
-    "gql_list_funcs",
-    "gql_orderby_expr",
-    "gql_agg_stats",
-    "gql_string_funcs",
-    "gql_entity_funcs",
-    "gql_regex_match",
-    "gql_shortest_path_clique",
-    "view_ttl_refresh",
-    "gql_path_variable",
-    "gql_case_expr",
-    "gql_remove_detach_delete",
-    "algo_sssp_fixture",
-    "algo_bfs_full",
-    "algo_scc_fixture",
-    "algo_betweenness_fixture",
-    "algo_closeness_fixture",
-    "algo_component_count",
-    "algo_degree_centrality",
-    "events_sessionize",
-    "asof_purchase_attribution",
-    "events_time_rollup",
-    "distinct_exact_vs_approx",
-    "sample_stratified_docs",
-    "sample_topk_per_stratum",
-    "sketch_quantile_bounds",
-    "embedding_covariance",
-    "stream_live_interval_join",
-    "fn_json_props",
-    "view_incremental_triangles",
-    "view_incremental_kcore",
-    "dedup_cluster_survivors",
-    "window_running_total",
-    "traverse_out_neighbors",
-    "traverse_in_neighbors",
-    "traverse_all_neighbors",
-    "traverse_2hop",
-    "degree_top_customers",
-    "algo_triangle_colocation",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "q1_pricing_summary",
-    "top_n_orders",
-    "gql_var_length",
-    "gql_optional_match",
-    "curation_mixture_sample",
-    "curation_chunk_docs",
-    "gql_string_predicates",
-    "window_ntile_lead",
-    "embedding_group_centroids",
-    "gql_match_set",
-    "stream_live_left_outer_join",
-    "algo_lpa_colocation",
-    "stream_live_static_enrich",
-    "gql_merge",
-    "view_incremental_centroids",
-    "view_gql_materialized",
-    "gql_prop_compare",
-    "algo_scc_colocation",
-    "gql_with_having",
-    "gql_multi_match",
+    # ---- r9 window (driver records the FIRST 50) ----
+    # (1) the 4 NEW oracle-checked queries (GQL UNION/UNION ALL,
+    # allShortestPaths diamond fixture, temporal surface)
+    "gql_union",
+    "gql_union_all",
+    "gql_all_shortest_paths",
+    "gql_temporal",
+    # (2) ALL 43 queries whose newest driver record is round 5 (the
+    # VERDICT-r8 rotation calendar: r9 re-records the r5-stale block)
     "algo_bfs_region",
-    "view_incremental_minhash",
-    "sim_ann_recall",
+    "algo_lpa_colocation",
+    "algo_lpa_fixture",
     "algo_pagerank_weighted",
-    "gql_set_edge",
-    "sim_lsh_recall",
-    "mutation_cdc_changes",
-    "view_incremental_cdc",
+    "algo_scc_colocation",
+    "cube_status_priority",
+    "curation_chunk_docs",
     "curation_contamination",
+    "curation_mixture_sample",
     "curation_pack_sequences",
     "curation_repetition",
-    "cube_status_priority",
-    "algo_lpa_fixture",
-    "range_join_value_bands",
-    "text_bpe_token_count",
-    "view_incremental_lpa",
-    "gql_order_skip_limit",
+    "embedding_group_centroids",
+    "gql_agg_per_nation",
     "gql_count_per_nation",
     "gql_distinct_segments",
-    "gql_agg_per_nation",
+    "gql_match_set",
+    "gql_merge",
+    "gql_multi_match",
+    "gql_optional_match",
+    "gql_order_skip_limit",
+    "gql_prop_compare",
+    "gql_set_edge",
+    "gql_string_predicates",
+    "gql_var_length",
+    "gql_with_having",
     "group_by_agg_having",
     "join_revenue_per_region",
+    "mutation_cdc_changes",
+    "range_join_value_bands",
     "semi_join_customers_with_orders",
-    "set_union_distinct_nations",
     "set_intersect_nations",
-    "gql_order_hidden_prop",
-    "gql_anti_join_null",
-    "gql_count_distinct_segments",
-    "gql_agg_sum_avg",
-    "dedup_ngram_jaccard_skew",
-    "gql_collect_nations",
-    "algo_closeness_landmarks",
-    "algo_betweenness_landmarks",
-    "algo_pagerank_top3",
-    "embedding_pca_project",
-    "algo_eigenvector_fixture",
-    "dedup_ngram_jaccard",
+    "set_union_distinct_nations",
+    "sim_ann_recall",
+    "sim_lsh_recall",
+    "stream_live_left_outer_join",
+    "stream_live_static_enrich",
+    "text_bpe_token_count",
+    "view_gql_materialized",
+    "view_incremental_cdc",
+    "view_incremental_centroids",
+    "view_incremental_lpa",
+    "view_incremental_minhash",
+    "window_ntile_lead",
+    # (3) fill to 50 with the r6-stale rows most affected by this
+    # round's copartitioned-edges rewrite (SSSP + the BFS centralities)
     "algo_sssp_colocation",
-    "sim_ann_ivf_indexed",
-    "gql_with_passthrough",
-    "edges_between_lookup",
-    "fn_geo_enrich",
-    "stream_count_window",
-    "stream_live_count_window",
-    "common_neighbors_suppliers",
-    "skew_common_neighbors_events",
+    "algo_betweenness_landmarks",
+    "algo_closeness_landmarks",
+    # ---- r6-recorded block (next rotation window = r10) ----
+    "algo_eigenvector_fixture",
     "algo_kcore_colocation",
-    "algo_reachability_order",
+    "algo_pagerank_top3",
     "algo_ppr_customers",
-    "text_token_count",
-    "text_quality",
-    "text_lang_id",
-    "text_tfidf_topk",
-    "text_redact_pii",
-    "set_except_nations",
-    "window_topk_per_segment",
-    "window_lag_delta",
-    "rollup_status_priority",
+    "algo_reachability_order",
+    "common_neighbors_suppliers",
     "conditional_agg",
+    "db_stats",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_skew",
+    "distinct_segments",
+    "edges_between_lookup",
+    "embedding_pca_project",
+    "fn_geo_enrich",
+    "gql_agg_sum_avg",
+    "gql_anti_join_null",
+    "gql_collect_nations",
+    "gql_count_distinct_segments",
+    "gql_order_hidden_prop",
+    "gql_with_passthrough",
+    "mutation_apply_batch",
+    "mutation_occ_conflict",
+    "mutation_time_travel",
     "point_lookup_customer",
     "predicate_scan_customers",
-    "where_and_or",
-    "distinct_segments",
-    "db_stats",
+    "rollup_status_priority",
+    "set_except_nations",
+    "sim_ann_ivf_indexed",
+    "skew_common_neighbors_events",
+    "stream_count_window",
+    "stream_live_count_window",
+    "text_lang_id",
+    "text_quality",
+    "text_redact_pii",
+    "text_tfidf_topk",
+    "text_token_count",
+    "view_catalog_roundtrip",
+    "view_dependency_topo",
     "view_incremental_connectivity",
     "view_incremental_degree",
     "view_incremental_delta",
     "view_incremental_pagerank",
     "view_incremental_sssp",
     "view_incremental_stream",
-    "view_catalog_roundtrip",
-    "view_dependency_topo",
-    "mutation_apply_batch",
-    "mutation_occ_conflict",
-    "mutation_time_travel",
-    # ---- r7-recorded block (freshest driver rows — keep LAST) ----
-    "gql_with_orderby_limit",
-    "anti_join_customers_without_orders",
-    "text_bigram_lm_score",
-    "gql_merge_edge",
-    "gql_exists_pattern",
-    "gql_expr_arith",
-    "gql_expr_functions",
-    "gql_unwind",
-    "gql_shortest_path",
+    "where_and_or",
+    "window_lag_delta",
+    "window_topk_per_segment",
+    # ---- r7-recorded block ----
     "alert_anomaly_rule",
     "alert_pattern_rule",
     "alert_rate_rule",
     "alert_threshold_cooldown",
+    "algo_cc_derived",
+    "algo_pagerank_fixture",
+    "anti_join_customers_without_orders",
     "dedup_embedding_cosine",
     "dedup_simhash",
     "gql_create_delete",
+    "gql_exists_pattern",
+    "gql_expr_arith",
+    "gql_expr_functions",
+    "gql_incoming_edge",
+    "gql_inline_props",
+    "gql_match_edge",
+    "gql_match_filter",
+    "gql_merge_edge",
+    "gql_multi_hop",
+    "gql_shortest_path",
+    "gql_undirected",
+    "gql_unwind",
+    "gql_with_orderby_limit",
     "multimodal_binary_meta",
     "multimodal_decode_dims",
     "multimodal_feature_extract",
+    "multimodal_frame_sample",
     "mutation_vacuum_retention",
     "router_scoring_table",
     "sim_ann_ivf_topk",
@@ -255,16 +222,59 @@ GATE_PRIORITY = [
     "stream_session_window",
     "stream_sliding_window",
     "stream_tumbling_window",
+    "text_bigram_lm_score",
     "text_fingerprint",
-    "gql_match_filter",
-    "gql_match_edge",
-    "gql_multi_hop",
-    "gql_incoming_edge",
-    "gql_inline_props",
-    "gql_undirected",
-    "multimodal_frame_sample",
-    "algo_pagerank_fixture",
-    "algo_cc_derived",
+    # ---- r8-recorded block (freshest driver rows — keep LAST) ----
+    "algo_betweenness_fixture",
+    "algo_bfs_full",
+    "algo_closeness_fixture",
+    "algo_component_count",
+    "algo_degree_centrality",
+    "algo_scc_fixture",
+    "algo_sssp_fixture",
+    "algo_triangle_colocation",
+    "asof_purchase_attribution",
+    "dedup_cluster_survivors",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_signatures",
+    "degree_top_customers",
+    "distinct_exact_vs_approx",
+    "embedding_covariance",
+    "events_sessionize",
+    "events_time_rollup",
+    "fn_json_props",
+    "gql_agg_stats",
+    "gql_arith_entity",
+    "gql_case_expr",
+    "gql_entity_funcs",
+    "gql_in_list_expr",
+    "gql_keys_props",
+    "gql_list_comprehension",
+    "gql_list_funcs",
+    "gql_orderby_expr",
+    "gql_path_variable",
+    "gql_quantified_pred",
+    "gql_reduce",
+    "gql_regex_match",
+    "gql_remove_detach_delete",
+    "gql_shortest_path_clique",
+    "gql_string_funcs",
+    "gql_unwind_range",
+    "q1_pricing_summary",
+    "sample_stratified_docs",
+    "sample_topk_per_stratum",
+    "sketch_quantile_bounds",
+    "stream_live_interval_join",
+    "top_n_orders",
+    "traverse_2hop",
+    "traverse_all_neighbors",
+    "traverse_in_neighbors",
+    "traverse_out_neighbors",
+    "view_incremental_kcore",
+    "view_incremental_triangles",
+    "view_ttl_refresh",
+    "window_running_total",
 ]
 
 
