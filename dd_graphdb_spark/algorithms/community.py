@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from dd_graphdb_spark.graph import PropertyGraph
 from dd_graphdb_spark.algorithms._iter import RoundPins, copartitioned, run_loop
@@ -45,7 +44,6 @@ def _lpa_loop(
     )
     pins = RoundPins(g.vertices.sparkSession)
     labels = verts.withColumn("lbl", F.col("id"))
-    w = Window.partitionBy("id").orderBy(F.col("c").desc(), F.col("lbl").asc())
     for i in range(max_iterations):
         freq = (
             sym.join(labels.withColumnRenamed("id", "nbr"), sym.dst == F.col("nbr"))
@@ -53,10 +51,17 @@ def _lpa_loop(
             .groupBy("id", "lbl")
             .agg(F.count("*").alias("c"))
         )
+        # per-vertex argmax (count desc, label asc) as a HASH aggregate:
+        # max(struct(c, -lbl)) — NOT a row_number window. Round 1's freq
+        # is EDGE-sized (every neighbor still carries a distinct label),
+        # and a window must shuffle + SORT all of it per partition — the
+        # sf10 colocation graph (~400 M rows into 32 partitions) OOM'd a
+        # 64 g heap there; the aggregate form combines map-side and
+        # never sorts.
         pick = (
-            freq.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", F.col("lbl").alias("new_lbl"))
+            freq.groupBy("id")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("b"))
+            .select("id", (-F.col("b.nl")).alias("new_lbl"))
         )
         labels = (
             labels.join(pick, "id", "left")

@@ -533,9 +533,19 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
     if isinstance(node, ListExpr):
         return F.array(*[_lower_expr(i, bare, bare_names) for i in node.items])
     if isinstance(node, ReduceExpr):
+        # Spark's aggregate() requires merge-output type == accumulator
+        # type. A Python-int init lowers as INT, but any step touching a
+        # long property produces BIGINT — widen integer inits to LONG up
+        # front (fuzzer-found: reduce(acc = 0, t IN [0] | acc + t * v.a)
+        # over a long property failed DATATYPE_MISMATCH). A float-
+        # accumulating reduce needs a float init ('acc = 0.0'), same as
+        # Spark SQL's aggregate.
+        init = _lower_expr(node.init, bare, bare_names)
+        if isinstance(node.init, int) and not isinstance(node.init, bool):
+            init = init.cast("long")
         return F.aggregate(
             _lower_expr(node.source, bare, bare_names),
-            _lower_expr(node.init, bare, bare_names),
+            init,
             lambda acc, c: _lower_expr(
                 _subst_lambda_var(
                     _subst_lambda_var(node.step, node.acc, acc),

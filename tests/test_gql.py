@@ -1823,3 +1823,20 @@ def test_property_named_like_component_still_property(spark):
         .collect()
     )
     assert rows[0]["y"] == 1999
+
+
+def test_reduce_int_init_with_long_property(people_graph):
+    # fuzzer-found regression: integer init must widen to LONG so the
+    # merge lambda's BIGINT output matches the accumulator type
+    rows = (
+        _engine(people_graph)
+        .execute(
+            "MATCH (v:Person) "
+            "RETURN v.name AS nm, reduce(acc = 0, t IN [0, 2] | acc + t * v.age) AS r "
+            "ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["r"]) for r in rows] == [
+        ("Alice", 60), ("Bob", 50), ("Charlie", 70),
+    ]
