@@ -374,6 +374,25 @@ class MatchSetStatement:
 
 
 @dataclass
+class ForeachStatement:
+    """``MATCH .. [WHERE] FOREACH (x IN <list-expr> | SET x.p = lit, ..)``
+    — apply property updates to every vertex whose id appears in the
+    per-binding list (Cypher FOREACH's canonical mark-the-path use:
+    ``FOREACH (n IN nodes(p) | SET n.marked = true)``). Scope: the list
+    must evaluate to vertex IDS (nodes(p), a collected id list, or a
+    literal list) and the body is SET with literal values targeting the
+    loop variable — CREATE/MERGE/DELETE bodies and nested FOREACH are
+    rejected at parse (beyond the reference either way: its parser never
+    compiled, SURVEY §0.1)."""
+
+    pattern: PathPattern
+    where: object | None
+    lvar: str
+    source: object  # expression → list of vertex ids, per binding row
+    assignments: list  # [(prop, literal), ...] — applied to the loop var
+
+
+@dataclass
 class UnionStatement:
     """``<query> UNION [ALL] <query> [UNION [ALL] <query> ..]`` between
     full read statements (Cypher UNION; beyond the reference — its
@@ -1269,7 +1288,7 @@ class _Parser:
             where = self.where_expr() if self.accept("WHERE") else None
             if self.peek()[0] in ("DELETE", "SET") or self._ident_kw(
                 "DETACH"
-            ) or self._ident_kw("REMOVE"):
+            ) or self._ident_kw("REMOVE") or self._ident_kw("FOREACH"):
                 raise ValueError(
                     "GQL parse error: shortestPath patterns are read-only"
                 )
@@ -1317,6 +1336,38 @@ class _Parser:
                 if not self.accept("punct", ","):
                     break
             return MatchSetStatement(pattern, where, assigns)
+        if self._ident_kw("FOREACH"):
+            self.next()
+            self.expect("punct", "(")
+            lvar = self.expect_name()
+            self.expect("IN")
+            source = self.expr()
+            if not self.accept("punct", "|"):
+                raise ValueError(
+                    "GQL parse error: FOREACH (x IN <list> | SET x.prop = value, ..)"
+                )
+            if not self.accept("SET"):
+                raise ValueError(
+                    "GQL parse error: FOREACH supports a SET body only "
+                    "(CREATE/MERGE/DELETE bodies and nested FOREACH are "
+                    "not supported)"
+                )
+            assigns = []
+            while True:
+                var = self.expect_name()
+                if var != lvar:
+                    raise ValueError(
+                        f"GQL parse error: FOREACH SET targets the loop "
+                        f"variable {lvar!r}, got {var!r}"
+                    )
+                self.expect("punct", ".")
+                prop = self.expect_name()
+                self.expect("op", "=")
+                assigns.append((prop, self.literal()))
+                if not self.accept("punct", ","):
+                    break
+            self.expect("punct", ")")
+            return ForeachStatement(pattern, where, lvar, source, assigns)
         clauses = self._match_clauses()
         with_items = with_where = None
         post_clauses = []

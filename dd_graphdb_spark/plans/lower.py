@@ -46,6 +46,7 @@ from dd_graphdb_spark.plans.gql import (
     QuantPred,
     ReduceExpr,
     CreateStatement,
+    ForeachStatement,
     MatchDeleteStatement,
     MatchRemoveStatement,
     MatchSetStatement,
@@ -839,6 +840,7 @@ class GQLEngine:
             stmt,
             (
                 CreateStatement,
+                ForeachStatement,
                 MatchDeleteStatement,
                 MatchRemoveStatement,
                 MatchSetStatement,

@@ -726,6 +726,42 @@ class GraphStore:
             self._save_meta({"version": new_version})
             return out
 
+        from dd_graphdb_spark.plans.gql import ForeachStatement
+
+        if isinstance(stmt, ForeachStatement):
+            # FOREACH (x IN <id-list> | SET x.p = lit, ..): bind the
+            # pattern, lower the list expression per row (path functions
+            # over a bound path variable rewrite to p__nodes etc.),
+            # explode to the touched vertex-id set, apply the literal
+            # updates in ONE snapshot version. Cypher's per-element
+            # sequential semantics coincide with the set-at-once form
+            # because values are literals (last write of a duplicate
+            # prop wins via the dict fold below, same as Cypher).
+            from dd_graphdb_spark.plans.lower import (
+                _lower_expr,
+                _rewrite_path_funcs,
+            )
+
+            bindings = engine.match_bindings(stmt.pattern, stmt.where)
+            src = stmt.source
+            if getattr(stmt.pattern, "pvar", None):
+                has_varlen = any(
+                    e.min_hops is not None for e in stmt.pattern.edges
+                )
+                src = _rewrite_path_funcs(src, stmt.pattern.pvar, has_varlen)
+            ids = (
+                bindings.select(F.explode(_lower_expr(src)).alias("id"))
+                .select(F.col("id").cast("long").alias("id"))
+                .distinct()
+                .localCheckpoint(eager=True)  # settle before rewrite
+            )
+            props = dict(stmt.assignments)
+            v_df = self._updated_vertices_df(self.vertices(), ids, props)
+            new_version = self.version + 1
+            self._write_version(new_version, v_df, self.edges())
+            self._save_meta({"version": new_version})
+            return ids
+
         if isinstance(stmt, MatchDeleteStatement):
             bindings = engine.match_bindings(stmt.pattern, stmt.where)
             var = stmt.delete_var

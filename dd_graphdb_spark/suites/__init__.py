@@ -75,6 +75,7 @@ GATE_PRIORITY = [
     "gql_union_all",
     "gql_all_shortest_paths",
     "gql_temporal",
+    "gql_foreach",
     # (2) ALL 43 queries whose newest driver record is round 5 (the
     # VERDICT-r8 rotation calendar: r9 re-records the r5-stale block)
     "algo_bfs_region",

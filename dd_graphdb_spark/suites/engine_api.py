@@ -715,6 +715,53 @@ def gql_set_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+# ---------------------------------------------------------------------------
+# GQL FOREACH: mark every node of a matched path (the Cypher-canonical
+# use — FOREACH (n IN nodes(p) | SET n.marked = true)); one snapshot
+# version for the whole statement. The unmatched vertex keeps a NULL
+# marked property.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_foreach",
+    """
+    SELECT * FROM (VALUES
+        (1::BIGINT, 'Ann', '1'),
+        (2::BIGINT, 'Ben', '1'),
+        (3::BIGINT, 'Cal', NULL::VARCHAR)
+    ) t(id, name, marked)
+    """,
+)
+def gql_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph({"name": "string", "marked": "long"}),
+            store=store,
+        )
+
+    engine().execute(
+        "CREATE (a:Person {name: 'Ann'})-[:knows]->(b:Person {name: 'Ben'})"
+    )
+    engine().execute("CREATE (c:Person {name: 'Cal'})")
+    engine().execute(
+        "MATCH p = (a:Person {name: 'Ann'})-[:knows]->(b:Person) "
+        "FOREACH (n IN nodes(p) | SET n.marked = 1)"
+    )
+    # marked as VARCHAR: a BIGINT column with a NULL row round-trips
+    # through pandas as float NaN and the hash compare diverges
+    return store.vertices().select(
+        "id",
+        prop_typed("properties", "name").alias("name"),
+        prop_typed("properties", "marked").alias("marked"),
+    )
+
 
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).

@@ -1840,3 +1840,76 @@ def test_reduce_int_init_with_long_property(people_graph):
     assert [(r["nm"], r["r"]) for r in rows] == [
         ("Alice", 60), ("Bob", 50), ("Charlie", 70),
     ]
+
+
+# --------------------------------------------------------------------------- FOREACH
+def test_foreach_marks_path_nodes(spark, tmp_path):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, str(tmp_path / "store"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph({"name": "string", "marked": "long"}),
+            store=store,
+        )
+
+    engine().execute("CREATE (a:P {name: 'a'})-[:r]->(b:P {name: 'b'})")
+    engine().execute("CREATE (c:P {name: 'c'})")
+    before = store.version
+    touched = engine().execute(
+        "MATCH p = (a:P {name: 'a'})-[:r]->(b:P) "
+        "FOREACH (n IN nodes(p) | SET n.marked = 1)"
+    )
+    assert sorted(r["id"] for r in touched.collect()) == [1, 2]
+    assert store.version == before + 1  # ONE snapshot version
+    got = {
+        r["id"]: r["m"]
+        for r in store.vertices()
+        .select("id", prop_typed("properties", "marked", "long").alias("m"))
+        .collect()
+    }
+    assert got == {1: 1, 2: 1, 3: None}
+
+
+def test_foreach_literal_list_and_duplicate_prop_last_wins(spark, tmp_path):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, str(tmp_path / "store"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph({"name": "string", "m": "long"}), store=store
+        )
+
+    engine().execute("CREATE (a:P {name: 'a'})")
+    engine().execute(
+        "MATCH (v:P) FOREACH (x IN [1] | SET x.m = 5, x.m = 7)"
+    )
+    got = store.vertices().select(
+        prop_typed("properties", "m", "long").alias("m")
+    ).collect()
+    assert got[0]["m"] == 7  # sequential Cypher semantics: last write wins
+
+
+def test_foreach_rejects_non_set_body_and_wrong_target(people_graph):
+    with pytest.raises(ValueError, match="SET body only"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) FOREACH (x IN [1] | DELETE x)"
+        )
+    with pytest.raises(ValueError, match="targets the loop variable"):
+        _engine(people_graph).execute(
+            "MATCH (v:Person) FOREACH (x IN [1] | SET v.age = 1)"
+        )
+
+
+def test_foreach_on_shortest_path_rejected(diamond_graph):
+    with pytest.raises(ValueError, match="read-only"):
+        _engine(diamond_graph).execute(
+            "MATCH p = shortestPath((a)-[*1..2]->(b)) "
+            "FOREACH (n IN nodes(p) | SET n.m = 1)"
+        )

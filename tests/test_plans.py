@@ -251,3 +251,31 @@ def test_list_surface_stays_per_row(spark):
     )
     assert "Generate" not in p, p
     assert "Exchange" not in p, p
+
+
+def test_copartitioned_edges_join_has_no_edge_side_exchange(spark):
+    """Fixpoint-loop layout guard (the r9 scale fix): a loop-static edge
+    frame checkpointed via copartitioned() must satisfy a subsequent
+    join's distribution AND ordering by itself — the executed plan adds
+    an Exchange and a Sort only on the frontier side. A plain
+    localCheckpoint under AQE loses the layout (UnknownPartitioning) and
+    re-shuffles the full edge list every round — at sf10 that was 10
+    shuffle-writes of ~400M rows inside one SSSP call."""
+    from pyspark.sql import functions as F
+
+    from dd_graphdb_spark.algorithms._iter import copartitioned
+
+    e = spark.range(10_000).select(
+        (F.col("id") % 97).alias("src"), (F.col("id") % 89).alias("dst")
+    )
+    edges = copartitioned(e, "src")
+    frontier = spark.range(5).select(F.col("id").alias("vid")).localCheckpoint(eager=True)
+    j = frontier.join(edges, frontier.vid == edges.src)
+    j.count()  # final adaptive plan
+    p = j._jdf.queryExecution().executedPlan().toString()
+    # exactly one data exchange (the frontier); a broadcast of the tiny
+    # frontier is equally acceptable (also zero edge-side movement)
+    n_exchange = p.count("Exchange")
+    assert n_exchange <= 1, p
+    # the edge side must not be re-sorted: at most the frontier's sort
+    assert p.count("Sort ") <= 1, p
