@@ -96,6 +96,14 @@ HEADLINE = [
     "gql_path_variable",
     "gql_case_expr",
     "view_ttl_refresh",
+    # round-9 additions: UNION between read queries, allShortestPaths
+    # (tied-minimum paths), temporal surface over the events graph,
+    # FOREACH path-marking mutation
+    "gql_union",
+    "gql_union_all",
+    "gql_all_shortest_paths",
+    "gql_temporal",
+    "gql_foreach",
 ]
 
 

@@ -67,6 +67,8 @@ def copartitioned(df: DataFrame, *keys: str) -> DataFrame:
     100 TB posture: this is the local-mode equivalent of bucketing the
     edge table by join key — one exchange at build time, zero per round.
     """
+    from pyspark.storagelevel import StorageLevel
+
     spark = df.sparkSession
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -75,7 +77,13 @@ def copartitioned(df: DataFrame, *keys: str) -> DataFrame:
         return (
             df.repartition(n, *keys)
             .sortWithinPartitions(*keys)
-            .localCheckpoint(eager=True)
+            # SERIALIZED memory+disk (PySpark's MEMORY_AND_DISK constant
+            # is the serialized variant): the JVM default stores
+            # deserialized object rows, ~3-4x the footprint — at sf10
+            # the ~400 M-row edge checkpoint plus 32 concurrent build
+            # sorts OOM'd a 64 g heap; serialized blocks fit, and the
+            # per-round scans decode Tungsten rows cheaply
+            .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
