@@ -41,7 +41,7 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
-def copartitioned(df: DataFrame, *keys: str) -> DataFrame:
+def copartitioned(df: DataFrame, *keys: str, dedup_cols: list | None = None) -> DataFrame:
     """Checkpoint a loop-static frame hash-partitioned AND sorted on
     ``keys`` so every per-round equi-join on those keys reads the stored
     layout instead of re-exchanging (and re-sorting) the frame each round.
@@ -64,9 +64,24 @@ def copartitioned(df: DataFrame, *keys: str) -> DataFrame:
     restored in a finally; a concurrent query planned inside the window
     would merely plan non-adaptively (correct, possibly slower once).
 
+    ``dedup_cols``: deduplicate rows on these columns INSIDE the build —
+    AFTER the repartition, so the whole build is ONE exchange. A caller
+    who writes ``df.distinct()`` before calling pays a second full
+    exchange (hash over all columns, then hash over keys); placing the
+    dropDuplicates after ``repartition(n, keys)`` costs none, because
+    HashPartitioning(keys) already satisfies the aggregate's
+    ClusteredDistribution(dedup_cols) whenever keys ⊆ dedup_cols (equal
+    dedup keys co-locate under the coarser partitioning).
+
     100 TB posture: this is the local-mode equivalent of bucketing the
     edge table by join key — one exchange at build time, zero per round.
     """
+    if dedup_cols is not None and not set(keys) <= set(dedup_cols):
+        raise ValueError(
+            f"dedup_cols {dedup_cols} must contain the partition keys "
+            f"{keys} (dedup after repartition is only correct when equal "
+            "dedup keys co-locate)"
+        )
     from pyspark.storagelevel import StorageLevel
 
     spark = df.sparkSession
@@ -74,9 +89,11 @@ def copartitioned(df: DataFrame, *keys: str) -> DataFrame:
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        out = df.repartition(n, *keys)
+        if dedup_cols is not None:
+            out = out.dropDuplicates(dedup_cols)
         return (
-            df.repartition(n, *keys)
-            .sortWithinPartitions(*keys)
+            out.sortWithinPartitions(*keys)
             # SERIALIZED memory+disk (PySpark's MEMORY_AND_DISK constant
             # is the serialized variant): the JVM default stores
             # deserialized object rows, ~3-4x the footprint — at sf10

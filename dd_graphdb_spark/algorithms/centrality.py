@@ -39,7 +39,11 @@ def _eigenvector_loop(
     g: PropertyGraph, max_iterations: int = 10, round_to: int | None = None
 ) -> DataFrame:
     verts = g.vertices.select("id").distinct().localCheckpoint(eager=True)
-    edges = copartitioned(g.edges.select("src", "dst").distinct(), "src")
+    edges = (
+        g.edges.select("src", "dst")
+        if g.edges_layout == "src"  # declared layout: unique + partitioned + sorted
+        else copartitioned(g.edges.select("src", "dst"), "src", dedup_cols=["src", "dst"])
+    )
     pins = RoundPins(g.vertices.sparkSession)
     x = pins.materialize(verts.withColumn("score", F.lit(1.0)))
     for _ in range(max_iterations):
@@ -97,7 +101,11 @@ def _closeness_loop(
     """(id, closeness) for every source (all vertices by default;
     landmark subset via ``sources`` at scale). Multi-source BFS: the
     frontier is keyed by (source, vertex), each round one join."""
-    edges = copartitioned(g.edges.select("src", "dst").distinct(), "src")
+    edges = (
+        g.edges.select("src", "dst")
+        if g.edges_layout == "src"  # declared layout: unique + partitioned + sorted
+        else copartitioned(g.edges.select("src", "dst"), "src", dedup_cols=["src", "dst"])
+    )
     verts = g.vertices.select("id").distinct()
     seeds = verts if sources is None else verts.filter(F.col("id").isin(sources))
     # visited is CUMULATIVE and (source, vertex)-keyed — each round pins
@@ -160,7 +168,11 @@ def _betweenness_loop(
     pass ``sources`` (landmark/pivot sampling, the standard
     approximation) and keep per-landmark exactness.
     """
-    edges = copartitioned(g.edges.select("src", "dst").distinct(), "src")
+    edges = (
+        g.edges.select("src", "dst")
+        if g.edges_layout == "src"  # declared layout: unique + partitioned + sorted
+        else copartitioned(g.edges.select("src", "dst"), "src", dedup_cols=["src", "dst"])
+    )
     verts = g.vertices.select("id").distinct()
     seeds = verts if sources is None else verts.filter(F.col("id").isin(sources))
 

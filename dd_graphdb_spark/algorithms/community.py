@@ -35,19 +35,30 @@ def _lpa_loop(
 ) -> DataFrame:
     verts = g.vertices.select("id").localCheckpoint(eager=True)
     e = g.edges.select("src", "dst")
-    # partitioned on dst — the per-round join key (sym.dst == labels.nbr)
-    sym = copartitioned(
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct(),
-        "dst",
-    )
+    # the per-round join reads the neighbor end's label. On a
+    # declared-symmetric src-layout graph the symmetrize-union is a
+    # no-op and the join FLIPS to the laid-out side: labels join on
+    # sym.src (zero edge exchange/sort per round), counts keyed by dst —
+    # over a symmetric edge set {(s,d)} = {(d,s)}, so the per-vertex
+    # neighbor-label multiset is identical either way.
+    if g.edges_symmetric and g.edges_layout == "src":
+        sym = e.filter(F.col("src") != F.col("dst"))
+        join_end, count_end = "src", "dst"
+    else:
+        # dedup INSIDE the build (one exchange — see copartitioned)
+        sym = copartitioned(
+            e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst")),
+            "dst",
+            dedup_cols=["dst", "src"],
+        )
+        join_end, count_end = "dst", "src"
     pins = RoundPins(g.vertices.sparkSession)
     labels = verts.withColumn("lbl", F.col("id"))
     for i in range(max_iterations):
         freq = (
-            sym.join(labels.withColumnRenamed("id", "nbr"), sym.dst == F.col("nbr"))
-            .select(F.col("src").alias("id"), "lbl")
+            sym.join(labels.withColumnRenamed("id", "nbr"), sym[join_end] == F.col("nbr"))
+            .select(F.col(count_end).alias("id"), "lbl")
             .groupBy("id", "lbl")
             .agg(F.count("*").alias("c"))
         )

@@ -49,11 +49,17 @@ def _connected_components_loop(g: PropertyGraph, max_iterations: int = 50) -> Da
     via undirected edges."""
     verts = g.vertices.select("id").distinct()
     e = g.edges.select("src", "dst")
-    # partitioned on src — the per-round join key (gp.id == sym.src)
-    sym = copartitioned(
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct(),
-        "src",
-    )
+    # partitioned on src — the per-round join key (gp.id == sym.src);
+    # dedup INSIDE the build (one exchange — see copartitioned). A
+    # declared-symmetric src-layout graph skips the build entirely.
+    if g.edges_symmetric and g.edges_layout == "src":
+        sym = e
+    else:
+        sym = copartitioned(
+            e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
+            "src",
+            dedup_cols=["src", "dst"],
+        )
 
     # comp is re-checkpointed every round; release superseded rounds
     # eagerly so pinned state stays at one |V|-sized copy (see RoundPins)
@@ -132,7 +138,13 @@ def _strongly_connected_components_loop(
     # (run_loop's end bracket frees them after the final re-checkpoint)
     pins = RoundPins(g.vertices.sparkSession)
     remaining_v = pins.materialize(g.vertices.select("id").distinct())
-    remaining_e = pins.materialize(g.edges.select("src", "dst").distinct())
+    # a declared src-layout edge frame is already unique (src, dst) and
+    # materialized — round 1 reads it in place (later rounds' shrunken
+    # frames re-checkpoint as usual)
+    if g.edges_layout == "src":
+        remaining_e = g.edges.select("src", "dst")
+    else:
+        remaining_e = pins.materialize(g.edges.select("src", "dst").distinct())
     results: list[DataFrame] = []
 
     for _ in range(max_rounds):

@@ -77,8 +77,13 @@ def _sssp_loop(
     # partitioned + sorted on the per-round join key ONCE — each relax
     # round then exchanges only the frontier (see copartitioned; the
     # unpartitioned checkpoint re-shuffled all ~400 M sf10 colocation
-    # edges every round: 1372 s → edge-linear after this)
-    edges = copartitioned(e.select("src", "dst", w.alias("w")), "src")
+    # edges every round: 1372 s). A graph with a DECLARED src layout
+    # (LOAD-phase artifact, see PropertyGraph.edges_layout) is used
+    # as-is: the projection preserves partitioning/ordering, so the
+    # query pays zero layout build (measured 415 s of the 982 s sf10
+    # run — the rounds themselves are 16-31 s each).
+    base = e.select("src", "dst", w.alias("w"))
+    edges = base if g.edges_layout == "src" else copartitioned(base, "src")
 
     # per-round state (dist carries path strings) is re-checkpointed each
     # round; release superseded rounds eagerly (see RoundPins)
@@ -178,7 +183,12 @@ def _bfs_shortest_path_loop(
     e = g.edges.select("src", "dst", "label")
     if label is not None:
         e = e.filter(F.col("label") == label)
-    e = copartitioned(e.select("src", "dst").distinct(), "src")
+    if g.edges_layout == "src":
+        # declared layout ⇒ unique (src, dst) pairs already partitioned
+        # and sorted by src; label filter + projection preserve all three
+        e = e.select("src", "dst")
+    else:
+        e = copartitioned(e.select("src", "dst"), "src", dedup_cols=["src", "dst"])
 
     # visited is CUMULATIVE: each round re-checkpoints a full copy, so
     # superseded rounds must be released as they go (see RoundPins)
@@ -218,7 +228,12 @@ def _reachability_loop(g: PropertyGraph, source: int, max_iterations: int = 50) 
     """All vertices reachable from ``source`` (the seed included), as
     (id). Fixpoint reach ∪ (reach ⋈ edges) with a delta frontier so each
     round only expands newly found vertices."""
-    e = copartitioned(g.edges.select("src", "dst").distinct(), "src")
+    if g.edges_layout == "src":
+        e = g.edges.select("src", "dst")
+    else:
+        e = copartitioned(
+            g.edges.select("src", "dst"), "src", dedup_cols=["src", "dst"]
+        )
     pins = RoundPins(g.vertices.sparkSession)
     reach = pins.materialize(g.vertices.select("id").filter(F.col("id") == source))
     frontier = reach

