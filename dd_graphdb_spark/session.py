@@ -31,6 +31,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local mode: executor == driver, so a heartbeat "loss" can only
+        # be a long driver GC pause (observed: a 127 s full-GC during a
+        # 409 M-row bucketed write got the executor removed and killed
+        # the context). A generous timeout is strictly safe same-process.
+        .config("spark.network.timeout", "600s")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
