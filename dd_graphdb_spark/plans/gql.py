@@ -331,9 +331,18 @@ class MergeStatement:
     exists return it, else create the whole pattern — nodes and edges —
     as one unit (single-clause Cypher semantics: a partially-matching
     pattern still creates ALL of it; use separate MERGE statements per
-    node to reuse existing endpoints)."""
+    node to reuse existing endpoints).
+
+    ``ON CREATE SET`` / ``ON MATCH SET`` (Cypher conditional actions)
+    carry ``[(var, prop, literal), ..]`` assignments applied to the
+    branch that actually ran: on_create folds into the created pattern's
+    properties (one snapshot version, same as a bare create), on_match
+    updates every matched binding (one snapshot version, MATCH..SET
+    semantics)."""
 
     pattern: PathPattern
+    on_create: list = field(default_factory=list)
+    on_match: list = field(default_factory=list)
 
     @property
     def node(self) -> NodePattern:  # single-node back-compat accessor
@@ -1208,8 +1217,48 @@ class _Parser:
         if self.accept("CREATE"):
             return CreateStatement(self._write_pattern("CREATE"))
         if self.accept("MERGE"):
-            return MergeStatement(self._write_pattern("MERGE"))
+            return self._merge_statement()
         raise ValueError("GQL parse error: expected MATCH, UNWIND, CREATE or MERGE")
+
+    def _merge_statement(self) -> MergeStatement:
+        """``MERGE <pattern> [ON CREATE SET ..] [ON MATCH SET ..]`` —
+        the conditional-action clauses accept literal values targeting
+        pattern variables (node or edge), in either order, each at most
+        once (Cypher)."""
+        stmt = MergeStatement(self._write_pattern("MERGE"))
+        pat_vars = {n.var for n in stmt.pattern.nodes} | {
+            e.var for e in stmt.pattern.edges if e.var
+        }
+        while self._ident_kw("ON"):
+            self.next()
+            if self.accept("CREATE"):
+                target = "on_create"
+            elif self.accept("MATCH"):
+                target = "on_match"
+            else:
+                raise ValueError(
+                    "GQL parse error: expected ON CREATE SET or ON MATCH SET"
+                )
+            kw = "CREATE" if target == "on_create" else "MATCH"
+            if getattr(stmt, target):
+                raise ValueError(f"GQL parse error: duplicate ON {kw} clause")
+            self.expect("SET")
+            assigns = []
+            while True:
+                var = self.expect_name()
+                if var not in pat_vars:
+                    raise ValueError(
+                        f"GQL parse error: ON {kw} SET references unknown "
+                        f"variable {var!r}"
+                    )
+                self.expect("punct", ".")
+                prop = self.expect_name()
+                self.expect("op", "=")
+                assigns.append((var, prop, self.literal()))
+                if not self.accept("punct", ","):
+                    break
+            setattr(stmt, target, assigns)
+        return stmt
 
     def _write_pattern(self, kw: str) -> PathPattern:
         """A pattern in write position (CREATE/MERGE): every edge must be

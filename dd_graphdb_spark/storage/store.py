@@ -627,6 +627,45 @@ class GraphStore:
         self.apply_batch(ops)
         return node_ids
 
+    def _apply_set(self, bindings, pattern, assignments) -> DataFrame:
+        """Apply ``[(var, prop, literal), ..]`` property SETs to the
+        bound vertices/edges — ONE snapshot version for the whole
+        statement: per-variable transforms compose on the pending frames
+        and commit once, so a crash or concurrent reader can never
+        observe a half-applied SET. Shared by MATCH..SET and MERGE's ON
+        MATCH SET. Returns the touched-id frame."""
+        edge_vars = {e.var for e in pattern.edges if e.var}
+        by_var: dict[str, dict] = {}
+        for var, prop, val in assignments:
+            by_var.setdefault(var, {})[prop] = val
+        v_df, e_df = self.vertices(), self.edges()
+        out = None
+        for var, props in by_var.items():
+            if var in edge_vars:
+                keys = (
+                    bindings.select(
+                        F.col(f"{var}__src").alias("src"),
+                        F.col(f"{var}__dst").alias("dst"),
+                        F.col(f"{var}__label").alias("label"),
+                    )
+                    .distinct()
+                    .localCheckpoint(eager=True)  # settle before rewrite
+                )
+                e_df = self._updated_edges_df(e_df, keys, props)
+                touched = keys.select(F.col("src").alias("id"))
+            else:
+                touched = (
+                    bindings.select(F.col(f"{var}__id").alias("id"))
+                    .distinct()
+                    .localCheckpoint(eager=True)  # settle before rewrite
+                )
+                v_df = self._updated_vertices_df(v_df, touched, props)
+            out = touched if out is None else out.unionByName(touched).distinct()
+        new_version = self.version + 1
+        self._write_version(new_version, v_df, e_df)
+        self._save_meta({"version": new_version})
+        return out
+
     def execute_mutation(self, stmt, engine) -> DataFrame:
         """Apply a parsed GQL CREATE / MATCH..DELETE statement.
 
@@ -662,7 +701,11 @@ class GraphStore:
             # returned untouched, otherwise the entire pattern — nodes
             # and edges — is created as one unit. Single-clause Cypher
             # semantics: a partially-matching pattern still creates all
-            # of it.
+            # of it. ON MATCH SET applies MATCH..SET semantics to the
+            # matched bindings; ON CREATE SET folds into the created
+            # pattern's properties (post-creation assignment and
+            # fold-at-create are indistinguishable — values are
+            # literals) so either branch commits at most ONE version.
             pattern = stmt.pattern
             uniq_vars = list(dict.fromkeys(n.var for n in pattern.nodes))
             bindings = engine.match_bindings(pattern)
@@ -675,7 +718,21 @@ class GraphStore:
                 .localCheckpoint(eager=True)
             )
             if not ids.isEmpty():
+                if stmt.on_match:
+                    self._apply_set(bindings, pattern, stmt.on_match)
                 return ids
+            if stmt.on_create:
+                # fold into a COPY — programmatic ASTs may be reused
+                import copy
+
+                pattern = copy.deepcopy(pattern)
+                for var, prop, val in stmt.on_create:
+                    for n in pattern.nodes:
+                        if n.var == var:
+                            n.props[prop] = val
+                    for e in pattern.edges:
+                        if e.var == var:
+                            e.props[prop] = val
             node_ids = self._create_pattern(pattern)
             by_var = dict(zip([n.var for n in pattern.nodes], node_ids))
             if len(uniq_vars) == 1:
@@ -688,43 +745,8 @@ class GraphStore:
             )
 
         if isinstance(stmt, MatchSetStatement):
-            # ONE snapshot version for the whole statement: per-variable
-            # transforms compose on the pending frames and commit once —
-            # a crash or concurrent reader can never observe a
-            # half-applied SET (the old per-variable commit bumped one
-            # version per variable)
             bindings = engine.match_bindings(stmt.pattern, stmt.where)
-            edge_vars = {e.var for e in stmt.pattern.edges if e.var}
-            by_var: dict[str, dict] = {}
-            for var, prop, val in stmt.assignments:
-                by_var.setdefault(var, {})[prop] = val
-            v_df, e_df = self.vertices(), self.edges()
-            out = None
-            for var, props in by_var.items():
-                if var in edge_vars:
-                    keys = (
-                        bindings.select(
-                            F.col(f"{var}__src").alias("src"),
-                            F.col(f"{var}__dst").alias("dst"),
-                            F.col(f"{var}__label").alias("label"),
-                        )
-                        .distinct()
-                        .localCheckpoint(eager=True)  # settle before rewrite
-                    )
-                    e_df = self._updated_edges_df(e_df, keys, props)
-                    touched = keys.select(F.col("src").alias("id"))
-                else:
-                    touched = (
-                        bindings.select(F.col(f"{var}__id").alias("id"))
-                        .distinct()
-                        .localCheckpoint(eager=True)  # settle before rewrite
-                    )
-                    v_df = self._updated_vertices_df(v_df, touched, props)
-                out = touched if out is None else out.unionByName(touched).distinct()
-            new_version = self.version + 1
-            self._write_version(new_version, v_df, e_df)
-            self._save_meta({"version": new_version})
-            return out
+            return self._apply_set(bindings, stmt.pattern, stmt.assignments)
 
         from dd_graphdb_spark.plans.gql import ForeachStatement
 

@@ -76,6 +76,7 @@ GATE_PRIORITY = [
     "gql_all_shortest_paths",
     "gql_temporal",
     "gql_foreach",
+    "gql_merge_on_actions",
     # (2) ALL 43 queries whose newest driver record is round 5 (the
     # VERDICT-r8 rotation calendar: r9 re-records the r5-stale block)
     "algo_bfs_region",

@@ -595,6 +595,55 @@ def gql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL MERGE ON CREATE SET / ON MATCH SET (Cypher conditional actions —
+# beyond the reference's declared grammar): the same statement run twice
+# exercises both branches; a second node only ever creates.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_merge_on_actions",
+    """
+    SELECT * FROM (VALUES
+        (1::BIGINT, 'Ann', 2::BIGINT, 'seen'),
+        (2::BIGINT, 'Ben', 1::BIGINT, 'new')
+    ) t(id, name, visits, src)
+    """,
+)
+def gql_merge_on_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph(
+                {"name": "string", "visits": "long", "src": "string"}
+            ),
+            store=store,
+        )
+
+    merge_ann = (
+        "MERGE (a:Person {name: 'Ann'}) "
+        "ON CREATE SET a.visits = 1, a.src = 'new' "
+        "ON MATCH SET a.visits = 2, a.src = 'seen'"
+    )
+    engine().execute(merge_ann)  # creates → visits=1, src='new'
+    engine().execute(merge_ann)  # matches → visits=2, src='seen'
+    engine().execute(
+        "MERGE (b:Person {name: 'Ben'}) "
+        "ON CREATE SET b.visits = 1, b.src = 'new' "
+        "ON MATCH SET b.visits = 2, b.src = 'seen'"
+    )  # creates only
+    return store.vertices().select(
+        "id",
+        prop_typed("properties", "name").alias("name"),
+        prop_typed("properties", "visits", "long").alias("visits"),
+        prop_typed("properties", "src").alias("src"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL relationship MERGE (whole-pattern Cypher semantics: a matching
 # pattern binds; otherwise the ENTIRE pattern — nodes and edge — is
 # created as one unit, even when an endpoint exists on its own).

@@ -1198,6 +1198,81 @@ def test_merge_edge_whole_pattern(spark, tmp_path):
     assert store.stats() == {"vertex_count": 4, "edge_count": 2, "version": 2}
 
 
+def test_merge_on_create_on_match_set(spark, tmp_path):
+    """MERGE conditional actions: ON CREATE SET fires only on the create
+    branch, ON MATCH SET only on the match branch; edge variables are
+    settable too."""
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, str(tmp_path / "m"))
+    eng = lambda: GQLEngine(
+        store.as_property_graph({"name": "string", "n": "long"}), store=store
+    )
+    stmt = (
+        "MERGE (a:P {name: 'x'}) "
+        "ON CREATE SET a.n = 1 ON MATCH SET a.n = 2"
+    )
+    eng().execute(stmt)
+    vals = lambda: {
+        r["name"]: r["n"]
+        for r in store.vertices()
+        .select(
+            prop_typed("properties", "name").alias("name"),
+            prop_typed("properties", "n", "long").alias("n"),
+        )
+        .collect()
+    }
+    assert vals() == {"x": 1}
+    assert store.stats()["version"] == 1  # create+set is ONE version
+    eng().execute(stmt)
+    assert vals() == {"x": 2}
+    # ON MATCH in first position; ON CREATE only — a match leaves props be
+    eng().execute("MERGE (b:P {name: 'y'}) ON MATCH SET b.n = 9 ON CREATE SET b.n = 5")
+    eng().execute("MERGE (c:P {name: 'z'}) ON CREATE SET c.n = 7")
+    eng().execute("MERGE (c:P {name: 'z'}) ON CREATE SET c.n = 8")
+    assert vals() == {"x": 2, "y": 5, "z": 7}
+
+
+def test_merge_on_actions_edge_var(spark, tmp_path):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, str(tmp_path / "me"))
+    eng = lambda: GQLEngine(
+        store.as_property_graph({"name": "string"}), store=store
+    )
+    stmt = (
+        "MERGE (a:P {name: 'x'})-[e:r]->(b:P {name: 'y'}) "
+        "ON CREATE SET e.w = 1 ON MATCH SET e.w = 9"
+    )
+    eng().execute(stmt)
+    w = lambda: [
+        r["w"]
+        for r in store.edges()
+        .select(prop_typed("properties", "w", "long").alias("w"))
+        .collect()
+    ]
+    assert w() == [1]
+    eng().execute(stmt)
+    assert w() == [9]
+
+
+def test_merge_on_actions_parse_errors():
+    from dd_graphdb_spark.plans.gql import parse_gql
+
+    for bad, msg in [
+        ("MERGE (a:P) ON CREATE a.x = 1", "expected SET"),
+        ("MERGE (a:P) ON CREATE SET z.x = 1", "unknown variable"),
+        ("MERGE (a:P) ON CREATE SET a.x = 1 ON CREATE SET a.y = 2", "duplicate"),
+        ("MERGE (a:P) ON DELETE SET a.x = 1", "ON CREATE SET or ON MATCH SET"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            parse_gql(bad)
+
+
 def test_create_repeated_variable_is_one_node(spark, tmp_path):
     from dd_graphdb_spark.plans.lower import GQLEngine
     from dd_graphdb_spark.storage import GraphStore
