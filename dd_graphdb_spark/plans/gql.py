@@ -214,13 +214,32 @@ class QuantPred:
 @dataclass
 class PatternPred:
     """``EXISTS((v)-[:LBL]->(u:Label))`` — an existential pattern
-    predicate. Lowered as a LEFT SEMI join of the bindings against the
-    inner pattern's matches on the shared variables' ids (LEFT ANTI
-    under NOT). Only valid in a top-level AND chain: under OR the
-    semi-join rewrite doesn't decompose (same restriction most engines
-    apply to join-rewritten subqueries)."""
+    predicate; the Cypher block form ``EXISTS { [MATCH] (v)-[:LBL]->(u)
+    [WHERE pred] }`` additionally carries an inner WHERE applied to the
+    subquery's own matches (inner-pattern variables only). Lowered as a
+    LEFT SEMI join of the bindings against the inner pattern's matches
+    on the shared variables' ids (LEFT ANTI under NOT). Only valid in a
+    top-level AND chain: under OR the semi-join rewrite doesn't
+    decompose (same restriction most engines apply to join-rewritten
+    subqueries)."""
 
     pattern: PathPattern
+    where: object | None = None
+
+
+@dataclass
+class CountSub:
+    """``COUNT { [MATCH] (v)-[:LBL]->(u) [WHERE pred] }`` — a counting
+    subquery in expression position (Cypher 5; beyond the reference —
+    its parser never compiled, SURVEY §0.1). Per outer binding row, the
+    number of subquery matches sharing that row's variable bindings.
+    Lowered as a grouped count over the inner pattern's matches keyed
+    by the shared variables' ids, LEFT-joined onto the bindings with a
+    COALESCE-0 — one partial-aggregated shuffle on the inner side, no
+    correlated execution."""
+
+    pattern: PathPattern
+    where: object | None = None
 
 
 @dataclass
@@ -787,8 +806,23 @@ class _Parser:
         self.next()
         return CaseExpr(whens, default)
 
+    def _subquery_block(self) -> tuple:
+        """Body of ``EXISTS { .. }`` / ``COUNT { .. }`` after the ``{``:
+        ``[MATCH] <pattern> [WHERE pred] }`` — the optional MATCH is the
+        Cypher-canonical spelling, the bare pattern the short form."""
+        self.accept("MATCH")
+        pat = self.path()
+        where = self.where_expr() if self.accept("WHERE") else None
+        self.expect("punct", "}")
+        return pat, where
+
     def factor(self):
         k, v = self.peek()
+        if k == "COUNT" and self.toks[self.i + 1] == ("punct", "{"):
+            # COUNT { [MATCH] <pattern> [WHERE pred] } — counting subquery
+            self.next()
+            self.next()
+            return CountSub(*self._subquery_block())
         if v == "[" and k == "punct":
             self.next()
             # comprehension: [x IN list ...] — a name followed by IN
@@ -921,6 +955,15 @@ class _Parser:
             pat = self.path()
             self.expect("punct", ")")
             return PatternPred(pat)
+        if (
+            self.at_name()
+            and self.peek()[1].lower() == "exists"
+            and self.toks[self.i + 1] == ("punct", "{")
+        ):
+            # block form: EXISTS { [MATCH] <pattern> [WHERE pred] }
+            self.next()
+            self.next()
+            return PatternPred(*self._subquery_block())
         if (
             self.at_name()
             and self.peek()[1].lower() in ("any", "all", "none", "single")

@@ -38,6 +38,8 @@ from dd_graphdb_spark.plans.gql import (
     BoolExpr,
     CaseExpr,
     Compare,
+    CountSub,
+    EdgePattern,
     FuncCall,
     ListComp,
     ListExpr,
@@ -512,6 +514,12 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
     and DuckDB, so oracle parity holds for int operands too."""
     if isinstance(node, _ColWrap):
         return node.col
+    if isinstance(node, CountSub):
+        raise ValueError(
+            "COUNT { pattern } subqueries are supported in the MATCH "
+            "WHERE clause and in RETURN / WITH items only (not inside "
+            "EXISTS bodies, WITH ... WHERE, or post-WITH RETURNs)"
+        )
     if isinstance(node, ListComp):
         arr = _lower_expr(node.source, bare, bare_names)
         if node.pred is not None:
@@ -796,14 +804,14 @@ def _has_pattern_pred(cond) -> bool:
 
 
 def _split_pattern_preds(cond):
-    """(column_condition | None, [(pattern, negated), ...]) from a WHERE
-    tree: PatternPred conjuncts (optionally NOT-wrapped) peel off the
-    top-level AND chain; everything else stays a Column condition."""
+    """(column_condition | None, [(PatternPred, negated), ...]) from a
+    WHERE tree: PatternPred conjuncts (optionally NOT-wrapped) peel off
+    the top-level AND chain; everything else stays a Column condition."""
     if isinstance(cond, PatternPred):
-        return None, [(cond.pattern, False)]
+        return None, [(cond, False)]
     if isinstance(cond, BoolExpr):
         if cond.op == "NOT" and isinstance(cond.left, PatternPred):
-            return None, [(cond.left.pattern, True)]
+            return None, [(cond.left, True)]
         if cond.op == "AND":
             lcol, lp = _split_pattern_preds(cond.left)
             rcol, rp = _split_pattern_preds(cond.right)
@@ -816,6 +824,34 @@ def _split_pattern_preds(cond):
             )
             return col, lp + rp
     return cond, []
+
+
+#: AST nodes the count-subquery walker must NOT descend into: patterns
+#: are not expressions, and an EXISTS body's inner WHERE belongs to the
+#: subquery's own frame (a CountSub in there is rejected by _lower_expr)
+_CSUB_OPAQUE = (PathPattern, PatternPred, ShortestPathPattern, NodePattern, EdgePattern)
+
+
+def _rewrite_count_subs(node, out: list):
+    """Replace every ``COUNT { .. }`` node in an expression/condition
+    tree with a synthetic ``PropRef(_csubK, "val")`` (lowering to the
+    joined count column ``_csubK__val``), collecting the subqueries into
+    ``out`` as ``(name, CountSub)``. Generic dataclass walk — any new
+    expression node type is traversed without registration."""
+    import dataclasses
+
+    if isinstance(node, CountSub):
+        name = f"_csub{len(out)}"
+        out.append((name, node))
+        return PropRef(name, "val")
+    if isinstance(node, list):
+        return [_rewrite_count_subs(i, out) for i in node]
+    if isinstance(node, tuple):
+        return tuple(_rewrite_count_subs(i, out) for i in node)
+    if dataclasses.is_dataclass(node) and not isinstance(node, _CSUB_OPAQUE):
+        for f in dataclasses.fields(node):
+            setattr(node, f.name, _rewrite_count_subs(getattr(node, f.name), out))
+    return node
 
 
 class GQLEngine:
@@ -1064,8 +1100,11 @@ class GQLEngine:
         correlated execution, Catalyst broadcasts the probe side when
         small); the residual condition is a Column filter."""
         col_cond, preds = _split_pattern_preds(where)
-        for j, (pat, negated) in enumerate(preds):
-            sub = self.match_bindings(pat, None, anon_prefix=f"{anon_prefix}{j}e")
+        for j, (pred, negated) in enumerate(preds):
+            pat = pred.pattern
+            sub = self.match_bindings(
+                pat, pred.where, anon_prefix=f"{anon_prefix}{j}e"
+            )
             shared = [
                 v
                 for v in dict.fromkeys(n.var for n in pat.nodes)
@@ -1083,6 +1122,37 @@ class GQLEngine:
             )
         if col_cond is not None:
             bound = bound.filter(_lower_condition(col_cond, bare_names=bare_names))
+        return bound
+
+    def _attach_count_subs(self, bound: DataFrame, csubs: list) -> DataFrame:
+        """Join each ``COUNT { .. }`` subquery's grouped count onto the
+        bindings as column ``{name}__val`` (0 when no match — Cypher).
+
+        Spark shape: the inner pattern's matches aggregate to one row
+        per shared-id combination (map-side partial combine), then LEFT
+        join back on those ids — no correlated execution; Catalyst
+        broadcasts the count side when small. Requires ≥1 shared
+        variable (an uncorrelated count is a constant — compute it
+        separately)."""
+        for k, (name, cs) in enumerate(csubs):
+            sub = self.match_bindings(cs.pattern, cs.where, anon_prefix=f"{name}e")
+            shared = [
+                v
+                for v in dict.fromkeys(n.var for n in cs.pattern.nodes)
+                if f"{v}__id" in bound.columns
+            ]
+            if not shared:
+                raise ValueError(
+                    "COUNT { pattern } must share at least one variable "
+                    "with the MATCH (an uncorrelated count is a constant "
+                    "— compute it separately)"
+                )
+            keys = [f"{v}__id" for v in shared]
+            cnt = sub.groupBy(*keys).agg(F.count(F.lit(1)).alias(f"{name}__val"))
+            bound = bound.join(cnt, on=keys, how="left").withColumn(
+                f"{name}__val",
+                F.coalesce(F.col(f"{name}__val"), F.lit(0)).cast("long"),
+            )
         return bound
 
     def match_bindings(self, pattern, where=None, anon_prefix: str = "_e") -> DataFrame:
@@ -1253,6 +1323,27 @@ class GQLEngine:
             for it in list(stmt.returns) + (stmt.with_items or []):
                 if it.expr is not None:
                     it.expr = _pm(it.expr)
+        # COUNT { .. } subqueries: rewrite to synthetic count columns,
+        # attached to the fully-bound frame below (WHERE application is
+        # deferred past the attach when the WHERE carries one)
+        csubs: list = []
+        where_csubs = 0
+        if isinstance(stmt.pattern, PathPattern):
+            if stmt.where is not None:
+                stmt.where = _rewrite_count_subs(stmt.where, csubs)
+                where_csubs = len(csubs)
+            for it in stmt.with_items or []:
+                if it.expr is not None:
+                    it.expr = _rewrite_count_subs(it.expr, csubs)
+            n_pre_ret = len(csubs)
+            for it in stmt.returns:
+                if it.expr is not None:
+                    it.expr = _rewrite_count_subs(it.expr, csubs)
+            if stmt.with_items is not None and len(csubs) > n_pre_ret:
+                raise ValueError(
+                    "COUNT { } in RETURN after a WITH pipeline is not "
+                    "supported — compute it in the WITH items instead"
+                )
         if stmt.pattern is None:
             # pure value-table statement: UNWIND [..] AS x RETURN ..
             bound = self._unwind_literal_frame(stmt.unwind_first)
@@ -1260,9 +1351,11 @@ class GQLEngine:
             unwound = (stmt.unwind_first.alias,)
         else:
             # with a leading UNWIND the WHERE may reference the unwound
-            # name, so it applies after the value-table join
+            # name, so it applies after the value-table join; a WHERE
+            # carrying a COUNT { } defers until its count column exists
             bound = self.match_bindings(
-                stmt.pattern, None if stmt.unwind_first else stmt.where
+                stmt.pattern,
+                None if (stmt.unwind_first or where_csubs) else stmt.where,
             )
             # dedupe: a repeated node variable (cycle pattern) binds ONCE —
             # without this, RETURN * emits its columns twice and any ORDER
@@ -1271,6 +1364,10 @@ class GQLEngine:
             bound, vertex_vars = self._apply_clauses(
                 bound, vertex_vars, stmt.clauses, "_o"
             )
+            if csubs:
+                bound = self._attach_count_subs(bound, csubs)
+            if where_csubs and stmt.unwind_first is None and stmt.where is not None:
+                bound = self._apply_where(bound, stmt.where, anon_prefix="_cw")
             if stmt.unwind_first is not None:
                 bound, unwound = self._apply_unwind(bound, stmt.unwind_first, unwound)
                 if stmt.where is not None:

@@ -1491,6 +1491,76 @@ def gql_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GQL COUNT { } counting subquery (Cypher 5; r9): per-customer order
+# counts — one in the WHERE (threshold) and one with an inner WHERE in
+# the RETURN. Lowered as grouped counts LEFT-joined on the shared
+# variable's id (partial-agg shuffle on the inner side, no correlated
+# execution); the oracle restates it as a grouped LEFT JOIN.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_count_subquery",
+    GRAPH_CTE
+    + """
+    , cnt AS (
+        SELECT e.dst AS c_id,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE v.acctbal > 200000.0) AS n_big
+        FROM edges e
+        JOIN vertices v ON v.id = e.src AND v.label = 'Order'
+        WHERE e.label = 'placed_by'
+        GROUP BY e.dst
+    )
+    SELECT c.name AS nm, COALESCE(cnt.n_big, 0) AS big_orders
+    FROM vertices c
+    LEFT JOIN cnt ON cnt.c_id = c.id
+    WHERE c.label = 'Customer' AND COALESCE(cnt.n_all, 0) >= 15
+    ORDER BY nm
+    """,
+)
+def gql_count_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (c:Customer) "
+        "WHERE COUNT { (o:Order)-[:placed_by]->(c) } >= 15 "
+        "RETURN c.name AS nm, "
+        "COUNT { (o:Order)-[:placed_by]->(c) WHERE o.acctbal > 200000.0 } "
+        "AS big_orders ORDER BY nm"
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQL EXISTS { } block subquery (Cypher 5; r9): the block form carries
+# an inner WHERE applied to the subquery's own matches — suppliers
+# located in a nation that has at least one high-balance customer.
+# Same LEFT SEMI join lowering as EXISTS(pattern), with the inner
+# predicate folded into the subquery frame.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_exists_block",
+    GRAPH_CTE
+    + """
+    SELECT s.name AS nm
+    FROM vertices s
+    JOIN edges e ON e.src = s.id AND e.label = 'located_in'
+    JOIN vertices n ON n.id = e.dst AND n.label = 'Nation'
+    WHERE s.label = 'Supplier' AND EXISTS (
+        SELECT 1 FROM edges e2
+        JOIN vertices c ON c.id = e2.src AND c.label = 'Customer'
+        WHERE e2.label = 'located_in' AND e2.dst = n.id
+          AND c.acctbal > 9900.0
+    )
+    ORDER BY nm
+    """,
+)
+def gql_exists_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (s:Supplier)-[:located_in]->(n:Nation) "
+        "WHERE EXISTS { MATCH (c:Customer)-[:located_in]->(n) "
+        "WHERE c.acctbal > 9900.0 } "
+        "RETURN s.name AS nm ORDER BY nm"
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

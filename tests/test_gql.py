@@ -1198,6 +1198,89 @@ def test_merge_edge_whole_pattern(spark, tmp_path):
     assert store.stats() == {"vertex_count": 4, "edge_count": 2, "version": 2}
 
 
+@pytest.fixture
+def knows_graph(spark):
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [(1, "P", "a", 30), (2, "P", "b", 20), (3, "P", "c", 40), (4, "Q", "d", 10)],
+        "id long, label string, name string, age long",
+    )
+    e = spark.createDataFrame(
+        [(1, 2, "knows"), (1, 3, "knows"), (2, 3, "knows"), (3, 1, "likes")],
+        "src long, dst long, label string",
+    )
+    return PropertyGraph(v, e)
+
+
+def test_count_subquery_return_and_where(knows_graph):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(knows_graph)
+    rows = eng.execute(
+        "MATCH (v:P) RETURN v.name AS name, "
+        "COUNT { (v)-[:knows]->(u) } AS n ORDER BY name"
+    ).collect()
+    assert [(r["name"], r["n"]) for r in rows] == [("a", 2), ("b", 1), ("c", 0)]
+    # inner WHERE filters the subquery's own matches
+    rows = eng.execute(
+        "MATCH (v:P) RETURN v.name AS name, "
+        "COUNT { (v)-[:knows]->(u) WHERE u.age > 25 } AS n ORDER BY name"
+    ).collect()
+    assert [(r["name"], r["n"]) for r in rows] == [("a", 1), ("b", 1), ("c", 0)]
+    # WHERE position + arithmetic composition
+    rows = eng.execute(
+        "MATCH (v:P) WHERE COUNT { (v)-[:knows]->(u) } >= 2 "
+        "RETURN v.name AS name"
+    ).collect()
+    assert [r["name"] for r in rows] == ["a"]
+    rows = eng.execute(
+        "MATCH (v:P) RETURN v.name AS name, COUNT { (v)-[:knows]->(u) } "
+        "+ COUNT { (v)-[:likes]->(w) } AS deg ORDER BY name"
+    ).collect()
+    assert [(r["name"], r["deg"]) for r in rows] == [("a", 2), ("b", 1), ("c", 1)]
+
+
+def test_count_subquery_in_with(knows_graph):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    rows = GQLEngine(knows_graph).execute(
+        "MATCH (v:P) WITH v.name AS name, COUNT { (v)-[:knows]->(u) } AS n "
+        "WHERE n > 0 RETURN name, n ORDER BY name"
+    ).collect()
+    assert [(r["name"], r["n"]) for r in rows] == [("a", 2), ("b", 1)]
+
+
+def test_count_subquery_errors(knows_graph):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(knows_graph)
+    with pytest.raises(ValueError, match="share at least one variable"):
+        eng.execute("MATCH (v:P) RETURN COUNT { (x:Q)-[:knows]->(u) } AS n")
+    with pytest.raises(ValueError, match="after a WITH pipeline"):
+        eng.execute(
+            "MATCH (v:P) WITH v.name AS name "
+            "RETURN name, COUNT { (v)-->(u) } AS n"
+        )
+
+
+def test_exists_block_form(knows_graph):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(knows_graph)
+    rows = eng.execute(
+        "MATCH (v:P) WHERE EXISTS { MATCH (v)-[:knows]->(u) WHERE u.age > 35 } "
+        "RETURN v.name AS name ORDER BY name"
+    ).collect()
+    assert [r["name"] for r in rows] == ["a", "b"]
+    # NOT + short form (no MATCH keyword)
+    rows = eng.execute(
+        "MATCH (v:P) WHERE NOT EXISTS { (v)-[:knows]->(u) WHERE u.age > 35 } "
+        "RETURN v.name AS name ORDER BY name"
+    ).collect()
+    assert [r["name"] for r in rows] == ["c"]
+
+
 def test_merge_on_create_on_match_set(spark, tmp_path):
     """MERGE conditional actions: ON CREATE SET fires only on the create
     branch, ON MATCH SET only on the match branch; edge variables are
