@@ -243,6 +243,22 @@ class CountSub:
 
 
 @dataclass
+class PatternComp:
+    """``[(v)-[:LBL]->(u) WHERE pred | expr]`` — a pattern
+    comprehension (Cypher; beyond the reference): per outer binding
+    row, the list of ``expr`` over the subquery's matches sharing that
+    row's variable bindings. Lowered like CountSub — a grouped
+    ``collect_list`` LEFT-joined on the shared ids — with the list
+    SORTED ascending for determinism (Cypher leaves the element order
+    implementation-defined; this engine's oracle-parity contract
+    requires a total order)."""
+
+    pattern: PathPattern
+    where: object | None
+    expr: object
+
+
+@dataclass
 class ReturnItem:
     var: str
     prop: str | None  # None → whole vertex; var == "*" → all bindings
@@ -418,6 +434,24 @@ class ForeachStatement:
     lvar: str
     source: object  # expression → list of vertex ids, per binding row
     assignments: list  # [(prop, literal), ...] — applied to the loop var
+
+
+@dataclass
+class CallStatement:
+    """``CALL { <read query> } RETURN ..`` — an UNCORRELATED subquery
+    (Cypher CALL subquery in its post-UNION-processing idiom; beyond
+    the reference — its parser never compiled, SURVEY §0.1): the braces
+    run a full read statement (including UNION chains), and the outer
+    RETURN projects / aggregates the subquery's output columns by bare
+    name, with its own DISTINCT / ORDER BY / SKIP / LIMIT. Correlated
+    forms (an importing ``WITH``) are rejected at parse."""
+
+    inner: object  # MatchStatement | UnionStatement
+    returns: list
+    distinct: bool = False
+    order_by: list = field(default_factory=list)
+    skip: int | None = None
+    limit: int | None = None
 
 
 @dataclass
@@ -825,6 +859,28 @@ class _Parser:
             return CountSub(*self._subquery_block())
         if v == "[" and k == "punct":
             self.next()
+            # pattern comprehension: [ (a)-[:L]->(b) [WHERE p] | expr ]
+            # — disambiguated from a list literal whose first element is
+            # parenthesized by requiring ≥1 edge in the parsed pattern
+            if self.peek() == ("punct", "("):
+                save = self.i
+                try:
+                    pat = self.path()
+                    if not pat.edges:
+                        raise ValueError("_pc_backtrack")
+                    where = self.where_expr() if self.accept("WHERE") else None
+                    if not self.accept("punct", "|"):
+                        raise ValueError(
+                            "GQL parse error: a pattern comprehension "
+                            "needs a | projection — [pattern | expr]"
+                        )
+                    expr = self.expr()
+                    self.expect("punct", "]")
+                    return PatternComp(pat, where, expr)
+                except ValueError as ex:
+                    if "pattern comprehension" in str(ex):
+                        raise
+                    self.i = save
             # comprehension: [x IN list ...] — a name followed by IN
             if self.at_name() and self.toks[self.i + 1][0] == "IN":
                 lvar = self.expect_name()

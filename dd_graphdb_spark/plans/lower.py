@@ -56,6 +56,7 @@ from dd_graphdb_spark.plans.gql import (
     MergeStatement,
     NodePattern,
     PathPattern,
+    PatternComp,
     ShortestPathPattern,
     UnionStatement,
     parse_gql,
@@ -514,11 +515,12 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
     and DuckDB, so oracle parity holds for int operands too."""
     if isinstance(node, _ColWrap):
         return node.col
-    if isinstance(node, CountSub):
+    if isinstance(node, (CountSub, PatternComp)):
         raise ValueError(
-            "COUNT { pattern } subqueries are supported in the MATCH "
-            "WHERE clause and in RETURN / WITH items only (not inside "
-            "EXISTS bodies, WITH ... WHERE, or post-WITH RETURNs)"
+            "COUNT { pattern } subqueries and pattern comprehensions are "
+            "supported in the MATCH WHERE clause and in RETURN / WITH "
+            "items only (not inside EXISTS bodies, WITH ... WHERE, or "
+            "post-WITH RETURNs)"
         )
     if isinstance(node, ListComp):
         arr = _lower_expr(node.source, bare, bare_names)
@@ -833,14 +835,15 @@ _CSUB_OPAQUE = (PathPattern, PatternPred, ShortestPathPattern, NodePattern, Edge
 
 
 def _rewrite_count_subs(node, out: list):
-    """Replace every ``COUNT { .. }`` node in an expression/condition
-    tree with a synthetic ``PropRef(_csubK, "val")`` (lowering to the
-    joined count column ``_csubK__val``), collecting the subqueries into
-    ``out`` as ``(name, CountSub)``. Generic dataclass walk — any new
-    expression node type is traversed without registration."""
+    """Replace every ``COUNT { .. }`` / pattern-comprehension node in an
+    expression/condition tree with a synthetic ``PropRef(_csubK,
+    "val")`` (lowering to the joined subquery column ``_csubK__val``),
+    collecting the subqueries into ``out`` as ``(name, node)``. Generic
+    dataclass walk — any new expression node type is traversed without
+    registration."""
     import dataclasses
 
-    if isinstance(node, CountSub):
+    if isinstance(node, (CountSub, PatternComp)):
         name = f"_csub{len(out)}"
         out.append((name, node))
         return PropRef(name, "val")
@@ -1125,16 +1128,18 @@ class GQLEngine:
         return bound
 
     def _attach_count_subs(self, bound: DataFrame, csubs: list) -> DataFrame:
-        """Join each ``COUNT { .. }`` subquery's grouped count onto the
-        bindings as column ``{name}__val`` (0 when no match — Cypher).
+        """Join each ``COUNT { .. }`` subquery's grouped count — or a
+        pattern comprehension's grouped sorted ``collect_list`` — onto
+        the bindings as column ``{name}__val`` (0 / empty list when no
+        match — Cypher).
 
         Spark shape: the inner pattern's matches aggregate to one row
         per shared-id combination (map-side partial combine), then LEFT
         join back on those ids — no correlated execution; Catalyst
-        broadcasts the count side when small. Requires ≥1 shared
-        variable (an uncorrelated count is a constant — compute it
+        broadcasts the aggregated side when small. Requires ≥1 shared
+        variable (an uncorrelated subquery is a constant — compute it
         separately)."""
-        for k, (name, cs) in enumerate(csubs):
+        for name, cs in csubs:
             sub = self.match_bindings(cs.pattern, cs.where, anon_prefix=f"{name}e")
             shared = [
                 v
@@ -1143,16 +1148,26 @@ class GQLEngine:
             ]
             if not shared:
                 raise ValueError(
-                    "COUNT { pattern } must share at least one variable "
-                    "with the MATCH (an uncorrelated count is a constant "
-                    "— compute it separately)"
+                    "COUNT { pattern } / a pattern comprehension must "
+                    "share at least one variable with the MATCH (an "
+                    "uncorrelated subquery is a constant — compute it "
+                    "separately)"
                 )
             keys = [f"{v}__id" for v in shared]
-            cnt = sub.groupBy(*keys).agg(F.count(F.lit(1)).alias(f"{name}__val"))
-            bound = bound.join(cnt, on=keys, how="left").withColumn(
-                f"{name}__val",
-                F.coalesce(F.col(f"{name}__val"), F.lit(0)).cast("long"),
-            )
+            val = f"{name}__val"
+            if isinstance(cs, PatternComp):
+                agg = sub.groupBy(*keys).agg(
+                    F.array_sort(F.collect_list(_lower_expr(cs.expr))).alias(val)
+                )
+                empty = F.array().cast(agg.schema[val].dataType)
+                bound = bound.join(agg, on=keys, how="left").withColumn(
+                    val, F.coalesce(F.col(val), empty)
+                )
+            else:
+                agg = sub.groupBy(*keys).agg(F.count(F.lit(1)).alias(val))
+                bound = bound.join(agg, on=keys, how="left").withColumn(
+                    val, F.coalesce(F.col(val), F.lit(0)).cast("long")
+                )
         return bound
 
     def match_bindings(self, pattern, where=None, anon_prefix: str = "_e") -> DataFrame:

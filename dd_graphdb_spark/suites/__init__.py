@@ -79,6 +79,7 @@ GATE_PRIORITY = [
     "gql_merge_on_actions",
     "gql_count_subquery",
     "gql_exists_block",
+    "gql_pattern_comprehension",
     # (2) ALL 43 queries whose newest driver record is round 5 (the
     # VERDICT-r8 rotation calendar: r9 re-records the r5-stale block)
     "algo_bfs_region",

@@ -1561,6 +1561,44 @@ def gql_exists_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GQL pattern comprehension (Cypher; r9): per-nation sorted list of its
+# high-balance suppliers' names — a list-valued correlated subquery in
+# the RETURN, lowered as a grouped collect_list LEFT-joined on the
+# shared variable's id (the engine sorts the list for determinism).
+# Arrays join to comma strings for one canonical value-hash rendering
+# on both engines (same convention as gql_collect_nations).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_pattern_comprehension",
+    GRAPH_CTE
+    + """
+    , agg AS (
+        SELECT e.dst AS n_id,
+               array_to_string(list_sort(list(s.name)), ',') AS rich
+        FROM edges e
+        JOIN vertices s ON s.id = e.src AND s.label = 'Supplier'
+        WHERE e.label = 'located_in' AND s.acctbal > 9000.0
+        GROUP BY e.dst
+    )
+    SELECT n.name AS nm, COALESCE(agg.rich, '') AS rich_suppliers
+    FROM vertices n
+    LEFT JOIN agg ON agg.n_id = n.id
+    WHERE n.label = 'Nation'
+    ORDER BY nm
+    """,
+)
+def gql_pattern_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (n:Nation) RETURN n.name AS nm, "
+        "[(s:Supplier)-[:located_in]->(n) WHERE s.acctbal > 9000.0 | s.name] "
+        "AS rich_suppliers ORDER BY nm"
+    )
+    return out.select(
+        "nm", F.array_join("rich_suppliers", ",").alias("rich_suppliers")
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

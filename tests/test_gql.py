@@ -1281,6 +1281,33 @@ def test_exists_block_form(knows_graph):
     assert [r["name"] for r in rows] == ["c"]
 
 
+def test_pattern_comprehension(knows_graph):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(knows_graph)
+    rows = eng.execute(
+        "MATCH (v:P) RETURN v.name AS name, "
+        "[(v)-[:knows]->(u) | u.name] AS friends ORDER BY name"
+    ).collect()
+    assert [(r["name"], r["friends"]) for r in rows] == [
+        ("a", ["b", "c"]), ("b", ["c"]), ("c", []),
+    ]
+    # inner WHERE + composition inside another function
+    rows = eng.execute(
+        "MATCH (v:P) RETURN v.name AS name, "
+        "size([(v)-[:knows]->(u) WHERE u.age > 25 | u.name]) AS n "
+        "ORDER BY name"
+    ).collect()
+    assert [(r["name"], r["n"]) for r in rows] == [("a", 1), ("b", 1), ("c", 0)]
+    # a list literal whose first element is parenthesized still parses
+    rows = eng.execute(
+        "MATCH (v:P) WHERE v.name = 'a' RETURN [(1+2)*3, 4] AS l"
+    ).collect()
+    assert rows[0]["l"] == [9, 4]
+    with pytest.raises(ValueError, match="pattern comprehension"):
+        eng.execute("MATCH (v:P) RETURN [(v)-[:knows]->(u)] AS l")
+
+
 def test_merge_on_create_on_match_set(spark, tmp_path):
     """MERGE conditional actions: ON CREATE SET fires only on the create
     branch, ON MATCH SET only on the match branch; edge variables are
