@@ -1298,7 +1298,35 @@ class _Parser:
         self.expect("AS")
         return UnwindClause(src, self.expect_name())
 
+    def read_query(self):
+        """A full read query: a statement, optionally a UNION [ALL]
+        chain (shared by the top level and CALL { } bodies)."""
+        stmt = self.statement()
+        if self.peek()[0] != "UNION":
+            return stmt
+        parts, mode = [stmt], None
+        while self.accept("UNION"):
+            this_all = bool(self.accept("ALL"))
+            if mode is None:
+                mode = this_all
+            elif mode != this_all:
+                # Neo4j's own rule: one query can't mix the two
+                raise ValueError(
+                    "GQL parse error: cannot mix UNION and UNION ALL in "
+                    "one query"
+                )
+            parts.append(self.statement())
+        for s in parts:
+            if not isinstance(s, MatchStatement):
+                raise ValueError(
+                    "GQL parse error: UNION combines read queries only "
+                    f"(got {type(s).__name__})"
+                )
+        return UnionStatement(parts, all=bool(mode))
+
     def statement(self):
+        if self._ident_kw("CALL") and self.toks[self.i + 1] == ("punct", "{"):
+            return self._call_statement()
         if self.accept("UNWIND"):
             first = self._unwind_clause(allow_name=False)
             if self.accept("MATCH"):
@@ -1317,7 +1345,35 @@ class _Parser:
             return CreateStatement(self._write_pattern("CREATE"))
         if self.accept("MERGE"):
             return self._merge_statement()
-        raise ValueError("GQL parse error: expected MATCH, UNWIND, CREATE or MERGE")
+        raise ValueError(
+            "GQL parse error: expected MATCH, UNWIND, CREATE, MERGE or CALL"
+        )
+
+    def _call_statement(self) -> CallStatement:
+        """``CALL { <read query> } RETURN ..`` — uncorrelated subquery.
+        The body may itself be a UNION chain; the outer RETURN sees its
+        output columns as bare names."""
+        self.next()  # CALL
+        self.next()  # {
+        if self.accept("WITH"):
+            raise ValueError(
+                "GQL parse error: correlated CALL subqueries (an "
+                "importing WITH) are not supported — CALL bodies are "
+                "uncorrelated read queries"
+            )
+        inner = self.read_query()
+        if not isinstance(inner, (MatchStatement, UnionStatement)):
+            raise ValueError(
+                "GQL parse error: a CALL body must be a read query "
+                f"(got {type(inner).__name__})"
+            )
+        self.expect("punct", "}")
+        self.expect("RETURN")
+        distinct = self.accept("DISTINCT")
+        stmt = CallStatement(
+            inner, self.return_items(bare_ok=True), distinct=distinct
+        )
+        return self._result_modifiers(stmt)
 
     def _merge_statement(self) -> MergeStatement:
         """``MERGE <pattern> [ON CREATE SET ..] [ON MATCH SET ..]`` —
@@ -1563,27 +1619,7 @@ class _Parser:
 
 def parse_gql(text: str):
     p = _Parser(_tokenize(text))
-    stmt = p.statement()
-    if p.peek()[0] == "UNION":
-        parts, mode = [stmt], None
-        while p.accept("UNION"):
-            this_all = bool(p.accept("ALL"))
-            if mode is None:
-                mode = this_all
-            elif mode != this_all:
-                # Neo4j's own rule: one query can't mix the two
-                raise ValueError(
-                    "GQL parse error: cannot mix UNION and UNION ALL in "
-                    "one query"
-                )
-            parts.append(p.statement())
-        for s in parts:
-            if not isinstance(s, MatchStatement):
-                raise ValueError(
-                    "GQL parse error: UNION combines read queries only "
-                    f"(got {type(s).__name__})"
-                )
-        stmt = UnionStatement(parts, all=bool(mode))
+    stmt = p.read_query()
     if p.peek()[0] != "EOF":
         raise ValueError(f"GQL parse error: trailing tokens at {p.peek()[1]!r}")
     return stmt

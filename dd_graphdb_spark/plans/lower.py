@@ -36,6 +36,7 @@ from dd_graphdb_spark.graph import PropertyGraph
 from dd_graphdb_spark.plans.gql import (
     Arith,
     BoolExpr,
+    CallStatement,
     CaseExpr,
     Compare,
     CountSub,
@@ -871,6 +872,8 @@ class GQLEngine:
 
     def execute(self, query: str) -> DataFrame:
         stmt = parse_gql(query)
+        if isinstance(stmt, CallStatement):
+            return self._execute_call(stmt)
         if isinstance(stmt, UnionStatement):
             return self._execute_union(stmt)
         if isinstance(stmt, MatchStatement):
@@ -890,6 +893,46 @@ class GQLEngine:
                 raise ValueError("mutations require a GraphStore (pass store=)")
             return self.store.execute_mutation(stmt, self)
         raise ValueError(f"unsupported statement {type(stmt).__name__}")
+
+    def _execute_call(self, stmt: CallStatement) -> DataFrame:
+        """CALL { <read query> } RETURN .. — the body lowers to its own
+        optimized plan (a derived table); the outer RETURN projects /
+        aggregates its output columns by bare name. No extra shuffle
+        beyond what the outer aggregation itself needs — Catalyst fuses
+        the projection into the body's plan."""
+        inner = (
+            self._execute_union(stmt.inner)
+            if isinstance(stmt.inner, UnionStatement)
+            else self._execute_match(stmt.inner)
+        )
+        items = stmt.returns
+        if len(items) == 1 and items[0].var == "*" and items[0].agg is None:
+            df = inner  # RETURN *: the subquery's columns as-is
+        else:
+            df = self._project(
+                inner, items, [], self.graph.vertices.columns, bare=True
+            )
+        if stmt.distinct:
+            df = df.distinct()
+        if stmt.order_by:
+            exprs = []
+            for o in stmt.order_by:
+                if o.expr is not None:
+                    exprs.append(_lower_order_expr(o, df.columns))
+                    continue
+                name = o.var if o.prop is None else f"{o.var}_{o.prop}"
+                if name not in df.columns:
+                    raise ValueError(
+                        f"ORDER BY {name} is not in the CALL output "
+                        f"(columns: {df.columns})"
+                    )
+                exprs.append(F.col(name).desc() if o.desc else F.col(name).asc())
+            df = df.orderBy(*exprs)
+        if stmt.skip is not None:
+            df = df.offset(stmt.skip)
+        if stmt.limit is not None:
+            df = df.limit(stmt.limit)
+        return df
 
     def _execute_union(self, stmt: UnionStatement) -> DataFrame:
         """UNION [ALL] between read queries (Cypher semantics; beyond the

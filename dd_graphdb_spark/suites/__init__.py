@@ -80,6 +80,7 @@ GATE_PRIORITY = [
     "gql_count_subquery",
     "gql_exists_block",
     "gql_pattern_comprehension",
+    "gql_call_subquery",
     # (2) ALL 43 queries whose newest driver record is round 5 (the
     # VERDICT-r8 rotation calendar: r9 re-records the r5-stale block)
     "algo_bfs_region",

@@ -1599,6 +1599,50 @@ def gql_pattern_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GQL CALL { } subquery (Cypher; r9): the canonical post-UNION-
+# processing idiom — a UNION ALL of customer and supplier balances per
+# nation inside the braces, aggregated by the outer RETURN. The body
+# lowers to its own optimized plan (a derived table); the outer
+# aggregation is the only added shuffle.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_call_subquery",
+    GRAPH_CTE
+    + """
+    SELECT nm, count(bal) AS n_accounts,
+           max(bal) AS max_bal
+    FROM (
+        SELECT n.name AS nm, c.acctbal AS bal
+        FROM vertices c
+        JOIN edges e ON e.src = c.id AND e.label = 'located_in'
+        JOIN vertices n ON n.id = e.dst AND n.label = 'Nation'
+        WHERE c.label = 'Customer'
+        UNION ALL
+        SELECT n.name, s.acctbal
+        FROM vertices s
+        JOIN edges e ON e.src = s.id AND e.label = 'located_in'
+        JOIN vertices n ON n.id = e.dst AND n.label = 'Nation'
+        WHERE s.label = 'Supplier'
+    ) GROUP BY nm ORDER BY nm
+    """,
+)
+def gql_call_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "CALL { "
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "RETURN n.name AS nm, c.acctbal AS bal "
+        "UNION ALL "
+        "MATCH (s:Supplier)-[:located_in]->(n:Nation) "
+        "RETURN n.name AS nm, s.acctbal AS bal "
+        "} RETURN nm, count(bal) AS n_accounts, max(bal) AS max_bal "
+        "ORDER BY nm"
+    )
+    # max over DOUBLE is exact (no summation drift) — both engines
+    # return the same float bit pattern, no decimal canonicalization
+    return out
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

@@ -1308,6 +1308,44 @@ def test_pattern_comprehension(knows_graph):
         eng.execute("MATCH (v:P) RETURN [(v)-[:knows]->(u)] AS l")
 
 
+def test_call_subquery(knows_graph):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(knows_graph)
+    # aggregate over a UNION ALL body
+    rows = eng.execute(
+        "CALL { MATCH (p:P) RETURN p.name AS nm "
+        "UNION ALL MATCH (q:Q) RETURN q.name AS nm } "
+        "RETURN count(nm) AS n"
+    ).collect()
+    assert rows[0]["n"] == 4
+    # projection + ORDER BY + LIMIT over the subquery's bare columns
+    rows = eng.execute(
+        "CALL { MATCH (p:P) RETURN p.name AS nm, p.age AS age } "
+        "RETURN nm, age ORDER BY age DESC LIMIT 2"
+    ).collect()
+    assert [(r["nm"], r["age"]) for r in rows] == [("c", 40), ("a", 30)]
+    # RETURN * passes the body's columns through
+    rows = eng.execute(
+        "CALL { MATCH (q:Q) RETURN q.name AS nm } RETURN *"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["d"]
+    # expressions over bare names
+    rows = eng.execute(
+        "CALL { MATCH (p:P) RETURN p.age AS age } RETURN sum(age + 1) AS s"
+    ).collect()
+    assert rows[0]["s"] == 93  # (30+1)+(20+1)+(40+1)
+
+
+def test_call_subquery_parse_errors():
+    from dd_graphdb_spark.plans.gql import parse_gql
+
+    with pytest.raises(ValueError, match="correlated CALL"):
+        parse_gql("CALL { WITH 1 AS x RETURN x } RETURN x")
+    with pytest.raises(ValueError, match="must be a read query"):
+        parse_gql("CALL { CREATE (a:P) } RETURN a")
+
+
 def test_merge_on_create_on_match_set(spark, tmp_path):
     """MERGE conditional actions: ON CREATE SET fires only on the create
     branch, ON MATCH SET only on the match branch; edge variables are
