@@ -988,3 +988,78 @@ def test_gql_statement_roundtrip_extended_shapes(
         want = {i: sum(t * a for t in lst) for i, a in verts}
         got = {r["vid"]: r["r"] for r in eng.execute(q).collect()}
         assert got == want, q
+
+
+# --------------------------------------------------------------------------
+# Whole-statement fuzzer, round-9 subquery shapes: COUNT { } in RETURN
+# and WHERE, pattern comprehensions, EXISTS { } blocks with an inner
+# WHERE, and CALL { .. UNION .. } — the grammar-level composition sweep
+# for this round's subquery surface, against the same pure-Python model.
+# --------------------------------------------------------------------------
+@settings(max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    vlabel=st.sampled_from([None, "P", "Q"]),
+    elabel=st.sampled_from(["x", "y"]),
+    use_inner=st.booleans(),
+    iop=st.sampled_from(["<", ">", ">=", "="]),
+    inum=st.integers(0, 9),
+    shape=st.sampled_from(
+        ["count_return", "count_where", "pattern_comp", "exists_block", "call_union"]
+    ),
+    thresh=st.integers(0, 3),
+)
+def test_gql_statement_roundtrip_subquery_shapes(
+    spark, _stmt_graph, vlabel, elabel, use_inner, iop, inum, shape, thresh,
+):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(_stmt_graph)
+    pat = f"(v{':' + vlabel if vlabel else ''})"
+    inner = f" WHERE u.a {iop} {inum}" if use_inner else ""
+    verts = [
+        (i, a) for i, (l, a) in _G_VERTS.items()
+        if vlabel is None or l == vlabel
+    ]
+
+    def hits(i):
+        return [
+            _G_VERTS[d][1] for (s, d, el) in _G_EDGES
+            if s == i and el == elabel
+            and (not use_inner or _CMP[iop](_G_VERTS[d][1], inum))
+        ]
+
+    if shape == "count_return":
+        q = (f"MATCH {pat} RETURN v.id AS vid, "
+             f"COUNT {{ (v)-[:{elabel}]->(u){inner} }} AS n ORDER BY vid")
+        want = {i: len(hits(i)) for i, _ in verts}
+        got = {r["vid"]: r["n"] for r in eng.execute(q).collect()}
+        assert got == want, q
+    elif shape == "count_where":
+        q = (f"MATCH {pat} "
+             f"WHERE COUNT {{ (v)-[:{elabel}]->(u){inner} }} >= {thresh} "
+             f"RETURN v.id AS vid ORDER BY vid")
+        want = sorted(i for i, _ in verts if len(hits(i)) >= thresh)
+        got = [r["vid"] for r in eng.execute(q).collect()]
+        assert got == want, q
+    elif shape == "pattern_comp":
+        q = (f"MATCH {pat} RETURN v.id AS vid, "
+             f"[(v)-[:{elabel}]->(u){inner} | u.a + 1] AS l ORDER BY vid")
+        want = {i: sorted(y + 1 for y in hits(i)) for i, _ in verts}
+        got = {r["vid"]: list(r["l"]) for r in eng.execute(q).collect()}
+        assert got == want, q
+    elif shape == "exists_block":
+        q = (f"MATCH {pat} "
+             f"WHERE EXISTS {{ MATCH (v)-[:{elabel}]->(u){inner} }} "
+             f"RETURN v.id AS vid ORDER BY vid")
+        want = sorted(i for i, _ in verts if hits(i))
+        got = [r["vid"] for r in eng.execute(q).collect()]
+        assert got == want, q
+    else:  # call_union: dedup vs bag semantics outside the braces
+        q = ("CALL { MATCH (p:P) RETURN p.a AS w "
+             "UNION MATCH (q:Q) RETURN q.a AS w } "
+             "RETURN count(w) AS n, sum(w) AS s")
+        vals = set(a for _, (l, a) in _G_VERTS.items())  # all distinct here
+        row = eng.execute(q).collect()[0]
+        assert (row["n"], row["s"]) == (len(vals), sum(vals)), q
