@@ -335,8 +335,10 @@ class MatchStatement:
     # clause) left-joins (clause.where applies within the pattern)
     clauses: list = field(default_factory=list)
     # restricted WITH pipeline: project/aggregate, then filter (HAVING
-    # idiom), then RETURN references the WITH output by bare alias
+    # idiom), then RETURN references the WITH output by bare alias;
+    # WITH DISTINCT dedups the projected intermediate (Cypher)
     with_items: list[ReturnItem] | None = None
+    with_distinct: bool = False
     with_where: object | None = None
     # MATCH / OPTIONAL MATCH clauses AFTER the WITH (only for
     # non-aggregating WITH; they join on passed-through variables)
@@ -967,11 +969,18 @@ class _Parser:
             return PropRef(var, None)
         return self.literal()
 
-    # ----- where expr (OR lowest precedence)
+    # ----- where expr (OR lowest precedence, then XOR, then AND — Cypher)
     def where_expr(self):
-        left = self.and_expr()
+        left = self.xor_expr()
         while self.accept("OR"):
-            left = BoolExpr("OR", left, self.and_expr())
+            left = BoolExpr("OR", left, self.xor_expr())
+        return left
+
+    def xor_expr(self):
+        left = self.and_expr()
+        while self._ident_kw("XOR"):
+            self.next()
+            left = BoolExpr("XOR", left, self.and_expr())
         return left
 
     def and_expr(self):
@@ -1577,7 +1586,9 @@ class _Parser:
         post_clauses = []
         with_order: list[OrderItem] = []
         with_skip = with_limit = None
+        with_distinct = False
         if self.accept("WITH"):
+            with_distinct = self.accept("DISTINCT")
             with_items = self.return_items()
             if any(i.var == "*" and i.agg is None for i in with_items):
                 raise ValueError("GQL parse error: WITH does not support *")
@@ -1613,6 +1624,7 @@ class _Parser:
             clauses=clauses, with_items=with_items, with_where=with_where,
             post_clauses=post_clauses, unwind_first=unwind_first, unwind=unwind,
             with_order=with_order, with_skip=with_skip, with_limit=with_limit,
+            with_distinct=with_distinct,
         )
         return self._result_modifiers(stmt)
 

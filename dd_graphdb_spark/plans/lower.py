@@ -715,6 +715,10 @@ def _lower_condition(
             return ~_lower_condition(cond.left, bare, pattern_vars, bare_names)
         left = _lower_condition(cond.left, bare, pattern_vars, bare_names)
         right = _lower_condition(cond.right, bare, pattern_vars, bare_names)
+        if cond.op == "XOR":
+            # boolean inequality IS exclusive-or, with Cypher's
+            # three-valued semantics for free (null != x → null)
+            return left != right
         return left & right if cond.op == "AND" else left | right
     if isinstance(cond, QuantPred):
         # higher-order function, evaluated per row inside codegen
@@ -1478,6 +1482,10 @@ class GQLEngine:
                         )
                 inter = bound.select(*cols)
                 pvars = passthrough
+            if stmt.with_distinct:
+                # WITH DISTINCT dedups the projected intermediate BEFORE
+                # the pipeline filter (Cypher clause order)
+                inter = inter.distinct()
             if stmt.with_where is not None:
                 if _has_pattern_pred(stmt.with_where):
                     # the semi-join rewrite needs binding-id witnesses,

@@ -81,6 +81,7 @@ GATE_PRIORITY = [
     "gql_exists_block",
     "gql_pattern_comprehension",
     "gql_call_subquery",
+    "gql_with_distinct_xor",
     # (2) ALL 43 queries whose newest driver record is round 5 (the
     # VERDICT-r8 rotation calendar: r9 re-records the r5-stale block)
     "algo_bfs_region",

@@ -1643,6 +1643,34 @@ def gql_call_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ---------------------------------------------------------------------------
+# GQL WITH DISTINCT + XOR (r9): dedup the projected (nation, segment)
+# pairs, then keep exactly-one-of-two conditions. XOR lowers to boolean
+# inequality (three-valued semantics free); precedence OR < XOR < AND.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_with_distinct_xor",
+    GRAPH_CTE
+    + """
+    SELECT nm, seg FROM (
+        SELECT DISTINCT n.name AS nm, c.mktsegment AS seg
+        FROM vertices c
+        JOIN edges e ON e.src = c.id AND e.label = 'located_in'
+        JOIN vertices n ON n.id = e.dst AND n.label = 'Nation'
+        WHERE c.label = 'Customer'
+    ) WHERE (nm LIKE '%1%') <> (seg = 'BUILDING')
+    ORDER BY nm, seg
+    """,
+)
+def gql_with_distinct_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "WITH DISTINCT n.name AS nm, c.mktsegment AS seg "
+        "WHERE nm CONTAINS '1' XOR seg = 'BUILDING' "
+        "RETURN nm, seg ORDER BY nm, seg"
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

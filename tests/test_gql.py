@@ -1308,6 +1308,30 @@ def test_pattern_comprehension(knows_graph):
         eng.execute("MATCH (v:P) RETURN [(v)-[:knows]->(u)] AS l")
 
 
+def test_xor_and_with_distinct(knows_graph):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(knows_graph)
+    # exactly-one-of-two: ages 30,20,40 / labels P,P,P + Q(10)
+    rows = eng.execute(
+        "MATCH (v) WHERE v.age > 25 XOR v.name = 'c' "
+        "RETURN v.name AS nm ORDER BY nm"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["a"]  # a: T^F; c: T^T=F; b,d: F^F
+    # precedence: OR binds loosest — (age>25 XOR name='c') OR name='d'
+    rows = eng.execute(
+        "MATCH (v) WHERE v.age > 25 XOR v.name = 'c' OR v.name = 'd' "
+        "RETURN v.name AS nm ORDER BY nm"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["a", "d"]
+    # WITH DISTINCT dedups the projection before the pipeline filter
+    rows = eng.execute(
+        "MATCH (v:P)-[:knows]->(u) WITH DISTINCT v.name AS nm "
+        "RETURN nm ORDER BY nm"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["a", "b"]
+
+
 def test_call_subquery(knows_graph):
     from dd_graphdb_spark.plans.lower import GQLEngine
 
