@@ -104,6 +104,11 @@ HEADLINE = [
     "gql_all_shortest_paths",
     "gql_temporal",
     "gql_foreach",
+    # round-9 second-session additions: subquery surface (grouped-
+    # count/collect joins + derived-table CALL)
+    "gql_count_subquery",
+    "gql_pattern_comprehension",
+    "gql_call_subquery",
 ]
 
 

@@ -62,23 +62,23 @@ def _with_hygiene(fn):
 # takes ~4 rounds; every round: new queries at the TOP, then the
 # oldest-recorded block, fill to 50 with the rows most affected by
 # the round's engine changes; freshest block moves to the END):
-#   r9  = 11 new + 3 copartition-affected r6 picks + 36 of the 43
-#         r5-stale rows (this list). The round produced 11 new oracle
-#         queries, so 7 r5 rows do not fit the window: the 7 LEAST
+#   r9  = 12 new + 3 copartition-affected r6 picks + 35 of the 43
+#         r5-stale rows (this list). The round produced 12 new oracle
+#         queries, so 8 r5 rows do not fit the window: the 8 LEAST
 #         affected by r9's engine changes (pure curation/relational —
 #         no GQL parse path, no fixpoint loop, no streaming state) are
 #         deferred to the FRONT of r10's window below; all 7 were
-#         verified green in this session's full 204-query replica.
-#   r10 = r10's new + the 7 deferred r5 rows + the r6-recorded block
+#         verified green in this session's full-registry replica.
+#   r10 = r10's new + the 8 deferred r5 rows + the r6-recorded block
 #   r11 = r11's new + the r7-recorded block
 #   r12 = r12's new + the r8-recorded block — then the cycle repeats,
 # so no query's newest driver row ever ages past ~4 rounds.
 GATE_PRIORITY = [
     # ---- r9 window (driver records the FIRST 50) ----
-    # (1) the 11 NEW oracle-checked queries (GQL UNION/UNION ALL,
+    # (1) the 12 NEW oracle-checked queries (GQL UNION/UNION ALL,
     # allShortestPaths, temporal surface, FOREACH, MERGE conditional
     # actions, COUNT{}/EXISTS{} subqueries, pattern comprehensions,
-    # CALL{} subqueries, XOR + WITH DISTINCT)
+    # CALL{} subqueries, XOR + WITH DISTINCT, stream-stream FULL OUTER)
     "gql_union",
     "gql_union_all",
     "gql_all_shortest_paths",
@@ -90,8 +90,9 @@ GATE_PRIORITY = [
     "gql_pattern_comprehension",
     "gql_call_subquery",
     "gql_with_distinct_xor",
-    # (2) 36 of the 43 r5-stale rows (the VERDICT-r8 rotation calendar:
-    # r9 re-records the r5 block; the 7 deferred rows are in section 4)
+    "stream_live_full_outer_join",
+    # (2) 35 of the 43 r5-stale rows (the VERDICT-r8 rotation calendar:
+    # r9 re-records the r5 block; the 8 deferred rows are in section 4)
     "algo_bfs_region",
     "algo_lpa_colocation",
     "algo_lpa_fixture",
@@ -127,14 +128,14 @@ GATE_PRIORITY = [
     "view_incremental_centroids",
     "view_incremental_lpa",
     "view_incremental_minhash",
-    "window_ntile_lead",
     # (3) fill to 50 with the r6-stale rows most affected by this
     # round's copartitioned-edges rewrite (SSSP + the BFS centralities)
     "algo_sssp_colocation",
     "algo_betweenness_landmarks",
     "algo_closeness_landmarks",
-    # ---- (4) the 7 r5 rows deferred to r10 (window overflow — see the
+    # ---- (4) the 8 r5 rows deferred to r10 (window overflow — see the
     # calendar above; judge-replicated green this round) ----
+    "window_ntile_lead",
     "cube_status_priority",
     "curation_chunk_docs",
     "curation_contamination",

@@ -285,6 +285,84 @@ def stream_live_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "stream_live_full_outer_join",
+    f"""
+    WITH p AS (
+        SELECT user_id, ts AS pts, event_id AS pid
+        FROM {EVENTS_US} WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS cts, event_id AS cid
+        FROM {EVENTS_US} WHERE event_type = 'click'
+    ),
+    wm AS (
+        SELECT least((SELECT max(pts) FROM p), (SELECT max(cts) FROM c))
+               - INTERVAL 10 MINUTE AS w
+    ),
+    matches AS (
+        SELECT p.user_id, p.pid, c.cid
+        FROM p JOIN c
+          ON c.user_id = p.user_id
+         AND c.cts <= p.pts
+         AND c.cts >= p.pts - INTERVAL 1 DAY
+    )
+    SELECT user_id, pid, cid FROM matches
+    UNION ALL
+    SELECT p.user_id, p.pid, -1::BIGINT AS cid
+    FROM p
+    LEFT JOIN (SELECT DISTINCT pid FROM matches) m ON p.pid = m.pid
+    JOIN wm ON p.pts < wm.w
+    WHERE m.pid IS NULL
+    UNION ALL
+    SELECT c.user_id, -1::BIGINT AS pid, c.cid
+    FROM c
+    LEFT JOIN (SELECT DISTINCT cid FROM matches) m ON c.cid = m.cid
+    JOIN wm ON c.cts < wm.w - INTERVAL 1 DAY
+    WHERE m.cid IS NULL
+    """,
+)
+def stream_live_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: both sides emit null
+    rows on state eviction. The left (purchase) side evicts when the
+    global watermark passes its timestamp (same as the left-outer
+    variant); the right (click) side's state-value watermark is shifted
+    by the range condition's span — a click can match future purchases
+    with pts ∈ [cts, cts + 1 day], so it evicts (and emits its null
+    row) only once w > cts + 1 day. The oracle restates both eviction
+    rules; the latest rows on each side are STILL IN STATE when the
+    stream ends and correctly never emit. Null ids map to -1 on both
+    sides (pandas NaN-coerces nullable ints in the compare)."""
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid"))
+        .withWatermark("pts", "10 minutes")
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("cts"),
+            F.col("event_id").alias("cid"),
+        )
+        .withWatermark("cts", "10 minutes")
+    )
+    j = purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 DAY")),
+        "fullOuter",
+    ).select(
+        F.coalesce("user_id", "c_user").alias("user_id"),
+        F.coalesce("pid", F.lit(-1)).alias("pid"),
+        F.coalesce("cid", F.lit(-1)).alias("cid"),
+    )
+    return run_to_memory(j, output_mode="append")
+
+
+@_q(
     "stream_live_static_enrich",
     f"""
     SELECT events.event_id, events.user_id, c.c_mktsegment AS segment, events.value
