@@ -243,6 +243,18 @@ class CountSub:
 
 
 @dataclass
+class MapProj:
+    """``v {.name, .age}`` — Cypher map projection (the property-
+    selection form). Rendered as a JSON string of the selected
+    properties in SOURCE order — the engine's heterogeneous-map
+    rendering, same convention as ``properties(v)``; null properties
+    are omitted (to_json drops null fields)."""
+
+    var: str
+    props: list
+
+
+@dataclass
 class PatternComp:
     """``[(v)-[:LBL]->(u) WHERE pred | expr]`` — a pattern
     comprehension (Cypher; beyond the reference): per outer binding
@@ -966,6 +978,19 @@ class _Parser:
             var = self.next()[1]
             if self.accept("punct", "."):
                 return self._postfix(PropRef(var, self.expect_name()))
+            if self.peek() == ("punct", "{") and self.toks[self.i + 1] == (
+                "punct", ".",
+            ):
+                # map projection: v {.name, .age} (property selection)
+                self.next()
+                props = []
+                while True:
+                    self.expect("punct", ".")
+                    props.append(self.expect_name())
+                    if not self.accept("punct", ","):
+                        break
+                self.expect("punct", "}")
+                return MapProj(var, props)
             return PropRef(var, None)
         return self.literal()
 

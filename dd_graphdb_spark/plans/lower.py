@@ -44,6 +44,7 @@ from dd_graphdb_spark.plans.gql import (
     FuncCall,
     ListComp,
     ListExpr,
+    MapProj,
     PatternPred,
     PropRef,
     QuantPred,
@@ -362,6 +363,31 @@ def _rewrite_prop_map_funcs(node, vvars, evars, vcols, ecols):
     def rec(n):
         return _rewrite_prop_map_funcs(n, vvars, evars, vcols, ecols)
 
+    if isinstance(node, MapProj):
+        # map projection v {.p1, .p2}: JSON of the selected properties
+        # in source order (same rendering as properties(v))
+        if node.var in vvars:
+            avail = set(vcols)
+        elif node.var in evars:
+            avail = set(ecols)
+        else:
+            raise ValueError(
+                f"map projection {node.var} {{..}}: {node.var!r} is not "
+                "a bound pattern variable"
+            )
+        bad = [p for p in node.props if p not in avail]
+        if bad:
+            raise ValueError(
+                f"map projection {node.var} {{..}}: unknown "
+                f"properties {bad} (have {sorted(avail)})"
+            )
+        return _ColWrap(
+            F.to_json(
+                F.struct(
+                    *[F.col(f"{node.var}__{p}").alias(p) for p in node.props]
+                )
+            )
+        )
     if isinstance(node, FuncCall):
         if node.name in ("keys", "properties"):
             a = node.args[0]
@@ -522,6 +548,11 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
             "supported in the MATCH WHERE clause and in RETURN / WITH "
             "items only (not inside EXISTS bodies, WITH ... WHERE, or "
             "post-WITH RETURNs)"
+        )
+    if isinstance(node, MapProj):
+        raise ValueError(
+            "map projections (v {.p1, .p2}) reference a bound pattern "
+            "variable and are supported in MATCH statements only"
         )
     if isinstance(node, ListComp):
         arr = _lower_expr(node.source, bare, bare_names)

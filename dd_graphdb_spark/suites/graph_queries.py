@@ -1671,6 +1671,30 @@ def gql_with_distinct_xor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GQL map projection (r9): v {.p1, .p2} — JSON rendering of the
+# selected properties in source order (same convention as
+# properties(v)). The oracle rebuilds the exact JSON text by concat —
+# the projected values are JSON-safe TPC-H strings.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_map_projection",
+    GRAPH_CTE
+    + """
+    SELECT name AS nm,
+           '{"name":"' || name || '","mktsegment":"' || mktsegment || '"}' AS m
+    FROM vertices
+    WHERE label = 'Customer' AND acctbal > 9900.0
+    ORDER BY nm
+    """,
+)
+def gql_map_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (c:Customer) WHERE c.acctbal > 9900.0 "
+        "RETURN c.name AS nm, c {.name, .mktsegment} AS m ORDER BY nm"
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

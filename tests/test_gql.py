@@ -1332,6 +1332,25 @@ def test_xor_and_with_distinct(knows_graph):
     assert [r["nm"] for r in rows] == ["a", "b"]
 
 
+def test_map_projection(knows_graph):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(knows_graph)
+    rows = eng.execute(
+        "MATCH (v:Q) RETURN v {.name, .age} AS m"
+    ).collect()
+    assert rows[0]["m"] == '{"name":"d","age":10}'
+    # edge variable + source order preserved
+    rows = eng.execute(
+        "MATCH (a:P {name: 'a'})-[e:knows]->(b) RETURN e {.label, .src} AS m"
+    ).collect()
+    assert all(r["m"].startswith('{"label":"knows"') for r in rows)
+    with pytest.raises(ValueError, match="unknown properties"):
+        eng.execute("MATCH (v:P) RETURN v {.nope} AS m")
+    with pytest.raises(ValueError, match="not a bound pattern variable"):
+        eng.execute("MATCH (v:P) RETURN z {.name} AS m")
+
+
 def test_call_subquery(knows_graph):
     from dd_graphdb_spark.plans.lower import GQLEngine
 
