@@ -1063,3 +1063,33 @@ def test_gql_statement_roundtrip_subquery_shapes(
         vals = set(a for _, (l, a) in _G_VERTS.items())  # all distinct here
         row = eng.execute(q).collect()[0]
         assert (row["n"], row["s"]) == (len(vals), sum(vals)), q
+
+
+@settings(max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    vlabel=st.sampled_from([None, "P", "Q"]),
+    props=st.lists(
+        st.sampled_from(["label", "a", "id"]), min_size=1, max_size=3, unique=True
+    ),
+)
+def test_gql_map_projection_matches_json_model(spark, _stmt_graph, vlabel, props):
+    import json as _json
+
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(_stmt_graph)
+    pat = f"(v{':' + vlabel if vlabel else ''})"
+    sel = ", ".join(f".{p}" for p in props)
+    q = f"MATCH {pat} RETURN v.id AS vid, v {{{sel}}} AS m ORDER BY vid"
+    got = {r["vid"]: r["m"] for r in eng.execute(q).collect()}
+    want = {}
+    for i, (l, a) in _G_VERTS.items():
+        if vlabel is not None and l != vlabel:
+            continue
+        vals = {"label": l, "a": a, "id": i}
+        want[i] = _json.dumps(
+            {p: vals[p] for p in props}, separators=(",", ":")
+        )
+    assert got == want, q
