@@ -36,9 +36,27 @@ from pyspark.sql import DataFrame
 _PIN_LOCK = threading.RLock()
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint with SERIALIZED memory+disk blocks.
+
+    PySpark's MEMORY_AND_DISK constant is the serialized variant; the
+    JVM-side localCheckpoint default stores DESERIALIZED object rows,
+    ~3-4x the footprint — and on read-back of disk-spilled blocks the
+    block manager re-unrolls them into object arrays
+    (maybeCacheDiskValuesInMemory), which with 32 concurrent tasks
+    unrolling ~550 MiB partitions OOM'd a 64 g heap in the sf10 SCC
+    loop. Serialized blocks fit, their unroll accounting is chunked,
+    and per-round scans decode Tungsten rows cheaply. Every fixpoint
+    checkpoint (loop state AND the run_loop result bracket) goes
+    through here; copartitioned() applies the same level itself."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly truncate lineage; later jobs read the stored blocks."""
-    return df.localCheckpoint(eager=True)
+    return _ckpt(df)
 
 
 def copartitioned(df: DataFrame, *keys: str, dedup_cols: list | None = None) -> DataFrame:
@@ -168,9 +186,9 @@ class RoundPins:
 
     def materialize(self, df: DataFrame) -> DataFrame:
         if not self._classic:
-            return df.localCheckpoint(eager=True)
+            return _ckpt(df)
         before = _persistent_ids(self._spark)
-        out = df.localCheckpoint(eager=True)
+        out = _ckpt(df)
         self._ids[id(out)] = _persistent_ids(self._spark) - before
         self._frames[id(out)] = out
         return out
@@ -214,7 +232,7 @@ def run_loop(impl: Callable[..., DataFrame], g, *args, **kwargs) -> DataFrame:
         try:
             result = impl(g, *args, **kwargs)
             mid = _persistent_ids(spark)
-            final = result.localCheckpoint(eager=True)
+            final = _ckpt(result)
             final_ids = _persistent_ids(spark) - mid
             return final
         finally:

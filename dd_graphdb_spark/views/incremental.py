@@ -656,22 +656,29 @@ class IncrementalPageRank:
                 _unpersist(self.spark, _persistent_ids(self.spark) - before)
 
     def _refresh_impl(self) -> DataFrame:
+        # serialized checkpoints throughout (_ckpt): the edge-sized
+        # contrib frame cached as deserialized rows is a heap hazard at
+        # scale — see algorithms._iter._ckpt
+        from dd_graphdb_spark.algorithms._iter import _ckpt
+
         edges = self._edges.read()
-        verts = edges.select(F.col("src").alias("id")).union(
-            edges.select(F.col("dst").alias("id"))
-        ).distinct().localCheckpoint(eager=True)
+        verts = _ckpt(
+            edges.select(F.col("src").alias("id")).union(
+                edges.select(F.col("dst").alias("id"))
+            ).distinct()
+        )
         n = verts.count()
         if n == 0:
             self._ranks.write(self.spark.createDataFrame([], "id long, rank double"))
             return self.ranks()
         outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-        contrib_edges = edges.join(outdeg, "src").localCheckpoint(eager=True)
+        contrib_edges = _ckpt(edges.join(outdeg, "src"))
         base = float((1.0 - self.damping) / n)
 
         ranks = self._ranks.read()
         if ranks.isEmpty():
             ranks = verts.withColumn("rank", F.lit(1.0 / n))
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = _ckpt(ranks)
         for _ in range(self.iterations):
             contribs = (
                 ranks.join(contrib_edges, ranks.id == contrib_edges.src)
@@ -679,7 +686,7 @@ class IncrementalPageRank:
                 .groupBy("id")
                 .agg(F.sum("c").alias("msum"))
             )
-            ranks = (
+            ranks = _ckpt(
                 verts.join(contribs, "id", "left")
                 .select(
                     "id",
@@ -688,7 +695,6 @@ class IncrementalPageRank:
                         + F.lit(self.damping) * F.coalesce(F.col("msum"), F.lit(0.0))
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=True)
             )
         self._ranks.write(ranks)
         return self.ranks()
