@@ -23,8 +23,10 @@ lineage is truncated), which is why the result must be re-checkpointed
 
 from __future__ import annotations
 
+import os
 import threading
 from collections.abc import Callable
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -34,6 +36,36 @@ from pyspark.sql import DataFrame
 #: between this loop's snapshots would have its blocks unpersisted —
 #: and a localCheckpoint cannot be recomputed after unpersist
 _PIN_LOCK = threading.RLock()
+
+
+@_contextmanager
+def wide_shuffle(spark):
+    """Scoped raise of AQE's initial shuffle-partition count, for loops
+    whose per-round aggregates are EDGE-sized (synchronized LPA's
+    neighbor-label frequencies, FastSV's per-edge min-reductions).
+
+    AQE can coalesce shuffle partitions but never split them, so the
+    initial count bounds per-task aggregation hash tables: at sf10 the
+    LPA label-frequency aggregate packed ~13 M groups into each of 32
+    reduce partitions and spilled (1272 s; 191 s at 256). A GLOBAL
+    raise is wrong the other way — small-state loops (BFS frontiers)
+    pay per-round fan-out overhead for nothing (same-host sf10 A/B:
+    7.9 s at 32 → 33.5 s at 256) — so the raise is scoped to the loops
+    that need it and restored in a finally. Loops run under run_loop's
+    _PIN_LOCK, so no concurrent query plans inside the window."""
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, os.environ.get("SPARK_GRAFT_WIDE_PARTITIONS", "256"))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def _ckpt(df: DataFrame) -> DataFrame:

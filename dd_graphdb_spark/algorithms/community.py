@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import PropertyGraph
-from dd_graphdb_spark.algorithms._iter import RoundPins, copartitioned, run_loop
+from dd_graphdb_spark.algorithms._iter import RoundPins, copartitioned, run_loop, wide_shuffle
 
 
 def _lpa_loop(
@@ -87,5 +87,14 @@ def _lpa_loop(
 def label_propagation(
     g: PropertyGraph, max_iterations: int = 5, ckpt_every: int = 4
 ) -> DataFrame:
-    """(id, community) after ``max_iterations`` synchronized LPA rounds."""
-    return run_loop(_lpa_loop, g, max_iterations, ckpt_every)
+    """(id, community) after ``max_iterations`` synchronized LPA rounds.
+
+    Runs under wide_shuffle: round 1's neighbor-label frequency frame
+    is EDGE-sized and its hash aggregate needs the wider reduce fan-out
+    (same-host sf10 A/B: 122 s at 32 initial partitions → 90 s at 256;
+    the pre-serialized-checkpoint form spilled to 1272 s)."""
+    def impl(g, *a, **kw):
+        with wide_shuffle(g.vertices.sparkSession):
+            return _lpa_loop(g, *a, **kw)
+
+    return run_loop(impl, g, max_iterations, ckpt_every)

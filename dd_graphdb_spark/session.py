@@ -27,21 +27,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE can COALESCE shuffle partitions but never SPLIT them, so
-        # the initial count must be the LARGE-scale one: with the
-        # default (= shuffle.partitions = 32) the sf10 colocation LPA's
-        # edge-sized label-frequency aggregate packed ~13 M groups per
-        # reduce partition and spilled (~2.3x over edge-linear wall,
-        # README "sf10 subset re-run"). 256 initial partitions keep
-        # per-task agg hash tables in memory at sf10 while AQE's
-        # advisory-size coalescing collapses small-scale shuffles back
-        # down — same final plans at sf0.01/sf0.1. Joins against
-        # bucketed/copartitioned 32-partition layouts are unaffected:
-        # EnsureRequirements shuffles the probe side to MATCH the
-        # laid-out side's partitioning, not the initial count.
+        # AQE can COALESCE shuffle partitions but never SPLIT them. A
+        # global raise of initialPartitionNum is a measured LOSS though:
+        # small-state fixpoint loops pay per-round fan-out overhead
+        # (same-host sf10 A/B: BFS 7.9 s at 32 → 33.5 s at 256, SCC
+        # 283 s → 487 s) while only EDGE-sized-aggregate loops gain
+        # (LPA 122 → 90 s, k-core 164 → 119 s, FastSV CC 77 → 47 s).
+        # The raise is therefore SCOPED to those loops via
+        # algorithms._iter.wide_shuffle; the session default stays at
+        # the shuffle-partition count. Env knob kept for A/B studies.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", "256"),
+            os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS", str(shuffle)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
