@@ -1065,6 +1065,44 @@ def test_gql_statement_roundtrip_subquery_shapes(
         assert (row["n"], row["s"]) == (len(vals), sum(vals)), q
 
 
+_CONN_PY = {
+    "AND": lambda a, b: a and b,
+    "OR": lambda a, b: a or b,
+    "XOR": lambda a, b: a != b,
+}
+
+
+@settings(max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    op1=st.sampled_from(["<", ">", "=", "<=", ">="]),
+    n1=st.integers(0, 9),
+    op2=st.sampled_from(["<", ">", "="]),
+    n2=st.integers(0, 9),
+    conn=st.sampled_from(["AND", "OR", "XOR"]),
+    negate=st.booleans(),
+)
+def test_gql_boolean_connectives_match_python(
+    spark, _stmt_graph, op1, n1, op2, n2, conn, negate,
+):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(_stmt_graph)
+    neg = "NOT " if negate else ""
+    q = (f"MATCH (v) WHERE v.a {op1} {n1} {conn} {neg}v.a {op2} {n2} "
+         f"RETURN v.id AS vid ORDER BY vid")
+    want = sorted(
+        i for i, (_, a) in _G_VERTS.items()
+        if _CONN_PY[conn](
+            _CMP[op1](a, n1),
+            (not _CMP[op2](a, n2)) if negate else _CMP[op2](a, n2),
+        )
+    )
+    got = [r["vid"] for r in eng.execute(q).collect()]
+    assert got == want, q
+
+
 @settings(max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
           deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
