@@ -401,3 +401,208 @@ def lsh_topk(
     return _score_rank_topk(
         F.broadcast(q).join(base, "bucket").filter(F.col("q_id") != F.col("nid")), k
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# --------------------------------------------------------------------------
+def pq_codebook(
+    emb: DataFrame,
+    m: int = 8,
+    n_codewords: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks: the vector space splits into ``m`` equal
+    subspaces and each gets ``n_codewords`` codewords — the sub-vectors
+    of the ``n_codewords`` lowest-id corpus vectors (the same
+    deterministic data-derived seeding as the IVF coarse quantizer and
+    the LSH hyperplanes, which keeps results oracle-checkable; a
+    production build would k-means-refine each subspace codebook — the
+    encode/ADC machinery below is identical either way).
+    Returns ``codebook[s][j] = the j-th codeword of subspace s``."""
+    seeds = _seed_vectors(emb, n_codewords, id_col, vec_col)
+    d = len(seeds[0])
+    if d % m != 0:
+        raise ValueError(f"dimension {d} is not divisible by m={m} subspaces")
+    dsub = d // m
+    return [
+        [seed[s * dsub : (s + 1) * dsub] for seed in seeds] for s in range(m)
+    ]
+
+
+def _pq_l2sq(sub: Column, w: Column) -> Column:
+    """0.0-seeded left-fold squared-L2 between a sub-vector column and a
+    codeword array — term form (a-b)*(a-b) and fold order match the
+    DuckDB oracle's list_reduce exactly (bit-for-bit doubles)."""
+    return F.aggregate(
+        F.zip_with(sub, w, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_code(vec: Column, cb_s: Column, s: int, dsub: int) -> Column:
+    """Argmin codeword index for subspace ``s`` (ties → lowest index):
+    struct-array min orders (distance asc, index asc)."""
+    sub = F.slice(vec, s * dsub + 1, dsub)
+    keyed = F.transform(
+        cb_s, lambda w, j: F.struct(_pq_l2sq(sub, w).alias("d"), j.alias("j"))
+    )
+    return F.array_min(keyed)["j"]
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>): each vector compressed to ``m`` small
+    codeword indices — with m=8 subspaces that is 8 bytes of code per
+    64-dim float vector, a 32x read reduction for the ADC scan below.
+
+    Spark shape: ONE constant-folded projection (codebooks are array
+    literals, distances are higher-order folds inside codegen) — no
+    shuffle, no Python; at 100 TB this is a write-time column, exactly
+    like the IVF cell id."""
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    vec = as_double(F.col(vec_col))
+    codes = F.array(
+        *[_pq_code(vec, _matrix_lit(codebook[s]), s, dsub) for s in range(m)]
+    )
+    return emb.select(F.col(id_col).alias("nid"), codes.alias("codes"))
+
+
+def brute_force_l2_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact squared-L2 top-k — the ground truth for PQ recall (PQ
+    approximates L2, not cosine, so its recall baseline must too).
+    Output: (q_id, neighbor_id, adist, rank), adist ascending with the
+    lowest-neighbor tie-break — the same ordering contract as pq_topk."""
+    from pyspark.sql.window import Window
+
+    base = emb.select(
+        F.col(id_col).alias("nid"), as_double(F.col(vec_col)).alias("nvec")
+    )
+    q = emb.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("qvec")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .filter(F.col("q_id") != F.col("nid"))
+        .select(
+            "q_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(_pq_l2sq(F.col("qvec"), F.col("nvec")), 6).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    m: int = 8,
+    n_codewords: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN top-k by asymmetric distance computation (ADC): corpus
+    vectors are scanned as ``m``-byte PQ codes; each query precomputes a
+    per-subspace lookup table of squared-L2 distances to every codeword,
+    and a neighbor's approximate distance is the sum of ``m`` table
+    lookups — no float vector is touched during the scan.
+
+    At 100 TB this is the memory-bound complement to IVF: IVF prunes
+    WHICH rows are scanned (partition pruning), PQ shrinks WHAT a scan
+    reads per row (codes are ~32x smaller than the raw vectors) — real
+    systems compose them (IVF-PQ); both halves exist here and compose
+    by encoding each IVF cell. Everything is JVM-side: the query table
+    is a broadcast of |Q| rows carrying literal-computed LUT arrays, the
+    scan is element_at folds inside codegen.
+
+    Output: (q_id, neighbor_id, adist, rank) — adist ascending (squared
+    L2 approximation), ties to the lowest neighbor id, the query itself
+    excluded. Recall < 1 vs brute force by construction."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql.window import Window
+
+    codebook = pq_codebook(emb, m, n_codewords, id_col, vec_col)
+    dsub = len(codebook[0][0])
+    base = pq_encode(emb, codebook, id_col, vec_col)
+
+    # per-query LUTs are computed on the DRIVER — |Q| x m x n_codewords
+    # doubles, the PQ-canonical "precompute once per query" step. The
+    # fold order and term form ((a-b)*(a-b), 0.0-seeded left fold)
+    # mirror the engine/oracle computation exactly, so the Python
+    # doubles are bit-identical to what DuckDB derives. (An earlier
+    # column-side formulation — nested transform/aggregate lambdas on
+    # the broadcast side — silently produced NULLs once a window
+    # exchange collapsed the projection: lambda-variable resolution
+    # across merged HOF trees is not stable under that rewrite. Literal
+    # LUTs keep the scan side the only HOF user.)
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+
+    def _lut(vec: list[float]) -> list[list[float]]:
+        out = []
+        for s in range(m):
+            sub = vec[s * dsub : (s + 1) * dsub]
+            row = []
+            for w in codebook[s]:
+                acc = 0.0
+                for a, b in zip(sub, w):
+                    d = a - b
+                    acc = acc + d * d
+                row.append(acc)
+            out.append(row)
+        return out
+
+    spark = emb.sparkSession
+    q = spark.createDataFrame(
+        [(int(r["q_id"]), _lut([float(x) for x in r["v"]])) for r in qrows],
+        "q_id long, lut array<array<double>>",
+    )
+    adist = _reduce(
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+        range(m),
+        F.lit(0.0),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .filter(F.col("q_id") != F.col("nid"))
+        .select(
+            "q_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(adist, 6).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

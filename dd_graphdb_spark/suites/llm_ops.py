@@ -1227,6 +1227,120 @@ def sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (r9): compressed-domain ANN — the memory-bound
+# complement to IVF's partition pruning. Deterministic codebooks (the
+# subspace slices of the first n_codewords corpus vectors, same seeding
+# convention as IVF/LSH) make encode + ADC exact oracle-checked values.
+# ---------------------------------------------------------------------------
+def _sql_l2sq(a: str, b: str, off: str, n: int) -> str:
+    """0.0-seeded left-fold squared L2 over ``n`` dims at 1-based offset
+    expression ``off`` — same term form and fold order as the Spark side
+    (operators.similarity._pq_l2sq), so doubles match bit-for-bit."""
+    t = f"({a}[{off}+i] - {b}[{off}+i]) * ({a}[{off}+i] - {b}[{off}+i])"
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(generate_series(1, {n}), i -> {t})), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_pq_topk(m: int, kw: int, k: int, dims: int = 64) -> str:
+    dsub = dims // m
+    adist_sum = "0.0" + "".join(
+        f" + max(CASE WHEN qd.s = {s} THEN qd.d2 END)" for s in range(m)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    cw AS (SELECT vec_id AS j, v AS w FROM e WHERE vec_id < {kw}),
+    subs AS (SELECT s FROM generate_series(0, {m - 1}) t(s)),
+    dist AS (
+        SELECT e.vec_id, subs.s, cw.j,
+               {_sql_l2sq("e.v", "cw.w", f"subs.s*{dsub}", dsub)} AS d2
+        FROM e, subs, cw
+    ),
+    codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, s ORDER BY d2 ASC, j ASC) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    adist AS (
+        SELECT qd.vec_id AS q_id, c.vec_id AS neighbor_id,
+               {adist_sum} AS adist
+        FROM dist qd
+        JOIN codes c ON c.s = qd.s AND c.code = qd.j
+        WHERE qd.vec_id IN (0, 1, 2) AND c.vec_id != qd.vec_id
+        GROUP BY qd.vec_id, c.vec_id
+    )
+    SELECT q_id, neighbor_id, ROUND(adist, 6) AS adist, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+        FROM adist
+    ) WHERE rank <= {k}
+    """
+
+
+def _sql_l2_exact_topk(k: int, dims: int = 64) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN (0, 1, 2)),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               ROUND({_sql_l2sq("q.qv", "e.v", "0", dims)}, 6) AS adist
+        FROM q, e WHERE e.vec_id != q.q_id
+    )
+    SELECT q_id, neighbor_id, adist, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@_q("sim_pq_topk", _sql_pq_topk(8, 16, 5))
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN by asymmetric distance computation: 64-dim vectors encode
+    to 8 codeword indices (32x smaller scan); a query's distance to a
+    neighbor is 8 LUT lookups. Every adist value is oracle-checked."""
+    out = S.pq_topk(_emb(spark, sf_dir), QUERY_IDS, m=8, n_codewords=16, k=5)
+    return out.select(
+        "q_id", "neighbor_id", "adist", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@_q(
+    "sim_pq_recall",
+    f"""
+    WITH pq AS ({_sql_pq_topk(8, 16, 5)}),
+    ex AS ({_sql_l2_exact_topk(5)})
+    SELECT ex.q_id, COUNT(pq.neighbor_id) AS n_overlap
+    FROM ex LEFT JOIN pq
+      ON ex.q_id = pq.q_id AND ex.neighbor_id = pq.neighbor_id
+    GROUP BY ex.q_id
+    """,
+)
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured PQ quality IN the gate: per query, how many of the exact
+    squared-L2 top-5 the 8x16 product quantizer recovers. Both sides
+    deterministic — exact oracle-checked values, not a bound."""
+    emb = _emb(spark, sf_dir)
+    pq = S.pq_topk(emb, QUERY_IDS, m=8, n_codewords=16, k=5).select(
+        "q_id", "neighbor_id"
+    )
+    ex = S.brute_force_l2_topk(emb, QUERY_IDS, k=5).select("q_id", "neighbor_id")
+    return (
+        ex.join(
+            pq.withColumnRenamed("neighbor_id", "hit"),
+            (ex.q_id == pq.q_id) & (F.col("neighbor_id") == F.col("hit")),
+            "left",
+        )
+        .groupBy(ex.q_id.alias("q_id"))
+        .agg(F.count("hit").alias("n_overlap"))
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

