@@ -606,3 +606,126 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codewords: int = 16,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the two ANN halves composed the way production vector
+    indexes do (FAISS's IVFPQ) — IVF prunes WHICH rows are scanned
+    (each query probes its ``n_probe`` nearest coarse cells), PQ shrinks
+    WHAT the scan reads per row (``m``-byte codes, ADC lookup-table
+    distances).
+
+    At 100 TB: corpus side is ONE write-time projection — (cell, codes)
+    per vector, partition by cell — so a query touches
+    |corpus|·n_probe/n_centroids rows of m-byte codes; the query side is
+    a broadcast of |Q|·n_probe rows carrying driver-computed LUT
+    literals. Both quantizers use the deterministic data-derived seeding
+    (first-n corpus vectors), keeping every adist an exact
+    oracle-checked value.
+
+    Output: (q_id, neighbor_id, adist, rank) — adist ascending, lowest-
+    neighbor ties, query excluded. Recall < 1 twice over (cell pruning +
+    quantization) — the documented trade, measured in-gate."""
+    from functools import reduce as _reduce
+
+    from pyspark.sql.window import Window
+
+    cents = train_centroids(emb, n_centroids, 0, id_col, vec_col)
+    codebook = pq_codebook(emb, m, n_codewords, id_col, vec_col)
+    dsub = len(codebook[0][0])
+    vec = as_double(F.col(vec_col))
+    base = emb.select(
+        F.col(id_col).alias("nid"),
+        _nearest_centroid(vec, cents).alias("cell"),
+        F.array(
+            *[_pq_code(vec, _matrix_lit(codebook[s]), s, dsub) for s in range(m)]
+        ).alias("codes"),
+    )
+
+    # driver-side per-query prep (|Q| rows): probe cells by the same
+    # cosine fold order as the engine/oracle, plus the PQ LUT — all
+    # literals, so the scan side is the only HOF user (see pq_topk)
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def _norm(a):
+        import math
+
+        acc = 0.0
+        for x in a:
+            acc = acc + x * x
+        return math.sqrt(acc)
+
+    def _probes(v):
+        sims = [
+            (_dot(v, c) / (_norm(v) * _norm(c)), cid) for cid, c in enumerate(cents)
+        ]
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        return [cid for _, cid in sims[:n_probe]]
+
+    def _lut(v):
+        out = []
+        for s in range(m):
+            sub = v[s * dsub : (s + 1) * dsub]
+            row = []
+            for w in codebook[s]:
+                acc = 0.0
+                for a, b in zip(sub, w):
+                    d = a - b
+                    acc = acc + d * d
+                row.append(acc)
+            out.append(row)
+        return out
+
+    qrows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    spark = emb.sparkSession
+    q = spark.createDataFrame(
+        [
+            (int(r["q_id"]), cell, _lut([float(x) for x in r["v"]]))
+            for r in qrows
+            for cell in _probes([float(x) for x in r["v"]])
+        ],
+        "q_id long, cell int, lut array<array<double>>",
+    )
+    adist = _reduce(
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("codes"), s + 1) + 1,
+        ),
+        range(m),
+        F.lit(0.0),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(base, "cell")
+        .filter(F.col("q_id") != F.col("nid"))
+        .select(
+            "q_id",
+            F.col("nid").alias("neighbor_id"),
+            F.round(adist, 6).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

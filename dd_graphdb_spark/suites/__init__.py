@@ -62,20 +62,20 @@ def _with_hygiene(fn):
 # takes ~4 rounds; every round: new queries at the TOP, then the
 # oldest-recorded block, fill to 50 with the rows most affected by
 # the round's engine changes; freshest block moves to the END):
-#   r9  = 15 new + 3 copartition-affected r6 picks + 32 of the 43
-#         r5-stale rows (this list). The round produced 15 new oracle
-#         queries, so 11 r5 rows do not fit the window: the 11 LEAST
+#   r9  = 16 new + 3 copartition-affected r6 picks + 31 of the 43
+#         r5-stale rows (this list). The round produced 16 new oracle
+#         queries, so 12 r5 rows do not fit the window: the 12 LEAST
 #         affected by r9's engine changes (pure curation/relational —
 #         no GQL parse path, no fixpoint loop, no streaming state) are
 #         deferred to the FRONT of r10's window below; all 7 were
 #         verified green in this session's full-registry replica.
-#   r10 = r10's new + the 11 deferred r5 rows + the r6-recorded block
+#   r10 = r10's new + the 12 deferred r5 rows + the r6-recorded block
 #   r11 = r11's new + the r7-recorded block
 #   r12 = r12's new + the r8-recorded block — then the cycle repeats,
 # so no query's newest driver row ever ages past ~4 rounds.
 GATE_PRIORITY = [
     # ---- r9 window (driver records the FIRST 50) ----
-    # (1) the 15 NEW oracle-checked queries (GQL UNION/UNION ALL,
+    # (1) the 16 NEW oracle-checked queries (GQL UNION/UNION ALL,
     # allShortestPaths, temporal surface, FOREACH, MERGE conditional
     # actions, COUNT{}/EXISTS{} subqueries, pattern comprehensions,
     # CALL{} subqueries, XOR + WITH DISTINCT, stream-stream FULL OUTER)
@@ -94,8 +94,9 @@ GATE_PRIORITY = [
     "gql_map_projection",
     "sim_pq_topk",
     "sim_pq_recall",
-    # (2) 32 of the 43 r5-stale rows (the VERDICT-r8 rotation calendar:
-    # r9 re-records the r5 block; the 11 deferred rows are in section 4)
+    "sim_ann_ivf_pq",
+    # (2) 31 of the 43 r5-stale rows (the VERDICT-r8 rotation calendar:
+    # r9 re-records the r5 block; the 12 deferred rows are in section 4)
     "algo_bfs_region",
     "algo_lpa_colocation",
     "algo_lpa_fixture",
@@ -118,7 +119,6 @@ GATE_PRIORITY = [
     "join_revenue_per_region",
     "mutation_cdc_changes",
     "range_join_value_bands",
-    "sim_ann_recall",
     "sim_lsh_recall",
     "stream_live_left_outer_join",
     "stream_live_static_enrich",
@@ -133,8 +133,9 @@ GATE_PRIORITY = [
     "algo_sssp_colocation",
     "algo_betweenness_landmarks",
     "algo_closeness_landmarks",
-    # ---- (4) the 11 r5 rows deferred to r10 (window overflow — see the
+    # ---- (4) the 12 r5 rows deferred to r10 (window overflow — see the
     # calendar above; judge-replicated green this round) ----
+    "sim_ann_recall",
     "set_intersect_nations",
     "set_union_distinct_nations",
     "semi_join_customers_with_orders",

@@ -1341,6 +1341,80 @@ def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_ivf_pq_topk(
+    n_centroids: int, n_probe: int, m: int, kw: int, k: int, dims: int = 64
+) -> str:
+    """IVF-PQ oracle: the IVF cell/probe CTEs composed with the PQ
+    code/distance CTEs — ADC sum over the probed cells only."""
+    dsub = dims // m
+    cos_vc = f"{_SQL_DOT.format(a='e.v', b='c.cv')} / ({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='c.cv')})"
+    adist_sum = "0.0" + "".join(
+        f" + max(CASE WHEN qd.s = {s} THEN qd.d2 END)" for s in range(m)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),
+    scored_cells AS (
+        SELECT e.vec_id, c.cid, {cos_vc} AS sim FROM e, cents c
+    ),
+    cells AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM scored_cells
+        ) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS q_id, cid AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM scored_cells WHERE vec_id IN (0, 1, 2)
+        ) WHERE rn <= {n_probe}
+    ),
+    cw AS (SELECT vec_id AS j, v AS w FROM e WHERE vec_id < {kw}),
+    subs AS (SELECT s FROM generate_series(0, {m - 1}) t(s)),
+    dist AS (
+        SELECT e.vec_id, subs.s, cw.j,
+               {_sql_l2sq("e.v", "cw.w", f"subs.s*{dsub}", dsub)} AS d2
+        FROM e, subs, cw
+    ),
+    codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id, s ORDER BY d2 ASC, j ASC) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    adist AS (
+        SELECT qd.vec_id AS q_id, c.vec_id AS neighbor_id,
+               {adist_sum} AS adist
+        FROM dist qd
+        JOIN codes c ON c.s = qd.s AND c.code = qd.j
+        JOIN cells cl ON cl.vec_id = c.vec_id
+        JOIN qprobe qp ON qp.q_id = qd.vec_id AND qp.cell = cl.cell
+        WHERE qd.vec_id IN (0, 1, 2) AND c.vec_id != qd.vec_id
+        GROUP BY qd.vec_id, c.vec_id
+    )
+    SELECT q_id, neighbor_id, ROUND(adist, 6) AS adist, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY q_id ORDER BY adist ASC, neighbor_id ASC) AS rank
+        FROM adist
+    ) WHERE rank <= {k}
+    """
+
+
+@_q("sim_ann_ivf_pq", _sql_ivf_pq_topk(8, 2, 8, 16, 5))
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS-style composition): each query probes its 2 nearest
+    of 8 coarse cells, then ADC-scans only those cells' 8-byte PQ codes
+    — cell pruning x compressed reads, every adist oracle-checked."""
+    out = S.ivf_pq_topk(
+        _emb(spark, sf_dir), QUERY_IDS,
+        n_centroids=8, n_probe=2, m=8, n_codewords=16, k=5,
+    )
+    return out.select(
+        "q_id", "neighbor_id", "adist", F.col("rank").cast("long").alias("rank")
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

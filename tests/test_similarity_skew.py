@@ -172,3 +172,24 @@ def test_pq_recall_nonzero_and_bounded(emb):
 def test_pq_rejects_indivisible_dims(emb):
     with pytest.raises(ValueError, match="not divisible"):
         S.pq_codebook(emb, m=7, n_codewords=4)
+
+
+def test_ivf_pq_subset_of_pq_with_all_cells_probed(emb):
+    """Probing ALL cells makes IVF-PQ rank exactly like plain PQ (same
+    codes, same LUTs, no pruning); probing fewer cells yields a subset
+    of each query's candidate pool."""
+    full = S.ivf_pq_topk(emb, [0, 1], n_centroids=8, n_probe=8, m=8,
+                         n_codewords=16, k=5)
+    plain = S.pq_topk(emb, [0, 1], m=8, n_codewords=16, k=5)
+    key = lambda df: sorted(
+        (r["q_id"], r["neighbor_id"], r["adist"], r["rank"]) for r in df.collect()
+    )
+    assert key(full) == key(plain)
+    pruned = S.ivf_pq_topk(emb, [0, 1], n_centroids=8, n_probe=2, m=8,
+                           n_codewords=16, k=50)
+    cand = {(r["q_id"], r["neighbor_id"]) for r in pruned.collect()}
+    pool = {
+        (r["q_id"], r["neighbor_id"])
+        for r in S.pq_topk(emb, [0, 1], m=8, n_codewords=16, k=10**6).collect()
+    }
+    assert cand <= pool
