@@ -105,10 +105,12 @@ HEADLINE = [
     "gql_temporal",
     "gql_foreach",
     # round-9 second-session additions: subquery surface (grouped-
-    # count/collect joins + derived-table CALL)
+    # count/collect joins + derived-table CALL) + compressed-domain ANN
     "gql_count_subquery",
     "gql_pattern_comprehension",
     "gql_call_subquery",
+    "sim_pq_topk",
+    "sim_ann_ivf_pq",
 ]
 
 
