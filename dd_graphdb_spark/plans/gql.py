@@ -871,6 +871,21 @@ class _Parser:
             self.next()
             self.next()
             return CountSub(*self._subquery_block())
+        if k == "COLLECT" and self.toks[self.i + 1] == ("punct", "{"):
+            # COLLECT { [MATCH] <pattern> [WHERE pred] RETURN <expr> } —
+            # the Cypher 5 COLLECT subquery; same lowering as a pattern
+            # comprehension (grouped sorted collect_list joined on the
+            # shared ids — the sort is this engine's determinism
+            # contract, Cypher leaves the order implementation-defined)
+            self.next()
+            self.next()
+            self.accept("MATCH")
+            pat = self.path()
+            where = self.where_expr() if self.accept("WHERE") else None
+            self.expect("RETURN")
+            expr = self.expr()
+            self.expect("punct", "}")
+            return PatternComp(pat, where, expr)
         if v == "[" and k == "punct":
             self.next()
             # pattern comprehension: [ (a)-[:L]->(b) [WHERE p] | expr ]

@@ -1332,6 +1332,21 @@ def test_xor_and_with_distinct(knows_graph):
     assert [r["nm"] for r in rows] == ["a", "b"]
 
 
+def test_collect_subquery(knows_graph):
+    """COLLECT { MATCH .. RETURN expr } is the pattern-comprehension
+    lowering under the Cypher 5 spelling — sorted list, empty default."""
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    rows = GQLEngine(knows_graph).execute(
+        "MATCH (v:P) RETURN v.name AS name, "
+        "COLLECT { MATCH (v)-[:knows]->(u) WHERE u.age > 15 RETURN u.name } "
+        "AS friends ORDER BY name"
+    ).collect()
+    assert [(r["name"], r["friends"]) for r in rows] == [
+        ("a", ["b", "c"]), ("b", ["c"]), ("c", []),
+    ]
+
+
 def test_map_projection(knows_graph):
     from dd_graphdb_spark.plans.lower import GQLEngine
 
