@@ -279,3 +279,38 @@ def test_copartitioned_edges_join_has_no_edge_side_exchange(spark):
     assert n_exchange <= 1, p
     # the edge side must not be re-sorted: at most the frontier's sort
     assert p.count("Sort ") <= 1, p
+
+
+def test_pq_encode_is_one_stage(spark):
+    """PQ encoding (similarity.pq_encode): codes are a constant-folded
+    projection — the 100 TB posture is a write-time column, so the plan
+    must be a bare scan + project: no Exchange, no Sort, no join."""
+    from dd_graphdb_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cb = S.pq_codebook(emb, 8, 16)
+    df = S.pq_encode(emb, cb)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    nodes = _tree_nodes(p)
+    assert "Exchange" not in nodes, nodes
+    assert "Sort" not in nodes, nodes
+    assert not any("Join" in n for n in nodes), nodes
+
+
+def test_ivf_pq_scan_is_broadcast_join(spark):
+    """IVF-PQ (similarity.ivf_pq_topk): the query side (|Q|·n_probe rows
+    of literal LUTs) must broadcast into the code scan — no shuffle of
+    the corpus before the per-query top-k window's own exchange (exactly
+    one Exchange in the plan, belonging to the window)."""
+    from dd_graphdb_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = S.ivf_pq_topk(emb, [0, 1, 2], n_centroids=8, n_probe=2, k=5)
+    p = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    nodes = _tree_nodes(p)
+    assert any("BroadcastHashJoin" in n for n in nodes), nodes
+    assert sum(1 for n in nodes if n.startswith("Exchange")) == 1, nodes
