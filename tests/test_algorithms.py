@@ -423,3 +423,32 @@ def test_kcore_bounds_pinned_blocks_per_round(spark):
     assert sorted(r["id"] for r in out.collect()) == list(range(10))
     # bracket released everything but the final result's checkpoint
     assert len(_persistent_ids(spark) - before) <= 1
+
+
+def test_wide_shuffle_scopes_and_restores(spark):
+    """wide_shuffle raises AQE's initial partition count only inside the
+    with-block and restores the prior value even on an exception."""
+    import pytest as _pytest
+
+    from dd_graphdb_spark.algorithms._iter import wide_shuffle
+
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    try:
+        before = spark.conf.get(key)
+    except Exception:
+        before = None
+    with wide_shuffle(spark):
+        assert spark.conf.get(key) == "256"
+    try:
+        after = spark.conf.get(key)
+    except Exception:
+        after = None
+    assert after == before
+    with _pytest.raises(RuntimeError, match="boom"):
+        with wide_shuffle(spark):
+            raise RuntimeError("boom")
+    try:
+        after = spark.conf.get(key)
+    except Exception:
+        after = None
+    assert after == before
