@@ -51,8 +51,17 @@ def wide_shuffle(spark):
     raise is wrong the other way — small-state loops (BFS frontiers)
     pay per-round fan-out overhead for nothing (same-host sf10 A/B:
     7.9 s at 32 → 33.5 s at 256) — so the raise is scoped to the loops
-    that need it and restored in a finally. Loops run under run_loop's
-    _PIN_LOCK, so no concurrent query plans inside the window."""
+    that need it and restored in a finally.
+
+    Concurrency limitation (accurate statement): _PIN_LOCK serializes
+    only OTHER run_loop fixpoint loops — an ordinary GQL/DataFrame
+    query planned on ANOTHER thread during this window silently picks
+    up the 256-partition raise (results stay correct; small-state work
+    pays measured fan-out overhead, see the A/B above). Single-threaded
+    drivers — the suites, bench, the shell — are unaffected. A
+    multi-threaded server should give loops their own
+    ``SparkSession.newSession()`` so the conf raise scopes to that
+    session's plans only."""
     key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     try:
         prev = spark.conf.get(key)

@@ -864,6 +864,23 @@ def _split_pattern_preds(cond):
     return cond, []
 
 
+def _shared_edge_keys(pattern, bound_cols, sub_cols) -> list[str]:
+    """Correlation witness columns for EDGE variables a subquery pattern
+    shares with the outer MATCH: an edge's identity is its
+    (src, dst, label) triple (graph/storage/src/lib.rs:171), so a reused
+    relationship variable correlates on those three binding columns —
+    previously such a variable was silently ignored (node-only
+    correlation) and the subquery over-counted."""
+    keys: list[str] = []
+    for e in pattern.edges:
+        if not e.var:
+            continue
+        cols = [f"{e.var}__src", f"{e.var}__dst", f"{e.var}__label"]
+        if all(c in bound_cols for c in cols) and all(c in sub_cols for c in cols):
+            keys.extend(cols)
+    return keys
+
+
 #: AST nodes the count-subquery walker must NOT descend into: patterns
 #: are not expressions, and an EXISTS body's inner WHERE belongs to the
 #: subquery's own frame (a CountSub in there is rejected by _lower_expr)
@@ -1191,13 +1208,14 @@ class GQLEngine:
                 for v in dict.fromkeys(n.var for n in pat.nodes)
                 if f"{v}__id" in bound.columns
             ]
-            if not shared:
+            edge_keys = _shared_edge_keys(pat, bound.columns, sub.columns)
+            if not shared and not edge_keys:
                 raise ValueError(
                     "EXISTS pattern must share at least one variable with "
                     "the MATCH (an uncorrelated existence test is a "
                     "constant — test it separately)"
                 )
-            keys = [f"{v}__id" for v in shared]
+            keys = [f"{v}__id" for v in shared] + edge_keys
             bound = bound.join(
                 sub.select(*keys), on=keys, how="left_anti" if negated else "left_semi"
             )
@@ -1224,18 +1242,32 @@ class GQLEngine:
                 for v in dict.fromkeys(n.var for n in cs.pattern.nodes)
                 if f"{v}__id" in bound.columns
             ]
-            if not shared:
+            edge_keys = _shared_edge_keys(cs.pattern, bound.columns, sub.columns)
+            if not shared and not edge_keys:
                 raise ValueError(
                     "COUNT { pattern } / a pattern comprehension must "
                     "share at least one variable with the MATCH (an "
                     "uncorrelated subquery is a constant — compute it "
                     "separately)"
                 )
-            keys = [f"{v}__id" for v in shared]
+            keys = [f"{v}__id" for v in shared] + edge_keys
             val = f"{name}__val"
             if isinstance(cs, PatternComp):
+                # struct-tagging keeps NULL elements (collect_list drops
+                # bare nulls; a struct wrapping a null field is non-null)
+                # — Cypher pattern comprehensions include null expression
+                # values, and DuckDB's list() keeps them. array_sort on
+                # the struct orders by the field ASC with nulls FIRST,
+                # matching DuckDB list_sort's default null placement.
                 agg = sub.groupBy(*keys).agg(
-                    F.array_sort(F.collect_list(_lower_expr(cs.expr))).alias(val)
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(_lower_expr(cs.expr).alias("v"))
+                            )
+                        ),
+                        lambda s: s["v"],
+                    ).alias(val)
                 )
                 empty = F.array().cast(agg.schema[val].dataType)
                 bound = bound.join(agg, on=keys, how="left").withColumn(

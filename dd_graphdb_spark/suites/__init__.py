@@ -67,8 +67,8 @@ def _with_hygiene(fn):
 #         queries, so 12 r5 rows do not fit the window: the 12 LEAST
 #         affected by r9's engine changes (pure curation/relational —
 #         no GQL parse path, no fixpoint loop, no streaming state) are
-#         deferred to the FRONT of r10's window below; all 7 were
-#         verified green in this session's full-registry replica.
+#         deferred to the FRONT of r10's window below; all 12 were
+#         verified green in that session's full-registry replica.
 #   r10 = r10's new + the 12 deferred r5 rows + the r6-recorded block
 #   r11 = r11's new + the r7-recorded block
 #   r12 = r12's new + the r8-recorded block — then the cycle repeats,

@@ -1267,14 +1267,20 @@ def _sql_pq_topk(m: int, kw: int, k: int, dims: int = 64) -> str:
         ) WHERE rn = 1
     ),
     adist AS (
+        -- ROUND before the ROW_NUMBER window: the engine (pq_topk)
+        -- rounds adist to 6 decimals BEFORE ranking and tie-breaks by
+        -- neighbor_id on the ROUNDED value — ranking the unrounded
+        -- value here would flip rank/membership whenever two adists
+        -- differ only past 6 decimals (same convention as
+        -- _sql_cosine_topk/_sql_l2_exact_topk).
         SELECT qd.vec_id AS q_id, c.vec_id AS neighbor_id,
-               {adist_sum} AS adist
+               ROUND({adist_sum}, 6) AS adist
         FROM dist qd
         JOIN codes c ON c.s = qd.s AND c.code = qd.j
         WHERE qd.vec_id IN (0, 1, 2) AND c.vec_id != qd.vec_id
         GROUP BY qd.vec_id, c.vec_id
     )
-    SELECT q_id, neighbor_id, ROUND(adist, 6) AS adist, rank FROM (
+    SELECT q_id, neighbor_id, adist, rank FROM (
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY q_id ORDER BY adist ASC, neighbor_id ASC) AS rank
         FROM adist
@@ -1384,8 +1390,10 @@ def _sql_ivf_pq_topk(
         ) WHERE rn = 1
     ),
     adist AS (
+        -- ROUND before ranking — matches the engine's round-then-rank
+        -- convention (see _sql_pq_topk)
         SELECT qd.vec_id AS q_id, c.vec_id AS neighbor_id,
-               {adist_sum} AS adist
+               ROUND({adist_sum}, 6) AS adist
         FROM dist qd
         JOIN codes c ON c.s = qd.s AND c.code = qd.j
         JOIN cells cl ON cl.vec_id = c.vec_id
@@ -1393,7 +1401,7 @@ def _sql_ivf_pq_topk(
         WHERE qd.vec_id IN (0, 1, 2) AND c.vec_id != qd.vec_id
         GROUP BY qd.vec_id, c.vec_id
     )
-    SELECT q_id, neighbor_id, ROUND(adist, 6) AS adist, rank FROM (
+    SELECT q_id, neighbor_id, adist, rank FROM (
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY q_id ORDER BY adist ASC, neighbor_id ASC) AS rank
         FROM adist
