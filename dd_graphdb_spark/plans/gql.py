@@ -426,9 +426,19 @@ class MatchRemoveStatement:
 
 @dataclass
 class MatchSetStatement:
+    """MATCH .. [WHERE] SET v.prop = <expr> [, ..] / SET v += {map}.
+
+    ``assignments``: [(var, prop, value), ..] where value is a Python
+    literal (fast path: one shared map rewrite, no per-row compute) or
+    an expression AST evaluated per matched binding row against the
+    read side's lowering (UpdateVertexProperties contract,
+    graph/storage/src/lib.rs:310-318, extended with Cypher per-key
+    semantics and computed values). ``+=`` map merge desugars to
+    per-key entries at parse (_set_assignments)."""
+
     pattern: PathPattern
     where: object | None
-    assignments: list  # [(var, prop, literal), ...] — Cypher SET semantics
+    assignments: list  # [(var, prop, literal-or-expr-AST), ...]
 
 
 @dataclass
@@ -1464,6 +1474,46 @@ class _Parser:
             setattr(stmt, target, assigns)
         return stmt
 
+    def _set_assignments(self) -> list:
+        """SET item list (Cypher):
+
+            SET v.prop = <expr> [, ..]      per-key assignment
+            SET v += { k: <expr>, .. }      map merge — listed keys
+                                            overwrite, other keys KEPT
+
+        ``+=`` desugars to per-key assignments: Cypher's map-merge
+        semantics coincide with per-key SET (both keep unlisted keys),
+        so one execution path serves both spellings. Values are full
+        scalar expressions (the read side's grammar — v.total + 1,
+        toUpper(v.name), CASE ..); a literal value keeps the existing
+        literal fast path at execution."""
+        assigns = []
+        while True:
+            var = self.expect_name()
+            if self.peek() == ("punct", "+") and self.toks[self.i + 1] == (
+                "op", "=",
+            ):
+                self.next()
+                self.next()
+                self.expect("punct", "{")
+                n_keys = 0
+                while not self.accept("punct", "}"):
+                    key = self.expect_name()
+                    self.expect("punct", ":")
+                    assigns.append((var, key, self.expr()))
+                    n_keys += 1
+                    self.accept("punct", ",")
+                # n_keys == 0 (`SET v += {}`) is a Cypher no-op: nothing
+                # appended; an all-empty statement no-ops in _apply_set
+            else:
+                self.expect("punct", ".")
+                prop = self.expect_name()
+                self.expect("op", "=")
+                assigns.append((var, prop, self.expr()))
+            if not self.accept("punct", ","):
+                break
+        return assigns
+
     def _write_pattern(self, kw: str) -> PathPattern:
         """A pattern in write position (CREATE/MERGE): every edge must be
         directed and single-hop — an undirected edge doesn't say which
@@ -1579,16 +1629,7 @@ class _Parser:
                     break
             return MatchRemoveStatement(pattern, where, removals)
         if self.accept("SET"):
-            assigns = []
-            while True:
-                var = self.expect_name()
-                self.expect("punct", ".")
-                prop = self.expect_name()
-                self.expect("op", "=")
-                assigns.append((var, prop, self.literal()))
-                if not self.accept("punct", ","):
-                    break
-            return MatchSetStatement(pattern, where, assigns)
+            return MatchSetStatement(pattern, where, self._set_assignments())
         if self._ident_kw("FOREACH"):
             self.next()
             self.expect("punct", "(")
@@ -1616,7 +1657,7 @@ class _Parser:
                 self.expect("punct", ".")
                 prop = self.expect_name()
                 self.expect("op", "=")
-                assigns.append((prop, self.literal()))
+                assigns.append((prop, self.expr()))
                 if not self.accept("punct", ","):
                     break
             self.expect("punct", ")")

@@ -114,17 +114,52 @@ def prop_typed(col: str | Column, key: str, dtype: str = "string") -> Column:
     # sequences that stripping the outer quotes would leave in the value
     # (`say \"hi\"` instead of `say "hi"`). from_json only takes
     # struct/array/map schemas, so wrap the scalar in a 1-element array.
-    unquoted = F.when(
-        raw.startswith('"'),
-        F.from_json(
-            F.concat(F.lit("["), raw, F.lit("]")), "array<string>"
-        ).getItem(0),
-    ).otherwise(raw)
+    unquoted = _json_unquote(raw)
     # try_cast, not cast: under Spark 4's default ANSI mode a strict
     # cast THROWS on a non-castable value — the reference's as_int64
     # access-time typing returns None on a type mismatch (one bad bag
     # value must not crash the whole query)
     return unquoted.try_cast(dtype)
+
+
+def _json_unquote(raw: Column) -> Column:
+    """JSON-decode a rendered scalar back to its bare string form (the
+    shared tail of prop_typed — see there for why a real decode, not a
+    quote strip)."""
+    return F.when(
+        raw.startswith('"'),
+        F.from_json(
+            F.concat(F.lit("["), raw, F.lit("]")), "array<string>"
+        ).getItem(0),
+    ).otherwise(raw)
+
+
+def render_json_value(col: Column) -> Column:
+    """Render a computed column to the store's JSON property encoding
+    (the column analogue of ``json.dumps`` in ``_render_props``):
+    ``to_json`` of a 1-element array, brackets stripped — exact for
+    strings (quoting + escapes), ints, doubles, booleans, and nested
+    arrays. NULL stays NULL (SET v.p = null removes the key —
+    Cypher)."""
+    j = F.to_json(F.array(col))
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+        F.substring(j, F.lit(2), F.length(j) - F.lit(2))
+    )
+
+
+def _drop_key(key: str):
+    """2-arg map_filter predicate dropping ``key`` (a closure, NOT a
+    default-arg lambda — PySpark counts default parameters, and
+    map_filter rejects a 3-arg lambda)."""
+    return lambda mk, _mv: mk != F.lit(key)
+
+
+def _is_set_literal(v) -> bool:
+    """True for plain Python literal SET values (the no-per-row-compute
+    fast path of _apply_set). None is NOT a fast-path literal: Cypher
+    ``SET v.p = null`` REMOVES the key, which the literal map rewrite
+    (json.dumps rendering) cannot express."""
+    return v is not None and isinstance(v, (str, int, float, bool))
 
 
 def cdc_to_deltas(changes: DataFrame) -> DataFrame:
@@ -587,6 +622,65 @@ class GraphStore:
             ),
         )
 
+    @staticmethod
+    def _updated_vertices_values_df(
+        v_base: DataFrame, vals_df: DataFrame, keys: list[str]
+    ) -> DataFrame:
+        """Per-ROW computed property update (the expression-SET path):
+        ``vals_df`` carries one row per touched vertex id with a
+        ``_set_{key}`` rendered-JSON column per assigned key. A non-null
+        value overwrites the key, a NULL value REMOVES it (Cypher
+        ``SET v.p = null``); unlisted keys are kept. Rows not in
+        ``vals_df`` are untouched. ``type`` in ``keys`` also rewrites
+        the label column (label IS the type property,
+        executor.rs:290-295) — NULL clears it, like REMOVE."""
+        vals = vals_df.withColumn("_hit", F.lit(True))
+        v = v_base.join(vals, "id", "left")
+        updated = F.coalesce(F.col("properties"), F.expr("map()"))
+        for k in keys:
+            vcol = F.col(f"_set_{k}")
+            pruned = F.map_filter(updated, _drop_key(k))
+            updated = F.when(vcol.isNull(), pruned).otherwise(
+                F.map_concat(pruned, F.create_map(F.lit(k), vcol))
+            )
+        if "type" in keys:
+            label_col = F.when(
+                F.col("_hit"), _json_unquote(F.col("_set_type"))
+            ).otherwise(F.col("label")).alias("label")
+        else:
+            label_col = F.col("label")
+        return v.select(
+            "id",
+            label_col,
+            F.when(F.col("_hit"), updated).otherwise(F.col("properties")).alias(
+                "properties"
+            ),
+        )
+
+    @staticmethod
+    def _updated_edges_values_df(
+        e_base: DataFrame, vals_df: DataFrame, keys: list[str]
+    ) -> DataFrame:
+        """Edge analogue of _updated_vertices_values_df — ``vals_df``
+        keyed by the edge identity triple (src, dst, label)."""
+        vals = vals_df.withColumn("_hit", F.lit(True))
+        e = e_base.join(vals, ["src", "dst", "label"], "left")
+        updated = F.coalesce(F.col("properties"), F.expr("map()"))
+        for k in keys:
+            vcol = F.col(f"_set_{k}")
+            pruned = F.map_filter(updated, _drop_key(k))
+            updated = F.when(vcol.isNull(), pruned).otherwise(
+                F.map_concat(pruned, F.create_map(F.lit(k), vcol))
+            )
+        return e.select(
+            "src",
+            "dst",
+            "label",
+            F.when(F.col("_hit"), updated).otherwise(F.col("properties")).alias(
+                "properties"
+            ),
+        )
+
     def _create_pattern(self, pattern) -> list[int]:
         """Create a path pattern's nodes (ids max+1.., one per DISTINCT
         variable — a repeated variable is the same node, Cypher) and its
@@ -628,38 +722,104 @@ class GraphStore:
         return node_ids
 
     def _apply_set(self, bindings, pattern, assignments) -> DataFrame:
-        """Apply ``[(var, prop, literal), ..]`` property SETs to the
+        """Apply ``[(var, prop, value), ..]`` property SETs to the
         bound vertices/edges — ONE snapshot version for the whole
         statement: per-variable transforms compose on the pending frames
         and commit once, so a crash or concurrent reader can never
         observe a half-applied SET. Shared by MATCH..SET and MERGE's ON
-        MATCH SET. Returns the touched-id frame."""
+        MATCH SET. Returns the touched-id frame.
+
+        Values: plain literals take the shared-map fast path (no per-row
+        compute); expression ASTs (``SET v.total = v.total + 1``,
+        ``+= {map}`` entries) are lowered with the READ side's
+        expression machinery against the bindings frame, rendered to
+        the store's JSON encoding per matched row (render_json_value),
+        reduced to one value per entity (max of the rendered value — a
+        deterministic pick where Cypher leaves multi-binding writes
+        unordered), and applied distributively via
+        _updated_*_values_df. A NULL value (literal or computed)
+        removes the key. The whole computation is declarative: one
+        join + hash-aggregate over the touched ids, no driver-side
+        rows — the same 100 TB posture as the read path."""
+        from dd_graphdb_spark.plans.lower import _lower_expr
+
         edge_vars = {e.var for e in pattern.edges if e.var}
         by_var: dict[str, dict] = {}
         for var, prop, val in assignments:
             by_var.setdefault(var, {})[prop] = val
+        if not by_var:  # SET v += {} — Cypher no-op, no version commit
+            return self.spark.createDataFrame([], "id long")
         v_df, e_df = self.vertices(), self.edges()
         out = None
         for var, props in by_var.items():
-            if var in edge_vars:
-                keys = (
-                    bindings.select(
-                        F.col(f"{var}__src").alias("src"),
-                        F.col(f"{var}__dst").alias("dst"),
-                        F.col(f"{var}__label").alias("label"),
+            all_literal = all(_is_set_literal(v) for v in props.values())
+            if var in edge_vars and "label" in props:
+                raise ValueError(
+                    "SET e.label is not supported: an edge's label is "
+                    "part of its identity (src, dst, label) — delete "
+                    "and re-create the edge instead"
+                )
+            # (a computed `type` value flows through
+            # _updated_vertices_values_df's label sync — both paths keep
+            # label == properties['type'])
+            if all_literal:
+                if var in edge_vars:
+                    keys = (
+                        bindings.select(
+                            F.col(f"{var}__src").alias("src"),
+                            F.col(f"{var}__dst").alias("dst"),
+                            F.col(f"{var}__label").alias("label"),
+                        )
+                        .distinct()
+                        .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    .distinct()
-                    .localCheckpoint(eager=True)  # settle before rewrite
-                )
-                e_df = self._updated_edges_df(e_df, keys, props)
-                touched = keys.select(F.col("src").alias("id"))
+                    e_df = self._updated_edges_df(e_df, keys, props)
+                    touched = keys.select(F.col("src").alias("id"))
+                else:
+                    touched = (
+                        bindings.select(F.col(f"{var}__id").alias("id"))
+                        .distinct()
+                        .localCheckpoint(eager=True)  # settle before rewrite
+                    )
+                    v_df = self._updated_vertices_df(v_df, touched, props)
             else:
-                touched = (
-                    bindings.select(F.col(f"{var}__id").alias("id"))
-                    .distinct()
-                    .localCheckpoint(eager=True)  # settle before rewrite
-                )
-                v_df = self._updated_vertices_df(v_df, touched, props)
+                val_cols = []
+                for k, v in props.items():
+                    if _is_set_literal(v):
+                        c = F.lit(json.dumps(v))
+                    elif v is None:
+                        c = F.lit(None).cast("string")  # explicit removal
+                    else:
+                        c = render_json_value(_lower_expr(v))
+                    val_cols.append(c.alias(f"_set_{k}"))
+                aggs = [
+                    F.max(f"_set_{k}").alias(f"_set_{k}") for k in props
+                ]
+                if var in edge_vars:
+                    vals = (
+                        bindings.select(
+                            F.col(f"{var}__src").alias("src"),
+                            F.col(f"{var}__dst").alias("dst"),
+                            F.col(f"{var}__label").alias("label"),
+                            *val_cols,
+                        )
+                        .groupBy("src", "dst", "label")
+                        .agg(*aggs)
+                        .localCheckpoint(eager=True)  # settle before rewrite
+                    )
+                    e_df = self._updated_edges_values_df(e_df, vals, list(props))
+                    touched = vals.select(F.col("src").alias("id"))
+                else:
+                    vals = (
+                        bindings.select(
+                            F.col(f"{var}__id").alias("id"), *val_cols
+                        )
+                        .groupBy("id")
+                        .agg(*aggs)
+                        .localCheckpoint(eager=True)  # settle before rewrite
+                    )
+                    v_df = self._updated_vertices_values_df(v_df, vals, list(props))
+                    touched = vals.select("id")
             out = touched if out is None else out.unionByName(touched).distinct()
         new_version = self.version + 1
         self._write_version(new_version, v_df, e_df)
@@ -771,14 +931,48 @@ class GraphStore:
                     e.min_hops is not None for e in stmt.pattern.edges
                 )
                 src = _rewrite_path_funcs(src, stmt.pattern.pvar, has_varlen)
-            ids = (
-                bindings.select(F.explode(_lower_expr(src)).alias("id"))
-                .select(F.col("id").cast("long").alias("id"))
-                .distinct()
-                .localCheckpoint(eager=True)  # settle before rewrite
-            )
             props = dict(stmt.assignments)
-            v_df = self._updated_vertices_df(self.vertices(), ids, props)
+            if all(_is_set_literal(v) for v in props.values()):
+                ids = (
+                    bindings.select(F.explode(_lower_expr(src)).alias("id"))
+                    .select(F.col("id").cast("long").alias("id"))
+                    .distinct()
+                    .localCheckpoint(eager=True)  # settle before rewrite
+                )
+                v_df = self._updated_vertices_df(self.vertices(), ids, props)
+            else:
+                # expression values: lowered against the OUTER bindings
+                # row (e.g. SET n.depth = length(p)), rendered alongside
+                # the exploded id so each list element carries its own
+                # row's computed values; one value per id via max of the
+                # rendered JSON (same determinism contract as
+                # _apply_set). The loop variable itself is not a frame
+                # column — referencing it in a value raises the read
+                # side's bare-name error.
+                val_cols = []
+                for k, v in props.items():
+                    if _is_set_literal(v):
+                        c = F.lit(json.dumps(v))
+                    elif v is None:
+                        c = F.lit(None).cast("string")
+                    else:
+                        c = render_json_value(_lower_expr(v))
+                    val_cols.append(c.alias(f"_set_{k}"))
+                vals = (
+                    bindings.select(
+                        F.explode(_lower_expr(src)).alias("id"), *val_cols
+                    )
+                    .select(F.col("id").cast("long").alias("id"), *[
+                        f"_set_{k}" for k in props
+                    ])
+                    .groupBy("id")
+                    .agg(*[F.max(f"_set_{k}").alias(f"_set_{k}") for k in props])
+                    .localCheckpoint(eager=True)  # settle before rewrite
+                )
+                v_df = self._updated_vertices_values_df(
+                    self.vertices(), vals, list(props)
+                )
+                ids = vals.select("id")
             new_version = self.version + 1
             self._write_version(new_version, v_df, self.edges())
             self._save_meta({"version": new_version})

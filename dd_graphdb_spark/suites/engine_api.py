@@ -765,6 +765,125 @@ def gql_set_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
+# GQL SET with EXPRESSION values + `+=` map merge (r10; Cypher SET
+# expressiveness over the UpdateVertexProperties contract,
+# graph/storage/src/lib.rs:310-318): values are computed per matched
+# row with the read side's expression lowering, rendered to the store's
+# JSON encoding, and applied in ONE snapshot version; a computed NULL
+# removes the key. The final state is fully determined → VALUES oracle.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_set_expr",
+    """
+    SELECT * FROM (VALUES
+        (1::BIGINT, 'ANN', '41', '61.5', 'senior'),
+        (2::BIGINT, 'BEN', NULL::VARCHAR, NULL::VARCHAR, 'visited')
+    ) t(id, name, age, bonus, tag)
+    """,
+)
+def gql_set_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph(
+                {"name": "string", "age": "long", "bonus": "double", "tag": "string"}
+            ),
+            store=store,
+        )
+
+    engine().execute(
+        "CREATE (a:Person {name: 'ann', age: 40})-[:knows]->"
+        "(b:Person {name: 'ben', age: 20})"
+    )
+    # expression values: arithmetic over the row's own property + a
+    # string function — one snapshot version for both assignments
+    engine().execute(
+        "MATCH (v:Person) SET v.age = v.age + 1, v.name = toUpper(v.name)"
+    )
+    # += map merge (listed keys overwrite, others kept) with a computed
+    # value: bonus = 41 * 1.5 = 61.5 on the age-guarded row only
+    engine().execute(
+        "MATCH (v:Person) WHERE v.age > 30 "
+        "SET v += {bonus: v.age * 1.5, tag: 'senior'}"
+    )
+    # SET to NULL removes the key (Cypher) — BEN loses age entirely
+    engine().execute("MATCH (v:Person {name: 'BEN'}) SET v.age = null")
+    # FOREACH body reusing the expression grammar: the computed value
+    # (toLower of the OUTER binding's property) flows per exploded id
+    engine().execute(
+        "MATCH p = (a:Person {name: 'BEN'})-[:x]->(b) "
+        "FOREACH (n IN nodes(p) | SET n.tag = toLower(a.name))"
+    )  # no :x edges — no-op guard: FOREACH over an empty match
+    engine().execute(
+        "MATCH (b:Person {name: 'BEN'}) "
+        "FOREACH (n IN [id(b)] | SET n.tag = toLower('VISITED'))"
+    )
+    # age/bonus as VARCHAR: nullable numeric columns NaN-coerce through
+    # pandas and the hash compare diverges (see gql_foreach)
+    return store.vertices().select(
+        "id",
+        prop_typed("properties", "name").alias("name"),
+        prop_typed("properties", "age").alias("age"),
+        prop_typed("properties", "bonus").alias("bonus"),
+        prop_typed("properties", "tag").alias("tag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQL SET on an edge variable with an EXPRESSION value computed from a
+# DIFFERENT bound variable's property (cross-variable, per matched row).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_set_edge_expr",
+    """
+    SELECT * FROM (VALUES
+        (1::BIGINT, 2::BIGINT, 'knows', 26::BIGINT),
+        (2::BIGINT, 3::BIGINT, 'knows', 36::BIGINT)
+    ) t(src, dst, label, weight)
+    """,
+)
+def gql_set_edge_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph(
+                {"name": "string", "age": "long"}, {"weight": "long"}
+            ),
+            store=store,
+        )
+
+    engine().execute(
+        "CREATE (a:Person {name: 'Ann', age: 40})-[:knows {weight: 3}]->"
+        "(b:Person {name: 'Ben', age: 20})-[:knows {weight: 3}]->"
+        "(c:Person {name: 'Cy', age: 30})"
+    )
+    # weight = 2*old + target age: 2*3+20=26 and 2*3+30=36
+    engine().execute(
+        "MATCH (x)-[e:knows]->(y) SET e.weight = e.weight * 2 + y.age"
+    )
+    return store.edges().select(
+        "src",
+        "dst",
+        "label",
+        prop_typed("properties", "weight", "long").alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL FOREACH: mark every node of a matched path (the Cypher-canonical
 # use — FOREACH (n IN nodes(p) | SET n.marked = true)); one snapshot
 # version for the whole statement. The unmatched vertex keeps a NULL

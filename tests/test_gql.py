@@ -2194,3 +2194,152 @@ def test_foreach_on_shortest_path_rejected(diamond_graph):
             "MATCH p = shortestPath((a)-[*1..2]->(b)) "
             "FOREACH (n IN nodes(p) | SET n.m = 1)"
         )
+
+
+# ------------------------------------------------------------- expression SET
+def _set_store(spark, tmp_path, vprops=None, eprops=None):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "store"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph(
+                vprops or {"name": "string", "age": "long", "tag": "string"},
+                eprops,
+            ),
+            store=store,
+        )
+
+    return store, engine
+
+
+def test_set_expression_values_one_version(spark, tmp_path):
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store, engine = _set_store(spark, tmp_path)
+    engine().execute(
+        "CREATE (a:P {name: 'ann', age: 40})-[:r]->(b:P {name: 'ben', age: 20})"
+    )
+    before = store.version
+    engine().execute(
+        "MATCH (v:P) SET v.age = v.age + 1, v.name = toUpper(v.name)"
+    )
+    assert store.version == before + 1  # one version for both assignments
+    got = {
+        r["name"]: r["age"]
+        for r in store.vertices()
+        .select(
+            prop_typed("properties", "name").alias("name"),
+            prop_typed("properties", "age", "long").alias("age"),
+        )
+        .collect()
+    }
+    assert got == {"ANN": 41, "BEN": 21}
+
+
+def test_set_plus_equals_map_merge_keeps_unlisted_keys(spark, tmp_path):
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store, engine = _set_store(spark, tmp_path)
+    engine().execute("CREATE (a:P {name: 'ann', age: 40})")
+    engine().execute("MATCH (v:P) SET v += {tag: toLower('HOT'), age: v.age * 2}")
+    row = (
+        store.vertices()
+        .select(
+            prop_typed("properties", "name").alias("name"),
+            prop_typed("properties", "age", "long").alias("age"),
+            prop_typed("properties", "tag").alias("tag"),
+        )
+        .collect()[0]
+    )
+    assert (row["name"], row["age"], row["tag"]) == ("ann", 80, "hot")
+
+
+def test_set_null_removes_key_and_empty_merge_noops(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    store, engine = _set_store(spark, tmp_path)
+    engine().execute("CREATE (a:P {name: 'ann', age: 40})")
+    engine().execute("MATCH (v:P) SET v.age = null")
+    assert (
+        store.vertices()
+        .select(F.map_contains_key("properties", "age").alias("h"))
+        .collect()[0]["h"]
+        is False
+    )
+    before = store.version
+    engine().execute("MATCH (v:P) SET v += {}")  # Cypher no-op
+    assert store.version == before  # no version commit
+
+
+def test_set_edge_expression_cross_variable(spark, tmp_path):
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store, engine = _set_store(
+        spark, tmp_path,
+        {"name": "string", "age": "long"}, {"weight": "long"},
+    )
+    engine().execute(
+        "CREATE (a:P {name: 'a', age: 40})-[:r {weight: 3}]->"
+        "(b:P {name: 'b', age: 20})"
+    )
+    engine().execute("MATCH (x)-[e:r]->(y) SET e.weight = e.weight * 2 + y.age")
+    assert (
+        store.edges()
+        .select(prop_typed("properties", "weight", "long").alias("w"))
+        .collect()[0]["w"]
+        == 26
+    )
+
+
+def test_set_edge_label_rejected(spark, tmp_path):
+    store, engine = _set_store(spark, tmp_path, {"name": "string"}, {})
+    engine().execute("CREATE (a:P {name: 'a'})-[:r]->(b:P {name: 'b'})")
+    with pytest.raises(ValueError, match="part of its identity"):
+        engine().execute("MATCH (x)-[e:r]->(y) SET e.label = toUpper('z')")
+
+
+def test_set_string_escapes_roundtrip(spark, tmp_path):
+    # render_json_value must produce json.dumps-compatible escapes so
+    # prop_typed decodes computed strings exactly
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store, engine = _set_store(spark, tmp_path)
+    engine().execute("CREATE (a:P {name: 'say \"hi\"', age: 1})")
+    engine().execute("MATCH (v:P) SET v.tag = toUpper(v.name)")
+    assert (
+        store.vertices()
+        .select(prop_typed("properties", "tag").alias("t"))
+        .collect()[0]["t"]
+        == 'SAY "HI"'
+    )
+
+
+def test_set_computed_type_resyncs_label(spark, tmp_path):
+    store, engine = _set_store(spark, tmp_path)
+    engine().execute("CREATE (a:P {name: 'ann', age: 40})")
+    engine().execute("MATCH (v:P) SET v.type = toUpper('person')")
+    assert store.vertices().collect()[0]["label"] == "PERSON"
+
+
+def test_foreach_expression_body_from_outer_binding(spark, tmp_path):
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store, engine = _set_store(spark, tmp_path)
+    engine().execute("CREATE (a:P {name: 'ANN', age: 1})-[:r]->(b:P {name: 'BEN', age: 2})")
+    engine().execute(
+        "MATCH p = (a:P {name: 'ANN'})-[:r]->(b:P) "
+        "FOREACH (n IN nodes(p) | SET n.tag = toLower(a.name))"
+    )
+    got = {
+        r["name"]: r["tag"]
+        for r in store.vertices()
+        .select(
+            prop_typed("properties", "name").alias("name"),
+            prop_typed("properties", "tag").alias("tag"),
+        )
+        .collect()
+    }
+    assert got == {"ANN": "ann", "BEN": "ann"}
