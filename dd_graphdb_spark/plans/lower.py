@@ -545,9 +545,10 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
     if isinstance(node, (CountSub, PatternComp)):
         raise ValueError(
             "COUNT { pattern } subqueries and pattern comprehensions are "
-            "supported in the MATCH WHERE clause and in RETURN / WITH "
-            "items only (not inside EXISTS bodies, WITH ... WHERE, or "
-            "post-WITH RETURNs)"
+            "supported in the MATCH WHERE clause, in RETURN / WITH items, "
+            "in WITH ... WHERE, and in a post-WITH RETURN (via passthrough "
+            "variables) — not inside EXISTS/COUNT subquery bodies or after "
+            "an aggregating WITH"
         )
     if isinstance(node, MapProj):
         raise ValueError(
@@ -887,26 +888,31 @@ def _shared_edge_keys(pattern, bound_cols, sub_cols) -> list[str]:
 _CSUB_OPAQUE = (PathPattern, PatternPred, ShortestPathPattern, NodePattern, EdgePattern)
 
 
-def _rewrite_count_subs(node, out: list):
+def _rewrite_count_subs(node, out: list, prefix: str = "_csub"):
     """Replace every ``COUNT { .. }`` / pattern-comprehension node in an
-    expression/condition tree with a synthetic ``PropRef(_csubK,
-    "val")`` (lowering to the joined subquery column ``_csubK__val``),
+    expression/condition tree with a synthetic ``PropRef({prefix}K,
+    "val")`` (lowering to the joined subquery column ``{prefix}K__val``),
     collecting the subqueries into ``out`` as ``(name, node)``. Generic
     dataclass walk — any new expression node type is traversed without
-    registration."""
+    registration. ``prefix``: post-WITH subqueries attach to the WITH
+    intermediate under ``_pcsub`` so their columns can never collide
+    with the pre-projection ``_csub`` attach."""
     import dataclasses
 
     if isinstance(node, (CountSub, PatternComp)):
-        name = f"_csub{len(out)}"
+        name = f"{prefix}{len(out)}"
         out.append((name, node))
         return PropRef(name, "val")
     if isinstance(node, list):
-        return [_rewrite_count_subs(i, out) for i in node]
+        return [_rewrite_count_subs(i, out, prefix) for i in node]
     if isinstance(node, tuple):
-        return tuple(_rewrite_count_subs(i, out) for i in node)
+        return tuple(_rewrite_count_subs(i, out, prefix) for i in node)
     if dataclasses.is_dataclass(node) and not isinstance(node, _CSUB_OPAQUE):
         for f in dataclasses.fields(node):
-            setattr(node, f.name, _rewrite_count_subs(getattr(node, f.name), out))
+            setattr(
+                node, f.name,
+                _rewrite_count_subs(getattr(node, f.name), out, prefix),
+            )
     return node
 
 
@@ -1448,10 +1454,17 @@ class GQLEngine:
             for it in list(stmt.returns) + (stmt.with_items or []):
                 if it.expr is not None:
                     it.expr = _pm(it.expr)
-        # COUNT { .. } subqueries: rewrite to synthetic count columns,
-        # attached to the fully-bound frame below (WHERE application is
-        # deferred past the attach when the WHERE carries one)
+        # COUNT { .. } subqueries: rewrite to synthetic count columns.
+        # Pre-WITH positions (MATCH WHERE, WITH items, RETURN without a
+        # pipeline) attach to the fully-bound frame below (WHERE
+        # application is deferred past the attach when the WHERE carries
+        # one). Post-WITH positions (WITH .. WHERE, RETURN after a WITH)
+        # attach to the WITH intermediate instead — they correlate on
+        # passthrough variables whose binding columns survived the
+        # projection (Cypher scoping: after WITH, only projected items
+        # are in scope anyway).
         csubs: list = []
+        post_csubs: list = []
         where_csubs = 0
         if isinstance(stmt.pattern, PathPattern):
             if stmt.where is not None:
@@ -1460,15 +1473,15 @@ class GQLEngine:
             for it in stmt.with_items or []:
                 if it.expr is not None:
                     it.expr = _rewrite_count_subs(it.expr, csubs)
-            n_pre_ret = len(csubs)
+            if stmt.with_where is not None:
+                stmt.with_where = _rewrite_count_subs(
+                    stmt.with_where, post_csubs, prefix="_pcsub"
+                )
+            ret_out = csubs if stmt.with_items is None else post_csubs
+            ret_prefix = "_csub" if stmt.with_items is None else "_pcsub"
             for it in stmt.returns:
                 if it.expr is not None:
-                    it.expr = _rewrite_count_subs(it.expr, csubs)
-            if stmt.with_items is not None and len(csubs) > n_pre_ret:
-                raise ValueError(
-                    "COUNT { } in RETURN after a WITH pipeline is not "
-                    "supported — compute it in the WITH items instead"
-                )
+                    it.expr = _rewrite_count_subs(it.expr, ret_out, ret_prefix)
         if stmt.pattern is None:
             # pure value-table statement: UNWIND [..] AS x RETURN ..
             bound = self._unwind_literal_frame(stmt.unwind_first)
@@ -1549,6 +1562,21 @@ class GQLEngine:
                 # WITH DISTINCT dedups the projected intermediate BEFORE
                 # the pipeline filter (Cypher clause order)
                 inter = inter.distinct()
+            if post_csubs:
+                # COUNT{} / pattern comprehensions in WITH..WHERE or a
+                # post-WITH RETURN: attach AFTER the distinct (so the
+                # dedup sees only projected columns) and BEFORE the
+                # pipeline filter. Correlation needs a passthrough
+                # variable's surviving binding columns — an aggregating
+                # WITH has none (Cypher scoping: the entity itself was
+                # not projected), so it stays a clear error.
+                if has_aggs:
+                    raise ValueError(
+                        "COUNT { } / pattern comprehensions after an "
+                        "AGGREGATING WITH are not supported — compute "
+                        "them in the WITH items instead"
+                    )
+                inter = self._attach_count_subs(inter, post_csubs)
             if stmt.with_where is not None:
                 if _has_pattern_pred(stmt.with_where):
                     # the semi-join rewrite needs binding-id witnesses,

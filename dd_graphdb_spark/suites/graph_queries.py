@@ -1695,6 +1695,82 @@ def gql_map_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# COUNT { } in WITH..WHERE AND in a post-WITH RETURN (r10 — previously
+# rejected positions, VERDICT r9 #4): the subqueries attach to the WITH
+# intermediate and correlate on the passthrough variable's surviving
+# binding columns — still grouped joins, no correlated execution.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_count_with_where",
+    GRAPH_CTE
+    + """
+    , cnt AS (
+        SELECT e.dst AS c_id, count(*) AS n
+        FROM edges e
+        JOIN vertices o ON o.id = e.src AND o.label = 'Order'
+        WHERE e.label = 'placed_by'
+        GROUP BY e.dst
+    )
+    SELECT c.mktsegment AS seg, c.name AS nm, cnt.n AS n_orders
+    FROM vertices c
+    JOIN cnt ON cnt.c_id = c.id
+    WHERE c.label = 'Customer' AND cnt.n >= 20
+    ORDER BY nm
+    """,
+)
+def gql_count_with_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (c:Customer) WITH c, c.mktsegment AS seg "
+        "WHERE COUNT { (o:Order)-[:placed_by]->(c) } >= 20 "
+        "RETURN seg, c.name AS nm, "
+        "COUNT { (o:Order)-[:placed_by]->(c) } AS n_orders ORDER BY nm"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pattern comprehension in a post-WITH RETURN, after WITH DISTINCT
+# (r10): the comprehension attaches AFTER the dedup (so DISTINCT sees
+# only projected columns) and projects per passthrough nation.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_collect_post_with",
+    GRAPH_CTE
+    + """
+    , hassup AS (
+        SELECT DISTINCT e.dst AS n_id
+        FROM edges e
+        JOIN vertices s ON s.id = e.src AND s.label = 'Supplier'
+        WHERE e.label = 'located_in'
+    ),
+    agg AS (
+        SELECT e.dst AS n_id,
+               array_to_string(list_sort(list(s.name)), ',') AS rich
+        FROM edges e
+        JOIN vertices s ON s.id = e.src AND s.label = 'Supplier'
+        WHERE e.label = 'located_in' AND s.acctbal > 9000.0
+        GROUP BY e.dst
+    )
+    SELECT n.name AS nm, COALESCE(agg.rich, '') AS rich_suppliers
+    FROM vertices n
+    JOIN hassup ON hassup.n_id = n.id
+    LEFT JOIN agg ON agg.n_id = n.id
+    WHERE n.label = 'Nation'
+    ORDER BY nm
+    """,
+)
+def gql_collect_post_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (s:Supplier)-[:located_in]->(n:Nation) WITH DISTINCT n "
+        "RETURN n.name AS nm, "
+        "[(c:Supplier)-[:located_in]->(n) WHERE c.acctbal > 9000.0 | c.name] "
+        "AS rich_suppliers ORDER BY nm"
+    )
+    return out.select(
+        "nm", F.array_join("rich_suppliers", ",").alias("rich_suppliers")
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

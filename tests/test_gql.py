@@ -2343,3 +2343,74 @@ def test_foreach_expression_body_from_outer_binding(spark, tmp_path):
         .collect()
     }
     assert got == {"ANN": "ann", "BEN": "ann"}
+
+
+# -------------------------------------------- COUNT{} in post-WITH positions
+@pytest.fixture()
+def people_edges_graph(spark):
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [
+            (1, "Person", "Alice", 30),
+            (2, "Person", "Bob", 25),
+            (3, "Person", "Charlie", 35),
+        ],
+        "id long, label string, name string, age long",
+    )
+    e = spark.createDataFrame(
+        [(1, 2, "knows"), (1, 3, "knows"), (2, 3, "knows")],
+        "src long, dst long, label string",
+    )
+    return PropertyGraph(v, e)
+
+
+def test_count_sub_in_with_where(people_edges_graph):
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) WITH a "
+            "WHERE COUNT { (a)-[:knows]->(x) } >= 1 "
+            "RETURN a.name AS nm ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [r["nm"] for r in rows] == ["Alice", "Bob"]
+
+
+def test_count_sub_in_post_with_return(people_edges_graph):
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) WITH a, a.age AS ag WHERE ag >= 25 "
+            "RETURN a.name AS nm, COUNT { (a)-[:knows]->(x) } AS deg "
+            "ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["deg"]) for r in rows] == [
+        ("Alice", 2), ("Bob", 1), ("Charlie", 0),
+    ]
+
+
+def test_pattern_comprehension_post_with_distinct(people_edges_graph):
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person)-[:knows]->(b) WITH DISTINCT a "
+            "RETURN a.name AS nm, [ (a)-[:knows]->(y) | y.name ] AS ns "
+            "ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["ns"]) for r in rows] == [
+        ("Alice", ["Bob", "Charlie"]), ("Bob", ["Charlie"]),
+    ]
+
+
+def test_count_sub_after_aggregating_with_rejected(people_edges_graph):
+    with pytest.raises(ValueError, match="AGGREGATING WITH"):
+        _engine(people_edges_graph).execute(
+            "MATCH (a:Person) WITH count(a) AS c "
+            "WHERE COUNT { (a)-[:knows]->(x) } > 0 RETURN c"
+        )
