@@ -367,6 +367,9 @@ class MatchStatement:
     # UNWIND between the MATCH clauses / WITH pipeline and RETURN;
     # values may be a WITH alias (post-WITH only) or a list literal
     unwind: UnwindClause | None = None
+    # correlated CALL { WITH x .. } between the MATCH clauses and the
+    # WITH/UNWIND/RETURN; its output columns join the scope as bare names
+    call_sub: CallSubClause | None = None
 
 
 @dataclass
@@ -458,6 +461,26 @@ class ForeachStatement:
     lvar: str
     source: object  # expression → list of vertex ids, per binding row
     assignments: list  # [(prop, literal), ...] — applied to the loop var
+
+
+@dataclass
+class CallSubClause:
+    """CORRELATED ``CALL { WITH <vars> MATCH .. RETURN items }`` between
+    the outer MATCH clauses and the WITH/RETURN (Cypher 5 per-row
+    subquery; beyond the reference — its parser never compiled, SURVEY
+    §0.1). Lowered like COUNT{}: the body executes ONCE as a derived
+    table and joins back on the imported variables' id witnesses
+    (grouped join, no per-row re-execution). An aggregating body LEFT
+    joins (one row per outer row — count() coalesces to 0, collect()
+    to []); a non-aggregating body INNER joins (Cypher drops outer rows
+    whose subquery produced nothing). Scope: every imported variable
+    must be reused in the body pattern (the id witness IS the
+    correlation); body ORDER BY / SKIP / LIMIT and a body WITH pipeline
+    are rejected at parse — per-outer-row top-k is a window function,
+    not a join, and stays explicit in the outer query."""
+
+    imports: list  # variable names imported via the body's leading WITH
+    inner: object  # MatchStatement (pattern reuses the imported vars)
 
 
 @dataclass
@@ -1434,6 +1457,84 @@ class _Parser:
         )
         return self._result_modifiers(stmt)
 
+    def _call_sub_clause(self, pattern, clauses) -> CallSubClause:
+        """Correlated ``CALL { WITH <vars> MATCH .. RETURN items }``
+        after the outer MATCH clauses (see CallSubClause for the
+        lowering contract). Parse-time validation keeps runtime errors
+        out of the join machinery: imports must be outer pattern
+        variables AND be reused in the body pattern; aggregating body
+        items need an explicit alias (the join projects by name)."""
+        self.next()  # CALL
+        self.expect("punct", "{")
+        if not self.accept("WITH"):
+            raise ValueError(
+                "GQL parse error: a CALL clause after MATCH must import "
+                "variables — CALL { WITH x .. }; an uncorrelated CALL "
+                "body goes at statement start"
+            )
+        imports = []
+        while True:
+            imports.append(self.expect_name())
+            if not self.accept("punct", ","):
+                break
+        if isinstance(pattern, ShortestPathPattern):
+            outer_vars = {pattern.src.var, pattern.dst.var}
+        else:
+            outer_vars = {n.var for n in pattern.nodes}
+        outer_vars |= {n.var for _, c in clauses for n in c.pattern.nodes}
+        unknown = [v for v in imports if v not in outer_vars]
+        if unknown:
+            raise ValueError(
+                f"GQL parse error: CALL imports unknown variable(s) "
+                f"{unknown} — WITH must list outer MATCH variables"
+            )
+        self.expect("MATCH")
+        inner = self._match_statement()
+        if not isinstance(inner, MatchStatement):
+            raise ValueError(
+                "GQL parse error: a CALL body must be a read query "
+                f"(got {type(inner).__name__})"
+            )
+        if (
+            inner.with_items is not None
+            or inner.order_by
+            or inner.skip is not None
+            or inner.limit is not None
+            or inner.unwind is not None
+            or inner.unwind_first is not None
+            or inner.call_sub is not None
+        ):
+            raise ValueError(
+                "GQL parse error: a correlated CALL body is "
+                "MATCH .. [WHERE] RETURN items — no WITH pipeline, "
+                "UNWIND, nested CALL, ORDER BY, SKIP or LIMIT inside "
+                "the braces (per-outer-row top-k belongs in the outer "
+                "query)"
+            )
+        body_vars = {n.var for n in inner.pattern.nodes} | {
+            n.var for _, c in inner.clauses for n in c.pattern.nodes
+        }
+        not_reused = [v for v in imports if v not in body_vars]
+        if not_reused:
+            raise ValueError(
+                f"GQL parse error: CALL imports {not_reused} are not "
+                "used in the body pattern — the reused variable IS the "
+                "correlation"
+            )
+        for it in inner.returns:
+            if it.var == "*":
+                raise ValueError(
+                    "GQL parse error: RETURN * is not supported inside "
+                    "a correlated CALL body — name the items"
+                )
+            if it.agg and not it.alias:
+                raise ValueError(
+                    "GQL parse error: aggregates inside a correlated "
+                    "CALL body need an explicit AS alias"
+                )
+        self.expect("punct", "}")
+        return CallSubClause(imports, inner)
+
     def _merge_statement(self) -> MergeStatement:
         """``MERGE <pattern> [ON CREATE SET ..] [ON MATCH SET ..]`` —
         the conditional-action clauses accept literal values targeting
@@ -1663,6 +1764,9 @@ class _Parser:
             self.expect("punct", ")")
             return ForeachStatement(pattern, where, lvar, source, assigns)
         clauses = self._match_clauses()
+        call_sub = None
+        if self._ident_kw("CALL") and self.toks[self.i + 1] == ("punct", "{"):
+            call_sub = self._call_sub_clause(pattern, clauses)
         with_items = with_where = None
         post_clauses = []
         with_order: list[OrderItem] = []
@@ -1700,12 +1804,16 @@ class _Parser:
         distinct = self.accept("DISTINCT")
         stmt = MatchStatement(
             pattern, where,
-            self.return_items(bare_ok=with_items is not None or unwind is not None),
+            self.return_items(
+                bare_ok=with_items is not None
+                or unwind is not None
+                or call_sub is not None
+            ),
             distinct=distinct,
             clauses=clauses, with_items=with_items, with_where=with_where,
             post_clauses=post_clauses, unwind_first=unwind_first, unwind=unwind,
             with_order=with_order, with_skip=with_skip, with_limit=with_limit,
-            with_distinct=with_distinct,
+            with_distinct=with_distinct, call_sub=call_sub,
         )
         return self._result_modifiers(stmt)
 

@@ -37,6 +37,7 @@ from dd_graphdb_spark.plans.gql import (
     Arith,
     BoolExpr,
     CallStatement,
+    CallSubClause,
     CaseExpr,
     Compare,
     CountSub,
@@ -1412,6 +1413,62 @@ class GQLEngine:
             )
         return df, bare_names + (uw.alias,)
 
+    def _apply_call_sub(
+        self, bound: DataFrame, cs: CallSubClause, bare_names: tuple
+    ) -> tuple:
+        """Correlated CALL { WITH x .. } — the COUNT{} lowering
+        generalized to arbitrary projected/aggregated body items:
+
+        1. execute the body ONCE as a derived table (its own optimized
+           plan — pushdowns and broadcast choices are per-body);
+        2. project the body's RETURN items with the imported variables'
+           id columns prepended as grouping keys (extra_keys), so an
+           aggregating body computes per imported binding — a grouped
+           join, never per-row re-execution;
+        3. join back on those id witnesses: LEFT for aggregating bodies
+           (Cypher: exactly one row per outer row — count() coalesces
+           to 0, collect() to []), INNER for streaming bodies (Cypher
+           drops outer rows with an empty subquery result).
+
+        The body's output columns enter the outer scope as bare names
+        (same mechanism as UNWIND aliases)."""
+        inner = cs.inner
+        keys = [f"{v}__id" for v in cs.imports]
+        missing = [k for k in keys if k not in bound.columns]
+        if missing:
+            raise ValueError(
+                f"CALL imports correlate on {missing}, not present in "
+                "the outer bindings"
+            )
+        sub = self.match_bindings(inner.pattern, inner.where, anon_prefix="_cse")
+        ivars = list(dict.fromkeys(n.var for n in inner.pattern.nodes))
+        sub, ivars = self._apply_clauses(sub, ivars, inner.clauses, "_csc")
+        vcols = self.graph.vertices.columns
+        proj = self._project(
+            sub, inner.returns, ivars, vcols,
+            extra_keys=[F.col(k) for k in keys],
+        )
+        if inner.distinct:
+            proj = proj.distinct()
+        has_aggs = any(i.agg for i in inner.returns)
+        out_names = [c for c in proj.columns if c not in keys]
+        if has_aggs:
+            bound = bound.join(proj, on=keys, how="left")
+            for i in inner.returns:
+                if i.agg == "count":
+                    bound = bound.withColumn(
+                        i.alias,
+                        F.coalesce(F.col(i.alias), F.lit(0)).cast("long"),
+                    )
+                elif i.agg == "collect":
+                    empty = F.array().cast(proj.schema[i.alias].dataType)
+                    bound = bound.withColumn(
+                        i.alias, F.coalesce(F.col(i.alias), empty)
+                    )
+        else:
+            bound = bound.join(proj, on=keys, how="inner")
+        return bound, bare_names + tuple(out_names)
+
     def _execute_match(self, stmt: MatchStatement) -> DataFrame:
         vcols = self.graph.vertices.columns
         unwound: tuple = ()
@@ -1512,6 +1569,8 @@ class GQLEngine:
                     bound = self._apply_where(
                         bound, stmt.where, bare_names=unwound, anon_prefix="_uw"
                     )
+        if stmt.call_sub is not None:
+            bound, unwound = self._apply_call_sub(bound, stmt.call_sub, unwound)
         if stmt.unwind is not None and stmt.with_items is None:
             # MATCH .. UNWIND [..] AS x RETURN .. (no WITH pipeline)
             bound, unwound = self._apply_unwind(bound, stmt.unwind, unwound)
@@ -1722,11 +1781,17 @@ class GQLEngine:
     def _project(
         self, bound, items, vertex_vars, vcols,
         bare: bool = False, extra_cols=None, bare_names: tuple = (),
+        extra_keys=None,
     ):
         """RETURN/WITH projection with Cypher's implicit grouping.
 
         ``extra_cols``: hidden columns appended to a NON-aggregating
         projection (ORDER BY on non-projected properties).
+
+        ``extra_keys``: correlation witness columns (a correlated CALL
+        subquery's imported-variable ids) — kept in the output AND
+        prepended to the implicit grouping keys, so the body's
+        aggregates compute per imported binding.
 
         ``bare`` = the input columns are already projected output names
         (a WITH intermediate): items reference them by bare name and
@@ -1770,10 +1835,13 @@ class GQLEngine:
         aggs = [i for i in items if i.agg]
         if not aggs:
             return bound.select(
+                *(extra_keys or []),
                 *[c for i in items for c in item_cols(i)], *(extra_cols or [])
             )
         # Cypher's implicit grouping: non-aggregated items are the keys
-        keys = [c for i in items if not i.agg for c in item_cols(i)]
+        keys = list(extra_keys or []) + [
+            c for i in items if not i.agg for c in item_cols(i)
+        ]
         agg_fns = {
             "count": F.count,
             "sum": F.sum,

@@ -1771,6 +1771,68 @@ def gql_collect_post_with(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Correlated CALL { WITH n .. } with an AGGREGATING body (r10 — VERDICT
+# r9 #3): lowered as ONE grouped join on the imported variable's id
+# witness (extra_keys in _project), LEFT-joined so every nation appears
+# with count 0 / empty list when it has no suppliers — no per-row
+# re-execution.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_call_correlated",
+    GRAPH_CTE
+    + """
+    , agg AS (
+        SELECT e.dst AS n_id, count(*) AS n_sup,
+               array_to_string(list_sort(list(s.name)), ',') AS sups
+        FROM edges e
+        JOIN vertices s ON s.id = e.src AND s.label = 'Supplier'
+        WHERE e.label = 'located_in'
+        GROUP BY e.dst
+    )
+    SELECT n.name AS nm, COALESCE(agg.n_sup, 0) AS n_sup,
+           COALESCE(agg.sups, '') AS sups
+    FROM vertices n
+    LEFT JOIN agg ON agg.n_id = n.id
+    WHERE n.label = 'Nation'
+    ORDER BY nm
+    """,
+)
+def gql_call_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (n:Nation) CALL { WITH n "
+        "MATCH (s:Supplier)-[:located_in]->(n) "
+        "RETURN count(s) AS n_sup, collect(s.name) AS sups } "
+        "RETURN n.name AS nm, n_sup, sups ORDER BY nm"
+    )
+    return out.select("nm", "n_sup", F.array_join("sups", ",").alias("sups"))
+
+
+# ---------------------------------------------------------------------------
+# Correlated CALL with a STREAMING (non-aggregating) body: INNER-join
+# semantics — outer rows whose subquery produced nothing drop (Cypher).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_call_correlated_rows",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS nm, c.name AS cn
+    FROM vertices c
+    JOIN edges e ON e.src = c.id AND e.label = 'located_in'
+    JOIN vertices n ON n.id = e.dst AND n.label = 'Nation'
+    WHERE c.label = 'Customer' AND c.acctbal > 9900.0
+    ORDER BY nm, cn
+    """,
+)
+def gql_call_correlated_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (n:Nation) CALL { WITH n "
+        "MATCH (c:Customer)-[:located_in]->(n) WHERE c.acctbal > 9900.0 "
+        "RETURN c.name AS cn } "
+        "RETURN n.name AS nm, cn ORDER BY nm, cn"
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

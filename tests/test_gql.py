@@ -2414,3 +2414,87 @@ def test_count_sub_after_aggregating_with_rejected(people_edges_graph):
             "MATCH (a:Person) WITH count(a) AS c "
             "WHERE COUNT { (a)-[:knows]->(x) } > 0 RETURN c"
         )
+
+
+# ------------------------------------------------------ correlated CALL { }
+def test_call_correlated_aggregating_left_join(people_edges_graph):
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "RETURN count(x) AS deg, collect(x.name) AS ns } "
+            "RETURN a.name AS nm, deg, ns ORDER BY nm"
+        )
+        .collect()
+    )
+    # Charlie has no out-edges: count coalesces to 0, collect to []
+    assert [(r["nm"], r["deg"], list(r["ns"])) for r in rows] == [
+        ("Alice", 2, ["Bob", "Charlie"]),
+        ("Bob", 1, ["Charlie"]),
+        ("Charlie", 0, []),
+    ]
+
+
+def test_call_correlated_streaming_inner_join(people_edges_graph):
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "RETURN x.name AS xn } "
+            "RETURN a.name AS nm, xn ORDER BY nm, xn"
+        )
+        .collect()
+    )
+    # Charlie drops (Cypher: empty subquery result removes the row)
+    assert [(r["nm"], r["xn"]) for r in rows] == [
+        ("Alice", "Bob"), ("Alice", "Charlie"), ("Bob", "Charlie"),
+    ]
+
+
+def test_call_correlated_body_where_cross_variable(people_edges_graph):
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "WHERE x.age > a.age RETURN count(x) AS older } "
+            "RETURN a.name AS nm, older ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["older"]) for r in rows] == [
+        ("Alice", 1), ("Bob", 1), ("Charlie", 0),
+    ]
+
+
+def test_call_correlated_output_through_with_and_outer_agg(people_edges_graph):
+    eng = _engine(people_edges_graph)
+    rows = eng.execute(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+        "RETURN count(x) AS deg } "
+        "WITH a, deg WHERE deg >= 1 RETURN a.name AS nm, deg ORDER BY nm"
+    ).collect()
+    assert [(r["nm"], r["deg"]) for r in rows] == [("Alice", 2), ("Bob", 1)]
+    total = eng.execute(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+        "RETURN count(x) AS deg } RETURN sum(deg) AS total"
+    ).collect()[0]["total"]
+    assert total == 3
+
+
+def test_call_correlated_parse_errors(people_edges_graph):
+    eng = _engine(people_edges_graph)
+    cases = [
+        ("MATCH (a:Person) CALL { WITH z MATCH (z)-[:knows]->(x) "
+         "RETURN count(x) AS c } RETURN c", "unknown variable"),
+        ("MATCH (a:Person) CALL { WITH a MATCH (y:Person)-[:knows]->(x) "
+         "RETURN count(x) AS c } RETURN c", "not used in the body"),
+        ("MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+         "RETURN count(x) AS c ORDER BY c } RETURN c", "ORDER BY"),
+        ("MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+         "RETURN count(x) } RETURN nm", "AS alias"),
+        ("MATCH (a:Person) CALL { MATCH (y:Person) RETURN count(y) AS c } "
+         "RETURN c", "must import"),
+    ]
+    for q, frag in cases:
+        with pytest.raises(ValueError, match=frag):
+            eng.execute(q)
