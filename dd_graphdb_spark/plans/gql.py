@@ -445,22 +445,43 @@ class MatchSetStatement:
 
 
 @dataclass
+class LoopVar:
+    """Marker for a FOREACH loop-variable reference in a body pattern's
+    inline props (``CREATE (:Tag {v: x})``): substituted per element at
+    execution."""
+
+    name: str
+
+
+@dataclass
 class ForeachStatement:
-    """``MATCH .. [WHERE] FOREACH (x IN <list-expr> | SET x.p = lit, ..)``
-    — apply property updates to every vertex whose id appears in the
-    per-binding list (Cypher FOREACH's canonical mark-the-path use:
-    ``FOREACH (n IN nodes(p) | SET n.marked = true)``). Scope: the list
-    must evaluate to vertex IDS (nodes(p), a collected id list, or a
-    literal list) and the body is SET with literal values targeting the
-    loop variable — CREATE/MERGE/DELETE bodies and nested FOREACH are
-    rejected at parse (beyond the reference either way: its parser never
-    compiled, SURVEY §0.1)."""
+    """``MATCH .. [WHERE] FOREACH (x IN <list-expr> | <body>)`` —
+    Cypher FOREACH (beyond the reference either way: its parser never
+    compiled, SURVEY §0.1). Supported bodies, one clause per FOREACH:
+
+    - ``SET x.p = <expr>, ..`` — the canonical mark-the-path use
+      (``FOREACH (n IN nodes(p) | SET n.marked = true)``); the list
+      must evaluate to vertex IDS and values may be literals or
+      expressions over the OUTER bindings row;
+    - ``CREATE <pattern>`` — the bulk-create idiom
+      (``FOREACH (x IN list | CREATE (:Tag {v: x}))``); list elements
+      are VALUES, substituted for LoopVar references in the pattern's
+      inline props; one node set per element per binding row, ONE
+      snapshot version for the whole statement;
+    - ``MERGE <pattern>`` — per DISTINCT element: match the whole
+      substituted pattern, create it when absent (Cypher's
+      within-statement visibility collapses to dedup because the
+      pattern is fully determined by the element).
+
+    DELETE bodies and nested FOREACH remain rejected at parse."""
 
     pattern: PathPattern
     where: object | None
     lvar: str
-    source: object  # expression → list of vertex ids, per binding row
-    assignments: list  # [(prop, literal), ...] — applied to the loop var
+    source: object  # expression → list (of ids for SET, values for CREATE/MERGE)
+    assignments: list  # SET body: [(prop, literal-or-expr), ...]
+    body_kind: str = "set"  # "set" | "create" | "merge"
+    body_pattern: object | None = None  # CREATE/MERGE body pattern
 
 
 @dataclass
@@ -570,6 +591,9 @@ class _Parser:
         self.toks = toks
         self.i = 0
         self._anon = 0
+        # FOREACH body parsing: the loop variable's name, legal as an
+        # inline-prop VALUE inside the body pattern (LoopVar marker)
+        self._prop_var_ok: str | None = None
 
     def peek(self) -> tuple[str, str]:
         return self.toks[self.i]
@@ -619,6 +643,18 @@ class _Parser:
             return None
         raise ValueError(f"GQL parse error: bad literal {v!r}")
 
+    def _prop_value(self):
+        """Inline-prop value in a pattern: a literal, or — inside a
+        FOREACH body only — the loop variable (LoopVar marker,
+        substituted per element at execution)."""
+        if (
+            self._prop_var_ok is not None
+            and self.at_name()
+            and self.peek()[1] == self._prop_var_ok
+        ):
+            return LoopVar(self.next()[1])
+        return self.literal()
+
     # ----- patterns
     def node(self) -> NodePattern:
         self.expect("punct", "(")
@@ -632,7 +668,7 @@ class _Parser:
             while not self.accept("punct", "}"):
                 key = self.expect_name()
                 self.expect("punct", ":")
-                props[key] = self.literal()
+                props[key] = self._prop_value()
                 self.accept("punct", ",")
         self.expect("punct", ")")
         if var is None:
@@ -679,7 +715,7 @@ class _Parser:
                 while not self.accept("punct", "}"):
                     key = self.expect_name()
                     self.expect("punct", ":")
-                    props[key] = self.literal()
+                    props[key] = self._prop_value()
                     self.accept("punct", ",")
             self.expect("punct", "]")
         return var, label, lo, hi, props
@@ -1739,13 +1775,41 @@ class _Parser:
             source = self.expr()
             if not self.accept("punct", "|"):
                 raise ValueError(
-                    "GQL parse error: FOREACH (x IN <list> | SET x.prop = value, ..)"
+                    "GQL parse error: FOREACH (x IN <list> | <SET | "
+                    "CREATE | MERGE body>)"
+                )
+            if self.peek()[0] in ("CREATE", "MERGE"):
+                kw = self.next()[0]
+                self._prop_var_ok = lvar
+                try:
+                    body = self._write_pattern(kw)
+                finally:
+                    self._prop_var_ok = None
+                if not any(
+                    isinstance(pv, LoopVar)
+                    for n in body.nodes
+                    for pv in n.props.values()
+                ) and not any(
+                    isinstance(pv, LoopVar)
+                    for ed in body.edges
+                    for pv in ed.props.values()
+                ):
+                    raise ValueError(
+                        f"GQL parse error: a FOREACH {kw} body must "
+                        f"reference the loop variable {lvar!r} in its "
+                        "inline props — otherwise it creates the same "
+                        "pattern per element (write a bare statement)"
+                    )
+                self.expect("punct", ")")
+                return ForeachStatement(
+                    pattern, where, lvar, source, [],
+                    body_kind=kw.lower(), body_pattern=body,
                 )
             if not self.accept("SET"):
                 raise ValueError(
-                    "GQL parse error: FOREACH supports a SET body only "
-                    "(CREATE/MERGE/DELETE bodies and nested FOREACH are "
-                    "not supported)"
+                    "GQL parse error: FOREACH supports SET, CREATE and "
+                    "MERGE bodies (DELETE and nested FOREACH are not "
+                    "supported)"
                 )
             assigns = []
             while True:

@@ -695,6 +695,16 @@ class GraphStore:
         at parse time (_write_pattern)."""
         row = self.vertices().agg(F.max("id").alias("m")).collect()[0]
         next_id = (row["m"] or 0) + 1
+        ops, node_ids, _ = self._pattern_ops(pattern, next_id)
+        self.apply_batch(ops)
+        return node_ids
+
+    @staticmethod
+    def _pattern_ops(pattern, next_id: int) -> tuple[list, list, int]:
+        """Build the GraphOps creating one instance of ``pattern`` with
+        ids ``next_id..`` — (ops, node_ids, next_free_id). Split out of
+        _create_pattern so FOREACH CREATE bodies can accumulate ops
+        across elements and commit ONE snapshot version."""
         ops: list[GraphOp] = []
         ids_by_var: dict[str, int] = {}
         node_ids: list[int] = []
@@ -718,8 +728,7 @@ class GraphStore:
             if e.direction == "in":  # (a)<-[:r]-(b): arrow points at a
                 src, dst = dst, src
             ops.append(add_edge(src, dst, e.label or "related", dict(e.props)))
-        self.apply_batch(ops)
-        return node_ids
+        return ops, node_ids, next_id
 
     def _apply_set(self, bindings, pattern, assignments) -> DataFrame:
         """Apply ``[(var, prop, value), ..]`` property SETs to the
@@ -826,6 +835,69 @@ class GraphStore:
         self._save_meta({"version": new_version})
         return out
 
+    def _foreach_write(self, stmt, bindings, src, engine) -> DataFrame:
+        """FOREACH CREATE/MERGE bodies (the Cypher bulk-create idiom —
+        ``FOREACH (x IN list | CREATE (:Tag {v: x}))``).
+
+        Elements are VALUES: the per-binding list lowers and explodes
+        declaratively, then collects to the driver — inherent to
+        creation, which assigns sequential ids driver-side exactly like
+        bare CREATE (next_vertex_id, executor.rs:618-625); FOREACH lists
+        are per-row small by construction. Elements are SORTED by their
+        JSON rendering before id assignment so created ids are
+        deterministic regardless of partition collect order (Cypher
+        leaves iteration order to the engine). CREATE instantiates the
+        substituted pattern once PER ELEMENT (duplicates kept); MERGE
+        per DISTINCT element, matching the whole substituted pattern
+        first. ONE snapshot version for the whole statement."""
+        import copy
+
+        from dd_graphdb_spark.plans.gql import LoopVar
+        from dd_graphdb_spark.plans.lower import _lower_expr
+
+        elems = [
+            r["v"]
+            for r in bindings.select(F.explode(_lower_expr(src)).alias("v")).collect()
+        ]
+        elems.sort(key=lambda v: json.dumps(v))
+
+        def subst(value):
+            pat = copy.deepcopy(stmt.body_pattern)
+            for n in pat.nodes:
+                for k, v in list(n.props.items()):
+                    if isinstance(v, LoopVar):
+                        n.props[k] = value
+            for e in pat.edges:
+                for k, v in list(e.props.items()):
+                    if isinstance(v, LoopVar):
+                        e.props[k] = value
+            return pat
+
+        if stmt.body_kind == "merge":
+            pats, seen = [], set()
+            for val in elems:
+                key = json.dumps(val)
+                if key in seen:
+                    continue
+                seen.add(key)
+                pat = subst(val)
+                if engine.match_bindings(pat).isEmpty():
+                    pats.append(pat)
+        else:
+            pats = [subst(v) for v in elems]
+        if not pats:
+            return self.spark.createDataFrame([], "id long")
+        row = self.vertices().agg(F.max("id").alias("m")).collect()[0]
+        next_id = (row["m"] or 0) + 1
+        ops: list[GraphOp] = []
+        all_ids: list[int] = []
+        for pat in pats:
+            o, ids, next_id = self._pattern_ops(pat, next_id)
+            ops.extend(o)
+            all_ids.extend(ids)
+        self.apply_batch(ops)
+        return self.spark.createDataFrame([(i,) for i in all_ids], "id long")
+
     def execute_mutation(self, stmt, engine) -> DataFrame:
         """Apply a parsed GQL CREATE / MATCH..DELETE statement.
 
@@ -931,6 +1003,8 @@ class GraphStore:
                     e.min_hops is not None for e in stmt.pattern.edges
                 )
                 src = _rewrite_path_funcs(src, stmt.pattern.pvar, has_varlen)
+            if stmt.body_kind in ("create", "merge"):
+                return self._foreach_write(stmt, bindings, src, engine)
             props = dict(stmt.assignments)
             if all(_is_set_literal(v) for v in props.values()):
                 ids = (

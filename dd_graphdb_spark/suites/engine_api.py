@@ -931,6 +931,55 @@ def gql_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# GQL FOREACH with a CREATE body (r10 — the Cypher bulk-create idiom,
+# VERDICT r9 #5): one node per list element (duplicates kept), loop
+# variable substituted into the inline props, ONE snapshot version;
+# elements sort before id assignment so created ids are deterministic.
+# A follow-up MERGE body adds only the genuinely new element.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_foreach_create",
+    """
+    SELECT * FROM (VALUES
+        (2::BIGINT, 'Tag', 'blue'),
+        (3::BIGINT, 'Tag', 'green'),
+        (4::BIGINT, 'Tag', 'green'),
+        (5::BIGINT, 'Tag', 'red'),
+        (6::BIGINT, 'Tag', 'amber')
+    ) t(id, label, v)
+    """,
+)
+def gql_foreach_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, tempfile.mkdtemp(prefix="store_"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph({"name": "string", "v": "string"}),
+            store=store,
+        )
+
+    engine().execute("CREATE (s:Seed {name: 'seed'})")  # id 1
+    before = store.version
+    engine().execute(
+        "MATCH (s:Seed) "
+        "FOREACH (x IN ['green', 'red', 'blue', 'green'] | CREATE (:Tag {v: x}))"
+    )
+    assert store.version == before + 1  # one version for all four nodes
+    # MERGE body: 'red' exists (skipped), 'amber' created once (id 6)
+    engine().execute(
+        "MATCH (s:Seed) "
+        "FOREACH (x IN ['red', 'amber', 'amber'] | MERGE (:Tag {v: x}))"
+    )
+    return store.vertices().filter(F.col("label") == "Tag").select(
+        "id", "label", prop_typed("properties", "v").alias("v")
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

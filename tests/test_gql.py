@@ -1257,7 +1257,10 @@ def test_count_subquery_errors(knows_graph):
     eng = GQLEngine(knows_graph)
     with pytest.raises(ValueError, match="share at least one variable"):
         eng.execute("MATCH (v:P) RETURN COUNT { (x:Q)-[:knows]->(u) } AS n")
-    with pytest.raises(ValueError, match="after a WITH pipeline"):
+    # post-WITH COUNT{} is supported via PASSTHROUGH variables (r10);
+    # projecting only v.name drops the id witness — the correlation
+    # check catches it (pass `WITH v, v.name AS name` to fix)
+    with pytest.raises(ValueError, match="share at least one variable"):
         eng.execute(
             "MATCH (v:P) WITH v.name AS name "
             "RETURN name, COUNT { (v)-->(u) } AS n"
@@ -2178,7 +2181,7 @@ def test_foreach_literal_list_and_duplicate_prop_last_wins(spark, tmp_path):
 
 
 def test_foreach_rejects_non_set_body_and_wrong_target(people_graph):
-    with pytest.raises(ValueError, match="SET body only"):
+    with pytest.raises(ValueError, match="SET, CREATE and MERGE"):
         _engine(people_graph).execute(
             "MATCH (v:Person) FOREACH (x IN [1] | DELETE x)"
         )
@@ -2498,3 +2501,85 @@ def test_call_correlated_parse_errors(people_edges_graph):
     for q, frag in cases:
         with pytest.raises(ValueError, match=frag):
             eng.execute(q)
+
+
+# --------------------------------------------------- FOREACH write bodies
+def test_foreach_create_body_per_element_one_version(spark, tmp_path):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, str(tmp_path / "store"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph({"name": "string", "v": "string"}),
+            store=store,
+        )
+
+    engine().execute("CREATE (a:Seed {name: 'seed'})")
+    before = store.version
+    engine().execute(
+        "MATCH (s:Seed) FOREACH (x IN ['b', 'a', 'b'] | CREATE (:Tag {v: x}))"
+    )
+    assert store.version == before + 1  # ONE version for all elements
+    got = sorted(
+        (r["id"], r["v"])
+        for r in store.vertices()
+        .filter("label = 'Tag'")
+        .select("id", prop_typed("properties", "v").alias("v"))
+        .collect()
+    )
+    # duplicates kept; ids deterministic (elements sorted before assign)
+    assert [v for _, v in got] == ["a", "b", "b"]
+
+
+def test_foreach_merge_body_distinct_elements_skip_existing(spark, tmp_path):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(spark, str(tmp_path / "store"))
+
+    def engine():
+        return GQLEngine(
+            store.as_property_graph({"name": "string", "v": "string"}),
+            store=store,
+        )
+
+    engine().execute("CREATE (a:Seed {name: 'seed'})")
+    engine().execute(
+        "MATCH (s:Seed) FOREACH (x IN ['a'] | CREATE (:Tag {v: x}))"
+    )
+    engine().execute(
+        "MATCH (s:Seed) FOREACH (x IN ['a', 'c', 'c'] | MERGE (:Tag {v: x}))"
+    )
+    got = sorted(
+        r["v"]
+        for r in store.vertices()
+        .filter("label = 'Tag'")
+        .select(prop_typed("properties", "v").alias("v"))
+        .collect()
+    )
+    assert got == ["a", "c"]  # 'a' matched (no dup), 'c' created once
+
+
+def test_foreach_create_requires_loop_var_and_empty_match_noops(spark, tmp_path):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+    from dd_graphdb_spark.storage import GraphStore
+
+    store = GraphStore(spark, str(tmp_path / "store"))
+
+    def engine():
+        return GQLEngine(store.as_property_graph({"name": "string"}), store=store)
+
+    engine().execute("CREATE (a:Seed {name: 'seed'})")
+    with pytest.raises(ValueError, match="reference the loop variable"):
+        engine().execute(
+            "MATCH (s:Seed) FOREACH (x IN [1] | CREATE (:T {v: 9}))"
+        )
+    before = store.version
+    engine().execute(
+        "MATCH (s:Nope) FOREACH (x IN ['z'] | CREATE (:Tag {v: x}))"
+    )
+    assert store.version == before  # empty match: no version commit
