@@ -58,83 +58,36 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# ROTATION CALENDAR (registry 204 > 50/window, so a full re-record
-# takes ~4 rounds; every round: new queries at the TOP, then the
+# ROTATION CALENDAR (registry 216 > 50/window, so a full re-record
+# takes ~5 rounds; every round: new queries at the TOP, then the
 # oldest-recorded block, fill to 50 with the rows most affected by
 # the round's engine changes; freshest block moves to the END):
-#   r9  = 16 new + 3 copartition-affected r6 picks + 31 of the 43
-#         r5-stale rows (this list). The round produced 16 new oracle
-#         queries, so 12 r5 rows do not fit the window: the 12 LEAST
-#         affected by r9's engine changes (pure curation/relational —
-#         no GQL parse path, no fixpoint loop, no streaming state) are
-#         deferred to the FRONT of r10's window below; all 12 were
-#         verified green in that session's full-registry replica.
-#   r10 = r10's new + the 12 deferred r5 rows + the r6-recorded block
-#   r11 = r11's new + the r7-recorded block
-#   r12 = r12's new + the r8-recorded block — then the cycle repeats,
-# so no query's newest driver row ever ages past ~4 rounds.
+#   r10 = 7 new + the 12 r5 rows deferred from r9's window + 31 of the
+#         47 r6-recorded rows. The 16 r6 rows that do NOT fit are the
+#         ones untouched by r10's engine changes (no GQL parse path,
+#         no store mutation, no subquery machinery — pure relational/
+#         text/window/stream rows) and are deferred to the FRONT of
+#         r11's window below; all verified green in this round's full
+#         oracle-gate replica.
+#   r11 = r11's new + the 16 deferred r6 rows + the r7-recorded block
+#   r12 = r12's new + the r8-recorded block
+#   r13 = r13's new + the r9-recorded block — then the cycle repeats,
+# so no query's newest driver row ever ages past ~5 rounds.
 GATE_PRIORITY = [
-    # ---- r9 window (driver records the FIRST 50) ----
-    # (1) the 16 NEW oracle-checked queries (GQL UNION/UNION ALL,
-    # allShortestPaths, temporal surface, FOREACH, MERGE conditional
-    # actions, COUNT{}/EXISTS{} subqueries, pattern comprehensions,
-    # CALL{} subqueries, XOR + WITH DISTINCT, stream-stream FULL OUTER)
-    "gql_union",
-    "gql_union_all",
-    "gql_all_shortest_paths",
-    "gql_temporal",
-    "gql_foreach",
-    "gql_merge_on_actions",
-    "gql_count_subquery",
-    "gql_exists_block",
-    "gql_pattern_comprehension",
-    "gql_call_subquery",
-    "gql_with_distinct_xor",
-    "stream_live_full_outer_join",
-    "gql_map_projection",
-    "sim_pq_topk",
-    "sim_pq_recall",
-    "sim_ann_ivf_pq",
-    # (2) 31 of the 43 r5-stale rows (the VERDICT-r8 rotation calendar:
-    # r9 re-records the r5 block; the 12 deferred rows are in section 4)
-    "algo_bfs_region",
-    "algo_lpa_colocation",
-    "algo_lpa_fixture",
-    "algo_pagerank_weighted",
-    "algo_scc_colocation",
-    "gql_agg_per_nation",
-    "gql_count_per_nation",
-    "gql_distinct_segments",
-    "gql_match_set",
-    "gql_merge",
-    "gql_multi_match",
-    "gql_optional_match",
-    "gql_order_skip_limit",
-    "gql_prop_compare",
-    "gql_set_edge",
-    "gql_string_predicates",
-    "gql_var_length",
-    "gql_with_having",
-    "group_by_agg_having",
-    "join_revenue_per_region",
-    "mutation_cdc_changes",
-    "range_join_value_bands",
-    "sim_lsh_recall",
-    "stream_live_left_outer_join",
-    "stream_live_static_enrich",
-    "text_bpe_token_count",
-    "view_gql_materialized",
-    "view_incremental_cdc",
-    "view_incremental_centroids",
-    "view_incremental_lpa",
-    "view_incremental_minhash",
-    # (3) fill to 50 with the r6-stale rows most affected by this
-    # round's copartitioned-edges rewrite (SSSP + the BFS centralities)
-    "algo_sssp_colocation",
-    "algo_betweenness_landmarks",
-    "algo_closeness_landmarks",
-    # ---- (4) the 12 r5 rows deferred to r10 (window overflow — see the
-    # calendar above; judge-replicated green this round) ----
+    # ---- r10 window (driver records the FIRST 50) ----
+    # (1) the 7 NEW oracle-checked queries (expression SET + += merge,
+    # edge expression SET, FOREACH CREATE/MERGE bodies, correlated
+    # CALL{WITH x} aggregating + streaming, COUNT{}/comprehensions in
+    # WITH..WHERE and post-WITH RETURN)
+    "gql_set_expr",
+    "gql_set_edge_expr",
+    "gql_foreach_create",
+    "gql_call_correlated",
+    "gql_call_correlated_rows",
+    "gql_count_with_where",
+    "gql_collect_post_with",
+    # (2) the 12 r5 rows deferred from r9's window (recorded now —
+    # closes VERDICT r9 "What's wrong #1")
     "sim_ann_recall",
     "set_intersect_nations",
     "set_union_distinct_nations",
@@ -147,21 +100,19 @@ GATE_PRIORITY = [
     "curation_pack_sequences",
     "curation_repetition",
     "embedding_group_centroids",
-    # ---- r6-recorded block (next rotation window = r10) ----
+    # (3) 31 of the 47 r6-recorded rows — every row touching r10's
+    # changed surfaces (GQL parse/lowering, store mutations, subquery
+    # machinery, views-over-store) plus the algo/dedup/sim block
     "algo_eigenvector_fixture",
     "algo_kcore_colocation",
     "algo_pagerank_top3",
     "algo_ppr_customers",
     "algo_reachability_order",
     "common_neighbors_suppliers",
-    "conditional_agg",
-    "db_stats",
     "dedup_ngram_jaccard",
     "dedup_ngram_jaccard_skew",
-    "distinct_segments",
     "edges_between_lookup",
     "embedding_pca_project",
-    "fn_geo_enrich",
     "gql_agg_sum_avg",
     "gql_anti_join_null",
     "gql_collect_nations",
@@ -173,17 +124,8 @@ GATE_PRIORITY = [
     "mutation_time_travel",
     "point_lookup_customer",
     "predicate_scan_customers",
-    "rollup_status_priority",
-    "set_except_nations",
     "sim_ann_ivf_indexed",
     "skew_common_neighbors_events",
-    "stream_count_window",
-    "stream_live_count_window",
-    "text_lang_id",
-    "text_quality",
-    "text_redact_pii",
-    "text_tfidf_topk",
-    "text_token_count",
     "view_catalog_roundtrip",
     "view_dependency_topo",
     "view_incremental_connectivity",
@@ -192,10 +134,25 @@ GATE_PRIORITY = [
     "view_incremental_pagerank",
     "view_incremental_sssp",
     "view_incremental_stream",
+    # ---- 16 r6 rows deferred to r11 (window overflow — see the
+    # calendar above; all green in this round's full replica) ----
+    "conditional_agg",
+    "db_stats",
+    "distinct_segments",
+    "fn_geo_enrich",
+    "rollup_status_priority",
+    "set_except_nations",
+    "stream_count_window",
+    "stream_live_count_window",
+    "text_lang_id",
+    "text_quality",
+    "text_redact_pii",
+    "text_tfidf_topk",
+    "text_token_count",
     "where_and_or",
     "window_lag_delta",
     "window_topk_per_segment",
-    # ---- r7-recorded block ----
+    # ---- r7-recorded block (r11 window after the deferrals) ----
     "alert_anomaly_rule",
     "alert_pattern_rule",
     "alert_rate_rule",
@@ -246,7 +203,7 @@ GATE_PRIORITY = [
     "stream_tumbling_window",
     "text_bigram_lm_score",
     "text_fingerprint",
-    # ---- r8-recorded block (freshest driver rows — keep LAST) ----
+    # ---- r8-recorded block ----
     "algo_betweenness_fixture",
     "algo_bfs_full",
     "algo_closeness_fixture",
@@ -297,6 +254,57 @@ GATE_PRIORITY = [
     "view_incremental_triangles",
     "view_ttl_refresh",
     "window_running_total",
+    # ---- r9-recorded block (freshest driver rows — keep LAST) ----
+    "gql_union",
+    "gql_union_all",
+    "gql_all_shortest_paths",
+    "gql_temporal",
+    "gql_foreach",
+    "gql_merge_on_actions",
+    "gql_count_subquery",
+    "gql_exists_block",
+    "gql_pattern_comprehension",
+    "gql_call_subquery",
+    "gql_with_distinct_xor",
+    "stream_live_full_outer_join",
+    "gql_map_projection",
+    "sim_pq_topk",
+    "sim_pq_recall",
+    "sim_ann_ivf_pq",
+    "algo_bfs_region",
+    "algo_lpa_colocation",
+    "algo_lpa_fixture",
+    "algo_pagerank_weighted",
+    "algo_scc_colocation",
+    "gql_agg_per_nation",
+    "gql_count_per_nation",
+    "gql_distinct_segments",
+    "gql_match_set",
+    "gql_merge",
+    "gql_multi_match",
+    "gql_optional_match",
+    "gql_order_skip_limit",
+    "gql_prop_compare",
+    "gql_set_edge",
+    "gql_string_predicates",
+    "gql_var_length",
+    "gql_with_having",
+    "group_by_agg_having",
+    "join_revenue_per_region",
+    "mutation_cdc_changes",
+    "range_join_value_bands",
+    "sim_lsh_recall",
+    "stream_live_left_outer_join",
+    "stream_live_static_enrich",
+    "text_bpe_token_count",
+    "view_gql_materialized",
+    "view_incremental_cdc",
+    "view_incremental_centroids",
+    "view_incremental_lpa",
+    "view_incremental_minhash",
+    "algo_sssp_colocation",
+    "algo_betweenness_landmarks",
+    "algo_closeness_landmarks",
 ]
 
 
