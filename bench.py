@@ -138,6 +138,16 @@ def main() -> None:
     # timed window — hundreds of ms of JVM System.gc on a warm heap)
     qs, _ = all_queries(hygiene=False)
 
+    # SPARK_GRAFT_QUERIES="a,b,c" restricts the run (scale-subset
+    # studies, e.g. the sf10/sf100 scale-sensitive sets); default = full
+    # headline, driver contract unchanged. Resolved BEFORE the load
+    # phase so subset runs build only the layouts their queries read —
+    # the supplier co-location pair frame grows x100 edges/decade
+    # (~40 B at sf100, excluded from that probe BY ARITHMETIC), and an
+    # unconditional load would build it anyway.
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    run_list = [n.strip() for n in only.split(",") if n.strip()] if only else HEADLINE
+
     # LOAD PHASE (untimed, like any TPC load step): materialize the
     # src-bucketed derived graph the graph queries read. One-time layout
     # build; every graph query below then skips the 5-table union rebuild
@@ -163,15 +173,25 @@ def main() -> None:
         _symmetric_tpch_graph,
     )
 
-    t0 = time.time()
-    _colocation_weighted_graph(spark, sf_dir)
-    load_sec["colocation_layout"] = round(time.time() - t0, 3)
-    print(f"# load: colocation layout build in {load_sec['colocation_layout']:.2f}s", file=sys.stderr)
-    t0 = time.time()
-    _reversed_tpch_graph(spark, sf_dir)
-    _symmetric_tpch_graph(spark, sf_dir)
-    load_sec["fk_rev_sym_layouts"] = round(time.time() - t0, 3)
-    print(f"# load: FK rev/sym layout builds in {load_sec['fk_rev_sym_layouts']:.2f}s", file=sys.stderr)
+    coloc_users = {n for n in qs if "colocation" in n} | {
+        "algo_pagerank_weighted", "algo_reachability_order",
+    }
+    revsym_users = {
+        "algo_betweenness_fixture", "algo_closeness_fixture",
+        "algo_closeness_landmarks", "algo_betweenness_landmarks",
+        "algo_bfs_region",
+    }
+    if coloc_users & set(run_list):
+        t0 = time.time()
+        _colocation_weighted_graph(spark, sf_dir)
+        load_sec["colocation_layout"] = round(time.time() - t0, 3)
+        print(f"# load: colocation layout build in {load_sec['colocation_layout']:.2f}s", file=sys.stderr)
+    if revsym_users & set(run_list):
+        t0 = time.time()
+        _reversed_tpch_graph(spark, sf_dir)
+        _symmetric_tpch_graph(spark, sf_dir)
+        load_sec["fk_rev_sym_layouts"] = round(time.time() - t0, 3)
+        print(f"# load: FK rev/sym layout builds in {load_sec['fk_rev_sym_layouts']:.2f}s", file=sys.stderr)
 
     # Same LOAD-phase treatment for the persisted IVF index:
     # sim_ann_ivf_indexed measures the indexed READ path (partition-pruned
@@ -224,11 +244,6 @@ def main() -> None:
     calibration_io = round(time.time() - t0, 3)
     print(f"# calibration: lineitem scan in {calibration_io:.2f}s", file=sys.stderr)
 
-    # SPARK_GRAFT_QUERIES="a,b,c" restricts the run (scale-subset
-    # studies, e.g. the sf10 scale-sensitive set); default = full
-    # headline, driver contract unchanged
-    only = os.environ.get("SPARK_GRAFT_QUERIES")
-    run_list = [n.strip() for n in only.split(",") if n.strip()] if only else HEADLINE
     unknown = [n for n in run_list if n not in qs]
     if unknown:
         raise SystemExit(f"unknown queries in SPARK_GRAFT_QUERIES: {unknown}")
