@@ -1131,3 +1131,86 @@ def test_gql_map_projection_matches_json_model(spark, _stmt_graph, vlabel, props
             {p: vals[p] for p in props}, separators=(",", ":")
         )
     assert got == want, q
+
+
+@settings(max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    vlabel=st.sampled_from([None, "P", "Q"]),
+    elabel=st.sampled_from(["x", "y"]),
+    use_inner=st.booleans(),
+    iop=st.sampled_from(["<", ">", ">=", "="]),
+    inum=st.integers(0, 9),
+    shape=st.sampled_from(
+        ["call_agg", "call_rows", "call_cross_var",
+         "count_with_where", "collect_post_with"]
+    ),
+    thresh=st.integers(0, 3),
+)
+def test_gql_statement_roundtrip_r10_shapes(
+    spark, _stmt_graph, vlabel, elabel, use_inner, iop, inum, shape, thresh,
+):
+    """r10 surfaces vs the pure-Python model: correlated CALL bodies
+    (aggregating LEFT / streaming INNER / cross-variable WHERE) and the
+    post-WITH subquery positions."""
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(_stmt_graph)
+    pat = f"(v{':' + vlabel if vlabel else ''})"
+    inner = f" WHERE u.a {iop} {inum}" if use_inner else ""
+    verts = [
+        (i, a) for i, (l, a) in _G_VERTS.items()
+        if vlabel is None or l == vlabel
+    ]
+
+    def hits(i):
+        return [
+            _G_VERTS[d][1] for (s, d, el) in _G_EDGES
+            if s == i and el == elabel
+            and (not use_inner or _CMP[iop](_G_VERTS[d][1], inum))
+        ]
+
+    if shape == "call_agg":
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{elabel}]->(u)"
+             f"{inner} RETURN count(u) AS n, collect(u.a) AS l }} "
+             f"RETURN v.id AS vid, n, l ORDER BY vid")
+        want = {i: (len(hits(i)), sorted(hits(i))) for i, _ in verts}
+        got = {
+            r["vid"]: (r["n"], list(r["l"]))
+            for r in eng.execute(q).collect()
+        }
+        assert got == want, q  # LEFT: every outer row present, 0/[]
+    elif shape == "call_rows":
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{elabel}]->(u)"
+             f"{inner} RETURN u.a AS ua }} "
+             f"RETURN v.id AS vid, ua ORDER BY vid, ua")
+        want = sorted((i, y) for i, _ in verts for y in hits(i))
+        got = [(r["vid"], r["ua"]) for r in eng.execute(q).collect()]
+        assert got == want, q  # INNER: no-match outer rows drop
+    elif shape == "call_cross_var":
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{elabel}]->(u) "
+             f"WHERE u.a > v.a RETURN count(u) AS n }} "
+             f"RETURN v.id AS vid, n ORDER BY vid")
+        want = {
+            i: sum(
+                1 for (s, d, el) in _G_EDGES
+                if s == i and el == elabel and _G_VERTS[d][1] > a
+            )
+            for i, a in verts
+        }
+        got = {r["vid"]: r["n"] for r in eng.execute(q).collect()}
+        assert got == want, q
+    elif shape == "count_with_where":
+        q = (f"MATCH {pat} WITH v "
+             f"WHERE COUNT {{ (v)-[:{elabel}]->(u){inner} }} >= {thresh} "
+             f"RETURN v.id AS vid ORDER BY vid")
+        want = sorted(i for i, _ in verts if len(hits(i)) >= thresh)
+        got = [r["vid"] for r in eng.execute(q).collect()]
+        assert got == want, q
+    else:  # collect_post_with
+        q = (f"MATCH {pat} WITH v RETURN v.id AS vid, "
+             f"[(v)-[:{elabel}]->(u){inner} | u.a + 1] AS l ORDER BY vid")
+        want = {i: sorted(y + 1 for y in hits(i)) for i, _ in verts}
+        got = {r["vid"]: list(r["l"]) for r in eng.execute(q).collect()}
+        assert got == want, q
