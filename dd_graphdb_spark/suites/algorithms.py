@@ -1065,3 +1065,42 @@ def algo_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_to=6,
         weight_property="w",
     )
+
+
+# --------------------------------------------------------------------------
+# LOAD-phase layout registry: which registered gate queries READ which
+# session-cached derived layout. bench.py derives its untimed LOAD-phase
+# gating from this (a subset run builds only the layouts its queries
+# read), and tests/test_plans.py asserts the sets against the actual
+# query sources — a new layout user that is missing here fails the test
+# instead of silently paying the layout build inside its timed window.
+# --------------------------------------------------------------------------
+LAYOUT_USERS: dict[str, set[str]] = {
+    # the supplier co-location pair frame (|S|²/|nations| rows; ~409 M
+    # at sf10, ×100 per decade) — built by _colocation_weighted_graph
+    "colocation_layout": {
+        "algo_triangle_colocation",
+        "algo_kcore_colocation",
+        "algo_sssp_colocation",
+        "algo_lpa_colocation",
+        "algo_scc_colocation",
+        "algo_pagerank_weighted",
+        "gql_shortest_path_clique",
+    },
+    # the reversed / symmetrized bucketed FK graphs — built by
+    # _reversed_tpch_graph / _symmetric_tpch_graph
+    "fk_rev_sym_layouts": {
+        "algo_closeness_landmarks",
+        "algo_betweenness_landmarks",
+        "algo_bfs_region",
+    },
+}
+
+#: source-text markers the verification test scans query functions for —
+#: a query whose source mentions any marker of a layout must be listed in
+#: LAYOUT_USERS for that layout (wrapper helpers included so indirect
+#: readers are caught)
+LAYOUT_MARKERS: dict[str, tuple[str, ...]] = {
+    "colocation_layout": ("_colocation_weighted_graph", "_supplier_colocation"),
+    "fk_rev_sym_layouts": ("_reversed_tpch_graph", "_symmetric_tpch_graph"),
+}

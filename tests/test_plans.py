@@ -314,3 +314,27 @@ def test_ivf_pq_scan_is_broadcast_join(spark):
     nodes = _tree_nodes(p)
     assert any("BroadcastHashJoin" in n for n in nodes), nodes
     assert sum(1 for n in nodes if n.startswith("Exchange")) == 1, nodes
+
+
+def test_layout_users_registry_matches_query_sources():
+    """bench.py's LOAD-phase gating derives from LAYOUT_USERS; this scans
+    every registered query's source for the layout-builder markers so a
+    new layout reader missing from the registry fails HERE instead of
+    silently paying the layout build inside its timed bench window."""
+    import inspect
+
+    from dd_graphdb_spark.suites import all_queries
+    from dd_graphdb_spark.suites.algorithms import LAYOUT_MARKERS, LAYOUT_USERS
+
+    qs, _ = all_queries(hygiene=False)
+    for layout, markers in LAYOUT_MARKERS.items():
+        actual = {
+            name
+            for name, fn in qs.items()
+            if any(m in inspect.getsource(fn) for m in markers)
+        }
+        assert actual == LAYOUT_USERS[layout], (
+            f"{layout}: registry {sorted(LAYOUT_USERS[layout])} != "
+            f"source-scan {sorted(actual)} — update "
+            f"suites.algorithms.LAYOUT_USERS"
+        )
