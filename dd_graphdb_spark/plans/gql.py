@@ -1533,19 +1533,23 @@ class _Parser:
             )
         if (
             inner.with_items is not None
-            or inner.order_by
-            or inner.skip is not None
-            or inner.limit is not None
             or inner.unwind is not None
             or inner.unwind_first is not None
             or inner.call_sub is not None
         ):
             raise ValueError(
                 "GQL parse error: a correlated CALL body is "
-                "MATCH .. [WHERE] RETURN items — no WITH pipeline, "
-                "UNWIND, nested CALL, ORDER BY, SKIP or LIMIT inside "
-                "the braces (per-outer-row top-k belongs in the outer "
-                "query)"
+                "MATCH .. [WHERE] RETURN items [ORDER BY .. SKIP .. "
+                "LIMIT ..] — no WITH pipeline, UNWIND or nested CALL "
+                "inside the braces"
+            )
+        if (inner.skip is not None or inner.limit is not None) and not (
+            inner.order_by or all(i.agg for i in inner.returns)
+        ):
+            raise ValueError(
+                "GQL parse error: SKIP/LIMIT inside a correlated CALL "
+                "body needs ORDER BY — per-outer-row top-k is undefined "
+                "on unordered rows"
             )
         body_vars = {n.var for n in inner.pattern.nodes} | {
             n.var for _, c in inner.clauses for n in c.pattern.nodes
@@ -1558,7 +1562,8 @@ class _Parser:
                 "correlation"
             )
         for it in inner.returns:
-            if it.var == "*":
+            if it.var == "*" and not it.agg:
+                # bare RETURN * only — count(*) is an aggregate item
                 raise ValueError(
                     "GQL parse error: RETURN * is not supported inside "
                     "a correlated CALL body — name the items"

@@ -31,6 +31,7 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dd_graphdb_spark.graph import PropertyGraph
 from dd_graphdb_spark.plans.gql import (
@@ -1451,8 +1452,45 @@ class GQLEngine:
         if inner.distinct:
             proj = proj.distinct()
         has_aggs = any(i.agg for i in inner.returns)
+        pure_agg = has_aggs and all(i.agg for i in inner.returns)
         out_names = [c for c in proj.columns if c not in keys]
-        if has_aggs:
+        skip = inner.skip or 0
+        if inner.order_by or inner.skip is not None or inner.limit is not None:
+            # per-outer-row ORDER BY / SKIP / LIMIT (top-k per binding):
+            # rank inside each imported-id group with ONE windowed pass
+            # over the derived table — never per-row body re-execution.
+            # ORDER BY keys resolve against the body's RETURN output.
+            exprs = []
+            for o in inner.order_by:
+                if o.expr is not None:
+                    exprs.append(_lower_order_expr(o, proj.columns))
+                    continue
+                nm = o.var if o.prop is None else f"{o.var}_{o.prop}"
+                if nm not in out_names:
+                    raise ValueError(
+                        f"ORDER BY {nm} is not in the CALL body output "
+                        f"(columns: {out_names})"
+                    )
+                exprs.append(F.col(nm).desc() if o.desc else F.col(nm).asc())
+            if not exprs:  # pure-agg SKIP/LIMIT: one row per group
+                exprs = [F.lit(1).asc()]
+            rn = F.row_number().over(Window.partitionBy(*keys).orderBy(*exprs))
+            proj = proj.withColumn("_cs_rn", rn)
+            cond = F.col("_cs_rn") > skip
+            if inner.limit is not None:
+                cond &= F.col("_cs_rn") <= skip + inner.limit
+            proj = proj.filter(cond).drop("_cs_rn")
+        # A pure-aggregate body yields one row per outer row even over
+        # empty input; that virtual row survives the body's ORDER BY /
+        # SKIP / LIMIT only when nothing skips it
+        empty_row_survives = skip == 0 and (
+            inner.limit is None or inner.limit >= 1
+        )
+        if pure_agg and empty_row_survives:
+            # Cypher: an all-aggregate body yields exactly ONE row per
+            # outer row even over empty input — LEFT join, then coalesce
+            # the empty-group identities (count→0, sum→0, collect→[];
+            # min/max/avg over zero rows are NULL, left as-is)
             bound = bound.join(proj, on=keys, how="left")
             for i in inner.returns:
                 if i.agg == "count":
@@ -1460,12 +1498,22 @@ class GQLEngine:
                         i.alias,
                         F.coalesce(F.col(i.alias), F.lit(0)).cast("long"),
                     )
+                elif i.agg == "sum":
+                    zero = F.lit(0).cast(proj.schema[i.alias].dataType)
+                    bound = bound.withColumn(
+                        i.alias, F.coalesce(F.col(i.alias), zero)
+                    )
                 elif i.agg == "collect":
                     empty = F.array().cast(proj.schema[i.alias].dataType)
                     bound = bound.withColumn(
                         i.alias, F.coalesce(F.col(i.alias), empty)
                     )
         else:
+            # streaming bodies AND mixed grouped-aggregate bodies
+            # (RETURN x.t AS t, count(*) AS c): grouped aggregation over
+            # empty input yields ZERO groups in Cypher, so an outer row
+            # with no body matches drops — INNER, never a fabricated
+            # (NULL, 0) row
             bound = bound.join(proj, on=keys, how="inner")
         return bound, bare_names + tuple(out_names)
 

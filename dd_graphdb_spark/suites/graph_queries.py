@@ -1833,6 +1833,40 @@ def gql_call_correlated_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Correlated CALL with per-outer-row ORDER BY/LIMIT (top-k per binding):
+# lowered as ONE row_number window over the imported-id keys of the
+# derived body table — never per-row body re-execution (round 11).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_call_topk",
+    GRAPH_CTE
+    + """
+    , ranked AS (
+        SELECT n.name AS nm, s.name AS sn, s.acctbal AS bal,
+               row_number() OVER (
+                   PARTITION BY n.id ORDER BY s.acctbal DESC, s.name ASC
+               ) AS rn
+        FROM vertices n
+        JOIN edges e ON e.dst = n.id AND e.label = 'located_in'
+        JOIN vertices s ON s.id = e.src AND s.label = 'Supplier'
+        WHERE n.label = 'Nation'
+    )
+    SELECT nm, sn, bal FROM ranked WHERE rn <= 2 ORDER BY nm, sn
+    """,
+)
+def gql_call_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 suppliers by account balance per nation, computed INSIDE a
+    correlated CALL body (ORDER BY .. LIMIT per outer row)."""
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (n:Nation) CALL { WITH n "
+        "MATCH (s:Supplier)-[:located_in]->(n) "
+        "RETURN s.name AS sn, s.acctbal AS bal "
+        "ORDER BY bal DESC, sn ASC LIMIT 2 } "
+        "RETURN n.name AS nm, sn, bal ORDER BY nm, sn"
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

@@ -2484,6 +2484,104 @@ def test_call_correlated_output_through_with_and_outer_agg(people_edges_graph):
     assert total == 3
 
 
+def test_call_correlated_mixed_grouped_body_inner_joins(people_edges_graph):
+    """A body mixing non-aggregated grouping items with aggregates is a
+    grouped aggregation: over empty input it yields ZERO groups, so an
+    outer row with no body matches drops (no fabricated (NULL, 0) row —
+    ADVICE r10)."""
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "RETURN x.name AS xn, count(*) AS c } "
+            "RETURN a.name AS nm, xn, c ORDER BY nm, xn"
+        )
+        .collect()
+    )
+    # Charlie has no out-edges: grouped body -> zero groups -> row drops
+    assert [(r["nm"], r["xn"], r["c"]) for r in rows] == [
+        ("Alice", "Bob", 1),
+        ("Alice", "Charlie", 1),
+        ("Bob", "Charlie", 1),
+    ]
+
+
+def test_call_correlated_sum_coalesces_min_stays_null(people_edges_graph):
+    """Empty-group identities in a pure-aggregate body: sum() over zero
+    rows is 0 (like count), while min/max/avg stay NULL."""
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "RETURN sum(x.age) AS s, min(x.age) AS mn } "
+            "RETURN a.name AS nm, s, mn ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["s"], r["mn"]) for r in rows] == [
+        ("Alice", 60, 25),
+        ("Bob", 35, 35),
+        ("Charlie", 0, None),
+    ]
+
+
+def test_call_correlated_topk_per_outer_row(people_edges_graph):
+    """ORDER BY .. LIMIT inside a correlated CALL body is per-OUTER-ROW
+    top-k (one row_number window over the derived table, no per-row
+    body re-execution)."""
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "RETURN x.name AS xn, x.age AS ag ORDER BY ag DESC LIMIT 1 } "
+            "RETURN a.name AS nm, xn, ag ORDER BY nm"
+        )
+        .collect()
+    )
+    # oldest known-person per source; Charlie (no out-edges) drops
+    assert [(r["nm"], r["xn"], r["ag"]) for r in rows] == [
+        ("Alice", "Charlie", 35),
+        ("Bob", "Charlie", 35),
+    ]
+
+
+def test_call_correlated_order_skip_window(people_edges_graph):
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "RETURN x.name AS xn ORDER BY xn ASC SKIP 1 } "
+            "RETURN a.name AS nm, xn ORDER BY nm, xn"
+        )
+        .collect()
+    )
+    # Alice's sorted [Bob, Charlie] skips Bob; Bob's single row skips out
+    assert [(r["nm"], r["xn"]) for r in rows] == [("Alice", "Charlie")]
+
+
+def test_call_correlated_pure_agg_skip_drops_all(people_edges_graph):
+    """Pure-aggregate body with SKIP 1: the single per-group row always
+    skips out, so the whole result is empty (Cypher: the body returns
+    one row; SKIP 1 empties it; CALL cardinality drops every outer
+    row). LIMIT 1 on the same body is a no-op and keeps the empty-group
+    coalesce."""
+    eng = _engine(people_edges_graph)
+    assert (
+        eng.execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "RETURN count(x) AS c SKIP 1 } RETURN a.name AS nm, c"
+        ).count()
+        == 0
+    )
+    rows = eng.execute(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+        "RETURN count(x) AS c LIMIT 1 } RETURN a.name AS nm, c ORDER BY nm"
+    ).collect()
+    assert [(r["nm"], r["c"]) for r in rows] == [
+        ("Alice", 2), ("Bob", 1), ("Charlie", 0),
+    ]
+
+
 def test_call_correlated_parse_errors(people_edges_graph):
     eng = _engine(people_edges_graph)
     cases = [
@@ -2492,7 +2590,7 @@ def test_call_correlated_parse_errors(people_edges_graph):
         ("MATCH (a:Person) CALL { WITH a MATCH (y:Person)-[:knows]->(x) "
          "RETURN count(x) AS c } RETURN c", "not used in the body"),
         ("MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
-         "RETURN count(x) AS c ORDER BY c } RETURN c", "ORDER BY"),
+         "RETURN x.name AS xn LIMIT 1 } RETURN xn", "needs ORDER BY"),
         ("MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
          "RETURN count(x) } RETURN nm", "AS alias"),
         ("MATCH (a:Person) CALL { MATCH (y:Person) RETURN count(y) AS c } "
