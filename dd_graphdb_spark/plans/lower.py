@@ -1208,7 +1208,7 @@ class GQLEngine:
         col_cond, preds = _split_pattern_preds(where)
         for j, (pred, negated) in enumerate(preds):
             pat = pred.pattern
-            sub = self.match_bindings(
+            sub = self._subquery_frame(
                 pat, pred.where, anon_prefix=f"{anon_prefix}{j}e"
             )
             shared = [
@@ -1231,6 +1231,28 @@ class GQLEngine:
             bound = bound.filter(_lower_condition(col_cond, bare_names=bare_names))
         return bound
 
+    def _subquery_frame(
+        self, pattern, where, anon_prefix: str = "_sq"
+    ) -> DataFrame:
+        """Bindings for a subquery body (EXISTS / COUNT{} / pattern
+        comprehension / correlated CALL) with the body's own WHERE
+        applied. The WHERE may itself nest subqueries: COUNT{} /
+        pattern-comprehension nodes attach to THIS frame as grouped
+        joins, EXISTS predicates peel as semi/anti joins — mutual
+        recursion through _apply_where/_attach_count_subs, terminating
+        on the finite AST. Each level is still a derived-table join,
+        never correlated re-execution."""
+        ncsubs: list = []
+        if where is not None:
+            where = _rewrite_count_subs(where, ncsubs, prefix=f"{anon_prefix}n")
+        sub = self.match_bindings(
+            pattern, None if ncsubs else where, anon_prefix=anon_prefix
+        )
+        if ncsubs:
+            sub = self._attach_count_subs(sub, ncsubs)
+            sub = self._apply_where(sub, where, anon_prefix=f"{anon_prefix}w")
+        return sub
+
     def _attach_count_subs(self, bound: DataFrame, csubs: list) -> DataFrame:
         """Join each ``COUNT { .. }`` subquery's grouped count — or a
         pattern comprehension's grouped sorted ``collect_list`` — onto
@@ -1244,7 +1266,7 @@ class GQLEngine:
         variable (an uncorrelated subquery is a constant — compute it
         separately)."""
         for name, cs in csubs:
-            sub = self.match_bindings(cs.pattern, cs.where, anon_prefix=f"{name}e")
+            sub = self._subquery_frame(cs.pattern, cs.where, anon_prefix=f"{name}e")
             shared = [
                 v
                 for v in dict.fromkeys(n.var for n in cs.pattern.nodes)
@@ -1441,9 +1463,17 @@ class GQLEngine:
                 f"CALL imports correlate on {missing}, not present in "
                 "the outer bindings"
             )
-        sub = self.match_bindings(inner.pattern, inner.where, anon_prefix="_cse")
+        sub = self._subquery_frame(inner.pattern, inner.where, anon_prefix="_cse")
         ivars = list(dict.fromkeys(n.var for n in inner.pattern.nodes))
         sub, ivars = self._apply_clauses(sub, ivars, inner.clauses, "_csc")
+        # COUNT{} / pattern comprehensions in the body's RETURN items
+        # attach to the body frame (one more grouped join per subquery)
+        ret_csubs: list = []
+        for it in inner.returns:
+            if it.expr is not None:
+                it.expr = _rewrite_count_subs(it.expr, ret_csubs, prefix="_cser")
+        if ret_csubs:
+            sub = self._attach_count_subs(sub, ret_csubs)
         vcols = self.graph.vertices.columns
         proj = self._project(
             sub, inner.returns, ivars, vcols,

@@ -1867,6 +1867,36 @@ def gql_call_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Nested subqueries (round 11): COUNT{} inside an EXISTS body's WHERE.
+# Every nesting level stays a derived-table join (grouped count joined
+# onto the EXISTS frame, then a semi-join against the outer bindings) —
+# no correlated re-execution at any depth.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_nested_exists",
+    GRAPH_CTE
+    + """
+    SELECT DISTINCT n.name AS nm
+    FROM vertices n
+    JOIN edges e ON e.dst = n.id AND e.label = 'located_in'
+    JOIN vertices c ON c.id = e.src AND c.label = 'Customer'
+    WHERE n.label = 'Nation'
+      AND (SELECT count(*) FROM edges o
+           WHERE o.label = 'placed_by' AND o.dst = c.id) >= 18
+    ORDER BY nm
+    """,
+)
+def gql_nested_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nations with at least one customer holding >= 18 orders — the
+    order count is a COUNT{} nested inside the EXISTS body's WHERE."""
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (n:Nation) WHERE EXISTS { (c:Customer)-[:located_in]->(n) "
+        "WHERE COUNT { (o:Order)-[:placed_by]->(c) } >= 18 } "
+        "RETURN n.name AS nm ORDER BY nm"
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

@@ -2525,6 +2525,81 @@ def test_call_correlated_sum_coalesces_min_stays_null(people_edges_graph):
     ]
 
 
+def test_nested_count_inside_exists_body(people_edges_graph):
+    """COUNT{} nested in an EXISTS body's WHERE: the count attaches to
+    the EXISTS frame as a grouped join, then the frame semi-joins the
+    outer bindings — derived tables all the way down, no correlated
+    re-execution (SURVEY §14 known-unsupported, closed r11)."""
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) WHERE EXISTS { (a)-[:knows]->(x) "
+            "WHERE COUNT { (x)-[:knows]->(y) } >= 1 } "
+            "RETURN a.name AS nm ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [r["nm"] for r in rows] == ["Alice"]
+
+
+def test_nested_exists_inside_exists_body(people_edges_graph):
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) WHERE EXISTS { (a)-[:knows]->(x) "
+            "WHERE EXISTS { (x)-[:knows]->(y) } } "
+            "RETURN a.name AS nm ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [r["nm"] for r in rows] == ["Alice"]
+
+
+def test_nested_count_inside_count_body(people_edges_graph):
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) RETURN a.name AS nm, "
+            "COUNT { (a)-[:knows]->(x) "
+            "WHERE COUNT { (x)-[:knows]->(y) } = 0 } AS c ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["c"]) for r in rows] == [
+        ("Alice", 1), ("Bob", 1), ("Charlie", 0),
+    ]
+
+
+def test_nested_count_inside_call_body_where(people_edges_graph):
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "WHERE COUNT { (x)-[:knows]->(y) } = 0 "
+            "RETURN count(x) AS c } RETURN a.name AS nm, c ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["c"]) for r in rows] == [
+        ("Alice", 1), ("Bob", 1), ("Charlie", 0),
+    ]
+
+
+def test_nested_count_inside_call_body_return(people_edges_graph):
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "RETURN x.name AS xn, COUNT { (x)-[:knows]->(y) } AS xdeg } "
+            "RETURN a.name AS nm, xn, xdeg ORDER BY nm, xn"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["xn"], r["xdeg"]) for r in rows] == [
+        ("Alice", "Bob", 1), ("Alice", "Charlie", 0), ("Bob", "Charlie", 0),
+    ]
+
+
 def test_call_correlated_topk_per_outer_row(people_edges_graph):
     """ORDER BY .. LIMIT inside a correlated CALL body is per-OUTER-ROW
     top-k (one row_number window over the derived table, no per-row

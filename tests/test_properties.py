@@ -1214,3 +1214,99 @@ def test_gql_statement_roundtrip_r10_shapes(
         want = {i: sorted(y + 1 for y in hits(i)) for i, _ in verts}
         got = {r["vid"]: list(r["l"]) for r in eng.execute(q).collect()}
         assert got == want, q
+
+
+@settings(max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    vlabel=st.sampled_from([None, "P", "Q"]),
+    e1=st.sampled_from(["x", "y"]),
+    e2=st.sampled_from(["x", "y"]),
+    desc=st.booleans(),
+    skip=st.integers(0, 2),
+    limit=st.integers(1, 3),
+    thresh=st.integers(0, 2),
+    shape=st.sampled_from(
+        ["call_topk", "call_mixed_group", "nested_count_in_exists",
+         "nested_count_in_call_where", "nested_count_in_count"]
+    ),
+)
+def test_gql_statement_roundtrip_r11_shapes(
+    spark, _stmt_graph, vlabel, e1, e2, desc, skip, limit, thresh, shape,
+):
+    """r11 surfaces vs the pure-Python model: per-outer-row ORDER BY/
+    SKIP/LIMIT in correlated CALL bodies, mixed grouped-aggregate CALL
+    bodies (INNER semantics), and COUNT{} nested inside EXISTS / CALL /
+    COUNT bodies."""
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(_stmt_graph)
+    pat = f"(v{':' + vlabel if vlabel else ''})"
+    verts = [
+        (i, a) for i, (l, a) in _G_VERTS.items()
+        if vlabel is None or l == vlabel
+    ]
+
+    def out(i, el):
+        return [d for (s, d, lab) in _G_EDGES if s == i and lab == el]
+
+    def deg2(u):
+        return len(out(u, e2))
+
+    if shape == "call_topk":
+        order = "DESC" if desc else "ASC"
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"RETURN u.a AS ua ORDER BY ua {order} "
+             f"SKIP {skip} LIMIT {limit} }} "
+             f"RETURN v.id AS vid, ua ORDER BY vid, ua")
+        want = sorted(
+            (i, y)
+            for i, _ in verts
+            for y in sorted(
+                (_G_VERTS[d][1] for d in out(i, e1)), reverse=desc
+            )[skip:skip + limit]
+        )
+        got = [(r["vid"], r["ua"]) for r in eng.execute(q).collect()]
+        assert got == want, q
+    elif shape == "call_mixed_group":
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"RETURN u.a AS ua, count(*) AS c }} "
+             f"RETURN v.id AS vid, ua, c ORDER BY vid, ua")
+        want = sorted(
+            (i, _G_VERTS[d][1], 1) for i, _ in verts for d in out(i, e1)
+        )  # INNER: no-match outer rows drop; distinct u.a -> groups of 1
+        got = [(r["vid"], r["ua"], r["c"]) for r in eng.execute(q).collect()]
+        assert got == want, q
+    elif shape == "nested_count_in_exists":
+        q = (f"MATCH {pat} WHERE EXISTS {{ (v)-[:{e1}]->(u) "
+             f"WHERE COUNT {{ (u)-[:{e2}]->(w) }} >= {thresh} }} "
+             f"RETURN v.id AS vid ORDER BY vid")
+        want = sorted(
+            i for i, _ in verts
+            if any(deg2(u) >= thresh for u in out(i, e1))
+        )
+        got = [r["vid"] for r in eng.execute(q).collect()]
+        assert got == want, q
+    elif shape == "nested_count_in_call_where":
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"WHERE COUNT {{ (u)-[:{e2}]->(w) }} >= {thresh} "
+             f"RETURN count(u) AS n }} "
+             f"RETURN v.id AS vid, n ORDER BY vid")
+        want = {
+            i: sum(1 for u in out(i, e1) if deg2(u) >= thresh)
+            for i, _ in verts
+        }
+        got = {r["vid"]: r["n"] for r in eng.execute(q).collect()}
+        assert got == want, q
+    else:  # nested_count_in_count
+        q = (f"MATCH {pat} RETURN v.id AS vid, "
+             f"COUNT {{ (v)-[:{e1}]->(u) "
+             f"WHERE COUNT {{ (u)-[:{e2}]->(w) }} >= {thresh} }} AS n "
+             f"ORDER BY vid")
+        want = {
+            i: sum(1 for u in out(i, e1) if deg2(u) >= thresh)
+            for i, _ in verts
+        }
+        got = {r["vid"]: r["n"] for r in eng.execute(q).collect()}
+        assert got == want, q
