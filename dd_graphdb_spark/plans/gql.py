@@ -1776,6 +1776,21 @@ class _Parser:
             self.next()
             self.expect("punct", "(")
             lvar = self.expect_name()
+            outer_vars = {n.var for n in pattern.nodes} | {
+                e.var for e in pattern.edges if e.var
+            }
+            if getattr(pattern, "pvar", None):
+                outer_vars.add(pattern.pvar)
+            if lvar in outer_vars:
+                # Cypher rejects the redeclaration outright; accepting it
+                # would silently resolve body expressions like lvar.q
+                # against the OUTER binding (a per-row constant), not the
+                # loop element
+                raise ValueError(
+                    f"GQL parse error: FOREACH loop variable {lvar!r} is "
+                    "already declared by the MATCH pattern — pick a "
+                    "different name"
+                )
             self.expect("IN")
             source = self.expr()
             if not self.accept("punct", "|"):

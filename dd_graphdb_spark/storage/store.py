@@ -47,6 +47,13 @@ from pyspark.sql import functions as F
 VERTEX_SCHEMA = "id long, label string, properties map<string,string>"
 EDGE_SCHEMA = "src long, dst long, label string, properties map<string,string>"
 
+#: FOREACH CREATE/MERGE element-list cap: creation assigns sequential
+#: ids driver-side (matching bare CREATE / the reference's
+#: next_vertex_id, executor.rs:618-625), so the exploded list is
+#: collected; past this bound the statement is a bulk load and belongs
+#: in a distributed MATCH .. CREATE/MERGE instead
+_FOREACH_MAX_ELEMS = 100_000
+
 
 class ConflictError(Exception):
     """Commit-time optimistic-concurrency failure
@@ -801,8 +808,28 @@ class GraphStore:
                     else:
                         c = render_json_value(_lower_expr(v))
                     val_cols.append(c.alias(f"_set_{k}"))
-                aggs = [
-                    F.max(f"_set_{k}").alias(f"_set_{k}") for k in props
+                # ONE witness binding row per entity: all assigned keys
+                # must come from the SAME row (Cypher's sequential
+                # last-row-wins keeps a row's full assignment; an
+                # independent max per key could mix values from
+                # different rows — a combination no row produced). The
+                # witness is the max_by of the whole value struct keyed
+                # by a total order over the rendered tuple (NUL
+                # sentinel keeps null fields distinct from absent).
+                row_struct = F.struct(
+                    *[F.col(f"_set_{k}") for k in props]
+                )
+                wkey = F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(f"_set_{k}"), F.lit("\x00"))
+                        for k in props
+                    ],
+                )
+                witness = F.max_by(row_struct, wkey).alias("_set_row")
+                unpack = [
+                    F.col("_set_row").getField(f"_set_{k}").alias(f"_set_{k}")
+                    for k in props
                 ]
                 if var in edge_vars:
                     vals = (
@@ -813,7 +840,8 @@ class GraphStore:
                             *val_cols,
                         )
                         .groupBy("src", "dst", "label")
-                        .agg(*aggs)
+                        .agg(witness)
+                        .select("src", "dst", "label", *unpack)
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
                     e_df = self._updated_edges_values_df(e_df, vals, list(props))
@@ -824,7 +852,8 @@ class GraphStore:
                             F.col(f"{var}__id").alias("id"), *val_cols
                         )
                         .groupBy("id")
-                        .agg(*aggs)
+                        .agg(witness)
+                        .select("id", *unpack)
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
                     v_df = self._updated_vertices_values_df(v_df, vals, list(props))
@@ -855,10 +884,20 @@ class GraphStore:
         from dd_graphdb_spark.plans.gql import LoopVar
         from dd_graphdb_spark.plans.lower import _lower_expr
 
-        elems = [
-            r["v"]
-            for r in bindings.select(F.explode(_lower_expr(src)).alias("v")).collect()
-        ]
+        exploded = bindings.select(F.explode(_lower_expr(src)).alias("v"))
+        # the collect is bounded: creation assigns sequential ids
+        # driver-side (like bare CREATE), so the element list must fit
+        # the driver. FOREACH lists are per-row small by construction;
+        # cap defensively rather than drag an unbounded explode through
+        # the driver
+        elems = [r["v"] for r in exploded.limit(_FOREACH_MAX_ELEMS + 1).collect()]
+        if len(elems) > _FOREACH_MAX_ELEMS:
+            raise ValueError(
+                f"FOREACH {stmt.body_kind.upper()} body over more than "
+                f"{_FOREACH_MAX_ELEMS} total elements — sequential id "
+                "assignment is driver-side; bulk-load this via "
+                "MATCH .. CREATE/MERGE (distributed) instead"
+            )
         elems.sort(key=lambda v: json.dumps(v))
 
         def subst(value):

@@ -2677,6 +2677,65 @@ def test_call_correlated_parse_errors(people_edges_graph):
 
 
 # --------------------------------------------------- FOREACH write bodies
+def test_multi_key_expression_set_single_witness_row(spark, tmp_path):
+    """Multi-key expression SET takes ALL assigned keys from ONE binding
+    row per entity (Cypher's last-row-wins keeps a row's full
+    assignment) — an independent max per rendered key would MIX rows
+    here: max name 'zed' belongs to age 1 while max rendered age '50'
+    belongs to 'ann' (string max, '5' > '1'), a (zed, 50) combination
+    no binding row produced (ADVICE r10)."""
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store, engine = _set_store(spark, tmp_path)
+    engine().execute(
+        "CREATE (h:H {name: 'hub', age: 0})-[:sees]->"
+        "(a:P {name: 'ann', age: 50})-[:sees]->(z:P {name: 'zed', age: 1})"
+    )
+    engine().execute(
+        "MATCH (h:H)-[:sees*1..2]->(x:P) "
+        "SET h.tag = x.name, h.age = x.age + 0"
+    )
+    row = (
+        store.vertices()
+        .filter(prop_typed("properties", "name") == "hub")
+        .select(
+            prop_typed("properties", "tag").alias("tag"),
+            prop_typed("properties", "age", "long").alias("age"),
+        )
+        .collect()[0]
+    )
+    assert (row["tag"], row["age"]) in {("ann", 50), ("zed", 1)}
+    # deterministic witness: max over the full rendered tuple
+    assert (row["tag"], row["age"]) == ("zed", 1)
+
+
+def test_foreach_loop_var_shadowing_outer_var_rejected(people_graph):
+    eng = _engine(people_graph)
+    with pytest.raises(ValueError, match="already declared"):
+        eng.execute("MATCH (v:Person) FOREACH (v IN [1, 2] | SET v.age = 3)")
+
+
+def test_foreach_create_element_list_cap(spark, tmp_path, monkeypatch):
+    """FOREACH CREATE collects the exploded element list driver-side
+    (sequential id assignment, like bare CREATE); past the cap the
+    statement is a bulk load and is rejected with guidance."""
+    import dd_graphdb_spark.storage.store as store_mod
+
+    store, engine = _set_store(spark, tmp_path)
+    engine().execute("CREATE (a:P {name: 'ann', age: 1})")
+    monkeypatch.setattr(store_mod, "_FOREACH_MAX_ELEMS", 3)
+    with pytest.raises(ValueError, match="more than 3"):
+        engine().execute(
+            "MATCH (a:P) FOREACH (x IN [1, 2, 3, 4] | "
+            "CREATE (:Tag {v: x}))"
+        )
+    # at the cap it still works
+    engine().execute(
+        "MATCH (a:P) FOREACH (x IN [1, 2, 3] | CREATE (:Tag {v: x}))"
+    )
+    assert store.vertices().filter("label = 'Tag'").count() == 3
+
+
 def test_foreach_create_body_per_element_one_version(spark, tmp_path):
     from dd_graphdb_spark.plans.lower import GQLEngine
     from dd_graphdb_spark.storage import GraphStore
