@@ -120,6 +120,12 @@ HEADLINE = [
     "gql_call_correlated",
     "gql_count_with_where",
     "gql_set_edge_expr",
+    # round-11 additions: per-outer-row top-k in correlated CALL bodies
+    # (one row_number window over the derived body table) and COUNT{}
+    # nested inside an EXISTS body (grouped join inside the semi-join
+    # frame)
+    "gql_call_topk",
+    "gql_nested_exists",
 ]
 
 

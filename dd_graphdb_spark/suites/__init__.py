@@ -58,84 +58,29 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# ROTATION CALENDAR (registry 216 > 50/window, so a full re-record
+# ROTATION CALENDAR (registry 218 > 50/window, so a full re-record
 # takes ~5 rounds; every round: new queries at the TOP, then the
 # oldest-recorded block, fill to 50 with the rows most affected by
 # the round's engine changes; freshest block moves to the END):
-#   r10 = 7 new + the 12 r5 rows deferred from r9's window + 31 of the
-#         47 r6-recorded rows. The 16 r6 rows that do NOT fit are the
-#         ones untouched by r10's engine changes (no GQL parse path,
-#         no store mutation, no subquery machinery — pure relational/
-#         text/window/stream rows) and are deferred to the FRONT of
-#         r11's window below; all verified green in this round's full
-#         oracle-gate replica.
-#   r11 = r11's new + the 16 deferred r6 rows + the r7-recorded block
-#   r12 = r12's new + the r8-recorded block
-#   r13 = r13's new + the r9-recorded block — then the cycle repeats,
-# so no query's newest driver row ever ages past ~5 rounds.
+#   r11 = 2 new + the 16 r6 rows deferred from r10's window + 32 of
+#         the 50 r7-recorded rows (every row touching r11's changed
+#         surfaces: GQL parse/lowering incl. the EXISTS/subquery
+#         machinery, store mutation paths; plus the alert/dedup/sim/
+#         source/text fill). The 18 r7 rows that do NOT fit are
+#         untouched by r11 (streaming transform, multimodal, fixture
+#         algorithms) and lead r12's window; all were green in the
+#         r11 full oracle-gate replica.
+#   r12 = r12's new + the 18 deferred r7 rows + the r8-recorded block
+#   r13 = r13's new + the r9-recorded block
+#   r14 = r14's new + the r10-recorded block — then the cycle
+# repeats, so no query's newest driver row ever ages past ~5 rounds.
 GATE_PRIORITY = [
-    # ---- r10 window (driver records the FIRST 50) ----
-    # (1) the 7 NEW oracle-checked queries (expression SET + += merge,
-    # edge expression SET, FOREACH CREATE/MERGE bodies, correlated
-    # CALL{WITH x} aggregating + streaming, COUNT{}/comprehensions in
-    # WITH..WHERE and post-WITH RETURN)
-    "gql_set_expr",
-    "gql_set_edge_expr",
-    "gql_foreach_create",
-    "gql_call_correlated",
-    "gql_call_correlated_rows",
-    "gql_count_with_where",
-    "gql_collect_post_with",
-    # (2) the 12 r5 rows deferred from r9's window (recorded now —
-    # closes VERDICT r9 "What's wrong #1")
-    "sim_ann_recall",
-    "set_intersect_nations",
-    "set_union_distinct_nations",
-    "semi_join_customers_with_orders",
-    "window_ntile_lead",
-    "cube_status_priority",
-    "curation_chunk_docs",
-    "curation_contamination",
-    "curation_mixture_sample",
-    "curation_pack_sequences",
-    "curation_repetition",
-    "embedding_group_centroids",
-    # (3) 31 of the 47 r6-recorded rows — every row touching r10's
-    # changed surfaces (GQL parse/lowering, store mutations, subquery
-    # machinery, views-over-store) plus the algo/dedup/sim block
-    "algo_eigenvector_fixture",
-    "algo_kcore_colocation",
-    "algo_pagerank_top3",
-    "algo_ppr_customers",
-    "algo_reachability_order",
-    "common_neighbors_suppliers",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_skew",
-    "edges_between_lookup",
-    "embedding_pca_project",
-    "gql_agg_sum_avg",
-    "gql_anti_join_null",
-    "gql_collect_nations",
-    "gql_count_distinct_segments",
-    "gql_order_hidden_prop",
-    "gql_with_passthrough",
-    "mutation_apply_batch",
-    "mutation_occ_conflict",
-    "mutation_time_travel",
-    "point_lookup_customer",
-    "predicate_scan_customers",
-    "sim_ann_ivf_indexed",
-    "skew_common_neighbors_events",
-    "view_catalog_roundtrip",
-    "view_dependency_topo",
-    "view_incremental_connectivity",
-    "view_incremental_degree",
-    "view_incremental_delta",
-    "view_incremental_pagerank",
-    "view_incremental_sssp",
-    "view_incremental_stream",
-    # ---- 16 r6 rows deferred to r11 (window overflow — see the
-    # calendar above; all green in this round's full replica) ----
+    # ---- r11 window (driver records the FIRST 50) ----
+    # (1) the 2 NEW oracle-checked queries (per-outer-row top-k in
+    # correlated CALL bodies; COUNT{} nested inside an EXISTS body)
+    "gql_call_topk",
+    "gql_nested_exists",
+    # (2) the 16 r6 rows deferred from r10's window
     "conditional_agg",
     "db_stats",
     "distinct_segments",
@@ -152,13 +97,11 @@ GATE_PRIORITY = [
     "where_and_or",
     "window_lag_delta",
     "window_topk_per_segment",
-    # ---- r7-recorded block (r11 window after the deferrals) ----
+    # (3) 32 of the 50 r7-recorded rows (see calendar)
     "alert_anomaly_rule",
     "alert_pattern_rule",
     "alert_rate_rule",
     "alert_threshold_cooldown",
-    "algo_cc_derived",
-    "algo_pagerank_fixture",
     "anti_join_customers_without_orders",
     "dedup_embedding_cosine",
     "dedup_simhash",
@@ -176,10 +119,6 @@ GATE_PRIORITY = [
     "gql_undirected",
     "gql_unwind",
     "gql_with_orderby_limit",
-    "multimodal_binary_meta",
-    "multimodal_decode_dims",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
     "mutation_vacuum_retention",
     "router_scoring_table",
     "sim_ann_ivf_topk",
@@ -189,6 +128,16 @@ GATE_PRIORITY = [
     "source_csv_extraction",
     "source_json_extraction",
     "source_regex_extraction",
+    "text_bigram_lm_score",
+    "text_fingerprint",
+    # ---- 18 r7 rows deferred to r12 (window overflow; untouched by
+    # r11's changes — see the calendar above) ----
+    "algo_cc_derived",
+    "algo_pagerank_fixture",
+    "multimodal_binary_meta",
+    "multimodal_decode_dims",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
     "stream_changeset_summary",
     "stream_custom_agg_p90",
     "stream_dedup_first",
@@ -201,8 +150,6 @@ GATE_PRIORITY = [
     "stream_session_window",
     "stream_sliding_window",
     "stream_tumbling_window",
-    "text_bigram_lm_score",
-    "text_fingerprint",
     # ---- r8-recorded block ----
     "algo_betweenness_fixture",
     "algo_bfs_full",
@@ -254,7 +201,7 @@ GATE_PRIORITY = [
     "view_incremental_triangles",
     "view_ttl_refresh",
     "window_running_total",
-    # ---- r9-recorded block (freshest driver rows — keep LAST) ----
+    # ---- r9-recorded block (r13 window) ----
     "gql_union",
     "gql_union_all",
     "gql_all_shortest_paths",
@@ -305,6 +252,57 @@ GATE_PRIORITY = [
     "algo_sssp_colocation",
     "algo_betweenness_landmarks",
     "algo_closeness_landmarks",
+    # ---- r10-recorded block (freshest driver rows — keep LAST) ----
+    "gql_set_expr",
+    "gql_set_edge_expr",
+    "gql_foreach_create",
+    "gql_call_correlated",
+    "gql_call_correlated_rows",
+    "gql_count_with_where",
+    "gql_collect_post_with",
+    "sim_ann_recall",
+    "set_intersect_nations",
+    "set_union_distinct_nations",
+    "semi_join_customers_with_orders",
+    "window_ntile_lead",
+    "cube_status_priority",
+    "curation_chunk_docs",
+    "curation_contamination",
+    "curation_mixture_sample",
+    "curation_pack_sequences",
+    "curation_repetition",
+    "embedding_group_centroids",
+    "algo_eigenvector_fixture",
+    "algo_kcore_colocation",
+    "algo_pagerank_top3",
+    "algo_ppr_customers",
+    "algo_reachability_order",
+    "common_neighbors_suppliers",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_skew",
+    "edges_between_lookup",
+    "embedding_pca_project",
+    "gql_agg_sum_avg",
+    "gql_anti_join_null",
+    "gql_collect_nations",
+    "gql_count_distinct_segments",
+    "gql_order_hidden_prop",
+    "gql_with_passthrough",
+    "mutation_apply_batch",
+    "mutation_occ_conflict",
+    "mutation_time_travel",
+    "point_lookup_customer",
+    "predicate_scan_customers",
+    "sim_ann_ivf_indexed",
+    "skew_common_neighbors_events",
+    "view_catalog_roundtrip",
+    "view_dependency_topo",
+    "view_incremental_connectivity",
+    "view_incremental_degree",
+    "view_incremental_delta",
+    "view_incremental_pagerank",
+    "view_incremental_sssp",
+    "view_incremental_stream",
 ]
 
 
