@@ -126,6 +126,7 @@ HEADLINE = [
     # frame)
     "gql_call_topk",
     "gql_nested_exists",
+    "gql_map_comprehension",
 ]
 
 

@@ -1283,6 +1283,22 @@ class GQLEngine:
             keys = [f"{v}__id" for v in shared] + edge_keys
             val = f"{name}__val"
             if isinstance(cs, PatternComp):
+                # the comprehension expression may carry map projections
+                # (u {.name}) or keys()/properties() of the INNER
+                # pattern's variables — rewrite them against the
+                # comprehension's own frame (the outer statement's
+                # rewrite never descends into subquery nodes)
+                cvv = {n.var for n in cs.pattern.nodes}
+                cev = {e.var for e in cs.pattern.edges if e.var}
+                cs = PatternComp(
+                    cs.pattern,
+                    cs.where,
+                    _rewrite_prop_map_funcs(
+                        cs.expr, cvv, cev,
+                        self.graph.vertices.columns,
+                        self.graph.edges.columns,
+                    ),
+                )
                 # struct-tagging keeps NULL elements (collect_list drops
                 # bare nulls; a struct wrapping a null field is non-null)
                 # — Cypher pattern comprehensions include null expression

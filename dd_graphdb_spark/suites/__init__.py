@@ -58,19 +58,19 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# ROTATION CALENDAR (registry 218 > 50/window, so a full re-record
+# ROTATION CALENDAR (registry 219 > 50/window, so a full re-record
 # takes ~5 rounds; every round: new queries at the TOP, then the
 # oldest-recorded block, fill to 50 with the rows most affected by
 # the round's engine changes; freshest block moves to the END):
-#   r11 = 2 new + the 16 r6 rows deferred from r10's window + 32 of
+#   r11 = 3 new + the 16 r6 rows deferred from r10's window + 31 of
 #         the 50 r7-recorded rows (every row touching r11's changed
 #         surfaces: GQL parse/lowering incl. the EXISTS/subquery
 #         machinery, store mutation paths; plus the alert/dedup/sim/
-#         source/text fill). The 18 r7 rows that do NOT fit are
+#         source/text fill). The 19 r7 rows that do NOT fit are
 #         untouched by r11 (streaming transform, multimodal, fixture
 #         algorithms) and lead r12's window; all were green in the
 #         r11 full oracle-gate replica.
-#   r12 = r12's new + the 18 deferred r7 rows + the r8-recorded block
+#   r12 = r12's new + the 19 deferred r7 rows + the r8-recorded block
 #   r13 = r13's new + the r9-recorded block
 #   r14 = r14's new + the r10-recorded block — then the cycle
 # repeats, so no query's newest driver row ever ages past ~5 rounds.
@@ -80,6 +80,7 @@ GATE_PRIORITY = [
     # correlated CALL bodies; COUNT{} nested inside an EXISTS body)
     "gql_call_topk",
     "gql_nested_exists",
+    "gql_map_comprehension",
     # (2) the 16 r6 rows deferred from r10's window
     "conditional_agg",
     "db_stats",
@@ -129,9 +130,9 @@ GATE_PRIORITY = [
     "source_json_extraction",
     "source_regex_extraction",
     "text_bigram_lm_score",
-    "text_fingerprint",
-    # ---- 18 r7 rows deferred to r12 (window overflow; untouched by
+    # ---- 19 r7 rows deferred to r12 (window overflow; untouched by
     # r11's changes — see the calendar above) ----
+    "text_fingerprint",
     "algo_cc_derived",
     "algo_pagerank_fixture",
     "multimodal_binary_meta",

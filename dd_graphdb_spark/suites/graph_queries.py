@@ -1897,6 +1897,39 @@ def gql_nested_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Pattern comprehension yielding MAP PROJECTIONS (round 11):
+# [(s)-[:located_in]->(n) | s {.name}] — the comprehension's grouped
+# collect_list over JSON-rendered map elements, sorted for determinism.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_map_comprehension",
+    GRAPH_CTE
+    + """
+    , agg AS (
+        SELECT e.dst AS n_id,
+               array_to_string(
+                   list_sort(list('{"name":"' || s.name || '"}')), '|'
+               ) AS ms
+        FROM edges e
+        JOIN vertices s ON s.id = e.src AND s.label = 'Supplier'
+        WHERE e.label = 'located_in'
+        GROUP BY e.dst
+    )
+    SELECT n.name AS nm, COALESCE(agg.ms, '') AS ms
+    FROM vertices n LEFT JOIN agg ON agg.n_id = n.id
+    WHERE n.label = 'Nation'
+    ORDER BY nm
+    """,
+)
+def gql_map_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (n:Nation) RETURN n.name AS nm, "
+        "[(s:Supplier)-[:located_in]->(n) | s {.name}] AS ms ORDER BY nm"
+    )
+    return out.select("nm", F.array_join("ms", "|").alias("ms"))
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

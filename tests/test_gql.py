@@ -2525,6 +2525,25 @@ def test_call_correlated_sum_coalesces_min_stays_null(people_edges_graph):
     ]
 
 
+def test_pattern_comprehension_map_projection_elements(people_edges_graph):
+    """[(a)-->(u) | u {.name, .age}] — map-projection elements inside a
+    pattern comprehension render as JSON strings (source prop order),
+    sorted ascending, [] for no matches (r11 stretch)."""
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) RETURN a.name AS nm, "
+            "[(a)-[:knows]->(u) | u {.name, .age}] AS ms ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [(r["nm"], list(r["ms"])) for r in rows] == [
+        ("Alice", ['{"name":"Bob","age":25}', '{"name":"Charlie","age":35}']),
+        ("Bob", ['{"name":"Charlie","age":35}']),
+        ("Charlie", []),
+    ]
+
+
 def test_nested_count_inside_exists_body(people_edges_graph):
     """COUNT{} nested in an EXISTS body's WHERE: the count attaches to
     the EXISTS frame as a grouped join, then the frame semi-joins the
