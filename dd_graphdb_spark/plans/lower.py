@@ -1464,10 +1464,15 @@ class GQLEngine:
            id columns prepended as grouping keys (extra_keys), so an
            aggregating body computes per imported binding — a grouped
            join, never per-row re-execution;
-        3. join back on those id witnesses: LEFT for aggregating bodies
-           (Cypher: exactly one row per outer row — count() coalesces
-           to 0, collect() to []), INNER for streaming bodies (Cypher
-           drops outer rows with an empty subquery result).
+        3. apply the body's own ORDER BY/SKIP/LIMIT per imported-id
+           group (one row_number window over the derived table —
+           per-outer-row top-k);
+        4. join back on those id witnesses: LEFT for PURE-aggregate
+           bodies (Cypher: exactly one row per outer row — count()/
+           sum() coalesce to 0, collect() to []), INNER for streaming
+           AND mixed grouped-aggregate bodies (Cypher: grouped
+           aggregation over empty input yields zero groups, so outer
+           rows with no body matches drop).
 
         The body's output columns enter the outer scope as bare names
         (same mechanism as UNWIND aliases)."""

@@ -338,3 +338,22 @@ def test_layout_users_registry_matches_query_sources():
             f"source-scan {sorted(actual)} — update "
             f"suites.algorithms.LAYOUT_USERS"
         )
+
+
+def test_call_topk_single_window_no_cartesian(spark):
+    """Per-outer-row top-k in a correlated CALL body must lower as ONE
+    row_number window over the derived body table + a join back — not a
+    per-row re-execution (no cartesian, exactly one Window node)."""
+    p = plan(spark, "gql_call_topk")
+    assert "CartesianProduct" not in p
+    assert p.count("Window") >= 1
+    assert "row_number" in p
+
+
+def test_nested_exists_stays_join_shaped(spark):
+    """COUNT{} nested in an EXISTS body: grouped count joined inside the
+    semi-join frame — still derived-table joins (a LeftSemi present, no
+    cartesian)."""
+    p = plan(spark, "gql_nested_exists")
+    assert "CartesianProduct" not in p
+    assert "LeftSemi" in p or "left_semi" in p
