@@ -548,9 +548,9 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
         raise ValueError(
             "COUNT { pattern } subqueries and pattern comprehensions are "
             "supported in the MATCH WHERE clause, in RETURN / WITH items, "
-            "in WITH ... WHERE, and in a post-WITH RETURN (via passthrough "
-            "variables) — not inside EXISTS/COUNT subquery bodies or after "
-            "an aggregating WITH"
+            "in WITH ... WHERE, in a post-WITH RETURN (via passthrough "
+            "variables), and inside EXISTS/COUNT/CALL subquery bodies — "
+            "not after an aggregating WITH (no entity to correlate on)"
         )
     if isinstance(node, MapProj):
         raise ValueError(
@@ -886,7 +886,8 @@ def _shared_edge_keys(pattern, bound_cols, sub_cols) -> list[str]:
 
 #: AST nodes the count-subquery walker must NOT descend into: patterns
 #: are not expressions, and an EXISTS body's inner WHERE belongs to the
-#: subquery's own frame (a CountSub in there is rejected by _lower_expr)
+#: subquery's own frame — _subquery_frame rewrites and attaches nested
+#: COUNT{}/comprehension nodes when it builds that frame (r11)
 _CSUB_OPAQUE = (PathPattern, PatternPred, ShortestPathPattern, NodePattern, EdgePattern)
 
 
