@@ -491,14 +491,20 @@ class CallSubClause:
     subquery; beyond the reference — its parser never compiled, SURVEY
     §0.1). Lowered like COUNT{}: the body executes ONCE as a derived
     table and joins back on the imported variables' id witnesses
-    (grouped join, no per-row re-execution). An aggregating body LEFT
-    joins (one row per outer row — count() coalesces to 0, collect()
-    to []); a non-aggregating body INNER joins (Cypher drops outer rows
-    whose subquery produced nothing). Scope: every imported variable
-    must be reused in the body pattern (the id witness IS the
-    correlation); body ORDER BY / SKIP / LIMIT and a body WITH pipeline
-    are rejected at parse — per-outer-row top-k is a window function,
-    not a join, and stays explicit in the outer query."""
+    (grouped join, no per-row re-execution). A pure-aggregate body LEFT
+    joins (one row per outer row — count()/sum() coalesce to 0,
+    collect() to []); streaming and mixed grouped-aggregate bodies
+    INNER join (Cypher drops outer rows whose subquery produced
+    nothing). Body ORDER BY / SKIP / LIMIT rank per imported-id group
+    (one row_number window — per-outer-row top-k), and the body may
+    carry ONE WITH pipeline (aggregating or projecting, with its own
+    WHERE / ORDER BY / SKIP / LIMIT / DISTINCT, post-WITH MATCH
+    clauses and a post-WITH UNWIND) — each stage evaluates per
+    imported binding, so the pipeline composes like Cypher's per-row
+    execution without re-executing the body. Scope: every imported
+    variable must be reused in the body pattern (the id witness IS the
+    correlation); leading UNWIND and nested CALL stay rejected at
+    parse."""
 
     imports: list  # variable names imported via the body's leading WITH
     inner: object  # MatchStatement (pattern reuses the imported vars)
@@ -1531,17 +1537,18 @@ class _Parser:
                 "GQL parse error: a CALL body must be a read query "
                 f"(got {type(inner).__name__})"
             )
-        if (
-            inner.with_items is not None
-            or inner.unwind is not None
-            or inner.unwind_first is not None
-            or inner.call_sub is not None
-        ):
+        if inner.unwind_first is not None or inner.call_sub is not None:
             raise ValueError(
                 "GQL parse error: a correlated CALL body is "
-                "MATCH .. [WHERE] RETURN items [ORDER BY .. SKIP .. "
-                "LIMIT ..] — no WITH pipeline, UNWIND or nested CALL "
-                "inside the braces"
+                "MATCH .. [WHERE] [WITH pipeline] RETURN items [ORDER "
+                "BY .. SKIP .. LIMIT ..] — no leading UNWIND or nested "
+                "CALL inside the braces"
+            )
+        if inner.with_items is None and inner.unwind is not None:
+            raise ValueError(
+                "GQL parse error: UNWIND inside a correlated CALL body "
+                "needs a WITH pipeline before it — "
+                "CALL { WITH x MATCH .. WITH .. UNWIND alias AS y .. }"
             )
         if (inner.skip is not None or inner.limit is not None) and not (
             inner.order_by or all(i.agg for i in inner.returns)
@@ -1551,6 +1558,28 @@ class _Parser:
                 "body needs ORDER BY — per-outer-row top-k is undefined "
                 "on unordered rows"
             )
+        if inner.with_items is not None:
+            if (
+                inner.with_skip is not None or inner.with_limit is not None
+            ) and not (
+                inner.with_order or all(i.agg for i in inner.with_items)
+            ):
+                raise ValueError(
+                    "GQL parse error: WITH SKIP/LIMIT inside a "
+                    "correlated CALL body needs ORDER BY — per-outer-row "
+                    "top-k is undefined on unordered rows"
+                )
+            for it in inner.with_items:
+                if it.agg and not it.alias:
+                    raise ValueError(
+                        "GQL parse error: aggregates in a CALL body's "
+                        "WITH need an explicit AS alias"
+                    )
+                if it.var == "*" and not it.agg:
+                    raise ValueError(
+                        "GQL parse error: WITH * is not supported inside "
+                        "a correlated CALL body — name the items"
+                    )
         body_vars = {n.var for n in inner.pattern.nodes} | {
             n.var for _, c in inner.clauses for n in c.pattern.nodes
         }

@@ -1453,6 +1453,169 @@ class GQLEngine:
             )
         return df, bare_names + (uw.alias,)
 
+    def _call_body_with(
+        self, sub: DataFrame, inner, ivars: list, keys: list, bound: DataFrame
+    ) -> tuple:
+        """ONE WITH pipeline inside a correlated CALL body. Every stage
+        evaluates PER IMPORTED BINDING — the id witness columns ride
+        through each projection, so the derived table keeps computing
+        all outer rows' subqueries at once (never per-row
+        re-execution):
+
+        - aggregating WITH: implicit grouping keyed by (witnesses +
+          non-aggregated items); a PURE-aggregate WITH additionally
+          seeds from the outer witnesses (LEFT join + identity
+          coalesce) because Cypher's per-row execution yields exactly
+          one row per outer row even over empty input — downstream
+          stages (WHERE, post-clauses, RETURN) then compose naturally;
+        - WITH ORDER BY / SKIP / LIMIT rank per witness group (one
+          row_number window), NOT globally — the pipeline's top-k is
+          per outer row;
+        - post-WITH MATCH clauses and a post-WITH UNWIND apply on the
+          intermediate (witness columns tag along untouched).
+
+        Returns (frame, passthrough_vars); the caller projects the
+        body RETURN in bare mode against it."""
+        vcols = self.graph.vertices.columns
+        w_csubs: list = []
+        for it in inner.with_items:
+            if it.expr is not None:
+                it.expr = _rewrite_count_subs(it.expr, w_csubs, prefix="_csew")
+        if w_csubs:
+            sub = self._attach_count_subs(sub, w_csubs)
+        w_aggs = any(i.agg for i in inner.with_items)
+        passthrough = [
+            i.var
+            for i in inner.with_items
+            if i.prop is None and i.agg is None and i.expr is None
+        ]
+        if w_aggs:
+            if passthrough:
+                raise ValueError(
+                    "WITH cannot mix whole-variable passthrough with "
+                    "aggregates — project the needed properties instead"
+                )
+            inter = self._project(
+                sub, inner.with_items, ivars, vcols,
+                extra_keys=[F.col(k) for k in keys],
+            )
+            if all(i.agg for i in inner.with_items):
+                # pure-aggregate WITH: one row per outer binding even
+                # over empty input — seed from the outer witnesses and
+                # coalesce the empty-group identities (count/sum → 0,
+                # collect → []; min/max/avg stay NULL, Cypher)
+                inter = bound.select(*keys).distinct().join(
+                    inter, on=keys, how="left"
+                )
+                for i in inner.with_items:
+                    if i.agg == "count":
+                        inter = inter.withColumn(
+                            i.alias,
+                            F.coalesce(F.col(i.alias), F.lit(0)).cast("long"),
+                        )
+                    elif i.agg == "sum":
+                        zero = F.lit(0).cast(inter.schema[i.alias].dataType)
+                        inter = inter.withColumn(
+                            i.alias, F.coalesce(F.col(i.alias), zero)
+                        )
+                    elif i.agg == "collect":
+                        empty = F.array().cast(inter.schema[i.alias].dataType)
+                        inter = inter.withColumn(
+                            i.alias, F.coalesce(F.col(i.alias), empty)
+                        )
+            pvars: list[str] = []
+        else:
+            skip_keys = {f"{v}__id" for v in passthrough}
+            cols = [F.col(k) for k in keys if k not in skip_keys]
+            for i in inner.with_items:
+                if i.expr is not None:
+                    cols.append(_lower_expr(i.expr).alias(i.alias))
+                elif i.prop is None and i.agg is None:
+                    if i.var not in ivars:
+                        raise ValueError(f"WITH {i.var}: unknown variable")
+                    cols.extend(F.col(f"{i.var}__{c}") for c in vcols)
+                else:
+                    cols.append(
+                        F.col(f"{i.var}__{i.prop}").alias(
+                            i.alias or f"{i.var}_{i.prop}"
+                        )
+                    )
+            inter = sub.select(*cols)
+            pvars = passthrough
+        if inner.with_distinct:
+            # dedup includes the witness columns — per-outer-row
+            # DISTINCT, exactly Cypher's per-row execution scope
+            inter = inter.distinct()
+        # COUNT{} / comprehensions in WITH..WHERE or the post-WITH
+        # RETURN attach to the intermediate, correlating on passthrough
+        # binding columns (after an aggregating WITH there are none)
+        w_post: list = []
+        if inner.with_where is not None:
+            if _has_pattern_pred(inner.with_where):
+                raise ValueError(
+                    "EXISTS pattern predicates are not supported in "
+                    "WITH ... WHERE — filter in the MATCH WHERE clause "
+                    "instead"
+                )
+            inner.with_where = _rewrite_count_subs(
+                inner.with_where, w_post, prefix="_csewp"
+            )
+        for it in inner.returns:
+            if it.expr is not None:
+                it.expr = _rewrite_count_subs(it.expr, w_post, prefix="_csewp")
+        if w_post:
+            if w_aggs:
+                raise ValueError(
+                    "COUNT { } / pattern comprehensions after an "
+                    "AGGREGATING WITH are not supported — compute them "
+                    "in the WITH items instead"
+                )
+            inter = self._attach_count_subs(inter, w_post)
+        if inner.with_where is not None:
+            inter = inter.filter(
+                _lower_condition(
+                    inner.with_where, bare=True, pattern_vars=tuple(pvars)
+                )
+            )
+        if (
+            inner.with_order
+            or inner.with_skip is not None
+            or inner.with_limit is not None
+        ):
+            exprs = []
+            for o in inner.with_order:
+                if o.expr is not None:
+                    exprs.append(_lower_order_expr(o, inter.columns))
+                    continue
+                name = o.var if o.prop is None else f"{o.var}_{o.prop}"
+                if name not in inter.columns:
+                    alt = f"{o.var}__{o.prop}" if o.prop else None
+                    if alt and alt in inter.columns:
+                        name = alt  # passthrough variable's property
+                    else:
+                        raise ValueError(
+                            f"WITH ORDER BY {o.var}"
+                            f"{'.' + o.prop if o.prop else ''} is not "
+                            "projected by the CALL body's WITH"
+                        )
+                exprs.append(
+                    F.col(name).desc() if o.desc else F.col(name).asc()
+                )
+            if not exprs:  # pure-agg SKIP/LIMIT: one row per group
+                exprs = [F.lit(1).asc()]
+            rn = F.row_number().over(Window.partitionBy(*keys).orderBy(*exprs))
+            inter = inter.withColumn("_csw_rn", rn)
+            cond = F.col("_csw_rn") > (inner.with_skip or 0)
+            if inner.with_limit is not None:
+                cond &= (
+                    F.col("_csw_rn") <= (inner.with_skip or 0) + inner.with_limit
+                )
+            inter = inter.filter(cond).drop("_csw_rn")
+        inter, pvars = self._apply_clauses(inter, pvars, inner.post_clauses, "_csp")
+        if inner.unwind is not None:
+            inter, _ = self._apply_unwind(inter, inner.unwind, (), bare=True)
+        return inter, pvars
+
     def _apply_call_sub(
         self, bound: DataFrame, cs: CallSubClause, bare_names: tuple
     ) -> tuple:
@@ -1488,18 +1651,32 @@ class GQLEngine:
         sub = self._subquery_frame(inner.pattern, inner.where, anon_prefix="_cse")
         ivars = list(dict.fromkeys(n.var for n in inner.pattern.nodes))
         sub, ivars = self._apply_clauses(sub, ivars, inner.clauses, "_csc")
-        # COUNT{} / pattern comprehensions in the body's RETURN items
-        # attach to the body frame (one more grouped join per subquery)
-        ret_csubs: list = []
-        for it in inner.returns:
-            if it.expr is not None:
-                it.expr = _rewrite_count_subs(it.expr, ret_csubs, prefix="_cser")
-        if ret_csubs:
-            sub = self._attach_count_subs(sub, ret_csubs)
         vcols = self.graph.vertices.columns
+        key_cols = [F.col(k) for k in keys]
+        out_aliases = {i.alias for i in inner.returns if i.alias} | {
+            i.alias for i in (inner.with_items or []) if i.alias
+        }
+        if out_aliases & set(keys):
+            raise ValueError(
+                f"CALL body aliases {sorted(out_aliases & set(keys))} "
+                "collide with the correlation witness columns"
+            )
+        if inner.with_items is not None:
+            sub, body_vars = self._call_body_with(sub, inner, ivars, keys, bound)
+            body_bare = True
+        else:
+            # COUNT{} / pattern comprehensions in the body's RETURN items
+            # attach to the body frame (one more grouped join per subquery)
+            ret_csubs: list = []
+            for it in inner.returns:
+                if it.expr is not None:
+                    it.expr = _rewrite_count_subs(it.expr, ret_csubs, prefix="_cser")
+            if ret_csubs:
+                sub = self._attach_count_subs(sub, ret_csubs)
+            body_vars, body_bare = ivars, False
         proj = self._project(
-            sub, inner.returns, ivars, vcols,
-            extra_keys=[F.col(k) for k in keys],
+            sub, inner.returns, body_vars, vcols,
+            bare=body_bare, extra_keys=key_cols,
         )
         if inner.distinct:
             proj = proj.distinct()

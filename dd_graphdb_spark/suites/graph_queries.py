@@ -1868,6 +1868,85 @@ def gql_call_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Correlated CALL body with a WITH pipeline (round 11, second session):
+# the body's grouped aggregate + WHERE (the HAVING idiom) evaluates PER
+# IMPORTED BINDING — implicit grouping keyed by (nation witness,
+# segment), one derived table, no per-row re-execution. Mixed grouped
+# aggregation over empty input yields zero groups, so nations whose
+# every segment fails the threshold drop (INNER join-back).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_call_with_pipeline",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS nm, c.mktsegment AS seg, count(*) AS k
+    FROM vertices n
+    JOIN edges e ON e.dst = n.id AND e.label = 'located_in'
+    JOIN vertices c ON c.id = e.src AND c.label = 'Customer'
+    WHERE n.label = 'Nation'
+    GROUP BY n.name, c.mktsegment
+    HAVING count(*) >= 12
+    ORDER BY nm, seg
+    """,
+)
+def gql_call_with_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation market segments holding >= 12 customers — grouped
+    aggregate + HAVING computed INSIDE a correlated CALL body's WITH
+    pipeline."""
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (n:Nation) CALL { WITH n "
+        "MATCH (c:Customer)-[:located_in]->(n) "
+        "WITH c.mktsegment AS seg, count(c) AS k WHERE k >= 12 "
+        "RETURN seg, k } "
+        "RETURN n.name AS nm, seg, k ORDER BY nm, seg"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated CALL body: WITH ORDER BY/LIMIT (per-witness row_number
+# window) feeding a pure-aggregate collect() — nations with NO
+# qualifying customer keep an empty list (outer-witness seed + LEFT
+# join, Cypher's one-row-per-outer-row aggregate contract).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_call_with_topk_collect",
+    GRAPH_CTE
+    + """
+    , ranked AS (
+        SELECT n.id AS nid, c.name AS cn,
+               row_number() OVER (
+                   PARTITION BY n.id ORDER BY c.name ASC
+               ) AS rn
+        FROM vertices n
+        JOIN edges e ON e.dst = n.id AND e.label = 'located_in'
+        JOIN vertices c ON c.id = e.src AND c.label = 'Customer'
+        WHERE n.label = 'Nation' AND c.acctbal > 9000.0
+    ), agg AS (
+        SELECT nid, array_to_string(list_sort(list(cn)), ',') AS top2
+        FROM ranked WHERE rn <= 2 GROUP BY nid
+    )
+    SELECT n.name AS nm, COALESCE(agg.top2, '') AS top2
+    FROM vertices n
+    LEFT JOIN agg ON agg.nid = n.id
+    WHERE n.label = 'Nation'
+    ORDER BY nm
+    """,
+)
+def gql_call_with_topk_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-2 (by name) rich customers per nation, collected inside
+    the body: WITH ORDER BY/LIMIT top-k then collect() — empty nations
+    keep []."""
+    out = GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (n:Nation) CALL { WITH n "
+        "MATCH (c:Customer)-[:located_in]->(n) WHERE c.acctbal > 9000.0 "
+        "WITH c.name AS cn ORDER BY cn ASC LIMIT 2 "
+        "RETURN collect(cn) AS top2 } "
+        "RETURN n.name AS nm, top2 ORDER BY nm"
+    )
+    return out.select("nm", F.array_join("top2", ",").alias("top2"))
+
+
+# ---------------------------------------------------------------------------
 # Nested subqueries (round 11): COUNT{} inside an EXISTS body's WHERE.
 # Every nesting level stays a derived-table join (grouped count joined
 # onto the EXISTS frame, then a semi-join against the outer bindings) —

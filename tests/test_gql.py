@@ -2695,6 +2695,115 @@ def test_call_correlated_parse_errors(people_edges_graph):
             eng.execute(q)
 
 
+def test_call_body_with_pure_agg_seeds_empty_groups(people_edges_graph):
+    """A pure-aggregate WITH inside the body yields one row per outer
+    binding even over empty input (Cypher per-row execution) — the
+    streaming RETURN after it must therefore keep Charlie with n=0."""
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "WITH count(x) AS n RETURN n } "
+            "RETURN a.name AS nm, n ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["n"]) for r in rows] == [
+        ("Alice", 2), ("Bob", 1), ("Charlie", 0),
+    ]
+
+
+def test_call_body_with_having_filter(people_edges_graph):
+    """WITH .. WHERE (the HAVING idiom) filters per outer binding —
+    the seeded n=0/n=1 rows fail the predicate, dropping those outer
+    rows at the final INNER join."""
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "WITH count(x) AS n WHERE n >= 2 RETURN n } "
+            "RETURN a.name AS nm, n"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["n"]) for r in rows] == [("Alice", 2)]
+
+
+def test_call_body_with_topk_then_collect(people_edges_graph):
+    """WITH ORDER BY .. LIMIT ranks per imported-id group (not
+    globally); the following collect() aggregates the per-group
+    survivors — Bob's top-1 is Charlie, NOT dropped by Alice's rows."""
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "WITH x.name AS xn ORDER BY xn DESC LIMIT 1 "
+            "RETURN collect(xn) AS top } "
+            "RETURN a.name AS nm, top ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["top"]) for r in rows] == [
+        ("Alice", ["Charlie"]), ("Bob", ["Charlie"]), ("Charlie", []),
+    ]
+
+
+def test_call_body_with_passthrough_post_clause(people_edges_graph):
+    """Whole-variable passthrough keeps binding columns, so a post-WITH
+    MATCH clause inside the body joins on them; witnesses ride along
+    (Alice's x∈{Bob,Charlie} with Bob-knows-Charlie → 1)."""
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "WITH x WHERE x.age >= 25 MATCH (x)-[:knows]->(y) "
+            "RETURN count(y) AS k } "
+            "RETURN a.name AS nm, k ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["k"]) for r in rows] == [
+        ("Alice", 1), ("Bob", 0), ("Charlie", 0),
+    ]
+
+
+def test_call_body_with_unwind(people_edges_graph):
+    """Post-WITH UNWIND inside the body explodes per outer binding;
+    UNWIND over the seeded empty list yields zero rows, so Charlie
+    drops (streaming RETURN → INNER join)."""
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "WITH collect(x.age) AS ages UNWIND ages AS ag "
+            "RETURN ag } "
+            "RETURN a.name AS nm, ag ORDER BY nm, ag"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["ag"]) for r in rows] == [
+        ("Alice", 25), ("Alice", 35), ("Bob", 35),
+    ]
+
+
+def test_call_body_with_parse_errors(people_edges_graph):
+    eng = _engine(people_edges_graph)
+    cases = [
+        ("MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+         "WITH x.name AS xn LIMIT 1 RETURN xn } RETURN xn",
+         "needs ORDER BY"),
+        ("MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+         "WITH count(x) RETURN 1 AS one } RETURN one",
+         "AS alias"),
+        ("MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+         "WITH x, count(x) AS n RETURN n } RETURN nm, n",
+         "passthrough with"),
+    ]
+    for q, frag in cases:
+        with pytest.raises(ValueError, match=frag):
+            eng.execute(q)
+
+
 # --------------------------------------------------- FOREACH write bodies
 def test_multi_key_expression_set_single_witness_row(spark, tmp_path):
     """Multi-key expression SET takes ALL assigned keys from ONE binding

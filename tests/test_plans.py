@@ -350,6 +350,25 @@ def test_call_topk_single_window_no_cartesian(spark):
     assert "row_number" in p
 
 
+def test_call_body_with_pipeline_stays_grouped_join(spark):
+    """A WITH pipeline inside a correlated CALL body lowers as grouped
+    aggregation over the derived table keyed by the witness columns —
+    hash aggregates + joins, never a cartesian or per-row
+    re-execution."""
+    p = plan(spark, "gql_call_with_pipeline")
+    assert "CartesianProduct" not in p
+    assert "HashAggregate" in p
+
+
+def test_call_body_with_topk_one_window(spark):
+    """WITH ORDER BY/LIMIT inside a CALL body: exactly one row_number
+    window partitioned by the witness ids feeds the collect — no global
+    sort of the derived table."""
+    p = plan(spark, "gql_call_with_topk_collect")
+    assert "CartesianProduct" not in p
+    assert "row_number" in p
+
+
 def test_nested_exists_stays_join_shaped(spark):
     """COUNT{} nested in an EXISTS body: grouped count joined inside the
     semi-join frame — still derived-table joins (a LeftSemi present, no

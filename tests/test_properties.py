@@ -1310,3 +1310,88 @@ def test_gql_statement_roundtrip_r11_shapes(
         }
         got = {r["vid"]: r["n"] for r in eng.execute(q).collect()}
         assert got == want, q
+
+
+@settings(max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    vlabel=st.sampled_from([None, "P", "Q"]),
+    e1=st.sampled_from(["x", "y"]),
+    e2=st.sampled_from(["x", "y"]),
+    desc=st.booleans(),
+    limit=st.integers(1, 3),
+    thresh=st.integers(0, 2),
+    shape=st.sampled_from(
+        ["with_count_seed", "with_having", "with_topk_collect",
+         "with_passthrough_post", "with_unwind"]
+    ),
+)
+def test_gql_call_body_with_pipeline_shapes(
+    spark, _stmt_graph, vlabel, e1, e2, desc, limit, thresh, shape,
+):
+    """r11 second session: ONE WITH pipeline inside correlated CALL
+    bodies vs the pure-Python model — pure-aggregate seeding (count
+    over empty input = 0 per outer row), HAVING filters, per-outer-row
+    ORDER BY/LIMIT feeding collect(), whole-variable passthrough with a
+    post-WITH MATCH clause, and post-WITH UNWIND."""
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(_stmt_graph)
+    pat = f"(v{':' + vlabel if vlabel else ''})"
+    verts = [
+        (i, a) for i, (l, a) in _G_VERTS.items()
+        if vlabel is None or l == vlabel
+    ]
+
+    def out(i, el):
+        return [d for (s, d, lab) in _G_EDGES if s == i and lab == el]
+
+    if shape == "with_count_seed":
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"WITH count(u) AS n RETURN n }} "
+             f"RETURN v.id AS vid, n ORDER BY vid")
+        want = {i: len(out(i, e1)) for i, _ in verts}
+        got = {r["vid"]: r["n"] for r in eng.execute(q).collect()}
+        assert got == want, q
+    elif shape == "with_having":
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"WITH count(u) AS n WHERE n >= {thresh} RETURN n }} "
+             f"RETURN v.id AS vid, n ORDER BY vid")
+        want = {
+            i: len(out(i, e1)) for i, _ in verts
+            if len(out(i, e1)) >= thresh
+        }
+        got = {r["vid"]: r["n"] for r in eng.execute(q).collect()}
+        assert got == want, q
+    elif shape == "with_topk_collect":
+        order = "DESC" if desc else "ASC"
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"WITH u.a AS ua ORDER BY ua {order} LIMIT {limit} "
+             f"RETURN collect(ua) AS l }} "
+             f"RETURN v.id AS vid, l ORDER BY vid")
+        want = {
+            i: sorted(sorted((_G_VERTS[d][1] for d in out(i, e1)),
+                             reverse=desc)[:limit])
+            for i, _ in verts
+        }
+        got = {r["vid"]: list(r["l"]) for r in eng.execute(q).collect()}
+        assert got == want, q
+    elif shape == "with_passthrough_post":
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"WITH u MATCH (u)-[:{e2}]->(w) RETURN count(w) AS n }} "
+             f"RETURN v.id AS vid, n ORDER BY vid")
+        want = {
+            i: sum(len(out(u, e2)) for u in out(i, e1)) for i, _ in verts
+        }
+        got = {r["vid"]: r["n"] for r in eng.execute(q).collect()}
+        assert got == want, q
+    else:  # with_unwind: UNWIND over the seeded empty list drops the row
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"WITH collect(u.a) AS l UNWIND l AS ua RETURN ua }} "
+             f"RETURN v.id AS vid, ua ORDER BY vid, ua")
+        want = sorted(
+            (i, _G_VERTS[d][1]) for i, _ in verts for d in out(i, e1)
+        )
+        got = [(r["vid"], r["ua"]) for r in eng.execute(q).collect()]
+        assert got == want, q
