@@ -127,6 +127,10 @@ HEADLINE = [
     "gql_call_topk",
     "gql_nested_exists",
     "gql_map_comprehension",
+    # r11 second session: a WITH pipeline inside a correlated CALL body
+    # (grouped HAVING per imported binding — one derived table, hash
+    # aggregates keyed by the witness ids)
+    "gql_call_with_pipeline",
 ]
 
 

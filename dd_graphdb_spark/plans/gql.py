@@ -504,10 +504,17 @@ class CallSubClause:
     execution without re-executing the body. Scope: every imported
     variable must be reused in the body pattern (the id witness IS the
     correlation); leading UNWIND and nested CALL stay rejected at
-    parse."""
+    parse.
+
+    ``OPTIONAL CALL { .. }`` (Cypher 25) keeps outer rows whose body
+    produced nothing, NULL-filling the body outputs — the join-back
+    becomes LEFT for streaming/mixed bodies too (a pure-aggregate body
+    already yields one row per outer row, so OPTIONAL is a no-op
+    there, matching Neo4j)."""
 
     imports: list  # variable names imported via the body's leading WITH
     inner: object  # MatchStatement (pattern reuses the imported vars)
+    optional: bool = False  # OPTIONAL CALL — LEFT join-back, NULL fill
 
 
 @dataclass
@@ -1368,6 +1375,12 @@ class _Parser:
         (shared by the pre- and post-WITH positions)."""
         clauses = []
         while True:
+            if (
+                self.peek()[0] == "OPTIONAL"
+                and self.toks[self.i + 1][0] == "ident"
+                and self.toks[self.i + 1][1].upper() == "CALL"
+            ):
+                break  # OPTIONAL CALL — the caller's subquery clause
             if self.accept("OPTIONAL"):
                 self.expect("MATCH")
                 pat = self.path()
@@ -1878,7 +1891,15 @@ class _Parser:
             return ForeachStatement(pattern, where, lvar, source, assigns)
         clauses = self._match_clauses()
         call_sub = None
-        if self._ident_kw("CALL") and self.toks[self.i + 1] == ("punct", "{"):
+        if (
+            self.peek()[0] == "OPTIONAL"
+            and self.toks[self.i + 1][0] == "ident"
+            and self.toks[self.i + 1][1].upper() == "CALL"
+        ):
+            self.next()  # OPTIONAL
+            call_sub = self._call_sub_clause(pattern, clauses)
+            call_sub.optional = True
+        elif self._ident_kw("CALL") and self.toks[self.i + 1] == ("punct", "{"):
             call_sub = self._call_sub_clause(pattern, clauses)
         with_items = with_where = None
         post_clauses = []

@@ -1742,8 +1742,11 @@ class GQLEngine:
             # (RETURN x.t AS t, count(*) AS c): grouped aggregation over
             # empty input yields ZERO groups in Cypher, so an outer row
             # with no body matches drops — INNER, never a fabricated
-            # (NULL, 0) row
-            bound = bound.join(proj, on=keys, how="inner")
+            # (NULL, 0) row. OPTIONAL CALL (Cypher 25) keeps those
+            # rows instead, NULL-filling the body outputs — LEFT, no
+            # coalesce (NULL is the contract, not an identity value).
+            how = "left" if cs.optional else "inner"
+            bound = bound.join(proj, on=keys, how=how)
         return bound, bare_names + tuple(out_names)
 
     def _execute_match(self, stmt: MatchStatement) -> DataFrame:

@@ -58,20 +58,20 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# ROTATION CALENDAR (registry 219 > 50/window, so a full re-record
+# ROTATION CALENDAR (registry 222 > 50/window, so a full re-record
 # takes ~5 rounds; every round: new queries at the TOP, then the
 # oldest-recorded block, fill to 50 with the rows most affected by
 # the round's engine changes; freshest block moves to the END):
-#   r11 = 5 new + the 16 r6 rows deferred from r10's window + 29 of
+#   r11 = 6 new + the 16 r6 rows deferred from r10's window + 28 of
 #         the 50 r7-recorded rows (every row touching r11's changed
 #         surfaces: GQL parse/lowering incl. the EXISTS/subquery
 #         machinery, store mutation paths; plus the alert/dedup/sim/
-#         source/text fill). The 21 r7 rows that do NOT fit are
+#         source/text fill). The 22 r7 rows that do NOT fit are
 #         untouched by r11 (streaming transform, multimodal, fixture
 #         algorithms, the two scan-shaped source/text rows bumped by
 #         the second session's new queries) and lead r12's window;
 #         all were green in the r11 full oracle-gate replica.
-#   r12 = r12's new + the 19 deferred r7 rows + the r8-recorded block
+#   r12 = r12's new + the 22 deferred r7 rows + the r8-recorded block
 #   r13 = r13's new + the r9-recorded block
 #   r14 = r14's new + the r10-recorded block — then the cycle
 # repeats, so no query's newest driver row ever ages past ~5 rounds.
@@ -82,6 +82,7 @@ GATE_PRIORITY = [
     # second session: WITH pipelines inside correlated CALL bodies)
     "gql_call_with_pipeline",
     "gql_call_with_topk_collect",
+    "gql_optional_call",
     "gql_call_topk",
     "gql_nested_exists",
     "gql_map_comprehension",
@@ -102,7 +103,7 @@ GATE_PRIORITY = [
     "where_and_or",
     "window_lag_delta",
     "window_topk_per_segment",
-    # (3) 29 of the 50 r7-recorded rows (see calendar)
+    # (3) 28 of the 50 r7-recorded rows (see calendar)
     "alert_anomaly_rule",
     "alert_pattern_rule",
     "alert_rate_rule",
@@ -131,9 +132,9 @@ GATE_PRIORITY = [
     "sim_cosine_topk",
     "sketch_count_min_estimates",
     "source_csv_extraction",
-    "source_json_extraction",
-    # ---- 21 r7 rows deferred to r12 (window overflow; untouched by
+    # ---- 22 r7 rows deferred to r12 (window overflow; untouched by
     # r11's changes — see the calendar above) ----
+    "source_json_extraction",
     "source_regex_extraction",
     "text_bigram_lm_score",
     "text_fingerprint",

@@ -1947,6 +1947,39 @@ def gql_call_with_topk_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OPTIONAL CALL (Cypher 25): outer rows whose body produced nothing are
+# KEPT with NULL body outputs — the streaming join-back flips to LEFT
+# (same single derived table; no coalesce, NULL is the contract).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_optional_call",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS nm, rich.cn AS cn
+    FROM vertices n
+    LEFT JOIN (
+        SELECT e.dst AS nid, c.name AS cn
+        FROM vertices c
+        JOIN edges e ON e.src = c.id AND e.label = 'located_in'
+        WHERE c.label = 'Customer' AND c.acctbal > 9900.0
+    ) rich ON rich.nid = n.id
+    WHERE n.label = 'Nation'
+    ORDER BY nm, cn
+    """,
+)
+def gql_optional_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every nation with its >9900-balance customers; nations holding
+    none stay in the result with a NULL name (OPTIONAL CALL keeps
+    empty-body outer rows)."""
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (n:Nation) OPTIONAL CALL { WITH n "
+        "MATCH (c:Customer)-[:located_in]->(n) WHERE c.acctbal > 9900.0 "
+        "RETURN c.name AS cn } "
+        "RETURN n.name AS nm, cn ORDER BY nm, cn"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Nested subqueries (round 11): COUNT{} inside an EXISTS body's WHERE.
 # Every nesting level stays a derived-table join (grouped count joined
 # onto the EXISTS frame, then a semi-join against the outer bindings) —

@@ -2786,6 +2786,74 @@ def test_call_body_with_unwind(people_edges_graph):
     ]
 
 
+def test_optional_call_streaming_null_fill(people_edges_graph):
+    """OPTIONAL CALL keeps outer rows whose streaming body produced
+    nothing, NULL-filling the body outputs (Cypher 25)."""
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) OPTIONAL CALL { WITH a "
+            "MATCH (a)-[:knows]->(x) RETURN x.name AS xn } "
+            "RETURN a.name AS nm, xn ORDER BY nm, xn"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["xn"]) for r in rows] == [
+        ("Alice", "Bob"), ("Alice", "Charlie"),
+        ("Bob", "Charlie"), ("Charlie", None),
+    ]
+
+
+def test_optional_call_having_null_vs_inner_drop(people_edges_graph):
+    """The HAVING pipeline drops Bob/Charlie's body rows; OPTIONAL
+    keeps the outer rows with NULL where plain CALL drops them."""
+    eng = _engine(people_edges_graph)
+    opt = eng.execute(
+        "MATCH (a:Person) OPTIONAL CALL { WITH a "
+        "MATCH (a)-[:knows]->(x) WITH count(x) AS n WHERE n >= 2 "
+        "RETURN n } RETURN a.name AS nm, n ORDER BY nm"
+    ).collect()
+    assert [(r["nm"], r["n"]) for r in opt] == [
+        ("Alice", 2), ("Bob", None), ("Charlie", None),
+    ]
+
+
+def test_optional_call_pure_agg_is_noop(people_edges_graph):
+    """A pure-aggregate body already yields one row per outer row, so
+    OPTIONAL changes nothing (count coalesces to 0, not NULL — Neo4j)."""
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) OPTIONAL CALL { WITH a "
+            "MATCH (a)-[:knows]->(x) RETURN count(x) AS c } "
+            "RETURN a.name AS nm, c ORDER BY nm"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["c"]) for r in rows] == [
+        ("Alice", 2), ("Bob", 1), ("Charlie", 0),
+    ]
+
+
+def test_optional_call_after_optional_match(people_edges_graph):
+    """OPTIONAL MATCH clauses still parse before an OPTIONAL CALL (the
+    clause loop must stop at OPTIONAL CALL, not swallow its OPTIONAL)."""
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person {name: 'Charlie'}) "
+            "OPTIONAL MATCH (a)-[:knows]->(m) "
+            "OPTIONAL CALL { WITH a MATCH (a)-[:knows]->(x) "
+            "RETURN x.name AS xn } "
+            "RETURN a.name AS nm, m.name AS mn, xn"
+        )
+        .collect()
+    )
+    assert [(r["nm"], r["mn"], r["xn"]) for r in rows] == [
+        ("Charlie", None, None),
+    ]
+
+
 def test_call_body_with_parse_errors(people_edges_graph):
     eng = _engine(people_edges_graph)
     cases = [

@@ -1324,7 +1324,7 @@ def test_gql_statement_roundtrip_r11_shapes(
     thresh=st.integers(0, 2),
     shape=st.sampled_from(
         ["with_count_seed", "with_having", "with_topk_collect",
-         "with_passthrough_post", "with_unwind"]
+         "with_passthrough_post", "with_unwind", "optional_stream"]
     ),
 )
 def test_gql_call_body_with_pipeline_shapes(
@@ -1386,7 +1386,8 @@ def test_gql_call_body_with_pipeline_shapes(
         }
         got = {r["vid"]: r["n"] for r in eng.execute(q).collect()}
         assert got == want, q
-    else:  # with_unwind: UNWIND over the seeded empty list drops the row
+    elif shape == "with_unwind":
+        # UNWIND over the seeded empty list drops the row
         q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
              f"WITH collect(u.a) AS l UNWIND l AS ua RETURN ua }} "
              f"RETURN v.id AS vid, ua ORDER BY vid, ua")
@@ -1394,4 +1395,15 @@ def test_gql_call_body_with_pipeline_shapes(
             (i, _G_VERTS[d][1]) for i, _ in verts for d in out(i, e1)
         )
         got = [(r["vid"], r["ua"]) for r in eng.execute(q).collect()]
+        assert got == want, q
+    else:  # optional_stream: OPTIONAL CALL NULL-fills empty bodies
+        q = (f"MATCH {pat} OPTIONAL CALL {{ WITH v "
+             f"MATCH (v)-[:{e1}]->(u) RETURN u.a AS ua }} "
+             f"RETURN v.id AS vid, ua ORDER BY vid, ua")
+        want = sorted(
+            ((i, _G_VERTS[d][1]) for i, _ in verts for d in out(i, e1)),
+        ) + sorted((i, None) for i, _ in verts if not out(i, e1))
+        want.sort(key=lambda t: (t[0], t[1] is not None, t[1] or 0))
+        got = [(r["vid"], r["ua"]) for r in eng.execute(q).collect()]
+        got.sort(key=lambda t: (t[0], t[1] is not None, t[1] or 0))
         assert got == want, q
