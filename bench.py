@@ -129,8 +129,10 @@ HEADLINE = [
     "gql_map_comprehension",
     # r11 second session: a WITH pipeline inside a correlated CALL body
     # (grouped HAVING per imported binding — one derived table, hash
-    # aggregates keyed by the witness ids)
+    # aggregates keyed by the witness ids) and SemDeDup (cell-partitioned
+    # semantic dedup — quadratic only within IVF cells)
     "gql_call_with_pipeline",
+    "dedup_semantic_cells",
 ]
 
 

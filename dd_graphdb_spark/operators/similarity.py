@@ -283,6 +283,75 @@ def cosine_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.4,
+    train_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt_threshold: int = 1000,
+    n_salts: int = 16,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster-then-
+    prune semantic deduplication, the cell-partitioned sibling of
+    `cosine_near_dup_pairs` (which buckets by LSH bands instead).
+
+    Corpus vectors are assigned to their nearest coarse centroid (the
+    SAME deterministic quantizer the IVF index uses, so at scale the
+    cell column already exists as the index's partition key); within
+    each cell a vector is a duplicate when ANY lower-id cell-mate
+    matches it at cosine >= threshold, and its representative is the
+    smallest such id (greedy pairwise prune — the paper's
+    keep-one-per-near-dup-set policy with a deterministic keeper).
+    Cross-cell near-dups are missed by construction: that is
+    SemDeDup's recall tradeoff, bounded by quantizer quality.
+
+    Scale notes (100 TB): the pair join is PARTITION-LOCAL — one hash
+    shuffle on cell, quadratic only within a cell; n_centroids scales
+    with the corpus to bound cell size, and a degenerate hot cell
+    (near-identical corpus) takes the salted pair path so its d^2
+    spreads across ``n_salts`` tasks. Cosines round to 6 decimals
+    before the threshold compare (engine-portable boundary decisions).
+    Output: one row per vector — (id_col, cell, keep, dup_of; dup_of
+    NULL for survivors).
+    """
+    from dd_graphdb_spark.operators._skew import salted_self_pairs
+
+    cents = train_centroids(emb, n_centroids, train_iters, id_col, vec_col)
+    base = (
+        emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .withColumn("cell", _nearest_centroid(F.col("v"), cents))
+    )
+    cand = salted_self_pairs(
+        base.select("id", "cell"), "id", ["cell"], salt_threshold, n_salts
+    )
+    va = base.select(F.col("id").alias("a"), F.col("v").alias("va"), norm(F.col("v")).alias("na"))
+    vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), norm(F.col("v")).alias("nb"))
+    dup_of = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .filter(
+            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+            >= threshold
+        )
+        # pairs arrive as unordered (a, b): the duplicate is the LARGER
+        # id, its candidate representative the smaller side
+        .select(
+            F.greatest("a", "b").alias("id"),
+            F.least("a", "b").alias("rep"),
+        )
+        .groupBy("id")
+        .agg(F.min("rep").alias("dup_of"))
+    )
+    return base.join(dup_of, "id", "left").select(
+        F.col("id").alias(id_col),
+        "cell",
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+    )
+
+
 def ivf_write_index(
     emb: DataFrame,
     path: str,

@@ -474,6 +474,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4, n_bands=4, band_bits=3)
 
 
+def _sql_semantic_dedup(n_centroids: int, threshold: float) -> str:
+    """SemDeDup oracle: same coarse quantizer as the IVF oracle (first n
+    vectors as centroids, argmax-cosine cells with lowest-cid ties),
+    then the greedy within-cell prune — a vector's representative is
+    the smallest lower-id cell-mate at rounded cosine >= threshold."""
+    cos_vc = f"{_SQL_DOT.format(a='e.v', b='c.cv')} / ({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='c.cv')})"
+    cos_ab = f"{_SQL_DOT.format(a='ea.v', b='eb.v')} / ({_SQL_NORM.format(a='ea.v')} * {_SQL_NORM.format(a='eb.v')})"
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),
+    scored_cells AS (SELECT e.vec_id, c.cid, {cos_vc} AS sim FROM e, cents c),
+    cells AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM scored_cells
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT ca.vec_id AS id, MIN(cb.vec_id) AS dup_of
+        FROM cells ca
+        JOIN e ea ON ea.vec_id = ca.vec_id
+        JOIN cells cb ON cb.cell = ca.cell AND cb.vec_id < ca.vec_id
+        JOIN e eb ON eb.vec_id = cb.vec_id
+        WHERE ROUND({cos_ab}, 6) >= {threshold}
+        GROUP BY ca.vec_id
+    )
+    SELECT cl.vec_id, cl.cell, (d.dup_of IS NULL) AS keep,
+           COALESCE(d.dup_of, -1) AS dup_of
+    FROM cells cl LEFT JOIN dups d ON d.id = cl.vec_id
+    ORDER BY cl.vec_id
+    """
+
+
+@_q("dedup_semantic_cells", _sql_semantic_dedup(8, 0.4))
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-prune): IVF-cell assignment + greedy
+    within-cell cosine prune, one verdict row per vector. The cell
+    column is the IVF index's partition key, so at scale the quadratic
+    work is partition-local (operators/similarity.py:semantic_dedup)."""
+    out = S.semantic_dedup(_emb(spark, sf_dir), n_centroids=8, threshold=0.4)
+    # survivors' NULL dup_of hashes as a -1 sentinel: a nullable int64
+    # column degrades to float in DuckDB's client fetch (35 -> '35.0')
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        "keep",
+        F.coalesce("dup_of", F.lit(-1).cast("long")).alias("dup_of"),
+    )
+
+
 def _sql_lsh_topk(k: int) -> str:
     dot_vp = _SQL_DOT.format(a="e.v", b="p.pv")
     dot = _SQL_DOT.format(a="q.qv", b="e.v")

@@ -369,6 +369,16 @@ def test_call_body_with_topk_one_window(spark):
     assert "row_number" in p
 
 
+def test_semantic_dedup_cell_local_pairs(spark):
+    """SemDeDup's pair join must stay cell-bucketed (the salted pair
+    path with its explicit user repartition) — no cartesian product,
+    and the AQE-exempt REPARTITION_BY_NUM marker present so the
+    within-cell explosion keeps its parallelism."""
+    p = plan(spark, "dedup_semantic_cells")
+    assert "CartesianProduct" not in p
+    assert "REPARTITION_BY_NUM" in p
+
+
 def test_nested_exists_stays_join_shaped(spark):
     """COUNT{} nested in an EXISTS body: grouped count joined inside the
     semi-join frame — still derived-table joins (a LeftSemi present, no

@@ -193,3 +193,48 @@ def test_ivf_pq_subset_of_pq_with_all_cells_probed(emb):
         for r in S.pq_topk(emb, [0, 1], m=8, n_codewords=16, k=10**6).collect()
     }
     assert cand <= pool
+
+
+def test_semantic_dedup_greedy_prune(spark):
+    """SemDeDup on a crafted frame: centroids seed from v0/v1
+    (orthogonal); v2/v3 are near-copies of v0 (same cell, pairwise
+    cos ~1) and v4 a near-copy of v1. The lowest id in each near-dup
+    set survives as the representative; later members all point at it
+    (min lower-id, not a chain)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 0.0, 1.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),
+        (3, [1.0, 0.0, 0.001, 0.0]),
+        (4, [0.0, 0.0, 0.001, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["keep"], r["dup_of"])
+        for r in S.semantic_dedup(emb, n_centroids=2, threshold=0.9).collect()
+    }
+    assert out[0] == (True, None)
+    assert out[1] == (True, None)
+    assert out[2] == (False, 0)
+    assert out[3] == (False, 0)
+    assert out[4] == (False, 1)
+
+
+def test_semantic_dedup_cells_bound_the_pairs(spark):
+    """Near-dups split across different cells are NOT compared — the
+    documented SemDeDup recall tradeoff (cell-locality is what makes
+    the quadratic work partition-local at scale)."""
+    # centroids seed from vec_id 0 and 1 (orthogonal); 2 lands with 0,
+    # 3 with 1 — the (2,3) pair is cross-cell and stays unexamined even
+    # though cos(2,3) ~ 0.707 > threshold 0.5 would match within a cell
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 0.4]),
+        (3, [0.6, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["keep"] for r in
+           S.semantic_dedup(emb, n_centroids=2, threshold=0.5).collect()}
+    # within-cell: cos(0,2)=0.928 >= 0.5 -> 2 pruned; cos(1,3)=0.857 -> 3 pruned
+    assert out == {0: True, 1: True, 2: False, 3: False}
