@@ -524,6 +524,65 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "dedup_semantic_recall",
+    f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    truth AS (
+        SELECT DISTINCT eb.vec_id AS id
+        FROM e ea JOIN e eb ON ea.vec_id < eb.vec_id
+        WHERE ROUND({_SQL_DOT.format(a='ea.v', b='eb.v')} /
+              ({_SQL_NORM.format(a='ea.v')} * {_SQL_NORM.format(a='eb.v')}), 6) >= 0.4
+    ),
+    sd AS ({{semdedup}})
+    SELECT (SELECT COUNT(*) FROM e) AS n_vectors,
+           (SELECT COUNT(*) FROM truth) AS n_dup_global,
+           (SELECT COUNT(*) FROM sd WHERE NOT keep) AS n_dup_cells,
+           (SELECT COUNT(*) FROM sd JOIN truth ON truth.id = sd.vec_id
+            WHERE NOT sd.keep) AS n_agree
+    """.replace("{semdedup}", _sql_semantic_dedup(8, 0.4)),
+)
+def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured SemDeDup recall IN the gate: the exact all-pairs greedy
+    prune (a vector is a duplicate when ANY lower-id vector anywhere
+    matches it at cosine >= threshold) vs the cell-local verdicts.
+    Both sides are deterministic, so the four counts are exact
+    oracle-checked values — the cross-cell misses (n_dup_global -
+    n_agree) are the quantified recall tradeoff, not a bound. The
+    all-pairs truth side is deliberately quadratic (the baseline
+    class, like the exact n-gram Jaccard proofs) — gate-only, never in
+    scale subsets."""
+    emb = _emb(spark, sf_dir)
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        S.as_double(F.col("embedding")).alias("v"),
+    ).withColumn("n", S.norm(F.col("v")))
+    ea = base.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    eb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    truth = (
+        ea.join(eb, F.col("a") < F.col("b"))
+        .filter(
+            F.round(S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+            >= 0.4
+        )
+        .select(F.col("b").alias("id"))
+        .distinct()
+    )
+    sd = S.semantic_dedup(emb, n_centroids=8, threshold=0.4)
+    dup_cells = sd.filter(~F.col("keep")).select("vec_id")
+    return spark.createDataFrame(
+        [
+            (
+                emb.count(),
+                truth.count(),
+                dup_cells.count(),
+                dup_cells.join(truth, dup_cells.vec_id == truth.id).count(),
+            )
+        ],
+        "n_vectors long, n_dup_global long, n_dup_cells long, n_agree long",
+    )
+
+
 def _sql_lsh_topk(k: int) -> str:
     dot_vp = _SQL_DOT.format(a="e.v", b="p.pv")
     dot = _SQL_DOT.format(a="q.qv", b="e.v")
