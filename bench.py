@@ -133,6 +133,9 @@ HEADLINE = [
     # semantic dedup — quadratic only within IVF cells)
     "gql_call_with_pipeline",
     "dedup_semantic_cells",
+    # span-level exact-substring duplication (Lee et al. 2022): one row
+    # per token position, two partial-agg groupBys — token-linear
+    "dedup_exact_substring",
 ]
 
 

@@ -474,6 +474,43 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4, n_bands=4, band_bits=3)
 
 
+@_q(
+    "dedup_exact_substring",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS h
+        FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 0))) AS u(i)
+    ),
+    dupk AS (
+        SELECT h FROM (
+            SELECT h, COUNT(DISTINCT doc_id) AS nd FROM spans GROUP BY h
+        ) WHERE nd >= 2
+    ),
+    per AS (
+        SELECT s.doc_id, COUNT(*) AS n_spans, COUNT(d.h) AS n_dup_spans
+        FROM spans s LEFT JOIN dupk d ON d.h = s.h
+        GROUP BY s.doc_id
+    )
+    SELECT doc.doc_id,
+           COALESCE(per.n_spans, 0) AS n_spans,
+           COALESCE(per.n_dup_spans, 0) AS n_dup_spans,
+           COALESCE(ROUND(per.n_dup_spans::DOUBLE / per.n_spans, 6), -1.0)
+               AS dup_ratio
+    FROM documents doc LEFT JOIN per ON per.doc_id = doc.doc_id
+    ORDER BY doc.doc_id
+    """,
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication (Lee et al. 2022): per
+    document, how many of its 8-token windows appear verbatim in some
+    OTHER document (operators/dedup.py:duplicate_spans — md5 span keys,
+    two partial-agg groupBys, linear in corpus tokens)."""
+    return D.duplicate_spans(_docs(spark, sf_dir), window=8)
+
+
 def _sql_semantic_dedup(n_centroids: int, threshold: float) -> str:
     """SemDeDup oracle: same coarse quantizer as the IVF oracle (first n
     vectors as centroids, argmax-cosine cells with lowest-cid ties),

@@ -369,6 +369,15 @@ def test_call_body_with_topk_one_window(spark):
     assert "row_number" in p
 
 
+def test_exact_substring_token_linear(spark):
+    """The span table is one explode row per token position — the plan
+    must stay aggregation-shaped (no cartesian, no self-join of the
+    documents table; the only join is span-key ⋈ dup-key set)."""
+    p = plan(spark, "dedup_exact_substring")
+    assert "CartesianProduct" not in p
+    assert "Generate" in p  # the linear explode, not a pair join
+
+
 def test_semantic_dedup_cell_local_pairs(spark):
     """SemDeDup's pair join must stay cell-bucketed (the salted pair
     path with its explicit user repartition) — no cartesian product,

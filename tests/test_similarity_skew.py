@@ -238,3 +238,29 @@ def test_semantic_dedup_cells_bound_the_pairs(spark):
            S.semantic_dedup(emb, n_centroids=2, threshold=0.5).collect()}
     # within-cell: cos(0,2)=0.928 >= 0.5 -> 2 pruned; cos(1,3)=0.857 -> 3 pruned
     assert out == {0: True, 1: True, 2: False, 3: False}
+
+
+def test_duplicate_spans_cross_document_only(spark):
+    """Exact-substring spans: d1/d2 share an 8-token span; d3 repeats
+    its own span twice (intra-doc — NOT a duplicate); d4 is shorter
+    than the window (sentinel ratio -1.0)."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, shared + " one two"),
+        (2, "x y " + shared),
+        (3, ("p q r s t u v w " * 2).strip()),   # own 8-gram twice
+        (4, "too short"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_ratio"])
+        for r in D.duplicate_spans(docs, window=8).collect()
+    }
+    # d1: 10 tokens -> 3 spans, exactly the pure shared one is cross-doc
+    assert out[1][0] == 3 and out[1][1] == 1
+    # d2: 10 tokens -> 3 spans, the shared suffix span duplicates
+    assert out[2][0] == 3 and out[2][1] == 1
+    # d3: intra-doc repetition only -> no cross-doc duplicates
+    assert out[3][1] == 0 and out[3][0] == 9
+    # d4: no spans at all -> sentinel
+    assert out[4] == (0, 0, -1.0)
