@@ -676,7 +676,12 @@ class _Parser:
         if self.at_name():
             var = self.next()[1]
         if self.accept("punct", ":"):
+            # label alternation (n:A|B) — stored "|"-joined (labels
+            # cannot contain "|"); read filters lower to isin, write
+            # patterns reject the form
             label = self.expect_name()
+            while self.accept("punct", "|"):
+                label += "|" + self.expect_name()
         if self.accept("punct", "{"):
             while not self.accept("punct", "}"):
                 key = self.expect_name()
@@ -716,7 +721,11 @@ class _Parser:
             if self.at_name():
                 var = self.next()[1]
             if self.accept("punct", ":"):
+                # type alternation -[:KNOWS|LIKES]-> (Cypher) — same
+                # "|"-joined convention as node labels
                 label = self.expect_name()
+                while self.accept("punct", "|"):
+                    label += "|" + self.expect_name()
             if self.accept("punct", "*"):
                 lo, hi = self._hop_bounds()
             if self.accept("punct", "{"):
@@ -1714,6 +1723,12 @@ class _Parser:
                 raise ValueError(
                     f"GQL parse error: variable-length patterns are not "
                     f"allowed in {kw}"
+                )
+        for lbl in [n.label for n in pat.nodes] + [e.label for e in pat.edges]:
+            if lbl is not None and "|" in lbl:
+                raise ValueError(
+                    f"GQL parse error: label alternation ({lbl}) is not "
+                    f"allowed in {kw} — a write must name ONE label"
                 )
         return pat
 

@@ -71,11 +71,19 @@ def _prefix(df: DataFrame, var: str) -> DataFrame:
     return df.select([F.col(c).alias(f"{var}__{c}") for c in df.columns])
 
 
+def _label_pred(col: Column, label: str) -> Column:
+    """Label / edge-type filter; "|"-joined alternation (n:A|B,
+    -[:X|Y]->) lowers to isin — a pushdown-friendly IN over literals,
+    same scan shape as the single-label equality."""
+    labs = label.split("|")
+    return col.isin(labs) if len(labs) > 1 else col == label
+
+
 def _node_filter(df: DataFrame, node: NodePattern, var: str) -> DataFrame:
     # Vertex label is the reference's `type` property (executor.rs:290-295);
     # our schema stores it as the `label` column.
     if node.label is not None:
-        df = df.filter(F.col(f"{var}__label") == node.label)
+        df = df.filter(_label_pred(F.col(f"{var}__label"), node.label))
     for k, v in node.props.items():
         df = df.filter(F.col(f"{var}__{k}").eqNullSafe(F.lit(v)))
     return df
@@ -1033,7 +1041,7 @@ class GQLEngine:
             else self.graph.edges
         )
         if e.label is not None:
-            base = base.filter(F.col("label") == e.label)
+            base = base.filter(_label_pred(F.col("label"), e.label))
         if e.direction == "in":
             base = base.select(F.col("dst").alias("_b_src"), F.col("src").alias("_b_dst"))
         else:
@@ -1111,7 +1119,7 @@ class GQLEngine:
             else self.graph.edges
         )
         if e.label is not None:
-            base = base.filter(F.col("label") == e.label)
+            base = base.filter(_label_pred(F.col("label"), e.label))
         if e.direction == "in":
             base = base.select(F.col("dst").alias("_b_src"), F.col("src").alias("_b_dst"))
         else:
@@ -1362,7 +1370,7 @@ class GQLEngine:
                 # `--` = union of both directions (executor.rs:322-326)
                 edf = self.graph.undirected_edges()
             if e.label is not None:
-                edf = edf.filter(F.col("label") == e.label)
+                edf = edf.filter(_label_pred(F.col("label"), e.label))
             for pk, pv in e.props.items():
                 edf = edf.filter(F.col(pk).eqNullSafe(F.lit(pv)))
             edf = _prefix(edf, evar)

@@ -1947,6 +1947,34 @@ def gql_call_with_topk_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Label / edge-type alternation (Cypher (n:A|B), -[:X|Y]->): lowered as
+# isin over literals — same pushdown-friendly scan shape as the
+# single-label equality, no union of per-label plans.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_label_alternation",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS nm, x.label AS kind, count(*) AS k
+    FROM vertices n
+    JOIN edges e ON e.dst = n.id AND e.label IN ('located_in', 'placed_by')
+    JOIN vertices x ON x.id = e.src AND x.label IN ('Customer', 'Supplier')
+    WHERE n.label = 'Nation'
+    GROUP BY n.name, x.label
+    ORDER BY nm, kind
+    """,
+)
+def gql_label_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers AND suppliers per nation through one alternated
+    pattern — (x:Customer|Supplier)-[:located_in|placed_by]->(n)."""
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (x:Customer|Supplier)-[:located_in|placed_by]->(n:Nation) "
+        "RETURN n.name AS nm, head(labels(x)) AS kind, count(x) AS k "
+        "ORDER BY nm, kind"
+    )
+
+
+# ---------------------------------------------------------------------------
 # OPTIONAL CALL (Cypher 25): outer rows whose body produced nothing are
 # KEPT with NULL body outputs — the streaming join-back flips to LEFT
 # (same single derived table; no coalesce, NULL is the contract).

@@ -2854,6 +2854,43 @@ def test_optional_call_after_optional_match(people_edges_graph):
     ]
 
 
+def test_label_alternation(spark):
+    """(n:A|B) node-label and -[:X|Y]-> edge-type alternation (Cypher):
+    isin filters on the read side; write patterns reject the form."""
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [(1, "Person", "Alice"), (2, "Company", "Acme"),
+         (3, "Bot", "R2"), (4, "Person", "Bob")],
+        "id long, label string, name string",
+    )
+    e = spark.createDataFrame(
+        [(1, 2, "works_at"), (1, 4, "knows"), (4, 2, "likes"),
+         (3, 2, "monitors")],
+        "src long, dst long, label string",
+    )
+    eng = _engine(PropertyGraph(v, e))
+    assert sorted(
+        r[0] for r in eng.execute("MATCH (n:Person|Company) RETURN n.name").collect()
+    ) == ["Acme", "Alice", "Bob"]
+    assert sorted(
+        tuple(r) for r in eng.execute(
+            "MATCH (a)-[:knows|likes]->(b) RETURN a.name, b.name"
+        ).collect()
+    ) == [("Alice", "Bob"), ("Bob", "Acme")]
+    # variable-length composes with type alternation
+    assert sorted(
+        r[0] for r in eng.execute(
+            "MATCH (a {name:'Alice'})-[:knows|likes*1..2]->(b) RETURN b.name"
+        ).collect()
+    ) == ["Acme", "Bob"]
+    for q in ["CREATE (x:A|B {name: 'z'})",
+              "MERGE (x:A|B {name: 'z'})",
+              "CREATE (x:A)-[:R|S]->(y:B)"]:
+        with pytest.raises(ValueError, match="alternation"):
+            eng.execute(q)
+
+
 def test_call_body_with_parse_errors(people_edges_graph):
     eng = _engine(people_edges_graph)
     cases = [
