@@ -84,6 +84,9 @@ class NodePattern:
     var: str | None
     label: str | None
     props: dict = field(default_factory=dict)
+    # inline predicate (n:L WHERE pred) — Cypher 5; desugared at parse
+    # into the consuming clause's WHERE (never reaches the lowerer)
+    where: object | None = None
 
 
 @dataclass
@@ -97,6 +100,8 @@ class EdgePattern:
     min_hops: int | None = None
     max_hops: int | None = None
     props: dict = field(default_factory=dict)  # inline {prop: literal}
+    # inline predicate -[r:T WHERE pred]-> — desugared like the node form
+    where: object | None = None
 
 
 @dataclass
@@ -688,30 +693,36 @@ class _Parser:
                 self.expect("punct", ":")
                 props[key] = self._prop_value()
                 self.accept("punct", ",")
+        nwhere = self.where_expr() if self.accept("WHERE") else None
         self.expect("punct", ")")
         if var is None:
+            if nwhere is not None:
+                raise ValueError(
+                    "GQL parse error: an inline WHERE needs a named "
+                    "node variable to reference"
+                )
             self._anon += 1
             var = f"_anon{self._anon}"
-        return NodePattern(var, label, props)
+        return NodePattern(var, label, props, nwhere)
 
     def edge(self) -> EdgePattern | None:
         # -[v:LBL*n..m]-> | <-[...]- | -[...]-  and bare forms  -> | <- | --
         k, v = self.peek()
         if v == "<-":
             self.next()
-            var, label, lo, hi, props = self._edge_body()
+            var, label, lo, hi, props, ew = self._edge_body()
             self.expect("punct", "-")
-            return EdgePattern(var, label, "in", lo, hi, props)
+            return EdgePattern(var, label, "in", lo, hi, props, ew)
         if v == "->":
             self.next()
             return EdgePattern(None, None, "out")
         if v == "-":
             self.next()
-            var, label, lo, hi, props = self._edge_body()
+            var, label, lo, hi, props, ew = self._edge_body()
             if self.accept("op", "->"):
-                return EdgePattern(var, label, "out", lo, hi, props)
+                return EdgePattern(var, label, "out", lo, hi, props, ew)
             self.expect("punct", "-")
-            return EdgePattern(var, label, "undirected", lo, hi, props)
+            return EdgePattern(var, label, "undirected", lo, hi, props, ew)
         return None
 
     def _edge_body(self):
@@ -739,8 +750,21 @@ class _Parser:
                     self.expect("punct", ":")
                     props[key] = self._prop_value()
                     self.accept("punct", ",")
+            ewhere = self.where_expr() if self.accept("WHERE") else None
+            if ewhere is not None and lo is not None:
+                raise ValueError(
+                    "GQL parse error: an inline WHERE is not supported "
+                    "on variable-length patterns — there is no single "
+                    "edge binding to test"
+                )
+            if ewhere is not None and var is None:
+                raise ValueError(
+                    "GQL parse error: an inline WHERE needs a named "
+                    "edge variable to reference"
+                )
             self.expect("punct", "]")
-        return var, label, lo, hi, props
+            return var, label, lo, hi, props, ewhere
+        return var, label, lo, hi, props, None
 
     def _hop_bounds(self) -> tuple[int, int]:
         """Cypher-style quantifier after `*`: `n` (exact), `n..m`, `..m`
@@ -788,6 +812,22 @@ class _Parser:
             edges.append(e)
             nodes.append(self.node())
         return PathPattern(nodes, edges)
+
+    @staticmethod
+    def _fold_where(pat, where):
+        """AND the pattern's inline WHEREs ((n WHERE p), [r WHERE q])
+        into the consuming clause's WHERE — Cypher 5 inline predicates
+        are pure parse-time sugar here; the lowerer sees one condition
+        tree. Source order: inline conjuncts first, clause WHERE last
+        (conjunction — order is unobservable)."""
+        conds = [n.where for n in pat.nodes if n.where is not None]
+        conds += [e.where for e in pat.edges if e.where is not None]
+        out = None
+        for c in conds:
+            out = c if out is None else BoolExpr("AND", out, c)
+        if out is None:
+            return where
+        return out if where is None else BoolExpr("AND", out, where)
 
     # statistical aggregates parsed from plain identifiers (the five
     # core aggregates are lexer keywords): stDev/stDevP (sample /
@@ -953,7 +993,7 @@ class _Parser:
         pat = self.path()
         where = self.where_expr() if self.accept("WHERE") else None
         self.expect("punct", "}")
-        return pat, where
+        return pat, self._fold_where(pat, where)
 
     def factor(self):
         k, v = self.peek()
@@ -972,7 +1012,9 @@ class _Parser:
             self.next()
             self.accept("MATCH")
             pat = self.path()
-            where = self.where_expr() if self.accept("WHERE") else None
+            where = self._fold_where(
+                pat, self.where_expr() if self.accept("WHERE") else None
+            )
             self.expect("RETURN")
             expr = self.expr()
             self.expect("punct", "}")
@@ -988,7 +1030,9 @@ class _Parser:
                     pat = self.path()
                     if not pat.edges:
                         raise ValueError("_pc_backtrack")
-                    where = self.where_expr() if self.accept("WHERE") else None
+                    where = self._fold_where(
+                        pat, self.where_expr() if self.accept("WHERE") else None
+                    )
                     if not self.accept("punct", "|"):
                         raise ValueError(
                             "GQL parse error: a pattern comprehension "
@@ -1150,7 +1194,7 @@ class _Parser:
             self.next()
             pat = self.path()
             self.expect("punct", ")")
-            return PatternPred(pat)
+            return PatternPred(pat, self._fold_where(pat, None))
         if (
             self.at_name()
             and self.peek()[1].lower() == "exists"
@@ -1394,11 +1438,15 @@ class _Parser:
                 self.expect("MATCH")
                 pat = self.path()
                 where = self.where_expr() if self.accept("WHERE") else None
-                clauses.append(("optional", OptionalMatch(pat, where)))
+                clauses.append(
+                    ("optional", OptionalMatch(pat, self._fold_where(pat, where)))
+                )
             elif self.accept("MATCH"):
                 pat = self.path()
                 where = self.where_expr() if self.accept("WHERE") else None
-                clauses.append(("match", OptionalMatch(pat, where)))
+                clauses.append(
+                    ("match", OptionalMatch(pat, self._fold_where(pat, where)))
+                )
             else:
                 break
         return clauses
@@ -1730,6 +1778,13 @@ class _Parser:
                     f"GQL parse error: label alternation ({lbl}) is not "
                     f"allowed in {kw} — a write must name ONE label"
                 )
+        if any(n.where is not None for n in pat.nodes) or any(
+            e.where is not None for e in pat.edges
+        ):
+            raise ValueError(
+                f"GQL parse error: inline WHERE is not allowed in {kw} — "
+                "a write pattern describes what to create, not a filter"
+            )
         return pat
 
     def _shortest_path_pattern(self) -> ShortestPathPattern:
@@ -1743,6 +1798,11 @@ class _Parser:
             raise ValueError("GQL parse error: shortestPath needs an edge pattern")
         dst = self.node()
         self.expect("punct", ")")
+        if src.where is not None or dst.where is not None or edge.where is not None:
+            raise ValueError(
+                "GQL parse error: inline WHERE is not supported inside "
+                "shortestPath patterns — filter in the statement WHERE"
+            )
         if edge.min_hops is None:
             edge.min_hops = edge.max_hops = 1  # plain edge = exactly one hop
         if edge.min_hops > 1:
@@ -1810,7 +1870,9 @@ class _Parser:
                         "with a pattern variable"
                     )
                 pattern.pvar = pvar
-            where = self.where_expr() if self.accept("WHERE") else None
+            where = self._fold_where(
+                pattern, self.where_expr() if self.accept("WHERE") else None
+            )
         if self._ident_kw("DETACH"):
             self.next()
             self.expect("DELETE")

@@ -1975,6 +1975,35 @@ def gql_label_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Inline pattern predicates (Cypher 5 (n WHERE p)): parse-time desugar
+# into the clause WHERE — one condition tree reaches the lowerer, so
+# pushdown/pruning see exactly the same plan as the spelled-out form.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_inline_where",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS nm, count(*) AS k
+    FROM vertices n
+    JOIN edges e ON e.dst = n.id AND e.label = 'located_in'
+    JOIN vertices c ON c.id = e.src AND c.label = 'Customer'
+    WHERE n.label = 'Nation' AND c.acctbal > 9000.0
+      AND n.name LIKE 'NATION_1%'
+    GROUP BY n.name
+    ORDER BY nm
+    """,
+)
+def gql_inline_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich customers per NATION_1*-nation, both filters inline in the
+    pattern ((c WHERE ..)-[:located_in]->(n WHERE ..))."""
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (c:Customer WHERE c.acctbal > 9000.0)-[:located_in]->"
+        "(n:Nation WHERE n.name STARTS WITH 'NATION_1') "
+        "RETURN n.name AS nm, count(c) AS k ORDER BY nm"
+    )
+
+
+# ---------------------------------------------------------------------------
 # OPTIONAL CALL (Cypher 25): outer rows whose body produced nothing are
 # KEPT with NULL body outputs — the streaming join-back flips to LEFT
 # (same single derived table; no coalesce, NULL is the contract).

@@ -2854,6 +2854,60 @@ def test_optional_call_after_optional_match(people_edges_graph):
     ]
 
 
+def test_inline_pattern_where(spark):
+    """Cypher 5 inline predicates (n WHERE p) / -[r WHERE q]-: parse-
+    time desugar into the consuming clause's WHERE, composing with
+    cross-variable references, OPTIONAL MATCH (stays inside the left
+    join), EXISTS bodies and an outer statement WHERE."""
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame(
+        [(1, "Person", "Alice", 30), (2, "Person", "Bob", 25),
+         (3, "Person", "Charlie", 35), (4, "City", "Rome", 0)],
+        "id long, label string, name string, age long",
+    )
+    e = spark.createDataFrame(
+        [(1, 2, "knows", 9), (1, 3, "knows", 2), (2, 3, "knows", 5),
+         (1, 4, "visited", 1)],
+        "src long, dst long, label string, weight long",
+    )
+    eng = _engine(PropertyGraph(v, e))
+    assert sorted(
+        r[0] for r in eng.execute(
+            "MATCH (n:Person WHERE n.age > 26) RETURN n.name").collect()
+    ) == ["Alice", "Charlie"]
+    # cross-variable inline predicates on node AND edge
+    assert [tuple(r) for r in eng.execute(
+        "MATCH (a WHERE a.age >= 30)-[r:knows WHERE r.weight > 3]->"
+        "(b WHERE b.age < a.age) RETURN a.name, b.name").collect()
+    ] == [("Alice", "Bob")]
+    # OPTIONAL MATCH: the inline filter stays within the left join
+    assert sorted(
+        (r[0], r[1]) for r in eng.execute(
+            "MATCH (a:Person) OPTIONAL MATCH (a)-[:visited]->"
+            "(c:City WHERE c.name = 'Rome') RETURN a.name, c.name"
+        ).collect()
+    ) == [("Alice", "Rome"), ("Bob", None), ("Charlie", None)]
+    # EXISTS body + combined statement WHERE
+    assert sorted(
+        r[0] for r in eng.execute(
+            "MATCH (n:Person WHERE n.age > 24) WHERE n.age < 31 "
+            "RETURN n.name").collect()
+    ) == ["Alice", "Bob"]
+    for q, frag in [
+        ("CREATE (x:A WHERE x.q = 1)", "not allowed in CREATE"),
+        # an anonymous node cannot carry an inline WHERE (nothing to
+        # reference); note bare (WHERE ..) parses WHERE as a variable
+        # name — keywords are nameable — so the guard needs the label
+        ("MATCH (:Person WHERE x.q = 1) RETURN 1 AS one", "named"),
+        ("MATCH (a)-[:knows WHERE a.x = 1]->(b) RETURN a.name", "named"),
+        ("MATCH (a)-[r:knows*1..2 WHERE r.weight > 1]->(b) "
+         "RETURN a.name", "variable-length"),
+    ]:
+        with pytest.raises(ValueError, match=frag):
+            eng.execute(q)
+
+
 def test_label_alternation(spark):
     """(n:A|B) node-label and -[:X|Y]-> edge-type alternation (Cypher):
     isin filters on the read side; write patterns reject the form."""
