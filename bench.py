@@ -126,6 +126,7 @@ HEADLINE = [
     # frame)
     "gql_call_topk",
     "gql_nested_exists",
+    "gql_nested_call",
     "gql_map_comprehension",
     # r11 second session: a WITH pipeline inside a correlated CALL body
     # (grouped HAVING per imported binding — one derived table, hash

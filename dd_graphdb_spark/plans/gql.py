@@ -1607,12 +1607,18 @@ class _Parser:
                 "GQL parse error: a CALL body must be a read query "
                 f"(got {type(inner).__name__})"
             )
-        if inner.unwind_first is not None or inner.call_sub is not None:
+        if inner.unwind_first is not None:
             raise ValueError(
                 "GQL parse error: a correlated CALL body is "
-                "MATCH .. [WHERE] [WITH pipeline] RETURN items [ORDER "
-                "BY .. SKIP .. LIMIT ..] — no leading UNWIND or nested "
-                "CALL inside the braces"
+                "MATCH .. [WHERE] [nested CALL] [WITH pipeline] RETURN "
+                "items [ORDER BY .. SKIP .. LIMIT ..] — no leading "
+                "UNWIND inside the braces"
+            )
+        if inner.call_sub is not None and inner.with_items is not None:
+            raise ValueError(
+                "GQL parse error: a nested CALL and a WITH pipeline "
+                "cannot share one CALL body — aggregate the nested "
+                "outputs in the body RETURN instead"
             )
         if inner.with_items is None and inner.unwind is not None:
             raise ValueError(

@@ -1669,6 +1669,14 @@ class GQLEngine:
                 f"CALL body aliases {sorted(out_aliases & set(keys))} "
                 "collide with the correlation witness columns"
             )
+        nested_bare: tuple = ()
+        if inner.call_sub is not None:
+            # nested correlated CALL: the same machinery recurses — the
+            # nested body derives from THIS body's frame (which carries
+            # the inner witnesses' id columns), joins back per inner
+            # binding, and its outputs enter the body scope as bare
+            # names for the body RETURN to project/aggregate
+            sub, nested_bare = self._apply_call_sub(sub, inner.call_sub, ())
         if inner.with_items is not None:
             sub, body_vars = self._call_body_with(sub, inner, ivars, keys, bound)
             body_bare = True
@@ -1684,7 +1692,7 @@ class GQLEngine:
             body_vars, body_bare = ivars, False
         proj = self._project(
             sub, inner.returns, body_vars, vcols,
-            bare=body_bare, extra_keys=key_cols,
+            bare=body_bare, extra_keys=key_cols, bare_names=nested_bare,
         )
         if inner.distinct:
             proj = proj.distinct()

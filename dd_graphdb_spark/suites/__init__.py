@@ -62,16 +62,16 @@ def _with_hygiene(fn):
 # takes ~5 rounds; every round: new queries at the TOP, then the
 # oldest-recorded block, fill to 50 with the rows most affected by
 # the round's engine changes; freshest block moves to the END):
-#   r11 = 11 new + the 16 r6 rows deferred from r10's window + 23 of
+#   r11 = 12 new + the 16 r6 rows deferred from r10's window + 22 of
 #         the 50 r7-recorded rows (every row touching r11's changed
 #         surfaces: GQL parse/lowering incl. the EXISTS/subquery
 #         machinery, store mutation paths; plus the alert/dedup/sim/
-#         source/text fill). The 27 r7 rows that do NOT fit are
+#         source/text fill). The 28 r7 rows that do NOT fit are
 #         untouched by r11 (streaming transform, multimodal, fixture
 #         algorithms, the two scan-shaped source/text rows bumped by
 #         the second session's new queries) and lead r12's window;
 #         all were green in the r11 full oracle-gate replica.
-#   r12 = r12's new + the 27 deferred r7 rows + the r8-recorded block
+#   r12 = r12's new + the 28 deferred r7 rows + the r8-recorded block
 #   r13 = r13's new + the r9-recorded block
 #   r14 = r14's new + the r10-recorded block — then the cycle
 # repeats, so no query's newest driver row ever ages past ~5 rounds.
@@ -90,6 +90,7 @@ GATE_PRIORITY = [
     "dedup_exact_substring",
     "gql_call_topk",
     "gql_nested_exists",
+    "gql_nested_call",
     "gql_map_comprehension",
     # (2) the 16 r6 rows deferred from r10's window
     "conditional_agg",
@@ -108,7 +109,7 @@ GATE_PRIORITY = [
     "where_and_or",
     "window_lag_delta",
     "window_topk_per_segment",
-    # (3) 23 of the 50 r7-recorded rows (see calendar)
+    # (3) 22 of the 50 r7-recorded rows (see calendar)
     "alert_anomaly_rule",
     "alert_pattern_rule",
     "alert_rate_rule",
@@ -131,9 +132,9 @@ GATE_PRIORITY = [
     "gql_unwind",
     "gql_with_orderby_limit",
     "mutation_vacuum_retention",
-    "router_scoring_table",
-    # ---- 27 r7 rows deferred to r12 (window overflow; untouched by
+    # ---- 28 r7 rows deferred to r12 (window overflow; untouched by
     # r11's changes — see the calendar above) ----
+    "router_scoring_table",
     "sim_ann_ivf_topk",
     "sim_ann_lsh_topk",
     "sim_cosine_topk",

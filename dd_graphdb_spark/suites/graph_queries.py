@@ -2037,6 +2037,44 @@ def gql_optional_call(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Nested correlated CALL (round 11, second session): CALL inside a CALL
+# body — the grouped-join lowering recurses, so every nesting level is
+# one more derived-table join, never per-row re-execution at any depth.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_nested_call",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS nm, COALESCE(cnt.total, 0) AS n_orders
+    FROM vertices n
+    LEFT JOIN (
+        SELECT e.dst AS nid, COUNT(o.id) AS total
+        FROM vertices c
+        JOIN edges e ON e.src = c.id AND e.label = 'located_in'
+        LEFT JOIN edges po ON po.label = 'placed_by' AND po.dst = c.id
+        LEFT JOIN vertices o ON o.id = po.src AND o.label = 'Order'
+        WHERE c.label = 'Customer'
+        GROUP BY e.dst
+    ) cnt ON cnt.nid = n.id
+    WHERE n.label = 'Nation'
+    ORDER BY nm
+    """,
+)
+def gql_nested_call(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders held by each nation's customers, computed as a nested
+    correlated CALL: the inner body counts per customer (coalescing
+    order-less customers to 0), the outer body sums per nation."""
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (n:Nation) CALL { WITH n "
+        "MATCH (c:Customer)-[:located_in]->(n) "
+        "CALL { WITH c MATCH (o:Order)-[:placed_by]->(c) "
+        "RETURN count(o) AS k } "
+        "RETURN sum(k) AS n_orders } "
+        "RETURN n.name AS nm, n_orders ORDER BY nm"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Nested subqueries (round 11): COUNT{} inside an EXISTS body's WHERE.
 # Every nesting level stays a derived-table join (grouped count joined
 # onto the EXISTS frame, then a semi-join against the outer bindings) —

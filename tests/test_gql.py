@@ -2945,6 +2945,47 @@ def test_label_alternation(spark):
             eng.execute(q)
 
 
+def test_nested_correlated_call(people_edges_graph):
+    """CALL inside a correlated CALL body: the same grouped-join
+    machinery recurses — the nested body derives from the outer body's
+    frame, joins back per inner binding, and its outputs feed the body
+    RETURN (here: per-a sum over b of b's out-degree)."""
+    rows = (
+        _engine(people_edges_graph)
+        .execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(b) "
+            "CALL { WITH b MATCH (b)-[:knows]->(c) RETURN count(c) AS k } "
+            "RETURN sum(k) AS reach2 } "
+            "RETURN a.name AS nm, reach2 ORDER BY nm"
+        )
+        .collect()
+    )
+    # Alice: b∈{Bob(1), Charlie(0)} → 1; Bob: Charlie(0) → 0; Charlie: 0
+    assert [(r["nm"], r["reach2"]) for r in rows] == [
+        ("Alice", 1), ("Bob", 0), ("Charlie", 0),
+    ]
+
+
+def test_nested_call_streaming_and_optional(people_edges_graph):
+    eng = _engine(people_edges_graph)
+    rows = eng.execute(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(b) "
+        "OPTIONAL CALL { WITH b MATCH (b)-[:knows]->(c) "
+        "RETURN c.name AS cn } RETURN b.name AS bn, cn } "
+        "RETURN a.name AS nm, bn, cn ORDER BY nm, bn, cn"
+    ).collect()
+    assert [(r["nm"], r["bn"], r["cn"]) for r in rows] == [
+        ("Alice", "Bob", "Charlie"), ("Alice", "Charlie", None),
+        ("Bob", "Charlie", None),
+    ]
+    with pytest.raises(ValueError, match="nested CALL and a WITH"):
+        eng.execute(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(b) "
+            "CALL { WITH b MATCH (b)-[:knows]->(c) RETURN count(c) AS k } "
+            "WITH k RETURN k } RETURN a.name AS nm, k"
+        )
+
+
 def test_call_body_with_parse_errors(people_edges_graph):
     eng = _engine(people_edges_graph)
     cases = [
