@@ -565,6 +565,7 @@ _TOKEN_RE = re.compile(
     | (?P<num>-?\d+(?:\.\d+)?)
     | (?P<str>'[^']*'|"[^"]*")
     | (?P<op><=|>=|!=|<-|->|=~|=|<|>)
+    | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
     | (?P<punct>[()\[\]{}:,.*+/|%^-])
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     )""",
@@ -581,13 +582,57 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
                 break
             raise ValueError(f"GQL lex error at {pos}: {text[pos:pos+20]!r}")
         pos = m.end()
-        for kind in ("kw", "num", "str", "op", "punct", "ident"):
+        for kind in ("kw", "num", "str", "op", "param", "punct", "ident"):
             v = m.group(kind)
             if v is not None:
                 toks.append((kind if kind != "kw" else v.upper(), v))
                 break
     toks.append(("EOF", ""))
     return toks
+
+
+def _param_tokens(value, name: str) -> list[tuple[str, str]]:
+    """Literal token(s) for one parameter value — substitution happens
+    at the TOKEN level (Cypher parameters are values, so they are legal
+    exactly where literals are, with zero grammar special-cases).
+    Strings re-enter as a str token whose quotes the literal() reader
+    strips without escape processing, so embedded quotes survive."""
+    if value is None:
+        return [("NULL", "null")]
+    if isinstance(value, bool):
+        return [("TRUE", "true")] if value else [("FALSE", "false")]
+    if isinstance(value, (int, float)):
+        return [("num", repr(value))]
+    if isinstance(value, str):
+        return [("str", f"'{value}'")]
+    if isinstance(value, (list, tuple)):
+        toks: list[tuple[str, str]] = [("punct", "[")]
+        for i, el in enumerate(value):
+            if i:
+                toks.append(("punct", ","))
+            toks.extend(_param_tokens(el, name))
+        toks.append(("punct", "]"))
+        return toks
+    raise ValueError(
+        f"GQL parameter ${name} has unsupported type "
+        f"{type(value).__name__} — str/int/float/bool/None/list only"
+    )
+
+
+def _substitute_params(toks: list, params: dict | None) -> list:
+    out: list[tuple[str, str]] = []
+    for k, v in toks:
+        if k != "param":
+            out.append((k, v))
+            continue
+        name = v[1:]
+        if params is None or name not in params:
+            raise ValueError(
+                f"GQL parameter ${name} is not bound — pass "
+                f"params={{{name!r}: ...}}"
+            )
+        out.extend(_param_tokens(params[name], name))
+    return out
 
 
 # Word-shaped keyword tokens that may still be used as identifiers (labels,
@@ -2035,8 +2080,8 @@ class _Parser:
         return self._result_modifiers(stmt)
 
 
-def parse_gql(text: str):
-    p = _Parser(_tokenize(text))
+def parse_gql(text: str, params: dict | None = None):
+    p = _Parser(_substitute_params(_tokenize(text), params))
     stmt = p.read_query()
     if p.peek()[0] != "EOF":
         raise ValueError(f"GQL parse error: trailing tokens at {p.peek()[1]!r}")

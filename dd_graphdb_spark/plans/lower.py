@@ -939,8 +939,14 @@ class GQLEngine:
         self.graph = graph
         self.store = store
 
-    def execute(self, query: str) -> DataFrame:
-        stmt = parse_gql(query)
+    def execute(self, query: str, params: dict | None = None) -> DataFrame:
+        """Run one GQL statement. ``params`` binds ``$name`` query
+        parameters (Cypher convention) — values substitute as literal
+        tokens before parsing, so they are legal exactly where
+        literals are (inline props, WHERE operands, SKIP/LIMIT counts,
+        IN lists, UNWIND sources) and the lowered plan is identical to
+        the literal spelling (pushdown included)."""
+        stmt = parse_gql(query, params)
         if isinstance(stmt, CallStatement):
             return self._execute_call(stmt)
         if isinstance(stmt, UnionStatement):

@@ -62,16 +62,16 @@ def _with_hygiene(fn):
 # takes ~5 rounds; every round: new queries at the TOP, then the
 # oldest-recorded block, fill to 50 with the rows most affected by
 # the round's engine changes; freshest block moves to the END):
-#   r11 = 12 new + the 16 r6 rows deferred from r10's window + 22 of
+#   r11 = 13 new + the 16 r6 rows deferred from r10's window + 21 of
 #         the 50 r7-recorded rows (every row touching r11's changed
 #         surfaces: GQL parse/lowering incl. the EXISTS/subquery
 #         machinery, store mutation paths; plus the alert/dedup/sim/
-#         source/text fill). The 28 r7 rows that do NOT fit are
+#         source/text fill). The 29 r7 rows that do NOT fit are
 #         untouched by r11 (streaming transform, multimodal, fixture
 #         algorithms, the two scan-shaped source/text rows bumped by
 #         the second session's new queries) and lead r12's window;
 #         all were green in the r11 full oracle-gate replica.
-#   r12 = r12's new + the 28 deferred r7 rows + the r8-recorded block
+#   r12 = r12's new + the 29 deferred r7 rows + the r8-recorded block
 #   r13 = r13's new + the r9-recorded block
 #   r14 = r14's new + the r10-recorded block — then the cycle
 # repeats, so no query's newest driver row ever ages past ~5 rounds.
@@ -85,6 +85,7 @@ GATE_PRIORITY = [
     "gql_optional_call",
     "gql_label_alternation",
     "gql_inline_where",
+    "gql_parameters",
     "dedup_semantic_cells",
     "dedup_semantic_recall",
     "dedup_exact_substring",
@@ -109,7 +110,7 @@ GATE_PRIORITY = [
     "where_and_or",
     "window_lag_delta",
     "window_topk_per_segment",
-    # (3) 22 of the 50 r7-recorded rows (see calendar)
+    # (3) 21 of the 50 r7-recorded rows (see calendar)
     "alert_anomaly_rule",
     "alert_pattern_rule",
     "alert_rate_rule",
@@ -131,9 +132,9 @@ GATE_PRIORITY = [
     "gql_undirected",
     "gql_unwind",
     "gql_with_orderby_limit",
-    "mutation_vacuum_retention",
-    # ---- 28 r7 rows deferred to r12 (window overflow; untouched by
+    # ---- 29 r7 rows deferred to r12 (window overflow; untouched by
     # r11's changes — see the calendar above) ----
+    "mutation_vacuum_retention",
     "router_scoring_table",
     "sim_ann_ivf_topk",
     "sim_ann_lsh_topk",

@@ -1975,6 +1975,37 @@ def gql_label_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Query parameters ($name, Cypher convention): token-level literal
+# substitution before parsing — the lowered plan is IDENTICAL to the
+# literal spelling (pushdown included), and values are legal exactly
+# where literals are (props, WHERE operands, IN lists, LIMIT counts).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_parameters",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS nm, count(*) AS k
+    FROM vertices n
+    JOIN edges e ON e.dst = n.id AND e.label = 'located_in'
+    JOIN vertices c ON c.id = e.src AND c.label = 'Customer'
+    WHERE n.label = 'Nation' AND c.acctbal > 8000.0
+      AND c.mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY n.name
+    ORDER BY nm LIMIT 10
+    """,
+)
+def gql_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same plan as its literal spelling, driven entirely by $min /
+    $segs / $top bindings."""
+    return GQLEngine(materialized_tpch_graph(spark, sf_dir)).execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "WHERE c.acctbal > $min AND c.mktsegment IN $segs "
+        "RETURN n.name AS nm, count(c) AS k ORDER BY nm LIMIT $top",
+        params={"min": 8000.0, "segs": ["BUILDING", "MACHINERY"], "top": 10},
+    )
+
+
+# ---------------------------------------------------------------------------
 # Inline pattern predicates (Cypher 5 (n WHERE p)): parse-time desugar
 # into the clause WHERE — one condition tree reaches the lowerer, so
 # pushdown/pruning see exactly the same plan as the spelled-out form.

@@ -2854,6 +2854,43 @@ def test_optional_call_after_optional_match(people_edges_graph):
     ]
 
 
+def test_query_parameters(people_edges_graph):
+    """$name parameters (Cypher convention): token-level literal
+    substitution — legal exactly where literals are, embedded quotes
+    survive, unbound/unsupported values raise before parsing."""
+    eng = _engine(people_edges_graph)
+    assert sorted(
+        r[0] for r in eng.execute(
+            "MATCH (n:Person) WHERE n.age > $min RETURN n.name",
+            params={"min": 26},
+        ).collect()
+    ) == ["Alice", "Charlie"]
+    assert [r[0] for r in eng.execute(
+        "MATCH (n:Person {name: $who}) RETURN n.age", params={"who": "Bob"}
+    ).collect()] == [25]
+    assert sorted(
+        r[0] for r in eng.execute(
+            "MATCH (n:Person) WHERE n.name IN $names RETURN n.age",
+            params={"names": ["Alice", "Charlie"]},
+        ).collect()
+    ) == [30, 35]
+    assert [r[0] for r in eng.execute(
+        "MATCH (n:Person) RETURN n.name ORDER BY n.age DESC LIMIT $k",
+        params={"k": 1},
+    ).collect()] == ["Charlie"]
+    # embedded quote survives (str tokens strip quotes, no re-lexing)
+    assert eng.execute(
+        "MATCH (n:Person {name: $q}) RETURN n.age", params={"q": "O'Hara"}
+    ).count() == 0
+    with pytest.raises(ValueError, match="not bound"):
+        eng.execute("MATCH (n) WHERE n.age > $min RETURN n.name")
+    with pytest.raises(ValueError, match="unsupported type"):
+        eng.execute(
+            "MATCH (n) WHERE n.age > $min RETURN n.name",
+            params={"min": {"a": 1}},
+        )
+
+
 def test_inline_pattern_where(spark):
     """Cypher 5 inline predicates (n WHERE p) / -[r WHERE q]-: parse-
     time desugar into the consuming clause's WHERE, composing with
