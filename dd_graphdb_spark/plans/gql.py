@@ -339,6 +339,30 @@ class UnwindClause:
 
 
 @dataclass
+class WithStage:
+    """One additional ``WITH`` pipeline stage after the first — native
+    multi-WITH chains ``MATCH .. WITH .. [WITH ..]* RETURN`` (Cypher's
+    everyday linear pipeline; beyond the reference, whose grammar has
+    no WITH at all — graph/query/src/gql.pest:28-42 covers only
+    MATCH/WHERE/RETURN). Field semantics mirror the first stage's
+    ``with_*`` fields on MatchStatement: items project/aggregate the
+    previous stage's scope (bare aliases + passed-through variables),
+    then DISTINCT → WHERE → ORDER BY → SKIP → LIMIT apply in Cypher
+    clause order, then the stage's own post-WITH MATCH clauses join on
+    passed-through variables, then a trailing UNWIND feeds the next
+    stage (or the RETURN)."""
+
+    items: list
+    distinct: bool = False
+    where: object | None = None
+    order: list = field(default_factory=list)
+    skip: int | None = None
+    limit: int | None = None
+    post_clauses: list = field(default_factory=list)
+    unwind: UnwindClause | None = None
+
+
+@dataclass
 class MatchStatement:
     pattern: PathPattern
     where: object | None
@@ -375,6 +399,9 @@ class MatchStatement:
     # correlated CALL { WITH x .. } between the MATCH clauses and the
     # WITH/UNWIND/RETURN; its output columns join the scope as bare names
     call_sub: CallSubClause | None = None
+    # additional WITH pipeline stages AFTER the first (multi-WITH
+    # chains); the first stage stays on the with_* fields above
+    with_stages: list = field(default_factory=list)
 
 
 @dataclass
@@ -506,10 +533,13 @@ class CallSubClause:
     WHERE / ORDER BY / SKIP / LIMIT / DISTINCT, post-WITH MATCH
     clauses and a post-WITH UNWIND) — each stage evaluates per
     imported binding, so the pipeline composes like Cypher's per-row
-    execution without re-executing the body. Scope: every imported
-    variable must be reused in the body pattern (the id witness IS the
-    correlation); leading UNWIND and nested CALL stay rejected at
-    parse.
+    execution without re-executing the body. A leading UNWIND (before
+    the body MATCH) explodes its list per body binding; a nested CALL
+    may appear alone or composed with the WITH pipeline (nested
+    outputs enter the pipeline scope as bare names). Scope: every
+    imported variable must be reused in the body pattern (the id
+    witness IS the correlation); at most ONE WITH pipeline per body —
+    chain further stages at statement scope.
 
     ``OPTIONAL CALL { .. }`` (Cypher 25) keeps outer rows whose body
     produced nothing, NULL-filling the body outputs — the join-back
@@ -602,7 +632,14 @@ def _param_tokens(value, name: str) -> list[tuple[str, str]]:
     if isinstance(value, bool):
         return [("TRUE", "true")] if value else [("FALSE", "false")]
     if isinstance(value, (int, float)):
-        return [("num", repr(value))]
+        tok = repr(value)
+        if isinstance(value, float) and "." not in tok and "nan" not in tok and "inf" not in tok:
+            # keep the float-ness visible to literal(): 1e+20 / 1e20
+            # style reprs carry no '.', and literal() reads a dot-less
+            # integral token back as an int — append the exponent-safe
+            # marker so float params round-trip as doubles
+            tok = tok + ".0" if "e" not in tok and "E" not in tok else tok.replace("e", ".0e", 1)
+        return [("num", tok)]
     if isinstance(value, str):
         return [("str", f"'{value}'")]
     if isinstance(value, (list, tuple)):
@@ -1645,25 +1682,30 @@ class _Parser:
                 f"GQL parse error: CALL imports unknown variable(s) "
                 f"{unknown} — WITH must list outer MATCH variables"
             )
+        lead_unwind = None
+        if self.accept("UNWIND"):
+            # leading UNWIND in the body: per outer row, explode the
+            # list (a literal or an expression over the imported
+            # variables' properties), THEN match — Cypher clause order
+            lead_unwind = self._unwind_clause(allow_name=False)
         self.expect("MATCH")
-        inner = self._match_statement()
+        inner = self._match_statement(bare_returns=lead_unwind is not None)
         if not isinstance(inner, MatchStatement):
             raise ValueError(
                 "GQL parse error: a CALL body must be a read query "
                 f"(got {type(inner).__name__})"
             )
-        if inner.unwind_first is not None:
+        inner.unwind_first = lead_unwind
+        if lead_unwind is not None and lead_unwind.alias in imports:
             raise ValueError(
-                "GQL parse error: a correlated CALL body is "
-                "MATCH .. [WHERE] [nested CALL] [WITH pipeline] RETURN "
-                "items [ORDER BY .. SKIP .. LIMIT ..] — no leading "
-                "UNWIND inside the braces"
+                f"GQL parse error: the CALL body's UNWIND alias "
+                f"{lead_unwind.alias!r} shadows an imported variable"
             )
-        if inner.call_sub is not None and inner.with_items is not None:
+        if inner.with_stages:
             raise ValueError(
-                "GQL parse error: a nested CALL and a WITH pipeline "
-                "cannot share one CALL body — aggregate the nested "
-                "outputs in the body RETURN instead"
+                "GQL parse error: a correlated CALL body carries at most "
+                "ONE WITH pipeline — chain further WITH stages at "
+                "statement scope (after the CALL) instead"
             )
         if inner.with_items is None and inner.unwind is not None:
             raise ValueError(
@@ -1895,7 +1937,11 @@ class _Parser:
             and self.toks[self.i + 2][1] == "("
         )
 
-    def _match_statement(self, unwind_first: UnwindClause | None = None):
+    def _match_statement(
+        self,
+        unwind_first: UnwindClause | None = None,
+        bare_returns: bool = False,
+    ):
         if self._at_shortest_path():
             pattern: object = self._shortest_path_pattern()
             where = self.where_expr() if self.accept("WHERE") else None
@@ -2029,39 +2075,72 @@ class _Parser:
             call_sub.optional = True
         elif self._ident_kw("CALL") and self.toks[self.i + 1] == ("punct", "{"):
             call_sub = self._call_sub_clause(pattern, clauses)
+        # WITH pipeline stages — a chain `WITH .. [WITH ..]*` parses one
+        # stage per iteration; the first stage maps onto the legacy
+        # with_* fields, the rest become WithStage entries (each stage
+        # may carry its own modifiers, post-WITH MATCH clauses and a
+        # trailing UNWIND feeding the next stage)
         with_items = with_where = None
         post_clauses = []
         with_order: list[OrderItem] = []
         with_skip = with_limit = None
         with_distinct = False
-        if self.accept("WITH"):
-            with_distinct = self.accept("DISTINCT")
-            with_items = self.return_items()
-            if any(i.var == "*" and i.agg is None for i in with_items):
+        with_stages: list[WithStage] = []
+        unwind = None
+        first_stage = True
+        while self.accept("WITH"):
+            st_distinct = self.accept("DISTINCT")
+            # later stages aggregate over the previous stage's bare
+            # aliases; the first stage sees bare names only from a
+            # leading UNWIND or a CALL subquery's outputs
+            st_items = self.return_items(
+                bare_ok=not first_stage
+                or unwind_first is not None
+                or call_sub is not None
+                or bare_returns
+            )
+            if any(i.var == "*" and i.agg is None for i in st_items):
                 raise ValueError("GQL parse error: WITH does not support *")
             # pipeline modifiers in any written order; the applied
             # semantics are fixed: WHERE → ORDER BY → SKIP → LIMIT
+            st_where = None
+            st_order: list[OrderItem] = []
+            st_skip = st_limit = None
             while True:
-                if with_where is None and self.accept("WHERE"):
-                    with_where = self.where_expr()
-                elif not with_order and self.accept("ORDER"):
+                if st_where is None and self.accept("WHERE"):
+                    st_where = self.where_expr()
+                elif not st_order and self.accept("ORDER"):
                     self.expect("BY")
-                    with_order = self._order_items()
-                elif with_skip is None and self.accept("SKIP"):
-                    with_skip = self._nonneg_int("SKIP")
-                elif with_limit is None and self.accept("LIMIT"):
-                    with_limit = self._nonneg_int("LIMIT")
+                    st_order = self._order_items()
+                elif st_skip is None and self.accept("SKIP"):
+                    st_skip = self._nonneg_int("SKIP")
+                elif st_limit is None and self.accept("LIMIT"):
+                    st_limit = self._nonneg_int("LIMIT")
                 else:
                     break
-            post_clauses = self._match_clauses()
-            if post_clauses and any(i.agg for i in with_items):
+            st_post = self._match_clauses()
+            if st_post and any(i.agg for i in st_items):
                 raise ValueError(
                     "GQL parse error: MATCH after an aggregating WITH is "
                     "not supported — aggregate in the final RETURN instead"
                 )
-        unwind = None
-        if self.accept("UNWIND"):
-            unwind = self._unwind_clause(allow_name=with_items is not None)
+            st_unwind = None
+            if self.accept("UNWIND"):
+                st_unwind = self._unwind_clause(allow_name=True)
+            if first_stage:
+                with_items, with_distinct, with_where = st_items, st_distinct, st_where
+                with_order, with_skip, with_limit = st_order, st_skip, st_limit
+                post_clauses, unwind = st_post, st_unwind
+                first_stage = False
+            else:
+                with_stages.append(
+                    WithStage(
+                        st_items, st_distinct, st_where, st_order,
+                        st_skip, st_limit, st_post, st_unwind,
+                    )
+                )
+        if with_items is None and self.accept("UNWIND"):
+            unwind = self._unwind_clause(allow_name=False)
         self.expect("RETURN")
         distinct = self.accept("DISTINCT")
         stmt = MatchStatement(
@@ -2070,12 +2149,14 @@ class _Parser:
                 bare_ok=with_items is not None
                 or unwind is not None
                 or call_sub is not None
+                or bare_returns
             ),
             distinct=distinct,
             clauses=clauses, with_items=with_items, with_where=with_where,
             post_clauses=post_clauses, unwind_first=unwind_first, unwind=unwind,
             with_order=with_order, with_skip=with_skip, with_limit=with_limit,
             with_distinct=with_distinct, call_sub=call_sub,
+            with_stages=with_stages,
         )
         return self._result_modifiers(stmt)
 

@@ -1468,7 +1468,8 @@ class GQLEngine:
         return df, bare_names + (uw.alias,)
 
     def _call_body_with(
-        self, sub: DataFrame, inner, ivars: list, keys: list, bound: DataFrame
+        self, sub: DataFrame, inner, ivars: list, keys: list, bound: DataFrame,
+        bnames: tuple = (),
     ) -> tuple:
         """ONE WITH pipeline inside a correlated CALL body. Every stage
         evaluates PER IMPORTED BINDING — the id witness columns ride
@@ -1502,6 +1503,7 @@ class GQLEngine:
             i.var
             for i in inner.with_items
             if i.prop is None and i.agg is None and i.expr is None
+            and i.var not in bnames
         ]
         if w_aggs:
             if passthrough:
@@ -1511,7 +1513,7 @@ class GQLEngine:
                 )
             inter = self._project(
                 sub, inner.with_items, ivars, vcols,
-                extra_keys=[F.col(k) for k in keys],
+                extra_keys=[F.col(k) for k in keys], bare_names=bnames,
             )
             if all(i.agg for i in inner.with_items):
                 # pure-aggregate WITH: one row per outer binding even
@@ -1543,11 +1545,17 @@ class GQLEngine:
             cols = [F.col(k) for k in keys if k not in skip_keys]
             for i in inner.with_items:
                 if i.expr is not None:
-                    cols.append(_lower_expr(i.expr).alias(i.alias))
+                    cols.append(
+                        _lower_expr(i.expr, bare_names=bnames).alias(i.alias)
+                    )
                 elif i.prop is None and i.agg is None:
-                    if i.var not in ivars:
+                    if i.var in bnames:
+                        # a leading-UNWIND alias or a nested CALL output
+                        cols.append(F.col(i.var).alias(i.alias or i.var))
+                    elif i.var not in ivars:
                         raise ValueError(f"WITH {i.var}: unknown variable")
-                    cols.extend(F.col(f"{i.var}__{c}") for c in vcols)
+                    else:
+                        cols.extend(F.col(f"{i.var}__{c}") for c in vcols)
                 else:
                     cols.append(
                         F.col(f"{i.var}__{i.prop}").alias(
@@ -1662,9 +1670,26 @@ class GQLEngine:
                 f"CALL imports correlate on {missing}, not present in "
                 "the outer bindings"
             )
-        sub = self._subquery_frame(inner.pattern, inner.where, anon_prefix="_cse")
+        lead = inner.unwind_first
+        sub = self._subquery_frame(
+            inner.pattern,
+            None if lead is not None else inner.where,
+            anon_prefix="_cse",
+        )
         ivars = list(dict.fromkeys(n.var for n in inner.pattern.nodes))
         sub, ivars = self._apply_clauses(sub, ivars, inner.clauses, "_csc")
+        lead_bare: tuple = ()
+        if lead is not None:
+            # leading UNWIND in the body (Cypher: UNWIND before MATCH):
+            # the list expression references imported variables' props,
+            # which the body's own pattern binding re-bound — exploding
+            # after the clause joins is set-equivalent, and the body
+            # WHERE (which may reference the alias) applies after
+            sub, lead_bare = self._apply_unwind(sub, lead, ())
+            if inner.where is not None:
+                sub = self._apply_where(
+                    sub, inner.where, bare_names=lead_bare, anon_prefix="_cseu"
+                )
         vcols = self.graph.vertices.columns
         key_cols = [F.col(k) for k in keys]
         out_aliases = {i.alias for i in inner.returns if i.alias} | {
@@ -1683,9 +1708,13 @@ class GQLEngine:
             # binding, and its outputs enter the body scope as bare
             # names for the body RETURN to project/aggregate
             sub, nested_bare = self._apply_call_sub(sub, inner.call_sub, ())
+        body_bnames = lead_bare + nested_bare
         if inner.with_items is not None:
-            sub, body_vars = self._call_body_with(sub, inner, ivars, keys, bound)
+            sub, body_vars = self._call_body_with(
+                sub, inner, ivars, keys, bound, bnames=body_bnames
+            )
             body_bare = True
+            body_bnames = ()
         else:
             # COUNT{} / pattern comprehensions in the body's RETURN items
             # attach to the body frame (one more grouped join per subquery)
@@ -1698,7 +1727,7 @@ class GQLEngine:
             body_vars, body_bare = ivars, False
         proj = self._project(
             sub, inner.returns, body_vars, vcols,
-            bare=body_bare, extra_keys=key_cols, bare_names=nested_bare,
+            bare=body_bare, extra_keys=key_cols, bare_names=body_bnames,
         )
         if inner.distinct:
             proj = proj.distinct()
@@ -1771,6 +1800,133 @@ class GQLEngine:
             bound = bound.join(proj, on=keys, how=how)
         return bound, bare_names + tuple(out_names)
 
+    def _apply_with_stage(
+        self, inter: DataFrame, pvars: list, st, bare_aliases: tuple, idx: int
+    ) -> tuple:
+        """One additional WITH stage of a multi-WITH chain (stages after
+        the first — the first stage lowers inline in _execute_match).
+
+        The stage input is the previous intermediate: bare alias columns
+        plus passed-through variables' ``var__col`` binding columns. The
+        stage applies Cypher clause order — project/aggregate → DISTINCT
+        → WHERE → ORDER BY → SKIP → LIMIT → post-WITH MATCH clauses →
+        trailing UNWIND — and returns (frame, passthrough_vars,
+        bare_alias_names) for the next stage or the RETURN.
+
+        Spark shape: a non-aggregating stage is a pure projection
+        (no exchange); an aggregating stage shuffles once on its
+        implicit grouping keys, exactly like a terminal RETURN
+        aggregation. COUNT{} subqueries in stage items attach to the
+        stage INPUT, in the stage WHERE to the stage output — both
+        correlate on surviving passthrough binding columns."""
+        vcols = self.graph.vertices.columns
+        pre: list = []
+        for it in st.items:
+            if it.expr is not None:
+                it.expr = _rewrite_count_subs(it.expr, pre, prefix=f"_ws{idx}i")
+        if pre:
+            inter = self._attach_count_subs(inter, pre)
+        has_aggs = any(i.agg for i in st.items)
+        passthrough = [
+            i.var
+            for i in st.items
+            if i.prop is None and i.agg is None and i.expr is None
+            and i.var not in bare_aliases
+        ]
+        if has_aggs:
+            if passthrough:
+                raise ValueError(
+                    "WITH cannot mix whole-variable passthrough with "
+                    "aggregates — project the needed properties instead"
+                )
+            nxt = self._project(
+                inter, st.items, pvars, vcols, bare_names=bare_aliases
+            )
+            pvars = []
+        else:
+            cols = []
+            for i in st.items:
+                if i.expr is not None:
+                    cols.append(
+                        _lower_expr(i.expr, bare_names=bare_aliases).alias(
+                            i.alias
+                        )
+                    )
+                elif i.prop is None and i.agg is None:
+                    if i.var in bare_aliases:
+                        cols.append(F.col(i.var).alias(i.alias or i.var))
+                    elif i.var not in pvars:
+                        raise ValueError(f"WITH {i.var}: unknown variable")
+                    else:
+                        cols.extend(F.col(f"{i.var}__{c}") for c in vcols)
+                else:
+                    if i.var not in pvars:
+                        raise ValueError(
+                            f"WITH {i.var}.{i.prop}: {i.var} was not "
+                            "passed through the previous WITH"
+                        )
+                    cols.append(
+                        F.col(f"{i.var}__{i.prop}").alias(
+                            i.alias or f"{i.var}_{i.prop}"
+                        )
+                    )
+            nxt = inter.select(*cols)
+            pvars = passthrough
+        inter = nxt
+        if st.distinct:
+            inter = inter.distinct()
+        post: list = []
+        if st.where is not None:
+            if _has_pattern_pred(st.where):
+                raise ValueError(
+                    "EXISTS pattern predicates are not supported in "
+                    "WITH ... WHERE — filter in the MATCH WHERE clause "
+                    "instead"
+                )
+            st.where = _rewrite_count_subs(st.where, post, prefix=f"_ws{idx}w")
+        if post:
+            if has_aggs:
+                raise ValueError(
+                    "COUNT { } / pattern comprehensions after an "
+                    "AGGREGATING WITH are not supported — compute them "
+                    "in the WITH items instead"
+                )
+            inter = self._attach_count_subs(inter, post)
+        if st.where is not None:
+            inter = inter.filter(
+                _lower_condition(st.where, bare=True, pattern_vars=tuple(pvars))
+            )
+        if st.order:
+            exprs = []
+            for o in st.order:
+                if o.expr is not None:
+                    exprs.append(_lower_order_expr(o, inter.columns))
+                    continue
+                name = o.var if o.prop is None else f"{o.var}_{o.prop}"
+                if name not in inter.columns:
+                    alt = f"{o.var}__{o.prop}" if o.prop else None
+                    if alt and alt in inter.columns:
+                        name = alt  # passthrough variable's property
+                    else:
+                        raise ValueError(
+                            f"WITH ORDER BY {o.var}"
+                            f"{'.' + o.prop if o.prop else ''} is not "
+                            "projected by the WITH"
+                        )
+                exprs.append(F.col(name).desc() if o.desc else F.col(name).asc())
+            inter = inter.orderBy(*exprs)
+        if st.skip is not None:
+            inter = inter.offset(st.skip)
+        if st.limit is not None:
+            inter = inter.limit(st.limit)
+        inter, pvars = self._apply_clauses(inter, pvars, st.post_clauses, f"_w{idx}p")
+        bare_aliases = tuple(c for c in inter.columns if "__" not in c)
+        if st.unwind is not None:
+            inter, bare_aliases = self._apply_unwind(
+                inter, st.unwind, bare_aliases, bare=True
+            )
+        return inter, pvars, bare_aliases
+
     def _execute_match(self, stmt: MatchStatement) -> DataFrame:
         vcols = self.graph.vertices.columns
         unwound: tuple = ()
@@ -1783,7 +1939,14 @@ class GQLEngine:
                 stmt.where = _rewrite_path_funcs(stmt.where, pv, hv)
             if stmt.with_where is not None:
                 stmt.with_where = _rewrite_path_funcs(stmt.with_where, pv, hv)
-            for it in list(stmt.returns) + (stmt.with_items or []):
+            for st in stmt.with_stages:
+                if st.where is not None:
+                    st.where = _rewrite_path_funcs(st.where, pv, hv)
+            for it in (
+                list(stmt.returns)
+                + (stmt.with_items or [])
+                + [i for st in stmt.with_stages for i in st.items]
+            ):
                 if it.expr is not None:
                     it.expr = _rewrite_path_funcs(it.expr, pv, hv)
                 elif it.var == pv and it.prop is None and it.agg is None:
@@ -1797,7 +1960,9 @@ class GQLEngine:
             # frame-aware: needs the graph schema + vertex/edge var sets
             pats = [stmt.pattern] + [
                 opt.pattern
-                for _, opt in (stmt.clauses or []) + (stmt.post_clauses or [])
+                for _, opt in (stmt.clauses or [])
+                + (stmt.post_clauses or [])
+                + [c for st in stmt.with_stages for c in st.post_clauses]
             ]
             vv = {n.var for p in pats for n in p.nodes}
             ev = {e.var for p in pats for e in p.edges if e.var}
@@ -1810,7 +1975,14 @@ class GQLEngine:
                 stmt.where = _pm(stmt.where)
             if stmt.with_where is not None:
                 stmt.with_where = _pm(stmt.with_where)
-            for it in list(stmt.returns) + (stmt.with_items or []):
+            for st in stmt.with_stages:
+                if st.where is not None:
+                    st.where = _pm(st.where)
+            for it in (
+                list(stmt.returns)
+                + (stmt.with_items or [])
+                + [i for st in stmt.with_stages for i in st.items]
+            ):
                 if it.expr is not None:
                     it.expr = _pm(it.expr)
         # COUNT { .. } subqueries: rewrite to synthetic count columns.
@@ -1824,6 +1996,7 @@ class GQLEngine:
         # are in scope anyway).
         csubs: list = []
         post_csubs: list = []
+        final_csubs: list = []
         where_csubs = 0
         if isinstance(stmt.pattern, PathPattern):
             if stmt.where is not None:
@@ -1836,8 +2009,14 @@ class GQLEngine:
                 stmt.with_where = _rewrite_count_subs(
                     stmt.with_where, post_csubs, prefix="_pcsub"
                 )
-            ret_out = csubs if stmt.with_items is None else post_csubs
-            ret_prefix = "_csub" if stmt.with_items is None else "_pcsub"
+            if stmt.with_items is None:
+                ret_out, ret_prefix = csubs, "_csub"
+            elif not stmt.with_stages:
+                ret_out, ret_prefix = post_csubs, "_pcsub"
+            else:
+                # multi-WITH chain: RETURN count-subqueries attach to
+                # the LAST stage's intermediate, not the first's
+                ret_out, ret_prefix = final_csubs, "_fcsub"
             for it in stmt.returns:
                 if it.expr is not None:
                     it.expr = _rewrite_count_subs(it.expr, ret_out, ret_prefix)
@@ -1988,6 +2167,27 @@ class GQLEngine:
                 # WITH .. UNWIND alias AS x: explode the projected list
                 # (bare=True: an expression references the WITH aliases)
                 inter, _ = self._apply_unwind(inter, stmt.unwind, (), bare=True)
+            if stmt.with_stages:
+                # multi-WITH chain: each further stage re-projects the
+                # previous intermediate (bare aliases + passed-through
+                # variables' binding columns) — same per-stage pipeline,
+                # no extra shuffle beyond what each stage's own
+                # aggregation/ordering needs
+                bare_aliases = tuple(
+                    c for c in inter.columns if "__" not in c
+                )
+                for k, st in enumerate(stmt.with_stages, start=1):
+                    inter, pvars, bare_aliases = self._apply_with_stage(
+                        inter, pvars, st, bare_aliases, k
+                    )
+                if final_csubs:
+                    if not pvars:
+                        raise ValueError(
+                            "COUNT { } / pattern comprehensions after an "
+                            "AGGREGATING WITH are not supported — compute "
+                            "them in the WITH items instead"
+                        )
+                    inter = self._attach_count_subs(inter, final_csubs)
             df = self._project(inter, stmt.returns, pvars, vcols, bare=True)
         else:
             # Cypher: ORDER BY may reference non-projected properties of

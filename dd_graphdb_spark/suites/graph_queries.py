@@ -2168,6 +2168,121 @@ def gql_map_comprehension(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("nm", F.array_join("ms", "|").alias("ms"))
 
 
+# ---------------------------------------------------------------------------
+# GQL: native multi-WITH pipeline chain (round 12) — three stages: an
+# aggregating WITH, a filtering WITH over the aggregate aliases, a
+# computing WITH; the RETURN projects the final stage's aliases. Spark
+# shape: ONE shuffle (the stage-1 aggregation); stages 2-3 are pure
+# projections fused by Catalyst into the same whole-stage-codegen span.
+# Beyond the reference (its grammar has no WITH at all —
+# graph/query/src/gql.pest:28-42); Cypher multi-WITH semantics are the
+# bar.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_multi_with",
+    GRAPH_CTE
+    + """
+    SELECT nation, n_cust * 2 AS score
+    FROM (
+        SELECT n.name AS nation, COUNT(*) AS n_cust
+        FROM vertices c
+        JOIN edges e ON c.id = e.src AND e.label = 'located_in'
+        JOIN vertices n ON e.dst = n.id
+        WHERE c.label = 'Customer' AND n.label = 'Nation'
+        GROUP BY n.name
+    ) WHERE n_cust > 25
+    ORDER BY nation
+    """,
+)
+def gql_multi_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "WITH n.name AS nation, count(*) AS n_cust "
+        "WITH nation, n_cust WHERE n_cust > 25 "
+        "WITH nation, n_cust * 2 AS score "
+        "RETURN nation, score ORDER BY nation"
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQL: leading UNWIND inside a correlated CALL body (round 12) — the
+# body explodes a literal list per binding BEFORE its MATCH, so the
+# pure-aggregate outputs scale by the list: c2 = 2 × matches,
+# st = (1+2) × matches; nations with no qualifying customers keep one
+# row (LEFT join-back, count→0 / sum→0 identities).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_call_unwind",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS nation,
+           2 * COALESCE(s.cnt, 0) AS c2,
+           3 * COALESCE(s.cnt, 0) AS st
+    FROM vertices n
+    LEFT JOIN (
+        SELECT e.dst AS nid, COUNT(*) AS cnt
+        FROM vertices c
+        JOIN edges e ON c.id = e.src AND e.label = 'located_in'
+        WHERE c.label = 'Customer' AND c.acctbal > 5000.0
+        GROUP BY e.dst
+    ) s ON s.nid = n.id
+    WHERE n.label = 'Nation'
+    ORDER BY nation
+    """,
+)
+def gql_call_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (n:Nation) "
+        "CALL { WITH n UNWIND [1, 2] AS t "
+        "MATCH (c:Customer)-[:located_in]->(n) WHERE c.acctbal > 5000.0 "
+        "RETURN count(*) AS c2, sum(t) AS st } "
+        "RETURN n.name AS nation, c2, st ORDER BY nation"
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQL: nested CALL composed with a WITH pipeline in ONE body (round 12)
+# — the nested per-nation customer count enters the body pipeline as a
+# bare name; the pipeline filters on it and the body's ORDER BY/LIMIT
+# rank per REGION group (one row_number window — per-outer-row top-k).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_call_nested_with",
+    GRAPH_CTE
+    + """
+    SELECT region, nation, nc FROM (
+        SELECT r.name AS region, n.name AS nation, cnt.nc AS nc,
+               ROW_NUMBER() OVER (PARTITION BY r.id ORDER BY n.name) AS rn
+        FROM vertices r
+        JOIN edges e ON e.dst = r.id AND e.label = 'in_region'
+        JOIN vertices n ON n.id = e.src AND n.label = 'Nation'
+        JOIN (
+            SELECT e2.dst AS nid, COUNT(*) AS nc
+            FROM vertices c
+            JOIN edges e2 ON c.id = e2.src AND e2.label = 'located_in'
+            WHERE c.label = 'Customer'
+            GROUP BY e2.dst
+        ) cnt ON cnt.nid = n.id
+        WHERE r.label = 'Region' AND cnt.nc > 20
+    ) WHERE rn <= 3
+    ORDER BY region, nation
+    """,
+)
+def gql_call_nested_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (r:Region) "
+        "CALL { WITH r MATCH (n:Nation)-[:in_region]->(r) "
+        "CALL { WITH n MATCH (c:Customer)-[:located_in]->(n) "
+        "RETURN count(*) AS nc } "
+        "WITH n.name AS nation, nc WHERE nc > 20 "
+        "RETURN nation, nc ORDER BY nation LIMIT 3 } "
+        "RETURN r.name AS region, nation, nc ORDER BY region, nation"
+    )
+
+
 # Uniform events-precision handling (no-op for ts-free oracles; see
 # graph.rewrite_events_oracles).
 from dd_graphdb_spark.graph import rewrite_events_oracles as _rw  # noqa: E402

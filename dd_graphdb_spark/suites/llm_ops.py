@@ -285,7 +285,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_count",
     # \s+ tokenization matching operators.text.tokens() (single-space
     # split counted empty tokens / never split tabs or newlines)
-    "SELECT doc_id, len(CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)::BIGINT AS n_tokens FROM documents",
+    r"SELECT doc_id, len(CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)::BIGINT AS n_tokens FROM documents",
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = X.token_count(_docs(spark, sf_dir))
@@ -350,7 +350,7 @@ _STOP_SQL = ", ".join(f"'{w}'" for w in X.EN_STOPWORDS)
 
 @_q(
     "text_quality",
-    f"""
+    rf"""
     WITH t AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS toks FROM documents),
     m AS (
         SELECT doc_id,
@@ -379,7 +379,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "text_lang_id",
-    f"""
+    rf"""
     WITH t AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END AS toks FROM documents)
     SELECT doc_id,
            CASE WHEN len(list_filter(toks, x -> lower(x) IN ({_STOP_SQL})))::DOUBLE / len(toks) >= 0.05
@@ -476,9 +476,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "dedup_exact_substring",
-    """
+    r"""
     WITH toks AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []
+               ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        FROM documents
     ),
     spans AS (
         SELECT doc_id, md5(array_to_string(t[i : i + 7], ' ')) AS h
@@ -1266,7 +1268,7 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "text_tfidf_topk",
-    """
+    r"""
     WITH toks AS (
         SELECT doc_id, unnest(CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END) AS term
         FROM documents

@@ -3015,12 +3015,17 @@ def test_nested_call_streaming_and_optional(people_edges_graph):
         ("Alice", "Bob", "Charlie"), ("Alice", "Charlie", None),
         ("Bob", "Charlie", None),
     ]
-    with pytest.raises(ValueError, match="nested CALL and a WITH"):
-        eng.execute(
-            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(b) "
-            "CALL { WITH b MATCH (b)-[:knows]->(c) RETURN count(c) AS k } "
-            "WITH k RETURN k } RETURN a.name AS nm, k"
-        )
+    # nested CALL composed with a WITH pipeline in one body (the nested
+    # output enters the pipeline scope as a bare name)
+    rows = eng.execute(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(b) "
+        "CALL { WITH b MATCH (b)-[:knows]->(c) RETURN count(c) AS k } "
+        "WITH b.name AS bn, k WHERE k >= 0 RETURN bn, k } "
+        "RETURN a.name AS nm, bn, k ORDER BY nm, bn"
+    ).collect()
+    assert [(r["nm"], r["bn"], r["k"]) for r in rows] == [
+        ("Alice", "Bob", 1), ("Alice", "Charlie", 0), ("Bob", "Charlie", 0),
+    ]
 
 
 def test_call_body_with_parse_errors(people_edges_graph):
@@ -3180,3 +3185,154 @@ def test_foreach_create_requires_loop_var_and_empty_match_noops(spark, tmp_path)
         "MATCH (s:Nope) FOREACH (x IN ['z'] | CREATE (:Tag {v: x}))"
     )
     assert store.version == before  # empty match: no version commit
+
+
+# --------------------------------------------------------------------------
+# Round 12: native multi-WITH pipeline chains (MATCH .. WITH .. WITH ..
+# RETURN) and the CALL-body grammar closures (leading UNWIND; nested
+# CALL composed with a WITH pipeline).
+# --------------------------------------------------------------------------
+def test_multi_with_chain_project_then_aggregate(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person)-[:friend]->(q:Person) "
+        "WITH p, q.age AS fage WHERE fage < 40 "
+        "WITH p.name AS pname, count(*) AS nf, sum(fage) AS total "
+        "RETURN pname, nf, total ORDER BY pname"
+    ).collect()
+    assert [(r["pname"], r["nf"], r["total"]) for r in rows] == [
+        ("Alice", 1, 25), ("Bob", 1, 35),
+    ]
+
+
+def test_multi_with_three_stage_chain(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) "
+        "WITH p.name AS nm, p.age AS a "
+        "WITH nm, a WHERE a >= 30 "
+        "WITH nm, a * 2 AS a2 "
+        "RETURN nm, a2 ORDER BY nm"
+    ).collect()
+    assert [(r["nm"], r["a2"]) for r in rows] == [
+        ("Alice", 60), ("Charlie", 70),
+    ]
+
+
+def test_multi_with_mid_pipeline_topk_then_compute(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) "
+        "WITH p.name AS nm, p.age AS a ORDER BY a DESC LIMIT 2 "
+        "WITH nm, a + 1 AS a1 "
+        "RETURN nm, a1 ORDER BY nm"
+    ).collect()
+    assert [(r["nm"], r["a1"]) for r in rows] == [
+        ("Alice", 31), ("Charlie", 36),
+    ]
+
+
+def test_multi_with_passthrough_then_match_in_second_stage(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) WITH p WHERE p.age < 32 "
+        "WITH p MATCH (p)-[:friend]->(r:Person) "
+        "RETURN p.name AS pname, r.name AS rname ORDER BY pname, rname"
+    ).collect()
+    assert [(r["pname"], r["rname"]) for r in rows] == [
+        ("Alice", "Bob"), ("Bob", "Charlie"),
+    ]
+
+
+def test_multi_with_collect_unwind_between_stages(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person)-[:friend]->(q:Person) "
+        "WITH p.name AS pname, collect(q.age) AS ages UNWIND ages AS a "
+        "WITH pname, a WHERE a > 25 "
+        "RETURN pname, a ORDER BY pname, a"
+    ).collect()
+    assert [(r["pname"], r["a"]) for r in rows] == [("Bob", 35)]
+
+
+def test_multi_with_distinct_and_where_in_later_stage(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person)-[:friend]->(q:Person) "
+        "WITH q.age AS qa "
+        "WITH DISTINCT qa WHERE qa > 20 "
+        "RETURN qa ORDER BY qa"
+    ).collect()
+    assert [r["qa"] for r in rows] == [25, 35]
+
+
+def test_multi_with_aggregate_then_reaggregate(people_graph):
+    eng = _engine(people_graph)
+    # second aggregation over the first stage's aggregate output
+    rows = eng.execute(
+        "MATCH (p:Person)-[:friend]->(q:Person) "
+        "WITH p.name AS pname, count(*) AS deg "
+        "WITH deg, count(*) AS n_people "
+        "RETURN deg, n_people ORDER BY deg"
+    ).collect()
+    assert [(r["deg"], r["n_people"]) for r in rows] == [(1, 2)]
+
+
+def test_multi_with_unknown_alias_errors(people_graph):
+    eng = _engine(people_graph)
+    with pytest.raises(ValueError, match="unknown variable"):
+        eng.execute(
+            "MATCH (p:Person) WITH p.name AS nm WITH ghost RETURN ghost"
+        )
+    with pytest.raises(ValueError, match="not .*passed through|unknown"):
+        eng.execute(
+            "MATCH (p:Person) WITH p.name AS nm WITH p.age AS a RETURN a"
+        )
+
+
+def test_call_body_leading_unwind(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) "
+        "CALL { WITH p UNWIND [1, 2] AS t MATCH (p)-[:friend]->(x:Person) "
+        "RETURN count(*) AS c, sum(t) AS s } "
+        "RETURN p.name AS pname, c, s ORDER BY pname"
+    ).collect()
+    assert [(r["pname"], r["c"], r["s"]) for r in rows] == [
+        ("Alice", 2, 3), ("Bob", 2, 3), ("Charlie", 0, 0),
+    ]
+
+
+def test_call_body_leading_unwind_where_references_alias(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) "
+        "CALL { WITH p UNWIND [1, 2, 3] AS t "
+        "MATCH (p)-[:friend]->(x:Person) WHERE t <= 2 "
+        "RETURN collect(t) AS ts } "
+        "RETURN p.name AS pname, ts ORDER BY pname"
+    ).collect()
+    assert [(r["pname"], list(r["ts"])) for r in rows] == [
+        ("Alice", [1, 2]), ("Bob", [1, 2]), ("Charlie", []),
+    ]
+
+
+def test_call_body_leading_unwind_alias_shadow_rejected(people_graph):
+    eng = _engine(people_graph)
+    with pytest.raises(ValueError, match="shadows an imported"):
+        eng.execute(
+            "MATCH (p:Person) "
+            "CALL { WITH p UNWIND [1] AS p MATCH (p)-[:friend]->(x) "
+            "RETURN count(*) AS c } RETURN c"
+        )
+
+
+def test_call_body_multi_with_rejected(people_graph):
+    eng = _engine(people_graph)
+    with pytest.raises(ValueError, match="at most ONE WITH pipeline"):
+        eng.execute(
+            "MATCH (p:Person) "
+            "CALL { WITH p MATCH (p)-[:friend]->(x:Person) "
+            "WITH x.age AS a WITH a WHERE a > 1 RETURN a } "
+            "RETURN p.name AS nm, a"
+        )

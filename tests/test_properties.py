@@ -1407,3 +1407,112 @@ def test_gql_call_body_with_pipeline_shapes(
         got = [(r["vid"], r["ua"]) for r in eng.execute(q).collect()]
         got.sort(key=lambda t: (t[0], t[1] is not None, t[1] or 0))
         assert got == want, q
+
+
+# --------------------------------------------------------------------------
+# Whole-statement fuzzer, round-12 shapes: native multi-WITH pipeline
+# chains (two/three chained stages, mid-pipeline top-k, passthrough +
+# post-WITH MATCH in a later stage) plus the round's CALL-body grammar
+# closures (leading UNWIND in the body; nested CALL composed with a
+# WITH pipeline) — all against the same pure-Python model.
+# --------------------------------------------------------------------------
+@settings(max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    vlabel=st.sampled_from([None, "P", "Q"]),
+    e1=st.sampled_from(["x", "y"]),
+    e2=st.sampled_from(["x", "y"]),
+    wop=st.sampled_from(["<", ">", ">=", "<="]),
+    wn=st.integers(0, 9),
+    shape=st.sampled_from(
+        ["chain_agg", "chain_three", "chain_topk", "chain_postmatch",
+         "call_lead_unwind", "call_nested_with"]
+    ),
+    lst=st.lists(st.integers(0, 5), min_size=1, max_size=3),
+    k=st.integers(1, 4),
+    thresh=st.integers(0, 2),
+)
+def test_gql_statement_roundtrip_multi_with_shapes(
+    spark, _stmt_graph, vlabel, e1, e2, wop, wn, shape, lst, k, thresh,
+):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(_stmt_graph)
+    pat = f"(v{':' + vlabel if vlabel else ''})"
+    verts = [
+        (i, a) for i, (l, a) in _G_VERTS.items()
+        if vlabel is None or l == vlabel
+    ]
+
+    def out(i, el):
+        return [d for (s, d, lab) in _G_EDGES if s == i and lab == el]
+
+    lit = "[" + ", ".join(map(str, lst)) + "]"
+
+    if shape == "chain_agg":
+        # stage 1 projects + filters, stage 2 aggregates the alias
+        q = (f"MATCH {pat} WITH v.a AS x WHERE x {wop} {wn} "
+             f"WITH x % 3 AS b, count(*) AS c, sum(x) AS s "
+             f"RETURN b, c, s ORDER BY b")
+        model: dict = {}
+        for _, a in verts:
+            if not _CMP[wop](a, wn):
+                continue
+            c, s = model.get(a % 3, (0, 0))
+            model[a % 3] = (c + 1, s + a)
+        got = {r["b"]: (r["c"], r["s"]) for r in eng.execute(q).collect()}
+        assert got == model, q
+    elif shape == "chain_three":
+        q = (f"MATCH {pat} WITH v.id AS vid, v.a AS x "
+             f"WITH vid, x WHERE x {wop} {wn} "
+             f"WITH vid, x * 2 AS y RETURN vid, y ORDER BY vid")
+        want = sorted((i, a * 2) for i, a in verts if _CMP[wop](a, wn))
+        got = [(r["vid"], r["y"]) for r in eng.execute(q).collect()]
+        assert got == want, q
+    elif shape == "chain_topk":
+        # mid-pipeline top-k, then a further computing stage
+        q = (f"MATCH {pat} WITH v.id AS vid, v.a AS x "
+             f"ORDER BY x DESC, vid LIMIT {k} "
+             f"WITH vid, x + 1 AS y RETURN vid, y ORDER BY vid")
+        top = sorted(verts, key=lambda t: (-t[1], t[0]))[:k]
+        want = sorted((i, a + 1) for i, a in top)
+        got = [(r["vid"], r["y"]) for r in eng.execute(q).collect()]
+        assert got == want, q
+    elif shape == "chain_postmatch":
+        # passthrough via two stages, MATCH joined in the second stage
+        q = (f"MATCH {pat} WITH v WHERE v.a {wop} {wn} "
+             f"WITH v MATCH (v)-[:{e1}]->(u) "
+             f"RETURN v.id AS vid, u.a AS ua ORDER BY vid, ua")
+        want = sorted(
+            (i, _G_VERTS[d][1])
+            for i, a in verts if _CMP[wop](a, wn)
+            for d in out(i, e1)
+        )
+        got = [(r["vid"], r["ua"]) for r in eng.execute(q).collect()]
+        assert got == want, q
+    elif shape == "call_lead_unwind":
+        # leading UNWIND in the body cross-products the body matches
+        q = (f"MATCH {pat} CALL {{ WITH v UNWIND {lit} AS t "
+             f"MATCH (v)-[:{e1}]->(u) "
+             f"RETURN count(*) AS c, sum(t) AS s }} "
+             f"RETURN v.id AS vid, c, s ORDER BY vid")
+        want = {}
+        for i, _ in verts:
+            n = len(out(i, e1))
+            want[i] = (n * len(lst), sum(lst) * n if n else 0)
+        got = {r["vid"]: (r["c"], r["s"]) for r in eng.execute(q).collect()}
+        assert got == want, q
+    else:  # call_nested_with
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"CALL {{ WITH u MATCH (u)-[:{e2}]->(w) RETURN count(w) AS nw }} "
+             f"WITH u.a AS ua, nw WHERE nw >= {thresh} RETURN ua, nw }} "
+             f"RETURN v.id AS vid, ua, nw ORDER BY vid, ua")
+        want = sorted(
+            (i, _G_VERTS[u][1], len(out(u, e2)))
+            for i, _ in verts
+            for u in out(i, e1)
+            if len(out(u, e2)) >= thresh
+        )
+        got = [(r["vid"], r["ua"], r["nw"]) for r in eng.execute(q).collect()]
+        assert got == want, q
