@@ -292,6 +292,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     salt_threshold: int = 1000,
     n_salts: int = 16,
+    n_probe: int = 1,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — cluster-then-
     prune semantic deduplication, the cell-partitioned sibling of
@@ -307,14 +308,25 @@ def semantic_dedup(
     Cross-cell near-dups are missed by construction: that is
     SemDeDup's recall tradeoff, bounded by quantizer quality.
 
+    ``n_probe`` > 1 extends candidate generation with the SAME
+    multi-probe idea `ivf_topk` uses for queries: every vector is
+    replicated into its ``n_probe`` nearest cells for PAIRING (its
+    reported ``cell`` stays the primary/nearest one), so two vectors
+    whose probe lists intersect anywhere become a candidate pair —
+    recovering boundary-straddling near-dups the single-cell variant
+    misses. A pair can co-occur in up to n_probe cells; candidates
+    dedup on (a, b) before the exact-cosine verify.
+
     Scale notes (100 TB): the pair join is PARTITION-LOCAL — one hash
     shuffle on cell, quadratic only within a cell; n_centroids scales
     with the corpus to bound cell size, and a degenerate hot cell
     (near-identical corpus) takes the salted pair path so its d^2
-    spreads across ``n_salts`` tasks. Cosines round to 6 decimals
-    before the threshold compare (engine-portable boundary decisions).
-    Output: one row per vector — (id_col, cell, keep, dup_of; dup_of
-    NULL for survivors).
+    spreads across ``n_salts`` tasks. Multi-probe multiplies per-cell
+    membership by ≤ n_probe (candidate volume ≤ n_probe² ×), still
+    cell-local — the knob trades exactly that factor for recall.
+    Cosines round to 6 decimals before the threshold compare
+    (engine-portable boundary decisions). Output: one row per vector —
+    (id_col, cell, keep, dup_of; dup_of NULL for survivors).
     """
     from dd_graphdb_spark.operators._skew import salted_self_pairs
 
@@ -323,9 +335,26 @@ def semantic_dedup(
         emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
         .withColumn("cell", _nearest_centroid(F.col("v"), cents))
     )
-    cand = salted_self_pairs(
-        base.select("id", "cell"), "id", ["cell"], salt_threshold, n_salts
-    )
+    if n_probe <= 1:
+        probed = base.select("id", "cell")
+    else:
+        # probe list exactly as ivf_topk: n_probe nearest centroids,
+        # sim desc with ties to the lowest cid (negated-sim sort keys)
+        def probe_cells(vec: Column) -> Column:
+            keyed = F.transform(
+                _centroid_sims(vec, cents),
+                lambda x, i: F.struct((-x).alias("negsim"), i.alias("cid")),
+            )
+            return F.slice(
+                F.transform(F.array_sort(keyed), lambda s: s["cid"]), 1, n_probe
+            )
+
+        probed = base.select(
+            "id", F.explode(probe_cells(F.col("v"))).alias("cell")
+        )
+    cand = salted_self_pairs(probed, "id", ["cell"], salt_threshold, n_salts)
+    if n_probe > 1:
+        cand = cand.dropDuplicates(["a", "b"])
     va = base.select(F.col("id").alias("a"), F.col("v").alias("va"), norm(F.col("v")).alias("na"))
     vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), norm(F.col("v")).alias("nb"))
     dup_of = (

@@ -513,35 +513,43 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_spans(_docs(spark, sf_dir), window=8)
 
 
-def _sql_semantic_dedup(n_centroids: int, threshold: float) -> str:
+def _sql_semantic_dedup(n_centroids: int, threshold: float, n_probe: int = 1) -> str:
     """SemDeDup oracle: same coarse quantizer as the IVF oracle (first n
     vectors as centroids, argmax-cosine cells with lowest-cid ties),
-    then the greedy within-cell prune — a vector's representative is
-    the smallest lower-id cell-mate at rounded cosine >= threshold."""
+    then the greedy prune — a vector's representative is the smallest
+    lower-id candidate at rounded cosine >= threshold. ``n_probe`` > 1
+    mirrors the engine's multi-probe candidate generation: every
+    vector pairs through its n_probe nearest cells (DISTINCT pairs),
+    while the reported cell stays the primary one. ``ranked`` is
+    MATERIALIZED — it feeds two CTEs and DuckDB inlines CTEs by
+    default (re-evaluating the scoring cross join per reference)."""
     cos_vc = f"{_SQL_DOT.format(a='e.v', b='c.cv')} / ({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='c.cv')})"
     cos_ab = f"{_SQL_DOT.format(a='ea.v', b='eb.v')} / ({_SQL_NORM.format(a='ea.v')} * {_SQL_NORM.format(a='eb.v')})"
     return f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
     cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),
-    scored_cells AS (SELECT e.vec_id, c.cid, {cos_vc} AS sim FROM e, cents c),
-    cells AS (
-        SELECT vec_id, cid AS cell FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
-            FROM scored_cells
-        ) WHERE rn = 1
+    ranked AS MATERIALIZED (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM (SELECT e.vec_id, c.cid, {cos_vc} AS sim FROM e, cents c)
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn <= {n_probe}),
+    prim AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+    cand AS (
+        SELECT DISTINCT ca.vec_id AS ida, cb.vec_id AS idb
+        FROM cells ca JOIN cells cb ON cb.cell = ca.cell AND cb.vec_id < ca.vec_id
     ),
     dups AS (
-        SELECT ca.vec_id AS id, MIN(cb.vec_id) AS dup_of
-        FROM cells ca
-        JOIN e ea ON ea.vec_id = ca.vec_id
-        JOIN cells cb ON cb.cell = ca.cell AND cb.vec_id < ca.vec_id
-        JOIN e eb ON eb.vec_id = cb.vec_id
+        SELECT p.ida AS id, MIN(p.idb) AS dup_of
+        FROM cand p
+        JOIN e ea ON ea.vec_id = p.ida
+        JOIN e eb ON eb.vec_id = p.idb
         WHERE ROUND({cos_ab}, 6) >= {threshold}
-        GROUP BY ca.vec_id
+        GROUP BY p.ida
     )
     SELECT cl.vec_id, cl.cell, (d.dup_of IS NULL) AS keep,
            COALESCE(d.dup_of, -1) AS dup_of
-    FROM cells cl LEFT JOIN dups d ON d.id = cl.vec_id
+    FROM prim cl LEFT JOIN dups d ON d.id = cl.vec_id
     ORDER BY cl.vec_id
     """
 
@@ -564,6 +572,25 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_semantic_multiprobe",
+    _sql_semantic_dedup(8, 0.4, n_probe=2),
+)
+def dedup_semantic_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with multi-probe candidate generation (n_probe=2): the
+    r12 recall upgrade — vectors pair through their two nearest cells,
+    recovering boundary-straddling near-dups, with the reported cell
+    and the survivorship rule unchanged
+    (operators/similarity.py:semantic_dedup)."""
+    out = S.semantic_dedup(_emb(spark, sf_dir), n_centroids=8, threshold=0.4, n_probe=2)
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        "keep",
+        F.coalesce("dup_of", F.lit(-1).cast("long")).alias("dup_of"),
+    )
+
+
+@_q(
     "dedup_semantic_recall",
     f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
@@ -573,21 +600,28 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE ROUND({_SQL_DOT.format(a='ea.v', b='eb.v')} /
               ({_SQL_NORM.format(a='ea.v')} * {_SQL_NORM.format(a='eb.v')}), 6) >= 0.4
     ),
-    sd AS ({{semdedup}})
+    sd AS ({{semdedup}}),
+    sd2 AS ({{semdedup2}})
     SELECT (SELECT COUNT(*) FROM e) AS n_vectors,
            (SELECT COUNT(*) FROM truth) AS n_dup_global,
            (SELECT COUNT(*) FROM sd WHERE NOT keep) AS n_dup_cells,
            (SELECT COUNT(*) FROM sd JOIN truth ON truth.id = sd.vec_id
-            WHERE NOT sd.keep) AS n_agree
-    """.replace("{semdedup}", _sql_semantic_dedup(8, 0.4)),
+            WHERE NOT sd.keep) AS n_agree,
+           (SELECT COUNT(*) FROM sd2 WHERE NOT keep) AS n_dup_p2,
+           (SELECT COUNT(*) FROM sd2 JOIN truth ON truth.id = sd2.vec_id
+            WHERE NOT sd2.keep) AS n_agree_p2
+    """.replace("{semdedup}", _sql_semantic_dedup(8, 0.4))
+    .replace("{semdedup2}", _sql_semantic_dedup(8, 0.4, n_probe=2)),
 )
 def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured SemDeDup recall IN the gate: the exact all-pairs greedy
     prune (a vector is a duplicate when ANY lower-id vector anywhere
-    matches it at cosine >= threshold) vs the cell-local verdicts.
-    Both sides are deterministic, so the four counts are exact
-    oracle-checked values — the cross-cell misses (n_dup_global -
-    n_agree) are the quantified recall tradeoff, not a bound. The
+    matches it at cosine >= threshold) vs the cell-local verdicts, at
+    BOTH probe levels (n_probe=1 and the r12 multi-probe n_probe=2 —
+    the p2 columns quantify the recall recovered by probing the second
+    cell). All counts are deterministic, exact oracle-checked values —
+    the cross-cell misses (n_dup_global - n_agree) are the quantified
+    recall tradeoff, not a bound. The
     all-pairs truth side is deliberately quadratic (the baseline
     class, like the exact n-gram Jaccard proofs) — gate-only, never in
     scale subsets."""
@@ -609,6 +643,8 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sd = S.semantic_dedup(emb, n_centroids=8, threshold=0.4)
     dup_cells = sd.filter(~F.col("keep")).select("vec_id")
+    sd2 = S.semantic_dedup(emb, n_centroids=8, threshold=0.4, n_probe=2)
+    dup_p2 = sd2.filter(~F.col("keep")).select("vec_id")
     return spark.createDataFrame(
         [
             (
@@ -616,9 +652,12 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 truth.count(),
                 dup_cells.count(),
                 dup_cells.join(truth, dup_cells.vec_id == truth.id).count(),
+                dup_p2.count(),
+                dup_p2.join(truth, dup_p2.vec_id == truth.id).count(),
             )
         ],
-        "n_vectors long, n_dup_global long, n_dup_cells long, n_agree long",
+        "n_vectors long, n_dup_global long, n_dup_cells long, n_agree long, "
+        "n_dup_p2 long, n_agree_p2 long",
     )
 
 
