@@ -77,6 +77,40 @@ def wide_shuffle(spark):
             spark.conf.set(key, prev)
 
 
+@_contextmanager
+def narrow_shuffle(spark, n: int = 8):
+    """Scoped LOWERING of the shuffle-partition count, the mirror image
+    of ``wide_shuffle``: for fixpoint loops whose whole state is tiny
+    (an incremental view's maintained graph right after a handful of
+    delta batches), per-round cost is pure task-scheduling fan-out —
+    the wide_shuffle docstring's own A/B (BFS small-state loop: 7.9 s
+    at 32 partitions → 33.5 s at 256) shows partition count dominates
+    small-state rounds. Callers gate this on a MEASURED row count
+    (parquet metadata counts are ~free), so a view whose state has
+    grown past the threshold keeps the full-width loop — the knob is
+    size-aware, never a global cap."""
+    keys = (
+        "spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+    )
+    prev = {}
+    for k in keys:
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+    for k in keys:
+        spark.conf.set(k, str(n))
+    try:
+        yield
+    finally:
+        for k in keys:
+            if prev[k] is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev[k])
+
+
 def _ckpt(df: DataFrame) -> DataFrame:
     """Eager localCheckpoint with SERIALIZED memory+disk blocks.
 

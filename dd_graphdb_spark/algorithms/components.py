@@ -247,14 +247,82 @@ def _strongly_connected_components_loop(
     return out
 
 
-def connected_components(g: PropertyGraph, max_iterations: int = 50) -> DataFrame:
+def _connected_components_single_partition(g: PropertyGraph) -> DataFrame:
+    """Size-gated single-task union-find — the tiny-graph fast path.
+
+    The FastSV loop's cost floor is round LATENCY (checkpoint job +
+    convergence job per round), ~2 s even on a 6-vertex graph; for a
+    graph whose whole edge set fits one task comfortably (callers gate
+    on measured state bytes) the right plan is the same one Spark picks
+    for broadcast-sized join sides: ship it to ONE task. Vertices and
+    edges funnel through a single Arrow-batched mapInPandas partition
+    (coalesce(1) is a narrow dependency — no shuffle) running min-root
+    union-find, so labels equal the distributed fixpoint's exactly
+    (component = min member id). One job, no checkpoints, nothing
+    pinned. NOT for general use — the distributed loop is the scale
+    path; this exists so an incremental view's small-state refresh
+    isn't charged log-diameter round latency."""
+    verts = g.vertices.select("id")
+    edges = g.edges.select("src", "dst")
+    tagged = verts.select(
+        F.col("id").alias("a"), F.lit(None).cast("long").alias("b")
+    ).unionByName(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    )
+
+    def uf(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                a = int(a)
+                parent.setdefault(a, a)
+                if not pd.isna(b):
+                    b = int(b)
+                    parent.setdefault(b, b)
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        # union by MIN root: the final find() of any
+                        # member resolves to the component's min id
+                        if ra < rb:
+                            parent[rb] = ra
+                        else:
+                            parent[ra] = rb
+        ids = sorted(parent)
+        yield pd.DataFrame(
+            {"id": ids, "component": [find(i) for i in ids]}
+        )
+
+    return tagged.coalesce(1).mapInPandas(uf, "id long, component long")
+
+
+def connected_components(
+    g: PropertyGraph, max_iterations: int = 50, single_partition: bool = False
+) -> DataFrame:
     """Public entry; releases loop-intermediate checkpoint blocks.
 
     Runs under wide_shuffle: FastSV's per-round neighbor-min reduction
     is an EDGE-sized aggregate (same-host sf10 A/B on the derived-graph
     gate query: 77 s at 32 initial partitions → 47 s at 256). SCC does
     NOT take the raise — its peel rounds are many small stages and the
-    wider fan-out measured 1.7x slower (283 s vs 487 s)."""
+    wider fan-out measured 1.7x slower (283 s vs 487 s).
+
+    ``single_partition=True`` routes to the one-task union-find — ONLY
+    for callers that measured the graph to be tiny (see
+    _connected_components_single_partition)."""
+    if single_partition:
+        return _connected_components_single_partition(g)
+
     def impl(g, *a, **kw):
         with wide_shuffle(g.vertices.sparkSession):
             return _connected_components_loop(g, *a, **kw)

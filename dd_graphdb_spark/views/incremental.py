@@ -60,24 +60,93 @@ class _VersionedTable:
     written with put-if-absent (the Delta/Iceberg commit shape) —
     the version-directory layout carries over unchanged."""
 
-    def __init__(self, spark: SparkSession, path: str, schema: str):
+    def __init__(
+        self, spark: SparkSession, path: str, schema: str, lazy: bool = False
+    ):
+        """``lazy``: skip the eager empty-v0 write — reads before the
+        first write return an empty frame and ``version`` is -1.
+        For OPTIONAL state cells (e.g. a view's cached labels) the
+        init write would charge every view instance for state only
+        refreshes use."""
         self.spark = spark
         self.path = path
         self.schema = schema
         os.makedirs(path, exist_ok=True)
         self._meta = os.path.join(path, "meta.json")
-        if not os.path.exists(self._meta):
+        if not lazy and not os.path.exists(self._meta):
             self.write(spark.createDataFrame([], schema))
+
+    def _load_meta(self) -> dict:
+        if not os.path.exists(self._meta):
+            return {"version": -1, "pins": []}
+        with open(self._meta) as f:
+            m = json.load(f)
+        m.setdefault("pins", [])
+        return m
+
+    def _save_meta(self, m: dict) -> None:
+        tmp = self._meta + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, self._meta)
 
     @property
     def version(self) -> int:
-        with open(self._meta) as f:
-            return json.load(f)["version"]
+        return self._load_meta()["version"]
+
+    def data_bytes(self) -> int:
+        """On-disk size of the current version (filesystem stats — the
+        size signal for size-aware execution choices, no Spark job)."""
+        if self.version < 0:
+            return 0
+        d = os.path.join(self.path, f"v{self.version}")
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+        )
+
+    def pin(self, version: int) -> None:
+        """Protect ``version`` from write-time vacuum — a consumer
+        (e.g. a view's labels snapshot) references it across later
+        writes. No data moves: pinning IS the snapshot."""
+        m = self._load_meta()
+        if version not in m["pins"]:
+            m["pins"] = sorted(set(m["pins"]) | {version})
+            self._save_meta(m)
+
+    def unpin(self, version: int) -> None:
+        m = self._load_meta()
+        if version in m["pins"]:
+            m["pins"] = [p for p in m["pins"] if p != version]
+            self._save_meta(m)
+            if version <= m["version"] - self.KEEP_LAST:
+                shutil.rmtree(
+                    os.path.join(self.path, f"v{version}"), ignore_errors=True
+                )
+
+    def read_version(self, version: int, spark: SparkSession | None = None) -> DataFrame:
+        """Read a specific (pinned or retained) version."""
+        s = spark or self.spark
+        d = os.path.join(self.path, f"v{version}")
+        if version < 0 or not os.path.exists(d):
+            raise ValueError(f"version {version} of {self.path} is gone")
+        raw = s.read.parquet(d)
+        declared = s.createDataFrame([], self.schema).schema
+        cols = [
+            (F.col(f.name) if f.name in raw.columns else F.lit(None))
+            .cast(f.dataType)
+            .alias(f.name)
+            for f in declared.fields
+        ]
+        return raw.select(cols)
 
     def read(self, spark: SparkSession | None = None) -> DataFrame:
         # caller may pass a foreachBatch session clone so state rows and
         # batch rows live in the same session
         s = spark or self.spark
+        if self.version < 0:
+            return s.createDataFrame([], self.schema)
         raw = s.read.parquet(os.path.join(self.path, f"v{self.version}"))
         # Migration-tolerant: cast the footer's types to the declared
         # schema instead of forcing the declared schema onto the file.
@@ -102,13 +171,14 @@ class _VersionedTable:
     KEEP_LAST = 3
 
     def write(self, df: DataFrame) -> int:
-        nxt = (self.version + 1) if os.path.exists(self._meta) else 0
+        m = self._load_meta()
+        nxt = m["version"] + 1
         df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{nxt}"))
-        tmp = self._meta + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": nxt}, f)
-        os.replace(tmp, self._meta)
+        m["version"] = nxt
+        self._save_meta(m)
         for old in range(max(0, nxt - self.KEEP_LAST + 1)):
+            if old in m["pins"]:
+                continue  # a consumer snapshot references it
             stale = os.path.join(self.path, f"v{old}")
             if os.path.exists(stale):
                 shutil.rmtree(stale, ignore_errors=True)
@@ -341,8 +411,14 @@ class _EdgeState:
         self.spark = spark
         self.weighted = weighted
         cols = "src long, dst long" + (", weight double" if weighted else "")
-        self._edges = _VersionedTable(spark, os.path.join(path, "edges"), cols)
-        self._verts = _VersionedTable(spark, os.path.join(path, "verts"), "id long")
+        # lazy: reads before the first delta batch return empty frames,
+        # so registering a view never pays two empty-parquet writes
+        self._edges = _VersionedTable(
+            spark, os.path.join(path, "edges"), cols, lazy=True
+        )
+        self._verts = _VersionedTable(
+            spark, os.path.join(path, "verts"), "id long", lazy=True
+        )
 
     def apply_edge_deltas(self, deltas: DataFrame) -> None:
         if "_sign" not in deltas.columns:
@@ -405,17 +481,153 @@ class IncrementalConnectivity(_EdgeState):
 
     The reference's maintenance contract: state is merged per changeset,
     then the algorithm re-runs over state — bounded by the maintained
-    graph, never re-derived from base tables. Here the re-run is the
-    min-label-propagation fixpoint (rounds ≈ diameter, all distributed).
+    graph, never re-derived from base tables. The reference recomputes
+    the whole graph per refresh; here the refresh is DELTA-BOUNDED
+    (r12): component labels persist alongside edge/vertex snapshots of
+    the last refresh, and the next refresh
+
+    1. derives the dirty vertex set from the state-vs-snapshot
+       symmetric difference (two anti-joins — linear passes, no
+       per-batch bookkeeping writes),
+    2. short-circuits to the cached labels when nothing changed,
+    3. otherwise re-runs the FastSV fixpoint only on the AFFECTED
+       components' subgraph (components containing a dirty vertex —
+       edge changes dirty both endpoints, so any component whose
+       membership could change is affected; the subgraph is
+       edge-closed: an old edge touching an affected component has
+       both endpoints in it by reachability, a new edge has both
+       endpoints dirty) and splices the relabeled rows over the kept
+       ones. Labels are component-min vertex ids on both paths, so
+       spliced and full labels agree exactly.
+
+    At 100 TB this turns the per-refresh cost from a log-diameter
+    fixpoint over the WHOLE graph into linear diff scans plus a
+    fixpoint over just the touched components. A tiny maintained state
+    (measured on-disk bytes) additionally routes to the one-task
+    union-find (``connected_components(single_partition=True)``) and
+    runs its diff/splice joins under ``narrow_shuffle`` — small-state
+    cost is task fan-out and round latency, not data.
+
     Result: one row (component_count, vertex_count) — the value +
     metadata pair of :1104-1107.
     """
 
-    def result(self) -> DataFrame:
+    #: below this many on-disk state bytes (~50k edge rows) the
+    #: fixpoint runs on 8 shuffle partitions (see narrow_shuffle);
+    #: filesystem stats make the check free
+    NARROW_BYTES = 1 << 20
+
+    def __init__(self, spark: SparkSession, path: str, weighted: bool = False):
+        super().__init__(spark, path, weighted)
+        self._labels = _VersionedTable(
+            spark, os.path.join(path, "labels"), "id long, component long",
+            lazy=True,
+        )
+        # which edge/vertex state versions the labels reflect — the
+        # "snapshot" is a PIN on those versions (no data copied)
+        self._snap_meta = os.path.join(path, "labels", "snapshot.json")
+
+    def _fixpoint(self, g, small: bool) -> DataFrame:
         from dd_graphdb_spark.algorithms.components import connected_components
 
-        comp = connected_components(self.graph())
-        return comp.agg(
+        # small (measured on-disk state bytes): one-task union-find —
+        # a tiny refresh should not pay log-diameter round latency
+        return connected_components(g, single_partition=small)
+
+    def _refresh_labels(self) -> DataFrame:
+        g = self.graph()
+        small = self._edges.data_bytes() <= self.NARROW_BYTES
+        snap = None
+        if os.path.exists(self._snap_meta):
+            with open(self._snap_meta) as f:
+                snap = json.load(f)
+        if snap is not None and (
+            snap["edges_v"] == self._edges.version
+            and snap["verts_v"] == self._verts.version
+        ):
+            return self._labels.read()  # nothing changed since refresh
+        from contextlib import nullcontext
+
+        from dd_graphdb_spark.algorithms._iter import narrow_shuffle
+
+        # small state: the diff/splice joins below also run narrow —
+        # their cost is task fan-out, not data (scoped; restored after)
+        scope = narrow_shuffle(self.spark) if small else nullcontext()
+        with scope:
+            if snap is None:
+                comp = self._fixpoint(g, small)
+            else:
+                cur_v = g.vertices.select("id")
+                labels = self._labels.read()
+                snap_e = self._edges.read_version(snap["edges_v"])
+                snap_vt = self._verts.read_version(snap["verts_v"])
+                cur_e = self._edges.read().select("src", "dst")
+                # dirty = endpoints of changed edges ∪ changed RAW vertex
+                # rows (a superset of truly-affected vertices is fine — it
+                # only widens the recomputed region; subtract = EXCEPT
+                # DISTINCT, both sides are key sets)
+                changed_e = cur_e.subtract(
+                    snap_e.select("src", "dst")
+                ).unionByName(snap_e.select("src", "dst").subtract(cur_e))
+                dirty = (
+                    changed_e.select(F.col("src").alias("id"))
+                    .unionByName(changed_e.select(F.col("dst").alias("id")))
+                    .unionByName(self._verts.read().subtract(snap_vt))
+                    .unionByName(snap_vt.subtract(self._verts.read()))
+                    .distinct()
+                )
+                if dirty.isEmpty():
+                    # version bumped but content identical (e.g. an edge
+                    # re-insert): keep labels, just advance the snapshot
+                    comp = labels
+                else:
+                    affected = (
+                        labels.join(dirty, "id", "left_semi")
+                        .select("component")
+                        .distinct()
+                    )
+                    sub_ids = (
+                        labels.join(affected, "component", "left_semi")
+                        .select("id")
+                        .unionByName(dirty)
+                        .distinct()
+                        .join(cur_v, "id", "left_semi")  # drop removed vertices
+                    )
+                    # edge-closure invariant (see class docstring): either
+                    # endpoint in the subgraph implies both — one semi-join
+                    e_sub = g.edges.join(
+                        sub_ids, g.edges["src"] == sub_ids["id"], "left_semi"
+                    )
+                    from dd_graphdb_spark.graph import PropertyGraph
+
+                    sub = self._fixpoint(PropertyGraph(sub_ids, e_sub), small)
+                    comp = labels.join(
+                        affected, "component", "left_anti"
+                    ).unionByName(sub.select("id", "component"))
+            self._labels.write(comp)
+        # comp is already materialized (fixpoint checkpoint / cached
+        # labels), so returning it directly skips a parquet read-back
+        result = comp
+        # move the snapshot pins to the just-labeled state versions
+        new_snap = {
+            "edges_v": self._edges.version,
+            "verts_v": self._verts.version,
+        }
+        self._edges.pin(new_snap["edges_v"])
+        self._verts.pin(new_snap["verts_v"])
+        if snap is not None:
+            if snap["edges_v"] != new_snap["edges_v"]:
+                self._edges.unpin(snap["edges_v"])
+            if snap["verts_v"] != new_snap["verts_v"]:
+                self._verts.unpin(snap["verts_v"])
+        tmp = self._snap_meta + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_snap, f)
+        os.replace(tmp, self._snap_meta)
+        return result
+
+    def result(self) -> DataFrame:
+        return self._refresh_labels().agg(
             F.count_distinct("component").alias("component_count"),
             F.count("*").alias("vertex_count"),
         )

@@ -307,3 +307,129 @@ def test_router_read_refreshes_dirty_view(spark, catalog):
     assert r.execute(QueryPattern("aggregation")).collect()[0]["s"] == 10
     catalog.mark_dirty("dirtyv")
     assert r.execute(QueryPattern("aggregation")).collect()[0]["s"] == 20
+
+
+# ---------------------------------------------------------------------------
+# Round 12: delta-bounded connectivity refresh — labels persist with
+# version-pinned state snapshots; the next refresh recomputes only the
+# affected components (splits AND merges), a no-change refresh
+# short-circuits, and labels always equal a from-scratch recompute.
+# ---------------------------------------------------------------------------
+def _model_cc(verts, edges):
+    parent = {v: v for v in verts}
+    for s, d in edges:
+        parent.setdefault(s, s)
+        parent.setdefault(d, d)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[max(rs, rd)] = min(rs, rd)
+    return len({find(v) for v in parent}), len(parent)
+
+
+def test_incremental_connectivity_delta_bounded_refresh(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dd_graphdb_spark.algorithms.components import connected_components
+    from dd_graphdb_spark.views.incremental import IncrementalConnectivity
+
+    state = IncrementalConnectivity(spark, str(tmp_path / "iconn"))
+    verts = [1, 2, 3, 4, 5, 6]
+    edges = {(1, 2), (2, 3), (4, 5)}
+    state.apply_vertex_deltas(
+        spark.createDataFrame([(v,) for v in verts], "id long")
+    )
+    state.apply_edge_deltas(
+        spark.createDataFrame(sorted(edges), "src long, dst long")
+    )
+    r1 = state.result().collect()[0]
+    assert (r1[0], r1[1]) == _model_cc(verts, edges)
+
+    # split {1,2,3} via a removal AND merge {4,5}+{6} via adds
+    state.apply_edge_deltas(
+        spark.createDataFrame(
+            [(3, 4, 1), (5, 6, 1), (1, 2, -1)],
+            "src long, dst long, _sign int",
+        )
+    )
+    edges = (edges - {(1, 2)}) | {(3, 4), (5, 6)}
+    r2 = state.result().collect()[0]
+    assert (r2[0], r2[1]) == _model_cc(verts, edges)
+
+    # spliced labels equal a from-scratch distributed recompute
+    full = {
+        r["id"]: r["component"]
+        for r in connected_components(state.graph()).collect()
+    }
+    cached = {
+        r["id"]: r["component"] for r in state._labels.read().collect()
+    }
+    assert cached == full
+
+    # no-change refresh short-circuits to the cached labels
+    r3 = state.result().collect()[0]
+    assert (r3[0], r3[1]) == (r2[0], r2[1])
+
+    # vertex removal (isolated 6 after its edge goes) + isolated add
+    state.apply_edge_deltas(
+        spark.createDataFrame([(5, 6, -1)], "src long, dst long, _sign int")
+    )
+    state.apply_vertex_deltas(
+        spark.createDataFrame([(6, -1), (7, 1)], "id long, _sign int")
+    )
+    edges = edges - {(5, 6)}
+    r4 = state.result().collect()[0]
+    assert (r4[0], r4[1]) == _model_cc([1, 2, 3, 4, 5, 7], edges)
+    full = {
+        r["id"]: r["component"]
+        for r in connected_components(state.graph()).collect()
+    }
+    cached = {
+        r["id"]: r["component"] for r in state._labels.read().collect()
+    }
+    assert cached == full
+
+
+def test_versioned_table_pins_survive_vacuum(spark, tmp_path):
+    from dd_graphdb_spark.views.incremental import _VersionedTable
+
+    t = _VersionedTable(spark, str(tmp_path / "vt"), "id long", lazy=True)
+    assert t.version == -1 and t.read().count() == 0
+    v0 = t.write(spark.createDataFrame([(1,)], "id long"))
+    t.pin(v0)
+    for i in range(2, 8):  # far past KEEP_LAST
+        t.write(spark.createDataFrame([(i,)], "id long"))
+    assert t.read_version(v0).collect()[0]["id"] == 1  # pinned survives
+    t.unpin(v0)
+    import os
+
+    assert not os.path.exists(str(tmp_path / "vt" / f"v{v0}"))
+
+
+def test_single_partition_cc_matches_distributed(spark):
+    from pyspark.sql import functions as F
+
+    from dd_graphdb_spark.algorithms.components import connected_components
+    from dd_graphdb_spark.graph import PropertyGraph
+
+    v = spark.createDataFrame([(i,) for i in range(1, 11)], "id long")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (6, 4), (8, 9)],
+        "src long, dst long",
+    ).withColumn("label", F.lit("l"))
+    g = PropertyGraph(v, e)
+    dist = {
+        r["id"]: r["component"] for r in connected_components(g).collect()
+    }
+    single = {
+        r["id"]: r["component"]
+        for r in connected_components(g, single_partition=True).collect()
+    }
+    assert single == dist
