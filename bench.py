@@ -186,6 +186,7 @@ def main() -> None:
     # session and shared by six gate queries.
     from dd_graphdb_spark.suites.algorithms import (
         LAYOUT_USERS,
+        _colocation_capped_graph,
         _colocation_weighted_graph,
         _reversed_tpch_graph,
         _symmetric_tpch_graph,
@@ -195,12 +196,18 @@ def main() -> None:
     # query sources by tests/test_plans.py) — a hand-maintained set here
     # silently mis-charged new layout readers' timed windows
     coloc_users = LAYOUT_USERS["colocation_layout"]
+    coloc_cap_users = LAYOUT_USERS["colocation_capped_layout"]
     revsym_users = LAYOUT_USERS["fk_rev_sym_layouts"]
     if coloc_users & set(run_list):
         t0 = time.time()
         _colocation_weighted_graph(spark, sf_dir)
         load_sec["colocation_layout"] = round(time.time() - t0, 3)
         print(f"# load: colocation layout build in {load_sec['colocation_layout']:.2f}s", file=sys.stderr)
+    if coloc_cap_users & set(run_list):
+        t0 = time.time()
+        _colocation_capped_graph(spark, sf_dir)
+        load_sec["colocation_capped_layout"] = round(time.time() - t0, 3)
+        print(f"# load: capped colocation layout build in {load_sec['colocation_capped_layout']:.2f}s", file=sys.stderr)
     if revsym_users & set(run_list):
         t0 = time.time()
         _reversed_tpch_graph(spark, sf_dir)

@@ -58,82 +58,40 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# ROTATION CALENDAR (registry 222 > 50/window, so a full re-record
+# ROTATION CALENDAR (registry 234 > 50/window, so a full re-record
 # takes ~5 rounds; every round: new queries at the TOP, then the
 # oldest-recorded block, fill to 50 with the rows most affected by
 # the round's engine changes; freshest block moves to the END):
-#   r11 = 13 new + the 16 r6 rows deferred from r10's window + 21 of
-#         the 50 r7-recorded rows (every row touching r11's changed
-#         surfaces: GQL parse/lowering incl. the EXISTS/subquery
-#         machinery, store mutation paths; plus the alert/dedup/sim/
-#         source/text fill). The 29 r7 rows that do NOT fit are
-#         untouched by r11 (streaming transform, multimodal, fixture
-#         algorithms, the two scan-shaped source/text rows bumped by
-#         the second session's new queries) and lead r12's window;
-#         all were green in the r11 full oracle-gate replica.
-#   r12 = r12's new + the 29 deferred r7 rows + the r8-recorded block
-#   r13 = r13's new + the r9-recorded block
-#   r14 = r14's new + the r10-recorded block — then the cycle
+#   r11 = 13 new + 16 deferred r6 + 21 r7 rows (recorded 50/50 green).
+#   r12 = 6 new/changed-schema (multi-WITH chain, CALL-body leading
+#         UNWIND, nested-CALL+WITH composition, SemDeDup multi-probe,
+#         the recall gate whose schema gained p2 columns, the capped-
+#         colocation SSSP) + 3 rows
+#         whose engine/oracle surface r12 changed (exact-substring
+#         oracle tokenizer, the delta-bounded connectivity refresh,
+#         float query-params) + the 29 r7 rows deferred from r11 +
+#         12 of the r8-recorded block. The remaining 38 r8 rows lead
+#         r13's window; all were green in the r12 full oracle-gate
+#         replica.
+#   r13 = r13's new + the 38 remaining r8 rows + r9-block head
+#   r14 = r14's new + the r9/r10-recorded remainder — then the cycle
 # repeats, so no query's newest driver row ever ages past ~5 rounds.
 GATE_PRIORITY = [
-    # ---- r11 window (driver records the FIRST 50) ----
-    # (1) the NEW oracle-checked queries (per-outer-row top-k in
-    # correlated CALL bodies; COUNT{} nested inside an EXISTS body;
-    # second session: WITH pipelines inside correlated CALL bodies)
-    "gql_call_with_pipeline",
-    "gql_call_with_topk_collect",
-    "gql_optional_call",
-    "gql_label_alternation",
-    "gql_inline_where",
-    "gql_parameters",
-    "dedup_semantic_cells",
+    # ---- r12 window (driver records the FIRST 50) ----
+    # (1) NEW queries (native multi-WITH pipeline chains; leading
+    # UNWIND in correlated CALL bodies; nested CALL composed with a
+    # WITH pipeline; SemDeDup multi-probe + its re-measured recall)
+    "gql_multi_with",
+    "gql_call_unwind",
+    "gql_call_nested_with",
+    "dedup_semantic_multiprobe",
     "dedup_semantic_recall",
+    "algo_sssp_colocation_capped",
+    # (2) rows whose engine or oracle surface r12 changed
     "dedup_exact_substring",
-    "gql_call_topk",
-    "gql_nested_exists",
-    "gql_nested_call",
-    "gql_map_comprehension",
-    # (2) the 16 r6 rows deferred from r10's window
-    "conditional_agg",
-    "db_stats",
-    "distinct_segments",
-    "fn_geo_enrich",
-    "rollup_status_priority",
-    "set_except_nations",
-    "stream_count_window",
-    "stream_live_count_window",
-    "text_lang_id",
-    "text_quality",
-    "text_redact_pii",
-    "text_tfidf_topk",
-    "text_token_count",
-    "where_and_or",
-    "window_lag_delta",
-    "window_topk_per_segment",
-    # (3) 21 of the 50 r7-recorded rows (see calendar)
-    "alert_anomaly_rule",
-    "alert_pattern_rule",
-    "alert_rate_rule",
-    "alert_threshold_cooldown",
-    "anti_join_customers_without_orders",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "gql_create_delete",
-    "gql_exists_pattern",
-    "gql_expr_arith",
-    "gql_expr_functions",
-    "gql_incoming_edge",
-    "gql_inline_props",
-    "gql_match_edge",
-    "gql_match_filter",
-    "gql_merge_edge",
-    "gql_multi_hop",
-    "gql_shortest_path",
-    "gql_undirected",
-    "gql_unwind",
-    "gql_with_orderby_limit",
-    # ---- 29 r7 rows deferred to r12 (window overflow; untouched by
-    # r11's changes — see the calendar above) ----
+    "view_incremental_connectivity",
+    "gql_parameters",
+    # (3) the 29 r7 rows deferred from r11's window
     "mutation_vacuum_retention",
     "router_scoring_table",
     "sim_ann_ivf_topk",
@@ -265,7 +223,7 @@ GATE_PRIORITY = [
     "algo_sssp_colocation",
     "algo_betweenness_landmarks",
     "algo_closeness_landmarks",
-    # ---- r10-recorded block (freshest driver rows — keep LAST) ----
+    # ---- r10-recorded block ----
     "gql_set_expr",
     "gql_set_edge_expr",
     "gql_foreach_create",
@@ -310,12 +268,61 @@ GATE_PRIORITY = [
     "skew_common_neighbors_events",
     "view_catalog_roundtrip",
     "view_dependency_topo",
-    "view_incremental_connectivity",
     "view_incremental_degree",
     "view_incremental_delta",
     "view_incremental_pagerank",
     "view_incremental_sssp",
     "view_incremental_stream",
+    # ---- r11-recorded block (freshest driver rows — keep LAST;
+    # gql_parameters / dedup_semantic_recall / dedup_exact_substring
+    # moved to the r12 window above) ----
+    "gql_call_with_pipeline",
+    "gql_call_with_topk_collect",
+    "gql_optional_call",
+    "gql_label_alternation",
+    "gql_inline_where",
+    "dedup_semantic_cells",
+    "gql_call_topk",
+    "gql_nested_exists",
+    "gql_nested_call",
+    "gql_map_comprehension",
+    "conditional_agg",
+    "db_stats",
+    "distinct_segments",
+    "fn_geo_enrich",
+    "rollup_status_priority",
+    "set_except_nations",
+    "stream_count_window",
+    "stream_live_count_window",
+    "text_lang_id",
+    "text_quality",
+    "text_redact_pii",
+    "text_tfidf_topk",
+    "text_token_count",
+    "where_and_or",
+    "window_lag_delta",
+    "window_topk_per_segment",
+    "alert_anomaly_rule",
+    "alert_pattern_rule",
+    "alert_rate_rule",
+    "alert_threshold_cooldown",
+    "anti_join_customers_without_orders",
+    "dedup_embedding_cosine",
+    "dedup_simhash",
+    "gql_create_delete",
+    "gql_exists_pattern",
+    "gql_expr_arith",
+    "gql_expr_functions",
+    "gql_incoming_edge",
+    "gql_inline_props",
+    "gql_match_edge",
+    "gql_match_filter",
+    "gql_merge_edge",
+    "gql_multi_hop",
+    "gql_shortest_path",
+    "gql_undirected",
+    "gql_unwind",
+    "gql_with_orderby_limit",
 ]
 
 

@@ -442,6 +442,90 @@ def _colocation_weighted_graph(spark: SparkSession, sf_dir: str) -> PropertyGrap
     return g
 
 
+def _colocation_capped_graph(
+    spark: SparkSession, sf_dir: str, k: int = 8
+) -> PropertyGraph:
+    """DEGREE-CAPPED co-location graph — the documented 100 TB path for
+    the colocation family. The full pair frame grows ×100 edges per
+    decade (|S|²/|nations|: ~409 M at sf10 → ~40 B at sf100 — README
+    sf100 notes); the cap replaces each nation's clique with a ring-K
+    lattice: every supplier connects to the next ``k`` suppliers in
+    s_suppkey rank order within its nation (cyclic), symmetrized.
+    Degree ≤ 2k, so edges grow ×10 per decade like every other fact —
+    construction is rank arithmetic (one window + an offset join),
+    LINEAR in |S|·k, never a pair join. Same weight law as the full
+    graph (w = (src+dst) % 97 + 1) and the same bucketed+sorted
+    persisted layout, so fixpoint loops run with zero edge-side
+    exchange. Deterministic and oracle-expressible (rank/mod
+    arithmetic reproduces in SQL exactly)."""
+    key = (id(spark), sf_dir, "capped", k)
+    if key in _COLOC_CACHE:
+        return _COLOC_CACHE[key]
+    import hashlib
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rk = s.select(
+        (F.col("s_suppkey").cast("long") + SUPP).alias("id"),
+        F.col("s_nationkey").alias("nk"),
+    ).withColumn(
+        "r",
+        F.row_number().over(Window.partitionBy("nk").orderBy("id")) - 1,
+    ).withColumn("n", F.count("*").over(Window.partitionBy("nk")))
+    fwd = (
+        rk.withColumn("o", F.explode(F.sequence(F.lit(1), F.lit(k))))
+        .withColumn("tr", (F.col("r") + F.col("o")) % F.col("n"))
+        .alias("a")
+        .join(
+            rk.select(
+                F.col("nk").alias("bnk"),
+                F.col("r").alias("br"),
+                F.col("id").alias("dst"),
+            ),
+            (F.col("a.nk") == F.col("bnk")) & (F.col("a.tr") == F.col("br")),
+        )
+        .filter(F.col("a.id") != F.col("dst"))
+        .select(F.col("a.id").alias("src"), "dst")
+        .distinct()
+    )
+    sym = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            F.lit("colocated").alias("label"),
+            ((F.col("src") + F.col("dst")) % 97 + 1).cast("double").alias("w"),
+        )
+    )
+    digest = hashlib.sha1(
+        f"{os.getpid()}|{sf_dir}|coloc_cap{k}".encode()
+    ).hexdigest()[:10]
+    ename = f"graft_coloc_cap_edges_{digest}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    spark.sql(f"DROP TABLE IF EXISTS {ename}")
+    shutil.rmtree(
+        os.path.join(warehouse.removeprefix("file:"), ename), ignore_errors=True
+    )
+    buckets = 32
+    sym.repartition(buckets, "src").write.bucketBy(buckets, "src").sortBy(
+        "src"
+    ).saveAsTable(ename)
+    g = PropertyGraph(
+        s.select((F.col("s_suppkey").cast("long") + SUPP).alias("id")),
+        spark.table(ename),
+        edges_layout="src",
+        edges_symmetric=True,
+    )
+    _COLOC_CACHE[key] = g
+    return g
+
+
 def _supplier_colocation(spark: SparkSession, sf_dir: str) -> PropertyGraph:
     """Directed (src < dst) co-location half — derived from the cached
     symmetric layout by a filter, which PRESERVES the declared layout
@@ -919,6 +1003,66 @@ def algo_sssp_colocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Weighted SSSP on the DEGREE-CAPPED co-location graph (r12): the
+# ring-K lattice whose edge count grows ×10 per decade instead of the
+# clique's ×100 — the measured (not just arithmetic) third-decade story
+# for the colocation loop family. Same truncated-Bellman-Ford contract
+# as algo_sssp_colocation.
+# --------------------------------------------------------------------------
+def _sssp_colocation_capped_oracle(rounds: int = 10, k: int = 8) -> str:
+    head = f"""
+    WITH sup AS (
+        SELECT s_suppkey::BIGINT + {SUPP} AS id, s_nationkey AS nk FROM supplier
+    ),
+    rk AS (
+        SELECT id, nk, ROW_NUMBER() OVER (PARTITION BY nk ORDER BY id) - 1 AS r,
+               COUNT(*) OVER (PARTITION BY nk) AS n
+        FROM sup
+    ),
+    fwd AS (
+        SELECT DISTINCT a.id AS src, b.id AS dst
+        FROM rk a
+        JOIN (SELECT unnest(generate_series(1, {k})) AS o) t ON TRUE
+        JOIN rk b ON b.nk = a.nk AND b.r = (a.r + t.o) % a.n
+        WHERE a.id <> b.id
+    ),
+    e AS MATERIALIZED (
+        SELECT src, dst, ((src + dst) % 97 + 1)::DOUBLE AS w
+        FROM (SELECT src, dst FROM fwd UNION SELECT dst, src FROM fwd)
+    ),
+    d0 AS (SELECT {SUPP}::BIGINT AS id, 0.0::DOUBLE AS d)
+    """
+    for r in range(1, rounds + 1):
+        head += f"""
+    , d{r} AS MATERIALIZED (
+        SELECT id, MIN(d) AS d FROM (
+            SELECT id, d FROM d{r-1}
+            UNION ALL
+            SELECT e.dst AS id, p.d + e.w AS d
+            FROM d{r-1} p JOIN e ON p.id = e.src
+        ) GROUP BY id
+    )"""
+    return head + f"""
+    SELECT s.id AS id, COALESCE(dN.d, 'infinity'::DOUBLE) AS distance
+    FROM sup s LEFT JOIN d{rounds} dN ON s.id = dN.id
+    """
+
+
+@_q("algo_sssp_colocation_capped", _sssp_colocation_capped_oracle())
+def algo_sssp_colocation_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rounds pinned to the oracle's truncation, exactly as
+    # algo_sssp_colocation (the 10-round truncation IS the contract)
+    res = A.sssp(
+        _colocation_capped_graph(spark, sf_dir),
+        source=SUPP,
+        weight_property="w",
+        max_iterations=10,
+        on_exhaustion="truncate",
+    )
+    return res.select("id", "distance")
+
+
+# --------------------------------------------------------------------------
 # LPA at bench scale: co-location cliques converge to the clique-minimum
 # label, so communities == nations — but the oracle does not assume
 # that: it replays the identical synchronized rounds.
@@ -1087,6 +1231,11 @@ LAYOUT_USERS: dict[str, set[str]] = {
         "algo_pagerank_weighted",
         "gql_shortest_path_clique",
     },
+    # the DEGREE-CAPPED co-location lattice (|S|·k rows, ×10/decade) —
+    # built by _colocation_capped_graph
+    "colocation_capped_layout": {
+        "algo_sssp_colocation_capped",
+    },
     # the reversed / symmetrized bucketed FK graphs — built by
     # _reversed_tpch_graph / _symmetric_tpch_graph
     "fk_rev_sym_layouts": {
@@ -1102,5 +1251,6 @@ LAYOUT_USERS: dict[str, set[str]] = {
 #: readers are caught)
 LAYOUT_MARKERS: dict[str, tuple[str, ...]] = {
     "colocation_layout": ("_colocation_weighted_graph", "_supplier_colocation"),
+    "colocation_capped_layout": ("_colocation_capped_graph",),
     "fk_rev_sym_layouts": ("_reversed_tpch_graph", "_symmetric_tpch_graph"),
 }
