@@ -37,7 +37,10 @@ standard Cypher result modifiers:
   alias (the HAVING idiom), then RETURN references the WITH output by
   bare name; a NON-aggregating WITH may pass whole variables through
   and be followed by further MATCH / OPTIONAL MATCH clauses that join
-  on them
+  on them. Stages CHAIN natively (r12): `MATCH .. WITH .. WITH ..
+  RETURN` — each stage carries its own DISTINCT / WHERE / ORDER BY /
+  SKIP / LIMIT / post-WITH MATCH clauses / trailing UNWIND, and later
+  stages reference earlier aliases as bare names
 - RETURN ... AS alias; WHERE string predicates (CONTAINS / STARTS WITH /
   ENDS WITH / IN [..]) and cross-variable property comparisons
 - WHERE NOT <cond>, v.prop IS [NOT] NULL (with a bare post-WITH alias,

@@ -3336,3 +3336,46 @@ def test_call_body_multi_with_rejected(people_graph):
             "WITH x.age AS a WITH a WHERE a > 1 RETURN a } "
             "RETURN p.name AS nm, a"
         )
+
+
+def test_multi_with_final_return_count_subquery(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) WITH p WHERE p.age < 40 WITH p "
+        "RETURN p.name AS nm, COUNT { (p)-[:friend]->(x:Person) } AS nf "
+        "ORDER BY nm"
+    ).collect()
+    assert [(r["nm"], r["nf"]) for r in rows] == [
+        ("Alice", 1), ("Bob", 1), ("Charlie", 0),
+    ]
+
+
+def test_multi_with_stage_where_count_subquery(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) WITH p "
+        "WITH p WHERE COUNT { (p)-[:friend]->(x) } >= 1 "
+        "RETURN p.name AS nm ORDER BY nm"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["Alice", "Bob"]
+
+
+def test_multi_with_mixed_passthrough_and_alias(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) WITH p, p.age AS a "
+        "WITH p WHERE a > 25 "
+        "RETURN p.name AS nm ORDER BY nm"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["Alice", "Charlie"]
+
+
+def test_call_statement_body_multi_with(people_graph):
+    eng = _engine(people_graph)
+    # uncorrelated CALL bodies are full read queries — chains compose
+    rows = eng.execute(
+        "CALL { MATCH (p:Person) WITH p.age AS a WHERE a > 24 "
+        "WITH a % 2 AS par, count(*) AS c RETURN par, c } "
+        "RETURN par, c ORDER BY par"
+    ).collect()
+    assert [(r["par"], r["c"]) for r in rows] == [(0, 1), (1, 2)]
