@@ -363,6 +363,9 @@ class WithStage:
     limit: int | None = None
     post_clauses: list = field(default_factory=list)
     unwind: UnwindClause | None = None
+    # WITH * [, extra items]: keep the whole in-scope frame (named
+    # variables + bare aliases; anonymous bindings drop — Cypher scope)
+    star: bool = False
 
 
 @dataclass
@@ -405,6 +408,8 @@ class MatchStatement:
     # additional WITH pipeline stages AFTER the first (multi-WITH
     # chains); the first stage stays on the with_* fields above
     with_stages: list = field(default_factory=list)
+    # first stage is `WITH * [, extra items]` (see WithStage.star)
+    with_star: bool = False
 
 
 @dataclass
@@ -1710,6 +1715,11 @@ class _Parser:
                 "ONE WITH pipeline — chain further WITH stages at "
                 "statement scope (after the CALL) instead"
             )
+        if inner.with_star:
+            raise ValueError(
+                "GQL parse error: WITH * is not supported inside "
+                "a correlated CALL body — name the items"
+            )
         if inner.with_items is None and inner.unwind is not None:
             raise ValueError(
                 "GQL parse error: UNWIND inside a correlated CALL body "
@@ -2088,6 +2098,7 @@ class _Parser:
         with_order: list[OrderItem] = []
         with_skip = with_limit = None
         with_distinct = False
+        with_star = False
         with_stages: list[WithStage] = []
         unwind = None
         first_stage = True
@@ -2102,8 +2113,27 @@ class _Parser:
                 or call_sub is not None
                 or bare_returns
             )
+            # WITH * [, extra items] keeps the whole in-scope frame
+            # (Cypher); * must lead, and aggregates cannot ride along
+            # (implicit grouping by "everything" — name the keys)
+            st_star = False
+            if (
+                st_items
+                and st_items[0].var == "*"
+                and st_items[0].agg is None
+                and st_items[0].expr is None
+            ):
+                st_star = True
+                st_items = st_items[1:]
+                if any(i.agg for i in st_items):
+                    raise ValueError(
+                        "GQL parse error: WITH *, <aggregate> is not "
+                        "supported — name the grouping items explicitly"
+                    )
             if any(i.var == "*" and i.agg is None for i in st_items):
-                raise ValueError("GQL parse error: WITH does not support *")
+                raise ValueError(
+                    "GQL parse error: WITH * must be the FIRST item"
+                )
             # pipeline modifiers in any written order; the applied
             # semantics are fixed: WHERE → ORDER BY → SKIP → LIMIT
             st_where = None
@@ -2134,12 +2164,14 @@ class _Parser:
                 with_items, with_distinct, with_where = st_items, st_distinct, st_where
                 with_order, with_skip, with_limit = st_order, st_skip, st_limit
                 post_clauses, unwind = st_post, st_unwind
+                with_star = st_star
                 first_stage = False
             else:
                 with_stages.append(
                     WithStage(
                         st_items, st_distinct, st_where, st_order,
                         st_skip, st_limit, st_post, st_unwind,
+                        star=st_star,
                     )
                 )
         if with_items is None and self.accept("UNWIND"):
@@ -2159,7 +2191,7 @@ class _Parser:
             post_clauses=post_clauses, unwind_first=unwind_first, unwind=unwind,
             with_order=with_order, with_skip=with_skip, with_limit=with_limit,
             with_distinct=with_distinct, call_sub=call_sub,
-            with_stages=with_stages,
+            with_stages=with_stages, with_star=with_star,
         )
         return self._result_modifiers(stmt)
 

@@ -1833,7 +1833,37 @@ class GQLEngine:
             if i.prop is None and i.agg is None and i.expr is None
             and i.var not in bare_aliases
         ]
-        if has_aggs:
+        if st.star:
+            # WITH * [, extras]: keep the whole previous intermediate
+            # (bare aliases + passthrough binding columns), drop any
+            # consumed synthetic columns, append computed extras
+            keep = [
+                c
+                for c in inter.columns
+                if not c.startswith(("_anon", "_csub", "_pcsub", "_ws", "_fcsub"))
+            ]
+            cols = [F.col(c) for c in keep]
+            for i in st.items:
+                if i.expr is not None:
+                    cols.append(
+                        _lower_expr(i.expr, bare_names=bare_aliases).alias(
+                            i.alias
+                        )
+                    )
+                elif i.prop is not None:
+                    if i.var not in pvars:
+                        raise ValueError(
+                            f"WITH *, {i.var}.{i.prop}: {i.var} was not "
+                            "passed through the previous WITH"
+                        )
+                    cols.append(
+                        F.col(f"{i.var}__{i.prop}").alias(
+                            i.alias or f"{i.var}_{i.prop}"
+                        )
+                    )
+            nxt = inter.select(*cols)
+            # pvars unchanged — * passes every variable through
+        elif has_aggs:
             if passthrough:
                 raise ValueError(
                     "WITH cannot mix whole-variable passthrough with "
@@ -2066,7 +2096,32 @@ class GQLEngine:
                 for i in stmt.with_items
                 if i.prop is None and i.agg is None and i.var not in unwound
             ]
-            if has_aggs:
+            if stmt.with_star:
+                # WITH * [, extras]: keep the whole in-scope frame —
+                # named variables' binding columns and bare aliases;
+                # anonymous bindings and consumed synthetic columns
+                # drop (Cypher scope: only NAMED items survive a WITH)
+                keep = [
+                    c
+                    for c in bound.columns
+                    if not c.startswith(("_anon", "_csub", "_pcsub"))
+                ]
+                cols = [F.col(c) for c in keep]
+                for i in stmt.with_items:
+                    if i.expr is not None:
+                        cols.append(
+                            _lower_expr(i.expr, bare_names=unwound).alias(i.alias)
+                        )
+                    elif i.prop is not None:
+                        cols.append(
+                            F.col(f"{i.var}__{i.prop}").alias(
+                                i.alias or f"{i.var}_{i.prop}"
+                            )
+                        )
+                    # whole-variable items are no-ops under * (already kept)
+                inter = bound.select(*cols)
+                pvars = [v for v in vertex_vars if not v.startswith("_anon")]
+            elif has_aggs:
                 if passthrough:
                     raise ValueError(
                         "WITH cannot mix whole-variable passthrough with "

@@ -2206,6 +2206,36 @@ def gql_multi_with(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL: WITH * pass-everything stage (round 12) — filter the whole
+# in-scope frame without re-projecting (everyday Cypher), then
+# aggregate in a second stage. Spark shape: the * stage is a pure
+# column-pruned projection + filter, fused into the scan.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_with_star",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS nation, COUNT(*) AS rich
+    FROM vertices c
+    JOIN edges e ON c.id = e.src AND e.label = 'located_in'
+    JOIN vertices n ON e.dst = n.id
+    WHERE c.label = 'Customer' AND n.label = 'Nation'
+      AND c.acctbal > 9000.0
+    GROUP BY n.name
+    ORDER BY nation
+    """,
+)
+def gql_with_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "WITH * WHERE c.acctbal > 9000.0 "
+        "WITH n.name AS nation, count(*) AS rich "
+        "RETURN nation, rich ORDER BY nation"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL: leading UNWIND inside a correlated CALL body (round 12) — the
 # body explodes a literal list per binding BEFORE its MATCH, so the
 # pure-aggregate outputs scale by the list: c2 = 2 × matches,

@@ -3379,3 +3379,56 @@ def test_call_statement_body_multi_with(people_graph):
         "RETURN par, c ORDER BY par"
     ).collect()
     assert [(r["par"], r["c"]) for r in rows] == [(0, 1), (1, 2)]
+
+
+def test_with_star_filter_and_extras(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) WITH * WHERE p.age > 26 "
+        "RETURN p.name AS nm ORDER BY nm"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["Alice", "Charlie"]
+    rows = eng.execute(
+        "MATCH (p:Person) WITH *, p.age * 2 AS a2 WHERE a2 > 55 "
+        "RETURN p.name AS nm, a2 ORDER BY nm"
+    ).collect()
+    assert [(r["nm"], r["a2"]) for r in rows] == [("Alice", 60), ("Charlie", 70)]
+
+
+def test_with_star_keeps_all_variables_and_chains(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person)-[:friend]->(q:Person) WITH * WHERE q.age > 26 "
+        "RETURN p.name AS pn, q.name AS qn ORDER BY pn"
+    ).collect()
+    assert [(r["pn"], r["qn"]) for r in rows] == [("Bob", "Charlie")]
+    rows = eng.execute(
+        "MATCH (p:Person) WITH * WHERE p.age > 24 "
+        "WITH p.name AS nm, count(*) AS c RETURN nm, c ORDER BY nm"
+    ).collect()
+    assert [(r["nm"], r["c"]) for r in rows] == [
+        ("Alice", 1), ("Bob", 1), ("Charlie", 1),
+    ]
+    rows = eng.execute(
+        "MATCH (p:Person) WITH p.name AS nm, p.age AS a "
+        "WITH * WHERE a > 26 RETURN nm ORDER BY nm"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["Alice", "Charlie"]
+
+
+def test_with_star_post_match_and_errors(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) WITH * MATCH (p)-[:friend]->(r:Person) "
+        "RETURN p.name AS pn, r.name AS rn ORDER BY pn"
+    ).collect()
+    assert [(r["pn"], r["rn"]) for r in rows] == [
+        ("Alice", "Bob"), ("Bob", "Charlie"),
+    ]
+    with pytest.raises(ValueError, match="name the grouping items"):
+        eng.execute("MATCH (p:Person) WITH *, count(*) AS c RETURN c")
+    with pytest.raises(ValueError, match="WITH \\* is not supported inside"):
+        eng.execute(
+            "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+            "WITH * RETURN count(*) AS c } RETURN c"
+        )
