@@ -544,10 +544,11 @@ class CallSubClause:
     execution without re-executing the body. A leading UNWIND (before
     the body MATCH) explodes its list per body binding; a nested CALL
     may appear alone or composed with the WITH pipeline (nested
-    outputs enter the pipeline scope as bare names). Scope: every
-    imported variable must be reused in the body pattern (the id
-    witness IS the correlation); at most ONE WITH pipeline per body —
-    chain further stages at statement scope.
+    outputs enter the pipeline scope as bare names); WITH stages
+    CHAIN inside the body exactly as at statement scope (each stage
+    evaluates per imported binding). Scope: every imported variable
+    must be reused in the body pattern (the id witness IS the
+    correlation); WITH * / RETURN * stay rejected inside bodies.
 
     ``OPTIONAL CALL { .. }`` (Cypher 25) keeps outer rows whose body
     produced nothing, NULL-filling the body outputs — the join-back
@@ -1709,13 +1710,7 @@ class _Parser:
                 f"GQL parse error: the CALL body's UNWIND alias "
                 f"{lead_unwind.alias!r} shadows an imported variable"
             )
-        if inner.with_stages:
-            raise ValueError(
-                "GQL parse error: a correlated CALL body carries at most "
-                "ONE WITH pipeline — chain further WITH stages at "
-                "statement scope (after the CALL) instead"
-            )
-        if inner.with_star:
+        if inner.with_star or any(s.star for s in inner.with_stages):
             raise ValueError(
                 "GQL parse error: WITH * is not supported inside "
                 "a correlated CALL body — name the items"
@@ -1735,27 +1730,32 @@ class _Parser:
                 "on unordered rows"
             )
         if inner.with_items is not None:
-            if (
-                inner.with_skip is not None or inner.with_limit is not None
-            ) and not (
-                inner.with_order or all(i.agg for i in inner.with_items)
-            ):
-                raise ValueError(
-                    "GQL parse error: WITH SKIP/LIMIT inside a "
-                    "correlated CALL body needs ORDER BY — per-outer-row "
-                    "top-k is undefined on unordered rows"
-                )
-            for it in inner.with_items:
-                if it.agg and not it.alias:
+            body_stages = [
+                (inner.with_items, inner.with_order,
+                 inner.with_skip, inner.with_limit)
+            ] + [(s.items, s.order, s.skip, s.limit) for s in inner.with_stages]
+            for s_items, s_order, s_skip, s_limit in body_stages:
+                if (s_skip is not None or s_limit is not None) and not (
+                    s_order or all(i.agg for i in s_items)
+                ):
                     raise ValueError(
-                        "GQL parse error: aggregates in a CALL body's "
-                        "WITH need an explicit AS alias"
+                        "GQL parse error: WITH SKIP/LIMIT inside a "
+                        "correlated CALL body needs ORDER BY — "
+                        "per-outer-row top-k is undefined on unordered "
+                        "rows"
                     )
-                if it.var == "*" and not it.agg:
-                    raise ValueError(
-                        "GQL parse error: WITH * is not supported inside "
-                        "a correlated CALL body — name the items"
-                    )
+                for it in s_items:
+                    if it.agg and not it.alias:
+                        raise ValueError(
+                            "GQL parse error: aggregates in a CALL "
+                            "body's WITH need an explicit AS alias"
+                        )
+                    if it.var == "*" and not it.agg:
+                        raise ValueError(
+                            "GQL parse error: WITH * is not supported "
+                            "inside a correlated CALL body — name the "
+                            "items"
+                        )
         body_vars = {n.var for n in inner.pattern.nodes} | {
             n.var for _, c in inner.clauses for n in c.pattern.nodes
         }

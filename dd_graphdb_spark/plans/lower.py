@@ -1471,39 +1471,82 @@ class GQLEngine:
         self, sub: DataFrame, inner, ivars: list, keys: list, bound: DataFrame,
         bnames: tuple = (),
     ) -> tuple:
-        """ONE WITH pipeline inside a correlated CALL body. Every stage
-        evaluates PER IMPORTED BINDING — the id witness columns ride
-        through each projection, so the derived table keeps computing
-        all outer rows' subqueries at once (never per-row
-        re-execution):
+        """The WITH pipeline inside a correlated CALL body — one or
+        MORE chained stages (r12: multi-WITH composes inside bodies
+        too). Every stage evaluates PER IMPORTED BINDING — the id
+        witness columns ride through each projection, so the derived
+        table keeps computing all outer rows' subqueries at once
+        (never per-row re-execution):
 
         - aggregating WITH: implicit grouping keyed by (witnesses +
           non-aggregated items); a PURE-aggregate WITH additionally
           seeds from the outer witnesses (LEFT join + identity
           coalesce) because Cypher's per-row execution yields exactly
           one row per outer row even over empty input — downstream
-          stages (WHERE, post-clauses, RETURN) then compose naturally;
+          stages (WHERE, post-clauses, further WITHs, RETURN) then
+          compose naturally;
         - WITH ORDER BY / SKIP / LIMIT rank per witness group (one
-          row_number window), NOT globally — the pipeline's top-k is
-          per outer row;
-        - post-WITH MATCH clauses and a post-WITH UNWIND apply on the
-          intermediate (witness columns tag along untouched).
+          row_number window per stage), NOT globally — the pipeline's
+          top-k is per outer row;
+        - post-WITH MATCH clauses and a trailing UNWIND apply on the
+          intermediate (witness columns tag along untouched), feeding
+          the next stage or the body RETURN.
 
         Returns (frame, passthrough_vars); the caller projects the
         body RETURN in bare mode against it."""
+        from dd_graphdb_spark.plans.gql import WithStage
+
+        stages = [
+            WithStage(
+                inner.with_items, inner.with_distinct, inner.with_where,
+                inner.with_order, inner.with_skip, inner.with_limit,
+                inner.post_clauses, inner.unwind,
+            )
+        ] + list(inner.with_stages)
+        pvars: list = ivars
+        bare = bnames
+        for idx, st in enumerate(stages):
+            sub, pvars, bare = self._apply_call_body_stage(
+                sub, st, pvars, keys, bound, bare, idx
+            )
+        # RETURN-item count subqueries attach to the LAST intermediate
+        ret_post: list = []
+        for it in inner.returns:
+            if it.expr is not None:
+                it.expr = _rewrite_count_subs(it.expr, ret_post, prefix="_csewr")
+        if ret_post:
+            if not pvars:
+                raise ValueError(
+                    "COUNT { } / pattern comprehensions after an "
+                    "AGGREGATING WITH are not supported — compute them "
+                    "in the WITH items instead"
+                )
+            sub = self._attach_count_subs(sub, ret_post)
+        return sub, pvars
+
+    def _apply_call_body_stage(
+        self, sub: DataFrame, st, pvars: list, keys: list,
+        bound: DataFrame, bare: tuple, idx: int
+    ) -> tuple:
+        """One WITH stage of a correlated CALL body pipeline (see
+        _call_body_with for the per-imported-binding contract).
+        ``bare``: bare column names in scope (leading-UNWIND aliases,
+        nested CALL outputs, previous stages' aliases)."""
         vcols = self.graph.vertices.columns
         w_csubs: list = []
-        for it in inner.with_items:
+        for it in st.items:
             if it.expr is not None:
-                it.expr = _rewrite_count_subs(it.expr, w_csubs, prefix="_csew")
+                it.expr = _rewrite_count_subs(
+                    it.expr, w_csubs, prefix=f"_csew{idx}"
+                )
         if w_csubs:
             sub = self._attach_count_subs(sub, w_csubs)
-        w_aggs = any(i.agg for i in inner.with_items)
+        w_aggs = any(i.agg for i in st.items)
         passthrough = [
             i.var
-            for i in inner.with_items
+            for i in st.items
             if i.prop is None and i.agg is None and i.expr is None
-            and i.var not in bnames
+            and i.var not in bare
         ]
         if w_aggs:
             if passthrough:
@@ -1512,10 +1555,10 @@ class GQLEngine:
                     "aggregates — project the needed properties instead"
                 )
             inter = self._project(
-                sub, inner.with_items, ivars, vcols,
-                extra_keys=[F.col(k) for k in keys], bare_names=bnames,
+                sub, st.items, pvars, vcols,
+                extra_keys=[F.col(k) for k in keys], bare_names=bare,
             )
-            if all(i.agg for i in inner.with_items):
+            if all(i.agg for i in st.items):
                 # pure-aggregate WITH: one row per outer binding even
                 # over empty input — seed from the outer witnesses and
                 # coalesce the empty-group identities (count/sum → 0,
@@ -1523,7 +1566,7 @@ class GQLEngine:
                 inter = bound.select(*keys).distinct().join(
                     inter, on=keys, how="left"
                 )
-                for i in inner.with_items:
+                for i in st.items:
                     if i.agg == "count":
                         inter = inter.withColumn(
                             i.alias,
@@ -1539,24 +1582,30 @@ class GQLEngine:
                         inter = inter.withColumn(
                             i.alias, F.coalesce(F.col(i.alias), empty)
                         )
-            pvars: list[str] = []
+            pvars = []
         else:
             skip_keys = {f"{v}__id" for v in passthrough}
             cols = [F.col(k) for k in keys if k not in skip_keys]
-            for i in inner.with_items:
+            for i in st.items:
                 if i.expr is not None:
                     cols.append(
-                        _lower_expr(i.expr, bare_names=bnames).alias(i.alias)
+                        _lower_expr(i.expr, bare_names=bare).alias(i.alias)
                     )
                 elif i.prop is None and i.agg is None:
-                    if i.var in bnames:
-                        # a leading-UNWIND alias or a nested CALL output
+                    if i.var in bare:
+                        # a leading-UNWIND alias, a nested CALL output
+                        # or a previous stage's alias
                         cols.append(F.col(i.var).alias(i.alias or i.var))
-                    elif i.var not in ivars:
+                    elif i.var not in pvars:
                         raise ValueError(f"WITH {i.var}: unknown variable")
                     else:
                         cols.extend(F.col(f"{i.var}__{c}") for c in vcols)
                 else:
+                    if i.var not in pvars:
+                        raise ValueError(
+                            f"WITH {i.var}.{i.prop}: {i.var} was not "
+                            "passed through the previous WITH"
+                        )
                     cols.append(
                         F.col(f"{i.var}__{i.prop}").alias(
                             i.alias or f"{i.var}_{i.prop}"
@@ -1564,27 +1613,24 @@ class GQLEngine:
                     )
             inter = sub.select(*cols)
             pvars = passthrough
-        if inner.with_distinct:
+        if st.distinct:
             # dedup includes the witness columns — per-outer-row
             # DISTINCT, exactly Cypher's per-row execution scope
             inter = inter.distinct()
-        # COUNT{} / comprehensions in WITH..WHERE or the post-WITH
-        # RETURN attach to the intermediate, correlating on passthrough
-        # binding columns (after an aggregating WITH there are none)
+        # COUNT{} / comprehensions in WITH..WHERE attach to the
+        # intermediate, correlating on passthrough binding columns
+        # (after an aggregating WITH there are none)
         w_post: list = []
-        if inner.with_where is not None:
-            if _has_pattern_pred(inner.with_where):
+        if st.where is not None:
+            if _has_pattern_pred(st.where):
                 raise ValueError(
                     "EXISTS pattern predicates are not supported in "
                     "WITH ... WHERE — filter in the MATCH WHERE clause "
                     "instead"
                 )
-            inner.with_where = _rewrite_count_subs(
-                inner.with_where, w_post, prefix="_csewp"
+            st.where = _rewrite_count_subs(
+                st.where, w_post, prefix=f"_csewp{idx}"
             )
-        for it in inner.returns:
-            if it.expr is not None:
-                it.expr = _rewrite_count_subs(it.expr, w_post, prefix="_csewp")
         if w_post:
             if w_aggs:
                 raise ValueError(
@@ -1593,19 +1639,13 @@ class GQLEngine:
                     "in the WITH items instead"
                 )
             inter = self._attach_count_subs(inter, w_post)
-        if inner.with_where is not None:
+        if st.where is not None:
             inter = inter.filter(
-                _lower_condition(
-                    inner.with_where, bare=True, pattern_vars=tuple(pvars)
-                )
+                _lower_condition(st.where, bare=True, pattern_vars=tuple(pvars))
             )
-        if (
-            inner.with_order
-            or inner.with_skip is not None
-            or inner.with_limit is not None
-        ):
+        if st.order or st.skip is not None or st.limit is not None:
             exprs = []
-            for o in inner.with_order:
+            for o in st.order:
                 if o.expr is not None:
                     exprs.append(_lower_order_expr(o, inter.columns))
                     continue
@@ -1627,16 +1667,19 @@ class GQLEngine:
                 exprs = [F.lit(1).asc()]
             rn = F.row_number().over(Window.partitionBy(*keys).orderBy(*exprs))
             inter = inter.withColumn("_csw_rn", rn)
-            cond = F.col("_csw_rn") > (inner.with_skip or 0)
-            if inner.with_limit is not None:
-                cond &= (
-                    F.col("_csw_rn") <= (inner.with_skip or 0) + inner.with_limit
-                )
+            cond = F.col("_csw_rn") > (st.skip or 0)
+            if st.limit is not None:
+                cond &= F.col("_csw_rn") <= (st.skip or 0) + st.limit
             inter = inter.filter(cond).drop("_csw_rn")
-        inter, pvars = self._apply_clauses(inter, pvars, inner.post_clauses, "_csp")
-        if inner.unwind is not None:
-            inter, _ = self._apply_unwind(inter, inner.unwind, (), bare=True)
-        return inter, pvars
+        inter, pvars = self._apply_clauses(
+            inter, pvars, st.post_clauses, f"_csp{idx}"
+        )
+        bare = tuple(
+            c for c in inter.columns if "__" not in c and c not in keys
+        )
+        if st.unwind is not None:
+            inter, bare = self._apply_unwind(inter, st.unwind, bare, bare=True)
+        return inter, pvars, bare
 
     def _apply_call_sub(
         self, bound: DataFrame, cs: CallSubClause, bare_names: tuple

@@ -2273,6 +2273,46 @@ def gql_call_unwind(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL: multi-WITH chain INSIDE a correlated CALL body (round 12) —
+# stage 1 projects+filters per outer binding, stage 2 is a pure
+# aggregate that re-seeds one row per outer nation (count→0, sum→0
+# over empty input — Cypher's per-row contract). Float determinism:
+# both sides round the DECIMAL-cast sum to 2 decimals after
+# aggregation (the gql_agg_sum_avg contract).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_call_with_chain",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS nation, COALESCE(s.nc, 0) AS nc,
+           ROUND(COALESCE(s.total, 0), 2) AS total
+    FROM vertices n
+    LEFT JOIN (
+        SELECT e.dst AS nid, COUNT(*) AS nc,
+               SUM(c.acctbal::DECIMAL(18,2))::DOUBLE AS total
+        FROM vertices c
+        JOIN edges e ON c.id = e.src AND e.label = 'located_in'
+        WHERE c.label = 'Customer' AND c.acctbal > 5000.0
+        GROUP BY e.dst
+    ) s ON s.nid = n.id
+    WHERE n.label = 'Nation'
+    ORDER BY nation
+    """,
+)
+def gql_call_with_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (n:Nation) "
+        "CALL { WITH n MATCH (c:Customer)-[:located_in]->(n) "
+        "WITH c.acctbal AS bal WHERE bal > 5000.0 "
+        "WITH count(*) AS nc, sum(bal) AS total "
+        "RETURN nc, total } "
+        "RETURN n.name AS nation, nc, round(total, 2) AS total "
+        "ORDER BY nation"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL: nested CALL composed with a WITH pipeline in ONE body (round 12)
 # — the nested per-nation customer count enters the body pipeline as a
 # bare name; the pipeline filters on it and the body's ORDER BY/LIMIT

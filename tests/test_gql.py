@@ -3327,15 +3327,42 @@ def test_call_body_leading_unwind_alias_shadow_rejected(people_graph):
         )
 
 
-def test_call_body_multi_with_rejected(people_graph):
+def test_call_body_multi_with_chain(people_graph):
     eng = _engine(people_graph)
-    with pytest.raises(ValueError, match="at most ONE WITH pipeline"):
-        eng.execute(
-            "MATCH (p:Person) "
-            "CALL { WITH p MATCH (p)-[:friend]->(x:Person) "
-            "WITH x.age AS a WITH a WHERE a > 1 RETURN a } "
-            "RETURN p.name AS nm, a"
-        )
+    # two chained stages inside the body: project+filter, then a
+    # pure-aggregate stage that re-seeds one row per outer binding
+    rows = eng.execute(
+        "MATCH (p:Person) "
+        "CALL { WITH p MATCH (p)-[:friend]->(x:Person) "
+        "WITH x.age AS a WHERE a > 24 "
+        "WITH count(*) AS c, sum(a) AS s RETURN c, s } "
+        "RETURN p.name AS nm, c, s ORDER BY nm"
+    ).collect()
+    assert [(r["nm"], r["c"], r["s"]) for r in rows] == [
+        ("Alice", 1, 25), ("Bob", 1, 35), ("Charlie", 0, 0),
+    ]
+    # per-outer-row top-k mid-chain, then collect
+    rows = eng.execute(
+        "MATCH (p:Person) "
+        "CALL { WITH p MATCH (p)-[:friend]->(x:Person) "
+        "WITH x.name AS xn, x.age AS a ORDER BY a DESC, xn LIMIT 1 "
+        "WITH collect(xn) AS tops RETURN tops } "
+        "RETURN p.name AS nm, tops ORDER BY nm"
+    ).collect()
+    assert [(r["nm"], list(r["tops"])) for r in rows] == [
+        ("Alice", ["Bob"]), ("Bob", ["Charlie"]), ("Charlie", []),
+    ]
+    # collect + UNWIND between body stages; empty lists re-seed to 0
+    rows = eng.execute(
+        "MATCH (p:Person) "
+        "CALL { WITH p MATCH (p)-[:friend]->(x:Person) "
+        "WITH collect(x.age) AS ages UNWIND ages AS a "
+        "WITH a WHERE a > 25 RETURN count(*) AS n_old } "
+        "RETURN p.name AS nm, n_old ORDER BY nm"
+    ).collect()
+    assert [(r["nm"], r["n_old"]) for r in rows] == [
+        ("Alice", 0), ("Bob", 1), ("Charlie", 0),
+    ]
 
 
 def test_multi_with_final_return_count_subquery(people_graph):

@@ -1427,7 +1427,7 @@ def test_gql_call_body_with_pipeline_shapes(
     wn=st.integers(0, 9),
     shape=st.sampled_from(
         ["chain_agg", "chain_three", "chain_topk", "chain_postmatch",
-         "call_lead_unwind", "call_nested_with"]
+         "call_lead_unwind", "call_nested_with", "call_body_chain"]
     ),
     lst=st.lists(st.integers(0, 5), min_size=1, max_size=3),
     k=st.integers(1, 4),
@@ -1503,7 +1503,7 @@ def test_gql_statement_roundtrip_multi_with_shapes(
             want[i] = (n * len(lst), sum(lst) * n if n else 0)
         got = {r["vid"]: (r["c"], r["s"]) for r in eng.execute(q).collect()}
         assert got == want, q
-    else:  # call_nested_with
+    elif shape == "call_nested_with":
         q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
              f"CALL {{ WITH u MATCH (u)-[:{e2}]->(w) RETURN count(w) AS nw }} "
              f"WITH u.a AS ua, nw WHERE nw >= {thresh} RETURN ua, nw }} "
@@ -1515,4 +1515,19 @@ def test_gql_statement_roundtrip_multi_with_shapes(
             if len(out(u, e2)) >= thresh
         )
         got = [(r["vid"], r["ua"], r["nw"]) for r in eng.execute(q).collect()]
+        assert got == want, q
+    else:  # call_body_chain: two WITH stages INSIDE the body
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"WITH u.a AS ua WHERE ua {wop} {wn} "
+             f"WITH count(*) AS c, sum(ua) AS s RETURN c, s }} "
+             f"RETURN v.id AS vid, c, s ORDER BY vid")
+        want = {}
+        for i, _ in verts:
+            vals = [
+                _G_VERTS[u][1]
+                for u in out(i, e1)
+                if _CMP[wop](_G_VERTS[u][1], wn)
+            ]
+            want[i] = (len(vals), sum(vals))
+        got = {r["vid"]: (r["c"], r["s"]) for r in eng.execute(q).collect()}
         assert got == want, q

@@ -70,6 +70,18 @@ def main() -> None:
         sem = round(time.time() - t, 3)
         print(f"# sf{sf}: semantic_dedup {sem}s (cells={CELLS[sf]})", file=sys.stderr)
 
+        # r12 multi-probe variant: candidate volume ≤ n_probe² per
+        # cell, still cell-local — the recall/cost knob measured
+        _hygiene(spark)
+        t = time.time()
+        _noop(
+            S.semantic_dedup(
+                emb, n_centroids=CELLS[sf], threshold=0.4, n_probe=2
+            )
+        )
+        sem2 = round(time.time() - t, 3)
+        print(f"# sf{sf}: semantic_dedup n_probe=2 {sem2}s", file=sys.stderr)
+
         _hygiene(spark)
         t = time.time()
         _noop(D.duplicate_spans(docs, window=8))
@@ -81,6 +93,7 @@ def main() -> None:
             "n_docs": nd,
             "cells": CELLS[sf],
             "semantic_dedup_sec": sem,
+            "semantic_dedup_p2_sec": sem2,
             "exact_substring_sec": spans,
             "calibration_range_sum_2e8_sec": cal,
         }
