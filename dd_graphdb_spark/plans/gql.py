@@ -537,9 +537,10 @@ class CallSubClause:
     INNER join (Cypher drops outer rows whose subquery produced
     nothing). Body ORDER BY / SKIP / LIMIT rank per imported-id group
     (one row_number window — per-outer-row top-k), and the body may
-    carry ONE WITH pipeline (aggregating or projecting, with its own
-    WHERE / ORDER BY / SKIP / LIMIT / DISTINCT, post-WITH MATCH
-    clauses and a post-WITH UNWIND) — each stage evaluates per
+    carry a WITH pipeline of one or MORE chained stages (aggregating
+    or projecting, each with its own WHERE / ORDER BY / SKIP / LIMIT /
+    DISTINCT, post-WITH MATCH clauses and a trailing UNWIND) — each
+    stage evaluates per
     imported binding, so the pipeline composes like Cypher's per-row
     execution without re-executing the body. A leading UNWIND (before
     the body MATCH) explodes its list per body binding; a nested CALL
