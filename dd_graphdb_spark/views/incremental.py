@@ -552,6 +552,15 @@ class IncrementalConnectivity(_EdgeState):
 
         # small state: the diff/splice joins below also run narrow —
         # their cost is task fan-out, not data (scoped; restored after)
+        if snap is not None:
+            try:
+                # a crash between the labels write and the pin can lose
+                # the snapshot versions to vacuum — fall back to a full
+                # recompute rather than failing the refresh
+                self._edges.read_version(snap["edges_v"])
+                self._verts.read_version(snap["verts_v"])
+            except ValueError:
+                snap = None
         scope = narrow_shuffle(self.spark) if small else nullcontext()
         with scope:
             if snap is None:

@@ -433,3 +433,30 @@ def test_single_partition_cc_matches_distributed(spark):
         for r in connected_components(g, single_partition=True).collect()
     }
     assert single == dist
+
+
+def test_connectivity_refresh_survives_lost_snapshot(spark, tmp_path):
+    import json
+    import os
+
+    from dd_graphdb_spark.views.incremental import IncrementalConnectivity
+
+    state = IncrementalConnectivity(spark, str(tmp_path / "iconn"))
+    state.apply_vertex_deltas(
+        spark.createDataFrame([(v,) for v in [1, 2, 3]], "id long")
+    )
+    state.apply_edge_deltas(
+        spark.createDataFrame([(1, 2)], "src long, dst long")
+    )
+    assert state.result().collect()[0][0] == 2
+    # simulate a crash that lost the pinned snapshot versions
+    with open(state._snap_meta) as f:
+        snap = json.load(f)
+    snap["edges_v"] = 99  # vacuumed/never-existed version
+    with open(state._snap_meta, "w") as f:
+        json.dump(snap, f)
+    state.apply_edge_deltas(
+        spark.createDataFrame([(2, 3)], "src long, dst long")
+    )
+    r = state.result().collect()[0]
+    assert (r[0], r[1]) == (1, 3)  # full-recompute fallback, correct
