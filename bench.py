@@ -20,6 +20,15 @@ import sys
 import time
 
 HEADLINE = [
+    # round-12 additions (multi-WITH chains, CALL-body closures,
+    # WITH *, SemDeDup multi-probe, the degree-capped colocation loop)
+    "gql_multi_with",
+    "gql_with_star",
+    "gql_call_unwind",
+    "gql_call_nested_with",
+    "gql_call_with_chain",
+    "dedup_semantic_multiprobe",
+    "algo_sssp_colocation_capped",
     "q1_pricing_summary",
     "join_revenue_per_region",
     "window_topk_per_segment",
