@@ -360,8 +360,11 @@ def test_with_clause_having_idiom(people_graph):
     assert df.collect()[0].total == 90
     with pytest.raises(ValueError, match="bare name"):
         eng.execute("MATCH (v:Person) WITH v.age AS age RETURN v.age").collect()
-    with pytest.raises(ValueError, match="does not support"):
-        eng.execute("MATCH (v:Person) WITH * RETURN v.name")
+    # WITH * passes every variable through (r12) — v stays in scope
+    rows = eng.execute(
+        "MATCH (v:Person) WITH * RETURN v.name AS nm ORDER BY nm"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["Alice", "Bob", "Charlie"]
 
 
 def test_consecutive_match_clauses(people_graph):
