@@ -1213,13 +1213,21 @@ class GQLEngine:
         )
 
     def _apply_where(
-        self, bound: DataFrame, where, bare_names: tuple = (), anon_prefix: str = "_w"
+        self, bound: DataFrame, where, bare_names: tuple = (), anon_prefix: str = "_w",
+        bare: bool = False, pattern_vars: tuple = (),
     ) -> DataFrame:
         """Apply a WHERE tree: EXISTS pattern predicates peel off the
         top-level AND chain as LEFT SEMI / LEFT ANTI joins on the shared
         variables' ids (the Spark-natural subquery rewrite — no
         correlated execution, Catalyst broadcasts the probe side when
-        small); the residual condition is a Column filter."""
+        small); the residual condition is a Column filter.
+
+        ``bare``/``pattern_vars``: the frame is a WITH intermediate —
+        residual names are bare aliases, var.prop resolves against the
+        passthrough variables' surviving binding columns (r12: EXISTS
+        pattern predicates are legal in WITH..WHERE when the stage
+        passes variables through — the semi-join correlates on their
+        id witnesses exactly as in a MATCH WHERE)."""
         col_cond, preds = _split_pattern_preds(where)
         for j, (pred, negated) in enumerate(preds):
             pat = pred.pattern
@@ -1243,7 +1251,12 @@ class GQLEngine:
                 sub.select(*keys), on=keys, how="left_anti" if negated else "left_semi"
             )
         if col_cond is not None:
-            bound = bound.filter(_lower_condition(col_cond, bare_names=bare_names))
+            bound = bound.filter(
+                _lower_condition(
+                    col_cond, bare=bare, bare_names=bare_names,
+                    pattern_vars=pattern_vars,
+                )
+            )
         return bound
 
     def _subquery_frame(
@@ -1621,12 +1634,14 @@ class GQLEngine:
         # intermediate, correlating on passthrough binding columns
         # (after an aggregating WITH there are none)
         w_post: list = []
+        has_pat = False
         if st.where is not None:
-            if _has_pattern_pred(st.where):
+            has_pat = _has_pattern_pred(st.where)
+            if has_pat and not pvars:
                 raise ValueError(
-                    "EXISTS pattern predicates are not supported in "
-                    "WITH ... WHERE — filter in the MATCH WHERE clause "
-                    "instead"
+                    "EXISTS pattern predicates are not supported after "
+                    "an AGGREGATING WITH — filter in the MATCH WHERE "
+                    "clause instead"
                 )
             st.where = _rewrite_count_subs(
                 st.where, w_post, prefix=f"_csewp{idx}"
@@ -1640,9 +1655,17 @@ class GQLEngine:
                 )
             inter = self._attach_count_subs(inter, w_post)
         if st.where is not None:
-            inter = inter.filter(
-                _lower_condition(st.where, bare=True, pattern_vars=tuple(pvars))
-            )
+            if has_pat:
+                inter = self._apply_where(
+                    inter, st.where, anon_prefix=f"_cswp{idx}",
+                    bare=True, pattern_vars=tuple(pvars),
+                )
+            else:
+                inter = inter.filter(
+                    _lower_condition(
+                        st.where, bare=True, pattern_vars=tuple(pvars)
+                    )
+                )
         if st.order or st.skip is not None or st.limit is not None:
             exprs = []
             for o in st.order:
@@ -1949,12 +1972,14 @@ class GQLEngine:
         if st.distinct:
             inter = inter.distinct()
         post: list = []
+        has_pat = False
         if st.where is not None:
-            if _has_pattern_pred(st.where):
+            has_pat = _has_pattern_pred(st.where)
+            if has_pat and not pvars:
                 raise ValueError(
-                    "EXISTS pattern predicates are not supported in "
-                    "WITH ... WHERE — filter in the MATCH WHERE clause "
-                    "instead"
+                    "EXISTS pattern predicates are not supported after "
+                    "an AGGREGATING WITH — filter in the MATCH WHERE "
+                    "clause instead"
                 )
             st.where = _rewrite_count_subs(st.where, post, prefix=f"_ws{idx}w")
         if post:
@@ -1966,9 +1991,17 @@ class GQLEngine:
                 )
             inter = self._attach_count_subs(inter, post)
         if st.where is not None:
-            inter = inter.filter(
-                _lower_condition(st.where, bare=True, pattern_vars=tuple(pvars))
-            )
+            if has_pat:
+                inter = self._apply_where(
+                    inter, st.where, anon_prefix=f"_ww{idx}",
+                    bare=True, pattern_vars=tuple(pvars),
+                )
+            else:
+                inter = inter.filter(
+                    _lower_condition(
+                        st.where, bare=True, pattern_vars=tuple(pvars)
+                    )
+                )
         if st.order:
             exprs = []
             for o in st.order:
@@ -2217,18 +2250,26 @@ class GQLEngine:
                 inter = self._attach_count_subs(inter, post_csubs)
             if stmt.with_where is not None:
                 if _has_pattern_pred(stmt.with_where):
-                    # the semi-join rewrite needs binding-id witnesses,
-                    # which a projected WITH frame no longer carries
-                    raise ValueError(
-                        "EXISTS pattern predicates are not supported in "
-                        "WITH ... WHERE — filter in the MATCH WHERE "
-                        "clause instead"
+                    # the semi-join rewrite needs binding-id witnesses —
+                    # passthrough stages keep them (r12); an aggregating
+                    # WITH projected every entity away
+                    if not pvars:
+                        raise ValueError(
+                            "EXISTS pattern predicates are not supported "
+                            "after an AGGREGATING WITH — filter in the "
+                            "MATCH WHERE clause instead"
+                        )
+                    inter = self._apply_where(
+                        inter, stmt.with_where, anon_prefix="_ww",
+                        bare=True, pattern_vars=tuple(pvars),
                     )
-                inter = inter.filter(
-                    _lower_condition(
-                        stmt.with_where, bare=True, pattern_vars=tuple(pvars)
+                else:
+                    inter = inter.filter(
+                        _lower_condition(
+                            stmt.with_where, bare=True,
+                            pattern_vars=tuple(pvars),
+                        )
                     )
-                )
             if stmt.with_order:
                 # pipeline top-k (WITH .. ORDER BY .. LIMIT ..): sorts
                 # the intermediate; with the LIMIT below Spark plans

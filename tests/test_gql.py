@@ -3462,3 +3462,47 @@ def test_with_star_post_match_and_errors(people_graph):
             "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
             "WITH * RETURN count(*) AS c } RETURN c"
         )
+
+
+def test_exists_pattern_in_with_where(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) WITH p WHERE EXISTS((p)-[:friend]->(x:Person)) "
+        "RETURN p.name AS nm ORDER BY nm"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["Alice", "Bob"]
+    rows = eng.execute(
+        "MATCH (p:Person) WITH p "
+        "WHERE NOT EXISTS((p)-[:friend]->(x:Person)) "
+        "RETURN p.name AS nm ORDER BY nm"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["Charlie"]
+    # mixed with a residual bare-alias condition; star stage variant
+    rows = eng.execute(
+        "MATCH (p:Person) WITH p, p.age AS a "
+        "WHERE EXISTS((p)-[:friend]->(x)) AND a > 26 "
+        "RETURN p.name AS nm ORDER BY nm"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["Alice"]
+    rows = eng.execute(
+        "MATCH (p:Person) WITH * WHERE EXISTS((p)-[:friend]->(x:Person)) "
+        "RETURN p.name AS nm ORDER BY nm"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["Alice", "Bob"]
+    # aggregating stages still reject (no witness to correlate on)
+    with pytest.raises(ValueError, match="AGGREGATING WITH"):
+        eng.execute(
+            "MATCH (p:Person) WITH count(*) AS c "
+            "WHERE EXISTS((p)-[:friend]->(x)) RETURN c"
+        )
+
+
+def test_exists_pattern_in_call_body_with_where(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (n:Person) CALL { WITH n MATCH (n)-[:friend]->(q:Person) "
+        "WITH q WHERE EXISTS((q)-[:friend]->(r:Person)) "
+        "RETURN q.name AS qn } "
+        "RETURN n.name AS nm, qn ORDER BY nm"
+    ).collect()
+    assert [(r["nm"], r["qn"]) for r in rows] == [("Alice", "Bob")]
