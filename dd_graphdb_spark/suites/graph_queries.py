@@ -2236,6 +2236,35 @@ def gql_with_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL: EXISTS pattern predicate inside WITH..WHERE (round 12) — the
+# semi-join rewrite applied to the WITH intermediate, correlating on
+# the passthrough variable's id witness; composes with a residual
+# bare-alias condition in the same WHERE.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_with_where_exists",
+    GRAPH_CTE
+    + """
+    SELECT c.name AS nm
+    FROM vertices c
+    WHERE c.label = 'Customer' AND c.acctbal > 8000.0
+      AND EXISTS (
+        SELECT 1 FROM edges e
+        WHERE e.dst = c.id AND e.label = 'placed_by'
+      )
+    ORDER BY nm
+    """,
+)
+def gql_with_where_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer) WITH c, c.acctbal AS bal "
+        "WHERE EXISTS((o:Order)-[:placed_by]->(c)) AND bal > 8000.0 "
+        "RETURN c.name AS nm ORDER BY nm"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL: leading UNWIND inside a correlated CALL body (round 12) — the
 # body explodes a literal list per binding BEFORE its MATCH, so the
 # pure-aggregate outputs scale by the list: c2 = 2 × matches,
