@@ -2327,7 +2327,10 @@ class GQLEngine:
                             "them in the WITH items instead"
                         )
                     inter = self._attach_count_subs(inter, final_csubs)
-            df = self._project(inter, stmt.returns, pvars, vcols, bare=True)
+            df = self._project(
+                inter, stmt.returns, pvars, vcols, bare=True,
+                bare_names=tuple(c for c in inter.columns if "__" not in c),
+            )
         else:
             # Cypher: ORDER BY may reference non-projected properties of
             # in-scope variables — legal when the RETURN is neither
@@ -2449,7 +2452,21 @@ class GQLEngine:
                 ]
             if item.var == "*":
                 if bare:
-                    raise ValueError("RETURN * is not available after WITH")
+                    # RETURN * after WITH (r12): the scope is the
+                    # passthrough variables + the projected bare
+                    # aliases (Cypher: only NAMED items survive a WITH)
+                    cols = [
+                        F.col(f"{var}__{c}").alias(f"{var}_{c}")
+                        for var in vertex_vars
+                        if not var.startswith("_anon")
+                        for c in vcols
+                    ] + [F.col(n) for n in bare_names]
+                    if not cols:
+                        raise ValueError(
+                            "RETURN *: nothing is in scope — name the "
+                            "items"
+                        )
+                    return cols
                 # only USER-NAMED variables: anonymous pattern nodes get
                 # synthetic _anonN bindings that must not leak into the
                 # result schema (build_result returns named bindings,

@@ -3506,3 +3506,21 @@ def test_exists_pattern_in_call_body_with_where(people_graph):
         "RETURN n.name AS nm, qn ORDER BY nm"
     ).collect()
     assert [(r["nm"], r["qn"]) for r in rows] == [("Alice", "Bob")]
+
+
+def test_return_star_after_with(people_graph):
+    eng = _engine(people_graph)
+    df = eng.execute(
+        "MATCH (p:Person) WITH p WHERE p.age > 26 RETURN * ORDER BY p.name"
+    )
+    assert df.columns == ["p_id", "p_label", "p_name", "p_age"]
+    assert [r["p_name"] for r in df.collect()] == ["Alice", "Charlie"]
+    df = eng.execute(
+        "MATCH (p:Person) WITH p.name AS nm, p.age AS a RETURN * ORDER BY nm"
+    )
+    assert df.columns == ["nm", "a"]
+    df = eng.execute("MATCH (p:Person) WITH p, p.age AS a WHERE a > 24 RETURN *")
+    assert df.columns == ["p_id", "p_label", "p_name", "p_age", "a"]
+    # after an aggregating WITH the scope is the aggregate aliases
+    df = eng.execute("MATCH (p:Person) WITH count(*) AS c RETURN *")
+    assert df.columns == ["c"] and df.collect()[0]["c"] == 3
