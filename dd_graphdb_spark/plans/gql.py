@@ -1617,14 +1617,10 @@ class _Parser:
             first = self._unwind_clause(allow_name=False)
             if self.accept("MATCH"):
                 return self._match_statement(unwind_first=first)
-            # pure value-table form: UNWIND [..] AS x RETURN ..
-            self.expect("RETURN")
-            distinct = self.accept("DISTINCT")
-            stmt = MatchStatement(
-                None, None, self.return_items(bare_ok=True),
-                distinct=distinct, unwind_first=first,
-            )
-            return self._result_modifiers(stmt)
+            # pure value-table form: UNWIND [..] AS x [WITH ..]* RETURN
+            # (r12: the shared tail gives the value table the full WITH
+            # pipeline chain)
+            return self._read_tail(None, None, first, bare_returns=True)
         if self.accept("MATCH"):
             return self._match_statement()
         if self.accept("CREATE"):
@@ -2077,6 +2073,20 @@ class _Parser:
                     break
             self.expect("punct", ")")
             return ForeachStatement(pattern, where, lvar, source, assigns)
+        return self._read_tail(pattern, where, unwind_first, bare_returns)
+
+    def _read_tail(
+        self,
+        pattern,
+        where,
+        unwind_first: UnwindClause | None,
+        bare_returns: bool,
+    ):
+        """The read statement's tail — additional MATCH clauses, an
+        optional correlated CALL, the WITH pipeline chain, the trailing
+        UNWIND and the RETURN. Shared by MATCH statements and the
+        pattern-less ``UNWIND [..] AS x [WITH ..]* RETURN`` value-table
+        form (``pattern`` None)."""
         clauses = self._match_clauses()
         call_sub = None
         if (
@@ -2084,10 +2094,20 @@ class _Parser:
             and self.toks[self.i + 1][0] == "ident"
             and self.toks[self.i + 1][1].upper() == "CALL"
         ):
+            if pattern is None:
+                raise ValueError(
+                    "GQL parse error: a correlated CALL needs outer "
+                    "MATCH variables to import"
+                )
             self.next()  # OPTIONAL
             call_sub = self._call_sub_clause(pattern, clauses)
             call_sub.optional = True
         elif self._ident_kw("CALL") and self.toks[self.i + 1] == ("punct", "{"):
+            if pattern is None:
+                raise ValueError(
+                    "GQL parse error: a correlated CALL needs outer "
+                    "MATCH variables to import"
+                )
             call_sub = self._call_sub_clause(pattern, clauses)
         # WITH pipeline stages — a chain `WITH .. [WITH ..]*` parses one
         # stage per iteration; the first stage maps onto the legacy

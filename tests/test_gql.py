@@ -1646,12 +1646,13 @@ def test_round_single_argument(people_graph):
         _engine(people_graph).execute("MATCH (v:Person) RETURN round() AS r")
 
 
-def test_exists_in_with_where_clear_error(people_graph):
-    with pytest.raises(ValueError, match="WITH ... WHERE"):
-        _engine(people_graph).execute(
-            "MATCH (v:Person) WITH v WHERE EXISTS((v)-[:friend]->(u)) "
-            "RETURN v.name"
-        ).collect()
+def test_exists_in_with_where_passthrough_supported(people_graph):
+    # r12: EXISTS in WITH..WHERE semi-joins on the passthrough witness
+    rows = _engine(people_graph).execute(
+        "MATCH (v:Person) WITH v WHERE EXISTS((v)-[:friend]->(u)) "
+        "RETURN v.name AS nm ORDER BY nm"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["Alice", "Bob"]
 
 
 def test_create_honors_edge_direction_and_props(spark, tmp_path):
@@ -3524,3 +3525,18 @@ def test_return_star_after_with(people_graph):
     # after an aggregating WITH the scope is the aggregate aliases
     df = eng.execute("MATCH (p:Person) WITH count(*) AS c RETURN *")
     assert df.columns == ["c"] and df.collect()[0]["c"] == 3
+
+
+def test_unwind_value_table_with_pipeline(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "UNWIND [3, 1, 2, 2] AS x WITH x WHERE x > 1 RETURN x ORDER BY x"
+    ).collect()
+    assert [r["x"] for r in rows] == [2, 2, 3]
+    rows = eng.execute(
+        "UNWIND [3, 1, 2, 2] AS x WITH DISTINCT x "
+        "WITH x * 10 AS y RETURN y ORDER BY y"
+    ).collect()
+    assert [r["y"] for r in rows] == [10, 20, 30]
+    rows = eng.execute("UNWIND [3, 1, 2] AS x WITH sum(x) AS s RETURN s").collect()
+    assert rows[0]["s"] == 6
