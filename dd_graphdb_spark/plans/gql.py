@@ -2088,6 +2088,12 @@ class _Parser:
         pattern-less ``UNWIND [..] AS x [WITH ..]* RETURN`` value-table
         form (``pattern`` None)."""
         clauses = self._match_clauses()
+        if pattern is None and clauses:
+            raise ValueError(
+                "GQL parse error: OPTIONAL MATCH after a value-table "
+                "UNWIND would be a disconnected cross product — write "
+                "UNWIND .. AS x MATCH .. instead"
+            )
         call_sub = None
         if (
             self.peek()[0] == "OPTIONAL"

@@ -1753,6 +1753,15 @@ class GQLEngine:
             # WHERE (which may reference the alias) applies after
             sub, lead_bare = self._apply_unwind(sub, lead, ())
             if inner.where is not None:
+                # mirror _subquery_frame's handling for the deferred
+                # WHERE: COUNT{} / pattern comprehensions attach as
+                # grouped joins before the filter
+                ncsubs: list = []
+                inner.where = _rewrite_count_subs(
+                    inner.where, ncsubs, prefix="_cseun"
+                )
+                if ncsubs:
+                    sub = self._attach_count_subs(sub, ncsubs)
                 sub = self._apply_where(
                     sub, inner.where, bare_names=lead_bare, anon_prefix="_cseu"
                 )
@@ -1902,12 +1911,10 @@ class GQLEngine:
         if st.star:
             # WITH * [, extras]: keep the whole previous intermediate
             # (bare aliases + passthrough binding columns), drop any
-            # consumed synthetic columns, append computed extras
-            keep = [
-                c
-                for c in inter.columns
-                if not c.startswith(("_anon", "_csub", "_pcsub", "_ws", "_fcsub"))
-            ]
+            # consumed synthetic columns and anonymous bindings — the
+            # "_" prefix is the engine's reserved namespace (see the
+            # statement-level star branch)
+            keep = [c for c in inter.columns if not c.startswith("_")]
             cols = [F.col(c) for c in keep]
             for i in st.items:
                 if i.expr is not None:
@@ -2175,13 +2182,14 @@ class GQLEngine:
             if stmt.with_star:
                 # WITH * [, extras]: keep the whole in-scope frame —
                 # named variables' binding columns and bare aliases;
-                # anonymous bindings and consumed synthetic columns
-                # drop (Cypher scope: only NAMED items survive a WITH)
-                keep = [
-                    c
-                    for c in bound.columns
-                    if not c.startswith(("_anon", "_csub", "_pcsub"))
-                ]
+                # anonymous bindings (vertex _anonN AND anonymous-edge
+                # _e*/_o*e* prefixes) and consumed synthetic columns
+                # drop (Cypher scope: only NAMED items survive a WITH
+                # — a stray anonymous-edge column would make
+                # WITH DISTINCT * over-count). The "_" prefix is the
+                # engine's reserved namespace; every synthetic binding
+                # uses it
+                keep = [c for c in bound.columns if not c.startswith("_")]
                 cols = [F.col(c) for c in keep]
                 for i in stmt.with_items:
                     if i.expr is not None:

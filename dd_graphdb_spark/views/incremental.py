@@ -109,13 +109,19 @@ class _VersionedTable:
     def pin(self, version: int) -> None:
         """Protect ``version`` from write-time vacuum — a consumer
         (e.g. a view's labels snapshot) references it across later
-        writes. No data moves: pinning IS the snapshot."""
+        writes. No data moves: pinning IS the snapshot. Version -1
+        (never written) is a no-op: the empty state needs no
+        protection and read_version(-1) reconstructs it."""
+        if version < 0:
+            return
         m = self._load_meta()
         if version not in m["pins"]:
             m["pins"] = sorted(set(m["pins"]) | {version})
             self._save_meta(m)
 
     def unpin(self, version: int) -> None:
+        if version < 0:
+            return
         m = self._load_meta()
         if version in m["pins"]:
             m["pins"] = [p for p in m["pins"] if p != version]
@@ -126,10 +132,14 @@ class _VersionedTable:
                 )
 
     def read_version(self, version: int, spark: SparkSession | None = None) -> DataFrame:
-        """Read a specific (pinned or retained) version."""
+        """Read a specific (pinned or retained) version; -1 = the
+        empty never-written state (a legitimate snapshot for a table
+        whose first delta arrives after the consumer snapshotted)."""
         s = spark or self.spark
+        if version < 0:
+            return s.createDataFrame([], self.schema)
         d = os.path.join(self.path, f"v{version}")
-        if version < 0 or not os.path.exists(d):
+        if not os.path.exists(d):
             raise ValueError(f"version {version} of {self.path} is gone")
         raw = s.read.parquet(d)
         declared = s.createDataFrame([], self.schema).schema
@@ -536,7 +546,9 @@ class IncrementalConnectivity(_EdgeState):
 
     def _refresh_labels(self) -> DataFrame:
         g = self.graph()
-        small = self._edges.data_bytes() <= self.NARROW_BYTES
+        small = (
+            self._edges.data_bytes() + self._verts.data_bytes()
+        ) <= self.NARROW_BYTES
         snap = None
         if os.path.exists(self._snap_meta):
             with open(self._snap_meta) as f:
@@ -614,9 +626,11 @@ class IncrementalConnectivity(_EdgeState):
                         affected, "component", "left_anti"
                     ).unionByName(sub.select("id", "component"))
             self._labels.write(comp)
-        # comp is already materialized (fixpoint checkpoint / cached
-        # labels), so returning it directly skips a parquet read-back
-        result = comp
+        # return the READ-BACK of the version just written — comp's
+        # lazy plan still references the OLD label/snapshot versions,
+        # which the unpin below may delete (and a caller action would
+        # re-execute the whole diff+fixpoint a second time anyway)
+        result = self._labels.read()
         # move the snapshot pins to the just-labeled state versions
         new_snap = {
             "edges_v": self._edges.version,

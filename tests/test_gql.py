@@ -3540,3 +3540,46 @@ def test_unwind_value_table_with_pipeline(people_graph):
     assert [r["y"] for r in rows] == [10, 20, 30]
     rows = eng.execute("UNWIND [3, 1, 2] AS x WITH sum(x) AS s RETURN s").collect()
     assert rows[0]["s"] == 6
+
+
+def test_with_distinct_star_ignores_anonymous_edges(spark):
+    from dd_graphdb_spark.graph import PropertyGraph
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    v = spark.createDataFrame(
+        [(1, "Person", "A"), (2, "Person", "B")],
+        "id long, label string, name string",
+    )
+    e = spark.createDataFrame(
+        [(1, 2, "friend"), (1, 2, "colleague")],  # parallel edges
+        "src long, dst long, label string",
+    )
+    eng = GQLEngine(PropertyGraph(v, e))
+    rows = eng.execute(
+        "MATCH (a:Person)-->(b:Person) WITH DISTINCT * RETURN count(*) AS c"
+    ).collect()
+    # Cypher scope after WITH * is the NAMED variables (a, b) only —
+    # the two parallel anonymous edges dedup to one row
+    assert rows[0]["c"] == 1
+
+
+def test_unwind_value_table_optional_match_clear_error(people_graph):
+    with pytest.raises(ValueError, match="disconnected cross product"):
+        _engine(people_graph).execute(
+            "UNWIND [1, 2] AS x OPTIONAL MATCH (n:Person) RETURN x"
+        )
+
+
+def test_call_body_leading_unwind_count_subquery_where(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) CALL { WITH p UNWIND [1, 2] AS t "
+        "MATCH (p)-->(u) WHERE COUNT { (u)-->(w) } > 0 "
+        "RETURN count(*) AS c } "
+        "RETURN p.name AS nm, c ORDER BY nm"
+    ).collect()
+    # Alice->Bob (Bob has an out-edge): 1 match x 2 unwound = 2;
+    # Bob->Charlie (no out-edge) = 0; Charlie = 0
+    assert [(r["nm"], r["c"]) for r in rows] == [
+        ("Alice", 2), ("Bob", 0), ("Charlie", 0),
+    ]

@@ -460,3 +460,34 @@ def test_connectivity_refresh_survives_lost_snapshot(spark, tmp_path):
     )
     r = state.result().collect()[0]
     assert (r[0], r[1]) == (1, 3)  # full-recompute fallback, correct
+
+
+def test_connectivity_refresh_many_batches_and_vertex_only(spark, tmp_path):
+    from dd_graphdb_spark.views.incremental import IncrementalConnectivity
+
+    # 4+ batches between refreshes pushes state versions past
+    # KEEP_LAST; the pinned snapshot must survive vacuum and the
+    # returned frame must stay collectable repeatedly (it reads the
+    # freshly WRITTEN labels, not the lazy plan over old versions)
+    st = IncrementalConnectivity(spark, str(tmp_path / "ic"))
+    st.apply_vertex_deltas(
+        spark.createDataFrame([(i,) for i in range(1, 7)], "id long")
+    )
+    st.apply_edge_deltas(spark.createDataFrame([(1, 2)], "src long, dst long"))
+    r = st.result().collect()[0]
+    assert (r[0], r[1]) == (5, 6)
+    for s, d in [(2, 3), (3, 4), (4, 5), (5, 6)]:
+        st.apply_edge_deltas(
+            spark.createDataFrame([(s, d)], "src long, dst long")
+        )
+    df = st.result()
+    assert [tuple(x) for x in df.collect()] == [(1, 6)]
+    assert [tuple(x) for x in df.collect()] == [(1, 6)]  # re-collectable
+
+    # vertex-only delta stream: edges table never written (version -1
+    # snapshots as the empty state) — the bounded path must engage
+    st2 = IncrementalConnectivity(spark, str(tmp_path / "ic2"))
+    st2.apply_vertex_deltas(spark.createDataFrame([(1,), (2,)], "id long"))
+    assert tuple(st2.result().collect()[0]) == (2, 2)
+    st2.apply_vertex_deltas(spark.createDataFrame([(3,)], "id long"))
+    assert tuple(st2.result().collect()[0]) == (3, 3)
