@@ -1924,18 +1924,19 @@ class GQLEngine:
                         )
                     )
                 elif i.prop is not None:
-                    if i.var not in pvars:
+                    src = f"{i.var}__{i.prop}"
+                    if src not in inter.columns:
                         raise ValueError(
-                            f"WITH *, {i.var}.{i.prop}: {i.var} was not "
-                            "passed through the previous WITH"
+                            f"WITH *, {i.var}.{i.prop}: {i.var} is not "
+                            "in scope"
                         )
                     cols.append(
-                        F.col(f"{i.var}__{i.prop}").alias(
-                            i.alias or f"{i.var}_{i.prop}"
-                        )
+                        F.col(src).alias(i.alias or f"{i.var}_{i.prop}")
                     )
             nxt = inter.select(*cols)
-            # pvars unchanged — * passes every variable through
+            # * passes every NAMED variable through (anonymous pattern
+            # bindings leave scope with their dropped columns)
+            pvars = [v for v in pvars if not v.startswith("_anon")]
         elif has_aggs:
             if passthrough:
                 raise ValueError(
@@ -1963,15 +1964,17 @@ class GQLEngine:
                     else:
                         cols.extend(F.col(f"{i.var}__{c}") for c in vcols)
                 else:
-                    if i.var not in pvars:
+                    # var.prop — a pattern variable's (vertex OR named
+                    # edge) binding column, checked by existence so
+                    # edge properties work at the first stage
+                    src = f"{i.var}__{i.prop}"
+                    if src not in inter.columns:
                         raise ValueError(
-                            f"WITH {i.var}.{i.prop}: {i.var} was not "
-                            "passed through the previous WITH"
+                            f"WITH {i.var}.{i.prop}: {i.var} is not in "
+                            "scope"
                         )
                     cols.append(
-                        F.col(f"{i.var}__{i.prop}").alias(
-                            i.alias or f"{i.var}_{i.prop}"
-                        )
+                        F.col(src).alias(i.alias or f"{i.var}_{i.prop}")
                     )
             nxt = inter.select(*cols)
             pvars = passthrough
@@ -2099,36 +2102,26 @@ class GQLEngine:
                 if it.expr is not None:
                     it.expr = _pm(it.expr)
         # COUNT { .. } subqueries: rewrite to synthetic count columns.
-        # Pre-WITH positions (MATCH WHERE, WITH items, RETURN without a
-        # pipeline) attach to the fully-bound frame below (WHERE
-        # application is deferred past the attach when the WHERE carries
-        # one). Post-WITH positions (WITH .. WHERE, RETURN after a WITH)
-        # attach to the WITH intermediate instead — they correlate on
-        # passthrough variables whose binding columns survived the
-        # projection (Cypher scoping: after WITH, only projected items
-        # are in scope anyway).
+        # Pre-WITH positions (MATCH WHERE, RETURN without a pipeline)
+        # attach to the fully-bound frame below (WHERE application is
+        # deferred past the attach when the WHERE carries one).
+        # WITH-stage positions are handled PER STAGE by
+        # _apply_with_stage (items attach to the stage input, the
+        # stage WHERE to its output); a pipelined statement's RETURN
+        # subqueries attach to the LAST stage's intermediate — they
+        # correlate on passthrough variables whose binding columns
+        # survived the projections (Cypher scoping: after WITH, only
+        # projected items are in scope anyway).
         csubs: list = []
-        post_csubs: list = []
         final_csubs: list = []
         where_csubs = 0
         if isinstance(stmt.pattern, PathPattern):
             if stmt.where is not None:
                 stmt.where = _rewrite_count_subs(stmt.where, csubs)
                 where_csubs = len(csubs)
-            for it in stmt.with_items or []:
-                if it.expr is not None:
-                    it.expr = _rewrite_count_subs(it.expr, csubs)
-            if stmt.with_where is not None:
-                stmt.with_where = _rewrite_count_subs(
-                    stmt.with_where, post_csubs, prefix="_pcsub"
-                )
             if stmt.with_items is None:
                 ret_out, ret_prefix = csubs, "_csub"
-            elif not stmt.with_stages:
-                ret_out, ret_prefix = post_csubs, "_pcsub"
             else:
-                # multi-WITH chain: RETURN count-subqueries attach to
-                # the LAST stage's intermediate, not the first's
                 ret_out, ret_prefix = final_csubs, "_fcsub"
             for it in stmt.returns:
                 if it.expr is not None:
@@ -2169,172 +2162,43 @@ class GQLEngine:
             # MATCH .. UNWIND [..] AS x RETURN .. (no WITH pipeline)
             bound, unwound = self._apply_unwind(bound, stmt.unwind, unwound)
         if stmt.with_items is not None:
-            # WITH pipeline. Aggregating WITH: project/aggregate, filter
-            # by bare alias (the HAVING idiom). Non-aggregating WITH may
-            # also pass WHOLE variables through (their binding columns
-            # are kept), which is what post-WITH MATCH clauses join on.
-            has_aggs = any(i.agg for i in stmt.with_items)
-            passthrough = [
-                i.var
-                for i in stmt.with_items
-                if i.prop is None and i.agg is None and i.var not in unwound
-            ]
-            if stmt.with_star:
-                # WITH * [, extras]: keep the whole in-scope frame —
-                # named variables' binding columns and bare aliases;
-                # anonymous bindings (vertex _anonN AND anonymous-edge
-                # _e*/_o*e* prefixes) and consumed synthetic columns
-                # drop (Cypher scope: only NAMED items survive a WITH
-                # — a stray anonymous-edge column would make
-                # WITH DISTINCT * over-count). The "_" prefix is the
-                # engine's reserved namespace; every synthetic binding
-                # uses it
-                keep = [c for c in bound.columns if not c.startswith("_")]
-                cols = [F.col(c) for c in keep]
-                for i in stmt.with_items:
-                    if i.expr is not None:
-                        cols.append(
-                            _lower_expr(i.expr, bare_names=unwound).alias(i.alias)
-                        )
-                    elif i.prop is not None:
-                        cols.append(
-                            F.col(f"{i.var}__{i.prop}").alias(
-                                i.alias or f"{i.var}_{i.prop}"
-                            )
-                        )
-                    # whole-variable items are no-ops under * (already kept)
-                inter = bound.select(*cols)
-                pvars = [v for v in vertex_vars if not v.startswith("_anon")]
-            elif has_aggs:
-                if passthrough:
-                    raise ValueError(
-                        "WITH cannot mix whole-variable passthrough with "
-                        "aggregates — project the needed properties instead"
-                    )
-                inter = self._project(
-                    bound, stmt.with_items, vertex_vars, vcols, bare_names=unwound
+            # WITH pipeline chain: the first stage (legacy with_*
+            # fields) and every further stage lower through ONE
+            # machinery — _apply_with_stage — over the evolving
+            # (frame, passthrough_vars, bare_aliases) scope. Stage 0's
+            # input is the bound pattern frame (vertex_vars in scope,
+            # UNWIND aliases as bare names); each stage applies
+            # project/aggregate → DISTINCT → WHERE → ORDER → SKIP/
+            # LIMIT → post-MATCH clauses → trailing UNWIND.
+            from dd_graphdb_spark.plans.gql import WithStage
+
+            stages = [
+                WithStage(
+                    stmt.with_items, stmt.with_distinct, stmt.with_where,
+                    stmt.with_order, stmt.with_skip, stmt.with_limit,
+                    stmt.post_clauses, stmt.unwind, star=stmt.with_star,
                 )
-                pvars: list[str] = []
-            else:
-                cols = []
-                for i in stmt.with_items:
-                    if i.expr is not None:
-                        cols.append(
-                            _lower_expr(i.expr, bare_names=unwound).alias(i.alias)
-                        )
-                    elif i.prop is None and i.agg is None:
-                        if i.var in unwound:
-                            cols.append(F.col(i.var).alias(i.alias or i.var))
-                        elif i.var not in vertex_vars:
-                            raise ValueError(f"WITH {i.var}: unknown variable")
-                        else:
-                            cols.extend(F.col(f"{i.var}__{c}") for c in vcols)
-                    else:
-                        cols.append(
-                            F.col(f"{i.var}__{i.prop}").alias(
-                                i.alias or f"{i.var}_{i.prop}"
-                            )
-                        )
-                inter = bound.select(*cols)
-                pvars = passthrough
-            if stmt.with_distinct:
-                # WITH DISTINCT dedups the projected intermediate BEFORE
-                # the pipeline filter (Cypher clause order)
-                inter = inter.distinct()
-            if post_csubs:
-                # COUNT{} / pattern comprehensions in WITH..WHERE or a
-                # post-WITH RETURN: attach AFTER the distinct (so the
-                # dedup sees only projected columns) and BEFORE the
-                # pipeline filter. Correlation needs a passthrough
-                # variable's surviving binding columns — an aggregating
-                # WITH has none (Cypher scoping: the entity itself was
-                # not projected), so it stays a clear error.
-                if has_aggs:
+            ] + list(stmt.with_stages)
+            inter, pvars, bare_aliases = bound, list(vertex_vars), unwound
+            for k, st in enumerate(stages):
+                inter, pvars, bare_aliases = self._apply_with_stage(
+                    inter, pvars, st, bare_aliases, k
+                )
+            if final_csubs:
+                # RETURN-position subqueries attach to the LAST
+                # intermediate; correlation needs a surviving
+                # passthrough witness. After an aggregating final
+                # stage no entity witness can exist (Cypher scoping) —
+                # clear error; a non-aggregating projection that merely
+                # dropped the witness gets _attach_count_subs' accurate
+                # share-a-variable error instead.
+                if not pvars and any(i.agg for i in stages[-1].items):
                     raise ValueError(
                         "COUNT { } / pattern comprehensions after an "
                         "AGGREGATING WITH are not supported — compute "
                         "them in the WITH items instead"
                     )
-                inter = self._attach_count_subs(inter, post_csubs)
-            if stmt.with_where is not None:
-                if _has_pattern_pred(stmt.with_where):
-                    # the semi-join rewrite needs binding-id witnesses —
-                    # passthrough stages keep them (r12); an aggregating
-                    # WITH projected every entity away
-                    if not pvars:
-                        raise ValueError(
-                            "EXISTS pattern predicates are not supported "
-                            "after an AGGREGATING WITH — filter in the "
-                            "MATCH WHERE clause instead"
-                        )
-                    inter = self._apply_where(
-                        inter, stmt.with_where, anon_prefix="_ww",
-                        bare=True, pattern_vars=tuple(pvars),
-                    )
-                else:
-                    inter = inter.filter(
-                        _lower_condition(
-                            stmt.with_where, bare=True,
-                            pattern_vars=tuple(pvars),
-                        )
-                    )
-            if stmt.with_order:
-                # pipeline top-k (WITH .. ORDER BY .. LIMIT ..): sorts
-                # the intermediate; with the LIMIT below Spark plans
-                # TakeOrderedAndProject (bounded per-partition heaps,
-                # no global sort materialization)
-                exprs = []
-                for o in stmt.with_order:
-                    if o.expr is not None:
-                        exprs.append(_lower_order_expr(o, inter.columns))
-                        continue
-                    name = o.var if o.prop is None else f"{o.var}_{o.prop}"
-                    if name not in inter.columns:
-                        alt = f"{o.var}__{o.prop}" if o.prop else None
-                        if alt and alt in inter.columns:
-                            name = alt  # passthrough variable's property
-                        else:
-                            raise ValueError(
-                                f"WITH ORDER BY {o.var}"
-                                f"{'.' + o.prop if o.prop else ''} is not "
-                                "projected by the WITH"
-                            )
-                    exprs.append(
-                        F.col(name).desc() if o.desc else F.col(name).asc()
-                    )
-                inter = inter.orderBy(*exprs)
-            if stmt.with_skip is not None:
-                inter = inter.offset(stmt.with_skip)
-            if stmt.with_limit is not None:
-                inter = inter.limit(stmt.with_limit)
-            inter, pvars = self._apply_clauses(
-                inter, pvars, stmt.post_clauses, "_p"
-            )
-            if stmt.unwind is not None:
-                # WITH .. UNWIND alias AS x: explode the projected list
-                # (bare=True: an expression references the WITH aliases)
-                inter, _ = self._apply_unwind(inter, stmt.unwind, (), bare=True)
-            if stmt.with_stages:
-                # multi-WITH chain: each further stage re-projects the
-                # previous intermediate (bare aliases + passed-through
-                # variables' binding columns) — same per-stage pipeline,
-                # no extra shuffle beyond what each stage's own
-                # aggregation/ordering needs
-                bare_aliases = tuple(
-                    c for c in inter.columns if "__" not in c
-                )
-                for k, st in enumerate(stmt.with_stages, start=1):
-                    inter, pvars, bare_aliases = self._apply_with_stage(
-                        inter, pvars, st, bare_aliases, k
-                    )
-                if final_csubs:
-                    if not pvars:
-                        raise ValueError(
-                            "COUNT { } / pattern comprehensions after an "
-                            "AGGREGATING WITH are not supported — compute "
-                            "them in the WITH items instead"
-                        )
-                    inter = self._attach_count_subs(inter, final_csubs)
+                inter = self._attach_count_subs(inter, final_csubs)
             df = self._project(
                 inter, stmt.returns, pvars, vcols, bare=True,
                 bare_names=tuple(c for c in inter.columns if "__" not in c),

@@ -3288,7 +3288,7 @@ def test_multi_with_unknown_alias_errors(people_graph):
         eng.execute(
             "MATCH (p:Person) WITH p.name AS nm WITH ghost RETURN ghost"
         )
-    with pytest.raises(ValueError, match="not .*passed through|unknown"):
+    with pytest.raises(ValueError, match="not in scope|unknown"):
         eng.execute(
             "MATCH (p:Person) WITH p.name AS nm WITH p.age AS a RETURN a"
         )
