@@ -737,6 +737,22 @@ class _Parser:
             return v
         raise ValueError(f"GQL parse error: expected identifier, got {v!r}")
 
+    @staticmethod
+    def _check_var(name: str) -> str:
+        """Variable/alias BINDING positions reject the '_' prefix — it
+        is the engine's reserved namespace (anonymous pattern bindings
+        `_anonN`/`_e0`, synthetic subquery columns), so a user binding
+        like `_e0` would silently collide with an anonymous edge and a
+        `_x` alias would fall out of WITH * scope. Property names are
+        unrestricted (they live under `var__prop`, never bare)."""
+        if name.startswith("_"):
+            raise ValueError(
+                f"GQL parse error: variable/alias {name!r} — names "
+                "starting with '_' are reserved for the engine's "
+                "anonymous and synthetic bindings"
+            )
+        return name
+
     # ----- literals
     def literal(self):
         k, v = self.next()
@@ -771,7 +787,7 @@ class _Parser:
         var = label = None
         props: dict = {}
         if self.at_name():
-            var = self.next()[1]
+            var = self._check_var(self.next()[1])
         if self.accept("punct", ":"):
             # label alternation (n:A|B) — stored "|"-joined (labels
             # cannot contain "|"); read filters lower to isin, write
@@ -822,7 +838,7 @@ class _Parser:
         props: dict = {}
         if self.accept("punct", "["):
             if self.at_name():
-                var = self.next()[1]
+                var = self._check_var(self.next()[1])
             if self.accept("punct", ":"):
                 # type alternation -[:KNOWS|LIKES]-> (Cypher) — same
                 # "|"-joined convention as node labels
@@ -1470,7 +1486,7 @@ class _Parser:
             if self.accept("AS"):
                 if items[-1].var == "*" and items[-1].agg is None:
                     raise ValueError("GQL parse error: RETURN * cannot be aliased")
-                items[-1].alias = self.expect_name()
+                items[-1].alias = self._check_var(self.expect_name())
             elif items[-1].expr is not None:
                 raise ValueError(
                     "GQL parse error: a computed item needs an explicit "
@@ -1582,7 +1598,7 @@ class _Parser:
                 + (" or a WITH alias" if allow_name else "")
             )
         self.expect("AS")
-        return UnwindClause(src, self.expect_name())
+        return UnwindClause(src, self._check_var(self.expect_name()))
 
     def read_query(self):
         """A full read query: a statement, optionally a UNION [ALL]
@@ -1964,7 +1980,7 @@ class _Parser:
         else:
             pvar = None
             if self._at_path_assignment():
-                pvar = self.expect_name()
+                pvar = self._check_var(self.expect_name())
                 self.expect("op", "=")
             pattern = self.path()
             if pvar is not None:

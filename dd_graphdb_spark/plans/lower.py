@@ -905,9 +905,10 @@ def _rewrite_count_subs(node, out: list, prefix: str = "_csub"):
     "val")`` (lowering to the joined subquery column ``{prefix}K__val``),
     collecting the subqueries into ``out`` as ``(name, node)``. Generic
     dataclass walk — any new expression node type is traversed without
-    registration. ``prefix``: post-WITH subqueries attach to the WITH
-    intermediate under ``_pcsub`` so their columns can never collide
-    with the pre-projection ``_csub`` attach."""
+    registration. ``prefix`` keeps each attach position's synthetic
+    columns collision-free: ``_csub`` pre-projection, ``_ws{k}i``/
+    ``_ws{k}w`` per WITH stage, ``_fcsub`` the pipelined RETURN, and
+    the ``_cse*`` family inside CALL bodies."""
     import dataclasses
 
     if isinstance(node, (CountSub, PatternComp)):
@@ -1878,8 +1879,9 @@ class GQLEngine:
     def _apply_with_stage(
         self, inter: DataFrame, pvars: list, st, bare_aliases: tuple, idx: int
     ) -> tuple:
-        """One additional WITH stage of a multi-WITH chain (stages after
-        the first — the first stage lowers inline in _execute_match).
+        """One WITH stage of a statement-level pipeline — EVERY stage,
+        including the first, lowers through here (stage 0's input is
+        the bound pattern frame with UNWIND aliases as bare names).
 
         The stage input is the previous intermediate: bare alias columns
         plus passed-through variables' ``var__col`` binding columns. The
@@ -2278,6 +2280,14 @@ class GQLEngine:
             ovars = list(dict.fromkeys(n.var for n in opt.pattern.nodes))
             shared = [v for v in ovars if v in vertex_vars]
             if not shared:
+                if not vertex_vars:
+                    raise ValueError(
+                        f"{'OPTIONAL ' if kind == 'optional' else ''}MATCH "
+                        "here has no in-scope variables to join on (a "
+                        "value-table UNWIND or an aggregating WITH came "
+                        "before it) — start with UNWIND .. AS x MATCH .. "
+                        "or pass a variable through the WITH"
+                    )
                 raise ValueError(
                     f"{'OPTIONAL ' if kind == 'optional' else ''}MATCH must "
                     "share at least one variable with an earlier MATCH "
@@ -2327,12 +2337,22 @@ class GQLEngine:
                     # RETURN * after WITH (r12): the scope is the
                     # passthrough variables + the projected bare
                     # aliases (Cypher: only NAMED items survive a WITH)
-                    cols = [
-                        F.col(f"{var}__{c}").alias(f"{var}_{c}")
+                    flat = [
+                        (f"{var}_{c}", F.col(f"{var}__{c}").alias(f"{var}_{c}"))
                         for var in vertex_vars
                         if not var.startswith("_anon")
                         for c in vcols
-                    ] + [F.col(n) for n in bare_names]
+                    ]
+                    dup = sorted({n for n, _ in flat} & set(bare_names))
+                    if dup:
+                        raise ValueError(
+                            f"RETURN *: alias(es) {dup} collide with a "
+                            "variable's flattened columns — rename the "
+                            "alias or name the items"
+                        )
+                    cols = [c for _, c in flat] + [
+                        F.col(n) for n in bare_names
+                    ]
                     if not cols:
                         raise ValueError(
                             "RETURN *: nothing is in scope — name the "

@@ -3583,3 +3583,31 @@ def test_call_body_leading_unwind_count_subquery_where(people_graph):
     assert [(r["nm"], r["c"]) for r in rows] == [
         ("Alice", 2), ("Bob", 0), ("Charlie", 0),
     ]
+
+
+def test_reserved_underscore_namespace_rejected(people_graph):
+    eng = _engine(people_graph)
+    for q in [
+        "MATCH (_n:Person) RETURN _n.name",
+        "MATCH (p:Person)-[_e0:friend]->(q) RETURN _e0.since",
+        "MATCH (p:Person) WITH p.age AS _a RETURN _a",
+        "UNWIND [1] AS _x RETURN _x",
+    ]:
+        with pytest.raises(ValueError, match="reserved"):
+            eng.execute(q)
+
+
+def test_return_star_alias_collision_clear_error(people_graph):
+    eng = _engine(people_graph)
+    with pytest.raises(ValueError, match="collide"):
+        eng.execute(
+            "MATCH (p:Person) WITH p, p.age AS p_age RETURN *"
+        ).collect()
+
+
+def test_stage_match_without_scope_clear_error(people_graph):
+    eng = _engine(people_graph)
+    with pytest.raises(ValueError, match="no in-scope variables"):
+        eng.execute(
+            "UNWIND [1, 2] AS x WITH x MATCH (n:Person) RETURN x"
+        ).collect()
