@@ -58,22 +58,22 @@ def _with_hygiene(fn):
 
 
 # The driver's correctness gate records the FIRST 50 queries() entries.
-# ROTATION CALENDAR (registry 237 > 50/window, so a full re-record
+# ROTATION CALENDAR (registry 238 > 50/window, so a full re-record
 # takes ~5 rounds; every round: new queries at the TOP, then the
 # oldest-recorded block, fill to 50 with the rows most affected by
 # the round's engine changes; freshest block moves to the END):
 #   r11 = 13 new + 16 deferred r6 + 21 r7 rows (recorded 50/50 green).
-#   r12 = 9 new/changed-schema (multi-WITH chain, CALL-body leading
+#   r12 = 10 new/changed-schema (multi-WITH chain, CALL-body leading
 #         UNWIND, nested-CALL+WITH composition, SemDeDup multi-probe,
 #         the recall gate whose schema gained p2 columns, the capped-
 #         colocation SSSP, WITH *, CALL-body WITH chains) + 3 rows
 #         whose engine/oracle surface r12 changed (exact-substring
 #         oracle tokenizer, the delta-bounded connectivity refresh,
 #         float query-params) + the 29 r7 rows deferred from r11 +
-#         9 of the r8-recorded block. The remaining 41 r8 rows lead
+#         8 of the r8-recorded block. The remaining 42 r8 rows lead
 #         r13's window; all were green in the r12 full oracle-gate
 #         replica.
-#   r13 = r13's new + the 41 remaining r8 rows + r9-block head
+#   r13 = r13's new + the 42 remaining r8 rows + r9-block head
 #   r14 = r14's new + the r9/r10-recorded remainder — then the cycle
 # repeats, so no query's newest driver row ever ages past ~5 rounds.
 GATE_PRIORITY = [
@@ -85,6 +85,7 @@ GATE_PRIORITY = [
     "gql_call_unwind",
     "gql_call_nested_with",
     "dedup_semantic_multiprobe",
+    "dedup_semantic_trained",
     "dedup_semantic_recall",
     "algo_sssp_colocation_capped",
     "gql_with_star",

@@ -513,9 +513,51 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_spans(_docs(spark, sf_dir), window=8)
 
 
-def _sql_semantic_dedup(n_centroids: int, threshold: float, n_probe: int = 1) -> str:
-    """SemDeDup oracle: same coarse quantizer as the IVF oracle (first n
-    vectors as centroids, argmax-cosine cells with lowest-cid ties),
+def _sql_lloyd_cents(n_centroids: int, iters: int) -> str:
+    """CTE chain ending in ``cents(cid, cv)`` — the coarse quantizer.
+    iters=0: the first ``n_centroids`` corpus vectors (seed-only, the
+    flat quantizer every r11 oracle used). iters>0 unrolls Lloyd
+    rounds exactly as operators.similarity.train_centroids: argmax-
+    cosine assignment (ties to the lowest cid), per-cell element-wise
+    mean via the exact decimal-sum contract (order-independent), and
+    a cell with no members keeps its previous centroid. Every round's
+    CTEs are MATERIALIZED (each feeds two references; DuckDB inlines
+    plain CTEs)."""
+    cos_ac = f"{_SQL_DOT.format(a='e.v', b='c.cv')} / ({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='c.cv')})"
+    parts = [
+        f"cents0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids})"
+    ]
+    for r in range(1, iters + 1):
+        parts.append(f"""a{r} AS MATERIALIZED (
+        SELECT vec_id, cid AS cell, v FROM (
+            SELECT e.vec_id, c.cid, e.v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {cos_ac} DESC, c.cid ASC
+                   ) AS rn
+            FROM e, cents{r-1} c
+        ) WHERE rn = 1
+    )""")
+        parts.append(f"""cents{r} AS MATERIALIZED (
+        SELECT c0.cid, COALESCE(m.cv, c0.cv) AS cv
+        FROM cents{r-1} c0 LEFT JOIN (
+            SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM (
+                SELECT a.cell, t.pos,
+                       SUM(a.v[t.pos]::DECIMAL(28,12))::DOUBLE / COUNT(*) AS m
+                FROM a{r} a, UNNEST(generate_series(1, len(a.v))) AS t(pos)
+                GROUP BY a.cell, t.pos
+            ) GROUP BY cell
+        ) m ON m.cid = c0.cid
+    )""")
+    parts.append(f"cents AS (SELECT cid, cv FROM cents{iters})")
+    return ",\n    ".join(parts)
+
+
+def _sql_semantic_dedup(
+    n_centroids: int, threshold: float, n_probe: int = 1, iters: int = 0
+) -> str:
+    """SemDeDup oracle: same coarse quantizer as the IVF oracle
+    (seed-only or Lloyd-TRAINED via ``iters`` — see _sql_lloyd_cents),
     then the greedy prune — a vector's representative is the smallest
     lower-id candidate at rounded cosine >= threshold. ``n_probe`` > 1
     mirrors the engine's multi-probe candidate generation: every
@@ -527,7 +569,7 @@ def _sql_semantic_dedup(n_centroids: int, threshold: float, n_probe: int = 1) ->
     cos_ab = f"{_SQL_DOT.format(a='ea.v', b='eb.v')} / ({_SQL_NORM.format(a='ea.v')} * {_SQL_NORM.format(a='eb.v')})"
     return f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),
+    {_sql_lloyd_cents(n_centroids, iters)},
     ranked AS MATERIALIZED (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
@@ -582,6 +624,30 @@ def dedup_semantic_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the survivorship rule unchanged
     (operators/similarity.py:semantic_dedup)."""
     out = S.semantic_dedup(_emb(spark, sf_dir), n_centroids=8, threshold=0.4, n_probe=2)
+    return out.select(
+        "vec_id",
+        F.col("cell").cast("long").alias("cell"),
+        "keep",
+        F.coalesce("dup_of", F.lit(-1).cast("long")).alias("dup_of"),
+    )
+
+
+@_q(
+    "dedup_semantic_trained",
+    _sql_semantic_dedup(8, 0.4, n_probe=2, iters=2),
+)
+def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under a Lloyd-TRAINED coarse quantizer (2 refinement
+    rounds) + multi-probe — the full 100 TB posture the README's
+    flat-quantizer analysis prescribes, oracle-checked end to end: the
+    DuckDB side replays the identical training (argmax-cosine
+    assignment, exact decimal-sum element means, empty-cell carry-
+    over) before the same cell-partitioned prune
+    (operators/similarity.py:train_centroids/semantic_dedup)."""
+    out = S.semantic_dedup(
+        _emb(spark, sf_dir), n_centroids=8, threshold=0.4,
+        train_iters=2, n_probe=2,
+    )
     return out.select(
         "vec_id",
         F.col("cell").cast("long").alias("cell"),
