@@ -28,6 +28,7 @@ HEADLINE = [
     "gql_call_nested_with",
     "gql_call_with_chain",
     "dedup_semantic_multiprobe",
+    "dedup_semantic_trained",
     "algo_sssp_colocation_capped",
     "q1_pricing_summary",
     "join_revenue_per_region",
