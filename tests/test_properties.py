@@ -1531,3 +1531,112 @@ def test_gql_statement_roundtrip_multi_with_shapes(
             want[i] = (len(vals), sum(vals))
         got = {r["vid"]: (r["c"], r["s"]) for r in eng.execute(q).collect()}
         assert got == want, q
+
+
+# --------------------------------------------------------------------------
+# SemDeDup model check (round 12): the engine's cell assignment, Lloyd
+# refinement, multi-probe candidate generation and greedy prune vs an
+# exact pure-Python replica. Integer vector components keep every
+# arithmetic step bit-replicable: seeds and round-1 means are exact
+# doubles, cosines share the engine's left-fold order, and the
+# 6-decimal threshold round uses Spark's HALF_UP (not Python's
+# banker's rounding).
+# --------------------------------------------------------------------------
+def _model_semantic_dedup(vecs, n_cent, thr, iters, n_probe):
+    from decimal import ROUND_HALF_UP, Decimal
+
+    ids = sorted(vecs)
+    cents = [list(map(float, vecs[i])) for i in ids[:n_cent]]
+
+    def cos(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return s / ((na ** 0.5) * (nb ** 0.5))
+
+    for _ in range(iters):
+        assign = {}
+        for i in ids:
+            sims = [cos(vecs[i], c) for c in cents]
+            assign[i] = sims.index(max(sims))  # first max = lowest cid
+        new = []
+        for c in range(len(cents)):
+            members = [vecs[i] for i in ids if assign[i] == c]
+            if members:
+                d = len(members)
+                new.append(
+                    [
+                        float(sum(v[p] for v in members)) / d
+                        for p in range(len(members[0]))
+                    ]
+                )
+            else:
+                new.append(cents[c])
+        cents = new
+
+    def probes(i):
+        sims = [(-cos(vecs[i], c), cid) for cid, c in enumerate(cents)]
+        return [cid for _, cid in sorted(sims)[:n_probe]]
+
+    cells = {i: probes(i) for i in ids}
+
+    def r6(x):
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    out = {}
+    for j in ids:
+        cands = [
+            i
+            for i in ids
+            if i < j
+            and set(cells[i]) & set(cells[j])
+            and r6(cos(vecs[i], vecs[j])) >= thr
+        ]
+        out[j] = (cells[j][0], min(cands) if cands else None)
+    return out
+
+
+@settings(max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    raw=st.lists(
+        st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+        min_size=6, max_size=16,
+    ),
+    n_cent=st.integers(2, 4),
+    thr=st.sampled_from([0.3, 0.5, 0.7, 0.9]),
+    iters=st.integers(0, 1),
+    n_probe=st.integers(1, 2),
+)
+def test_semantic_dedup_matches_model(spark, raw, n_cent, thr, iters, n_probe):
+    from dd_graphdb_spark.operators import similarity as S
+
+    vecs = {
+        i: [float(x) for x in v]
+        for i, v in enumerate(raw)
+        if any(x != 0 for x in v)  # zero vectors have no cosine
+    }
+    if len(vecs) <= n_cent:
+        return
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in sorted(vecs.items())],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["dup_of"])
+        for r in S.semantic_dedup(
+            emb, n_centroids=n_cent, threshold=thr,
+            train_iters=iters, n_probe=n_probe,
+        ).collect()
+    }
+    want = _model_semantic_dedup(vecs, n_cent, thr, iters, n_probe)
+    assert got == want
