@@ -2017,7 +2017,7 @@ class _Parser:
         if self._ident_kw("FOREACH"):
             self.next()
             self.expect("punct", "(")
-            lvar = self.expect_name()
+            lvar = self._check_var(self.expect_name())
             outer_vars = {n.var for n in pattern.nodes} | {
                 e.var for e in pattern.edges if e.var
             }
