@@ -395,3 +395,65 @@ def test_nested_exists_stays_join_shaped(spark):
     p = plan(spark, "gql_nested_exists")
     assert "CartesianProduct" not in p
     assert "LeftSemi" in p or "left_semi" in p
+
+
+def test_multi_with_chain_adds_no_exchange(spark):
+    """A 3-stage WITH chain must compile to the SAME exchange set as
+    the single-stage equivalent — extra projection stages fuse into
+    the surrounding codegen (verified identical at r12: 2 broadcast
+    dims + 1 agg hash + 1 sort range)."""
+    from dd_graphdb_spark.graph import materialized_tpch_graph
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(materialized_tpch_graph(spark, SF))
+
+    def exchanges(q):
+        p = eng.execute(q)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        return p.count("Exchange")
+
+    one = exchanges(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "WITH n.name AS nation, count(*) AS n_cust WHERE n_cust > 25 "
+        "RETURN nation, n_cust ORDER BY nation"
+    )
+    three = exchanges(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "WITH n.name AS nation, count(*) AS n_cust "
+        "WITH nation, n_cust WHERE n_cust > 25 "
+        "WITH nation, n_cust * 2 AS score "
+        "RETURN nation, score ORDER BY nation"
+    )
+    assert three == one
+
+
+def test_with_star_filter_reaches_scan(spark):
+    """WITH * WHERE c.acctbal > x must push the predicate into the
+    parquet scan (the star stage is a projection, not a barrier)."""
+    p = plan(spark, "gql_with_star")
+    assert "PushedFilters" in p
+    import re
+
+    pushed = [
+        l for l in p.split("\n") if "PushedFilters" in l and "acctbal" in l
+    ]
+    assert pushed, "acctbal filter not pushed to any scan"
+
+
+def test_semantic_multiprobe_stays_cell_local(spark):
+    """Multi-probe SemDeDup keeps the salted cell-bucketed pair path —
+    no cartesian product appears from the probe-cell explode."""
+    p = plan(spark, "dedup_semantic_multiprobe")
+    assert "CartesianProduct" not in p
+    assert "REPARTITION_BY_NUM" in p
+
+
+def test_capped_colocation_layout_is_rank_join(spark):
+    """The capped colocation SSSP must read the bucketed lattice —
+    never a nation-clique pair join (no cartesian, no broadcast
+    nested loop over suppliers)."""
+    p = plan(spark, "algo_sssp_colocation_capped")
+    assert "CartesianProduct" not in p
