@@ -14,13 +14,22 @@ Reference semantics (graph/storage/src/lib.rs):
 - durability: WAL + whole-snapshot files + checkpoint-every-10-ops
   (:103-160, :582-611)
 
-Spark mapping: the snapshot IS a pair of parquet tables; every committed
-batch writes a new version directory (``v{n}/vertices.parquet`` +
-``v{n}/edges.parquet`` + ``meta.json``) — the parquet write is the WAL
-fsync and the version directory is the checkpoint, with time travel =
-opening an older version (what Delta Lake's txn log gives; plain
-versioned parquet keeps this repo dependency-free). OCC is a version
-compare at commit, exactly the reference's rule.
+Spark mapping: the snapshot IS a pair of parquet tables, physically
+hash-bucketed (vertices by ``id % B``, edges by ``src % B``) with
+bucket-level copy-on-write commits. Every committed batch writes a new
+version directory holding ONLY the buckets the batch touched
+(``v{n}/vertices/_b=<k>/`` dirs) plus ``v{n}/manifest.json`` mapping
+every bucket to the version directory that last rewrote it; untouched
+buckets are inherited by manifest reference, so commit write I/O is
+O(delta buckets), not O(graph) — the file-level put-if-absent commit
+Delta Lake's txn log gives, kept dependency-free (the reference instead
+re-serializes the whole graph per snapshot, graph/storage/src/lib.rs:
+582-599, which is the one posture we deliberately do NOT mirror at
+100 TB). The manifest write + ``meta.json`` pointer swap is the commit
+point; time travel = opening an older manifest. OCC is a version
+compare at commit, exactly the reference's rule. ``n_buckets`` is fixed
+at store creation (default 16 for local scale; thousands at 100 TB) and
+persisted in ``meta.json``.
 
 Apply order inside a batch follows the reference: operations apply in
 sequence, later ops see earlier ops' effects (a batch is one WAL run).
@@ -188,26 +197,40 @@ def cdc_to_deltas(changes: DataFrame) -> DataFrame:
 class GraphStore:
     """Versioned, transactional property-graph store over parquet."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    #: bucket key column per table — vertices co-bucket with edge
+    #: sources so a vertex and its out-edges rewrite together
+    _BUCKET_KEY = {"vertices": "id", "edges": "src"}
+
+    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
         self.spark = spark
         self.path = path
         os.makedirs(path, exist_ok=True)
         self._meta_path = os.path.join(path, "meta.json")
-        if not os.path.exists(self._meta_path):
+        if os.path.exists(self._meta_path):
+            with open(self._meta_path) as f:
+                # a reopened store keeps its creation-time bucket count
+                # (bucket membership is id % B — changing B would orphan
+                # inherited buckets); pre-manifest stores have no key and
+                # fall back to full-rewrite commits anyway
+                self.n_buckets = json.load(f).get("n_buckets", n_buckets)
+        else:
+            self.n_buckets = n_buckets
             self._write_initial()
 
     # ---- metadata ---------------------------------------------------------
     def _write_initial(self) -> None:
-        empty_v = self.spark.createDataFrame([], VERTEX_SCHEMA)
-        empty_e = self.spark.createDataFrame([], EDGE_SCHEMA)
-        self._write_version(0, empty_v, empty_e)
-        self._save_meta({"version": 0})
+        # an empty store is an empty manifest — no parquet written at all
+        self._save_manifest(0, {"vertices": {}, "edges": {}})
+        self._save_meta({"version": 0, "n_buckets": self.n_buckets})
 
     def _save_meta(self, meta: dict) -> None:
         tmp = self._meta_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, self._meta_path)  # atomic pointer swap = commit point
+
+    def _set_version(self, version: int) -> None:
+        self._save_meta({"version": version, "n_buckets": self.n_buckets})
 
     @property
     def version(self) -> int:
@@ -217,23 +240,171 @@ class GraphStore:
     def _vdir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version}")
 
+    # ---- manifest protocol -------------------------------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self._vdir(version), "manifest.json")
+
+    def _load_manifest(self, version: int) -> dict | None:
+        """Bucket→dir map for a version; None = pre-manifest legacy
+        layout (whole-table ``vertices.parquet``/``edges.parquet``)."""
+        p = self._manifest_path(version)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_manifest(self, version: int, manifest: dict) -> None:
+        os.makedirs(self._vdir(version), exist_ok=True)
+        tmp = self._manifest_path(version) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(version))
+
+    def _bucket_col(self, col: str) -> Column:
+        # pmod matches Python's % for negative ids too — driver-side
+        # bucket math (apply_batch) and JVM-side must agree
+        return F.pmod(F.col(col).cast("long"), F.lit(self.n_buckets)).cast("int")
+
+    def _collect_buckets(self, df: DataFrame, col: str) -> set[int]:
+        """Distinct bucket ids of a key frame — ≤ n_buckets rows to the
+        driver, the only driver-side step of a CoW commit plan."""
+        rows = (
+            df.select(self._bucket_col(col).alias("_b")).distinct().collect()
+        )
+        return {r["_b"] for r in rows if r["_b"] is not None}
+
+    def _table_paths(
+        self, version: int, table: str, buckets: set[int] | None = None
+    ) -> list[str] | None:
+        """Bucket dirs for a (version, table) read; None = legacy layout."""
+        man = self._load_manifest(version)
+        if man is None:
+            return None
+        entries = man[table]
+        if buckets is not None:
+            entries = {b: p for b, p in entries.items() if int(b) in buckets}
+        return [os.path.join(self.path, rel) for rel in entries.values()]
+
+    def _read_table(
+        self, version: int, table: str, buckets: set[int] | None = None
+    ) -> DataFrame:
+        schema = VERTEX_SCHEMA if table == "vertices" else EDGE_SCHEMA
+        paths = self._table_paths(version, table, buckets)
+        if paths is None:  # pre-manifest store: whole-table parquet
+            return self.spark.read.schema(schema).parquet(
+                os.path.join(self._vdir(version), f"{table}.parquet")
+            )
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
+
     def _write_version(self, version: int, vertices: DataFrame, edges: DataFrame) -> None:
-        d = self._vdir(version)
-        vertices.write.mode("overwrite").parquet(os.path.join(d, "vertices.parquet"))
-        edges.write.mode("overwrite").parquet(os.path.join(d, "edges.parquet"))
+        """Full (all-bucket) snapshot write — initial load / legacy-store
+        upgrade path. Incremental commits go through _commit_version."""
+        manifest = {
+            "vertices": self._write_buckets(version, "vertices", vertices, None),
+            "edges": self._write_buckets(version, "edges", edges, None),
+        }
+        self._save_manifest(version, manifest)
+
+    def _write_buckets(
+        self, version: int, table: str, df: DataFrame, touched: set[int] | None
+    ) -> dict[str, str]:
+        """Write ``df`` (already restricted to ``touched`` buckets when
+        given) under ``v{version}/{table}/_b=<k>/``; return the manifest
+        entries for the buckets that produced files. An empty touched
+        bucket simply yields no entry — which is exactly how a
+        bucket-wide delete shadows the inherited data."""
+        d = os.path.join(self._vdir(version), table)
+        (
+            df.withColumn("_b", self._bucket_col(self._BUCKET_KEY[table]))
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(d)
+        )
+        entries: dict[str, str] = {}
+        for name in os.listdir(d):
+            if not name.startswith("_b="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if touched is not None and b not in touched:
+                raise RuntimeError(
+                    f"CoW commit wrote bucket {b} of {table} outside its "
+                    f"declared touched set {sorted(touched)} — the delta "
+                    "plan read a base it did not declare"
+                )
+            entries[str(b)] = f"v{version}/{table}/{name}"
+        return entries
+
+    def _commit_version(
+        self,
+        v_df: DataFrame | None,
+        e_df: DataFrame | None,
+        v_touched: set[int] | None,
+        e_touched: set[int] | None,
+    ) -> int:
+        """Bucket-level copy-on-write commit. ``*_touched`` semantics:
+        a set = rewrite exactly those buckets from the given frame
+        (which must already be the delta applied to the bucket-restricted
+        base) and inherit the rest from the current manifest; empty set =
+        table untouched (no write job at all); None = full rewrite (the
+        frame is the complete table — used when the current version has
+        no manifest to inherit from). Returns the new version."""
+        cur = self.version
+        new_version = cur + 1
+        prev = self._load_manifest(cur)
+        if prev is None and not (v_touched is None and e_touched is None):
+            raise RuntimeError(
+                "incremental commit over a pre-manifest store — callers "
+                "must fall back to a full rewrite (see _cow_plan)"
+            )
+        manifest: dict[str, dict[str, str]] = {}
+        for table, df, touched in (
+            ("vertices", v_df, v_touched),
+            ("edges", e_df, e_touched),
+        ):
+            if touched is not None and not touched:
+                manifest[table] = dict(prev[table])  # inherit everything
+                continue
+            entries = self._write_buckets(new_version, table, df, touched)
+            if touched is not None:
+                inherited = {
+                    b: p for b, p in prev[table].items() if int(b) not in touched
+                }
+                entries = {**inherited, **entries}
+            manifest[table] = entries
+        self._save_manifest(new_version, manifest)
+        self._set_version(new_version)
+        return new_version
+
+    def _cow_plan(
+        self, v_touched: set[int] | None, e_touched: set[int] | None
+    ) -> tuple[DataFrame, DataFrame, set[int] | None, set[int] | None]:
+        """Bucket-restricted base frames + effective touched sets for a
+        commit. On a pre-manifest (legacy) store inheritance is
+        impossible, so the plan degrades to full-table base + full
+        rewrite — the pre-CoW behavior."""
+        if self._load_manifest(self.version) is None:
+            return self.vertices(), self.edges(), None, None
+        return (
+            self.vertices(buckets=v_touched),
+            self.edges(buckets=e_touched),
+            v_touched,
+            e_touched,
+        )
 
     # ---- reads (time travel via version=) ---------------------------------
-    def vertices(self, version: int | None = None) -> DataFrame:
+    def vertices(
+        self, version: int | None = None, buckets: set[int] | None = None
+    ) -> DataFrame:
         v = self.version if version is None else version
-        return self.spark.read.schema(VERTEX_SCHEMA).parquet(
-            os.path.join(self._vdir(v), "vertices.parquet")
-        )
+        return self._read_table(v, "vertices", buckets)
 
-    def edges(self, version: int | None = None) -> DataFrame:
+    def edges(
+        self, version: int | None = None, buckets: set[int] | None = None
+    ) -> DataFrame:
         v = self.version if version is None else version
-        return self.spark.read.schema(EDGE_SCHEMA).parquet(
-            os.path.join(self._vdir(v), "edges.parquet")
-        )
+        return self._read_table(v, "edges", buckets)
 
     def get_vertex(self, vertex_id: int) -> DataFrame:
         """Point lookup (graph/storage/src/lib.rs:504-507)."""
@@ -401,6 +572,36 @@ class GraphStore:
             else:
                 runs.append((op.kind, [op.payload]))
 
+        # CoW commit scope — computable driver-side from the payloads
+        # (they are already driver lists). The one distributed probe:
+        # remove_vertex cascades delete edges by DST too, and those live
+        # in their src's bucket, so ask the base edge table which source
+        # buckets hold in-edges of the removed ids (≤ n_buckets rows
+        # back; at scale a two-long-column semi-join scan). Edges ADDED
+        # earlier in this batch and then cascaded are already covered:
+        # their add touched their bucket.
+        B = self.n_buckets
+        touched_v: set[int] = set()
+        touched_e: set[int] = set()
+        removed: set[int] = set()
+        for kind, ps in runs:
+            for p in ps:
+                if kind in ("add_vertex", "update_vertex_props"):
+                    touched_v.add(p["id"] % B)
+                elif kind == "remove_vertex":
+                    touched_v.add(p["id"] % B)
+                    touched_e.add(p["id"] % B)  # out-edges co-bucketed
+                    removed.add(p["id"])
+                else:  # add_edge / remove_edge / update_edge_props
+                    touched_e.add(p["src"] % B)
+        if removed:
+            probe = self.spark.createDataFrame(
+                [(i,) for i in sorted(removed)], "dst long"
+            )
+            touched_e |= self._collect_buckets(
+                self.edges().join(F.broadcast(probe), "dst", "left_semi"), "src"
+            )
+
         # bracket the settle checkpoints (the run_loop pattern): once the
         # version is parquet, every block this batch pinned is garbage —
         # left pinned they accumulate and degrade later queries
@@ -409,8 +610,7 @@ class GraphStore:
         except Exception:  # Spark Connect: ContextCleaner self-manages
             before = None
 
-        v_df = self.vertices()
-        e_df = self.edges()
+        v_df, e_df, touched_v, touched_e = self._cow_plan(touched_v, touched_e)
         for i, (kind, ps) in enumerate(runs):
             v_df, e_df = self._apply_run(kind, ps, v_df, e_df)
             # long mixed batches: settle every 16 runs to bound plan depth
@@ -418,9 +618,7 @@ class GraphStore:
                 v_df = v_df.localCheckpoint(eager=True)
                 e_df = e_df.localCheckpoint(eager=True)
 
-        new_version = self.version + 1
-        self._write_version(new_version, v_df, e_df)
-        self._save_meta({"version": new_version})
+        new_version = self._commit_version(v_df, e_df, touched_v, touched_e)
         if before is not None:
             _unpersist(self.spark, _persistent_ids(self.spark) - before)
         return new_version
@@ -491,27 +689,33 @@ class GraphStore:
         distributed MATCH..DELETE path (no driver-side id collection).
         ``ids_df`` must have a single ``id`` column."""
         ids = ids_df.select("id").distinct()
-        v_df = self.vertices().join(ids, "id", "left_anti")
+        # commit scope: the ids' own buckets (vertex rows + out-edges,
+        # co-bucketed by src) plus the source buckets holding IN-edges
+        # of deleted ids — one semi-join probe, ≤ n_buckets rows back
+        touched_v = self._collect_buckets(ids, "id")
+        touched_e = touched_v | self._collect_buckets(
+            self.edges().join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi"),
+            "src",
+        )
+        v_base, e_base, touched_v, touched_e = self._cow_plan(touched_v, touched_e)
+        v_df = v_base.join(ids, "id", "left_anti")
         e_df = (
-            self.edges()
+            e_base
             .join(ids.withColumnRenamed("id", "src"), "src", "left_anti")
             .join(ids.withColumnRenamed("id", "dst"), "dst", "left_anti")
         )
-        new_version = self.version + 1
-        self._write_version(new_version, v_df, e_df)
-        self._save_meta({"version": new_version})
-        return new_version
+        return self._commit_version(v_df, e_df, touched_v, touched_e)
 
     def update_vertices(self, ids_df: DataFrame, props: dict) -> int:
         """Bulk per-key property update — the distributed MATCH..SET
         path. Cypher SET semantics: listed keys overwrite, other keys
         are KEPT (unlike update_vertex_props' whole-map replace,
         lib.rs:310-312). ``ids_df`` must have a single ``id`` column."""
-        v_df = self._updated_vertices_df(self.vertices(), ids_df, props)
-        new_version = self.version + 1
-        self._write_version(new_version, v_df, self.edges())
-        self._save_meta({"version": new_version})
-        return new_version
+        touched_v = self._collect_buckets(ids_df, "id")
+        v_base, _, touched_v, touched_e = self._cow_plan(touched_v, set())
+        v_df = self._updated_vertices_df(v_base, ids_df, props)
+        e_df = self.edges() if touched_e is None else None
+        return self._commit_version(v_df, e_df, touched_v, touched_e)
 
     @staticmethod
     def _updated_vertices_df(v_base: DataFrame, ids_df: DataFrame, props: dict) -> DataFrame:
@@ -597,11 +801,11 @@ class GraphStore:
     def update_edges(self, keys_df: DataFrame, props: dict) -> int:
         """Bulk per-key edge property update (Cypher SET semantics, like
         update_vertices). ``keys_df`` needs (src, dst, label) columns."""
-        e_df = self._updated_edges_df(self.edges(), keys_df, props)
-        new_version = self.version + 1
-        self._write_version(new_version, self.vertices(), e_df)
-        self._save_meta({"version": new_version})
-        return new_version
+        touched_e = self._collect_buckets(keys_df, "src")
+        _, e_base, touched_v, touched_e = self._cow_plan(set(), touched_e)
+        e_df = self._updated_edges_df(e_base, keys_df, props)
+        v_df = self.vertices() if touched_v is None else None
+        return self._commit_version(v_df, e_df, touched_v, touched_e)
 
     @staticmethod
     def _updated_edges_df(e_base: DataFrame, keys_df: DataFrame, props: dict) -> DataFrame:
@@ -765,8 +969,13 @@ class GraphStore:
             by_var.setdefault(var, {})[prop] = val
         if not by_var:  # SET v += {} — Cypher no-op, no version commit
             return self.spark.createDataFrame([], "id long")
-        v_df, e_df = self.vertices(), self.edges()
-        out = None
+        # pass 1: settle each variable's key/value frame and fold its
+        # bucket footprint into the commit scope — the bases are read
+        # AFTER the scope is known so the rewrite only scans touched
+        # buckets (CoW commit; see _commit_version)
+        plans: list[tuple[str, dict, bool, DataFrame]] = []
+        touched_v_b: set[int] = set()
+        touched_e_b: set[int] = set()
         for var, props in by_var.items():
             all_literal = all(_is_set_literal(v) for v in props.values())
             if var in edge_vars and "label" in props:
@@ -789,15 +998,15 @@ class GraphStore:
                         .distinct()
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    e_df = self._updated_edges_df(e_df, keys, props)
-                    touched = keys.select(F.col("src").alias("id"))
+                    touched_e_b |= self._collect_buckets(keys, "src")
                 else:
-                    touched = (
+                    keys = (
                         bindings.select(F.col(f"{var}__id").alias("id"))
                         .distinct()
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    v_df = self._updated_vertices_df(v_df, touched, props)
+                    touched_v_b |= self._collect_buckets(keys, "id")
+                plans.append((var, props, True, keys))
             else:
                 val_cols = []
                 for k, v in props.items():
@@ -844,8 +1053,7 @@ class GraphStore:
                         .select("src", "dst", "label", *unpack)
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    e_df = self._updated_edges_values_df(e_df, vals, list(props))
-                    touched = vals.select(F.col("src").alias("id"))
+                    touched_e_b |= self._collect_buckets(vals, "src")
                 else:
                     vals = (
                         bindings.select(
@@ -856,12 +1064,30 @@ class GraphStore:
                         .select("id", *unpack)
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    v_df = self._updated_vertices_values_df(v_df, vals, list(props))
-                    touched = vals.select("id")
+                    touched_v_b |= self._collect_buckets(vals, "id")
+                plans.append((var, props, False, vals))
+
+        # pass 2: compose the per-variable transforms over the
+        # bucket-restricted bases and commit ONE version
+        v_df, e_df, touched_v_b, touched_e_b = self._cow_plan(
+            touched_v_b, touched_e_b
+        )
+        out = None
+        for var, props, all_literal, frame in plans:
+            if var in edge_vars:
+                if all_literal:
+                    e_df = self._updated_edges_df(e_df, frame, props)
+                else:
+                    e_df = self._updated_edges_values_df(e_df, frame, list(props))
+                touched = frame.select(F.col("src").alias("id"))
+            else:
+                if all_literal:
+                    v_df = self._updated_vertices_df(v_df, frame, props)
+                else:
+                    v_df = self._updated_vertices_values_df(v_df, frame, list(props))
+                touched = frame.select("id")
             out = touched if out is None else out.unionByName(touched).distinct()
-        new_version = self.version + 1
-        self._write_version(new_version, v_df, e_df)
-        self._save_meta({"version": new_version})
+        self._commit_version(v_df, e_df, touched_v_b, touched_e_b)
         return out
 
     def _foreach_write(self, stmt, bindings, src, engine) -> DataFrame:
@@ -1052,7 +1278,10 @@ class GraphStore:
                     .distinct()
                     .localCheckpoint(eager=True)  # settle before rewrite
                 )
-                v_df = self._updated_vertices_df(self.vertices(), ids, props)
+                v_base, _, tv, te = self._cow_plan(
+                    self._collect_buckets(ids, "id"), set()
+                )
+                v_df = self._updated_vertices_df(v_base, ids, props)
             else:
                 # expression values: lowered against the OUTER bindings
                 # row (e.g. SET n.depth = length(p)), rendered alongside
@@ -1082,13 +1311,13 @@ class GraphStore:
                     .agg(*[F.max(f"_set_{k}").alias(f"_set_{k}") for k in props])
                     .localCheckpoint(eager=True)  # settle before rewrite
                 )
-                v_df = self._updated_vertices_values_df(
-                    self.vertices(), vals, list(props)
+                v_base, _, tv, te = self._cow_plan(
+                    self._collect_buckets(vals, "id"), set()
                 )
+                v_df = self._updated_vertices_values_df(v_base, vals, list(props))
                 ids = vals.select("id")
-            new_version = self.version + 1
-            self._write_version(new_version, v_df, self.edges())
-            self._save_meta({"version": new_version})
+            e_df = self.edges() if te is None else None
+            self._commit_version(v_df, e_df, tv, te)
             return ids
 
         if isinstance(stmt, MatchDeleteStatement):
@@ -1110,8 +1339,11 @@ class GraphStore:
             by_var: dict[str, list[str]] = {}
             for var, prop in stmt.removals:
                 by_var.setdefault(var, []).append(prop)
-            v_df, e_df = self.vertices(), self.edges()
-            out = None
+            # same two-pass CoW shape as _apply_set: settle key frames +
+            # bucket scope first, then compose over restricted bases
+            plans = []
+            tv: set[int] = set()
+            te: set[int] = set()
             for var, keys in by_var.items():
                 if var in edge_vars:
                     hit = (
@@ -1123,19 +1355,26 @@ class GraphStore:
                         .distinct()
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    e_df = self._removed_edge_props_df(e_df, hit, keys)
-                    touched = hit.select(F.col("src").alias("id"))
+                    te |= self._collect_buckets(hit, "src")
                 else:
-                    touched = (
+                    hit = (
                         bindings.select(F.col(f"{var}__id").alias("id"))
                         .distinct()
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    v_df = self._removed_vertex_props_df(v_df, touched, keys)
+                    tv |= self._collect_buckets(hit, "id")
+                plans.append((var, keys, hit))
+            v_df, e_df, tv, te = self._cow_plan(tv, te)
+            out = None
+            for var, keys, hit in plans:
+                if var in edge_vars:
+                    e_df = self._removed_edge_props_df(e_df, hit, keys)
+                    touched = hit.select(F.col("src").alias("id"))
+                else:
+                    v_df = self._removed_vertex_props_df(v_df, hit, keys)
+                    touched = hit
                 out = touched if out is None else out.unionByName(touched).distinct()
-            new_version = self.version + 1
-            self._write_version(new_version, v_df, e_df)
-            self._save_meta({"version": new_version})
+            self._commit_version(v_df, e_df, tv, te)
             return out
 
         raise ValueError(f"unsupported mutation {type(stmt).__name__}")
@@ -1143,10 +1382,47 @@ class GraphStore:
     # ---- retention ---------------------------------------------------------
     def vacuum(self, keep_last: int = 2) -> None:
         """Drop snapshot dirs older than the last ``keep_last`` versions
-        (checkpoint truncation, :600-611)."""
+        (checkpoint truncation, :600-611).
+
+        CoW manifests may still reference bucket dirs living under a
+        to-be-dropped version dir (that version last rewrote them).
+        Those buckets are RELOCATED — a filesystem rename, no data
+        rewrite — into the oldest kept version that references them
+        (under ``v{k}/inherited/``), and every kept manifest is patched
+        to the new location before the dead dirs go. Single-writer, like
+        commits: don't vacuum concurrently with a commit or reader."""
         cur = self.version
-        for name in os.listdir(self.path):
-            if name.startswith("v") and name[1:].isdigit():
-                v = int(name[1:])
-                if v <= cur - keep_last:
-                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+        versions = sorted(
+            int(name[1:])
+            for name in os.listdir(self.path)
+            if name.startswith("v") and name[1:].isdigit()
+        )
+        dead = {v for v in versions if v <= cur - keep_last}
+        if not dead:
+            return
+        kept = [v for v in versions if v not in dead]
+        manifests = {v: self._load_manifest(v) for v in kept}
+        moves: dict[str, str] = {}  # old relpath -> new relpath
+        for v in kept:  # ascending: relocate into the OLDEST referencer
+            man = manifests[v]
+            if man is None:
+                continue
+            changed = False
+            for table in ("vertices", "edges"):
+                for b, rel in man[table].items():
+                    owner = int(rel.split("/", 1)[0][1:])
+                    if owner not in dead:
+                        continue
+                    if rel not in moves:
+                        new_rel = f"v{v}/inherited/{rel}"
+                        os.renames(
+                            os.path.join(self.path, rel),
+                            os.path.join(self.path, new_rel),
+                        )
+                        moves[rel] = new_rel
+                    man[table][b] = moves[rel]
+                    changed = True
+            if changed:
+                self._save_manifest(v, man)
+        for v in dead:
+            shutil.rmtree(os.path.join(self.path, f"v{v}"), ignore_errors=True)

@@ -314,3 +314,90 @@ def test_match_set_multi_variable_single_version(spark, tmp_path):
     assert vrow[1]["flag"] == "1" and "flag" not in vrow[2]
     erow = store.edges().collect()[0]["properties"]
     assert erow["w"] == "2" and erow["since"] == "2020"
+
+
+# ---------------------------------------------------------------------------
+# Bucket-level copy-on-write commits: a commit rewrites only the buckets
+# its delta touches and inherits the rest from the previous manifest —
+# commit write I/O is O(delta), not O(graph).
+# ---------------------------------------------------------------------------
+
+
+def _manifest(store, version):
+    return store._load_manifest(version)
+
+
+def test_cow_commit_inherits_untouched_buckets(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4)
+    store.apply_batch([add_vertex(i, "P", {"n": i}) for i in range(8)])  # v1
+    v1 = store.version
+    # touch ONLY bucket 1 (id 5 % 4 == 1)
+    store.apply_batch([update_vertex_props(5, {"n": 99})])
+    v2 = store.version
+    m1, m2 = _manifest(store, v1), _manifest(store, v2)
+    assert m2["vertices"]["1"].startswith(f"v{v2}/")          # rewritten
+    for b in ("0", "2", "3"):
+        assert m2["vertices"][b] == m1["vertices"][b]          # inherited
+    assert m2["edges"] == m1["edges"]                          # no edge write
+    # logical state intact
+    assert store.vertices().count() == 8
+    assert store.get_vertex(5).collect()[0]["properties"]["n"] == "99"
+    # time travel still reads the old bucket content
+    assert store.vertices(version=v1).filter("id = 5").collect()[0][
+        "properties"
+    ]["n"] == "5"
+
+
+def test_cow_bucket_wide_delete_shadows_inherited_data(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4)
+    store.apply_batch([add_vertex(i, "P") for i in (1, 5, 2)])  # bucket1={1,5}
+    ids = spark.createDataFrame([(1,), (5,)], "id long")
+    store.delete_vertices(ids)
+    # bucket 1 is now empty: its manifest entry must be ABSENT (an
+    # inherited entry would resurrect the deleted rows)
+    m = _manifest(store, store.version)
+    assert "1" not in m["vertices"]
+    assert [r["id"] for r in store.vertices().collect()] == [2]
+
+
+def test_cow_cascade_deletes_in_edges_from_untouched_src_buckets(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4)
+    # edge 1->2 lives in src bucket 1; removing vertex 2 (bucket 2) must
+    # still rewrite bucket 1 of edges (the dst-probe)
+    store.apply_batch(
+        [add_vertex(1, "P"), add_vertex(2, "P"), add_edge(1, 2, "knows")]
+    )
+    store.apply_batch([remove_vertex(2)])
+    assert store.stats() == {"vertex_count": 1, "edge_count": 0,
+                             "version": store.version}
+    m = _manifest(store, store.version)
+    assert "1" not in m["edges"]  # bucket-wide edge delete shadowed
+
+
+def test_cow_vacuum_relocates_referenced_buckets(spark, tmp_path):
+    import os
+
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4)
+    store.apply_batch([add_vertex(i, "P", {"n": i}) for i in range(8)])   # v1
+    store.apply_batch([update_vertex_props(5, {"n": 99})])                # v2
+    store.apply_batch([update_vertex_props(6, {"n": 77})])                # v3
+    store.vacuum(keep_last=2)  # v1 dies, but v2/v3 inherit its buckets
+    assert not os.path.isdir(os.path.join(store.path, "v1"))
+    # kept manifests were patched to the relocated dirs and still read
+    for v in (2, 3):
+        m = _manifest(store, v)
+        assert all(not p.startswith("v1/") for p in m["vertices"].values())
+    assert store.vertices().count() == 8
+    assert store.vertices(version=2).filter("id = 6").collect()[0][
+        "properties"
+    ]["n"] == "6"
+    assert store.get_vertex(5).collect()[0]["properties"]["n"] == "99"
+
+
+def test_cow_reopened_store_keeps_bucket_count(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4)
+    store.apply_batch([add_vertex(1, "P")])
+    reopened = GraphStore(spark, str(tmp_path / "cow"), n_buckets=32)
+    assert reopened.n_buckets == 4
+    reopened.apply_batch([add_vertex(2, "P")])
+    assert reopened.vertices().count() == 2
