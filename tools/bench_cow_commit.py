@@ -1,0 +1,114 @@
+"""Decade probe for bucket-level copy-on-write GraphStore commits.
+
+Seeds stores whose vertex count grows by decades, then times the SAME
+fixed-size mutation batch (100 property updates + 10 edge upserts)
+against each. Under the pre-CoW whole-snapshot commit this time grew
+linearly with graph size; under CoW it must stay ~flat (bounded by the
+touched-bucket fraction: 100 ids over n_buckets=64 touch at most 64
+buckets of N/64 rows each — the asymptote is O(delta_buckets * rows
+per bucket), which the largest decade makes visible, vs O(graph) for
+the old path).
+
+Writes one JSON line; run manually, artifact recorded as
+BENCH_cow_commit_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dd_graphdb_spark.storage import GraphStore
+    from dd_graphdb_spark.storage.store import update_vertex_props, add_edge
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results = {}
+    for n in (10_000, 100_000, 1_000_000):
+        path = tempfile.mkdtemp(prefix=f"cowbench_{n}_")
+        store = GraphStore(spark, path, n_buckets=64)
+        # seed via the full-write path (bulk load), not apply_batch
+        v = spark.range(n).select(
+            F.col("id"),
+            F.lit("Person").alias("label"),
+            F.create_map(F.lit("n"), F.col("id").cast("string")).alias(
+                "properties"
+            ),
+        )
+        e = spark.range(n).select(
+            F.col("id").alias("src"),
+            ((F.col("id") + 1) % n).alias("dst"),
+            F.lit("knows").alias("label"),
+            F.create_map().cast("map<string,string>").alias("properties"),
+        )
+        store._write_version(1, v, e)
+        store._set_version(1)
+
+        def du(p):
+            import os
+
+            total = 0
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            return total
+
+        store_bytes = du(path)
+        # bucket-local delta: 100 updates all landing in vertex bucket 0,
+        # 10 edge upserts in source buckets 0..9
+        ops = [
+            update_vertex_props(i * 64 % n, {"type": "Person", "touched": 1})
+            for i in range(100)
+        ] + [add_edge(i % n, (i * 53) % n, "probe") for i in range(10)]
+        t0 = time.monotonic()
+        store.apply_batch(ops)
+        commit_s = time.monotonic() - t0
+        # sanity: state intact
+        assert store.vertices().count() == n
+        man = store._load_manifest(store.version)
+        import os
+
+        results[str(n)] = {
+            "commit_sec": round(commit_s, 3),
+            "commit_bytes": du(os.path.join(path, "v2")),
+            "store_bytes": store_bytes,
+            "rewritten_vertex_buckets": sum(
+                1 for p in man["vertices"].values() if p.startswith("v2/")
+            ),
+            "rewritten_edge_buckets": sum(
+                1 for p in man["edges"].values() if p.startswith("v2/")
+            ),
+            "total_buckets": store.n_buckets,
+        }
+        shutil.rmtree(path, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "cow_commit_fixed_delta_across_decades",
+                "unit": "sec",
+                "n_buckets": 64,
+                "delta_ops": 110,
+                "decades": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
