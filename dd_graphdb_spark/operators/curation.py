@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dd_graphdb_spark.operators.dedup import _fold, token_hashes
+from dd_graphdb_spark.operators.text import tokens
 
 
 def _all_shingle_hashes(th: Column, n: int) -> Column:
@@ -101,7 +102,7 @@ def pack_sequences(
     Returns (doc_id, bucket, chunk, n_tokens, offset) — offset is the
     doc's token start position within its bucket stream. Engine-portable
     (md5 bucket + window cumsum restate identically in SQL)."""
-    toks = F.size(F.split(F.trim(F.col(text_col)), " "))
+    toks = F.size(tokens(F.col(text_col)))
     from dd_graphdb_spark.operators.sampling import hash_bucket
 
     b = F.pmod(hash_bucket(F.col(id_col)), F.lit(n_buckets))
@@ -172,7 +173,7 @@ def mixture_sample(
     """
     from dd_graphdb_spark.operators.sampling import BUCKETS, hash_bucket
 
-    toks = F.size(F.split(F.trim(F.col(text_col)), " "))
+    toks = F.size(tokens(F.col(text_col)))
     d = docs.select(F.col(id_col), F.col(source_col), toks.alias("n_tokens"))
     totals = d.groupBy(source_col).agg(F.sum("n_tokens").alias("_tot"))
     wmap = F.create_map(
@@ -217,7 +218,7 @@ def chunk_documents(
     if overlap < 0 or overlap >= chunk_tokens:
         raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
     stride = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), " ")
+    toks = tokens(F.col(text_col))
     d = docs.select(F.col(id_col), toks.alias("_t")).withColumn("_n", F.size("_t"))
     starts = F.sequence(
         F.lit(0), F.greatest(F.col("_n") - overlap - 1, F.lit(0)), F.lit(stride)

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dd_graphdb_spark.operators._skew import salted_self_pairs
+from dd_graphdb_spark.operators.text import tokens
 
 MOD = 1_000_000_007
 # (a, b) parameters for the MinHash family h_i(x) = (a_i*x + b_i) mod MOD;
@@ -54,7 +55,7 @@ def poly_hash(col: Column) -> Column:
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of a whitespace-tokenized text column."""
-    toks = F.split(F.trim(text), " ")
+    toks = tokens(text)  # \s+ runs — agrees with text.tokens()
     # one slice + join per shingle instead of n element_at + concat —
     # 3x less per-element work through the lambda evaluator
     sh = F.when(
@@ -81,7 +82,7 @@ def token_hashes(text: Column) -> Column:
     (a token appears in up to n shingles; hashing shingle *strings*
     re-hashes every char n times and, worse, has to build the shingle
     strings at all)."""
-    toks = F.split(F.trim(text), " ")
+    toks = tokens(text)  # \s+ runs — agrees with text.tokens()
     return F.transform(
         toks,
         lambda t: F.aggregate(

@@ -50,7 +50,7 @@ sh AS (
                     THEN list_distinct(list_transform(generate_series(1, len(t)-2),
                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
                     ELSE [array_to_string(t, ' ')] END AS sl
-        FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+        FROM (SELECT doc_id, (CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END) AS t FROM documents)
     )
 )
 """
@@ -79,7 +79,7 @@ sh AS (
                END AS xs
         FROM (
             SELECT doc_id AS id,
-                   list_transform(string_split(trim(text), ' '),
+                   list_transform((CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END),
                                   tok -> {_sql_ph('tok')}) AS th
             FROM documents
         )
@@ -1116,7 +1116,7 @@ sha AS (
            END AS xs
     FROM (
         SELECT doc_id AS id,
-               list_transform(string_split(trim(text), ' '),
+               list_transform((CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END),
                               tok -> {_sql_ph('tok')}) AS th
         FROM documents
     )
@@ -1153,7 +1153,7 @@ def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
         SELECT doc_id,
-               len(string_split(trim(text), ' ')) AS n_tokens,
+               len((CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)) AS n_tokens,
                CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8
                     AS INT) AS bucket
         FROM documents
@@ -1204,7 +1204,7 @@ def curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
         SELECT doc_id, source,
-               len(string_split(trim(text), ' ')) AS n_tokens
+               len((CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)) AS n_tokens
         FROM documents
     ),
     tot AS (
@@ -1247,8 +1247,8 @@ def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_chunk_docs",
     """
     WITH d AS (
-        SELECT doc_id, string_split(trim(text), ' ') AS t,
-               len(string_split(trim(text), ' ')) AS n
+        SELECT doc_id, (CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END) AS t,
+               len((CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)) AS n
         FROM documents
     ),
     s AS (

@@ -64,6 +64,7 @@ def main():
 
     n_pass = n_fail = 0
     oracle_times: dict[str, tuple[float, float]] = {}
+    vacuous: dict[str, str] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -78,6 +79,8 @@ def main():
             continue
         t_spark = time.time() - t0
         if name not in os_:
+            if not srows:
+                vacuous[name] = "0 rows (rows-only gate)"
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({t_spark:.1f}s)")
             continue
         t1 = time.time()
@@ -107,11 +110,26 @@ def main():
             print(f"FAIL {name}: value mismatch, first diffs: {diffs}")
             n_fail += 1
             continue
+        # vacuity audit: two engines agreeing on NOTHING (0 rows), or on
+        # a result with no variation (>1 identical rows), is not
+        # correctness evidence — this class has been found by hand three
+        # times (gql_with_passthrough, edges_between_lookup,
+        # anti_join_customers_without_orders). Deliberate 1-row scalar
+        # gates (db_stats, recall gates) are not flagged.
+        if not s_norm:
+            vacuous[name] = "0 rows"
+        elif len(s_norm) > 1 and len(set(s_norm)) == 1:
+            vacuous[name] = f"{len(s_norm)} identical rows"
         print(
             f"PASS {name}: {len(srows)} rows "
             f"(spark {t_spark:.1f}s, oracle {t_oracle:.1f}s)"
         )
         n_pass += 1
+    if vacuous:
+        print("\nWARNING: vacuous-looking green results (verify the query "
+              "constrains anything at this sf):")
+        for n, why in sorted(vacuous.items()):
+            print(f"  {n}: {why}")
     slow = {n: t for n, t in oracle_times.items() if t[1] > ORACLE_BUDGET_S}
     if slow:
         # a single slow DuckDB oracle is a gate-latency/timeout hazard
