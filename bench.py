@@ -234,6 +234,7 @@ def main() -> None:
 
     t0 = time.time()
     ivf_index_path(spark, sf_dir)
+    ivf_index_path(spark, sf_dir, train_iters=2)  # sim_ann_ivf_indexed_trained
     load_sec["ivf_index"] = round(time.time() - t0, 3)
     print(f"# load: IVF index build in {load_sec['ivf_index']:.2f}s", file=sys.stderr)
 

@@ -762,15 +762,16 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("q_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
 
 
-def _sql_ivf_topk(n_centroids: int, n_probe: int, k: int) -> str:
-    """IVF oracle: same coarse quantizer (first n vectors as centroids),
+def _sql_ivf_topk(n_centroids: int, n_probe: int, k: int, iters: int = 0) -> str:
+    """IVF oracle: same coarse quantizer (first n vectors as centroids,
+    optionally Lloyd-refined ``iters`` rounds — _sql_lloyd_cents),
     argmax-cosine cell assignment with lowest-cid ties, n_probe nearest
     cells per query, exact rank within probed cells."""
     cos_vc = f"{_SQL_DOT.format(a='e.v', b='c.cv')} / ({_SQL_NORM.format(a='e.v')} * {_SQL_NORM.format(a='c.cv')})"
     cos_qn = f"{_SQL_DOT.format(a='q.qv', b='e2.v')} / ({_SQL_NORM.format(a='q.qv')} * {_SQL_NORM.format(a='e2.v')})"
     return f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_centroids}),
+    {_sql_lloyd_cents(n_centroids, iters)},
     scored_cells AS (
         SELECT e.vec_id, c.cid, {cos_vc} AS sim FROM e, cents c
     ),
@@ -815,17 +816,21 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_INDEX_CACHE: dict[str, str] = {}
 
 
-def ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per session) and return the persisted IVF index for
-    ``sf_dir``'s embeddings table (8 centroids, untrained quantizer —
-    the same parameters the indexed query and its oracle use)."""
-    path = _IVF_INDEX_CACHE.get(sf_dir)
+def ivf_index_path(spark: SparkSession, sf_dir: str, train_iters: int = 0) -> str:
+    """Build (once per session per quantizer) and return the persisted
+    IVF index for ``sf_dir``'s embeddings table (8 centroids; seed-only
+    or Lloyd-trained via ``train_iters`` — the same parameters the
+    indexed queries and their oracles use)."""
+    key = f"{sf_dir}#it{train_iters}"
+    path = _IVF_INDEX_CACHE.get(key)
     if path is None:
         import tempfile
 
         path = tempfile.mkdtemp(prefix="ivf_idx_")
-        S.ivf_write_index(_emb(spark, sf_dir), path, n_centroids=8, train_iters=0)
-        _IVF_INDEX_CACHE[sf_dir] = path
+        S.ivf_write_index(
+            _emb(spark, sf_dir), path, n_centroids=8, train_iters=train_iters
+        )
+        _IVF_INDEX_CACHE[key] = path
     return path
 
 
@@ -837,6 +842,27 @@ def sim_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions (partition pruning, asserted in tests/test_plans.py)."""
     emb = _emb(spark, sf_dir)
     path = ivf_index_path(spark, sf_dir)
+    qvecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(QUERY_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    out = S.ivf_topk_indexed(spark, path, qvecs, n_probe=2, k=5)
+    return out.select("q_id", "neighbor_id", "sim", F.col("rank").cast("long").alias("rank"))
+
+
+@_q("sim_ann_ivf_indexed_trained", _sql_ivf_topk(8, 2, 5, iters=2))
+def sim_ann_ivf_indexed_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted IVF index under a Lloyd-TRAINED coarse quantizer
+    (2 refinement rounds) — the r13 unification of train_centroids with
+    the write-time index path: ivf_write_index trains, persists the
+    refined centroids alongside the cell-partitioned vectors, and
+    ivf_topk_indexed probes them with the same partition pruning. The
+    oracle replays the identical training (_sql_lloyd_cents) before the
+    same probe/rank (operators/similarity.py:ivf_write_index)."""
+    emb = _emb(spark, sf_dir)
+    path = ivf_index_path(spark, sf_dir, train_iters=2)
     qvecs = {
         int(r["vec_id"]): [float(x) for x in r["embedding"]]
         for r in emb.filter(F.col("vec_id").isin(QUERY_IDS))
@@ -1452,6 +1478,49 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(ex.q_id.alias("q_id"))
         .agg(F.count("hit").alias("n_overlap"))
     )
+
+
+@_q(
+    "sim_ann_recall_trained",
+    f"""
+    WITH ivf0 AS ({_sql_ivf_topk(8, 2, 5)}),
+    ivf2 AS ({_sql_ivf_topk(8, 2, 5, iters=2)}),
+    ex AS ({_sql_cosine_topk("vec_id IN (0, 1, 2)", 5)})
+    SELECT ex.q_id,
+           COUNT(ivf0.neighbor_id) AS n_overlap_seed,
+           COUNT(ivf2.neighbor_id) AS n_overlap_trained
+    FROM ex
+    LEFT JOIN ivf0
+      ON ex.q_id = ivf0.q_id AND ex.neighbor_id = ivf0.neighbor_id
+    LEFT JOIN ivf2
+      ON ex.q_id = ivf2.q_id AND ex.neighbor_id = ivf2.neighbor_id
+    GROUP BY ex.q_id
+    """,
+)
+def sim_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured trained-vs-seeded IVF recall at EQUAL n_probe, per
+    query: how many of the exact top-5 the seed-only quantizer recovers
+    vs the Lloyd-trained one (2 rounds, same 8 cells, 2 probes). Both
+    sides deterministic — the oracle replays both quantizers — so the
+    trained >= seeded claim is an exact recorded value, not a bound
+    (operators/similarity.py:train_centroids)."""
+    emb = _emb(spark, sf_dir)
+    ex = S.brute_force_topk(emb, QUERY_IDS, k=5).select("q_id", "neighbor_id")
+    overlaps = []
+    for iters, col in ((0, "n_overlap_seed"), (2, "n_overlap_trained")):
+        ivf = S.ivf_topk(
+            emb, QUERY_IDS, n_centroids=8, n_probe=2, k=5, train_iters=iters
+        ).select("q_id", F.col("neighbor_id").alias("hit"))
+        overlaps.append(
+            ex.join(
+                ivf,
+                (ex.q_id == ivf.q_id) & (F.col("neighbor_id") == F.col("hit")),
+                "left",
+            )
+            .groupBy(ex.q_id.alias("q_id"))
+            .agg(F.count("hit").alias(col))
+        )
+    return overlaps[0].join(overlaps[1], "q_id")
 
 
 @_q(
