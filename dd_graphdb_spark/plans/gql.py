@@ -549,7 +549,12 @@ class CallSubClause:
     CHAIN inside the body exactly as at statement scope (each stage
     evaluates per imported binding). Scope: every imported variable
     must be reused in the body pattern (the id witness IS the
-    correlation); WITH * / RETURN * stay rejected inside bodies.
+    correlation). WITH * chains inside bodies (r13: keeps the whole
+    body frame per imported binding, extras collision-checked);
+    RETURN * is supported once a WITH stage has reduced the scope to
+    named scalar columns — while entity bindings remain in scope it
+    stays rejected, because * would re-export the imported variables
+    into their own outer scope (Neo4j rejects the same shape).
 
     ``OPTIONAL CALL { .. }`` (Cypher 25) keeps outer rows whose body
     produced nothing, NULL-filling the body outputs — the join-back
@@ -1723,11 +1728,6 @@ class _Parser:
                 f"GQL parse error: the CALL body's UNWIND alias "
                 f"{lead_unwind.alias!r} shadows an imported variable"
             )
-        if inner.with_star or any(s.star for s in inner.with_stages):
-            raise ValueError(
-                "GQL parse error: WITH * is not supported inside "
-                "a correlated CALL body — name the items"
-            )
         if inner.with_items is None and inner.unwind is not None:
             raise ValueError(
                 "GQL parse error: UNWIND inside a correlated CALL body "
@@ -1763,12 +1763,6 @@ class _Parser:
                             "GQL parse error: aggregates in a CALL "
                             "body's WITH need an explicit AS alias"
                         )
-                    if it.var == "*" and not it.agg:
-                        raise ValueError(
-                            "GQL parse error: WITH * is not supported "
-                            "inside a correlated CALL body — name the "
-                            "items"
-                        )
         body_vars = {n.var for n in inner.pattern.nodes} | {
             n.var for _, c in inner.clauses for n in c.pattern.nodes
         }
@@ -1780,11 +1774,22 @@ class _Parser:
                 "correlation"
             )
         for it in inner.returns:
-            if it.var == "*" and not it.agg:
-                # bare RETURN * only — count(*) is an aggregate item
+            if it.var == "*" and not it.agg and inner.with_items is None:
+                # bare RETURN * only — count(*) is an aggregate item.
+                # Directly after the body MATCH the scope is entity
+                # bindings, and * would re-export the imported
+                # variables into their own outer scope (Cypher rejects
+                # exactly this: "variable already declared in outer
+                # scope"); after a scalar-projecting WITH the scope is
+                # named columns and * is supported (r13) — the lowerer
+                # still rejects it while whole-variable passthroughs
+                # remain in scope, for the same re-export reason.
                 raise ValueError(
-                    "GQL parse error: RETURN * is not supported inside "
-                    "a correlated CALL body — name the items"
+                    "GQL parse error: RETURN * directly after a CALL "
+                    "body's MATCH would re-export the imported "
+                    "variables — project named scalars in a WITH "
+                    "first (.. WITH x.p AS p RETURN *) or name the "
+                    "items"
                 )
             if it.agg and not it.alias:
                 raise ValueError(

@@ -1514,7 +1514,7 @@ class GQLEngine:
             WithStage(
                 inner.with_items, inner.with_distinct, inner.with_where,
                 inner.with_order, inner.with_skip, inner.with_limit,
-                inner.post_clauses, inner.unwind,
+                inner.post_clauses, inner.unwind, star=inner.with_star,
             )
         ] + list(inner.with_stages)
         pvars: list = ivars
@@ -1562,7 +1562,40 @@ class GQLEngine:
             if i.prop is None and i.agg is None and i.expr is None
             and i.var not in bare
         ]
-        if w_aggs:
+        if getattr(st, "star", False):
+            # WITH * [, extras] inside the body (r13): keep the whole
+            # body frame — witness keys, passthrough binding columns,
+            # bare aliases — dropping only the engine's reserved "_"
+            # namespace (anonymous edge/count bindings); extras append
+            # with the same collision check as statement scope
+            keep = [c for c in sub.columns if not c.startswith("_")]
+            cols = [F.col(c) for c in keep]
+            names = set(keep)
+            for i in st.items:
+                if i.expr is not None:
+                    alias = i.alias
+                    col = _lower_expr(i.expr, bare_names=bare).alias(alias)
+                elif i.prop is not None:
+                    src = f"{i.var}__{i.prop}"
+                    if src not in sub.columns:
+                        raise ValueError(
+                            f"WITH *, {i.var}.{i.prop}: {i.var} is not "
+                            "in scope"
+                        )
+                    alias = i.alias or f"{i.var}_{i.prop}"
+                    col = F.col(src).alias(alias)
+                else:
+                    continue  # whole-variable extras: * already keeps them
+                if alias in names:
+                    raise ValueError(
+                        f"WITH *, ..: alias {alias!r} duplicates a kept "
+                        "column — rename the alias"
+                    )
+                names.add(alias)
+                cols.append(col)
+            inter = sub.select(*cols)
+            pvars = [v for v in pvars if not v.startswith("_anon")]
+        elif w_aggs:
             if passthrough:
                 raise ValueError(
                     "WITH cannot mix whole-variable passthrough with "
@@ -1801,6 +1834,31 @@ class GQLEngine:
             if ret_csubs:
                 sub = self._attach_count_subs(sub, ret_csubs)
             body_vars, body_bare = ivars, False
+        star_ret = (
+            len(inner.returns) == 1
+            and inner.returns[0].var == "*"
+            and inner.returns[0].agg is None
+        )
+        if star_ret:
+            # RETURN * (r13): only a named-scalar scope may star-export —
+            # surviving entity bindings would re-export the imported
+            # variables into their own outer scope (see CallSubClause)
+            if body_vars:
+                raise ValueError(
+                    "RETURN * inside a correlated CALL body while whole "
+                    f"variables {sorted(body_vars)} are in scope would "
+                    "re-export entity bindings — project named scalars "
+                    "in a WITH first or name the RETURN items"
+                )
+            body_bnames = tuple(
+                c for c in sub.columns
+                if c not in keys and "__" not in c and not c.startswith("_")
+            )
+            if not body_bnames:
+                raise ValueError(
+                    "RETURN *: nothing is in scope inside the CALL body "
+                    "— name the items"
+                )
         proj = self._project(
             sub, inner.returns, body_vars, vcols,
             bare=body_bare, extra_keys=key_cols, bare_names=body_bnames,
@@ -1918,12 +1976,12 @@ class GQLEngine:
             # statement-level star branch)
             keep = [c for c in inter.columns if not c.startswith("_")]
             cols = [F.col(c) for c in keep]
+            names = set(keep)
             for i in st.items:
                 if i.expr is not None:
-                    cols.append(
-                        _lower_expr(i.expr, bare_names=bare_aliases).alias(
-                            i.alias
-                        )
+                    alias = i.alias
+                    col = _lower_expr(i.expr, bare_names=bare_aliases).alias(
+                        i.alias
                     )
                 elif i.prop is not None:
                     src = f"{i.var}__{i.prop}"
@@ -1932,9 +1990,20 @@ class GQLEngine:
                             f"WITH *, {i.var}.{i.prop}: {i.var} is not "
                             "in scope"
                         )
-                    cols.append(
-                        F.col(src).alias(i.alias or f"{i.var}_{i.prop}")
+                    alias = i.alias or f"{i.var}_{i.prop}"
+                    col = F.col(src).alias(alias)
+                else:
+                    continue  # whole-variable extras: * already keeps them
+                if alias in names:
+                    # same contract as the RETURN * dup check: a
+                    # duplicate column would only surface later as an
+                    # opaque AMBIGUOUS_REFERENCE
+                    raise ValueError(
+                        f"WITH *, ..: alias {alias!r} duplicates a kept "
+                        "column — rename the alias"
                     )
+                names.add(alias)
+                cols.append(col)
             nxt = inter.select(*cols)
             # * passes every NAMED variable through (anonymous pattern
             # bindings leave scope with their dropped columns)

@@ -2342,6 +2342,44 @@ def gql_call_with_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL: WITH * and RETURN * inside a correlated CALL body (round 13) —
+# the star stage keeps the whole body frame per outer binding (its
+# WHERE filters on a passthrough variable's property), a scalar WITH
+# then reduces the scope to named columns, and RETURN * star-exports
+# them with a per-outer-row top-k (ORDER BY/LIMIT rank per nation).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_call_with_star",
+    GRAPH_CTE
+    + """
+    SELECT nation, cname, bal FROM (
+        SELECT n.name AS nation, c.name AS cname,
+               ROUND(c.acctbal, 2) AS bal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.id ORDER BY c.acctbal DESC, c.name ASC
+               ) AS rn
+        FROM vertices n
+        JOIN edges e ON e.dst = n.id AND e.label = 'located_in'
+        JOIN vertices c ON c.id = e.src AND c.label = 'Customer'
+        WHERE n.label = 'Nation' AND c.acctbal > 5000.0
+    ) WHERE rn <= 2
+    ORDER BY nation, bal DESC, cname
+    """,
+)
+def gql_call_with_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (n:Nation) "
+        "CALL { WITH n MATCH (c:Customer)-[:located_in]->(n) "
+        "WITH * WHERE c.acctbal > 5000.0 "
+        "WITH c.name AS cname, c.acctbal AS bal "
+        "RETURN * ORDER BY bal DESC, cname ASC LIMIT 2 } "
+        "RETURN n.name AS nation, cname, round(bal, 2) AS bal "
+        "ORDER BY nation, bal DESC, cname"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL: nested CALL composed with a WITH pipeline in ONE body (round 12)
 # — the nested per-nation customer count enters the body pipeline as a
 # bare name; the pipeline filters on it and the body's ORDER BY/LIMIT

@@ -3458,11 +3458,16 @@ def test_with_star_post_match_and_errors(people_graph):
     ]
     with pytest.raises(ValueError, match="name the grouping items"):
         eng.execute("MATCH (p:Person) WITH *, count(*) AS c RETURN c")
-    with pytest.raises(ValueError, match="WITH \\* is not supported inside"):
-        eng.execute(
-            "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
-            "WITH * RETURN count(*) AS c } RETURN c"
-        )
+    # r13: WITH * is supported inside correlated CALL bodies — the star
+    # keeps the body frame per imported binding, so the body aggregate
+    # still computes per outer row (pure-agg: one row per outer row)
+    rows = eng.execute(
+        "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+        "WITH * RETURN count(*) AS c } RETURN p.name AS pn, c ORDER BY pn"
+    ).collect()
+    assert [(r["pn"], r["c"]) for r in rows] == [
+        ("Alice", 1), ("Bob", 1), ("Charlie", 0),
+    ]
 
 
 def test_exists_pattern_in_with_where(people_graph):
@@ -3611,3 +3616,61 @@ def test_stage_match_without_scope_clear_error(people_graph):
         eng.execute(
             "UNWIND [1, 2] AS x WITH x MATCH (n:Person) RETURN x"
         ).collect()
+
+
+# ---- r13: WITH * / RETURN * inside correlated CALL bodies -----------------
+
+
+def test_call_body_with_star_where_filters_passthrough(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x:Person) "
+        "WITH * WHERE x.age > 25 RETURN x.name AS xn } "
+        "RETURN p.name AS pn, xn ORDER BY pn"
+    ).collect()
+    assert [(r["pn"], r["xn"]) for r in rows] == [("Bob", "Charlie")]
+
+
+def test_call_body_with_star_extras_and_collision(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+        "WITH *, x.age AS xa WHERE xa > 20 RETURN x.name AS xn, xa } "
+        "RETURN p.name AS pn, xn, xa ORDER BY pn, xn"
+    ).collect()
+    assert all(r["xa"] > 20 for r in rows) and len(rows) == 2
+    with pytest.raises(ValueError, match="duplicates a kept column"):
+        eng.execute(
+            "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+            "WITH *, x.age AS xa WITH *, x.age AS xa RETURN xa } "
+            "RETURN xa"
+        ).collect()
+
+
+def test_call_body_return_star_after_scalar_with(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+        "WITH x.name AS xn, x.age AS xa RETURN * "
+        "ORDER BY xa DESC, xn LIMIT 1 } "
+        "RETURN p.name AS pn, xn, xa ORDER BY pn"
+    ).collect()
+    assert [(r["pn"], r["xn"]) for r in rows] == [
+        ("Alice", "Bob"), ("Bob", "Charlie"),
+    ]
+
+
+def test_call_body_return_star_rejections(people_graph):
+    eng = _engine(people_graph)
+    # directly after the body MATCH: parse-time rejection (entity scope)
+    with pytest.raises(ValueError, match="re-export the imported"):
+        eng.execute(
+            "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+            "RETURN * } RETURN p.name AS pn"
+        )
+    # after a star WITH whole variables remain in scope: lowering rejection
+    with pytest.raises(ValueError, match="re-export entity bindings"):
+        eng.execute(
+            "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+            "WITH * RETURN * } RETURN p.name AS pn"
+        )
