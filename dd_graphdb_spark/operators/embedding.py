@@ -157,6 +157,15 @@ def group_centroids(df: DataFrame, vec_col: str, group_col: str) -> DataFrame:
         .select(
             F.col("_grp").alias(group_col),
             (F.col("_pos") + 1).cast("long").alias("dim"),
-            F.round(F.col("_s").cast("double") / F.col("_n"), 6).alias("centroid"),
+            # floor(x*1e6 + 0.5)/1e6, NOT round(x, 6): the mean of a
+            # decimal sum over a power-of-two count lands on exact
+            # binary halves (… .0000005), where Spark rounds half-even
+            # and DuckDB half-away — the explicit idiom is the same
+            # arithmetic on both engines (sf0.1 gate regression, r13)
+            (
+                F.floor(
+                    F.col("_s").cast("double") / F.col("_n") * 1e6 + 0.5
+                ) / 1e6
+            ).alias("centroid"),
         )
     )

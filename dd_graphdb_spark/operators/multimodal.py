@@ -18,6 +18,7 @@ embarrassingly parallel and bounded by ``spark.sql.files.maxPartitionBytes``.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -204,7 +205,14 @@ def extract_features(df: DataFrame) -> DataFrame:
                 arr = np.frombuffer(bytes(p), dtype=np.uint8)
                 n.append(int(arr.size))
                 d.append(int(np.unique(arr).size) if arr.size else 0)
-                m.append(round(float(arr.mean()), 6) if arr.size else 0.0)
+                # floor(x*1e6+0.5)/1e6, not round(): integer-sum/size
+                # means land on exact binary halves where Python rounds
+                # half-even and DuckDB half-away — same explicit
+                # arithmetic as the oracle
+                m.append(
+                    math.floor(float(arr.mean()) * 1e6 + 0.5) / 1e6
+                    if arr.size else 0.0
+                )
             yield pd.DataFrame(
                 {"id": pdf["id"], "n_bytes": n, "distinct_bytes": d, "mean_byte": m}
             )

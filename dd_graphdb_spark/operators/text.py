@@ -250,7 +250,17 @@ def bigram_lm_scores(
     )
     per_doc = scored.groupBy("id").agg(
         F.count("*").alias("n_bigrams"),
-        F.round((F.sum("logp") / F.count("*")).cast("double"), 6).alias("lm_score"),
+        # two portability rules (sf0.1 gate regression, r13): cast the
+        # exact DECIMAL sum to DOUBLE BEFORE dividing (decimal division
+        # picks engine-specific quotient scales; double division is the
+        # same IEEE op on both), and floor(x*1e6+0.5)/1e6 instead of
+        # round(x,6) (exact binary halves round half-even on Spark,
+        # half-away on DuckDB)
+        (
+            F.floor(
+                F.sum("logp").cast("double") / F.count("*") * 1e6 + 0.5
+            ) / 1e6
+        ).alias("lm_score"),
     )
     return (
         df.select(F.col(id_col).alias("id"))

@@ -315,7 +315,7 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pd AS (
         SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-               round((sum(logp) / count(*))::DOUBLE, 6) AS lm_score
+               floor(sum(logp)::DOUBLE / count(*) * 1000000 + 0.5) / 1000000 AS lm_score
         FROM sc GROUP BY 1
     )
     SELECT d.doc_id AS id, coalesce(pd.n_bigrams, 0)::BIGINT AS n_bigrams, pd.lm_score
@@ -948,9 +948,9 @@ def multimodal_decode_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS id,
            strlen(text)::BIGINT AS n_bytes,
            len(list_distinct(list_transform(generate_series(1, strlen(text)), i -> text[i])))::BIGINT AS distinct_bytes,
-           CASE WHEN strlen(text) = 0 THEN 0.0 ELSE ROUND(
+           CASE WHEN strlen(text) = 0 THEN 0.0 ELSE FLOOR(
                list_reduce(list_prepend(0.0, list_transform(generate_series(1, strlen(text)),
-                           i -> ascii(text[i])::DOUBLE)), (a, b) -> a + b) / strlen(text), 6)
+                           i -> ascii(text[i])::DOUBLE)), (a, b) -> a + b) / strlen(text) * 1000000 + 0.5) / 1000000
            END AS mean_byte
     FROM documents
     """,
@@ -1438,7 +1438,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT label, u.dim AS dim,
-           ROUND(CAST(SUM(u.x) AS DOUBLE) / COUNT(*), 6) AS centroid
+           FLOOR(CAST(SUM(u.x) AS DOUBLE) / COUNT(*) * 1000000 + 0.5) / 1000000 AS centroid
     FROM e GROUP BY 1, 2
     """,
 )
