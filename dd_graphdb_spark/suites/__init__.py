@@ -73,45 +73,102 @@ def _with_hygiene(fn):
 #         8 of the r8-recorded block. The remaining 42 r8 rows lead
 #         r13's window; all were green in the r12 full oracle-gate
 #         replica.
-#   r13 = r13's new + the 42 remaining r8 rows + r9-block head
-#   r14 = r14's new + the r9/r10-recorded remainder — then the cycle
+#   r13 = 3 new (CALL-body star, trained persisted IVF, trained-vs-
+#         seeded recall) + 36 rows whose engine/oracle surface r13
+#         changed (\s+ tokenization unification ×10, portable floor-
+#         rounding ×3, Lloyd-unrolled IVF oracle generator ×3, bucket-
+#         level CoW store commits ×16, WITH-stage star machinery ×4)
+#         + 11 of the stale r8 block. The r13 change volume displaced
+#         most of the planned r8 refresh — ALL 241 queries were green
+#         in the r13 full sf0.1 oracle-gate replica (round addendum),
+#         so the staleness risk is bounded by that record.
+#   r14 = r14's new + the 31 remaining r8 rows + r9-block head
+#   r15 = r15's new + the r9/r10-recorded remainder — then the cycle
 # repeats, so no query's newest driver row ever ages past ~5 rounds.
 GATE_PRIORITY = [
-    # ---- r12 window (driver records the FIRST 50) ----
-    # (1) NEW queries (native multi-WITH pipeline chains; leading
-    # UNWIND in correlated CALL bodies; nested CALL composed with a
-    # WITH pipeline; SemDeDup multi-probe + its re-measured recall)
-    "gql_multi_with",
-    "gql_call_unwind",
+    # ---- r13 window (driver records the FIRST 50) ----
+    # (1) NEW queries (WITH */RETURN * in CALL bodies; trained
+    # persisted IVF index; trained-vs-seeded recall gate)
+    "gql_call_with_star",
+    "sim_ann_ivf_indexed_trained",
+    "sim_ann_recall_trained",
+    # (2) rows whose engine/oracle surface r13 changed:
+    # \s+ shingle/curation tokenization unification
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_cluster_survivors",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_skew",
+    "curation_contamination",
+    "curation_pack_sequences",
+    "curation_repetition",
+    "curation_mixture_sample",
+    "curation_chunk_docs",
+    # engine-portable floor-rounding (sf0.1 half-case fixes)
+    "text_bigram_lm_score",
+    "multimodal_feature_extract",
+    "embedding_group_centroids",
+    # IVF oracle gained Lloyd unrolling (shared generator)
+    "sim_ann_ivf_topk",
+    "sim_ann_ivf_indexed",
+    "sim_ann_recall",
+    # bucket-level CoW GraphStore commits (every store-backed gate)
+    "mutation_apply_batch",
+    "mutation_time_travel",
+    "mutation_vacuum_retention",
+    "mutation_occ_conflict",
+    "mutation_cdc_changes",
+    "gql_create_delete",
+    "gql_foreach",
+    "gql_foreach_create",
+    "gql_set_expr",
+    "gql_set_edge_expr",
+    "gql_set_edge",
+    "gql_match_set",
+    "gql_merge",
+    "gql_merge_on_actions",
+    "gql_remove_detach_delete",
+    "view_incremental_cdc",
+    # WITH-stage star machinery touched (statement + body)
+    "gql_with_star",
+    "gql_call_with_chain",
     "gql_call_nested_with",
+    "gql_call_unwind",
+    # (3) head of the stale r8-recorded block (rest lead r14)
+    "algo_betweenness_fixture",
+    "algo_bfs_full",
+    "algo_closeness_fixture",
+    "algo_component_count",
+    "algo_degree_centrality",
+    "algo_scc_fixture",
+    "algo_sssp_fixture",
+    "algo_triangle_colocation",
+    "asof_purchase_attribution",
+    "dedup_exact",
+    "degree_top_customers",
+    # ---- deferred (r14+ windows): remaining r8 block, then the
+    # r9/r10/r11/r12-recorded blocks in prior order ----
+    "gql_multi_with",
     "dedup_semantic_multiprobe",
     "dedup_semantic_trained",
     "dedup_semantic_recall",
     "algo_sssp_colocation_capped",
-    "gql_with_star",
-    "gql_call_with_chain",
     "gql_with_where_exists",
-    # (2) rows whose engine or oracle surface r12 changed
     "dedup_exact_substring",
     "view_incremental_connectivity",
     "gql_parameters",
-    # (3) the 29 r7 rows deferred from r11's window
-    "mutation_vacuum_retention",
     "router_scoring_table",
-    "sim_ann_ivf_topk",
     "sim_ann_lsh_topk",
     "sim_cosine_topk",
     "sketch_count_min_estimates",
     "source_csv_extraction",
     "source_json_extraction",
     "source_regex_extraction",
-    "text_bigram_lm_score",
     "text_fingerprint",
     "algo_cc_derived",
     "algo_pagerank_fixture",
     "multimodal_binary_meta",
     "multimodal_decode_dims",
-    "multimodal_feature_extract",
     "multimodal_frame_sample",
     "stream_changeset_summary",
     "stream_custom_agg_p90",
@@ -125,21 +182,6 @@ GATE_PRIORITY = [
     "stream_session_window",
     "stream_sliding_window",
     "stream_tumbling_window",
-    # ---- r8-recorded block ----
-    "algo_betweenness_fixture",
-    "algo_bfs_full",
-    "algo_closeness_fixture",
-    "algo_component_count",
-    "algo_degree_centrality",
-    "algo_scc_fixture",
-    "algo_sssp_fixture",
-    "algo_triangle_colocation",
-    "asof_purchase_attribution",
-    "dedup_cluster_survivors",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_signatures",
-    "degree_top_customers",
     "distinct_exact_vs_approx",
     "embedding_covariance",
     "events_sessionize",
@@ -158,7 +200,6 @@ GATE_PRIORITY = [
     "gql_quantified_pred",
     "gql_reduce",
     "gql_regex_match",
-    "gql_remove_detach_delete",
     "gql_shortest_path_clique",
     "gql_string_funcs",
     "gql_unwind_range",
@@ -176,13 +217,10 @@ GATE_PRIORITY = [
     "view_incremental_triangles",
     "view_ttl_refresh",
     "window_running_total",
-    # ---- r9-recorded block (r13 window) ----
     "gql_union",
     "gql_union_all",
     "gql_all_shortest_paths",
     "gql_temporal",
-    "gql_foreach",
-    "gql_merge_on_actions",
     "gql_count_subquery",
     "gql_exists_block",
     "gql_pattern_comprehension",
@@ -201,60 +239,42 @@ GATE_PRIORITY = [
     "gql_agg_per_nation",
     "gql_count_per_nation",
     "gql_distinct_segments",
-    "gql_match_set",
-    "gql_merge",
     "gql_multi_match",
     "gql_optional_match",
     "gql_order_skip_limit",
     "gql_prop_compare",
-    "gql_set_edge",
     "gql_string_predicates",
     "gql_var_length",
     "gql_with_having",
     "group_by_agg_having",
     "join_revenue_per_region",
-    "mutation_cdc_changes",
     "range_join_value_bands",
     "sim_lsh_recall",
     "stream_live_left_outer_join",
     "stream_live_static_enrich",
     "text_bpe_token_count",
     "view_gql_materialized",
-    "view_incremental_cdc",
     "view_incremental_centroids",
     "view_incremental_lpa",
     "view_incremental_minhash",
     "algo_sssp_colocation",
     "algo_betweenness_landmarks",
     "algo_closeness_landmarks",
-    # ---- r10-recorded block ----
-    "gql_set_expr",
-    "gql_set_edge_expr",
-    "gql_foreach_create",
     "gql_call_correlated",
     "gql_call_correlated_rows",
     "gql_count_with_where",
     "gql_collect_post_with",
-    "sim_ann_recall",
     "set_intersect_nations",
     "set_union_distinct_nations",
     "semi_join_customers_with_orders",
     "window_ntile_lead",
     "cube_status_priority",
-    "curation_chunk_docs",
-    "curation_contamination",
-    "curation_mixture_sample",
-    "curation_pack_sequences",
-    "curation_repetition",
-    "embedding_group_centroids",
     "algo_eigenvector_fixture",
     "algo_kcore_colocation",
     "algo_pagerank_top3",
     "algo_ppr_customers",
     "algo_reachability_order",
     "common_neighbors_suppliers",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_skew",
     "edges_between_lookup",
     "embedding_pca_project",
     "gql_agg_sum_avg",
@@ -263,12 +283,8 @@ GATE_PRIORITY = [
     "gql_count_distinct_segments",
     "gql_order_hidden_prop",
     "gql_with_passthrough",
-    "mutation_apply_batch",
-    "mutation_occ_conflict",
-    "mutation_time_travel",
     "point_lookup_customer",
     "predicate_scan_customers",
-    "sim_ann_ivf_indexed",
     "skew_common_neighbors_events",
     "view_catalog_roundtrip",
     "view_dependency_topo",
@@ -277,9 +293,6 @@ GATE_PRIORITY = [
     "view_incremental_pagerank",
     "view_incremental_sssp",
     "view_incremental_stream",
-    # ---- r11-recorded block (freshest driver rows — keep LAST;
-    # gql_parameters / dedup_semantic_recall / dedup_exact_substring
-    # moved to the r12 window above) ----
     "gql_call_with_pipeline",
     "gql_call_with_topk_collect",
     "gql_optional_call",
@@ -313,7 +326,6 @@ GATE_PRIORITY = [
     "anti_join_customers_without_orders",
     "dedup_embedding_cosine",
     "dedup_simhash",
-    "gql_create_delete",
     "gql_exists_pattern",
     "gql_expr_arith",
     "gql_expr_functions",
