@@ -284,7 +284,12 @@ def _connected_components_single_partition(g: PropertyGraph) -> DataFrame:
             return r
 
         for pdf in batches:
-            for a, b in zip(pdf["a"], pdf["b"]):
+            # Arrow→pandas turns the NULLABLE 'b' column (vertex rows
+            # carry NULL) into float64, which silently loses precision
+            # for ids >= 2^53 and could merge distinct vertices; the
+            # nullable Int64 extension dtype keeps exact 64-bit values
+            b_col = pdf["b"].astype("Int64")
+            for a, b in zip(pdf["a"], b_col):
                 a = int(a)
                 parent.setdefault(a, a)
                 if not pd.isna(b):

@@ -748,13 +748,24 @@ class _Parser:
         is the engine's reserved namespace (anonymous pattern bindings
         `_anonN`/`_e0`, synthetic subquery columns), so a user binding
         like `_e0` would silently collide with an anonymous edge and a
-        `_x` alias would fall out of WITH * scope. Property names are
-        unrestricted (they live under `var__prop`, never bare)."""
+        `_x` alias would fall out of WITH * scope. A DOUBLE underscore
+        anywhere in a binding is rejected too: `var__col` is the
+        engine's binding-column separator, so an alias like `my__alias`
+        would be misclassified as a binding column by every bare-alias
+        scope computation and silently drop out of scope. Property
+        names are unrestricted (they live under `var__prop`, never
+        bare)."""
         if name.startswith("_"):
             raise ValueError(
                 f"GQL parse error: variable/alias {name!r} — names "
                 "starting with '_' are reserved for the engine's "
                 "anonymous and synthetic bindings"
+            )
+        if "__" in name:
+            raise ValueError(
+                f"GQL parse error: variable/alias {name!r} — '__' is "
+                "the engine's binding-column separator and cannot "
+                "appear in a binding name"
             )
         return name
 

@@ -111,7 +111,19 @@ class _VersionedTable:
         (e.g. a view's labels snapshot) references it across later
         writes. No data moves: pinning IS the snapshot. Version -1
         (never written) is a no-op: the empty state needs no
-        protection and read_version(-1) reconstructs it."""
+        protection and read_version(-1) reconstructs it.
+
+        SINGLE-WRITER contract (pins included): pin/unpin are
+        read-modify-write on meta.json with no cross-process
+        coordination, so a pin racing a concurrent writer's
+        write()-time vacuum can interleave and lose the pinned
+        version's directory. All in-repo callers pin from the same
+        refresh thread that writes (the view owns its state cells);
+        refreshers additionally degrade to a full recompute when a
+        pinned read fails (read_version try/except), so a violated
+        race costs work, not correctness. Folding pins into a
+        put-if-absent commit file would lift this to multi-writer —
+        see the class docstring's Delta note."""
         if version < 0:
             return
         m = self._load_meta()

@@ -3674,3 +3674,15 @@ def test_call_body_return_star_rejections(people_graph):
             "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
             "WITH * RETURN * } RETURN p.name AS pn"
         )
+
+
+def test_double_underscore_binding_names_rejected(people_graph):
+    eng = _engine(people_graph)
+    for q in [
+        "MATCH (my__v:Person) RETURN my__v.name AS n",
+        "MATCH (p:Person) RETURN p.name AS my__alias",
+        "MATCH (p:Person) WITH p.age AS my__a RETURN my__a",
+        "UNWIND [1] AS x__y RETURN x__y",
+    ]:
+        with pytest.raises(ValueError, match="binding-column separator"):
+            eng.execute(q)
