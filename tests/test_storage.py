@@ -401,3 +401,17 @@ def test_cow_reopened_store_keeps_bucket_count(spark, tmp_path):
     assert reopened.n_buckets == 4
     reopened.apply_batch([add_vertex(2, "P")])
     assert reopened.vertices().count() == 2
+
+
+def test_cow_bucket_restricted_read_prunes_files(spark, tmp_path):
+    """The commit's delta base must READ only the touched buckets —
+    structural pruning via explicit manifest paths, not a post-scan
+    filter (the 100 TB posture: commit I/O is O(delta) on the read
+    side too)."""
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4)
+    store.apply_batch([add_vertex(i, "P") for i in range(8)])
+    files = store.vertices(buckets={1}).inputFiles()
+    assert files, "restricted read returned no files"
+    assert all("_b=1" in f for f in files)
+    # empty bucket set = empty frame, no scan at all
+    assert store.vertices(buckets=set()).inputFiles() == []
