@@ -1640,3 +1640,91 @@ def test_semantic_dedup_matches_model(spark, raw, n_cent, thr, iters, n_probe):
     }
     want = _model_semantic_dedup(vecs, n_cent, thr, iters, n_probe)
     assert got == want
+
+
+# --------------------------------------------------------------------------
+# Whole-statement fuzzer, round-13 shapes: WITH * and RETURN * inside
+# correlated CALL bodies vs the pure-Python model — the star stage's
+# passthrough+WHERE, star with extra items, star feeding a body
+# aggregate (pure-agg seeding preserved), and RETURN * star-export
+# with per-outer-row top-k.
+# --------------------------------------------------------------------------
+@settings(max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    vlabel=st.sampled_from([None, "P", "Q"]),
+    e1=st.sampled_from(["x", "y"]),
+    wop=st.sampled_from(["<", ">", ">=", "<="]),
+    wn=st.integers(0, 9),
+    k=st.integers(1, 3),
+    desc=st.booleans(),
+    shape=st.sampled_from(
+        ["star_where", "star_extra", "star_then_agg", "return_star_topk"]
+    ),
+)
+def test_gql_call_body_star_shapes(
+    spark, _stmt_graph, vlabel, e1, wop, wn, k, desc, shape,
+):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(_stmt_graph)
+    pat = f"(v{':' + vlabel if vlabel else ''})"
+    verts = [
+        (i, a) for i, (l, a) in _G_VERTS.items()
+        if vlabel is None or l == vlabel
+    ]
+
+    def out(i, el):
+        return [d for (s, d, lab) in _G_EDGES if s == i and lab == el]
+
+    cmp = _CMP[wop]
+    if shape == "star_where":
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"WITH * WHERE u.a {wop} {wn} RETURN u.a AS ua }} "
+             f"RETURN v.id AS vid, ua ORDER BY vid, ua")
+        want = sorted(
+            (i, _G_VERTS[d][1]) for i, _ in verts for d in out(i, e1)
+            if cmp(_G_VERTS[d][1], wn)
+        )
+        got = [(r["vid"], r["ua"]) for r in eng.execute(q).collect()]
+        assert got == want, q
+    elif shape == "star_extra":
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"WITH *, u.a AS ua WHERE ua {wop} {wn} "
+             f"RETURN ua, u.id AS uid }} "
+             f"RETURN v.id AS vid, uid, ua ORDER BY vid, uid")
+        want = sorted(
+            (i, d, _G_VERTS[d][1]) for i, _ in verts for d in out(i, e1)
+            if cmp(_G_VERTS[d][1], wn)
+        )
+        got = [(r["vid"], r["uid"], r["ua"]) for r in eng.execute(q).collect()]
+        assert got == want, q
+    elif shape == "star_then_agg":
+        # star stage then a pure-aggregate body RETURN: one row per
+        # outer row even over empty input (count -> 0)
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"WITH * WHERE u.a {wop} {wn} RETURN count(u) AS n }} "
+             f"RETURN v.id AS vid, n ORDER BY vid")
+        want = {
+            i: sum(1 for d in out(i, e1) if cmp(_G_VERTS[d][1], wn))
+            for i, _ in verts
+        }
+        got = {r["vid"]: r["n"] for r in eng.execute(q).collect()}
+        assert got == want, q
+    else:  # return_star_topk
+        order = "DESC" if desc else "ASC"
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"WITH u.a AS ua, u.id AS uid RETURN * "
+             f"ORDER BY ua {order}, uid ASC LIMIT {k} }} "
+             f"RETURN v.id AS vid, uid, ua ORDER BY vid, uid")
+        want = sorted(
+            (i, uid, ua)
+            for i, _ in verts
+            for ua, uid in sorted(
+                ((_G_VERTS[d][1], d) for d in out(i, e1)),
+                key=lambda t: (-t[0] if desc else t[0], t[1]),
+            )[:k]
+        )
+        got = [(r["vid"], r["uid"], r["ua"]) for r in eng.execute(q).collect()]
+        assert got == want, q
