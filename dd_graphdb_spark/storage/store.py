@@ -201,9 +201,23 @@ class GraphStore:
     #: sources so a vertex and its out-edges rewrite together
     _BUCKET_KEY = {"vertices": "id", "edges": "src"}
 
-    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 16,
+        cow_min_bytes: int = 32 << 20,
+    ):
+        """``cow_min_bytes``: below this on-disk size, commits fall back
+        to a full rewrite — rewriting a few MB is ONE task, while the
+        incremental path pays a touched-bucket job (and a cascade probe
+        job) per commit, which dominates tiny-store commit latency.
+        A runtime policy, not persisted: at 100 TB every real store is
+        far past it after the first load. 0 = always CoW (tests, the
+        decade probe)."""
         self.spark = spark
         self.path = path
+        self.cow_min_bytes = cow_min_bytes
         os.makedirs(path, exist_ok=True)
         self._meta_path = os.path.join(path, "meta.json")
         if os.path.exists(self._meta_path):
@@ -266,12 +280,35 @@ class GraphStore:
         return F.pmod(F.col(col).cast("long"), F.lit(self.n_buckets)).cast("int")
 
     def _collect_buckets(self, df: DataFrame, col: str) -> set[int]:
-        """Distinct bucket ids of a key frame — ≤ n_buckets rows to the
-        driver, the only driver-side step of a CoW commit plan."""
-        rows = (
-            df.select(self._bucket_col(col).alias("_b")).distinct().collect()
-        )
-        return {r["_b"] for r in rows if r["_b"] is not None}
+        """Distinct bucket ids of a key frame — ≤ n_buckets values to
+        the driver, the only driver-side step of a CoW commit plan.
+        collect_set is a partial aggregate (map-side combine to ≤ B
+        values per task, one tiny single-partition exchange) — a
+        distinct() here paid a full shuffle per commit."""
+        row = df.select(
+            F.collect_set(self._bucket_col(col)).alias("bs")
+        ).collect()[0]
+        return set(row["bs"] or [])
+
+    def _cow_active(self) -> bool:
+        """Incremental (touched-bucket) commits engage once the store's
+        current version exceeds ``cow_min_bytes`` on disk; the size walk
+        short-circuits at the threshold, so big stores pay a handful of
+        stat calls, not a full tree walk."""
+        man = self._load_manifest(self.version)
+        if man is None:
+            return False  # pre-manifest layout: nothing to inherit
+        if self.cow_min_bytes <= 0:
+            return True
+        total = 0
+        for table in ("vertices", "edges"):
+            for rel in man[table].values():
+                for r, _dirs, fs in os.walk(os.path.join(self.path, rel)):
+                    for f in fs:
+                        total += os.path.getsize(os.path.join(r, f))
+                        if total >= self.cow_min_bytes:
+                            return True
+        return False
 
     def _table_paths(
         self, version: int, table: str, buckets: set[int] | None = None
@@ -378,19 +415,25 @@ class GraphStore:
         return new_version
 
     def _cow_plan(
-        self, v_touched: set[int] | None, e_touched: set[int] | None
+        self, v_touched, e_touched
     ) -> tuple[DataFrame, DataFrame, set[int] | None, set[int] | None]:
         """Bucket-restricted base frames + effective touched sets for a
-        commit. On a pre-manifest (legacy) store inheritance is
-        impossible, so the plan degrades to full-table base + full
-        rewrite — the pre-CoW behavior."""
-        if self._load_manifest(self.version) is None:
+        commit. Either touched argument may be a CALLABLE producing the
+        set — touched-set computations that cost a Spark job (distinct-
+        bucket collects, the cascade dst-probe) are deferred behind the
+        _cow_active gate so small stores never pay them. Below the size
+        threshold (or on a pre-manifest legacy store) the plan degrades
+        to full-table base + full rewrite — the pre-CoW behavior, which
+        is cheaper than the probes for stores a single task rewrites."""
+        if not self._cow_active():
             return self.vertices(), self.edges(), None, None
+        tv = v_touched() if callable(v_touched) else v_touched
+        te = e_touched() if callable(e_touched) else e_touched
         return (
-            self.vertices(buckets=v_touched),
-            self.edges(buckets=e_touched),
-            v_touched,
-            e_touched,
+            self.vertices(buckets=tv),
+            self.edges(buckets=te),
+            tv,
+            te,
         )
 
     # ---- reads (time travel via version=) ---------------------------------
@@ -594,11 +637,13 @@ class GraphStore:
                     removed.add(p["id"])
                 else:  # add_edge / remove_edge / update_edge_props
                     touched_e.add(p["src"] % B)
-        if removed:
+        def e_scope(te=touched_e):
+            if not removed:
+                return te
             probe = self.spark.createDataFrame(
                 [(i,) for i in sorted(removed)], "dst long"
             )
-            touched_e |= self._collect_buckets(
+            return te | self._collect_buckets(
                 self.edges().join(F.broadcast(probe), "dst", "left_semi"), "src"
             )
 
@@ -610,7 +655,7 @@ class GraphStore:
         except Exception:  # Spark Connect: ContextCleaner self-manages
             before = None
 
-        v_df, e_df, touched_v, touched_e = self._cow_plan(touched_v, touched_e)
+        v_df, e_df, touched_v, touched_e = self._cow_plan(touched_v, e_scope)
         for i, (kind, ps) in enumerate(runs):
             v_df, e_df = self._apply_run(kind, ps, v_df, e_df)
             # long mixed batches: settle every 16 runs to bound plan depth
@@ -691,13 +736,23 @@ class GraphStore:
         ids = ids_df.select("id").distinct()
         # commit scope: the ids' own buckets (vertex rows + out-edges,
         # co-bucketed by src) plus the source buckets holding IN-edges
-        # of deleted ids — one semi-join probe, ≤ n_buckets rows back
-        touched_v = self._collect_buckets(ids, "id")
-        touched_e = touched_v | self._collect_buckets(
-            self.edges().join(ids.withColumnRenamed("id", "dst"), "dst", "left_semi"),
-            "src",
-        )
-        v_base, e_base, touched_v, touched_e = self._cow_plan(touched_v, touched_e)
+        # of deleted ids — one semi-join probe, ≤ n_buckets values back
+        memo: dict = {}
+
+        def v_scope():
+            if "v" not in memo:
+                memo["v"] = self._collect_buckets(ids, "id")
+            return memo["v"]
+
+        def e_scope():
+            return v_scope() | self._collect_buckets(
+                self.edges().join(
+                    ids.withColumnRenamed("id", "dst"), "dst", "left_semi"
+                ),
+                "src",
+            )
+
+        v_base, e_base, touched_v, touched_e = self._cow_plan(v_scope, e_scope)
         v_df = v_base.join(ids, "id", "left_anti")
         e_df = (
             e_base
@@ -711,8 +766,9 @@ class GraphStore:
         path. Cypher SET semantics: listed keys overwrite, other keys
         are KEPT (unlike update_vertex_props' whole-map replace,
         lib.rs:310-312). ``ids_df`` must have a single ``id`` column."""
-        touched_v = self._collect_buckets(ids_df, "id")
-        v_base, _, touched_v, touched_e = self._cow_plan(touched_v, set())
+        v_base, _, touched_v, touched_e = self._cow_plan(
+            lambda: self._collect_buckets(ids_df, "id"), set()
+        )
         v_df = self._updated_vertices_df(v_base, ids_df, props)
         e_df = self.edges() if touched_e is None else None
         return self._commit_version(v_df, e_df, touched_v, touched_e)
@@ -801,8 +857,9 @@ class GraphStore:
     def update_edges(self, keys_df: DataFrame, props: dict) -> int:
         """Bulk per-key edge property update (Cypher SET semantics, like
         update_vertices). ``keys_df`` needs (src, dst, label) columns."""
-        touched_e = self._collect_buckets(keys_df, "src")
-        _, e_base, touched_v, touched_e = self._cow_plan(set(), touched_e)
+        _, e_base, touched_v, touched_e = self._cow_plan(
+            set(), lambda: self._collect_buckets(keys_df, "src")
+        )
         e_df = self._updated_edges_df(e_base, keys_df, props)
         v_df = self.vertices() if touched_v is None else None
         return self._commit_version(v_df, e_df, touched_v, touched_e)
@@ -974,8 +1031,8 @@ class GraphStore:
         # AFTER the scope is known so the rewrite only scans touched
         # buckets (CoW commit; see _commit_version)
         plans: list[tuple[str, dict, bool, DataFrame]] = []
-        touched_v_b: set[int] = set()
-        touched_e_b: set[int] = set()
+        v_frames: list[DataFrame] = []
+        e_frames: list[DataFrame] = []
         for var, props in by_var.items():
             all_literal = all(_is_set_literal(v) for v in props.values())
             if var in edge_vars and "label" in props:
@@ -998,14 +1055,14 @@ class GraphStore:
                         .distinct()
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    touched_e_b |= self._collect_buckets(keys, "src")
+                    e_frames.append(keys)
                 else:
                     keys = (
                         bindings.select(F.col(f"{var}__id").alias("id"))
                         .distinct()
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    touched_v_b |= self._collect_buckets(keys, "id")
+                    v_frames.append(keys)
                 plans.append((var, props, True, keys))
             else:
                 val_cols = []
@@ -1053,7 +1110,7 @@ class GraphStore:
                         .select("src", "dst", "label", *unpack)
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    touched_e_b |= self._collect_buckets(vals, "src")
+                    e_frames.append(vals)
                 else:
                     vals = (
                         bindings.select(
@@ -1064,13 +1121,20 @@ class GraphStore:
                         .select("id", *unpack)
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    touched_v_b |= self._collect_buckets(vals, "id")
+                    v_frames.append(vals)
                 plans.append((var, props, False, vals))
 
         # pass 2: compose the per-variable transforms over the
         # bucket-restricted bases and commit ONE version
+        def scope(frames, col):
+            out: set[int] = set()
+            for f in frames:
+                out |= self._collect_buckets(f, col)
+            return out
+
         v_df, e_df, touched_v_b, touched_e_b = self._cow_plan(
-            touched_v_b, touched_e_b
+            (lambda: scope(v_frames, "id")) if v_frames else set(),
+            (lambda: scope(e_frames, "src")) if e_frames else set(),
         )
         out = None
         for var, props, all_literal, frame in plans:
@@ -1279,7 +1343,7 @@ class GraphStore:
                     .localCheckpoint(eager=True)  # settle before rewrite
                 )
                 v_base, _, tv, te = self._cow_plan(
-                    self._collect_buckets(ids, "id"), set()
+                    lambda: self._collect_buckets(ids, "id"), set()
                 )
                 v_df = self._updated_vertices_df(v_base, ids, props)
             else:
@@ -1312,7 +1376,7 @@ class GraphStore:
                     .localCheckpoint(eager=True)  # settle before rewrite
                 )
                 v_base, _, tv, te = self._cow_plan(
-                    self._collect_buckets(vals, "id"), set()
+                    lambda: self._collect_buckets(vals, "id"), set()
                 )
                 v_df = self._updated_vertices_values_df(v_base, vals, list(props))
                 ids = vals.select("id")
@@ -1342,8 +1406,8 @@ class GraphStore:
             # same two-pass CoW shape as _apply_set: settle key frames +
             # bucket scope first, then compose over restricted bases
             plans = []
-            tv: set[int] = set()
-            te: set[int] = set()
+            v_frames = []
+            e_frames = []
             for var, keys in by_var.items():
                 if var in edge_vars:
                     hit = (
@@ -1355,16 +1419,26 @@ class GraphStore:
                         .distinct()
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    te |= self._collect_buckets(hit, "src")
+                    e_frames.append(hit)
                 else:
                     hit = (
                         bindings.select(F.col(f"{var}__id").alias("id"))
                         .distinct()
                         .localCheckpoint(eager=True)  # settle before rewrite
                     )
-                    tv |= self._collect_buckets(hit, "id")
+                    v_frames.append(hit)
                 plans.append((var, keys, hit))
-            v_df, e_df, tv, te = self._cow_plan(tv, te)
+
+            def scope(frames, col):
+                out: set[int] = set()
+                for f in frames:
+                    out |= self._collect_buckets(f, col)
+                return out
+
+            v_df, e_df, tv, te = self._cow_plan(
+                (lambda: scope(v_frames, "id")) if v_frames else set(),
+                (lambda: scope(e_frames, "src")) if e_frames else set(),
+            )
             out = None
             for var, keys, hit in plans:
                 if var in edge_vars:

@@ -328,7 +328,7 @@ def _manifest(store, version):
 
 
 def test_cow_commit_inherits_untouched_buckets(spark, tmp_path):
-    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4)
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0)
     store.apply_batch([add_vertex(i, "P", {"n": i}) for i in range(8)])  # v1
     v1 = store.version
     # touch ONLY bucket 1 (id 5 % 4 == 1)
@@ -349,7 +349,7 @@ def test_cow_commit_inherits_untouched_buckets(spark, tmp_path):
 
 
 def test_cow_bucket_wide_delete_shadows_inherited_data(spark, tmp_path):
-    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4)
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0)
     store.apply_batch([add_vertex(i, "P") for i in (1, 5, 2)])  # bucket1={1,5}
     ids = spark.createDataFrame([(1,), (5,)], "id long")
     store.delete_vertices(ids)
@@ -361,7 +361,7 @@ def test_cow_bucket_wide_delete_shadows_inherited_data(spark, tmp_path):
 
 
 def test_cow_cascade_deletes_in_edges_from_untouched_src_buckets(spark, tmp_path):
-    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4)
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0)
     # edge 1->2 lives in src bucket 1; removing vertex 2 (bucket 2) must
     # still rewrite bucket 1 of edges (the dst-probe)
     store.apply_batch(
@@ -377,7 +377,7 @@ def test_cow_cascade_deletes_in_edges_from_untouched_src_buckets(spark, tmp_path
 def test_cow_vacuum_relocates_referenced_buckets(spark, tmp_path):
     import os
 
-    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4)
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0)
     store.apply_batch([add_vertex(i, "P", {"n": i}) for i in range(8)])   # v1
     store.apply_batch([update_vertex_props(5, {"n": 99})])                # v2
     store.apply_batch([update_vertex_props(6, {"n": 77})])                # v3
@@ -395,7 +395,7 @@ def test_cow_vacuum_relocates_referenced_buckets(spark, tmp_path):
 
 
 def test_cow_reopened_store_keeps_bucket_count(spark, tmp_path):
-    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4)
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0)
     store.apply_batch([add_vertex(1, "P")])
     reopened = GraphStore(spark, str(tmp_path / "cow"), n_buckets=32)
     assert reopened.n_buckets == 4
@@ -408,7 +408,7 @@ def test_cow_bucket_restricted_read_prunes_files(spark, tmp_path):
     structural pruning via explicit manifest paths, not a post-scan
     filter (the 100 TB posture: commit I/O is O(delta) on the read
     side too)."""
-    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4)
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0)
     store.apply_batch([add_vertex(i, "P") for i in range(8)])
     files = store.vertices(buckets={1}).inputFiles()
     assert files, "restricted read returned no files"
