@@ -554,7 +554,11 @@ class CallSubClause:
     RETURN * is supported once a WITH stage has reduced the scope to
     named scalar columns — while entity bindings remain in scope it
     stays rejected, because * would re-export the imported variables
-    into their own outer scope (Neo4j rejects the same shape).
+    into their own outer scope (Neo4j rejects the same shape). A
+    whole-variable RETURN item exports the ENTITY (r13): the variable
+    joins the outer pattern scope with live binding columns
+    (``RETURN y`` … ``RETURN y.name`` outside works like Neo4j);
+    re-exporting a variable the outer scope already binds is rejected.
 
     ``OPTIONAL CALL { .. }`` (Cypher 25) keeps outer rows whose body
     produced nothing, NULL-filling the body outputs — the join-back

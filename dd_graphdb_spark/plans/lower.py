@@ -1816,7 +1816,10 @@ class GQLEngine:
             # the inner witnesses' id columns), joins back per inner
             # binding, and its outputs enter the body scope as bare
             # names for the body RETURN to project/aggregate
-            sub, nested_bare = self._apply_call_sub(sub, inner.call_sub, ())
+            sub, nested_bare, nested_ents = self._apply_call_sub(
+                sub, inner.call_sub, ()
+            )
+            ivars = ivars + nested_ents  # nested entity exports in scope
         body_bnames = lead_bare + nested_bare
         if inner.with_items is not None:
             sub, body_vars = self._call_body_with(
@@ -1848,7 +1851,8 @@ class GQLEngine:
                     "RETURN * inside a correlated CALL body while whole "
                     f"variables {sorted(body_vars)} are in scope would "
                     "re-export entity bindings — project named scalars "
-                    "in a WITH first or name the RETURN items"
+                    "in a WITH first, or RETURN the non-imported "
+                    "variables by name (entity export)"
                 )
             body_bnames = tuple(
                 c for c in sub.columns
@@ -1859,15 +1863,39 @@ class GQLEngine:
                     "RETURN *: nothing is in scope inside the CALL body "
                     "— name the items"
                 )
+        # whole-variable RETURN items export the ENTITY into the outer
+        # scope (r13): the binding columns ride through the join-back
+        # unflattened and the variable joins the outer pattern scope,
+        # so `CALL { WITH x MATCH (x)-->(y) RETURN y } RETURN y.name`
+        # works like Neo4j. Re-exporting a variable the outer scope
+        # already binds (the imports, first of all) is rejected —
+        # Cypher's "variable already declared in outer scope".
+        ent_vars = [
+            i.var
+            for i in inner.returns
+            if i.prop is None and i.agg is None and i.expr is None
+            and i.var != "*" and i.var in (body_vars or [])
+        ]
+        for v in ent_vars:
+            if f"{v}__id" in bound.columns or v in bound.columns:
+                raise ValueError(
+                    f"CALL body RETURN {v}: variable {v!r} is already "
+                    "declared in the outer scope — alias a projection "
+                    "of it instead (RETURN y.name AS yn)"
+                )
         proj = self._project(
             sub, inner.returns, body_vars, vcols,
             bare=body_bare, extra_keys=key_cols, bare_names=body_bnames,
+            keep_binding=frozenset(ent_vars),
         )
         if inner.distinct:
             proj = proj.distinct()
         has_aggs = any(i.agg for i in inner.returns)
         pure_agg = has_aggs and all(i.agg for i in inner.returns)
-        out_names = [c for c in proj.columns if c not in keys]
+        ent_cols = {f"{v}__{c}" for v in ent_vars for c in vcols}
+        out_names = [
+            c for c in proj.columns if c not in keys and c not in ent_cols
+        ]
         skip = inner.skip or 0
         if inner.order_by or inner.skip is not None or inner.limit is not None:
             # per-outer-row ORDER BY / SKIP / LIMIT (top-k per binding):
@@ -1881,10 +1909,14 @@ class GQLEngine:
                     continue
                 nm = o.var if o.prop is None else f"{o.var}_{o.prop}"
                 if nm not in out_names:
-                    raise ValueError(
-                        f"ORDER BY {nm} is not in the CALL body output "
-                        f"(columns: {out_names})"
-                    )
+                    alt = f"{o.var}__{o.prop}" if o.prop else None
+                    if alt and alt in ent_cols:
+                        nm = alt  # exported entity's property
+                    else:
+                        raise ValueError(
+                            f"ORDER BY {nm} is not in the CALL body "
+                            f"output (columns: {out_names})"
+                        )
                 exprs.append(F.col(nm).desc() if o.desc else F.col(nm).asc())
             if not exprs:  # pure-agg SKIP/LIMIT: one row per group
                 exprs = [F.lit(1).asc()]
@@ -1932,7 +1964,7 @@ class GQLEngine:
             # coalesce (NULL is the contract, not an identity value).
             how = "left" if cs.optional else "inner"
             bound = bound.join(proj, on=keys, how=how)
-        return bound, bare_names + tuple(out_names)
+        return bound, bare_names + tuple(out_names), ent_vars
 
     def _apply_with_stage(
         self, inter: DataFrame, pvars: list, st, bare_aliases: tuple, idx: int
@@ -2228,7 +2260,11 @@ class GQLEngine:
                         bound, stmt.where, bare_names=unwound, anon_prefix="_uw"
                     )
         if stmt.call_sub is not None:
-            bound, unwound = self._apply_call_sub(bound, stmt.call_sub, unwound)
+            bound, unwound, call_ents = self._apply_call_sub(
+                bound, stmt.call_sub, unwound
+            )
+            # entity exports join the outer pattern scope (r13)
+            vertex_vars = list(vertex_vars) + call_ents
         if stmt.unwind is not None and stmt.with_items is None:
             # MATCH .. UNWIND [..] AS x RETURN .. (no WITH pipeline)
             bound, unwound = self._apply_unwind(bound, stmt.unwind, unwound)
@@ -2376,9 +2412,15 @@ class GQLEngine:
     def _project(
         self, bound, items, vertex_vars, vcols,
         bare: bool = False, extra_cols=None, bare_names: tuple = (),
-        extra_keys=None,
+        extra_keys=None, keep_binding: frozenset = frozenset(),
     ):
         """RETURN/WITH projection with Cypher's implicit grouping.
+
+        ``keep_binding``: whole-variable items in this set keep their
+        ``var__col`` BINDING column names instead of flattening to
+        ``var_col`` output names — a correlated CALL body exporting an
+        entity into the outer scope (the columns stay a live binding
+        the outer query can dereference and join on).
 
         ``extra_cols``: hidden columns appended to a NON-aggregating
         projection (ORDER BY on non-projected properties).
@@ -2443,6 +2485,8 @@ class GQLEngine:
                     return [F.col(item.var).alias(item.alias or item.var)]
                 if item.alias is not None:
                     raise ValueError("aliasing a whole vertex is not supported")
+                if item.var in keep_binding:
+                    return [F.col(f"{item.var}__{c}") for c in vcols]
                 return [F.col(f"{item.var}__{c}").alias(f"{item.var}_{c}") for c in vcols]
             if bare and item.var not in vertex_vars:
                 raise ValueError(

@@ -73,12 +73,12 @@ def _with_hygiene(fn):
 #         8 of the r8-recorded block. The remaining 42 r8 rows lead
 #         r13's window; all were green in the r12 full oracle-gate
 #         replica.
-#   r13 = 3 new (CALL-body star, trained persisted IVF, trained-vs-
-#         seeded recall) + 36 rows whose engine/oracle surface r13
+#   r13 = 4 new (CALL-body star, entity export, trained persisted
+#         IVF, trained-vs-seeded recall) + 36 rows whose surface r13
 #         changed (\s+ tokenization unification ×10, portable floor-
 #         rounding ×3, Lloyd-unrolled IVF oracle generator ×3, bucket-
 #         level CoW store commits ×16, WITH-stage star machinery ×4)
-#         + 11 of the stale r8 block. The r13 change volume displaced
+#         + 10 of the stale r8 block. The r13 change volume displaced
 #         most of the planned r8 refresh — ALL 241 queries were green
 #         in the r13 full sf0.1 oracle-gate replica (round addendum),
 #         so the staleness risk is bounded by that record.
@@ -90,6 +90,7 @@ GATE_PRIORITY = [
     # (1) NEW queries (WITH */RETURN * in CALL bodies; trained
     # persisted IVF index; trained-vs-seeded recall gate)
     "gql_call_with_star",
+    "gql_call_entity_export",
     "sim_ann_ivf_indexed_trained",
     "sim_ann_recall_trained",
     # (2) rows whose engine/oracle surface r13 changed:
@@ -145,9 +146,10 @@ GATE_PRIORITY = [
     "algo_triangle_colocation",
     "asof_purchase_attribution",
     "dedup_exact",
-    "degree_top_customers",
-    # ---- deferred (r14+ windows): remaining r8 block, then the
+    # ---- deferred (r14+ windows): degree_top_customers + remaining
+    # r8 block, then the
     # r9/r10/r11/r12-recorded blocks in prior order ----
+    "degree_top_customers",
     "gql_multi_with",
     "dedup_semantic_multiprobe",
     "dedup_semantic_trained",

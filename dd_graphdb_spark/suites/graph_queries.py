@@ -2380,6 +2380,41 @@ def gql_call_with_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL: ENTITY export from a correlated CALL body (round 13) — RETURN y
+# makes the body variable a live outer binding (Neo4j semantics): the
+# outer RETURN dereferences its properties, and the body's per-outer-
+# row top-k orders by the exported entity's property.
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_call_entity_export",
+    GRAPH_CTE
+    + """
+    SELECT nation, cname, bal FROM (
+        SELECT n.name AS nation, c.name AS cname,
+               ROUND(c.acctbal, 2) AS bal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.id ORDER BY c.acctbal DESC, c.name ASC
+               ) AS rn
+        FROM vertices n
+        JOIN edges e ON e.dst = n.id AND e.label = 'located_in'
+        JOIN vertices c ON c.id = e.src AND c.label = 'Customer'
+        WHERE n.label = 'Nation'
+    ) WHERE rn = 1
+    ORDER BY nation
+    """,
+)
+def gql_call_entity_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (n:Nation) "
+        "CALL { WITH n MATCH (c:Customer)-[:located_in]->(n) "
+        "RETURN c ORDER BY c.acctbal DESC, c.name ASC LIMIT 1 } "
+        "RETURN n.name AS nation, c.name AS cname, "
+        "round(c.acctbal, 2) AS bal ORDER BY nation"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL: nested CALL composed with a WITH pipeline in ONE body (round 12)
 # — the nested per-nation customer count enters the body pipeline as a
 # bare name; the pipeline filters on it and the body's ORDER BY/LIMIT

@@ -3686,3 +3686,59 @@ def test_double_underscore_binding_names_rejected(people_graph):
     ]:
         with pytest.raises(ValueError, match="binding-column separator"):
             eng.execute(q)
+
+
+# ---- r13: entity export from correlated CALL bodies -----------------------
+
+
+def test_call_body_entity_export(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+        "RETURN x } RETURN p.name AS pn, x.name AS xn, x.age AS xa "
+        "ORDER BY pn"
+    ).collect()
+    assert [(r["pn"], r["xn"]) for r in rows] == [
+        ("Alice", "Bob"), ("Bob", "Charlie"),
+    ]
+    assert all(r["xa"] is not None for r in rows)
+
+
+def test_call_body_entity_export_topk_and_agg(people_graph):
+    eng = _engine(people_graph)
+    # per-outer-row top-1 ordered by the exported entity's property
+    rows = eng.execute(
+        "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+        "RETURN x ORDER BY x.age DESC LIMIT 1 } "
+        "RETURN p.name AS pn, x.name AS xn ORDER BY pn"
+    ).collect()
+    assert [(r["pn"], r["xn"]) for r in rows] == [
+        ("Alice", "Bob"), ("Bob", "Charlie"),
+    ]
+    # entity + aggregate mix groups per entity (Cypher implicit keys)
+    rows = eng.execute(
+        "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+        "RETURN x, count(*) AS c } RETURN x.name AS xn, c ORDER BY xn"
+    ).collect()
+    assert [(r["xn"], r["c"]) for r in rows] == [("Bob", 1), ("Charlie", 1)]
+
+
+def test_call_body_entity_reexport_rejected(people_graph):
+    eng = _engine(people_graph)
+    with pytest.raises(ValueError, match="already declared in the outer"):
+        eng.execute(
+            "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+            "RETURN p } RETURN p.name AS pn"
+        )
+
+
+def test_optional_call_entity_export_null_fills(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) OPTIONAL CALL { WITH p "
+        "MATCH (p)-[:friend]->(x) RETURN x } "
+        "RETURN p.name AS pn, x.name AS xn ORDER BY pn"
+    ).collect()
+    assert [(r["pn"], r["xn"]) for r in rows] == [
+        ("Alice", "Bob"), ("Bob", "Charlie"), ("Charlie", None),
+    ]
