@@ -50,10 +50,15 @@ def main():
     qs, os_ = queries(), oracle_sql()
 
     con = duckdb.connect()
+    import os as _os
+
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        if _os.path.isdir(p):  # Spark-written dirs (.scale replicas)
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     unknown = only - qs.keys()
     if unknown:
