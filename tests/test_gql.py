@@ -3742,3 +3742,18 @@ def test_optional_call_entity_export_null_fills(people_graph):
     assert [(r["pn"], r["xn"]) for r in rows] == [
         ("Alice", "Bob"), ("Bob", "Charlie"), ("Charlie", None),
     ]
+
+
+def test_call_body_entity_export_joins_later_match(people_graph):
+    """An exported entity is a full outer binding: a post-CALL WITH
+    stage can pass it through (explicitly or via *) and a later MATCH
+    joins on it."""
+    eng = _engine(people_graph)
+    for passthrough in ("*", "p, x"):
+        rows = eng.execute(
+            "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+            f"RETURN x }} WITH {passthrough} "
+            "MATCH (x)-[:friend]->(z) "
+            "RETURN p.name AS pn, z.name AS zn ORDER BY pn"
+        ).collect()
+        assert [(r["pn"], r["zn"]) for r in rows] == [("Alice", "Charlie")]
