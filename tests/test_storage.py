@@ -415,3 +415,27 @@ def test_cow_bucket_restricted_read_prunes_files(spark, tmp_path):
     assert all("_b=1" in f for f in files)
     # empty bucket set = empty frame, no scan at all
     assert store.vertices(buckets=set()).inputFiles() == []
+
+
+def test_cow_size_gate_engages_past_threshold(spark, tmp_path):
+    """Below cow_min_bytes commits are full rewrites (no inheritance);
+    once the store crosses the threshold the same commit shape starts
+    inheriting untouched buckets."""
+    store = GraphStore(
+        spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=2000
+    )
+    store.apply_batch([add_vertex(1, "P")])          # tiny: full rewrite
+    store.apply_batch([update_vertex_props(1, {"n": 1})])
+    m = store._load_manifest(store.version)
+    assert all(p.startswith(f"v{store.version}/") for p in m["vertices"].values())
+    # grow past the threshold, then a bucket-local update inherits
+    store.apply_batch([add_vertex(i, "P", {"pad": "x" * 50}) for i in range(2, 60)])
+    assert store._cow_active()
+    v_before = store.version
+    store.apply_batch([update_vertex_props(4, {"n": 2})])  # bucket 0
+    m = store._load_manifest(store.version)
+    inherited = [p for p in m["vertices"].values()
+                 if not p.startswith(f"v{store.version}/")]
+    assert inherited, "no buckets inherited after crossing the threshold"
+    assert store.vertices().count() == 59
+    assert store.vertices(version=v_before).count() == 59
