@@ -147,6 +147,14 @@ HEADLINE = [
     # span-level exact-substring duplication (Lee et al. 2022): one row
     # per token position, two partial-agg groupBys — token-linear
     "dedup_exact_substring",
+    # round-13 additions: CALL-body star stages + entity export (the
+    # body frame rides per imported binding; the export keeps live
+    # binding columns through the join-back), and the Lloyd-trained
+    # PERSISTED IVF index (partition-pruned probes against trained
+    # centroids; index build in the untimed LOAD)
+    "gql_call_with_star",
+    "gql_call_entity_export",
+    "sim_ann_ivf_indexed_trained",
 ]
 
 
