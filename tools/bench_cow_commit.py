@@ -40,7 +40,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     results = {}
-    for n in (10_000, 100_000, 1_000_000):
+    for n in (10_000, 100_000, 1_000_000, 10_000_000):
         path = tempfile.mkdtemp(prefix=f"cowbench_{n}_")
         store = GraphStore(spark, path, n_buckets=64, cow_min_bytes=0)
         # seed via the full-write path (bulk load), not apply_batch
