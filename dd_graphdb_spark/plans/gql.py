@@ -2165,6 +2165,14 @@ class _Parser:
         with_stages: list[WithStage] = []
         unwind = None
         first_stage = True
+        if call_sub is not None and self.peek()[0] in ("MATCH", "OPTIONAL"):
+            # MATCH / OPTIONAL MATCH directly after CALL { .. } (r13):
+            # Cypher's free clause order — sugar for an implicit
+            # `WITH *` stage carrying the clauses (the star keeps the
+            # CALL outputs, bare and entity alike, in scope)
+            with_items, with_star = [], True
+            post_clauses = self._match_clauses()
+            first_stage = False
         while self.accept("WITH"):
             st_distinct = self.accept("DISTINCT")
             # later stages aggregate over the previous stage's bare

@@ -3757,3 +3757,23 @@ def test_call_body_entity_export_joins_later_match(people_graph):
             "RETURN p.name AS pn, z.name AS zn ORDER BY pn"
         ).collect()
         assert [(r["pn"], r["zn"]) for r in rows] == [("Alice", "Charlie")]
+
+
+def test_match_directly_after_call(people_graph):
+    """MATCH / OPTIONAL MATCH directly after CALL { } — sugar for an
+    implicit WITH * stage; joins on the CALL's exported entity."""
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+        "RETURN x } MATCH (x)-[:friend]->(z) "
+        "RETURN p.name AS pn, z.name AS zn ORDER BY pn"
+    ).collect()
+    assert [(r["pn"], r["zn"]) for r in rows] == [("Alice", "Charlie")]
+    rows = eng.execute(
+        "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+        "RETURN x } OPTIONAL MATCH (x)-[:friend]->(z) "
+        "RETURN p.name AS pn, z.name AS zn ORDER BY pn"
+    ).collect()
+    assert [(r["pn"], r["zn"]) for r in rows] == [
+        ("Alice", "Charlie"), ("Bob", None),
+    ]
