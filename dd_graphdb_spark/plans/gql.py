@@ -2223,7 +2223,19 @@ class _Parser:
                 else:
                     break
             st_post = self._match_clauses()
-            if st_post and any(i.agg for i in st_items):
+            if (
+                st_post
+                and any(i.agg for i in st_items)
+                # r13: WITH x, count(*) keeps the entity x in scope —
+                # a post-MATCH can join on it (lowering still raises
+                # its share-a-variable error if the bare item turns
+                # out to be an alias, not an entity)
+                and not any(
+                    i.prop is None and i.agg is None and i.expr is None
+                    and i.var != "*"
+                    for i in st_items
+                )
+            ):
                 raise ValueError(
                     "GQL parse error: MATCH after an aggregating WITH is "
                     "not supported — aggregate in the final RETURN instead"

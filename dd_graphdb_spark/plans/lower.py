@@ -1596,14 +1596,13 @@ class GQLEngine:
             inter = sub.select(*cols)
             pvars = [v for v in pvars if not v.startswith("_anon")]
         elif w_aggs:
-            if passthrough:
-                raise ValueError(
-                    "WITH cannot mix whole-variable passthrough with "
-                    "aggregates — project the needed properties instead"
-                )
+            # passthrough + aggregate (r13): group by (witness keys +
+            # the entity's binding columns) — Cypher's implicit
+            # grouping by the entity, still per imported binding
             inter = self._project(
                 sub, st.items, pvars, vcols,
                 extra_keys=[F.col(k) for k in keys], bare_names=bare,
+                keep_binding=frozenset(passthrough),
             )
             if all(i.agg for i in st.items):
                 # pure-aggregate WITH: one row per outer binding even
@@ -1629,7 +1628,7 @@ class GQLEngine:
                         inter = inter.withColumn(
                             i.alias, F.coalesce(F.col(i.alias), empty)
                         )
-            pvars = []
+            pvars = list(passthrough)
         else:
             skip_keys = {f"{v}__id" for v in passthrough}
             cols = [F.col(k) for k in keys if k not in skip_keys]
@@ -2041,15 +2040,14 @@ class GQLEngine:
             # bindings leave scope with their dropped columns)
             pvars = [v for v in pvars if not v.startswith("_anon")]
         elif has_aggs:
-            if passthrough:
-                raise ValueError(
-                    "WITH cannot mix whole-variable passthrough with "
-                    "aggregates — project the needed properties instead"
-                )
+            # WITH x, count(*) AS c (r13): Cypher's implicit grouping
+            # by the ENTITY — the passthrough variable's binding
+            # columns become grouping keys and x STAYS in scope
             nxt = self._project(
-                inter, st.items, pvars, vcols, bare_names=bare_aliases
+                inter, st.items, pvars, vcols, bare_names=bare_aliases,
+                keep_binding=frozenset(passthrough),
             )
-            pvars = []
+            pvars = list(passthrough)
         else:
             cols = []
             for i in st.items:

@@ -73,24 +73,26 @@ def _with_hygiene(fn):
 #         8 of the r8-recorded block. The remaining 42 r8 rows lead
 #         r13's window; all were green in the r12 full oracle-gate
 #         replica.
-#   r13 = 4 new (CALL-body star, entity export, trained persisted
-#         IVF, trained-vs-seeded recall) + 36 rows whose surface r13
+#   r13 = 5 new (CALL-body star, entity export, entity grouping,
+#         trained persisted IVF, trained-vs-seeded recall) + 36 rows
+#         whose engine or oracle surface r13
 #         changed (\s+ tokenization unification ×10, portable floor-
 #         rounding ×3, Lloyd-unrolled IVF oracle generator ×3, bucket-
 #         level CoW store commits ×16, WITH-stage star machinery ×4)
-#         + 10 of the stale r8 block. The r13 change volume displaced
-#         most of the planned r8 refresh — ALL 241 queries were green
-#         in the r13 full sf0.1 oracle-gate replica (round addendum),
+#         + 9 of the stale r8 block. The r13 change volume displaced
+#         most of the planned r8 refresh — the FULL registry was green
+#         in the r13 sf0.1 oracle-gate replica (ORACLE_GATE_sf01_r13),
 #         so the staleness risk is bounded by that record.
 #   r14 = r14's new + the 31 remaining r8 rows + r9-block head
 #   r15 = r15's new + the r9/r10-recorded remainder — then the cycle
 # repeats, so no query's newest driver row ever ages past ~5 rounds.
 GATE_PRIORITY = [
     # ---- r13 window (driver records the FIRST 50) ----
-    # (1) NEW queries (WITH */RETURN * in CALL bodies; trained
-    # persisted IVF index; trained-vs-seeded recall gate)
+    # (1) NEW queries (CALL-body star + entity export, WITH entity
+    # grouping, trained persisted IVF, trained-vs-seeded recall)
     "gql_call_with_star",
     "gql_call_entity_export",
+    "gql_with_entity_group",
     "sim_ann_ivf_indexed_trained",
     "sim_ann_recall_trained",
     # (2) rows whose engine/oracle surface r13 changed:
@@ -145,10 +147,9 @@ GATE_PRIORITY = [
     "algo_sssp_fixture",
     "algo_triangle_colocation",
     "asof_purchase_attribution",
-    "dedup_exact",
-    # ---- deferred (r14+ windows): degree_top_customers + remaining
-    # r8 block, then the
+    # ---- deferred (r14+ windows): the remaining r8 block, then the
     # r9/r10/r11/r12-recorded blocks in prior order ----
+    "dedup_exact",
     "degree_top_customers",
     "gql_multi_with",
     "dedup_semantic_multiprobe",

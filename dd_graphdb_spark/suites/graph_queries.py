@@ -2380,6 +2380,42 @@ def gql_call_with_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL: implicit grouping BY AN ENTITY in a WITH stage (round 13) —
+# `WITH n, count(*)` groups on the variable's binding columns, keeps n
+# in scope, and a post-WITH MATCH joins from the grouped entity
+# (Cypher's canonical aggregate-then-expand shape).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_with_entity_group",
+    GRAPH_CTE
+    + """
+    SELECT n.name AS nation, r.name AS region, g.customers
+    FROM (
+        SELECT e.dst AS nid, COUNT(*) AS customers
+        FROM vertices c
+        JOIN edges e ON c.id = e.src AND e.label = 'located_in'
+        WHERE c.label = 'Customer'
+        GROUP BY e.dst
+    ) g
+    JOIN vertices n ON n.id = g.nid AND n.label = 'Nation'
+    JOIN edges er ON er.src = n.id AND er.label = 'in_region'
+    JOIN vertices r ON r.id = er.dst
+    WHERE g.customers > 10
+    ORDER BY nation
+    """,
+)
+def gql_with_entity_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "WITH n, count(*) AS customers WHERE customers > 10 "
+        "MATCH (n)-[:in_region]->(r:Region) "
+        "RETURN n.name AS nation, r.name AS region, customers "
+        "ORDER BY nation"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL: ENTITY export from a correlated CALL body (round 13) — RETURN y
 # makes the body variable a live outer binding (Neo4j semantics): the
 # outer RETURN dereferences its properties, and the body's per-outer-

@@ -402,10 +402,14 @@ def test_with_passthrough_then_match(people_graph):
     assert {(r[0], r[1]) for r in df.collect()} == {
         ("Alice", 1), ("Bob", 1), ("Charlie", 0)
     }
-    with pytest.raises(ValueError, match="cannot mix"):
-        eng.execute(
-            "MATCH (a:Person) WITH a, count(*) AS n RETURN a.name"
-        )
+    # r13: WITH a, count(*) groups by the ENTITY and keeps it in scope
+    df = eng.execute(
+        "MATCH (a:Person)-[:friend]->(x) WITH a, count(*) AS n "
+        "RETURN a.name AS nm, n"
+    )
+    assert {(r["nm"], r["n"]) for r in df.collect()} == {
+        ("Alice", 1), ("Bob", 1)
+    }
     with pytest.raises(ValueError, match="not supported"):
         eng.execute(
             "MATCH (a) WITH count(*) AS n MATCH (b) RETURN n"
@@ -3041,13 +3045,18 @@ def test_call_body_with_parse_errors(people_edges_graph):
         ("MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
          "WITH count(x) RETURN 1 AS one } RETURN one",
          "AS alias"),
-        ("MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
-         "WITH x, count(x) AS n RETURN n } RETURN nm, n",
-         "passthrough with"),
     ]
     for q, frag in cases:
         with pytest.raises(ValueError, match=frag):
             eng.execute(q)
+    # r13: WITH x, count(x) AS n inside a body GROUPS BY the entity and
+    # keeps x in scope for the body RETURN (was a rejection before)
+    rows = eng.execute(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:knows]->(x) "
+        "WITH x, count(x) AS n RETURN x.name AS xn, n } "
+        "RETURN a.name AS an, xn, n ORDER BY an, xn"
+    ).collect()
+    assert all(r["n"] == 1 for r in rows) and len(rows) >= 1
 
 
 # --------------------------------------------------- FOREACH write bodies
