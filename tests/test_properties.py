@@ -1728,3 +1728,52 @@ def test_gql_call_body_star_shapes(
         )
         got = [(r["vid"], r["uid"], r["ua"]) for r in eng.execute(q).collect()]
         assert got == want, q
+
+
+# --------------------------------------------------------------------------
+# r13: implicit grouping by an ENTITY in WITH stages vs the Python
+# model — statement scope and CALL-body scope (per imported binding).
+# --------------------------------------------------------------------------
+@settings(max_examples=int(os.environ.get("SPARK_GRAFT_HYP_EXAMPLES", "10")),
+          deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    vlabel=st.sampled_from([None, "P", "Q"]),
+    e1=st.sampled_from(["x", "y"]),
+    thresh=st.integers(0, 2),
+    scope=st.sampled_from(["statement", "call_body"]),
+)
+def test_gql_with_entity_grouping_shapes(
+    spark, _stmt_graph, vlabel, e1, thresh, scope,
+):
+    from dd_graphdb_spark.plans.lower import GQLEngine
+
+    eng = GQLEngine(_stmt_graph)
+    pat = f"(v{':' + vlabel if vlabel else ''})"
+    verts = [
+        i for i, (l, _a) in _G_VERTS.items()
+        if vlabel is None or l == vlabel
+    ]
+
+    def out(i, el):
+        return [d for (s, d, lab) in _G_EDGES if s == i and lab == el]
+
+    if scope == "statement":
+        # group by the TARGET entity: count of matched in-edges per u
+        q = (f"MATCH {pat}-[:{e1}]->(u) WITH u, count(*) AS c "
+             f"WHERE c >= {thresh} RETURN u.id AS uid, c ORDER BY uid")
+        want = {}
+        for i in verts:
+            for d in out(i, e1):
+                want[d] = want.get(d, 0) + 1
+        want = {k: v for k, v in want.items() if v >= thresh}
+        got = {r["uid"]: r["c"] for r in eng.execute(q).collect()}
+        assert got == want, q
+    else:
+        # per imported binding: u's count is per (v, u) pair here
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"WITH u, count(*) AS c RETURN u.id AS uid, c }} "
+             f"RETURN v.id AS vid, uid, c ORDER BY vid, uid")
+        want = sorted((i, d, 1) for i in verts for d in out(i, e1))
+        got = [(r["vid"], r["uid"], r["c"]) for r in eng.execute(q).collect()]
+        assert got == want, q
