@@ -388,6 +388,13 @@ class GraphStore:
         frame is the complete table — used when the current version has
         no manifest to inherit from). Returns the new version."""
         cur = self.version
+        planned = getattr(self, "_plan_version", cur)
+        if planned != cur:
+            raise ConflictError(
+                f"store moved to v{cur} while this commit's delta was "
+                f"planned against v{planned} — retry the statement "
+                "(write-write conflict)"
+            )
         new_version = cur + 1
         prev = self._load_manifest(cur)
         if prev is None and not (v_touched is None and e_touched is None):
@@ -425,6 +432,13 @@ class GraphStore:
         threshold (or on a pre-manifest legacy store) the plan degrades
         to full-table base + full rewrite — the pre-CoW behavior, which
         is cheaper than the probes for stores a single task rewrites."""
+        # pin the base version the delta plan reads: _commit_version
+        # compares it against the version at commit time and raises
+        # ConflictError if a concurrent writer moved the store —
+        # otherwise a CoW commit would inherit the OTHER writer's
+        # buckets while its delta was computed against the old base
+        # (a silent lost update instead of a clean OCC failure)
+        self._plan_version = self.version
         if not self._cow_active():
             return self.vertices(), self.edges(), None, None
         tv = v_touched() if callable(v_touched) else v_touched

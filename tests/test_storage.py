@@ -439,3 +439,19 @@ def test_cow_size_gate_engages_past_threshold(spark, tmp_path):
     assert inherited, "no buckets inherited after crossing the threshold"
     assert store.vertices().count() == 59
     assert store.vertices(version=v_before).count() == 59
+
+
+def test_cow_commit_detects_concurrent_writer(spark, tmp_path):
+    """A commit whose delta was planned against a version another
+    writer has since moved must fail with ConflictError, not silently
+    inherit the other writer's buckets (lost update)."""
+    path = str(tmp_path / "cow")
+    s1 = GraphStore(spark, path, n_buckets=4, cow_min_bytes=0)
+    s1.apply_batch([add_vertex(i, "P") for i in range(8)])
+    # plan a delta on s1, then let a second writer commit in between
+    v_base, e_base, tv, te = s1._cow_plan({1}, set())
+    GraphStore(spark, path, cow_min_bytes=0).apply_batch([add_vertex(100, "P")])
+    with pytest.raises(ConflictError, match="moved to"):
+        s1._commit_version(v_base, None, tv, te)
+    # the interleaved writer's state is intact
+    assert s1.vertices().count() == 9
