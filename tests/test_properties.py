@@ -78,6 +78,81 @@ def test_store_matches_hashmap_model(spark, tmp_path_factory, ops):
     assert got_e == edges
 
 
+@SMALL
+@given(st.lists(_op, min_size=1, max_size=12), st.integers(1, 4))
+def test_store_cow_multi_commit_matches_hashmap_model(
+    spark, tmp_path_factory, ops, n_batches
+):
+    """The bucket-level CoW path (forced via cow_min_bytes=0, 3
+    buckets) applied across SEVERAL commits — every version inherits
+    most buckets from its predecessors — must agree with the same
+    HashMap model as the single-batch test, and time travel must
+    reproduce each intermediate state."""
+    import json as _json
+
+    from dd_graphdb_spark.storage import (
+        GraphStore,
+        add_edge,
+        add_vertex,
+        remove_edge,
+        remove_vertex,
+        update_vertex_props,
+    )
+
+    store = GraphStore(
+        spark, str(tmp_path_factory.mktemp("cow_store")),
+        n_buckets=3, cow_min_bytes=0,
+    )
+    verts: dict[int, dict] = {}
+    edges: set[tuple] = set()
+    batches: list[list] = [[] for _ in range(n_batches)]
+    for i, (kind, a, b) in enumerate(ops):
+        batch = batches[i % n_batches]
+        if kind == "add_vertex":
+            batch.append(add_vertex(a, "P", {"v": b}))
+        elif kind == "remove_vertex":
+            batch.append(remove_vertex(a))
+        elif kind == "update_vertex_props":
+            batch.append(update_vertex_props(a, {"v": b}))
+        elif kind == "add_edge":
+            batch.append(add_edge(a, b, "l"))
+        elif kind == "remove_edge":
+            batch.append(remove_edge(a, b, "l"))
+    snapshots = []
+    for batch in batches:
+        if not batch:
+            continue
+        for op in batch:
+            kind, p = op.kind, op.payload
+            if kind == "add_vertex":
+                verts[p["id"]] = dict(p["props"])  # raw (pre-render) props
+            elif kind == "remove_vertex":
+                verts.pop(p["id"], None)
+                edges = {
+                    e for e in edges if p["id"] not in (e[0], e[1])
+                }
+            elif kind == "update_vertex_props":
+                verts[p["id"]] = dict(p["props"])
+            elif kind == "add_edge":
+                edges.add((p["src"], p["dst"], p["label"]))
+            elif kind == "remove_edge":
+                edges.discard((p["src"], p["dst"], p["label"]))
+        store.apply_batch(batch)
+        snapshots.append((store.version, dict(verts), set(edges)))
+
+    for version, want_v, want_e in snapshots:
+        got_v = {
+            r["id"]: {k: _json.loads(v) for k, v in r["properties"].items()}
+            for r in store.vertices(version=version).collect()
+        }
+        got_e = {
+            (r["src"], r["dst"], r["label"])
+            for r in store.edges(version=version).collect()
+        }
+        assert got_v == want_v, f"vertices diverge at v{version}"
+        assert got_e == want_e, f"edges diverge at v{version}"
+
+
 # --------------------------------------------------------------------------
 # IncrementalAggState: any batch split == direct aggregation of the net
 # rows (±count/±sum exactness, incremental_engine.rs:875-946)
