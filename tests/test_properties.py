@@ -140,7 +140,7 @@ def test_store_cow_multi_commit_matches_hashmap_model(
         store.apply_batch(batch)
         snapshots.append((store.version, dict(verts), set(edges)))
 
-    for version, want_v, want_e in snapshots:
+    def check(version, want_v, want_e, phase):
         got_v = {
             r["id"]: {k: _json.loads(v) for k, v in r["properties"].items()}
             for r in store.vertices(version=version).collect()
@@ -149,8 +149,26 @@ def test_store_cow_multi_commit_matches_hashmap_model(
             (r["src"], r["dst"], r["label"])
             for r in store.edges(version=version).collect()
         }
-        assert got_v == want_v, f"vertices diverge at v{version}"
-        assert got_e == want_e, f"edges diverge at v{version}"
+        assert got_v == want_v, f"vertices diverge at v{version} ({phase})"
+        assert got_e == want_e, f"edges diverge at v{version} ({phase})"
+
+    for version, want_v, want_e in snapshots:
+        check(version, want_v, want_e, "pre-vacuum")
+
+    # vacuum relocates still-referenced buckets out of dead version
+    # dirs (rename, no rewrite); the kept versions must read back
+    # identically and the dead dirs must be gone
+    import os as _os
+
+    store.vacuum(keep_last=2)
+    cur = store.version
+    for version, want_v, want_e in snapshots:
+        if version > cur - 2:
+            check(version, want_v, want_e, "post-vacuum")
+        else:
+            assert not _os.path.isdir(
+                _os.path.join(store.path, f"v{version}")
+            ), f"v{version} should have been vacuumed"
 
 
 # --------------------------------------------------------------------------
