@@ -536,6 +536,51 @@ def _rewrite_order_expr(node, cols):
     return node
 
 
+def _stringy_expr(n) -> bool:
+    """Static is-a-string test for Cypher's overloaded ``+``: a string
+    literal, or a + chain containing one (recursively). Column-typed
+    operands stay undecidable and keep numeric +."""
+    if isinstance(n, str):
+        return True
+    return (
+        isinstance(n, Arith)
+        and n.op == "+"
+        and (_stringy_expr(n.left) or _stringy_expr(n.right))
+    )
+
+
+def _safe_distinct(df: DataFrame) -> DataFrame:
+    """DISTINCT over a user-shaped frame that may carry MAP-typed
+    columns (entity bindings' ``properties`` / a flattened
+    ``v_properties``): Spark cannot set-operate on maps
+    (UNSUPPORTED_FEATURE.SET_OPERATION_ON_MAP_TYPE), but every map
+    column in these frames is functionally determined by its entity's
+    id column, so deduplicating on the non-map columns is exact.
+    Frames without maps take the plain distinct()."""
+    from pyspark.sql.types import MapType
+
+    maps = [f.name for f in df.schema.fields if isinstance(f.dataType, MapType)]
+    if not maps:
+        return df.distinct()
+    for m in maps:
+        for suffix in ("__properties", "_properties"):
+            if m.endswith(suffix):
+                base = m[: -len(suffix)]
+                if (
+                    f"{base}__id" in df.columns
+                    or f"{base}_id" in df.columns
+                ):
+                    break
+        else:
+            raise ValueError(
+                f"DISTINCT over the map-typed column {m!r} is not "
+                "supported (Spark cannot compare maps) — project "
+                "scalar keys instead"
+            )
+    others = [c for c in df.columns if c not in maps]
+    return df.dropDuplicates(others)
+
+
 def _lower_order_expr(o, cols) -> F.Column:
     """Lower a computed ORDER BY key against the projected frame."""
     col = _lower_expr(
@@ -613,6 +658,14 @@ def _lower_expr(node, bare: bool = False, bare_names: tuple = ()) -> F.Column:
         rt = _lower_expr(node.right, bare, bare_names)
         if node.op == "^":
             return F.pow(lt, rt)  # Cypher exponent → Float
+        if node.op == "+" and (_stringy_expr(node.left) or _stringy_expr(node.right)):
+            # Cypher string concatenation: 'a' + x.name, x.name + '!',
+            # string + number renders the number ('v' + 1 = 'v1').
+            # Dispatch is static on the AST (a string literal on either
+            # side, recursively through +) — column-only operands keep
+            # numeric +, Spark's analyzer rejecting a string column
+            # there exactly as before.
+            return F.concat(lt.cast("string"), rt.cast("string"))
         return {
             "+": lt + rt, "-": lt - rt, "*": lt * rt, "/": lt / rt,
             "%": lt % rt,
@@ -989,7 +1042,7 @@ class GQLEngine:
                 inner, items, [], self.graph.vertices.columns, bare=True
             )
         if stmt.distinct:
-            df = df.distinct()
+            df = _safe_distinct(df)
         if stmt.order_by:
             exprs = []
             for o in stmt.order_by:
@@ -1032,7 +1085,7 @@ class GQLEngine:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
-        return out if stmt.all else out.distinct()
+        return out if stmt.all else _safe_distinct(out)
 
     # -- pattern matching ----------------------------------------------------
     def _var_length_pairs(self, e, evar: str, tag: str) -> DataFrame:
@@ -1662,7 +1715,7 @@ class GQLEngine:
         if st.distinct:
             # dedup includes the witness columns — per-outer-row
             # DISTINCT, exactly Cypher's per-row execution scope
-            inter = inter.distinct()
+            inter = _safe_distinct(inter)
         # COUNT{} / comprehensions in WITH..WHERE attach to the
         # intermediate, correlating on passthrough binding columns
         # (after an aggregating WITH there are none)
@@ -1888,7 +1941,7 @@ class GQLEngine:
             keep_binding=frozenset(ent_vars),
         )
         if inner.distinct:
-            proj = proj.distinct()
+            proj = _safe_distinct(proj)
         has_aggs = any(i.agg for i in inner.returns)
         pure_agg = has_aggs and all(i.agg for i in inner.returns)
         ent_cols = {f"{v}__{c}" for v in ent_vars for c in vcols}
@@ -2081,7 +2134,7 @@ class GQLEngine:
             pvars = passthrough
         inter = nxt
         if st.distinct:
-            inter = inter.distinct()
+            inter = _safe_distinct(inter)
         post: list = []
         has_pat = False
         if st.where is not None:
@@ -2337,7 +2390,7 @@ class GQLEngine:
                 extra_cols=hidden, bare_names=unwound,
             )
         if stmt.distinct:
-            df = df.distinct()
+            df = _safe_distinct(df)
         if stmt.order_by:
             # ORDER BY references projected output names (v_prop / v_id …)
             # or, pre-DISTINCT/aggregation, hidden sort columns

@@ -73,13 +73,13 @@ def _with_hygiene(fn):
 #         8 of the r8-recorded block. The remaining 42 r8 rows lead
 #         r13's window; all were green in the r12 full oracle-gate
 #         replica.
-#   r13 = 5 new (CALL-body star, entity export, entity grouping,
-#         trained persisted IVF, trained-vs-seeded recall) + 36 rows
-#         whose engine or oracle surface r13
-#         changed (\s+ tokenization unification ×10, portable floor-
-#         rounding ×3, Lloyd-unrolled IVF oracle generator ×3, bucket-
-#         level CoW store commits ×16, WITH-stage star machinery ×4)
-#         + 9 of the stale r8 block. The r13 change volume displaced
+#   r13 = 6 new (CALL-body star, entity export, entity grouping,
+#         entity DISTINCT + string concat, trained persisted IVF,
+#         trained-vs-seeded recall) + 36 rows whose engine or oracle
+#         surface r13 changed (\s+ tokenization unification ×10,
+#         portable floor-rounding ×3, Lloyd-unrolled IVF oracle
+#         generator ×3, bucket-level CoW store commits ×16, WITH-stage
+#         star machinery ×4) + 8 of the stale r8 block. The r13 change volume displaced
 #         most of the planned r8 refresh — the FULL registry was green
 #         in the r13 sf0.1 oracle-gate replica (ORACLE_GATE_sf01_r13),
 #         so the staleness risk is bounded by that record.
@@ -93,6 +93,7 @@ GATE_PRIORITY = [
     "gql_call_with_star",
     "gql_call_entity_export",
     "gql_with_entity_group",
+    "gql_distinct_entity_concat",
     "sim_ann_ivf_indexed_trained",
     "sim_ann_recall_trained",
     # (2) rows whose engine/oracle surface r13 changed:
@@ -146,9 +147,9 @@ GATE_PRIORITY = [
     "algo_scc_fixture",
     "algo_sssp_fixture",
     "algo_triangle_colocation",
-    "asof_purchase_attribution",
     # ---- deferred (r14+ windows): the remaining r8 block, then the
     # r9/r10/r11/r12-recorded blocks in prior order ----
+    "asof_purchase_attribution",
     "dedup_exact",
     "degree_top_customers",
     "gql_multi_with",

@@ -2380,6 +2380,33 @@ def gql_call_with_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL: DISTINCT over whole entities + string concatenation (round 13) —
+# WITH DISTINCT n dedups on the entity's non-map binding columns (maps
+# are id-determined; Spark cannot set-operate on map columns), and
+# Cypher's overloaded + concatenates when a string literal rides in
+# the chain (numbers render into the string).
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_distinct_entity_concat",
+    GRAPH_CTE
+    + """
+    SELECT DISTINCT 'N:' || n.name || '#' || n.id AS tag
+    FROM vertices n
+    JOIN edges e ON e.dst = n.id AND e.label = 'located_in'
+    WHERE n.label = 'Nation'
+    ORDER BY tag
+    """,
+)
+def gql_distinct_entity_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    return eng.execute(
+        "MATCH (c:Customer)-[:located_in]->(n:Nation) "
+        "WITH DISTINCT n "
+        "RETURN 'N:' + n.name + '#' + n.id AS tag ORDER BY tag"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL: implicit grouping BY AN ENTITY in a WITH stage (round 13) —
 # `WITH n, count(*)` groups on the variable's binding columns, keeps n
 # in scope, and a post-WITH MATCH joins from the grouped entity

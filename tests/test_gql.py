@@ -3786,3 +3786,33 @@ def test_match_directly_after_call(people_graph):
     assert [(r["pn"], r["zn"]) for r in rows] == [
         ("Alice", "Charlie"), ("Bob", None),
     ]
+
+
+def test_distinct_over_entities(people_graph):
+    """DISTINCT over whole-entity frames (map-typed binding columns):
+    dedup on the non-map columns — maps are id-determined."""
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person)-[:friend]->(x) WITH DISTINCT p "
+        "RETURN p.name AS nm ORDER BY nm"
+    ).collect()
+    assert [r["nm"] for r in rows] == ["Alice", "Bob"]
+    rows = eng.execute(
+        "MATCH (p:Person)-[:friend]->(x) RETURN DISTINCT p ORDER BY p.name"
+    ).collect()
+    assert [r["p_name"] for r in rows] == ["Alice", "Bob"]
+
+
+def test_string_concatenation_plus(people_graph):
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) RETURN 'hi ' + p.name + '/' + p.age AS g ORDER BY g"
+    ).collect()
+    assert [r["g"] for r in rows] == [
+        "hi Alice/30", "hi Bob/25", "hi Charlie/35",
+    ]
+    # numeric + stays numeric
+    rows = eng.execute(
+        "MATCH (p:Person) RETURN p.age + 1 AS a ORDER BY a LIMIT 1"
+    ).collect()
+    assert rows[0]["a"] == 26
