@@ -42,7 +42,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_THRESHOLD = 0.18  # tuned on sf0.01 to yield a small non-empty pair set
 
 # ---- shared DuckDB fragments ----------------------------------------------
-SQL_SHINGLES = """
+SQL_SHINGLES = r"""
 sh AS (
     SELECT id, unnest(sl) AS s FROM (
         SELECT doc_id AS id,
@@ -66,7 +66,7 @@ def _sql_ph(expr: str) -> str:
 # hashed-shingle table (id, x) — matches operators.dedup.shingle_hashes:
 # per-token char hash, then (acc*MIX + t) % MOD fold of each 3-token
 # window (whole-token-list fold when < 3 tokens), distinct per doc
-SQL_SHINGLE_HASHES = f"""
+SQL_SHINGLE_HASHES = rf"""
 sh AS (
     SELECT id, unnest(xs) AS x FROM (
         SELECT id,
@@ -1131,7 +1131,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # three restate the token-hash-fold shingle arithmetic in SQL.
 # ---------------------------------------------------------------------------
 # non-distinct shingle list per doc (repetition needs multiplicity)
-_SQL_SH_ALL = f"""
+_SQL_SH_ALL = rf"""
 sha AS (
     SELECT id, CASE WHEN len(th) >= 3
                 THEN list_transform(generate_series(1, len(th)-2),
@@ -1176,7 +1176,7 @@ def curation_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "curation_pack_sequences",
-    """
+    r"""
     WITH d AS (
         SELECT doc_id,
                len((CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)) AS n_tokens,
@@ -1227,7 +1227,7 @@ def curation_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "curation_mixture_sample",
-    """
+    r"""
     WITH d AS (
         SELECT doc_id, source,
                len((CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)) AS n_tokens
@@ -1271,7 +1271,7 @@ def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "curation_chunk_docs",
-    """
+    r"""
     WITH d AS (
         SELECT doc_id, (CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END) AS t,
                len((CASE WHEN len(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END)) AS n
