@@ -554,7 +554,9 @@ class CallSubClause:
     RETURN * is supported once a WITH stage has reduced the scope to
     named scalar columns — while entity bindings remain in scope it
     stays rejected, because * would re-export the imported variables
-    into their own outer scope (Neo4j rejects the same shape). A
+    into their own outer scope (Neo4j rejects the same shape —
+    "variable already declared in outer scope"; FINAL as of r14, the
+    guidance messages are pinned by the fuzzer corpus). A
     whole-variable RETURN item exports the ENTITY (r13): the variable
     joins the outer pattern scope with live binding columns
     (``RETURN y`` … ``RETURN y.name`` outside works like Neo4j);

@@ -16,20 +16,29 @@ Reference semantics (graph/storage/src/lib.rs):
 
 Spark mapping: the snapshot IS a pair of parquet tables, physically
 hash-bucketed (vertices by ``id % B``, edges by ``src % B``) with
-bucket-level copy-on-write commits. Every committed batch writes a new
-version directory holding ONLY the buckets the batch touched
-(``v{n}/vertices/_b=<k>/`` dirs) plus ``v{n}/manifest.json`` mapping
-every bucket to the version directory that last rewrote it; untouched
-buckets are inherited by manifest reference, so commit write I/O is
-O(delta buckets), not O(graph) — the file-level put-if-absent commit
-Delta Lake's txn log gives, kept dependency-free (the reference instead
-re-serializes the whole graph per snapshot, graph/storage/src/lib.rs:
-582-599, which is the one posture we deliberately do NOT mirror at
-100 TB). The manifest write + ``meta.json`` pointer swap is the commit
-point; time travel = opening an older manifest. OCC is a version
-compare at commit, exactly the reference's rule. ``n_buckets`` is fixed
-at store creation (default 16 for local scale; thousands at 100 TB) and
-persisted in ``meta.json``.
+FILE-level copy-on-write commits. ``v{n}/manifest.json`` maps every
+bucket to an ordered LAYER CHAIN ``[{"p": relpath, "k": "b"|"d",
+"s": commit_version}, ...]`` — one base layer plus zero or more delta
+layers. A commit diffs its merged result against the bucket-restricted
+base and writes ONLY the changed rows as a delta layer
+(``v{n}/{table}_delta/_b=<k>/`` holding upserts ``_op='u'`` and key
+tombstones ``_op='d'``), so commit write I/O is O(|delta rows|) — not
+O(graph) and not O(touched-bucket rows) — the Delta-Lake txn-log shape
+kept dependency-free (the reference instead re-serializes the whole
+graph per snapshot, graph/storage/src/lib.rs:582-599, the one posture
+we deliberately do NOT mirror at 100 TB). Reads resolve a chain by
+latest-writer-wins per key (a tiny window over the delta layers + one
+anti-join against the base — zero overhead for fully-compacted
+buckets); a bucket whose chain would exceed ``cow_max_layers`` is
+COMPACTED back to a single base layer by that same commit, bounding
+read amplification. The manifest write + ``meta.json`` pointer swap is
+the commit point; time travel = opening an older manifest. OCC is a
+version compare at commit, exactly the reference's rule. ``n_buckets``
+is fixed at store creation (default 16 for local scale; thousands at
+100 TB) and persisted in ``meta.json``. All metadata/maintenance I/O
+goes through a ``StorageIO`` port (fsio.py) so the POSIX assumptions
+(atomic replace, cheap rename) are explicit and swappable for an
+object store.
 
 Apply order inside a batch follows the reference: operations apply in
 sequence, later ops see earlier ops' effects (a batch is one WAL run).
@@ -46,12 +55,13 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 from dataclasses import dataclass, field
 from typing import Any
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from dd_graphdb_spark.storage.fsio import LocalFS, StorageIO
 
 VERTEX_SCHEMA = "id long, label string, properties map<string,string>"
 EDGE_SCHEMA = "src long, dst long, label string, properties map<string,string>"
@@ -207,6 +217,8 @@ class GraphStore:
         path: str,
         n_buckets: int = 16,
         cow_min_bytes: int = 32 << 20,
+        cow_max_layers: int = 4,
+        io: StorageIO | None = None,
     ):
         """``cow_min_bytes``: below this on-disk size, commits fall back
         to a full rewrite — rewriting a few MB is ONE task, while the
@@ -214,19 +226,31 @@ class GraphStore:
         job) per commit, which dominates tiny-store commit latency.
         A runtime policy, not persisted: at 100 TB every real store is
         far past it after the first load. 0 = always CoW (tests, the
-        decade probe)."""
+        decade probe).
+
+        ``cow_max_layers``: per-bucket chain bound — a commit whose
+        bucket would exceed it compacts that bucket back to one base
+        layer (merge-on-read amplification is capped at
+        ``cow_max_layers - 1`` delta layers). Runtime policy too.
+
+        ``io``: metadata/maintenance I/O port (fsio.StorageIO);
+        defaults to the POSIX LocalFS. Spark's parquet data traffic
+        does NOT go through it (Hadoop FS handles that natively)."""
         self.spark = spark
         self.path = path
         self.cow_min_bytes = cow_min_bytes
-        os.makedirs(path, exist_ok=True)
+        self.cow_max_layers = max(1, cow_max_layers)
+        self._io = io if io is not None else LocalFS()
+        self._io.makedirs(path)
         self._meta_path = os.path.join(path, "meta.json")
-        if os.path.exists(self._meta_path):
-            with open(self._meta_path) as f:
-                # a reopened store keeps its creation-time bucket count
-                # (bucket membership is id % B — changing B would orphan
-                # inherited buckets); pre-manifest stores have no key and
-                # fall back to full-rewrite commits anyway
-                self.n_buckets = json.load(f).get("n_buckets", n_buckets)
+        self._lock_path = os.path.join(path, "_writer.lock")
+        if self._io.exists(self._meta_path):
+            # a reopened store keeps its creation-time bucket count
+            # (bucket membership is id % B — changing B would orphan
+            # inherited buckets); pre-manifest stores have no key and
+            # fall back to full-rewrite commits anyway
+            meta = json.loads(self._io.read_text(self._meta_path))
+            self.n_buckets = meta.get("n_buckets", n_buckets)
         else:
             self.n_buckets = n_buckets
             self._write_initial()
@@ -238,18 +262,16 @@ class GraphStore:
         self._save_meta({"version": 0, "n_buckets": self.n_buckets})
 
     def _save_meta(self, meta: dict) -> None:
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self._meta_path)  # atomic pointer swap = commit point
+        # atomic pointer swap = commit point (put-if-match on an object
+        # store — see fsio.StorageIO.write_text_atomic)
+        self._io.write_text_atomic(self._meta_path, json.dumps(meta))
 
     def _set_version(self, version: int) -> None:
         self._save_meta({"version": version, "n_buckets": self.n_buckets})
 
     @property
     def version(self) -> int:
-        with open(self._meta_path) as f:
-            return json.load(f)["version"]
+        return json.loads(self._io.read_text(self._meta_path))["version"]
 
     def _vdir(self, version: int) -> str:
         return os.path.join(self.path, f"v{version}")
@@ -259,20 +281,31 @@ class GraphStore:
         return os.path.join(self._vdir(version), "manifest.json")
 
     def _load_manifest(self, version: int) -> dict | None:
-        """Bucket→dir map for a version; None = pre-manifest legacy
-        layout (whole-table ``vertices.parquet``/``edges.parquet``)."""
+        """Bucket→layer-chain map for a version; None = pre-manifest
+        legacy layout (whole-table ``vertices.parquet``/...)."""
         p = self._manifest_path(version)
-        if not os.path.exists(p):
+        if not self._io.exists(p):
             return None
-        with open(p) as f:
-            return json.load(f)
+        return json.loads(self._io.read_text(p))
 
     def _save_manifest(self, version: int, manifest: dict) -> None:
-        os.makedirs(self._vdir(version), exist_ok=True)
-        tmp = self._manifest_path(version) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path(version))
+        self._io.makedirs(self._vdir(version))
+        self._io.write_text_atomic(self._manifest_path(version), json.dumps(manifest))
+
+    @staticmethod
+    def _chains(man: dict, table: str) -> dict[str, list[dict]]:
+        """Normalized bucket→chain view of a manifest table. Chain
+        layers are ``{"p": relpath, "k": "b"(ase)|"d"(elta), "s": seq}``
+        applied in order, later seq wins per key. A legacy (pre-r14)
+        manifest maps bucket→relpath string = a single base layer owned
+        by the version dir in the path."""
+        out: dict[str, list[dict]] = {}
+        for b, v in man[table].items():
+            if isinstance(v, str):
+                out[b] = [{"p": v, "k": "b", "s": int(v.split("/", 1)[0][1:])}]
+            else:
+                out[b] = v
+        return out
 
     def _bucket_col(self, col: str) -> Column:
         # pmod matches Python's % for negative ids too — driver-side
@@ -300,59 +333,102 @@ class GraphStore:
             return False  # pre-manifest layout: nothing to inherit
         if self.cow_min_bytes <= 0:
             return True
-        total = 0
+        remaining = self.cow_min_bytes
+        seen: set[str] = set()
         for table in ("vertices", "edges"):
-            for rel in man[table].values():
-                for r, _dirs, fs in os.walk(os.path.join(self.path, rel)):
-                    for f in fs:
-                        total += os.path.getsize(os.path.join(r, f))
-                        if total >= self.cow_min_bytes:
-                            return True
+            for chain in self._chains(man, table).values():
+                for lay in chain:
+                    if lay["p"] in seen:
+                        continue
+                    seen.add(lay["p"])
+                    remaining -= self._io.tree_size_at_least(
+                        os.path.join(self.path, lay["p"]), remaining
+                    )
+                    if remaining <= 0:
+                        return True
         return False
-
-    def _table_paths(
-        self, version: int, table: str, buckets: set[int] | None = None
-    ) -> list[str] | None:
-        """Bucket dirs for a (version, table) read; None = legacy layout."""
-        man = self._load_manifest(version)
-        if man is None:
-            return None
-        entries = man[table]
-        if buckets is not None:
-            entries = {b: p for b, p in entries.items() if int(b) in buckets}
-        return [os.path.join(self.path, rel) for rel in entries.values()]
 
     def _read_table(
         self, version: int, table: str, buckets: set[int] | None = None
     ) -> DataFrame:
+        """Chain-resolved read: one multi-path scan over the base
+        layers, and — only for buckets that carry delta layers — a
+        latest-writer-wins merge (window over the tiny delta union +
+        one anti-join against the base; AQE broadcasts the delta side).
+        Fully-compacted chains cost exactly the pre-r14 single scan.
+        Keys determine buckets (id % B / src % B), so one global merge
+        is safe across a mixed clean/dirty bucket selection."""
         schema = VERTEX_SCHEMA if table == "vertices" else EDGE_SCHEMA
-        paths = self._table_paths(version, table, buckets)
-        if paths is None:  # pre-manifest store: whole-table parquet
+        man = self._load_manifest(version)
+        if man is None:  # pre-manifest store: whole-table parquet
             return self.spark.read.schema(schema).parquet(
                 os.path.join(self._vdir(version), f"{table}.parquet")
             )
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+        chains = self._chains(man, table)
+        if buckets is not None:
+            chains = {b: c for b, c in chains.items() if int(b) in buckets}
+        base_paths: list[str] = []
+        delta_paths: dict[int, list[str]] = {}  # seq -> bucket dirs
+        for chain in chains.values():
+            for lay in chain:
+                full = os.path.join(self.path, lay["p"])
+                if lay["k"] == "b":
+                    base_paths.append(full)
+                else:
+                    delta_paths.setdefault(lay["s"], []).append(full)
+        base = (
+            self.spark.read.schema(schema).parquet(*base_paths)
+            if base_paths
+            else self.spark.createDataFrame([], schema)
+        )
+        if not delta_paths:
+            return base
+        delta_schema = schema + ", _op string"
+        parts = [
+            self.spark.read.schema(delta_schema)
+            .parquet(*paths)
+            .withColumn("_seq", F.lit(seq))
+            for seq, paths in sorted(delta_paths.items())
+        ]
+        deltas = parts[0]
+        for p in parts[1:]:
+            deltas = deltas.unionByName(p)
+        key = self._KEY_COLS[table]
+        w = Window.partitionBy(*key).orderBy(F.col("_seq").desc())
+        latest = deltas.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        )
+        cols = [f.name for f in base.schema.fields]
+        live = latest.filter(F.col("_op") == "u").select(*cols)
+        return base.join(latest.select(*key), key, "left_anti").unionByName(live)
 
     def _write_version(self, version: int, vertices: DataFrame, edges: DataFrame) -> None:
         """Full (all-bucket) snapshot write — initial load / legacy-store
         upgrade path. Incremental commits go through _commit_version."""
-        manifest = {
-            "vertices": self._write_buckets(version, "vertices", vertices, None),
-            "edges": self._write_buckets(version, "edges", edges, None),
-        }
+        manifest = {}
+        for table, df in (("vertices", vertices), ("edges", edges)):
+            entries = self._write_buckets(version, table, table, df, None)
+            manifest[table] = {
+                b: [{"p": p, "k": "b", "s": version}] for b, p in entries.items()
+            }
         self._save_manifest(version, manifest)
 
     def _write_buckets(
-        self, version: int, table: str, df: DataFrame, touched: set[int] | None
+        self,
+        version: int,
+        table: str,
+        dirname: str,
+        df: DataFrame,
+        touched: set[int] | None,
     ) -> dict[str, str]:
         """Write ``df`` (already restricted to ``touched`` buckets when
-        given) under ``v{version}/{table}/_b=<k>/``; return the manifest
-        entries for the buckets that produced files. An empty touched
-        bucket simply yields no entry — which is exactly how a
-        bucket-wide delete shadows the inherited data."""
-        d = os.path.join(self._vdir(version), table)
+        given) under ``v{version}/{dirname}/_b=<k>/``; return relpaths
+        per bucket that produced files. An empty touched bucket simply
+        yields no entry — which is exactly how a bucket-wide delete
+        shadows inherited data on the compaction path. ``table`` names
+        the bucket key column; ``dirname`` is ``{table}`` for base
+        layers, ``{table}_delta`` for delta layers."""
+        d = os.path.join(self._vdir(version), dirname)
         (
             df.withColumn("_b", self._bucket_col(self._BUCKET_KEY[table]))
             .write.partitionBy("_b")
@@ -360,7 +436,7 @@ class GraphStore:
             .parquet(d)
         )
         entries: dict[str, str] = {}
-        for name in os.listdir(d):
+        for name in self._io.list_dir(d):
             if not name.startswith("_b="):
                 continue
             b = int(name.split("=", 1)[1])
@@ -370,8 +446,118 @@ class GraphStore:
                     f"declared touched set {sorted(touched)} — the delta "
                     "plan read a base it did not declare"
                 )
-            entries[str(b)] = f"v{version}/{table}/{name}"
+            entries[str(b)] = f"v{version}/{dirname}/{name}"
         return entries
+
+    #: key columns per table — the identity the diff/tombstone layer and
+    #: the merge-on-read latest-wins resolution operate on (vertex id;
+    #: edge identity = (src,dst,label), graph/storage/src/lib.rs:171)
+    _KEY_COLS = {"vertices": ["id"], "edges": ["src", "dst", "label"]}
+
+    def _delta_rows(self, table: str, base: DataFrame, new: DataFrame) -> DataFrame:
+        """Row-level diff ``new`` vs ``base`` (both already restricted
+        to the same buckets): upserts = rows inserted or changed
+        (``_op='u'``), tombstones = keys present only in base
+        (``_op='d'``). One full-outer key join; property maps compare as
+        sorted entries (map columns have no comparable order)."""
+        key = self._KEY_COLS[table]
+        is_v = table == "vertices"
+
+        def canon(col: str) -> Column:
+            return F.to_json(
+                F.array_sort(
+                    F.map_entries(F.coalesce(F.col(col), F.expr("map()")))
+                )
+            )
+
+        o = base.select(
+            *key,
+            *([F.col("label").alias("_lo")] if is_v else []),
+            F.col("properties").alias("_po"),
+            F.lit(True).alias("_io_"),
+        )
+        n = new.select(
+            *key,
+            *([F.col("label").alias("_ln")] if is_v else []),
+            F.col("properties").alias("_pn"),
+            F.lit(True).alias("_in_"),
+        )
+        j = o.join(n, key, "full_outer")
+        in_o, in_n = F.col("_io_").isNotNull(), F.col("_in_").isNotNull()
+        changed = ~canon("_po").eqNullSafe(canon("_pn"))
+        if is_v:
+            changed = changed | ~F.col("_lo").eqNullSafe(F.col("_ln"))
+        ups = j.filter(in_n & (~in_o | changed)).select(
+            *key,
+            *([F.col("_ln").alias("label")] if is_v else []),
+            F.col("_pn").alias("properties"),
+            F.lit("u").alias("_op"),
+        )
+        tombs = j.filter(in_o & ~in_n).select(
+            *key,
+            *([F.lit(None).cast("string").alias("label")] if is_v else []),
+            F.lit(None).cast("map<string,string>").alias("properties"),
+            F.lit("d").alias("_op"),
+        )
+        return ups.unionByName(tombs)
+
+    def _commit_table(
+        self,
+        new_version: int,
+        planned: int,
+        prev: dict,
+        table: str,
+        df: DataFrame,
+        touched: set[int] | None,
+    ) -> dict[str, list[dict]]:
+        """One table's share of a commit: write the delta layer (or
+        compact), return its manifest chains. ``touched`` semantics as
+        in _commit_version."""
+        if touched is not None and not touched:
+            # table untouched: inherit every chain, no write job at all
+            return {b: list(c) for b, c in self._chains(prev, table).items()}
+        if touched is None:
+            # full rewrite (small store / pre-manifest upgrade): one
+            # base layer per bucket, all chains reset to length 1
+            entries = self._write_buckets(new_version, table, table, df, None)
+            return {
+                b: [{"p": p, "k": "b", "s": new_version}]
+                for b, p in entries.items()
+            }
+        prev_chains = self._chains(prev, table)
+        # compact a bucket when (a) it is new (no prior chain — a delta
+        # of pure inserts would be the same bytes as a base), or (b) one
+        # more delta layer would cross the chain bound
+        compact = {
+            b
+            for b in touched
+            if len(prev_chains.get(str(b), [])) == 0
+            or len(prev_chains[str(b)]) + 1 > self.cow_max_layers
+        }
+        delta_bs = set(touched) - compact
+        kcol = self._BUCKET_KEY[table]
+        chains: dict[str, list[dict]] = {
+            b: list(c) for b, c in prev_chains.items() if int(b) not in touched
+        }
+        if compact:
+            part = df.filter(self._bucket_col(kcol).isin(*sorted(compact)))
+            entries = self._write_buckets(new_version, table, table, part, compact)
+            for b, p in entries.items():
+                chains[b] = [{"p": p, "k": "b", "s": new_version}]
+        if delta_bs:
+            for b in delta_bs:  # inherit first; append layers below
+                chains[str(b)] = list(prev_chains[str(b)])
+            base = self._read_table(planned, table, delta_bs)
+            part = df.filter(self._bucket_col(kcol).isin(*sorted(delta_bs)))
+            delta = self._delta_rows(table, base, part)
+            entries = self._write_buckets(
+                new_version, table, f"{table}_delta", delta, delta_bs
+            )
+            for b, p in entries.items():
+                chains[b] = chains.get(b, []) + [
+                    {"p": p, "k": "d", "s": new_version}
+                ]
+        return chains
 
     def _commit_version(
         self,
@@ -380,46 +566,48 @@ class GraphStore:
         v_touched: set[int] | None,
         e_touched: set[int] | None,
     ) -> int:
-        """Bucket-level copy-on-write commit. ``*_touched`` semantics:
-        a set = rewrite exactly those buckets from the given frame
-        (which must already be the delta applied to the bucket-restricted
-        base) and inherit the rest from the current manifest; empty set =
-        table untouched (no write job at all); None = full rewrite (the
-        frame is the complete table — used when the current version has
-        no manifest to inherit from). Returns the new version."""
-        cur = self.version
-        planned = getattr(self, "_plan_version", cur)
-        if planned != cur:
-            raise ConflictError(
-                f"store moved to v{cur} while this commit's delta was "
-                f"planned against v{planned} — retry the statement "
-                "(write-write conflict)"
-            )
-        new_version = cur + 1
-        prev = self._load_manifest(cur)
-        if prev is None and not (v_touched is None and e_touched is None):
-            raise RuntimeError(
-                "incremental commit over a pre-manifest store — callers "
-                "must fall back to a full rewrite (see _cow_plan)"
-            )
-        manifest: dict[str, dict[str, str]] = {}
-        for table, df, touched in (
-            ("vertices", v_df, v_touched),
-            ("edges", e_df, e_touched),
-        ):
-            if touched is not None and not touched:
-                manifest[table] = dict(prev[table])  # inherit everything
-                continue
-            entries = self._write_buckets(new_version, table, df, touched)
-            if touched is not None:
-                inherited = {
-                    b: p for b, p in prev[table].items() if int(b) not in touched
-                }
-                entries = {**inherited, **entries}
-            manifest[table] = entries
-        self._save_manifest(new_version, manifest)
-        self._set_version(new_version)
-        return new_version
+        """File-level copy-on-write commit. ``*_touched`` semantics:
+        a set = the frame is the post-mutation content of exactly those
+        buckets — the commit DIFFS it against the bucket-restricted base
+        and persists only changed rows as a delta layer (compacting
+        over-long chains); untouched buckets are inherited by manifest
+        reference; empty set = table untouched (no write job at all);
+        None = full rewrite (the frame is the complete table — used when
+        the current version has no manifest to inherit from). Holds the
+        store's writer lock across the manifest read → data write →
+        pointer swap so a concurrent vacuum cannot relocate a layer this
+        commit is inheriting. Returns the new version."""
+        self._io.acquire_lock(self._lock_path, timeout_s=120.0)
+        try:
+            cur = self.version
+            planned = getattr(self, "_plan_version", cur)
+            if planned != cur:
+                raise ConflictError(
+                    f"store moved to v{cur} while this commit's delta was "
+                    f"planned against v{planned} — retry the statement "
+                    "(write-write conflict)"
+                )
+            new_version = cur + 1
+            prev = self._load_manifest(cur)
+            if prev is None and not (v_touched is None and e_touched is None):
+                raise RuntimeError(
+                    "incremental commit over a pre-manifest store — callers "
+                    "must fall back to a full rewrite (see _cow_plan)"
+                )
+            manifest = {
+                table: self._commit_table(
+                    new_version, planned, prev, table, df, touched
+                )
+                for table, df, touched in (
+                    ("vertices", v_df, v_touched),
+                    ("edges", e_df, e_touched),
+                )
+            }
+            self._save_manifest(new_version, manifest)
+            self._set_version(new_version)
+            return new_version
+        finally:
+            self._io.release_lock(self._lock_path)
 
     def _cow_plan(
         self, v_touched, e_touched
@@ -1472,45 +1660,59 @@ class GraphStore:
         """Drop snapshot dirs older than the last ``keep_last`` versions
         (checkpoint truncation, :600-611).
 
-        CoW manifests may still reference bucket dirs living under a
-        to-be-dropped version dir (that version last rewrote them).
-        Those buckets are RELOCATED — a filesystem rename, no data
-        rewrite — into the oldest kept version that references them
-        (under ``v{k}/inherited/``), and every kept manifest is patched
-        to the new location before the dead dirs go. Single-writer, like
-        commits: don't vacuum concurrently with a commit or reader."""
+        CoW manifests may still reference layer dirs living under a
+        to-be-dropped version dir (that version last wrote them). Those
+        layers are RELOCATED — a filesystem rename, no data rewrite
+        (a COPY on S3-class object stores — fsio module docstring) —
+        into the oldest kept version that references them (under
+        ``v{k}/inherited/``), and every kept manifest is patched to the
+        new location before the dead dirs go. Holds the store's writer
+        lock: a concurrent commit could otherwise inherit a layer path
+        this vacuum is about to relocate (the single-writer contract,
+        ENFORCED since r14, not just documented)."""
+        self._io.acquire_lock(self._lock_path, timeout_s=120.0)
+        try:
+            self._vacuum_locked(keep_last)
+        finally:
+            self._io.release_lock(self._lock_path)
+
+    def _vacuum_locked(self, keep_last: int) -> None:
         cur = self.version
         versions = sorted(
             int(name[1:])
-            for name in os.listdir(self.path)
+            for name in self._io.list_dir(self.path)
             if name.startswith("v") and name[1:].isdigit()
         )
         dead = {v for v in versions if v <= cur - keep_last}
         if not dead:
             return
         kept = [v for v in versions if v not in dead]
-        manifests = {v: self._load_manifest(v) for v in kept}
         moves: dict[str, str] = {}  # old relpath -> new relpath
         for v in kept:  # ascending: relocate into the OLDEST referencer
-            man = manifests[v]
+            man = self._load_manifest(v)
             if man is None:
                 continue
             changed = False
+            patched = {}
             for table in ("vertices", "edges"):
-                for b, rel in man[table].items():
-                    owner = int(rel.split("/", 1)[0][1:])
-                    if owner not in dead:
-                        continue
-                    if rel not in moves:
-                        new_rel = f"v{v}/inherited/{rel}"
-                        os.renames(
-                            os.path.join(self.path, rel),
-                            os.path.join(self.path, new_rel),
-                        )
-                        moves[rel] = new_rel
-                    man[table][b] = moves[rel]
-                    changed = True
+                chains = self._chains(man, table)
+                for chain in chains.values():
+                    for lay in chain:
+                        rel = lay["p"]
+                        owner = int(rel.split("/", 1)[0][1:])
+                        if owner not in dead:
+                            continue
+                        if rel not in moves:
+                            new_rel = f"v{v}/inherited/{rel}"
+                            self._io.rename_tree(
+                                os.path.join(self.path, rel),
+                                os.path.join(self.path, new_rel),
+                            )
+                            moves[rel] = new_rel
+                        lay["p"] = moves[rel]
+                        changed = True
+                patched[table] = chains
             if changed:
-                self._save_manifest(v, man)
+                self._save_manifest(v, patched)
         for v in dead:
-            shutil.rmtree(os.path.join(self.path, f"v{v}"), ignore_errors=True)
+            self._io.remove_tree(os.path.join(self.path, f"v{v}"))

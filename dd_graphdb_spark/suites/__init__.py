@@ -83,109 +83,25 @@ def _with_hygiene(fn):
 #         most of the planned r8 refresh — the FULL registry was green
 #         in the r13 sf0.1 oracle-gate replica (ORACLE_GATE_sf01_r13),
 #         so the staleness risk is bounded by that record.
-#   r14 = r14's new + the 31 remaining r8 rows + r9-block head
-#   r15 = r15's new + the r9/r10-recorded remainder — then the cycle
-# repeats, so no query's newest driver row ever ages past ~5 rounds.
+#   r14 = 1 new (mutation_delta_compaction — the file-level CoW delta
+#         chain gate: delta layers, tombstones, compaction, post-vacuum
+#         relocation read) + ALL 38 remaining r8-recorded rows (the
+#         staleness debt the r13 verdict flagged — after r14 no row is
+#         older than r9) + the r9-block head (11 rows) = 50.
+#   r15 = r15's new + the r9-recorded remainder (32 rows) + r10-block
+#         head; then r10/r11/r12/r13 blocks in prior order — the cycle
+#         repeats, so no query's newest driver row ever ages past ~5
+#         rounds.
 GATE_PRIORITY = [
-    # ---- r13 window (driver records the FIRST 50) ----
-    # (1) NEW queries (CALL-body star + entity export, WITH entity
-    # grouping, trained persisted IVF, trained-vs-seeded recall)
-    "gql_call_with_star",
-    "gql_call_entity_export",
-    "gql_with_entity_group",
-    "gql_distinct_entity_concat",
-    "sim_ann_ivf_indexed_trained",
-    "sim_ann_recall_trained",
-    # (2) rows whose engine/oracle surface r13 changed:
-    # \s+ shingle/curation tokenization unification
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_cluster_survivors",
-    "dedup_ngram_jaccard",
-    "dedup_ngram_jaccard_skew",
-    "curation_contamination",
-    "curation_pack_sequences",
-    "curation_repetition",
-    "curation_mixture_sample",
-    "curation_chunk_docs",
-    # engine-portable floor-rounding (sf0.1 half-case fixes)
-    "text_bigram_lm_score",
-    "multimodal_feature_extract",
-    "embedding_group_centroids",
-    # IVF oracle gained Lloyd unrolling (shared generator)
-    "sim_ann_ivf_topk",
-    "sim_ann_ivf_indexed",
-    "sim_ann_recall",
-    # bucket-level CoW GraphStore commits (every store-backed gate)
-    "mutation_apply_batch",
-    "mutation_time_travel",
-    "mutation_vacuum_retention",
-    "mutation_occ_conflict",
-    "mutation_cdc_changes",
-    "gql_create_delete",
-    "gql_foreach",
-    "gql_foreach_create",
-    "gql_set_expr",
-    "gql_set_edge_expr",
-    "gql_set_edge",
-    "gql_match_set",
-    "gql_merge",
-    "gql_merge_on_actions",
-    "gql_remove_detach_delete",
-    "view_incremental_cdc",
-    # WITH-stage star machinery touched (statement + body)
-    "gql_with_star",
-    "gql_call_with_chain",
-    "gql_call_nested_with",
-    "gql_call_unwind",
-    # (3) head of the stale r8-recorded block (rest lead r14)
-    "algo_betweenness_fixture",
-    "algo_bfs_full",
-    "algo_closeness_fixture",
-    "algo_component_count",
-    "algo_degree_centrality",
-    "algo_scc_fixture",
-    "algo_sssp_fixture",
-    "algo_triangle_colocation",
-    # ---- deferred (r14+ windows): the remaining r8 block, then the
-    # r9/r10/r11/r12-recorded blocks in prior order ----
+    # ---- r14 window (driver records the FIRST 50) ----
+    # (1) NEW: the r14 file-level CoW delta-chain gate
+    "mutation_delta_compaction",
+    # (2) the FULL remaining r8-recorded block (38 rows — clears
+    # the staleness debt; every row was green in the r13 sf0.1
+    # full-registry oracle-gate replica)
     "asof_purchase_attribution",
     "dedup_exact",
     "degree_top_customers",
-    "gql_multi_with",
-    "dedup_semantic_multiprobe",
-    "dedup_semantic_trained",
-    "dedup_semantic_recall",
-    "algo_sssp_colocation_capped",
-    "gql_with_where_exists",
-    "dedup_exact_substring",
-    "view_incremental_connectivity",
-    "gql_parameters",
-    "router_scoring_table",
-    "sim_ann_lsh_topk",
-    "sim_cosine_topk",
-    "sketch_count_min_estimates",
-    "source_csv_extraction",
-    "source_json_extraction",
-    "source_regex_extraction",
-    "text_fingerprint",
-    "algo_cc_derived",
-    "algo_pagerank_fixture",
-    "multimodal_binary_meta",
-    "multimodal_decode_dims",
-    "multimodal_frame_sample",
-    "stream_changeset_summary",
-    "stream_custom_agg_p90",
-    "stream_dedup_first",
-    "stream_filter_rules",
-    "stream_late_events",
-    "stream_live_dedup_keys",
-    "stream_live_global",
-    "stream_live_session",
-    "stream_live_tumbling",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_tumbling_window",
     "distinct_exact_vs_approx",
     "embedding_covariance",
     "events_sessionize",
@@ -221,6 +137,7 @@ GATE_PRIORITY = [
     "view_incremental_triangles",
     "view_ttl_refresh",
     "window_running_total",
+    # (3) head of the r9-recorded block (remainder leads r15)
     "gql_union",
     "gql_union_all",
     "gql_all_shortest_paths",
@@ -232,6 +149,43 @@ GATE_PRIORITY = [
     "gql_with_distinct_xor",
     "stream_live_full_outer_join",
     "gql_map_projection",
+    # ---- deferred (r15+ windows): the r9 remainder, then the
+    # r10/r11/r12-recorded blocks in prior order; the freshest
+    # (r13-recorded) block moves to the END ----
+    "gql_multi_with",
+    "dedup_semantic_multiprobe",
+    "dedup_semantic_trained",
+    "dedup_semantic_recall",
+    "algo_sssp_colocation_capped",
+    "gql_with_where_exists",
+    "dedup_exact_substring",
+    "view_incremental_connectivity",
+    "gql_parameters",
+    "router_scoring_table",
+    "sim_ann_lsh_topk",
+    "sim_cosine_topk",
+    "sketch_count_min_estimates",
+    "source_csv_extraction",
+    "source_json_extraction",
+    "source_regex_extraction",
+    "text_fingerprint",
+    "algo_cc_derived",
+    "algo_pagerank_fixture",
+    "multimodal_binary_meta",
+    "multimodal_decode_dims",
+    "multimodal_frame_sample",
+    "stream_changeset_summary",
+    "stream_custom_agg_p90",
+    "stream_dedup_first",
+    "stream_filter_rules",
+    "stream_late_events",
+    "stream_live_dedup_keys",
+    "stream_live_global",
+    "stream_live_session",
+    "stream_live_tumbling",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
     "sim_pq_topk",
     "sim_pq_recall",
     "sim_ann_ivf_pq",
@@ -343,7 +297,58 @@ GATE_PRIORITY = [
     "gql_undirected",
     "gql_unwind",
     "gql_with_orderby_limit",
+    "gql_call_with_star",
+    "gql_call_entity_export",
+    "gql_with_entity_group",
+    "gql_distinct_entity_concat",
+    "sim_ann_ivf_indexed_trained",
+    "sim_ann_recall_trained",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    "dedup_cluster_survivors",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_skew",
+    "curation_contamination",
+    "curation_pack_sequences",
+    "curation_repetition",
+    "curation_mixture_sample",
+    "curation_chunk_docs",
+    "text_bigram_lm_score",
+    "multimodal_feature_extract",
+    "embedding_group_centroids",
+    "sim_ann_ivf_topk",
+    "sim_ann_ivf_indexed",
+    "sim_ann_recall",
+    "mutation_apply_batch",
+    "mutation_time_travel",
+    "mutation_vacuum_retention",
+    "mutation_occ_conflict",
+    "mutation_cdc_changes",
+    "gql_create_delete",
+    "gql_foreach",
+    "gql_foreach_create",
+    "gql_set_expr",
+    "gql_set_edge_expr",
+    "gql_set_edge",
+    "gql_match_set",
+    "gql_merge",
+    "gql_merge_on_actions",
+    "gql_remove_detach_delete",
+    "view_incremental_cdc",
+    "gql_with_star",
+    "gql_call_with_chain",
+    "gql_call_nested_with",
+    "gql_call_unwind",
+    "algo_betweenness_fixture",
+    "algo_bfs_full",
+    "algo_closeness_fixture",
+    "algo_component_count",
+    "algo_degree_centrality",
+    "algo_scc_fixture",
+    "algo_sssp_fixture",
+    "algo_triangle_colocation",
 ]
+
 
 
 def all_queries(hygiene: bool = True):

@@ -255,6 +255,70 @@ def mutation_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# File-level CoW delta chains (r14): commits persist only changed rows
+# as delta layers (upserts + tombstones), merge-on-read resolves chains
+# latest-wins, over-long chains compact, vacuum relocates still-
+# referenced layers out of dead version dirs. Every intermediate state
+# is fully determined -> VALUES oracle over two time-travel snapshots
+# (the one read AFTER vacuum relocation proves the patched manifests
+# still resolve).
+# ---------------------------------------------------------------------------
+@_q(
+    "mutation_delta_compaction",
+    """
+    SELECT * FROM (VALUES
+        ('v2', 1::BIGINT, '1'),
+        ('v2', 5::BIGINT, '50'),
+        ('v4', 5::BIGINT, '51'),
+        ('v4', 9::BIGINT, '9')
+    ) t(snap, id, n)
+    """,
+)
+def mutation_delta_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dd_graphdb_spark.storage import (
+        GraphStore,
+        add_vertex,
+        remove_vertex,
+        update_vertex_props,
+    )
+    from dd_graphdb_spark.storage.store import prop_typed
+
+    store = GraphStore(
+        spark, tempfile.mkdtemp(prefix="store_"),
+        n_buckets=4, cow_min_bytes=0, cow_max_layers=2,
+    )
+    # v1: base layers; bucket 1 holds ids {1, 5}
+    store.apply_batch(
+        [add_vertex(i, "P", {"n": str(i)}) for i in range(1, 9)]
+    )
+    # v2: 1-row update -> one DELTA layer in bucket 1 (not a rewrite)
+    store.apply_batch([update_vertex_props(5, {"type": "P", "n": "50"})])
+    chain2 = store._chains(store._load_manifest(2), "vertices")["1"]
+    assert [l["k"] for l in chain2] == ["b", "d"], chain2
+    # v3: second update would exceed cow_max_layers=2 -> bucket COMPACTS
+    store.apply_batch([update_vertex_props(5, {"type": "P", "n": "51"})])
+    chain3 = store._chains(store._load_manifest(3), "vertices")["1"]
+    assert [l["k"] for l in chain3] == ["b"] and chain3[0]["s"] == 3, chain3
+    # v4: tombstone (delete id 1) + insert into a fresh id
+    store.apply_batch([remove_vertex(1), add_vertex(9, "P", {"n": "9"})])
+    # vacuum drops v1; v2's chain references v1's base -> relocation
+    store.vacuum(keep_last=3)
+
+    def snap(tag: str, version: int) -> DataFrame:
+        return (
+            store.vertices(version=version)
+            .filter(F.pmod(F.col("id"), F.lit(4)) == 1)
+            .select(
+                F.lit(tag).alias("snap"),
+                "id",
+                prop_typed("properties", "n").alias("n"),
+            )
+        )
+
+    return snap("v2", 2).unionByName(snap("v4", 4))
+
+
+# ---------------------------------------------------------------------------
 # OCC: conflicting transaction must fail; surviving state is the first
 # committer's write (begin/commit_transaction, lib.rs:429-494).
 # ---------------------------------------------------------------------------

@@ -3816,3 +3816,44 @@ def test_string_concatenation_plus(people_graph):
         "MATCH (p:Person) RETURN p.age + 1 AS a ORDER BY a LIMIT 1"
     ).collect()
     assert rows[0]["a"] == 26
+
+
+def test_call_body_star_with_entities_rejection_pinned(people_graph):
+    """FINAL (r14, re-affirmed per the r13 review): ``RETURN *`` inside
+    a correlated CALL body while entity bindings remain in scope stays
+    REJECTED — Neo4j rejects the same shape ("variable already declared
+    in outer scope"), because * would re-export the imported variables.
+    These pin the two guidance messages (parser and lowerer seams) so
+    the rejection is a stable contract, not an accident."""
+    eng = _engine(people_graph)
+    # parser seam: bare RETURN * directly after the body MATCH
+    with pytest.raises(ValueError, match="project named scalars in a WITH"):
+        eng.execute(
+            "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+            "RETURN * } RETURN p.name"
+        )
+    # lowerer seam: a WITH that still passes WHOLE variables keeps
+    # entity bindings in scope — star stays rejected with guidance
+    with pytest.raises(ValueError, match="re-export entity bindings"):
+        eng.execute(
+            "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+            "WITH x RETURN * } RETURN p.name"
+        )
+    # the documented fix works: scalar-projecting WITH, then star
+    rows = eng.execute(
+        "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+        "WITH x.name AS fname RETURN * } RETURN p.name AS nm, fname "
+        "ORDER BY nm, fname"
+    ).collect()
+    assert [(r["nm"], r["fname"]) for r in rows] == [
+        ("Alice", "Bob"), ("Bob", "Charlie"),
+    ]
+    # ...and so does named entity export (the r13 alternative)
+    rows = eng.execute(
+        "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+        "RETURN x } RETURN p.name AS nm, x.name AS fname "
+        "ORDER BY nm, fname"
+    ).collect()
+    assert [(r["nm"], r["fname"]) for r in rows] == [
+        ("Alice", "Bob"), ("Bob", "Charlie"),
+    ]

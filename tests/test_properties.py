@@ -79,15 +79,22 @@ def test_store_matches_hashmap_model(spark, tmp_path_factory, ops):
 
 
 @SMALL
-@given(st.lists(_op, min_size=1, max_size=12), st.integers(1, 4))
+@given(
+    st.lists(_op, min_size=1, max_size=12),
+    st.integers(1, 4),
+    st.integers(1, 3),
+)
 def test_store_cow_multi_commit_matches_hashmap_model(
-    spark, tmp_path_factory, ops, n_batches
+    spark, tmp_path_factory, ops, n_batches, max_layers
 ):
-    """The bucket-level CoW path (forced via cow_min_bytes=0, 3
-    buckets) applied across SEVERAL commits — every version inherits
-    most buckets from its predecessors — must agree with the same
-    HashMap model as the single-batch test, and time travel must
-    reproduce each intermediate state."""
+    """The file-level CoW path (forced via cow_min_bytes=0, 3 buckets)
+    applied across SEVERAL commits — every version inherits most
+    buckets, mutated buckets accumulate delta layers (upserts +
+    tombstones, merged latest-wins on read), and chains compact at
+    ``max_layers`` (1 = compact every commit, 3 = three-deep merge
+    chains) — must agree with the same HashMap model as the
+    single-batch test, and time travel must reproduce each
+    intermediate state, before and after vacuum relocation."""
     import json as _json
 
     from dd_graphdb_spark.storage import (
@@ -101,7 +108,7 @@ def test_store_cow_multi_commit_matches_hashmap_model(
 
     store = GraphStore(
         spark, str(tmp_path_factory.mktemp("cow_store")),
-        n_buckets=3, cow_min_bytes=0,
+        n_buckets=3, cow_min_bytes=0, cow_max_layers=max_layers,
     )
     verts: dict[int, dict] = {}
     edges: set[tuple] = set()
@@ -1753,7 +1760,8 @@ def test_semantic_dedup_matches_model(spark, raw, n_cent, thr, iters, n_probe):
     k=st.integers(1, 3),
     desc=st.booleans(),
     shape=st.sampled_from(
-        ["star_where", "star_extra", "star_then_agg", "return_star_topk"]
+        ["star_where", "star_extra", "star_then_agg", "return_star_topk",
+         "star_entity_rejected"]
     ),
 )
 def test_gql_call_body_star_shapes(
@@ -1805,6 +1813,22 @@ def test_gql_call_body_star_shapes(
         }
         got = {r["vid"]: r["n"] for r in eng.execute(q).collect()}
         assert got == want, q
+    elif shape == "star_entity_rejected":
+        # FINAL rejection (r14): RETURN * while entity bindings remain
+        # in CALL-body scope — Neo4j parity ("variable already declared
+        # in outer scope"). The two seams' guidance messages are pinned;
+        # any other error (or silent acceptance) is a regression.
+        import pytest as _pytest
+        if desc:  # bare star directly after the body MATCH (parser seam)
+            q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+                 f"RETURN * }} RETURN v.id AS vid")
+            with _pytest.raises(ValueError, match="project named scalars in a WITH"):
+                eng.execute(q)
+        else:  # WITH passing a whole variable keeps entity scope (lowerer seam)
+            q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+                 f"WITH u WHERE u.a {wop} {wn} RETURN * }} RETURN v.id AS vid")
+            with _pytest.raises(ValueError, match="re-export entity bindings"):
+                eng.execute(q)
     else:  # return_star_topk
         order = "DESC" if desc else "ASC"
         q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "

@@ -317,14 +317,17 @@ def test_match_set_multi_variable_single_version(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# Bucket-level copy-on-write commits: a commit rewrites only the buckets
-# its delta touches and inherits the rest from the previous manifest —
-# commit write I/O is O(delta), not O(graph).
+# File-level copy-on-write commits (r14): the manifest maps every bucket
+# to a layer CHAIN (one base + ordered deltas); a commit diffs its merged
+# result against the bucket-restricted base and persists ONLY the changed
+# rows (upserts + key tombstones) — write I/O is O(|delta rows|), not
+# O(touched-bucket rows). Chains past cow_max_layers compact back to one
+# base layer, bounding merge-on-read amplification.
 # ---------------------------------------------------------------------------
 
 
-def _manifest(store, version):
-    return store._load_manifest(version)
+def _chains(store, version, table):
+    return store._chains(store._load_manifest(version), table)
 
 
 def test_cow_commit_inherits_untouched_buckets(spark, tmp_path):
@@ -334,18 +337,86 @@ def test_cow_commit_inherits_untouched_buckets(spark, tmp_path):
     # touch ONLY bucket 1 (id 5 % 4 == 1)
     store.apply_batch([update_vertex_props(5, {"n": 99})])
     v2 = store.version
-    m1, m2 = _manifest(store, v1), _manifest(store, v2)
-    assert m2["vertices"]["1"].startswith(f"v{v2}/")          # rewritten
+    c1, c2 = _chains(store, v1, "vertices"), _chains(store, v2, "vertices")
+    # bucket 1 gained a delta layer owned by v2; its base is inherited
+    assert [l["k"] for l in c2["1"]] == ["b", "d"]
+    assert c2["1"][0] == c1["1"][0]
+    assert c2["1"][1]["p"].startswith(f"v{v2}/vertices_delta/")
     for b in ("0", "2", "3"):
-        assert m2["vertices"][b] == m1["vertices"][b]          # inherited
-    assert m2["edges"] == m1["edges"]                          # no edge write
+        assert c2[b] == c1[b]  # untouched chains inherited verbatim
+    assert _chains(store, v2, "edges") == _chains(store, v1, "edges")
     # logical state intact
     assert store.vertices().count() == 8
     assert store.get_vertex(5).collect()[0]["properties"]["n"] == "99"
-    # time travel still reads the old bucket content
+    # time travel still reads the old chain content
     assert store.vertices(version=v1).filter("id = 5").collect()[0][
         "properties"
     ]["n"] == "5"
+
+
+def test_cow_delta_layer_bytes_track_delta_not_bucket(spark, tmp_path):
+    """The r13 weak item: a 1-row update must write ~1 row, not the
+    whole touched bucket. 200 rows share bucket 1; updating one of them
+    writes a delta layer whose row count is exactly 2 surviving reads
+    (1 upsert here — no tombstone), not 200."""
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0)
+    store.apply_batch(
+        [add_vertex(1 + 4 * i, "P", {"pad": "x" * 100}) for i in range(200)]
+    )
+    store.apply_batch([update_vertex_props(1, {"n": 1})])
+    chain = _chains(store, store.version, "vertices")["1"]
+    delta_rel = chain[-1]["p"]
+    assert chain[-1]["k"] == "d"
+    delta = spark.read.parquet(str(tmp_path / "cow" / delta_rel))
+    assert delta.count() == 1  # one changed row, not 200
+    assert store.vertices().count() == 200
+    assert store.get_vertex(1).collect()[0]["properties"]["n"] == "1"
+
+
+def test_cow_delete_writes_tombstones_and_merge_hides_them(spark, tmp_path):
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0)
+    store.apply_batch([add_vertex(i, "P") for i in (1, 5, 9, 2)])  # b1={1,5,9}
+    ids = spark.createDataFrame([(1,), (5,)], "id long")
+    store.delete_vertices(ids)
+    chain = _chains(store, store.version, "vertices")["1"]
+    delta = spark.read.parquet(
+        str(tmp_path / "cow" / chain[-1]["p"])
+    ).collect()
+    assert sorted((r["id"], r["_op"]) for r in delta) == [(1, "d"), (5, "d")]
+    assert sorted(r["id"] for r in store.vertices().collect()) == [2, 9]
+
+
+def test_cow_chain_compacts_at_max_layers(spark, tmp_path):
+    store = GraphStore(
+        spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0,
+        cow_max_layers=3,
+    )
+    store.apply_batch([add_vertex(i, "P", {"n": 0}) for i in range(8)])
+    for k in (1, 2):  # two deltas fill the chain to [b, d, d]
+        store.apply_batch([update_vertex_props(5, {"n": k})])
+    chain = _chains(store, store.version, "vertices")["1"]
+    assert [l["k"] for l in chain] == ["b", "d", "d"]
+    store.apply_batch([update_vertex_props(5, {"n": 3})])  # would exceed 3
+    chain = _chains(store, store.version, "vertices")["1"]
+    assert [l["k"] for l in chain] == ["b"]  # compacted
+    assert chain[0]["s"] == store.version
+    assert store.get_vertex(5).collect()[0]["properties"]["n"] == "3"
+    assert store.vertices().count() == 8
+    # untouched buckets never compacted along the way
+    assert _chains(store, store.version, "vertices")["0"][0]["s"] == 1
+
+
+def test_cow_noop_commit_inherits_everything(spark, tmp_path):
+    """A commit whose merged result equals the base (e.g. MERGE matched)
+    writes no data files at all — the new manifest inherits every
+    chain verbatim."""
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0)
+    store.apply_batch([add_vertex(i, "P", {"n": i}) for i in range(8)])
+    v1 = store.version
+    store.apply_batch([update_vertex_props(5, {"type": "P", "n": 5})])  # no-op
+    assert store.version == v1 + 1
+    assert _chains(store, store.version, "vertices") == _chains(store, v1, "vertices")
+    assert store.vertices().count() == 8
 
 
 def test_cow_bucket_wide_delete_shadows_inherited_data(spark, tmp_path):
@@ -353,40 +424,44 @@ def test_cow_bucket_wide_delete_shadows_inherited_data(spark, tmp_path):
     store.apply_batch([add_vertex(i, "P") for i in (1, 5, 2)])  # bucket1={1,5}
     ids = spark.createDataFrame([(1,), (5,)], "id long")
     store.delete_vertices(ids)
-    # bucket 1 is now empty: its manifest entry must be ABSENT (an
-    # inherited entry would resurrect the deleted rows)
-    m = _manifest(store, store.version)
-    assert "1" not in m["vertices"]
+    # tombstones shadow the inherited base rows on read
     assert [r["id"] for r in store.vertices().collect()] == [2]
+    # and a later compaction drops the bucket entry entirely
+    store2 = GraphStore(
+        spark, str(tmp_path / "cow"), cow_min_bytes=0, cow_max_layers=1
+    )
+    store2.apply_batch([add_vertex(2, "P", {"z": 1})])  # touches bucket 2 only
+    # bucket 1's chain still resolves empty
+    assert [r["id"] for r in store2.vertices().collect()] == [2]
 
 
 def test_cow_cascade_deletes_in_edges_from_untouched_src_buckets(spark, tmp_path):
     store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0)
     # edge 1->2 lives in src bucket 1; removing vertex 2 (bucket 2) must
-    # still rewrite bucket 1 of edges (the dst-probe)
+    # still write tombstones into bucket 1 of edges (the dst-probe)
     store.apply_batch(
         [add_vertex(1, "P"), add_vertex(2, "P"), add_edge(1, 2, "knows")]
     )
     store.apply_batch([remove_vertex(2)])
     assert store.stats() == {"vertex_count": 1, "edge_count": 0,
                              "version": store.version}
-    m = _manifest(store, store.version)
-    assert "1" not in m["edges"]  # bucket-wide edge delete shadowed
+    chain = _chains(store, store.version, "edges")["1"]
+    assert chain[-1]["k"] == "d"  # tombstone layer in the in-edge bucket
 
 
-def test_cow_vacuum_relocates_referenced_buckets(spark, tmp_path):
+def test_cow_vacuum_relocates_referenced_layers(spark, tmp_path):
     import os
 
     store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0)
     store.apply_batch([add_vertex(i, "P", {"n": i}) for i in range(8)])   # v1
     store.apply_batch([update_vertex_props(5, {"n": 99})])                # v2
     store.apply_batch([update_vertex_props(6, {"n": 77})])                # v3
-    store.vacuum(keep_last=2)  # v1 dies, but v2/v3 inherit its buckets
+    store.vacuum(keep_last=2)  # v1 dies, but v2/v3 chains inherit its base
     assert not os.path.isdir(os.path.join(store.path, "v1"))
     # kept manifests were patched to the relocated dirs and still read
     for v in (2, 3):
-        m = _manifest(store, v)
-        assert all(not p.startswith("v1/") for p in m["vertices"].values())
+        for chain in _chains(store, v, "vertices").values():
+            assert all(not l["p"].startswith("v1/") for l in chain)
     assert store.vertices().count() == 8
     assert store.vertices(version=2).filter("id = 6").collect()[0][
         "properties"
@@ -407,12 +482,14 @@ def test_cow_bucket_restricted_read_prunes_files(spark, tmp_path):
     """The commit's delta base must READ only the touched buckets —
     structural pruning via explicit manifest paths, not a post-scan
     filter (the 100 TB posture: commit I/O is O(delta) on the read
-    side too)."""
+    side too). Holds for delta layers too."""
     store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0)
     store.apply_batch([add_vertex(i, "P") for i in range(8)])
+    store.apply_batch([update_vertex_props(5, {"n": 9})])  # delta in b1
     files = store.vertices(buckets={1}).inputFiles()
     assert files, "restricted read returned no files"
     assert all("_b=1" in f for f in files)
+    assert any("vertices_delta" in f for f in files)
     # empty bucket set = empty frame, no scan at all
     assert store.vertices(buckets=set()).inputFiles() == []
 
@@ -426,16 +503,20 @@ def test_cow_size_gate_engages_past_threshold(spark, tmp_path):
     )
     store.apply_batch([add_vertex(1, "P")])          # tiny: full rewrite
     store.apply_batch([update_vertex_props(1, {"n": 1})])
-    m = store._load_manifest(store.version)
-    assert all(p.startswith(f"v{store.version}/") for p in m["vertices"].values())
+    v = store.version
+    assert all(
+        c == [{"p": f"v{v}/vertices/_b={b}", "k": "b", "s": v}]
+        for b, c in _chains(store, v, "vertices").items()
+    )
     # grow past the threshold, then a bucket-local update inherits
     store.apply_batch([add_vertex(i, "P", {"pad": "x" * 50}) for i in range(2, 60)])
     assert store._cow_active()
     v_before = store.version
     store.apply_batch([update_vertex_props(4, {"n": 2})])  # bucket 0
-    m = store._load_manifest(store.version)
-    inherited = [p for p in m["vertices"].values()
-                 if not p.startswith(f"v{store.version}/")]
+    inherited = [
+        c for c in _chains(store, store.version, "vertices").values()
+        if all(l["s"] != store.version for l in c)
+    ]
     assert inherited, "no buckets inherited after crossing the threshold"
     assert store.vertices().count() == 59
     assert store.vertices(version=v_before).count() == 59
@@ -455,3 +536,90 @@ def test_cow_commit_detects_concurrent_writer(spark, tmp_path):
         s1._commit_version(v_base, None, tv, te)
     # the interleaved writer's state is intact
     assert s1.vertices().count() == 9
+
+
+def test_cow_commit_vacuum_mutual_exclusion(spark, tmp_path):
+    """The single-writer contract is ENFORCED by the store's writer
+    lock: interleaved commits and vacuums from two threads never
+    corrupt the store (without the lock, vacuum can relocate a layer a
+    concurrent commit is inheriting — the inherited manifest path then
+    dangles)."""
+    import threading
+
+    path = str(tmp_path / "cow")
+    store = GraphStore(spark, path, n_buckets=4, cow_min_bytes=0)
+    store.apply_batch([add_vertex(i, "P", {"n": 0}) for i in range(8)])
+    errors = []
+
+    def committer():
+        s = GraphStore(spark, path, cow_min_bytes=0)
+        for k in range(1, 7):
+            try:
+                s.apply_batch([update_vertex_props(5, {"n": k})])
+            except ConflictError:
+                pass  # OCC loser — legal under concurrency
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+    def vacuumer():
+        s = GraphStore(spark, path, cow_min_bytes=0)
+        for _ in range(6):
+            try:
+                s.vacuum(keep_last=2)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+    t1, t2 = threading.Thread(target=committer), threading.Thread(target=vacuumer)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    # every retained version still reads end-to-end
+    assert store.vertices().count() == 8
+    assert store.get_vertex(5).collect()[0]["properties"]["n"] == "6"
+
+
+def test_injected_io_sees_only_contract_calls(spark, tmp_path):
+    """The store's metadata/maintenance traffic goes through the
+    StorageIO port — an injected recorder observes the full commit
+    protocol (manifest read/writes, pointer swap, lock), pinning the
+    primitives an object-store implementation must provide."""
+    from dd_graphdb_spark.storage.fsio import LocalFS
+
+    calls = []
+
+    class Recorder(LocalFS):
+        def write_text_atomic(self, path, text):
+            calls.append(("write_atomic", path.rsplit("/", 1)[-1]))
+            super().write_text_atomic(path, text)
+
+        def acquire_lock(self, path, timeout_s=30.0):
+            calls.append(("lock", "acquire"))
+            super().acquire_lock(path, timeout_s)
+
+        def release_lock(self, path):
+            calls.append(("lock", "release"))
+            super().release_lock(path)
+
+        def rename_tree(self, src, dst):
+            calls.append(("rename", dst.rsplit("/inherited/", 1)[-1]))
+            super().rename_tree(src, dst)
+
+    store = GraphStore(
+        spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0,
+        io=Recorder(),
+    )
+    store.apply_batch([add_vertex(1, "P")])
+    # commit = lock → manifest write → meta pointer swap → unlock
+    seq = [c for c in calls if c[0] in ("lock", "write_atomic")]
+    assert seq[-4:] == [
+        ("lock", "acquire"),
+        ("write_atomic", "manifest.json"),
+        ("write_atomic", "meta.json"),
+        ("lock", "release"),
+    ]
+    store.apply_batch([update_vertex_props(1, {"n": 1})])
+    store.apply_batch([update_vertex_props(1, {"n": 2})])
+    calls.clear()
+    store.vacuum(keep_last=1)
+    assert ("lock", "acquire") in calls and ("lock", "release") in calls
+    assert any(c[0] == "rename" for c in calls)  # relocation is a rename
+    assert store.get_vertex(1).collect()[0]["properties"]["n"] == "2"

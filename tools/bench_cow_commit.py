@@ -1,13 +1,13 @@
-"""Decade probe for bucket-level copy-on-write GraphStore commits.
+"""Decade probe for FILE-level copy-on-write GraphStore commits.
 
 Seeds stores whose vertex count grows by decades, then times the SAME
 fixed-size mutation batch (100 property updates + 10 edge upserts)
-against each. Under the pre-CoW whole-snapshot commit this time grew
-linearly with graph size; under CoW it must stay ~flat (bounded by the
-touched-bucket fraction: 100 ids over n_buckets=64 touch at most 64
-buckets of N/64 rows each — the asymptote is O(delta_buckets * rows
-per bucket), which the largest decade makes visible, vs O(graph) for
-the old path).
+against each. Under the pre-CoW whole-snapshot commit, time AND bytes
+grew linearly with graph size; under r13's bucket-level CoW, time was
+flat but bytes-written still grew with the touched-bucket fraction
+(O(|graph|/B) per commit — the r13 verdict's weak item). Under r14's
+file-level deltas, bytes-written must track the DELTA (110 changed
+rows) — near-constant across all decades — at flat commit latency.
 
 Writes one JSON line; run manually, artifact recorded as
 BENCH_cow_commit_r{N}.json.
@@ -83,16 +83,19 @@ def main() -> None:
         man = store._load_manifest(store.version)
         import os
 
+        def touched(table):
+            return sum(
+                1
+                for chain in store._chains(man, table).values()
+                if any(l["s"] == 2 for l in chain)
+            )
+
         results[str(n)] = {
             "commit_sec": round(commit_s, 3),
             "commit_bytes": du(os.path.join(path, "v2")),
             "store_bytes": store_bytes,
-            "rewritten_vertex_buckets": sum(
-                1 for p in man["vertices"].values() if p.startswith("v2/")
-            ),
-            "rewritten_edge_buckets": sum(
-                1 for p in man["edges"].values() if p.startswith("v2/")
-            ),
+            "delta_vertex_buckets": touched("vertices"),
+            "delta_edge_buckets": touched("edges"),
             "total_buckets": store.n_buckets,
         }
         shutil.rmtree(path, ignore_errors=True)
