@@ -40,6 +40,15 @@ goes through a ``StorageIO`` port (fsio.py) so the POSIX assumptions
 (atomic replace, cheap rename) are explicit and swappable for an
 object store.
 
+Crash consistency: data files write BEFORE the manifest, which writes
+before the ``meta.json`` pointer swap — a crash mid-commit leaves an
+unreferenced ``v{n}`` dir that no reader ever sees (readers resolve
+only through the committed pointer); the next successful commit reuses
+the version number (``mode("overwrite")`` clears its own layer dirs)
+and any stale sibling dirs fall to vacuum with their version. Commits
+and vacuum serialize on the writer lock; a crashed holder surfaces as
+an acquire timeout with recovery guidance (fsio.LocalFS.acquire_lock).
+
 Apply order inside a batch follows the reference: operations apply in
 sequence, later ops see earlier ops' effects (a batch is one WAL run).
 

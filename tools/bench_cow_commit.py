@@ -78,8 +78,12 @@ def main() -> None:
         t0 = time.monotonic()
         store.apply_batch(ops)
         commit_s = time.monotonic() - t0
-        # sanity: state intact
+        # merge-on-read cost while delta layers are live (dirty buckets
+        # pay a window over the tiny delta union + one broadcast
+        # anti-join; clean buckets pay nothing)
+        t0 = time.monotonic()
         assert store.vertices().count() == n
+        read_dirty_s = time.monotonic() - t0
         man = store._load_manifest(store.version)
         import os
 
@@ -98,6 +102,35 @@ def main() -> None:
             "delta_edge_buckets": touched("edges"),
             "total_buckets": store.n_buckets,
         }
+        # compact the dirty buckets (cow_max_layers=1 forces every
+        # touched bucket back to a base layer) and measure the clean
+        # read — the bound merge-on-read must stay within noise of it
+        compacting = GraphStore(
+            spark, path, cow_min_bytes=0, cow_max_layers=1
+        )
+        t0 = time.monotonic()
+        compacting.apply_batch(
+            [update_vertex_props(i * 64 % n, {"type": "Person", "touched": 2})
+             for i in range(100)]
+            + [add_edge(i % n, (i * 53) % n, "probe", {"r": 2}) for i in range(10)]
+        )
+        compact_commit_s = time.monotonic() - t0
+        man3 = compacting._chains(
+            compacting._load_manifest(compacting.version), "vertices"
+        )
+        assert all(
+            [l["k"] for l in c] == ["b"] for c in man3.values()
+        ), "compaction left a delta layer behind"
+        t0 = time.monotonic()
+        assert compacting.vertices().count() == n
+        read_clean_s = time.monotonic() - t0
+        results[str(n)].update(
+            {
+                "read_dirty_sec": round(read_dirty_s, 3),
+                "read_clean_sec": round(read_clean_s, 3),
+                "compact_commit_sec": round(compact_commit_s, 3),
+            }
+        )
         shutil.rmtree(path, ignore_errors=True)
 
     print(
