@@ -2187,8 +2187,10 @@ class _Parser:
                 or bare_returns
             )
             # WITH * [, extra items] keeps the whole in-scope frame
-            # (Cypher); * must lead, and aggregates cannot ride along
-            # (implicit grouping by "everything" — name the keys)
+            # (Cypher); * must lead. Aggregates ride along as of r14 —
+            # ``WITH *, count(x) AS c`` groups implicitly by the WHOLE
+            # star scope (Neo4j semantics) — with Neo4j's aliasing rule
+            # (every expression item in WITH must be aliased).
             st_star = False
             if (
                 st_items
@@ -2198,11 +2200,12 @@ class _Parser:
             ):
                 st_star = True
                 st_items = st_items[1:]
-                if any(i.agg for i in st_items):
-                    raise ValueError(
-                        "GQL parse error: WITH *, <aggregate> is not "
-                        "supported — name the grouping items explicitly"
-                    )
+                for i in st_items:
+                    if i.agg and not i.alias:
+                        raise ValueError(
+                            "GQL parse error: WITH *, <aggregate> needs "
+                            "an explicit AS alias"
+                        )
             if any(i.var == "*" and i.agg is None for i in st_items):
                 raise ValueError(
                     "GQL parse error: WITH * must be the FIRST item"

@@ -51,6 +51,7 @@ from dd_graphdb_spark.plans.gql import (
     PropRef,
     QuantPred,
     ReduceExpr,
+    ReturnItem,
     CreateStatement,
     ForeachStatement,
     MatchDeleteStatement,
@@ -1615,7 +1616,31 @@ class GQLEngine:
             if i.prop is None and i.agg is None and i.expr is None
             and i.var not in bare
         ]
-        if getattr(st, "star", False):
+        if getattr(st, "star", False) and w_aggs:
+            # WITH *, <agg> AS c inside the body (r14): implicit
+            # grouping by the whole star scope, still per imported
+            # binding — expand * to explicit items (variables keep
+            # binding columns, bare aliases group as keys; the witness
+            # keys ride via extra_keys) and reuse the aggregating
+            # projection branch below.
+            star_vars = [v for v in pvars if not v.startswith("_anon")]
+            star_bares = [b for b in bare if b in sub.columns]
+            # witness keys already covered by a kept variable's binding
+            # columns must not repeat in the grouping (duplicate output
+            # column) — the same dedupe the non-agg branch applies
+            covered = {f"{v}__{c}" for v in star_vars for c in vcols}
+            inter = self._project(
+                sub,
+                [ReturnItem(v, None) for v in star_vars]
+                + [ReturnItem(b, None) for b in star_bares]
+                + list(st.items),
+                pvars, vcols,
+                extra_keys=[F.col(k) for k in keys if k not in covered],
+                bare_names=bare,
+                keep_binding=frozenset(star_vars),
+            )
+            pvars = star_vars
+        elif getattr(st, "star", False):
             # WITH * [, extras] inside the body (r13): keep the whole
             # body frame — witness keys, passthrough binding columns,
             # bare aliases — dropping only the engine's reserved "_"
@@ -2052,7 +2077,28 @@ class GQLEngine:
             if i.prop is None and i.agg is None and i.expr is None
             and i.var not in bare_aliases
         ]
-        if st.star:
+        if st.star and has_aggs:
+            # WITH *, <agg> AS c (r14): implicit grouping by the WHOLE
+            # star scope (Neo4j). Expand * into explicit items — every
+            # surviving named variable keeps its binding columns as
+            # grouping keys (the r13 entity-grouping machinery), every
+            # bare alias groups as a plain key — then reuse the
+            # aggregating projection below.
+            star_vars = [v for v in pvars if not v.startswith("_anon")]
+            star_bares = [
+                b for b in bare_aliases if b in inter.columns
+            ]
+            expanded = (
+                [ReturnItem(v, None) for v in star_vars]
+                + [ReturnItem(b, None) for b in star_bares]
+                + list(st.items)
+            )
+            nxt = self._project(
+                inter, expanded, pvars, vcols, bare_names=bare_aliases,
+                keep_binding=frozenset(star_vars),
+            )
+            pvars = star_vars
+        elif st.star:
             # WITH * [, extras]: keep the whole previous intermediate
             # (bare aliases + passthrough binding columns), drop any
             # consumed synthetic columns and anonymous bindings — the

@@ -47,19 +47,49 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(src).schema
     src_dir = tempfile.mkdtemp(prefix="events_src_")
     if os.path.isdir(src):
-        # directory-shaped table (any real multi-file layout): link each
-        # data file flat into the staging dir — the file source does not
-        # recurse into a nested non-partition directory, so linking the
-        # directory itself would yield an EMPTY stream (found at sf1)
-        linked = 0
-        for fname in sorted(os.listdir(src)):
-            if fname.endswith(".parquet"):
-                os.symlink(os.path.join(src, fname), os.path.join(src_dir, fname))
-                linked += 1
-        if linked == 0:
+        # directory-shaped table (any real multi-file layout): the file
+        # source does not recurse into a nested non-partition directory,
+        # so the data files must stage flat (linking the directory
+        # itself yields an EMPTY stream — found at sf1). With
+        # maxFilesPerTrigger=1 each file is a micro-batch, so file order
+        # IS arrival order: files must respect the pipeline's declared
+        # disorder bound (the 10-minute watermarks downstream). A real
+        # ingest directory guarantees that — files land in event-time
+        # order; an arbitrary Spark-written table does NOT (each output
+        # part spans the whole time range, i.e. an N-way time-shuffled
+        # arrival that silently drops ~everything after batch 1 —
+        # found at sf1: the interval-join gates lost 4/5 of their
+        # matches). Restage multi-file dirs into range-partitioned,
+        # time-ordered slices to restore the ingest contract.
+        names = [f for f in sorted(os.listdir(src)) if f.endswith(".parquet")]
+        if not names:
             # fail loudly: an empty staging dir is a stream that "runs"
             # and silently produces nothing
             raise ValueError(f"no .parquet data files found under {src}")
+        if len(names) == 1:
+            os.symlink(os.path.join(src, names[0]), os.path.join(src_dir, names[0]))
+        else:
+            ts_field = "ts" if "ts" in raw_schema.fieldNames() else raw_schema.fieldNames()[0]
+            (
+                spark.read.schema(raw_schema)
+                .parquet(src)
+                .repartitionByRange(len(names), ts_field)
+                .sortWithinPartitions(ts_field)
+                .write.mode("overwrite")
+                .parquet(src_dir)
+            )
+            # part file index follows the range order; the source
+            # ORDERS BY FILE MODIFICATION TIME, and one write job gives
+            # every part the same mtime (a tie the listing breaks
+            # arbitrarily) — stamp strictly increasing mtimes in part
+            # order so arrival order = event-time order deterministically
+            import time as _time
+
+            base_t = _time.time() - 3600
+            for k, fname in enumerate(
+                sorted(f for f in os.listdir(src_dir) if f.endswith(".parquet"))
+            ):
+                os.utime(os.path.join(src_dir, fname), (base_t + k, base_t + k))
     else:
         os.symlink(src, os.path.join(src_dir, "events.parquet"))
     stream = (

@@ -85,17 +85,20 @@ def _with_hygiene(fn):
 #         so the staleness risk is bounded by that record.
 #   r14 = 1 new (mutation_delta_compaction — the file-level CoW delta
 #         chain gate: delta layers, tombstones, compaction, post-vacuum
-#         relocation read) + ALL 38 remaining r8-recorded rows (the
+#         relocation read; and gql_with_star_agg — WITH *, <aggregate>
+#         implicit star-scope grouping) + ALL 38 remaining r8 rows (the
 #         staleness debt the r13 verdict flagged — after r14 no row is
-#         older than r9) + the r9-block head (11 rows) = 50.
-#   r15 = r15's new + the r9-recorded remainder (32 rows) + r10-block
+#         older than r9) + the r9-block head (10 rows) = 50.
+#   r15 = r15's new + the r9-recorded remainder (33 rows) + r10-block
 #         head; then r10/r11/r12/r13 blocks in prior order — the cycle
 #         repeats, so no query's newest driver row ever ages past ~5
 #         rounds.
 GATE_PRIORITY = [
     # ---- r14 window (driver records the FIRST 50) ----
-    # (1) NEW: the r14 file-level CoW delta-chain gate
+    # (1) NEW: the r14 file-level CoW delta-chain gate + the WITH-star
+    # implicit-grouping closure
     "mutation_delta_compaction",
+    "gql_with_star_agg",
     # (2) the FULL remaining r8-recorded block (38 rows — clears
     # the staleness debt; every row was green in the r13 sf0.1
     # full-registry oracle-gate replica)
@@ -148,10 +151,10 @@ GATE_PRIORITY = [
     "gql_call_subquery",
     "gql_with_distinct_xor",
     "stream_live_full_outer_join",
-    "gql_map_projection",
     # ---- deferred (r15+ windows): the r9 remainder, then the
     # r10/r11/r12-recorded blocks in prior order; the freshest
     # (r13-recorded) block moves to the END ----
+    "gql_map_projection",
     "gql_multi_with",
     "dedup_semantic_multiprobe",
     "dedup_semantic_trained",

@@ -2443,6 +2443,39 @@ def gql_with_entity_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GQL: WITH *, <aggregate> (round 14) — Neo4j's implicit grouping by the
+# WHOLE star scope: the surviving entity's binding columns and the bare
+# alias both become grouping keys; the aggregate computes per group and
+# the entity STAYS dereferenceable after the stage. (The r13 engine
+# rejected this shape; the remaining rejection is only * re-exporting
+# CALL imports, pinned as final.)
+# ---------------------------------------------------------------------------
+@_q(
+    "gql_with_star_agg",
+    GRAPH_CTE
+    + """
+    SELECT c.name AS cname, o.name AS status, COUNT(*) AS n_orders
+    FROM vertices o
+    JOIN edges e ON o.id = e.src AND e.label = 'placed_by'
+    JOIN vertices c ON c.id = e.dst AND c.label = 'Customer'
+    WHERE o.label = 'Order'
+    GROUP BY c.id, c.name, o.name
+    HAVING COUNT(*) >= 8
+    ORDER BY cname, status
+    """,
+)
+def gql_with_star_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eng = GQLEngine(materialized_tpch_graph(spark, sf_dir))
+    # o.name is the Order vertex's status slot (o_orderstatus)
+    return eng.execute(
+        "MATCH (o:Order)-[:placed_by]->(c:Customer) "
+        "WITH c, o.name AS status "
+        "WITH *, count(*) AS n_orders WHERE n_orders >= 8 "
+        "RETURN c.name AS cname, status, n_orders ORDER BY cname, status"
+    )
+
+
+# ---------------------------------------------------------------------------
 # GQL: ENTITY export from a correlated CALL body (round 13) — RETURN y
 # makes the body variable a live outer binding (Neo4j semantics): the
 # outer RETURN dereferences its properties, and the body's per-outer-

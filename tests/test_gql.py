@@ -3465,8 +3465,15 @@ def test_with_star_post_match_and_errors(people_graph):
     assert [(r["pn"], r["rn"]) for r in rows] == [
         ("Alice", "Bob"), ("Bob", "Charlie"),
     ]
-    with pytest.raises(ValueError, match="name the grouping items"):
-        eng.execute("MATCH (p:Person) WITH *, count(*) AS c RETURN c")
+    # r14: WITH *, <aggregate> groups by the whole star scope (here the
+    # single entity p — one group per person)
+    rows = eng.execute(
+        "MATCH (p:Person) WITH *, count(*) AS c RETURN p.name AS pn, c "
+        "ORDER BY pn"
+    ).collect()
+    assert [(r["pn"], r["c"]) for r in rows] == [
+        ("Alice", 1), ("Bob", 1), ("Charlie", 1),
+    ]
     # r13: WITH * is supported inside correlated CALL bodies — the star
     # keeps the body frame per imported binding, so the body aggregate
     # still computes per outer row (pure-agg: one row per outer row)
@@ -3857,3 +3864,53 @@ def test_call_body_star_with_entities_rejection_pinned(people_graph):
     assert [(r["nm"], r["fname"]) for r in rows] == [
         ("Alice", "Bob"), ("Bob", "Charlie"),
     ]
+
+
+def test_with_star_aggregate_groups_by_whole_scope(people_graph):
+    """WITH *, <agg> AS c (r14): Neo4j's implicit grouping by the WHOLE
+    star scope — entities group by their binding columns and stay
+    dereferenceable, bare aliases group as plain keys."""
+    eng = _engine(people_graph)
+    # entity + bare alias in scope: group by (a, ba)
+    rows = eng.execute(
+        "MATCH (a:Person)-[:friend]->(b) WITH a, b.age AS ba "
+        "WITH *, count(*) AS n RETURN a.name AS an, ba, n ORDER BY an, ba"
+    ).collect()
+    assert [(r["an"], r["ba"], r["n"]) for r in rows] == [
+        ("Alice", 25, 1), ("Bob", 35, 1),
+    ]
+    # entity-only scope: per-entity count, entity still dereferenceable
+    rows = eng.execute(
+        "MATCH (a:Person)-[:friend]->(b) WITH a WITH *, count(*) AS n "
+        "WHERE n >= 1 RETURN a.name AS an, n ORDER BY an"
+    ).collect()
+    assert [(r["an"], r["n"]) for r in rows] == [("Alice", 1), ("Bob", 1)]
+    # two entities: the pair is the group
+    rows = eng.execute(
+        "MATCH (a:Person)-[:friend]->(b) WITH *, count(*) AS n "
+        "RETURN a.name AS an, b.name AS bn, n ORDER BY an"
+    ).collect()
+    assert [(r["an"], r["bn"], r["n"]) for r in rows] == [
+        ("Alice", "Bob", 1), ("Bob", "Charlie", 1),
+    ]
+
+
+def test_with_star_aggregate_in_call_body(people_graph):
+    """Star-scope grouping inside a correlated CALL body evaluates per
+    imported binding (witness keys join the grouping)."""
+    eng = _engine(people_graph)
+    rows = eng.execute(
+        "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+        "WITH p, x.age AS xa WITH *, count(*) AS k RETURN xa, k } "
+        "RETURN p.name AS pn, xa, k ORDER BY pn, xa"
+    ).collect()
+    assert [(r["pn"], r["xa"], r["k"]) for r in rows] == [
+        ("Alice", 25, 1), ("Bob", 35, 1),
+    ]
+
+
+def test_with_star_aggregate_requires_alias(people_graph):
+    with pytest.raises(ValueError, match="explicit AS alias"):
+        _engine(people_graph).execute(
+            "MATCH (a:Person) WITH *, count(*) RETURN 1 AS one"
+        )
