@@ -1761,7 +1761,7 @@ def test_semantic_dedup_matches_model(spark, raw, n_cent, thr, iters, n_probe):
     desc=st.booleans(),
     shape=st.sampled_from(
         ["star_where", "star_extra", "star_then_agg", "return_star_topk",
-         "star_entity_rejected"]
+         "star_entity_rejected", "star_agg"]
     ),
 )
 def test_gql_call_body_star_shapes(
@@ -1812,6 +1812,22 @@ def test_gql_call_body_star_shapes(
             for i, _ in verts
         }
         got = {r["vid"]: r["n"] for r in eng.execute(q).collect()}
+        assert got == want, q
+    elif shape == "star_agg":
+        # WITH *, <agg> AS k (r14): implicit grouping by the whole star
+        # scope — here (v, ua) — still per imported binding
+        q = (f"MATCH {pat} CALL {{ WITH v MATCH (v)-[:{e1}]->(u) "
+             f"WITH v, u.a AS ua WITH *, count(*) AS k "
+             f"WHERE k {wop} {wn} RETURN ua, k }} "
+             f"RETURN v.id AS vid, ua, k ORDER BY vid, ua")
+        from collections import Counter
+        want = sorted(
+            (i, a, k)
+            for i, _ in verts
+            for a, k in Counter(_G_VERTS[d][1] for d in out(i, e1)).items()
+            if cmp(k, wn)
+        )
+        got = [(r["vid"], r["ua"], r["k"]) for r in eng.execute(q).collect()]
         assert got == want, q
     elif shape == "star_entity_rejected":
         # FINAL rejection (r14): RETURN * while entity bindings remain
