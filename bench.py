@@ -155,6 +155,11 @@ HEADLINE = [
     "gql_call_with_star",
     "gql_call_entity_export",
     "sim_ann_ivf_indexed_trained",
+    # round-14 additions: the file-level CoW delta-chain gate (forced-CoW
+    # commits: delta layers, tombstones, compaction, post-vacuum
+    # relocation read) and star-scope implicit grouping
+    "mutation_delta_compaction",
+    "gql_with_star_agg",
 ]
 
 
