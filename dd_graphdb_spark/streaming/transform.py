@@ -341,19 +341,35 @@ class AlertEngine:
         tagged = df.select(
             F.col(rule.field).alias("_v"), F.unix_micros(F.col(ts_col)).alias("t")
         )
-        cur = (
+        # anchors keep their EVENT multiplicity: per-event evaluation
+        # means N anchor events at the same instant fire N alerts (the
+        # sf1 replica gate caught the old distinct() silently collapsing
+        # them). Stage advances still run on distinct instants — the
+        # greedy earliest-successor chain is one path per anchor instant,
+        # so later-stage duplicates never multiply matches — and the
+        # multiplicity re-joins on t1 at the end (array_repeat explode,
+        # bounded by the per-instant duplicate count).
+        anchors = (
             tagged.filter(F.col("_v") == F.lit(rule.sequence[0]))
-            .select(F.col("t").alias("t1"), F.col("t").alias("tcur"))
-            .distinct()
+            .groupBy("t")
+            .agg(F.count("*").alias("_m"))
         )
+        cur = anchors.select(F.col("t").alias("t1"), F.col("t").alias("tcur"))
         for stage_val in rule.sequence[1:]:
             nxt = tagged.filter(F.col("_v") == F.lit(stage_val)).select("t").distinct()
             cur = _advance_stage(cur, nxt, wus)
-        return cur.select(
-            F.lit(rule.rule_id).alias("rule_id"),
-            F.lit(rule.priority).alias("priority"),
-            F.timestamp_micros(F.col("tcur")).alias("ts"),
-            (F.col("tcur") - F.col("t1")).cast("double").alias("metric_value"),
+        return (
+            cur.join(anchors.select(F.col("t").alias("t1"), "_m"), "t1")
+            .select(
+                F.lit(rule.rule_id).alias("rule_id"),
+                F.lit(rule.priority).alias("priority"),
+                F.timestamp_micros(F.col("tcur")).alias("ts"),
+                (F.col("tcur") - F.col("t1")).cast("double").alias("metric_value"),
+                F.explode(
+                    F.array_repeat(F.lit(1), F.col("_m").cast("int"))
+                ).alias("_dup"),
+            )
+            .drop("_dup")
         )
 
     def _anomaly(self, df: DataFrame, rule: AlertRule, ts_col: str) -> DataFrame:
