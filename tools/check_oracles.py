@@ -40,8 +40,29 @@ def normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    resumed: set[str] = set()
+    excluded: set[str] = set()
+    # --resume <log>: skip queries already PASSed in a previous run's
+    # log (full-registry runs at sf1 take hours and have been killed by
+    # kernel OOM mid-run — r14; progress lives in the log, reuse it).
+    # --exclude <name>: skip a query entirely (e.g. a gate whose CORRECT
+    # output is too large to collect-and-hash at this scale — document
+    # the exclusion in the round artifact).
+    import re as _re
+
+    while args and args[0] in ("--resume", "--exclude"):
+        flag, val = args[0], args[1]
+        args = args[2:]
+        if flag == "--resume":
+            for line in open(val):
+                m = _re.match(r"PASS (\S+?):", line)
+                if m:
+                    resumed.add(m.group(1))
+        else:
+            excluded.add(val)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from __spark_entry__ import oracle_sql, queries
     from dd_graphdb_spark import get_spark
@@ -70,8 +91,12 @@ def main():
     n_pass = n_fail = 0
     oracle_times: dict[str, tuple[float, float]] = {}
     vacuous: dict[str, str] = {}
+    n_skipped = 0
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in resumed or name in excluded:
+            n_skipped += 1
             continue
         t0 = time.time()
         try:
@@ -142,7 +167,8 @@ def main():
         print(f"\nWARNING: oracles over the {ORACLE_BUDGET_S:.0f}s budget:")
         for n, (_, to) in sorted(slow.items(), key=lambda kv: -kv[1][1]):
             print(f"  {n}: {to:.1f}s")
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    skipped = f", {n_skipped} skipped (resume/exclude)" if n_skipped else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{skipped}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
