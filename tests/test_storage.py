@@ -623,3 +623,47 @@ def test_injected_io_sees_only_contract_calls(spark, tmp_path):
     assert ("lock", "acquire") in calls and ("lock", "release") in calls
     assert any(c[0] == "rename" for c in calls)  # relocation is a rename
     assert store.get_vertex(1).collect()[0]["properties"]["n"] == "2"
+
+
+def test_cow_manifest_log_checkpoints_and_time_travel(spark, tmp_path, monkeypatch):
+    """Manifest log (r14): between checkpoints a commit writes a chain
+    DELTA (O(changed buckets), not O(n_buckets)); every version still
+    reconstructs exactly (time travel), across checkpoint boundaries,
+    reopen, and a vacuum (which rewrites kept manifests as
+    self-contained fulls so no kept delta chains through a dead dir)."""
+    import json, os
+
+    monkeypatch.setattr(GraphStore, "_MANIFEST_CKPT_EVERY", 4)
+    store = GraphStore(spark, str(tmp_path / "cow"), n_buckets=4, cow_min_bytes=0)
+    store.apply_batch([add_vertex(i, "P", {"n": "0"}) for i in range(8)])  # v1
+    for k in range(1, 9):  # v2..v9 — crosses the v4 and v8 checkpoints
+        store.apply_batch([update_vertex_props(4 + (k % 2), {"type": "P", "n": str(k)})])
+    docs = {
+        v: json.loads(open(os.path.join(store.path, f"v{v}", "manifest.json")).read())
+        for v in range(1, 10)
+    }
+    assert "base" in docs[2] and docs[2]["base"] == 1         # delta
+    assert "full" in docs[4] and "full" in docs[8]            # checkpoints
+    assert "base" in docs[5] and docs[5]["base"] == 4
+    # a delta records ONLY the changed chains (v1 legitimately changes
+    # all 4 — the initial load touches every bucket; the 1-row commits
+    # after it each record exactly their one mutated bucket)
+    changed = [
+        len(d["delta"]["vertices"]) for v, d in docs.items()
+        if "delta" in d and v > 1
+    ]
+    assert changed and all(c == 1 for c in changed), changed
+    # every version reconstructs: the mutated vertex's n tracks history
+    for v, want in [(1, "0"), (2, "1"), (3, "2"), (9, "8")]:
+        vid = 4 + (0 if want == "0" else ((int(want)) % 2))
+        row = store.vertices(version=v).filter(f"id = {vid}").collect()[0]
+        assert row["properties"]["n"] == json.dumps(want), (v, vid, row)
+    # reopen reads through the log; vacuum rewrites kept manifests full
+    reopened = GraphStore(spark, str(tmp_path / "cow"), cow_min_bytes=0)
+    assert reopened.vertices().count() == 8
+    reopened.vacuum(keep_last=3)
+    for v in (7, 8, 9):
+        doc = json.loads(open(os.path.join(store.path, f"v{v}", "manifest.json")).read())
+        assert "full" in doc, v
+        assert reopened.vertices(version=v).count() == 8
+    assert not os.path.isdir(os.path.join(store.path, "v2"))
