@@ -19,7 +19,11 @@ Why it exists (the 100 TB posture): on an object store
   pointer swap must map to the store's conditional-put primitive
   (put-if-match on the previous ETag gives the same single-commit-
   point guarantee that ``os.replace`` gives locally);
-- the advisory lock maps to a lease object (put-if-absent with TTL).
+- the advisory lock maps to a lease object: put-if-absent WITH an
+  expiry recorded in the object body, broken by conditional-delete-
+  if-match on the observed stale body (the ETag guard closes the
+  read→delete race that POSIX ``unlink`` can only narrow — see
+  ``LocalFS.acquire_lock``).
 
 ``LocalFS`` is the default, POSIX implementation. Tests inject
 recording/failing implementations to pin which primitives the store
@@ -28,9 +32,20 @@ depends on (tests/test_storage.py::TestInjectedIO).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
+import uuid
+
+#: default writer-lease duration. A lock whose lease is past this
+#: window is breakable even when the holder cannot be pid-probed
+#: (e.g. it ran on another host against a shared mount). MUST exceed
+#: the longest legitimate commit/vacuum — a live writer past its lease
+#: can be fenced out mid-write (the documented lease contract; Spark
+#: diff+write jobs have been measured over 120 s at scale, hence the
+#: 1 h default).
+DEFAULT_LEASE_S = 3600.0
 
 
 class StorageIO:
@@ -74,7 +89,9 @@ class StorageIO:
 
     def acquire_lock(self, path: str, timeout_s: float = 30.0) -> None:
         """Take the store's writer lock or raise TimeoutError. Local:
-        O_CREAT|O_EXCL lock file. Object store: put-if-absent lease."""
+        O_CREAT|O_EXCL lock file recording ``{writer, pid, expires}``,
+        with takeover of dead-holder / expired-lease locks. Object
+        store: put-if-absent lease with expiry in the body."""
         raise NotImplementedError
 
     def release_lock(self, path: str) -> None:
@@ -82,7 +99,15 @@ class StorageIO:
 
 
 class LocalFS(StorageIO):
-    """POSIX implementation (the test/default substrate)."""
+    """POSIX implementation (the test/default substrate).
+
+    ``lease_s`` is the writer-lease duration stamped into lock files
+    this instance creates (see ``acquire_lock``); it is an instance
+    policy, not a per-call argument, so injected test doubles that
+    override ``acquire_lock(path, timeout_s)`` keep working."""
+
+    def __init__(self, lease_s: float = DEFAULT_LEASE_S):
+        self.lease_s = lease_s
 
     def read_text(self, path: str) -> str:
         with open(path) as f:
@@ -121,22 +146,100 @@ class LocalFS(StorageIO):
     def remove_tree(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
+    @staticmethod
+    def _lock_is_stale(body: bytes) -> bool:
+        """A lock body is stale when its holder process is dead (same-
+        host pid probe) or its lease has expired. Legacy bodies (a bare
+        pid from pre-lease stores) carry no lease and are stale only on
+        a dead pid."""
+        try:
+            info = json.loads(body.decode() or "{}")
+        except (ValueError, UnicodeDecodeError):
+            info = {}
+        if not isinstance(info, dict):
+            info = {}
+        pid = info.get("pid")
+        if pid is None:  # legacy bare-pid content
+            try:
+                pid = int(body.decode().strip())
+            except (ValueError, UnicodeDecodeError):
+                return False  # unreadable foreign lock: never break it
+        expires = info.get("expires")
+        if expires is not None and time.time() > float(expires):
+            return True
+        try:
+            os.kill(int(pid), 0)
+        except ProcessLookupError:
+            return True  # holder died without releasing
+        except PermissionError:
+            pass  # alive, owned by another uid
+        return False
+
     def acquire_lock(self, path: str, timeout_s: float = 30.0) -> None:
+        """O_CREAT|O_EXCL lock with a lease. The lock body records
+        ``{writer, pid, expires}``; a waiter that finds the lock STALE
+        (holder pid dead, or lease expired) breaks it and retries.
+
+        Break protocol: re-read immediately before ``unlink`` and only
+        remove the lock if its bytes still equal the stale body first
+        observed (a fresh lock has a new writer uuid + future expiry, so
+        it never byte-matches), then race the O_EXCL create like any
+        other waiter. A microsecond read→unlink TOCTOU window remains —
+        POSIX unlink is unconditional; the object-store mapping closes
+        it with conditional-delete-if-match on the observed body (module
+        docstring). The post-create fence (re-read and verify our own
+        writer uuid) makes a lock lost to that window detectable by its
+        new holder rather than silently shared.
+
+        The lease (``self.lease_s``) exists for crashed holders that
+        cannot be pid-probed; a LIVE writer must finish inside it or
+        risk being fenced — size it above the longest commit/vacuum."""
+        my_body = json.dumps(
+            {
+                "writer": uuid.uuid4().hex,
+                "pid": os.getpid(),
+                "expires": time.time() + self.lease_s,
+            }
+        ).encode()
         deadline = time.monotonic() + timeout_s
         while True:
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, my_body)
                 os.close(fd)
-                return
             except FileExistsError:
+                try:
+                    with open(path, "rb") as f:
+                        body = f.read()
+                except FileNotFoundError:
+                    continue  # released between create and read: retry now
+                if self._lock_is_stale(body):
+                    try:
+                        with open(path, "rb") as f:
+                            if f.read() == body:  # still the observed stale body
+                                os.unlink(path)
+                    except FileNotFoundError:
+                        pass  # another waiter broke it first
+                    continue
                 if time.monotonic() >= deadline:
                     raise TimeoutError(
-                        f"writer lock {path} held past {timeout_s}s — "
-                        "another commit/vacuum is running (or crashed; "
-                        "delete the lock file to recover)"
+                        f"writer lock {path} held past {timeout_s}s by a "
+                        "LIVE holder within its lease — another commit/"
+                        "vacuum is running (crashed/expired holders are "
+                        "taken over automatically)"
                     )
                 time.sleep(0.02)
+                continue
+            # post-create fence: verify the lock on disk is OURS — a
+            # racing breaker could have unlinked our fresh lock inside
+            # its TOCTOU window and a third writer re-created it.
+            try:
+                with open(path, "rb") as f:
+                    if f.read() == my_body:
+                        return
+            except FileNotFoundError:
+                pass
+            time.sleep(0.02)  # lost the fence: behave as a plain waiter
 
     def release_lock(self, path: str) -> None:
         try:

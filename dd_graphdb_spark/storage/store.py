@@ -228,6 +228,7 @@ class GraphStore:
         cow_min_bytes: int = 32 << 20,
         cow_max_layers: int = 4,
         io: StorageIO | None = None,
+        lock_timeout_s: float = 120.0,
     ):
         """``cow_min_bytes``: below this on-disk size, commits fall back
         to a full rewrite — rewriting a few MB is ONE task, while the
@@ -244,12 +245,19 @@ class GraphStore:
 
         ``io``: metadata/maintenance I/O port (fsio.StorageIO);
         defaults to the POSIX LocalFS. Spark's parquet data traffic
-        does NOT go through it (Hadoop FS handles that natively)."""
+        does NOT go through it (Hadoop FS handles that natively).
+
+        ``lock_timeout_s``: how long a commit/vacuum waits for the
+        writer lock before raising TimeoutError. Crashed/expired
+        holders are taken over automatically (fsio lease protocol);
+        this bound is for a LIVE competing writer — size it above the
+        longest commit you expect to queue behind."""
         self.spark = spark
         self.path = path
         self.cow_min_bytes = cow_min_bytes
         self.cow_max_layers = max(1, cow_max_layers)
         self._io = io if io is not None else LocalFS()
+        self.lock_timeout_s = lock_timeout_s
         self._io.makedirs(path)
         self._meta_path = os.path.join(path, "meta.json")
         self._lock_path = os.path.join(path, "_writer.lock")
@@ -629,7 +637,7 @@ class GraphStore:
         store's writer lock across the manifest read → data write →
         pointer swap so a concurrent vacuum cannot relocate a layer this
         commit is inheriting. Returns the new version."""
-        self._io.acquire_lock(self._lock_path, timeout_s=120.0)
+        self._io.acquire_lock(self._lock_path, timeout_s=self.lock_timeout_s)
         try:
             cur = self.version
             planned = getattr(self, "_plan_version", cur)
@@ -864,6 +872,21 @@ class GraphStore:
 
         runs: list[tuple[str, list[dict]]] = []
         for op in ops:
+            # edge identity is the (src,dst,label) triple, and every
+            # edge-key join in the store (upsert anti-joins here, the
+            # CoW delta diff + merge-on-read latest-wins/anti-join) is
+            # null-INSENSITIVE — a NULL label would never match itself
+            # across those joins, yielding spurious tombstone+upsert
+            # pairs the merge cannot collapse (duplicate rows on read).
+            # The typed API declares label: str; enforce it at the one
+            # ingestion point instead of null-safing every join.
+            if op.kind in ("add_edge", "remove_edge", "update_edge_props") and (
+                op.payload.get("label") is None
+            ):
+                raise ValueError(
+                    f"{op.kind} requires a non-null label (edge identity "
+                    "is the (src, dst, label) triple)"
+                )
             if runs and runs[-1][0] == op.kind:
                 runs[-1][1].append(op.payload)
             else:
@@ -1720,9 +1743,18 @@ class GraphStore:
         ``v{k}/inherited/``), and every kept manifest is patched to the
         new location before the dead dirs go. Holds the store's writer
         lock: a concurrent commit could otherwise inherit a layer path
-        this vacuum is about to relocate (the single-writer contract,
-        ENFORCED since r14, not just documented)."""
-        self._io.acquire_lock(self._lock_path, timeout_s=120.0)
+        this vacuum is about to relocate (the WRITER half of the
+        single-writer contract, ENFORCED since r14).
+
+        READERS take no lock — that half is still a convention: a
+        reader that loaded a manifest before vacuum relocates one of
+        its layer dirs fails its (lazy) scan when the Spark action
+        finally runs. Re-read the store (the manifest reload picks up
+        the patched paths) or don't vacuum while long-lived reader
+        DataFrames are in flight; a retention-window grace period for
+        relocated dirs is the object-store-grade fix if that contract
+        ever needs enforcing."""
+        self._io.acquire_lock(self._lock_path, timeout_s=self.lock_timeout_s)
         try:
             self._vacuum_locked(keep_last)
         finally:

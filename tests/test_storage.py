@@ -667,3 +667,146 @@ def test_cow_manifest_log_checkpoints_and_time_travel(spark, tmp_path, monkeypat
         assert "full" in doc, v
         assert reopened.vertices(version=v).count() == 8
     assert not os.path.isdir(os.path.join(store.path, "v2"))
+
+
+# ---------------------------------------------------------------------------
+# Writer-lock lease protocol (fsio.LocalFS) — r15: a crashed holder's
+# lock is broken automatically (pid probe / lease expiry) instead of
+# blocking every later commit and vacuum until manual cleanup.
+# ---------------------------------------------------------------------------
+def _lock_body(pid, expires):
+    import json as _json
+
+    return _json.dumps({"writer": "t" * 32, "pid": pid, "expires": expires})
+
+
+def test_lock_takeover_dead_holder(tmp_path):
+    """A lock whose recorded pid is dead is taken over immediately —
+    the process-kill regression: the holder is a real child process
+    that acquires the lock and exits WITHOUT releasing."""
+    import subprocess
+    import sys
+
+    from dd_graphdb_spark.storage.fsio import LocalFS
+
+    lock = str(tmp_path / "_writer.lock")
+    # child takes the lock (full protocol, real body) and dies holding it
+    subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys; sys.path.insert(0, '.')\n"
+            "from dd_graphdb_spark.storage.fsio import LocalFS\n"
+            f"LocalFS().acquire_lock({lock!r}, timeout_s=5.0)",
+        ],
+        check=True,
+        cwd=".",
+    )
+    import os as _os
+
+    assert _os.path.exists(lock)  # crashed holder left its lock behind
+    t0 = __import__("time").monotonic()
+    LocalFS().acquire_lock(lock, timeout_s=5.0)  # takeover, no timeout
+    assert __import__("time").monotonic() - t0 < 2.0
+    LocalFS().release_lock(lock)
+
+
+def test_lock_takeover_expired_lease(tmp_path):
+    """A LIVE holder past its lease is fenced out (the other-host case,
+    where the pid probe cannot see the holder)."""
+    import os as _os
+    import time as _time
+
+    from dd_graphdb_spark.storage.fsio import LocalFS
+
+    lock = str(tmp_path / "_writer.lock")
+    with open(lock, "w") as f:  # live pid, lease expired 10s ago
+        f.write(_lock_body(_os.getpid(), _time.time() - 10.0))
+    LocalFS().acquire_lock(lock, timeout_s=1.0)
+    LocalFS().release_lock(lock)
+
+
+def test_lock_live_holder_within_lease_blocks(tmp_path):
+    """A live holder inside its lease is NOT broken: waiters time out
+    with the recovery-guidance error."""
+    import os as _os
+    import time as _time
+
+    import pytest as _pytest
+
+    from dd_graphdb_spark.storage.fsio import LocalFS
+
+    lock = str(tmp_path / "_writer.lock")
+    with open(lock, "w") as f:
+        f.write(_lock_body(_os.getpid(), _time.time() + 3600.0))
+    with _pytest.raises(TimeoutError, match="LIVE holder"):
+        LocalFS().acquire_lock(lock, timeout_s=0.3)
+    assert _os.path.exists(lock)  # the live lock was not disturbed
+
+
+def test_lock_legacy_bare_pid_body(tmp_path):
+    """Pre-lease lock files (bare pid) still work: dead pid → takeover,
+    live pid → treated as held (no lease recorded, so no expiry)."""
+    import os as _os
+    import subprocess
+    import sys
+
+    import pytest as _pytest
+
+    from dd_graphdb_spark.storage.fsio import LocalFS
+
+    lock = str(tmp_path / "_writer.lock")
+    dead = subprocess.Popen([sys.executable, "-c", "pass"])
+    dead.wait()
+    with open(lock, "w") as f:
+        f.write(str(dead.pid))
+    LocalFS().acquire_lock(lock, timeout_s=2.0)
+    LocalFS().release_lock(lock)
+    with open(lock, "w") as f:
+        f.write(str(_os.getpid()))
+    with _pytest.raises(TimeoutError):
+        LocalFS().acquire_lock(lock, timeout_s=0.3)
+
+
+def test_lock_mutual_exclusion_under_thread_contention(tmp_path):
+    """The lease machinery preserves the core guarantee: N threads
+    hammering acquire/release never overlap in the critical section."""
+    import threading
+
+    from dd_graphdb_spark.storage.fsio import LocalFS
+
+    lock = str(tmp_path / "_writer.lock")
+    io = LocalFS()
+    inside = []
+    errors = []
+
+    def worker():
+        for _ in range(20):
+            try:
+                io.acquire_lock(lock, timeout_s=10.0)
+                inside.append(1)
+                assert len(inside) == 1, "two writers inside the lock"
+                inside.pop()
+                io.release_lock(lock)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+
+def test_apply_batch_rejects_null_edge_label(store):
+    """Edge identity is (src,dst,label) and every edge-key join in the
+    store is null-insensitive — NULL labels are rejected at ingestion
+    rather than null-safed through the CoW diff/merge joins."""
+    from dd_graphdb_spark.storage import add_edge, update_edge_props
+
+    with pytest.raises(ValueError, match="non-null label"):
+        store.apply_batch([add_edge(1, 2, None)])
+    with pytest.raises(ValueError, match="non-null label"):
+        store.apply_batch([update_edge_props(1, 2, None, {"w": 1})])
