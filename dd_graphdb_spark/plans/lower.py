@@ -946,6 +946,31 @@ def _shared_edge_keys(pattern, bound_cols, sub_cols) -> list[str]:
     return keys
 
 
+def _star_agg_extras(items, star_vars, star_bares):
+    """Validate the explicit items of a ``WITH *, <agg>`` stage against
+    the star-kept scope before expansion (r15): an alias that collides
+    with a star-kept variable or bare alias (``WITH x AS n .. WITH *,
+    count(*) AS n``) would expand into duplicate columns and surface
+    later as an opaque Spark AMBIGUOUS_REFERENCE — raise the same
+    guidance error the non-aggregating star branch gives for that
+    shape. Redundant plain-variable extras (``WITH *, n`` where * keeps
+    n) drop from the expansion, matching the non-agg branch's
+    ``continue``."""
+    kept = set(star_vars) | set(star_bares)
+    out = []
+    for i in items:
+        if i.prop is None and i.agg is None and i.expr is None and i.var in kept:
+            continue  # * already keeps this variable/bare alias
+        alias = i.alias or (f"{i.var}_{i.prop}" if i.prop is not None else None)
+        if alias in kept:
+            raise ValueError(
+                f"WITH *, ..: alias {alias!r} duplicates a column the "
+                "star already keeps — rename the alias"
+            )
+        out.append(i)
+    return out
+
+
 #: AST nodes the count-subquery walker must NOT descend into: patterns
 #: are not expressions, and an EXISTS body's inner WHERE belongs to the
 #: subquery's own frame — _subquery_frame rewrites and attaches nested
@@ -1633,7 +1658,7 @@ class GQLEngine:
                 sub,
                 [ReturnItem(v, None) for v in star_vars]
                 + [ReturnItem(b, None) for b in star_bares]
-                + list(st.items),
+                + _star_agg_extras(st.items, star_vars, star_bares),
                 pvars, vcols,
                 extra_keys=[F.col(k) for k in keys if k not in covered],
                 bare_names=bare,
@@ -2088,10 +2113,11 @@ class GQLEngine:
             star_bares = [
                 b for b in bare_aliases if b in inter.columns
             ]
+            extras = _star_agg_extras(st.items, star_vars, star_bares)
             expanded = (
                 [ReturnItem(v, None) for v in star_vars]
                 + [ReturnItem(b, None) for b in star_bares]
-                + list(st.items)
+                + extras
             )
             nxt = self._project(
                 inter, expanded, pvars, vcols, bare_names=bare_aliases,

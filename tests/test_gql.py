@@ -3914,3 +3914,36 @@ def test_with_star_aggregate_requires_alias(people_graph):
         _engine(people_graph).execute(
             "MATCH (a:Person) WITH *, count(*) RETURN 1 AS one"
         )
+
+
+def test_with_star_aggregate_duplicate_alias_guidance(people_graph):
+    """r15 (advisor): an aggregate alias colliding with a star-kept
+    bare alias or variable raises the same guidance error the non-agg
+    star branch gives, instead of expanding into duplicate columns and
+    an opaque Spark AMBIGUOUS_REFERENCE downstream."""
+    eng = _engine(people_graph)
+    # collides with a bare alias the star keeps
+    with pytest.raises(ValueError, match="duplicates a column"):
+        eng.execute(
+            "MATCH (a:Person) WITH a.age AS n "
+            "WITH *, count(*) AS n RETURN n"
+        )
+    # collides with a kept variable name
+    with pytest.raises(ValueError, match="duplicates a column"):
+        eng.execute(
+            "MATCH (a:Person)-[:friend]->(b) "
+            "WITH *, count(*) AS b RETURN b"
+        )
+    # same contract inside a correlated CALL body
+    with pytest.raises(ValueError, match="duplicates a column"):
+        eng.execute(
+            "MATCH (p:Person) CALL { WITH p MATCH (p)-[:friend]->(x) "
+            "WITH p, x.age AS k WITH *, count(*) AS k RETURN k } "
+            "RETURN p.name AS pn, k"
+        )
+    # redundant plain-variable extra is NOT an error: * already keeps it
+    rows = eng.execute(
+        "MATCH (a:Person)-[:friend]->(b) WITH a, b WITH *, a, "
+        "count(*) AS n RETURN a.name AS an, n ORDER BY an"
+    ).collect()
+    assert [(r["an"], r["n"]) for r in rows] == [("Alice", 1), ("Bob", 1)]
