@@ -20,6 +20,8 @@ a micro-batch.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 import threading
 import uuid
@@ -31,6 +33,37 @@ from dd_graphdb_spark.graph import read_events
 
 _SHUFFLE_TUNE_LOCK = threading.Lock()
 
+#: staged-source cache (r15, advisor): the multi-file restage rewrites
+#: the whole events table — paying that full-table write on EVERY
+#: events_stream call doubled disk per bench/gate invocation at sf1.
+#: Key = source identity (path + per-data-file name/mtime/size), value
+#: = the staging dir; a same-identity call reuses it, and every staged
+#: dir is removed at interpreter exit.
+_STAGE_CACHE: dict[tuple, str] = {}
+_STAGE_LOCK = threading.Lock()
+
+
+def _purge_staged_dirs() -> None:
+    for d in _STAGE_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGE_CACHE.clear()
+
+
+atexit.register(_purge_staged_dirs)
+
+
+def _source_identity(src: str) -> tuple:
+    import os
+
+    if os.path.isdir(src):
+        names = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        return (os.path.abspath(src),) + tuple(
+            (n, int(os.path.getmtime(p) * 1e6), os.path.getsize(p))
+            for n in names
+            for p in [os.path.join(src, n)]
+        )
+    return (os.path.abspath(src), int(os.path.getmtime(src) * 1e6), os.path.getsize(src))
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a file-source stream (schema from the batch
@@ -39,12 +72,44 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file source requires a *directory*; the testdata table is a
     single parquet file, so it is staged into a temp dir via symlink —
     in production this is simply the ingest directory files land in.
+    Staging is cached per source identity (_STAGE_CACHE): repeated
+    calls over the same unchanged table reuse one staged dir instead of
+    re-running the full-table restage write per call.
     """
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir}/events.parquet"
     raw_schema = spark.read.parquet(src).schema
+    key = _source_identity(src)
+    with _STAGE_LOCK:
+        src_dir = _STAGE_CACHE.get(key)
+        if src_dir is None or not os.path.isdir(src_dir):
+            src_dir = _stage_events_dir(spark, src, raw_schema)
+            _STAGE_CACHE[key] = src_dir
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)  # source-side rate limit
+        .parquet(src_dir)
+    )
+    from pyspark.sql import functions as F
+
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # withWatermark rejects NTZ; session tz is UTC so the cast is
+        # value-preserving (see read_events)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def _stage_events_dir(spark: SparkSession, src: str, raw_schema) -> str:
+    """Materialize ``src`` as a flat directory of time-ordered micro-
+    batch files (see events_stream's docstring for the arrival-order
+    contract)."""
+    import os
+
     src_dir = tempfile.mkdtemp(prefix="events_src_")
     if os.path.isdir(src):
         # directory-shaped table (any real multi-file layout): the file
@@ -92,21 +157,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.utime(os.path.join(src_dir, fname), (base_t + k, base_t + k))
     else:
         os.symlink(src, os.path.join(src_dir, "events.parquet"))
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", 1)  # source-side rate limit
-        .parquet(src_dir)
-    )
-    from pyspark.sql import functions as F
-
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # withWatermark rejects NTZ; session tz is UTC so the cast is
-        # value-preserving (see read_events)
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return src_dir
 
 
 def kafka_stream(

@@ -202,3 +202,83 @@ def test_events_stream_empty_dir_fails_loudly(spark, tmp_path):
 
     with _pt.raises(Exception):
         events_stream(spark, str(d))
+
+
+def _shuffled_events_sf(spark, tmp_path, n=200, n_parts=4):
+    """A Spark-written multi-file events table whose every part spans
+    the WHOLE time range (round-robin repartition) — the adversarial
+    arrival order found at sf1: staged per-file, batch 1 advances the
+    watermark to ~max(ts) and later batches are silently dropped."""
+    import datetime as dt
+    import os
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(minutes=2 * i),
+            (i // 2) % 5,
+            "click" if i % 2 == 0 else "purchase",
+            1.0,
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    sf = tmp_path / "sf_shuffled"
+    os.makedirs(sf)
+    df.repartition(n_parts).write.parquet(str(sf / "events.parquet"))
+    return str(sf)
+
+
+def test_events_stream_multifile_restage_preserves_matches(spark, tmp_path):
+    """Regression (sf1, r14): a multi-file events dir staged in raw
+    part order violates the 10-minute watermark disorder bound and the
+    stream-stream interval join loses ~4/5 of its matches. The restage
+    (range-partitioned time slices, increasing mtimes) must recover the
+    FULL batch match count."""
+    from pyspark.sql import functions as F
+
+    from dd_graphdb_spark.suites.streaming_live import stream_live_interval_join
+
+    sf = _shuffled_events_sf(spark, tmp_path)
+    ev = read_events(spark, sf)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    want = p.join(
+        c,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 DAY")),
+    ).count()
+    assert want > 50  # the workload actually joins
+    got = stream_live_interval_join(spark, sf)
+    assert got.count() == want
+
+
+def test_events_stream_restage_is_cached(spark, tmp_path):
+    """Regression (advisor, r15): the multi-file restage is a full-table
+    rewrite — repeated events_stream calls over the same unchanged table
+    must reuse ONE staged dir, not re-stage (and re-write) per call."""
+    import os
+
+    from dd_graphdb_spark.streaming import pipeline as P
+
+    sf = _shuffled_events_sf(spark, tmp_path)
+    key = P._source_identity(f"{sf}/events.parquet")
+    P._STAGE_CACHE.pop(key, None)
+    P.events_stream(spark, sf)
+    staged = P._STAGE_CACHE[key]
+    stamps = {
+        f: os.path.getmtime(os.path.join(staged, f)) for f in os.listdir(staged)
+    }
+    P.events_stream(spark, sf)
+    assert P._STAGE_CACHE[key] == staged  # same dir, no re-stage
+    assert stamps == {
+        f: os.path.getmtime(os.path.join(staged, f)) for f in os.listdir(staged)
+    }

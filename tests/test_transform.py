@@ -329,3 +329,36 @@ def test_cooldown_fallback_crosses_super_buckets(spark, monkeypatch):
             want.append(t)
             last = t
     assert got == want
+
+
+def test_pattern_rule_same_instant_anchor_multiplicity(spark):
+    """Regression (sf1, r14): N anchor events at the SAME instant fire
+    N alerts — per-event evaluation (realtime_analytics.rs evaluates
+    rules per event), not per distinct timestamp. Later-stage
+    duplicates must NOT multiply matches (one greedy earliest-successor
+    path per anchor instant)."""
+    import datetime as dt
+
+    from dd_graphdb_spark.streaming import AlertEngine, AlertRule
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [(k, base, "signup", 1.0) for k in range(7)]  # 7 same-instant anchors
+    rows += [
+        (100, base + dt.timedelta(minutes=1), "purchase", 1.0),
+        (101, base + dt.timedelta(minutes=1), "purchase", 1.0),  # stage-2 dup
+        (102, base + dt.timedelta(minutes=2), "error", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    eng = AlertEngine(
+        [
+            AlertRule(
+                "funnel", "pattern", "value", "gt", 0.0,
+                sequence=["signup", "purchase", "error"], within_s=3600,
+            )
+        ]
+    )
+    out = eng.evaluate(df).collect()
+    assert len(out) == 7  # anchor multiplicity preserved, stage dups don't multiply
+    assert {r["metric_value"] for r in out} == {120.0 * 1e6}
