@@ -301,7 +301,22 @@ def main() -> None:
     # record {pairs, runs} so variance vs regression is adjudicable
     # from the JSON alone: constant pairs + overlapping runs bands =
     # variance; pair growth or disjoint bands = real change.
-    QUADRATIC_GATES = {"dedup_ngram_jaccard_skew", "skew_common_neighbors_events"}
+    # r15 extends the witness to the SemDeDup family: their workload is
+    # quadratic WITHIN IVF cells, and dedup_semantic_multiprobe drifted
+    # 1.71× in r14 with no artifact evidence to adjudicate variance vs
+    # regression. Witness fields: pair-shaped gates record {pairs, runs}
+    # (skew_common_neighbors_events is an aggregate-witness gate since
+    # r15 — its ``pairs`` is the summed n_pairs column); verdict-shaped
+    # SemDeDup gates record {rows, dups, runs} (rows = vectors, dups =
+    # non-keep verdicts — the workload outcome the within-cell quadratic
+    # prune produces).
+    QUADRATIC_GATES = {
+        "dedup_ngram_jaccard_skew",
+        "skew_common_neighbors_events",
+        "dedup_semantic_cells",
+        "dedup_semantic_multiprobe",
+        "dedup_semantic_trained",
+    }
     quadratic: dict[str, dict] = {}
 
     def timed_run(name: str) -> float:
@@ -322,10 +337,21 @@ def main() -> None:
         if name in QUADRATIC_GATES:
             runs = [round(timed_run(name), 3) for _ in range(3)]
             dt = min(runs)
-            # emitted pair count, untimed: the workload-size witness
-            pairs = qs[name](spark, sf_dir).count()
-            quadratic[name] = {"pairs": pairs, "runs": runs}
-            print(f"# {name}: runs={runs} pairs={pairs}", file=sys.stderr)
+            # workload-size witness, untimed
+            out = qs[name](spark, sf_dir)
+            if "n_pairs" in out.columns:  # aggregate-witness gates
+                from pyspark.sql import functions as _F
+
+                pairs = out.agg(_F.sum("n_pairs")).collect()[0][0]
+                quadratic[name] = {"pairs": pairs, "runs": runs}
+            elif "keep" in out.columns:  # SemDeDup verdict gates
+                rows = out.count()
+                dups = out.filter("NOT keep").count()
+                quadratic[name] = {"rows": rows, "dups": dups, "runs": runs}
+            else:
+                pairs = out.count()
+                quadratic[name] = {"pairs": pairs, "runs": runs}
+            print(f"# {name}: {quadratic[name]}", file=sys.stderr)
         else:
             dt = timed_run(name)
         timings[name] = round(dt, 3)

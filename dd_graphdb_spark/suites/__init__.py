@@ -89,106 +89,31 @@ def _with_hygiene(fn):
 #         implicit star-scope grouping) + ALL 38 remaining r8 rows (the
 #         staleness debt the r13 verdict flagged — after r14 no row is
 #         older than r9) + the r9-block head (10 rows) = 50.
-#   r15 = r15's new + the r9-recorded remainder (33 rows) + r10-block
-#         head; then r10/r11/r12/r13 blocks in prior order — the cycle
+#   r15 = 2 new (dedup_semantic_recall_sampled /
+#         dedup_ngram_jaccard_skew_sampled — the sampled truth sides
+#         that make the sf1 gate sustainable) + 2 changed-surface
+#         (dedup_semantic_cells now trains its quantizer;
+#         skew_common_neighbors_events now emits a 16-row aggregate
+#         witness) + ALL 33 r9-recorded rows + the r10-block head
+#         (13) = 50. After r15 no row's latest record is older than
+#         r10; r16 leads with the r10 remainder (20 rows) — the cycle
 #         repeats, so no query's newest driver row ever ages past ~5
 #         rounds.
 GATE_PRIORITY = [
-    # ---- r14 window (driver records the FIRST 50) ----
-    # (1) NEW: the r14 file-level CoW delta-chain gate + the WITH-star
-    # implicit-grouping closure
-    "mutation_delta_compaction",
-    "gql_with_star_agg",
-    # (2) the FULL remaining r8-recorded block (38 rows — clears
-    # the staleness debt; every row was green in the r13 sf0.1
-    # full-registry oracle-gate replica)
-    "asof_purchase_attribution",
-    "dedup_exact",
-    "degree_top_customers",
-    "distinct_exact_vs_approx",
-    "embedding_covariance",
-    "events_sessionize",
-    "events_time_rollup",
-    "fn_json_props",
-    "gql_agg_stats",
-    "gql_arith_entity",
-    "gql_case_expr",
-    "gql_entity_funcs",
-    "gql_in_list_expr",
-    "gql_keys_props",
-    "gql_list_comprehension",
-    "gql_list_funcs",
-    "gql_orderby_expr",
-    "gql_path_variable",
-    "gql_quantified_pred",
-    "gql_reduce",
-    "gql_regex_match",
-    "gql_shortest_path_clique",
-    "gql_string_funcs",
-    "gql_unwind_range",
-    "q1_pricing_summary",
-    "sample_stratified_docs",
-    "sample_topk_per_stratum",
-    "sketch_quantile_bounds",
-    "stream_live_interval_join",
-    "top_n_orders",
-    "traverse_2hop",
-    "traverse_all_neighbors",
-    "traverse_in_neighbors",
-    "traverse_out_neighbors",
-    "view_incremental_kcore",
-    "view_incremental_triangles",
-    "view_ttl_refresh",
-    "window_running_total",
-    # (3) head of the r9-recorded block (remainder leads r15)
-    "gql_union",
-    "gql_union_all",
-    "gql_all_shortest_paths",
-    "gql_temporal",
-    "gql_count_subquery",
-    "gql_exists_block",
-    "gql_pattern_comprehension",
-    "gql_call_subquery",
-    "gql_with_distinct_xor",
-    "stream_live_full_outer_join",
-    # ---- deferred (r15+ windows): the r9 remainder, then the
-    # r10/r11/r12-recorded blocks in prior order; the freshest
-    # (r13-recorded) block moves to the END ----
+    # ---- r15 window (driver records the FIRST 50) ----
+    # (1) NEW: the sampled truth-side variants of the two quadratic
+    # gate-only baselines (sf1-gate sustainability, VERDICT r14 #2)
+    "dedup_semantic_recall_sampled",
+    "dedup_ngram_jaccard_skew_sampled",
+    # (2) CHANGED surface this round: the primary SemDeDup gate now
+    # runs the Lloyd-trained quantizer; the skew common-neighbors
+    # gate emits a 16-row aggregate witness (value-checkable at
+    # every scale — the r14 sf1 exclusion is closed)
+    "dedup_semantic_cells",
+    "skew_common_neighbors_events",
+    # (3) the FULL r9-recorded block (33 rows — after r15 no row's
+    # latest driver record is older than r10)
     "gql_map_projection",
-    "gql_multi_with",
-    "dedup_semantic_multiprobe",
-    "dedup_semantic_trained",
-    "dedup_semantic_recall",
-    "algo_sssp_colocation_capped",
-    "gql_with_where_exists",
-    "dedup_exact_substring",
-    "view_incremental_connectivity",
-    "gql_parameters",
-    "router_scoring_table",
-    "sim_ann_lsh_topk",
-    "sim_cosine_topk",
-    "sketch_count_min_estimates",
-    "source_csv_extraction",
-    "source_json_extraction",
-    "source_regex_extraction",
-    "text_fingerprint",
-    "algo_cc_derived",
-    "algo_pagerank_fixture",
-    "multimodal_binary_meta",
-    "multimodal_decode_dims",
-    "multimodal_frame_sample",
-    "stream_changeset_summary",
-    "stream_custom_agg_p90",
-    "stream_dedup_first",
-    "stream_filter_rules",
-    "stream_late_events",
-    "stream_live_dedup_keys",
-    "stream_live_global",
-    "stream_live_session",
-    "stream_live_tumbling",
-    "stream_session_window",
-    "stream_sliding_window",
-    "stream_tumbling_window",
     "sim_pq_topk",
     "sim_pq_recall",
     "sim_ann_ivf_pq",
@@ -221,6 +146,7 @@ GATE_PRIORITY = [
     "algo_sssp_colocation",
     "algo_betweenness_landmarks",
     "algo_closeness_landmarks",
+    # (4) head of the r10-recorded block (remainder leads r16)
     "gql_call_correlated",
     "gql_call_correlated_rows",
     "gql_count_with_where",
@@ -234,6 +160,9 @@ GATE_PRIORITY = [
     "algo_kcore_colocation",
     "algo_pagerank_top3",
     "algo_ppr_customers",
+    # ---- deferred (r16+ windows): the r10 remainder, then the
+    # r11/r12/r13-recorded blocks in prior order; the freshest
+    # (r14-recorded) block sits at the END ----
     "algo_reachability_order",
     "common_neighbors_suppliers",
     "edges_between_lookup",
@@ -246,7 +175,6 @@ GATE_PRIORITY = [
     "gql_with_passthrough",
     "point_lookup_customer",
     "predicate_scan_customers",
-    "skew_common_neighbors_events",
     "view_catalog_roundtrip",
     "view_dependency_topo",
     "view_incremental_degree",
@@ -259,7 +187,6 @@ GATE_PRIORITY = [
     "gql_optional_call",
     "gql_label_alternation",
     "gql_inline_where",
-    "dedup_semantic_cells",
     "gql_call_topk",
     "gql_nested_exists",
     "gql_nested_call",
@@ -300,6 +227,40 @@ GATE_PRIORITY = [
     "gql_undirected",
     "gql_unwind",
     "gql_with_orderby_limit",
+    "gql_multi_with",
+    "dedup_semantic_multiprobe",
+    "dedup_semantic_trained",
+    "dedup_semantic_recall",
+    "algo_sssp_colocation_capped",
+    "gql_with_where_exists",
+    "dedup_exact_substring",
+    "view_incremental_connectivity",
+    "gql_parameters",
+    "router_scoring_table",
+    "sim_ann_lsh_topk",
+    "sim_cosine_topk",
+    "sketch_count_min_estimates",
+    "source_csv_extraction",
+    "source_json_extraction",
+    "source_regex_extraction",
+    "text_fingerprint",
+    "algo_cc_derived",
+    "algo_pagerank_fixture",
+    "multimodal_binary_meta",
+    "multimodal_decode_dims",
+    "multimodal_frame_sample",
+    "stream_changeset_summary",
+    "stream_custom_agg_p90",
+    "stream_dedup_first",
+    "stream_filter_rules",
+    "stream_late_events",
+    "stream_live_dedup_keys",
+    "stream_live_global",
+    "stream_live_session",
+    "stream_live_tumbling",
+    "stream_session_window",
+    "stream_sliding_window",
+    "stream_tumbling_window",
     "gql_call_with_star",
     "gql_call_entity_export",
     "gql_with_entity_group",
@@ -350,6 +311,56 @@ GATE_PRIORITY = [
     "algo_scc_fixture",
     "algo_sssp_fixture",
     "algo_triangle_colocation",
+    "mutation_delta_compaction",
+    "gql_with_star_agg",
+    "asof_purchase_attribution",
+    "dedup_exact",
+    "degree_top_customers",
+    "distinct_exact_vs_approx",
+    "embedding_covariance",
+    "events_sessionize",
+    "events_time_rollup",
+    "fn_json_props",
+    "gql_agg_stats",
+    "gql_arith_entity",
+    "gql_case_expr",
+    "gql_entity_funcs",
+    "gql_in_list_expr",
+    "gql_keys_props",
+    "gql_list_comprehension",
+    "gql_list_funcs",
+    "gql_orderby_expr",
+    "gql_path_variable",
+    "gql_quantified_pred",
+    "gql_reduce",
+    "gql_regex_match",
+    "gql_shortest_path_clique",
+    "gql_string_funcs",
+    "gql_unwind_range",
+    "q1_pricing_summary",
+    "sample_stratified_docs",
+    "sample_topk_per_stratum",
+    "sketch_quantile_bounds",
+    "stream_live_interval_join",
+    "top_n_orders",
+    "traverse_2hop",
+    "traverse_all_neighbors",
+    "traverse_in_neighbors",
+    "traverse_out_neighbors",
+    "view_incremental_kcore",
+    "view_incremental_triangles",
+    "view_ttl_refresh",
+    "window_running_total",
+    "gql_union",
+    "gql_union_all",
+    "gql_all_shortest_paths",
+    "gql_temporal",
+    "gql_count_subquery",
+    "gql_exists_block",
+    "gql_pattern_comprehension",
+    "gql_call_subquery",
+    "gql_with_distinct_xor",
+    "stream_live_full_outer_join",
 ]
 
 

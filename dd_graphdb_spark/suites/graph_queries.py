@@ -264,11 +264,25 @@ def common_neighbors_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT a.user_id AS a, b.user_id AS b, COUNT(*) AS common_count
         FROM e a JOIN e b ON a.event_type = b.event_type AND a.user_id < b.user_id
         GROUP BY 1, 2
-    )
-    SELECT a, b, common_count FROM p WHERE common_count >= 4
+    ),
+    f AS (SELECT a, b, common_count FROM p WHERE common_count >= 4)
+    SELECT a % 16 AS bucket,
+           COUNT(*) AS n_pairs,
+           SUM(common_count)::BIGINT AS sum_common,
+           SUM(((a * 31 + b) % 1000003) * common_count)::BIGINT AS checksum
+    FROM f GROUP BY a % 16
     """,
 )
 def skew_common_neighbors_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial skewed common-neighbors through the salted pair path
+    — every dst is a hot key, so the workload is the d²-per-key pair
+    explosion (operators/_skew.salted_self_pairs). The gate output is an
+    AGGREGATE WITNESS over the full pair set (r15): per-bucket (a % 16)
+    pair count, common-count sum, and an order-insensitive checksum
+    folding EVERY pair's (a, b, common_count). The quadratic join still
+    executes in full on both engines, but the collected result is 16
+    rows — value-comparable at EVERY gate scale (at sf1 the raw pair
+    output is ~10⁸ rows, which the r14 gate could only exclude)."""
     from dd_graphdb_spark.graph import read_events
 
     ev = (
@@ -278,7 +292,17 @@ def skew_common_neighbors_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", F.lit("has"))
     )
     g = PropertyGraph(ev.select(F.col("src").alias("id")).distinct(), ev)
-    return T.common_neighbors(g, min_common=4, salt_threshold=100, n_salts=16)
+    pairs = T.common_neighbors(g, min_common=4, salt_threshold=100, n_salts=16)
+    # checksum stays in BIGINT: (a*31+b) % 1000003 < 1e6, common_count
+    # is bounded by the distinct event-type count, so the sum is
+    # ≤ ~2e13 per pair-set decade — far inside 2^63 at any plausible sf
+    return pairs.groupBy((F.col("a") % 16).alias("bucket")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("common_count").cast("long").alias("sum_common"),
+        F.sum(((F.col("a") * 31 + F.col("b")) % 1000003) * F.col("common_count"))
+        .cast("long")
+        .alias("checksum"),
+    )
 
 
 # ---------------------------------------------------------------------------

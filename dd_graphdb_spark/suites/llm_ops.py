@@ -155,6 +155,39 @@ def dedup_ngram_jaccard_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sampled variant of the skew gate (r15): identical corpus transform
+# and pair arithmetic over the deterministic 1/4 document stratum
+# (doc_id % 4 = 0). Pair work is quadratic in documents, so the stratum
+# cuts BOTH engines' cost 16× — this is the sf1-gate-sustainable truth
+# side (the full gate's DuckDB oracle ran 267.5 s at sf1, 9× the 30 s
+# budget). Sampling bound: the stratum keeps the adversarial shape
+# exactly (doc_id % 2 = 0 boilerplate docs are half of every %4
+# stratum), and the check is EXACT on the stratum — no estimate error,
+# just 1/16 of the pair evidence per gate run.
+@_q(
+    "dedup_ngram_jaccard_skew_sampled",
+    "WITH docs_skew AS (\n"
+    f"    SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN '{_SKEW_BOILER} ' || text "
+    "ELSE text END AS text FROM documents WHERE doc_id % 4 = 0\n), "
+    + SQL_SHINGLES[1:].replace("FROM documents", "FROM docs_skew")
+    + ", "
+    + SQL_JACCARD_TAIL,
+)
+def dedup_ngram_jaccard_skew_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(_SKEW_BOILER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return D.ngram_jaccard_pairs(
+        docs, JACCARD_THRESHOLD, salt_threshold=100, n_salts=16
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures + LSH-verified pairs
 # ---------------------------------------------------------------------------
@@ -596,13 +629,23 @@ def _sql_semantic_dedup(
     """
 
 
-@_q("dedup_semantic_cells", _sql_semantic_dedup(8, 0.4))
+@_q("dedup_semantic_cells", _sql_semantic_dedup(8, 0.4, iters=2))
 def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (cluster-then-prune): IVF-cell assignment + greedy
     within-cell cosine prune, one verdict row per vector. The cell
     column is the IVF index's partition key, so at scale the quadratic
-    work is partition-local (operators/similarity.py:semantic_dedup)."""
-    out = S.semantic_dedup(_emb(spark, sf_dir), n_centroids=8, threshold=0.4)
+    work is partition-local (operators/similarity.py:semantic_dedup).
+
+    r15: the PRIMARY gate now runs the Lloyd-TRAINED coarse quantizer
+    (train_iters=2) — the recommended 100 TB configuration (measured
+    recall 45/53 trained vs 41/53 seeded-multiprobe, README) — so the
+    headline measures the recommended path. The seeded quantizer stays
+    covered by dedup_semantic_multiprobe; the multiprobe axis of the
+    trained config by dedup_semantic_trained (an exact trained+p2
+    duplicate gate would be padding, so this gate keeps n_probe=1)."""
+    out = S.semantic_dedup(
+        _emb(spark, sf_dir), n_centroids=8, threshold=0.4, train_iters=2
+    )
     # survivors' NULL dup_of hashes as a -1 sentinel: a nullable int64
     # column degrades to float in DuckDB's client fetch (35 -> '35.0')
     return out.select(
@@ -724,6 +767,87 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_vectors long, n_dup_global long, n_dup_cells long, n_agree long, "
         "n_dup_p2 long, n_agree_p2 long",
+    )
+
+
+# Sampled variant of the recall gate (r15): the all-pairs truth side is
+# restricted to duplicates in the deterministic 1/8 stratum
+# (eb.vec_id % 8 = 0 — the DUPLICATE side of each ordered pair; the
+# candidate side stays ALL vectors, so the stratum's truth is the full
+# global-prune semantics, just for 1/8 of the verdicts). Truth cost
+# drops n²→n²/8 on both engines — the sf1-sustainable form of the
+# deliberately-quadratic baseline (417.6 s Spark / 92.2 s DuckDB at sf1
+# for the full gate). The check is EXACT on the stratum; recall ratios
+# estimate the global ones with a 1/8-sample binomial error bar
+# (±~4 pp at the sf1 stratum size n_s=1000), while the full gate stays
+# registered for the scales that can afford it.
+_SQL_RECALL_SAMPLED_TRUTH = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    truth AS (
+        SELECT DISTINCT eb.vec_id AS id
+        FROM e ea JOIN e eb ON ea.vec_id < eb.vec_id AND eb.vec_id % 8 = 0
+        WHERE ROUND({_SQL_DOT.format(a='ea.v', b='eb.v')} /
+              ({_SQL_NORM.format(a='ea.v')} * {_SQL_NORM.format(a='eb.v')}), 6) >= 0.4
+    ),
+    sd AS ({{semdedup}}),
+    sd2 AS ({{semdedup2}})
+    SELECT (SELECT COUNT(*) FROM e) AS n_vectors,
+           (SELECT COUNT(*) FROM e WHERE vec_id % 8 = 0) AS n_stratum,
+           (SELECT COUNT(*) FROM truth) AS n_dup_truth_s,
+           (SELECT COUNT(*) FROM sd WHERE NOT keep AND vec_id % 8 = 0) AS n_dup_cells_s,
+           (SELECT COUNT(*) FROM sd JOIN truth ON truth.id = sd.vec_id
+            WHERE NOT sd.keep) AS n_agree_s,
+           (SELECT COUNT(*) FROM sd2 WHERE NOT keep AND vec_id % 8 = 0) AS n_dup_p2_s,
+           (SELECT COUNT(*) FROM sd2 JOIN truth ON truth.id = sd2.vec_id
+            WHERE NOT sd2.keep) AS n_agree_p2_s
+    """
+
+
+@_q(
+    "dedup_semantic_recall_sampled",
+    _SQL_RECALL_SAMPLED_TRUTH.replace("{semdedup}", _sql_semantic_dedup(8, 0.4))
+    .replace("{semdedup2}", _sql_semantic_dedup(8, 0.4, n_probe=2)),
+)
+def dedup_semantic_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratum-exact SemDeDup recall (see the SQL comment above for the
+    sampling bound): identical prune verdicts, truth side restricted to
+    duplicate-side vec_id % 8 = 0."""
+    emb = _emb(spark, sf_dir)
+    base = emb.select(
+        F.col("vec_id").alias("id"),
+        S.as_double(F.col("embedding")).alias("v"),
+    ).withColumn("n", S.norm(F.col("v")))
+    ea = base.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    eb = base.filter(F.col("id") % 8 == 0).select(
+        F.col("id").alias("b"), F.col("v").alias("vb"), F.col("n").alias("nb")
+    )
+    truth = (
+        ea.join(eb, F.col("a") < F.col("b"))
+        .filter(
+            F.round(S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+            >= 0.4
+        )
+        .select(F.col("b").alias("id"))
+        .distinct()
+    )
+    sd = S.semantic_dedup(emb, n_centroids=8, threshold=0.4)
+    dup_s = sd.filter(~F.col("keep") & (F.col("vec_id") % 8 == 0)).select("vec_id")
+    sd2 = S.semantic_dedup(emb, n_centroids=8, threshold=0.4, n_probe=2)
+    dup_p2_s = sd2.filter(~F.col("keep") & (F.col("vec_id") % 8 == 0)).select("vec_id")
+    return spark.createDataFrame(
+        [
+            (
+                emb.count(),
+                emb.filter(F.col("vec_id") % 8 == 0).count(),
+                truth.count(),
+                dup_s.count(),
+                dup_s.join(truth, dup_s.vec_id == truth.id).count(),
+                dup_p2_s.count(),
+                dup_p2_s.join(truth, dup_p2_s.vec_id == truth.id).count(),
+            )
+        ],
+        "n_vectors long, n_stratum long, n_dup_truth_s long, n_dup_cells_s long, "
+        "n_agree_s long, n_dup_p2_s long, n_agree_p2_s long",
     )
 
 

@@ -39,10 +39,46 @@ def normalize(rows, cols):
     return out
 
 
+def _live_spark_jvms() -> list[str]:
+    """Other live Spark driver JVMs on this host (r15: the gate is
+    solo-by-construction — the r14 full-registry sf1 run was kernel-
+    OOM-killed while THREE 32-thread Spark JVMs shared the host; a
+    truncated log with exit 0 is worse than refusing to start)."""
+    import glob as _glob
+    import os as _os
+
+    hits = []
+    for p in _glob.glob("/proc/[0-9]*/cmdline"):
+        try:
+            raw = open(p, "rb").read()
+        except OSError:
+            continue
+        cmd = raw.replace(b"\0", b" ").decode(errors="replace")
+        argv0 = cmd.split(" ", 1)[0]
+        if argv0.rsplit("/", 1)[-1] == "java" and "org.apache.spark" in cmd:
+            hits.append(f"pid {p.split('/')[2]}: ...{cmd[:160]}")
+    return hits
+
+
 def main():
     args = sys.argv[1:]
     resumed: set[str] = set()
     excluded: set[str] = set()
+    force = False
+    if "--force" in args:
+        force = True
+        args.remove("--force")
+    jvms = _live_spark_jvms()
+    if jvms and not force:
+        print(
+            "ERROR: refusing to start while other Spark JVMs are live on "
+            "this host (full-registry gates need the machine to "
+            "themselves — r14's sf1 run was kernel-OOM-killed by JVM "
+            "contention). Wait for these to finish, or pass --force:"
+        )
+        for h in jvms:
+            print(f"  {h}")
+        sys.exit(3)
     # --resume <log>: skip queries already PASSed in a previous run's
     # log (full-registry runs at sf1 take hours and have been killed by
     # kernel OOM mid-run — r14; progress lives in the log, reuse it).
