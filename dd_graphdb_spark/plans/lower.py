@@ -959,7 +959,10 @@ def _star_agg_extras(items, star_vars, star_bares):
     kept = set(star_vars) | set(star_bares)
     out = []
     for i in items:
-        if i.prop is None and i.agg is None and i.expr is None and i.var in kept:
+        if (
+            i.prop is None and i.agg is None and i.expr is None
+            and i.var in kept and i.alias in (None, i.var)
+        ):
             continue  # * already keeps this variable/bare alias
         alias = i.alias or (f"{i.var}_{i.prop}" if i.prop is not None else None)
         if alias in kept:
