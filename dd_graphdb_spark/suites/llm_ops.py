@@ -703,14 +703,14 @@ def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_semantic_recall",
     f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-    truth AS (
+    truth AS MATERIALIZED (
         SELECT DISTINCT eb.vec_id AS id
         FROM e ea JOIN e eb ON ea.vec_id < eb.vec_id
         WHERE ROUND({_SQL_DOT.format(a='ea.v', b='eb.v')} /
               ({_SQL_NORM.format(a='ea.v')} * {_SQL_NORM.format(a='eb.v')}), 6) >= 0.4
     ),
-    sd AS ({{semdedup}}),
-    sd2 AS ({{semdedup2}})
+    sd AS MATERIALIZED ({{semdedup}}),
+    sd2 AS MATERIALIZED ({{semdedup2}})
     SELECT (SELECT COUNT(*) FROM e) AS n_vectors,
            (SELECT COUNT(*) FROM truth) AS n_dup_global,
            (SELECT COUNT(*) FROM sd WHERE NOT keep) AS n_dup_cells,
@@ -783,14 +783,14 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered for the scales that can afford it.
 _SQL_RECALL_SAMPLED_TRUTH = f"""
     WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-    truth AS (
+    truth AS MATERIALIZED (
         SELECT DISTINCT eb.vec_id AS id
         FROM e ea JOIN e eb ON ea.vec_id < eb.vec_id AND eb.vec_id % 8 = 0
         WHERE ROUND({_SQL_DOT.format(a='ea.v', b='eb.v')} /
               ({_SQL_NORM.format(a='ea.v')} * {_SQL_NORM.format(a='eb.v')}), 6) >= 0.4
     ),
-    sd AS ({{semdedup}}),
-    sd2 AS ({{semdedup2}})
+    sd AS MATERIALIZED ({{semdedup}}),
+    sd2 AS MATERIALIZED ({{semdedup2}})
     SELECT (SELECT COUNT(*) FROM e) AS n_vectors,
            (SELECT COUNT(*) FROM e WHERE vec_id % 8 = 0) AS n_stratum,
            (SELECT COUNT(*) FROM truth) AS n_dup_truth_s,
