@@ -622,18 +622,26 @@ def gql_string_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # GQL: cross-variable property comparison — orders cheaper than their
-# customer's account balance.
+# customer's account balance. The oracle MATERIALIZEs the equality-join
+# result before the inequality filter: DuckDB's optimizer otherwise
+# reorders the inequality into a PIECEWISE_MERGE_JOIN run FIRST
+# (orders × customers, EC 2.25e12 at sf1 — 362 s and the gate's only
+# DuckDB OOM hazard); the materialization pins the 1.5M-row equality
+# join as the producer.
 # ---------------------------------------------------------------------------
 @_q(
     "gql_prop_compare",
     GRAPH_CTE
     + """
-    SELECT o.id AS o_id, o.acctbal AS o_acctbal, c.acctbal AS c_acctbal
-    FROM vertices o
-    JOIN edges e ON o.id = e.src AND e.label = 'placed_by'
-    JOIN vertices c ON e.dst = c.id
-    WHERE o.label = 'Order' AND c.label = 'Customer'
-      AND o.acctbal < c.acctbal
+    , paired AS MATERIALIZED (
+        SELECT o.id AS o_id, o.acctbal AS o_acctbal, c.acctbal AS c_acctbal
+        FROM vertices o
+        JOIN edges e ON o.id = e.src AND e.label = 'placed_by'
+        JOIN vertices c ON e.dst = c.id
+        WHERE o.label = 'Order' AND c.label = 'Customer'
+    )
+    SELECT o_id, o_acctbal, c_acctbal FROM paired
+    WHERE o_acctbal < c_acctbal
     """,
 )
 def gql_prop_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
