@@ -91,14 +91,15 @@ def _with_hygiene(fn):
 #         older than r9) + the r9-block head (10 rows) = 50.
 #   r15 = 2 new (dedup_semantic_recall_sampled /
 #         dedup_ngram_jaccard_skew_sampled — the sampled truth sides
-#         that make the sf1 gate sustainable) + 2 changed-surface
+#         that make the sf1 gate sustainable) + 3 changed-surface
 #         (dedup_semantic_cells now trains its quantizer;
 #         skew_common_neighbors_events now emits a 16-row aggregate
-#         witness) + ALL 33 r9-recorded rows + the r10-block head
-#         (13) = 50. After r15 no row's latest record is older than
-#         r10; r16 leads with the r10 remainder (20 rows) — the cycle
-#         repeats, so no query's newest driver row ever ages past ~5
-#         rounds.
+#         witness; gql_order_hidden_prop projects the id tie-break so
+#         its rows stay distinct at replicated scales) + ALL 33
+#         r9-recorded rows + the r10-block head (12) = 50. After r15
+#         no row's latest record is older than r10; r16 leads with the
+#         r10 remainder (21 rows) — the cycle repeats, so no query's
+#         newest driver row ever ages past ~5 rounds.
 GATE_PRIORITY = [
     # ---- r15 window (driver records the FIRST 50) ----
     # (1) NEW: the sampled truth-side variants of the two quadratic
@@ -159,10 +160,11 @@ GATE_PRIORITY = [
     "algo_eigenvector_fixture",
     "algo_kcore_colocation",
     "algo_pagerank_top3",
-    "algo_ppr_customers",
+    "gql_order_hidden_prop",
     # ---- deferred (r16+ windows): the r10 remainder, then the
     # r11/r12/r13-recorded blocks in prior order; the freshest
     # (r14-recorded) block sits at the END ----
+    "algo_ppr_customers",
     "algo_reachability_order",
     "common_neighbors_suppliers",
     "edges_between_lookup",
@@ -171,7 +173,6 @@ GATE_PRIORITY = [
     "gql_anti_join_null",
     "gql_collect_nations",
     "gql_count_distinct_segments",
-    "gql_order_hidden_prop",
     "gql_with_passthrough",
     "point_lookup_customer",
     "predicate_scan_customers",
