@@ -23,16 +23,31 @@ def salted_self_pairs(
     key_cols: list[str],
     salt_threshold: int = 1000,
     n_salts: int = 16,
+    payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """All ordered pairs (a < b) of ``id_col`` values sharing identical
     ``key_cols`` values — one output row per matching key instance
-    (callers count or distinct as needed). Hot keys are salted."""
-    base = df.select(F.col(id_col).alias("_m"), *key_cols)
+    (callers count or distinct as needed). Hot keys are salted.
+
+    ``payload_cols``: extra columns carried through the pair join and
+    emitted per side as ``<col>_a`` / ``<col>_b`` — for verification
+    steps that need per-member data (vectors, norms) on BOTH sides of
+    each candidate. Carrying the payload through the one key-partitioned
+    join replaces two post-hoc re-attach joins (candidates ⋈ members on
+    a, then on b — two extra shuffles of the full member table, guide
+    §2.4); the payload never crosses an extra exchange because the pair
+    join's output feeds the verify filter pipeline-locally. The size
+    aggregation projects the payload away, so it still shuffles one
+    narrow row per member."""
+    base = df.select(F.col(id_col).alias("_m"), *key_cols, *payload_cols)
     sizes = base.groupBy(*key_cols).agg(F.count("*").alias("_sz"))
     hot = sizes.filter(F.col("_sz") > salt_threshold).select(*key_cols)
 
-    a = base.select(F.col("_m").alias("a"), *key_cols)
-    b = base.select(F.col("_m").alias("b"), *key_cols)
+    pay_a = [F.col(c).alias(f"{c}_a") for c in payload_cols]
+    pay_b = [F.col(c).alias(f"{c}_b") for c in payload_cols]
+    out_cols = ["a", "b", *[f"{c}_a" for c in payload_cols], *[f"{c}_b" for c in payload_cols]]
+    a = base.select(F.col("_m").alias("a"), *key_cols, *pay_a)
+    b = base.select(F.col("_m").alias("b"), *key_cols, *pay_b)
 
     # Explosive-join parallelism guard: the pair join's INPUTS are tiny
     # (one row per member) while its OUTPUT is d² per key, so AQE —
@@ -49,7 +64,7 @@ def salted_self_pairs(
         n_parts, *key_cols
     )
     b_cold = b.join(F.broadcast(hot), key_cols, "left_anti")
-    pairs_cold = a_cold.join(b_cold, key_cols).select("a", "b")
+    pairs_cold = a_cold.join(b_cold, key_cols).select(*out_cols)
 
     a_hot = (
         a.join(F.broadcast(hot), key_cols)
@@ -59,8 +74,9 @@ def salted_self_pairs(
     b_hot = b.join(F.broadcast(hot), key_cols).select(
         *key_cols,
         "b",
+        *[F.col(f"{c}_b") for c in payload_cols],
         F.explode(F.array(*[F.lit(i) for i in range(n_salts)])).alias("_salt"),
     )
-    pairs_hot = a_hot.join(b_hot, [*key_cols, "_salt"]).select("a", "b")
+    pairs_hot = a_hot.join(b_hot, [*key_cols, "_salt"]).select(*out_cols)
 
     return pairs_cold.union(pairs_hot).filter(F.col("a") < F.col("b"))

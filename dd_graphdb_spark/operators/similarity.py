@@ -327,45 +327,56 @@ def semantic_dedup(
     Cosines round to 6 decimals before the threshold compare
     (engine-portable boundary decisions). Output: one row per vector —
     (id_col, cell, keep, dup_of; dup_of NULL for survivors).
+
+    Execution shape (optimization r15): the quantizer assignment +
+    probe list + norm are ONE corpus projection, eagerly
+    localCheckpoint'ed — the r14 form re-evaluated the 8-cosine
+    assignment fold in EVERY branch that referenced the corpus (22
+    parquet scans / 34 exchanges in the physical plan; at 100 TB that
+    is 22 corpus passes). Vectors and norms ride THROUGH the salted
+    pair join (payload_cols) so verification is pipeline-local —
+    no candidate⋈corpus re-attach joins — and multiprobe's duplicate
+    candidates are absorbed by the final min-aggregation instead of a
+    dedicated dropDuplicates exchange (min over a multiset ≡ min over
+    its set). Same output, bit-for-bit: same fold forms on the same
+    doubles, same (greatest, least, min) resolution.
     """
     from dd_graphdb_spark.operators._skew import salted_self_pairs
 
     cents = train_centroids(emb, n_centroids, train_iters, id_col, vec_col)
-    base = (
-        emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-        .withColumn("cell", _nearest_centroid(F.col("v"), cents))
-    )
-    if n_probe <= 1:
-        probed = base.select("id", "cell")
-    else:
-        # probe list exactly as ivf_topk: n_probe nearest centroids,
-        # sim desc with ties to the lowest cid (negated-sim sort keys)
-        def probe_cells(vec: Column) -> Column:
-            keyed = F.transform(
-                _centroid_sims(vec, cents),
-                lambda x, i: F.struct((-x).alias("negsim"), i.alias("cid")),
-            )
-            return F.slice(
-                F.transform(F.array_sort(keyed), lambda s: s["cid"]), 1, n_probe
-            )
 
-        probed = base.select(
-            "id", F.explode(probe_cells(F.col("v"))).alias("cell")
+    # probe list exactly as ivf_topk: n_probe nearest centroids, sim
+    # desc with ties to the lowest cid (negated-sim sort keys). The
+    # FIRST probe IS the nearest centroid (same sims, same tie-break as
+    # _nearest_centroid's first-max array_position), so `cell` reads
+    # element 1 instead of evaluating the sims a second time.
+    def probe_cells(vec: Column) -> Column:
+        keyed = F.transform(
+            _centroid_sims(vec, cents),
+            lambda x, i: F.struct((-x).alias("negsim"), i.alias("cid")),
         )
-    cand = salted_self_pairs(probed, "id", ["cell"], salt_threshold, n_salts)
-    if n_probe > 1:
-        cand = cand.dropDuplicates(["a", "b"])
-    va = base.select(F.col("id").alias("a"), F.col("v").alias("va"), norm(F.col("v")).alias("na"))
-    vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), norm(F.col("v")).alias("nb"))
+        return F.slice(
+            F.transform(F.array_sort(keyed), lambda s: s["cid"]), 1, max(n_probe, 1)
+        )
+
+    assigned = (
+        emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .select("id", "v", norm(F.col("v")).alias("n"), probe_cells(F.col("v")).alias("probes"))
+        .withColumn("cell", F.element_at("probes", 1))
+        .localCheckpoint(eager=True)
+    )
+    probed = assigned.select("id", F.explode("probes").alias("cell"), "v", "n")
+    cand = salted_self_pairs(
+        probed, "id", ["cell"], salt_threshold, n_salts, payload_cols=("v", "n")
+    )
     dup_of = (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .filter(
-            F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+        cand.filter(
+            F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6)
             >= threshold
         )
         # pairs arrive as unordered (a, b): the duplicate is the LARGER
-        # id, its candidate representative the smaller side
+        # id, its candidate representative the smaller side; the min
+        # aggregate also collapses multiprobe's repeated (a, b) copies
         .select(
             F.greatest("a", "b").alias("id"),
             F.least("a", "b").alias("rep"),
@@ -373,7 +384,7 @@ def semantic_dedup(
         .groupBy("id")
         .agg(F.min("rep").alias("dup_of"))
     )
-    return base.join(dup_of, "id", "left").select(
+    return assigned.select("id", "cell").join(dup_of, "id", "left").select(
         F.col("id").alias(id_col),
         "cell",
         F.col("dup_of").isNull().alias("keep"),
