@@ -399,7 +399,14 @@ def near_dup_clusters(
     from dd_graphdb_spark.algorithms.components import connected_components
     from dd_graphdb_spark.graph import PropertyGraph
 
-    pairs = minhash_lsh_pairs(df, threshold, text_col, id_col, n)
+    # the pair graph is referenced three times below (both vertex-side
+    # projections + the edge list the CC loop copartitions); without
+    # materialization each reference re-executes the WHOLE LSH
+    # candidate+verify pipeline (r15 optimization — same
+    # localCheckpoint-not-persist rationale as minhash_lsh_pairs)
+    pairs = minhash_lsh_pairs(df, threshold, text_col, id_col, n).localCheckpoint(
+        eager=True
+    )
     verts = (
         pairs.select(F.col("a").alias("id"))
         .union(pairs.select(F.col("b").alias("id")))

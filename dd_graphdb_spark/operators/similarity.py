@@ -255,31 +255,52 @@ def cosine_near_dup_pairs(
     near-identical embeddings) spreads its d^2 across ``n_salts`` tasks;
     verification is O(d) per candidate, never all-pairs. Output: (a, b,
     sim).
+
+    Execution shape (optimization r15, same treatment as semantic_dedup):
+    all ``n_bands`` signatures + the norm are ONE corpus projection,
+    eagerly localCheckpoint'ed — the prior form re-ran the signature
+    folds in every branch referencing the band table (68 parquet scans /
+    54 exchanges in the plan). Vectors+norms ride through the salted
+    pair join (payload_cols), verification filters pipeline-locally, and
+    the candidate dedup moves AFTER the threshold filter onto the
+    (a, b, sim) survivors — sim is deterministic per pair, so
+    distinct-then-verify and verify-then-distinct yield the same set,
+    and the dedup exchange now carries only survivors.
     """
     from dd_graphdb_spark.operators._skew import salted_self_pairs
 
     n_planes = n_bands * band_bits
     planes = _seed_vectors(emb, n_planes, id_col, vec_col)
-    base = emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-    bands = []
-    for b in range(n_bands):
-        sig = hyperplane_signature(F.col("v"), planes[b * band_bits : (b + 1) * band_bits])
-        bands.append(base.select("id", F.lit(b).alias("band"), sig.alias("bucket")))
-    bt = bands[0]
-    for x in bands[1:]:
-        bt = bt.unionByName(x)
-
-    cand = salted_self_pairs(bt, "id", ["band", "bucket"], salt_threshold, n_salts).distinct()
-    # norms once per vector, not per candidate: verification then costs
-    # one fold (dot) per pair instead of three
-    va = base.select(F.col("id").alias("a"), F.col("v").alias("va"), norm(F.col("v")).alias("na"))
-    vb = base.select(F.col("id").alias("b"), F.col("v").alias("vb"), norm(F.col("v")).alias("nb"))
+    sigs = [
+        hyperplane_signature(F.col("v"), planes[b * band_bits : (b + 1) * band_bits]).alias(
+            f"_sig{b}"
+        )
+        for b in range(n_bands)
+    ]
+    assigned = (
+        emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .select("id", "v", norm(F.col("v")).alias("n"), *sigs)
+        .localCheckpoint(eager=True)
+    )
+    bt = assigned.select(
+        "id",
+        "v",
+        "n",
+        F.posexplode(F.array(*[F.col(f"_sig{b}") for b in range(n_bands)])).alias(
+            "band", "bucket"
+        ),
+    )
+    cand = salted_self_pairs(
+        bt, "id", ["band", "bucket"], salt_threshold, n_salts, payload_cols=("v", "n")
+    )
     return (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .withColumn("sim", F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6))
+        cand.withColumn(
+            "sim",
+            F.round(dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6),
+        )
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
+        .distinct()
     )
 
 
