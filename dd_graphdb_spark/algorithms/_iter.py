@@ -38,11 +38,39 @@ from pyspark.sql import DataFrame
 _PIN_LOCK = threading.RLock()
 
 
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for a frame (file sizes for scan-backed
+    plans) — a free, action-less size signal for scale-adaptive knobs.
+    None when the estimate is unusable (the conservative default Spark
+    reports for un-stat'd relations, or any gateway error)."""
+    try:
+        n = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    # Catalyst falls back to spark.sql.defaultSizeInBytes (Long.MaxValue
+    # unless CBO stats exist) for relations it cannot size — treat any
+    # absurdly large estimate as unknown
+    return n if 0 <= n < (1 << 50) else None
+
+
 @_contextmanager
-def wide_shuffle(spark):
+def wide_shuffle(spark, size_hint: DataFrame | None = None):
     """Scoped raise of AQE's initial shuffle-partition count, for loops
     whose per-round aggregates are EDGE-sized (synchronized LPA's
     neighbor-label frequencies, FastSV's per-edge min-reductions).
+
+    ``size_hint`` (r15): a frame — the loop's edge list — whose Catalyst
+    size estimate gates the raise, making the knob SCALE-ADAPTIVE
+    instead of unconditional: per-task aggregation state only outgrows
+    32 partitions once the edge frame is large (the sf10 A/Bs in the
+    docstring below: wins appear at hundreds of MB per aggregate), while
+    a small graph pays ~8× per-round fan-out overhead for nothing
+    (measured this round at sf0.1: FastSV rounds ran 256-task stages
+    over ~3 MB of edges). The raise engages when the estimated size
+    exceeds SPARK_GRAFT_WIDE_MIN_BYTES (default 128 MB — sf0.1/sf1
+    derived graphs stay at the session width, the sf10+ graphs that
+    measured the win take the raise) or when no estimate is available
+    (unknown ⇒ preserve the pre-r15 behavior for RDD-backed frames).
 
     AQE can coalesce shuffle partitions but never split them, so the
     initial count bounds per-task aggregation hash tables: at sf10 the
@@ -62,6 +90,12 @@ def wide_shuffle(spark):
     multi-threaded server should give loops their own
     ``SparkSession.newSession()`` so the conf raise scopes to that
     session's plans only."""
+    if size_hint is not None:
+        est = plan_size_bytes(size_hint)
+        min_bytes = int(os.environ.get("SPARK_GRAFT_WIDE_MIN_BYTES", str(128 << 20)))
+        if est is not None and est < min_bytes:
+            yield
+            return
     key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     try:
         prev = spark.conf.get(key)

@@ -223,16 +223,29 @@ def _betweenness_loop(
     )
 
     # -- backward: δ accumulation, deepest level first ------------------
-    delta = pins.materialize(
+    # Per-LEVEL δ frames (r15 optimization): the contrib join at level l
+    # reads ONLY level l+1's δ — DAG edges step exactly one level and a
+    # vertex appears at one level per source (BFS first-visit), so the
+    # cumulative-δ join the loop used to run was equivalent but built
+    # its hash side from Σ-levels rows and re-materialized the whole
+    # cumulative union every round (O(rounds · |δ|) checkpoint writes).
+    # Now each round writes O(|level|) and joins |level l+1|; the full δ
+    # table exists only as the final lazy union feeding one aggregation.
+    prev = pins.materialize(
         visited.filter(F.col("d") == deepest)
         .select("source", "id", F.lit(0.0).alias("delta"))
     )
-    pins.release_except(visited, dag, delta)  # forward frontiers are dead
+    # per-level frames are the loop's OUTPUT: forget() keeps them pinned
+    # until run_loop's end bracket re-checkpoints the result (SCC's
+    # peeled-component pattern)
+    pins.forget(prev)
+    levels = [prev]
+    pins.release_except(visited, dag)  # forward frontiers are dead
     for lvl in range(deepest - 1, -1, -1):
         contrib = (
             dag.filter(F.col("dv") == lvl)
             .join(
-                delta.select("source", F.col("id").alias("w"), "delta"),
+                prev.select("source", F.col("id").alias("w"), "delta"),
                 ["source", "w"],
             )
             .groupBy("source", F.col("v").alias("id"))
@@ -247,9 +260,13 @@ def _betweenness_loop(
             .join(contrib, ["source", "id"], "left")
             .select("source", "id", F.coalesce("c", F.lit(0.0)).alias("delta"))
         )
-        delta = pins.materialize(delta.unionByName(level))
-        pins.release_except(visited, dag, delta)
+        prev = pins.materialize(level)
+        pins.forget(prev)
+        levels.append(prev)
 
+    delta = levels[0]
+    for x in levels[1:]:
+        delta = delta.unionByName(x)
     bc = (
         delta.filter(F.col("id") != F.col("source"))
         .groupBy("id")

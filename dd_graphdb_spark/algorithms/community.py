@@ -94,7 +94,7 @@ def label_propagation(
     (same-host sf10 A/B: 122 s at 32 initial partitions → 90 s at 256;
     the pre-serialized-checkpoint form spilled to 1272 s)."""
     def impl(g, *a, **kw):
-        with wide_shuffle(g.vertices.sparkSession):
+        with wide_shuffle(g.vertices.sparkSession, size_hint=g.edges):
             return _lpa_loop(g, *a, **kw)
 
     return run_loop(impl, g, max_iterations, ckpt_every)

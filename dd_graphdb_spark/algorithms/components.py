@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dd_graphdb_spark.localrel import local_df
+
 from dd_graphdb_spark.graph import PropertyGraph
 
 
@@ -240,7 +242,7 @@ def _strongly_connected_components_loop(
             "raise max_rounds for this graph"
         )
     if not results:
-        return g.vertices.sparkSession.createDataFrame([], "id long, scc long")
+        return local_df(g.vertices.sparkSession, [], "id long, scc long")
     out = results[0]
     for r in results[1:]:
         out = out.union(r)
@@ -329,7 +331,7 @@ def connected_components(
         return _connected_components_single_partition(g)
 
     def impl(g, *a, **kw):
-        with wide_shuffle(g.vertices.sparkSession):
+        with wide_shuffle(g.vertices.sparkSession, size_hint=g.edges):
             return _connected_components_loop(g, *a, **kw)
 
     return run_loop(impl, g, max_iterations)

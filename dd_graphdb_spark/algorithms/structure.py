@@ -30,7 +30,7 @@ def _k_core_loop(g: PropertyGraph, k: int, max_iterations: int = 50) -> DataFram
     Runs under wide_shuffle: the per-round degree recount is an
     EDGE-sized aggregate (same-host sf10 A/B: 164 s at 32 initial
     partitions → 119 s at 256)."""
-    with wide_shuffle(g.vertices.sparkSession):
+    with wide_shuffle(g.vertices.sparkSession, size_hint=g.edges):
         return _k_core_body(g, k, max_iterations)
 
 

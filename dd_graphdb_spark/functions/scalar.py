@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dd_graphdb_spark.localrel import local_df
+
 from dd_graphdb_spark.storage.store import prop_typed
 
 
@@ -71,7 +73,7 @@ DEFAULT_GEO_DIM = [
 
 
 def geo_dim(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(DEFAULT_GEO_DIM, "bucket int, region_code string, region string")
+    return local_df(spark, DEFAULT_GEO_DIM, "bucket int, region_code string, region string")
 
 
 def geo_enrich(df: DataFrame, key_col: str = "user_id") -> DataFrame:

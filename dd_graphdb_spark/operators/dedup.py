@@ -359,6 +359,11 @@ def minhash_lsh_pairs(
     bt = bands[0]
     for x in bands[1:]:
         bt = bt.unionByName(x)
+    # the salted pair path references its input five times; an
+    # unmaterialized band table re-evaluates the 4-way union per
+    # reference (r15: 54-exchange plan) — one narrow (id, band, bucket)
+    # checkpoint keeps every reference a block read
+    bt = bt.localCheckpoint(eager=True)
     cand = salted_self_pairs(
         bt, "id", ["band", "bucket"], band_salt_threshold, n_salts
     ).distinct()

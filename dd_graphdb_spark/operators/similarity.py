@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dd_graphdb_spark.localrel import local_df
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -489,7 +491,7 @@ def ivf_topk_indexed(
         for q, v in query_vecs.items()
         for c in probes[q]
     ]
-    q = spark.createDataFrame(q_rows, "q_id long, qvec array<double>, qn double, cell int")
+    q = local_df(spark, q_rows, "q_id long, qvec array<double>, qn double, cell int")
     return _score_rank_topk(
         F.broadcast(q).join(base, "cell").filter(F.col("q_id") != F.col("nid")), k
     )
@@ -707,7 +709,7 @@ def pq_topk(
         return out
 
     spark = emb.sparkSession
-    q = spark.createDataFrame(
+    q = local_df(spark, 
         [(int(r["q_id"]), _lut([float(x) for x in r["v"]])) for r in qrows],
         "q_id long, lut array<array<double>>",
     )
@@ -826,7 +828,7 @@ def ivf_pq_topk(
         .collect()
     )
     spark = emb.sparkSession
-    q = spark.createDataFrame(
+    q = local_df(spark, 
         [
             (int(r["q_id"]), cell, _lut([float(x) for x in r["v"]]))
             for r in qrows

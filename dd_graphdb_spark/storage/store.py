@@ -70,6 +70,8 @@ from typing import Any
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dd_graphdb_spark.localrel import local_df
+
 from dd_graphdb_spark.storage.fsio import LocalFS, StorageIO
 
 VERTEX_SCHEMA = "id long, label string, properties map<string,string>"
@@ -439,7 +441,7 @@ class GraphStore:
         base = (
             self.spark.read.schema(schema).parquet(*base_paths)
             if base_paths
-            else self.spark.createDataFrame([], schema)
+            else local_df(self.spark, [], schema)
         )
         if not delta_paths:
             return base
@@ -917,7 +919,7 @@ class GraphStore:
         def e_scope(te=touched_e):
             if not removed:
                 return te
-            probe = self.spark.createDataFrame(
+            probe = local_df(self.spark, 
                 [(i,) for i in sorted(removed)], "dst long"
             )
             return te | self._collect_buckets(
@@ -963,10 +965,10 @@ class GraphStore:
                     None if t is None else str(t),
                     _render_props(p["props"]),
                 )
-            rows = spark.createDataFrame(list(last.values()), VERTEX_SCHEMA)
+            rows = local_df(spark, list(last.values()), VERTEX_SCHEMA)
             v_df = v_df.join(rows.select("id"), "id", "left_anti").unionByName(rows)
         elif kind == "remove_vertex":
-            ids = spark.createDataFrame([(p["id"],) for p in ps], "id long").distinct()
+            ids = local_df(spark, [(p["id"],) for p in ps], "id long").distinct()
             v_df = v_df.join(ids, "id", "left_anti")
             e_df = e_df.join(ids.withColumnRenamed("id", "src"), "src", "left_anti").join(
                 ids.withColumnRenamed("id", "dst"), "dst", "left_anti"
@@ -976,12 +978,12 @@ class GraphStore:
             for p in ps:
                 key = (p["src"], p["dst"], p["label"])
                 last_e[key] = (*key, _render_props(p["props"]))
-            rows = spark.createDataFrame(list(last_e.values()), EDGE_SCHEMA)
+            rows = local_df(spark, list(last_e.values()), EDGE_SCHEMA)
             e_df = e_df.join(
                 rows.select("src", "dst", "label"), ["src", "dst", "label"], "left_anti"
             ).unionByName(rows)
         elif kind == "remove_edge":
-            keys = spark.createDataFrame(
+            keys = local_df(spark, 
                 [(p["src"], p["dst"], p["label"]) for p in ps],
                 "src long, dst long, label string",
             ).distinct()
@@ -991,7 +993,7 @@ class GraphStore:
             for p in ps:
                 key = (p["src"], p["dst"], p["label"])
                 last_u[key] = (*key, _render_props(p["props"]))
-            upd = spark.createDataFrame(
+            upd = local_df(spark, 
                 list(last_u.values()),
                 "src long, dst long, label string, new_properties map<string,string>",
             )
@@ -1302,7 +1304,7 @@ class GraphStore:
         for var, prop, val in assignments:
             by_var.setdefault(var, {})[prop] = val
         if not by_var:  # SET v += {} — Cypher no-op, no version commit
-            return self.spark.createDataFrame([], "id long")
+            return local_df(self.spark, [], "id long")
         # pass 1: settle each variable's key/value frame and fold its
         # bucket footprint into the commit scope — the bases are read
         # AFTER the scope is known so the rewrite only scans touched
@@ -1492,7 +1494,7 @@ class GraphStore:
         else:
             pats = [subst(v) for v in elems]
         if not pats:
-            return self.spark.createDataFrame([], "id long")
+            return local_df(self.spark, [], "id long")
         row = self.vertices().agg(F.max("id").alias("m")).collect()[0]
         next_id = (row["m"] or 0) + 1
         ops: list[GraphOp] = []
@@ -1502,7 +1504,7 @@ class GraphStore:
             ops.extend(o)
             all_ids.extend(ids)
         self.apply_batch(ops)
-        return self.spark.createDataFrame([(i,) for i in all_ids], "id long")
+        return local_df(self.spark, [(i,) for i in all_ids], "id long")
 
     def execute_mutation(self, stmt, engine) -> DataFrame:
         """Apply a parsed GQL CREATE / MATCH..DELETE statement.
@@ -1529,7 +1531,7 @@ class GraphStore:
 
         if isinstance(stmt, CreateStatement):
             node_ids = self._create_pattern(stmt.pattern)
-            return self.spark.createDataFrame([(i,) for i in node_ids], "id long")
+            return local_df(self.spark, [(i,) for i in node_ids], "id long")
 
         from dd_graphdb_spark.plans.gql import MatchSetStatement, MergeStatement
 
@@ -1574,10 +1576,10 @@ class GraphStore:
             node_ids = self._create_pattern(pattern)
             by_var = dict(zip([n.var for n in pattern.nodes], node_ids))
             if len(uniq_vars) == 1:
-                return self.spark.createDataFrame(
+                return local_df(self.spark, 
                     [(by_var[uniq_vars[0]],)], "id long"
                 )
-            return self.spark.createDataFrame(
+            return local_df(self.spark, 
                 [tuple(by_var[v] for v in uniq_vars)],
                 ", ".join(f"{v} long" for v in uniq_vars),
             )

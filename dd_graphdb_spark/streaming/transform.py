@@ -38,6 +38,8 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dd_graphdb_spark.localrel import local_df
+
 
 # --------------------------------------------------------------------------
 # Filter rules (stream_transform.rs:196-315)
@@ -267,7 +269,7 @@ class AlertEngine:
     def evaluate(self, df: DataFrame, ts_col: str = "ts", order_col: str = "event_id") -> DataFrame:
         spark = df.sparkSession
         out_schema = "rule_id string, priority string, ts timestamp, metric_value double"
-        alerts = spark.createDataFrame([], out_schema)
+        alerts = local_df(spark, [], out_schema)
         for rule in self.rules:
             if rule.rule_type == "threshold":
                 alerts = alerts.unionByName(self._threshold(df, rule, ts_col, order_col))
@@ -686,7 +688,7 @@ def greedy_cooldown_fires(
 
     # pointer doubling: R holds the first 2^k chain elements after k
     # rounds; J holds succ^(2^k)
-    reached = spark.createDataFrame([(int(start),)], "t long")
+    reached = local_df(spark, [(int(start),)], "t long")
     jumps = succ
     n_reached = 1
     while True:

@@ -21,6 +21,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dd_graphdb_spark.localrel import local_df
+
 from dd_graphdb_spark.graph import GRAPH_CTE, PropertyGraph
 from dd_graphdb_spark.graph import materialized_tpch_graph
 from dd_graphdb_spark import algorithms as A
@@ -80,17 +82,17 @@ def _vals_v(ids) -> str:
 
 
 def fixture_graph(spark: SparkSession, verts, edges, weighted=False) -> PropertyGraph:
-    vdf = spark.createDataFrame([(int(v),) for v in verts], "id long")
+    vdf = local_df(spark, [(int(v),) for v in verts], "id long")
     if weighted:
-        edf = spark.createDataFrame(
+        edf = local_df(spark, 
             [(int(s), int(d), float(w)) for s, d, w in edges], "src long, dst long, weight double"
         ).withColumn("label", F.lit("link"))
     elif edges and len(edges[0]) == 3:
-        edf = spark.createDataFrame(
+        edf = local_df(spark, 
             [(int(s), int(d), str(l)) for s, d, l in edges], "src long, dst long, label string"
         )
     else:
-        edf = spark.createDataFrame(
+        edf = local_df(spark, 
             [(int(s), int(d)) for s, d in edges], "src long, dst long"
         ).withColumn("label", F.lit("link"))
     return PropertyGraph(vdf, edf)

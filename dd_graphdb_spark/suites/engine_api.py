@@ -12,6 +12,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dd_graphdb_spark.localrel import local_df
+
 from dd_graphdb_spark.graph import GRAPH_CTE
 
 QUERIES = {}
@@ -251,7 +253,7 @@ def mutation_vacuum_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in range(store.version + 1)
     ]
     assert store.vertices().count() == 3  # current state untouched
-    return spark.createDataFrame(rows, "version long, readable boolean")
+    return local_df(spark, rows, "version long, readable boolean")
 
 
 # ---------------------------------------------------------------------------
@@ -579,7 +581,7 @@ def router_scoring_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("hybrid", "sqlv"),
     ]
     rows = [(p, v, router.score(QueryPattern(p), v)) for p, v in cases]
-    return spark.createDataFrame(rows, "pattern string, view string, score long")
+    return local_df(spark, rows, "pattern string, view string, score long")
 
 
 # ---------------------------------------------------------------------------

@@ -20,6 +20,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dd_graphdb_spark.localrel import local_df
+
 QUERIES = {}
 ORACLES = {}
 
@@ -144,11 +146,11 @@ def view_incremental_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="ipr_"), damping=_DAMPING, iterations=2
     )
     state.apply_edge_deltas(
-        spark.createDataFrame(_P1_EDGES, "src long, dst long")
+        local_df(spark, _P1_EDGES, "src long, dst long")
     )
     state.refresh()  # cold start: 1/3 init + 2 power steps
 
-    deltas = spark.createDataFrame(
+    deltas = local_df(spark, 
         [(s, d, 1) for s, d in _P2_ADDS] + [(s, d, -1) for s, d in _P2_REMOVES],
         "src long, dst long, _sign int",
     )
@@ -208,12 +210,12 @@ def view_incremental_connectivity(spark: SparkSession, sf_dir: str) -> DataFrame
         ViewDefinition(name="connectivity", view_type="analytics"), state
     )
     catalog.apply_deltas(
-        "connectivity", spark.createDataFrame(_CONN_VERTS, "long").toDF("id")
+        "connectivity", local_df(spark, _CONN_VERTS, "long").toDF("id")
     )
     catalog.apply_deltas(
-        "connectivity", spark.createDataFrame(_CONN_B1, "src long, dst long")
+        "connectivity", local_df(spark, _CONN_B1, "src long, dst long")
     )
-    deltas = spark.createDataFrame(
+    deltas = local_df(spark, 
         [(s, d, 1) for s, d in _CONN_B2_ADDS]
         + [(s, d, -1) for s, d in _CONN_B2_REMOVES],
         "src long, dst long, _sign int",
@@ -278,10 +280,10 @@ def view_incremental_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="isssp_"), source=1, target=3
     )
     state.apply_deltas(
-        spark.createDataFrame(_SSSP_B1, "src long, dst long, weight double")
+        local_df(spark, _SSSP_B1, "src long, dst long, weight double")
     )
     state.apply_deltas(
-        spark.createDataFrame(_SSSP_B2, "src long, dst long, weight double, _sign int")
+        local_df(spark, _SSSP_B2, "src long, dst long, weight double, _sign int")
     )
     return state.result()
 
@@ -324,10 +326,10 @@ def view_incremental_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_graphdb_spark.views import IncrementalDegreeCentrality
 
     state = IncrementalDegreeCentrality(spark, tempfile.mkdtemp(prefix="ideg_"))
-    state.apply_vertex_deltas(spark.createDataFrame(_CONN_VERTS, "long").toDF("id"))
-    state.apply_edge_deltas(spark.createDataFrame(_CONN_B1, "src long, dst long"))
+    state.apply_vertex_deltas(local_df(spark, _CONN_VERTS, "long").toDF("id"))
+    state.apply_edge_deltas(local_df(spark, _CONN_B1, "src long, dst long"))
     state.apply_edge_deltas(
-        spark.createDataFrame(
+        local_df(spark, 
             [(s, d, 1) for s, d in _CONN_B2_ADDS]
             + [(s, d, -1) for s, d in _CONN_B2_REMOVES],
             "src long, dst long, _sign int",
@@ -409,9 +411,9 @@ def view_incremental_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_graphdb_spark.views import IncrementalTriangles
 
     state = IncrementalTriangles(spark, tempfile.mkdtemp(prefix="itri_"))
-    state.apply_edge_deltas(spark.createDataFrame(_TRI_B1, "src long, dst long"))
+    state.apply_edge_deltas(local_df(spark, _TRI_B1, "src long, dst long"))
     state.apply_edge_deltas(
-        spark.createDataFrame(
+        local_df(spark, 
             [(s, d, 1) for s, d in _TRI_B2_ADDS]
             + [(s, d, -1) for s, d in _TRI_B2_REMOVES],
             "src long, dst long, _sign int",
@@ -471,9 +473,9 @@ def view_incremental_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_graphdb_spark.views import IncrementalKCore
 
     state = IncrementalKCore(spark, tempfile.mkdtemp(prefix="ikcore_"), k=_KCORE_K)
-    state.apply_edge_deltas(spark.createDataFrame(_KCORE_B1, "src long, dst long"))
+    state.apply_edge_deltas(local_df(spark, _KCORE_B1, "src long, dst long"))
     state.apply_edge_deltas(
-        spark.createDataFrame(
+        local_df(spark, 
             [(s, d, 1) for s, d in _KCORE_B2_ADDS]
             + [(s, d, -1) for s, d in _KCORE_B2_REMOVES],
             "src long, dst long, _sign int",
@@ -531,9 +533,9 @@ def view_incremental_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = IncrementalLPA(
         spark, tempfile.mkdtemp(prefix="ilpa_"), rounds=_LPA_VIEW_ROUNDS
     )
-    state.apply_edge_deltas(spark.createDataFrame(_LPA_B1, "src long, dst long"))
+    state.apply_edge_deltas(local_df(spark, _LPA_B1, "src long, dst long"))
     state.apply_edge_deltas(
-        spark.createDataFrame(
+        local_df(spark, 
             [(s, d, 1) for s, d in _LPA_B2_ADDS]
             + [(s, d, -1) for s, d in _LPA_B2_REMOVES],
             "src long, dst long, _sign int",

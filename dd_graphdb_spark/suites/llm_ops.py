@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dd_graphdb_spark.localrel import local_df
+
 from dd_graphdb_spark.operators import dedup as D
 from dd_graphdb_spark.operators import multimodal as M
 from dd_graphdb_spark.operators import similarity as S
@@ -754,7 +756,7 @@ def dedup_semantic_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_cells = sd.filter(~F.col("keep")).select("vec_id")
     sd2 = S.semantic_dedup(emb, n_centroids=8, threshold=0.4, n_probe=2)
     dup_p2 = sd2.filter(~F.col("keep")).select("vec_id")
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 emb.count(),
@@ -834,7 +836,7 @@ def dedup_semantic_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame
     dup_s = sd.filter(~F.col("keep") & (F.col("vec_id") % 8 == 0)).select("vec_id")
     sd2 = S.semantic_dedup(emb, n_centroids=8, threshold=0.4, n_probe=2)
     dup_p2_s = sd2.filter(~F.col("keep") & (F.col("vec_id") % 8 == 0)).select("vec_id")
-    return spark.createDataFrame(
+    return local_df(spark, 
         [
             (
                 emb.count(),
@@ -1028,7 +1030,7 @@ def sketch_count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events(spark, sf_dir)
     sk = cms_build(ev, "user_id", width=64)
-    keys = spark.createDataFrame([(i,) for i in range(1, 6)], "user_id long")
+    keys = local_df(spark, [(i,) for i in range(1, 6)], "user_id long")
     return cms_estimate(sk, keys, "user_id", width=64)
 
 

@@ -216,8 +216,18 @@ def stream_custom_agg_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
     p90 = custom_agg(lambda s: float(round(np.percentile(s, 90), 6)), "double")
     cnt = custom_agg(lambda s: int(len(s)), "long")
     e = _events(spark, sf_dir)
+    # Explicit (AQE-coalesce-exempt) repartition on the group key: the
+    # grouped-agg exchange's INPUT is small, so AQE coalesced it to 1-2
+    # partitions and the whole Python aggregation ran near-serially —
+    # the same input-bytes-vs-expensive-downstream mismatch the salted
+    # pair path guards against (guide §2.5). Width comes from the
+    # session's shuffle conf (scale-parameterized), and groupBy on the
+    # same key reuses the partitioning — still exactly one exchange.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        e.withColumn("w", F.window("ts", "1 hour"))
+        .repartition(n_parts, "w")
+        .groupBy("w")
         .agg(cnt("value").alias("n"), p90("value").alias("p90"))
         .select(F.date_format(F.col("w.start"), FMT).alias("window_start"), "n", "p90")
     )

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dd_graphdb_spark.localrel import local_df
+
 from dd_graphdb_spark.operators.sampling import BUCKETS, stratified_sample
 from dd_graphdb_spark.operators.timeseries import asof_join, time_rollup
 
@@ -412,7 +414,7 @@ RJ_BANDS = [(i, i * 40.0 - 10.0, i * 40.0 + 50.0) for i in range(13)]
 def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dd_graphdb_spark.operators.rangejoin import range_join
 
-    bands = spark.createDataFrame(RJ_BANDS, "band_id int, lo double, hi double")
+    bands = local_df(spark, RJ_BANDS, "band_id int, lo double, hi double")
     ev = _events(spark, sf_dir).select("event_id", "value")
     joined = range_join(ev, bands, "value", "lo", "hi", band_width=60.0)
     return joined.groupBy("band_id").agg(

@@ -44,6 +44,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dd_graphdb_spark.localrel import local_df
+
 
 class _VersionedTable:
     """Tiny versioned-parquet state cell: read current, write next,
@@ -74,7 +76,7 @@ class _VersionedTable:
         os.makedirs(path, exist_ok=True)
         self._meta = os.path.join(path, "meta.json")
         if not lazy and not os.path.exists(self._meta):
-            self.write(spark.createDataFrame([], schema))
+            self.write(local_df(spark, [], schema))
 
     def _load_meta(self) -> dict:
         if not os.path.exists(self._meta):
@@ -149,12 +151,12 @@ class _VersionedTable:
         whose first delta arrives after the consumer snapshotted)."""
         s = spark or self.spark
         if version < 0:
-            return s.createDataFrame([], self.schema)
+            return local_df(s, [], self.schema)
         d = os.path.join(self.path, f"v{version}")
         if not os.path.exists(d):
             raise ValueError(f"version {version} of {self.path} is gone")
         raw = s.read.parquet(d)
-        declared = s.createDataFrame([], self.schema).schema
+        declared = local_df(s, [], self.schema).schema
         cols = [
             (F.col(f.name) if f.name in raw.columns else F.lit(None))
             .cast(f.dataType)
@@ -168,7 +170,7 @@ class _VersionedTable:
         # batch rows live in the same session
         s = spark or self.spark
         if self.version < 0:
-            return s.createDataFrame([], self.schema)
+            return local_df(s, [], self.schema)
         raw = s.read.parquet(os.path.join(self.path, f"v{self.version}"))
         # Migration-tolerant: cast the footer's types to the declared
         # schema instead of forcing the declared schema onto the file.
@@ -176,7 +178,7 @@ class _VersionedTable:
         # decimal(18,6) → decimal(38,6) widening) reads cleanly; a
         # column added to the declaration since the state was written
         # materializes as NULL rather than failing the read.
-        declared = s.createDataFrame([], self.schema).schema
+        declared = local_df(s, [], self.schema).schema
         cols = [
             (F.col(f.name) if f.name in raw.columns else F.lit(None))
             .cast(f.dataType)
@@ -773,7 +775,7 @@ class IncrementalSSSP(_EdgeState):
         # is absent from maintained state entirely (fresh view, or every
         # incident edge retracted), sssp's target filter yields ZERO
         # rows — union an infinity fallback and keep the best row
-        fallback = self.spark.createDataFrame(
+        fallback = self.local_df(spark, 
             [(float("inf"), None)], "distance double, path string"
         )
         row = (
@@ -916,7 +918,7 @@ class IncrementalPageRank:
         )
         n = verts.count()
         if n == 0:
-            self._ranks.write(self.spark.createDataFrame([], "id long, rank double"))
+            self._ranks.write(self.local_df(spark, [], "id long, rank double"))
             return self.ranks()
         outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
         contrib_edges = _ckpt(edges.join(outdeg, "src"))
