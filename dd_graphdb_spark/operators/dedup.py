@@ -145,6 +145,31 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _span_table(
+    df: DataFrame, window: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, h) — one md5'd ``window``-token span per token position, the
+    token-LINEAR explode duplicate_spans checkpoints (kept separate so
+    tests/test_plans.py can assert the Generate shape; the final query
+    plan reads the checkpoint blocks instead)."""
+    from dd_graphdb_spark.operators.text import tokens
+
+    t = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
+    n = F.size("t") - F.lit(window - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return t.select(
+        "id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, window))),
+            )
+        ).alias("h"),
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     window: int = 8,
@@ -173,22 +198,12 @@ def duplicate_spans(
     -1.0 for documents shorter than ``window`` tokens (no spans; a
     NULL double would degrade through client fetches).
     """
-    from dd_graphdb_spark.operators.text import tokens
-
-    t = df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t"))
-    n = F.size("t") - F.lit(window - 1)
-    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    spans = t.select(
-        "id",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, window))),
-            )
-        ).alias("h"),
-    )
+    # the span table feeds TWO aggregations (global dup keys + per-doc
+    # verdicts); unmaterialized, each re-tokenizes and re-hashes every
+    # window (r15: min-of-3 1.92 s -> 1.45 s at sf0.1). The checkpoint
+    # is (id, digest) rows — the same bytes both downstream shuffles
+    # already write to disk per pass, paid once instead of recomputed
+    spans = _span_table(df, window, text_col, id_col).localCheckpoint(eager=True)
     dup = (
         spans.groupBy("h")
         .agg(F.countDistinct("id").alias("nd"))

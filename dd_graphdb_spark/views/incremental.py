@@ -775,7 +775,7 @@ class IncrementalSSSP(_EdgeState):
         # is absent from maintained state entirely (fresh view, or every
         # incident edge retracted), sssp's target filter yields ZERO
         # rows — union an infinity fallback and keep the best row
-        fallback = self.local_df(spark, 
+        fallback = local_df(self.spark, 
             [(float("inf"), None)], "distance double, path string"
         )
         row = (
@@ -918,7 +918,7 @@ class IncrementalPageRank:
         )
         n = verts.count()
         if n == 0:
-            self._ranks.write(self.local_df(spark, [], "id long, rank double"))
+            self._ranks.write(local_df(self.spark, [], "id long, rank double"))
             return self.ranks()
         outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
         contrib_edges = _ckpt(edges.join(outdeg, "src"))

@@ -375,7 +375,16 @@ def test_exact_substring_token_linear(spark):
     documents table; the only join is span-key ⋈ dup-key set)."""
     p = plan(spark, "dedup_exact_substring")
     assert "CartesianProduct" not in p
-    assert "Generate" in p  # the linear explode, not a pair join
+    # r15: the span table is checkpointed (it feeds two aggregations),
+    # so the final plan reads its blocks — assert the linear explode on
+    # the span-table builder itself, and that the query consumes the
+    # materialized spans instead of re-generating them
+    assert "Scan ExistingRDD" in p
+    from dd_graphdb_spark.operators.dedup import _span_table
+
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+    sp = _span_table(docs, 8, "text", "doc_id")
+    assert "Generate" in sp._jdf.queryExecution().executedPlan().toString()
 
 
 def test_semantic_dedup_cell_local_pairs(spark):
