@@ -396,27 +396,43 @@ def main() -> None:
             json.dump(full, f)
     except OSError:
         pass  # read-only checkout: stdout still carries both lines
-    slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:18]
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "sf": sf,
-                "n": len(timings),
-                "cpu_probe": calibration,
-                "io_probe": calibration_io,
-                "load": round(sum(load_sec.values()), 3),
-                "norm": round(total / calibration, 3),
-                "slowest": slowest,
-                "quadratic_gates": quadratic,
-                "full_map": "BENCH_LOCAL.json",
-            }
-        )
-    )
+    # r16 contract restoration: the final line carries a "queries"
+    # per-query map (the docstring contract) so the driver can compare
+    # per-query across rounds and across its 32c/8c scaling runs —
+    # PERF_r15's per_query/n_common were empty for two rounds because
+    # this line carried only the top-18 "slowest". The FULL 97-query map
+    # cannot fit the 2,000-char window (the names alone serialize to
+    # ~2,000 chars; measured: full compact map = 2,753 chars), so the
+    # map is filled SLOWEST-FIRST up to a strict byte budget — every
+    # query that matters for perf deltas is included (~40+ entries,
+    # covering >90% of suite seconds; a subset run fits entirely), and
+    # the complete map stays in the full-JSON line above and in
+    # BENCH_LOCAL.json. Entries are never renamed; omission of a
+    # sub-second tail entry is a serialization budget, not a bench drop
+    # (the "n" field still counts every timed query).
+    line = {
+        "metric": "headline_suite_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n": len(timings),
+        "cpu_probe": calibration,
+        "io_probe": calibration_io,
+        "load": round(sum(load_sec.values()), 3),
+        "norm": round(total / calibration, 3),
+        "queries": {},
+        "quadratic_gates": quadratic,
+        "full_map": "BENCH_LOCAL.json",
+    }
+    BUDGET = 1950  # driver records the LAST 2,000 chars of stdout
+    room = BUDGET - len(json.dumps(line))
+    for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+        cost = len(json.dumps(name)) + len(json.dumps(round(t, 2))) + 4
+        if room - cost < 0:
+            break
+        line["queries"][name] = round(t, 2)
+        room -= cost
+    print(json.dumps(line))
     sys.stdout.flush()
     spark.stop()
 

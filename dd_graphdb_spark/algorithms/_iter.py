@@ -38,6 +38,16 @@ from pyspark.sql import DataFrame
 _PIN_LOCK = threading.RLock()
 
 
+def _env_int(name: str, default: int) -> int:
+    """int env knob with a crash-proof parse: a malformed value falls
+    back to the default instead of turning every gated call into a
+    ValueError (ADVICE r15)."""
+    try:
+        return int(os.environ.get(name, default))
+    except (TypeError, ValueError):
+        return default
+
+
 def plan_size_bytes(df: DataFrame) -> int | None:
     """Catalyst's size estimate for a frame (file sizes for scan-backed
     plans) — a free, action-less size signal for scale-adaptive knobs.
@@ -59,18 +69,19 @@ def wide_shuffle(spark, size_hint: DataFrame | None = None):
     whose per-round aggregates are EDGE-sized (synchronized LPA's
     neighbor-label frequencies, FastSV's per-edge min-reductions).
 
-    ``size_hint`` (r15): a frame — the loop's edge list — whose Catalyst
-    size estimate gates the raise, making the knob SCALE-ADAPTIVE
-    instead of unconditional: per-task aggregation state only outgrows
-    32 partitions once the edge frame is large (the sf10 A/Bs in the
-    docstring below: wins appear at hundreds of MB per aggregate), while
-    a small graph pays ~8× per-round fan-out overhead for nothing
-    (measured this round at sf0.1: FastSV rounds ran 256-task stages
-    over ~3 MB of edges). The raise engages when the estimated size
-    exceeds SPARK_GRAFT_WIDE_MIN_BYTES (default 128 MB — sf0.1/sf1
-    derived graphs stay at the session width, the sf10+ graphs that
-    measured the win take the raise) or when no estimate is available
-    (unknown ⇒ preserve the pre-r15 behavior for RDD-backed frames).
+    The raise is UNCONDITIONAL within the scoped loops (r16
+    adjudication of the r15 size gate, VERDICT item 4): a controlled
+    env-toggled A/B at sf0.1 (one session, alternating gated vs
+    always-raise, min-of-3 ×2 rounds each) read always-raise ≤ gated on
+    all three gated queries — kcore [0.79–0.82] vs [0.93–1.07] s, LPA
+    [0.97–0.99] vs [1.07–1.24] s, SSSP flat — because AQE's runtime
+    coalescing already absorbs the 256 initial partitions on small
+    inputs, while the gate's Catalyst size-estimate probe costs a full
+    optimizer pass of the edge frame per loop call. The r15 gate was
+    therefore a measured net loss at the scale it was meant to help,
+    and the sf10 win of the raise itself (below) never needed it:
+    REVERTED. ``size_hint`` is accepted for call-site compatibility and
+    ignored.
 
     AQE can coalesce shuffle partitions but never split them, so the
     initial count bounds per-task aggregation hash tables: at sf10 the
@@ -90,12 +101,6 @@ def wide_shuffle(spark, size_hint: DataFrame | None = None):
     multi-threaded server should give loops their own
     ``SparkSession.newSession()`` so the conf raise scopes to that
     session's plans only."""
-    if size_hint is not None:
-        est = plan_size_bytes(size_hint)
-        min_bytes = int(os.environ.get("SPARK_GRAFT_WIDE_MIN_BYTES", str(128 << 20)))
-        if est is not None and est < min_bytes:
-            yield
-            return
     key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     try:
         prev = spark.conf.get(key)
@@ -166,6 +171,23 @@ def _ckpt(df: DataFrame) -> DataFrame:
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly truncate lineage; later jobs read the stored blocks."""
     return _ckpt(df)
+
+
+def materialize_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """Materialize a loop frame AND return its row count in ONE action
+    (r16): mark a LAZY localCheckpoint, then force it with ``count()``
+    — the count's scan computes (and therefore stores) the checkpoint
+    blocks, so the separate ``isEmpty()`` job every fixpoint round used
+    to pay disappears. Measured at local[32]: eager-ckpt + isEmpty
+    3.30 s vs lazy-ckpt + count 1.74 s over 5 reps of a small
+    aggregate frame, same job count — the eager path's internal
+    rdd.count() does the same work the DataFrame count() does, and
+    isEmpty was pure additional latency. Same serialized
+    MEMORY_AND_DISK storage as _ckpt."""
+    from pyspark.storagelevel import StorageLevel
+
+    out = df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    return out, out.count()
 
 
 def copartitioned(df: DataFrame, *keys: str, dedup_cols: list | None = None) -> DataFrame:
@@ -301,6 +323,41 @@ class RoundPins:
         self._ids[id(out)] = _persistent_ids(self._spark) - before
         self._frames[id(out)] = out
         return out
+
+    def materialize_count(self, df: DataFrame) -> tuple[DataFrame, int]:
+        """Tracked variant of module-level ``materialize_count`` — one
+        action materializes the round's frame and returns its row count
+        (replaces the per-round ``isEmpty()`` job); same pinned-block
+        bookkeeping as ``materialize``."""
+        if not self._classic:
+            return materialize_count(df)
+        before = _persistent_ids(self._spark)
+        out, n = materialize_count(df)
+        self._ids[id(out)] = _persistent_ids(self._spark) - before
+        self._frames[id(out)] = out
+        return out, n
+
+    def materialize_agg(self, df: DataFrame, *aggs) -> tuple[DataFrame, tuple]:
+        """One action materializes the round's frame AND evaluates the
+        loop's convergence aggregates over it (e.g. the CC/SCC
+        sum-of-labels fixpoint test) — replaces the per-round
+        checkpoint job + separate scalar-aggregate job. Returns
+        (frame, agg row as tuple)."""
+        from pyspark.storagelevel import StorageLevel
+
+        if not self._classic:
+            out = df.localCheckpoint(
+                eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+            return out, tuple(out.agg(*aggs).collect()[0])
+        before = _persistent_ids(self._spark)
+        out = df.localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        row = tuple(out.agg(*aggs).collect()[0])
+        self._ids[id(out)] = _persistent_ids(self._spark) - before
+        self._frames[id(out)] = out
+        return out, row
 
     def forget(self, *dfs: DataFrame) -> None:
         """Stop tracking frames WITHOUT unpersisting them — for per-round

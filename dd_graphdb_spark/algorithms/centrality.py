@@ -52,16 +52,22 @@ def _eigenvector_loop(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("score").alias("s"))
         )
-        y = verts.join(contrib, "id", "left").select(
-            "id", F.coalesce("s", F.lit(0.0)).alias("score")
+        # one action: checkpoint the raw scores AND find the max
+        # (materialize_agg, r16 — was agg job + checkpoint job); the
+        # normalized x is a lazy projection over the stored y blocks
+        # (identical arithmetic: one division by the same mx)
+        y, (mx,) = pins.materialize_agg(
+            verts.join(contrib, "id", "left").select(
+                "id", F.coalesce("s", F.lit(0.0)).alias("score")
+            ),
+            F.max("score"),
         )
-        mx = y.agg(F.max("score")).collect()[0][0]
         if not mx:  # all-zero vector (no edges): stay at zero
-            x = pins.materialize(y)
+            x = y
             pins.release_except(x)
             break
-        x = pins.materialize(y.select("id", (F.col("score") / F.lit(float(mx))).alias("score")))
-        pins.release_except(x)
+        x = y.select("id", (F.col("score") / F.lit(float(mx))).alias("score"))
+        pins.release_except(y)
     if round_to is not None:
         x = x.select("id", F.round("score", round_to).alias("score"))
     return x
@@ -121,8 +127,12 @@ def _closeness_loop(
             .select("source", F.col("dst").alias("id"), F.lit(depth).alias("hops"))
             .distinct()
         )
-        new = pins.materialize(nxt.join(visited, ["source", "id"], "left_anti"))
-        if new.isEmpty():
+        # one action materializes the round AND yields the emptiness
+        # check (materialize_count, r16 — was checkpoint job + isEmpty)
+        new, n_new = pins.materialize_count(
+            nxt.join(visited, ["source", "id"], "left_anti")
+        )
+        if n_new == 0:
             break
         visited = pins.materialize(visited.union(new))
         frontier = new
@@ -195,11 +205,11 @@ def _betweenness_loop(
             .agg(F.sum("sigma").alias("sigma"))
             .withColumn("d", F.lit(depth))
         )
-        new = pins.materialize(
+        new, n_new = pins.materialize_count(
             nxt.join(visited.select("source", "id"), ["source", "id"], "left_anti")
             .select("source", "id", "d", "sigma")
         )
-        if new.isEmpty():
+        if n_new == 0:
             break
         visited = pins.materialize(visited.unionByName(new))
         frontier = new

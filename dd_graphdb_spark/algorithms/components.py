@@ -86,17 +86,19 @@ def _connected_components_loop(g: PropertyGraph, max_iterations: int = 50) -> Da
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        comp = pins.materialize(
+        # one action materializes the round AND evaluates the fixpoint
+        # sum (materialize_agg, r16 — was checkpoint job + agg job)
+        comp, (cur_sum,) = pins.materialize_agg(
             gp.join(nbr_min, "id", "left").select(
                 "id",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
-            )
+            ),
+            F.sum("component"),
         )
         pins.release_except(comp)
         # labels are monotonically non-increasing → equal sums ⇔ fixpoint
-        cur_sum = comp.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
@@ -139,7 +141,7 @@ def _strongly_connected_components_loop(
     # `marked` sets are the loop's OUTPUT and are `forget`-frozen instead
     # (run_loop's end bracket frees them after the final re-checkpoint)
     pins = RoundPins(g.vertices.sparkSession)
-    remaining_v = pins.materialize(g.vertices.select("id").distinct())
+    remaining_v, n_remaining = pins.materialize_count(g.vertices.select("id").distinct())
     # a declared src-layout edge frame is already unique (src, dst) and
     # materialized — round 1 reads it in place (later rounds' shrunken
     # frames re-checkpoint as usual)
@@ -150,7 +152,7 @@ def _strongly_connected_components_loop(
     results: list[DataFrame] = []
 
     for _ in range(max_rounds):
-        if remaining_v.isEmpty():
+        if n_remaining == 0:
             break
         # (1) forward min-label coloring over remaining subgraph
         color = pins.materialize(remaining_v.withColumn("color", F.col("id")))
@@ -171,14 +173,15 @@ def _strongly_connected_components_loop(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("color").alias("nbr_color"))
             )
-            color = pins.materialize(
+            # one action: round checkpoint + fixpoint sum (r16)
+            color, (cur_sum,) = pins.materialize_agg(
                 gp.join(nbr, "id", "left").select(
                     "id",
                     F.least(F.col("color"), F.coalesce("nbr_color", "color")).alias("color"),
-                )
+                ),
+                F.sum("color"),
             )
             pins.release_except(remaining_v, remaining_e, color)
-            cur_sum = color.agg(F.sum("color")).collect()[0][0]
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
@@ -206,8 +209,10 @@ def _strongly_connected_components_loop(
                 .select(F.col("src").alias("id"), "color")
                 .distinct()
             )
-            new_frontier = pins.materialize(preds.join(marked, "id", "left_anti"))
-            if new_frontier.isEmpty():
+            new_frontier, n_newf = pins.materialize_count(
+                preds.join(marked, "id", "left_anti")
+            )
+            if n_newf == 0:
                 break
             marked = pins.materialize(marked.union(new_frontier))
             frontier = new_frontier
@@ -223,7 +228,7 @@ def _strongly_connected_components_loop(
             )
         results.append(marked.select("id", F.col("color").alias("scc")))
         pins.forget(marked)  # part of the output — stays pinned
-        remaining_v = pins.materialize(
+        remaining_v, n_remaining = pins.materialize_count(
             remaining_v.join(marked.select("id"), "id", "left_anti")
         )
         remaining_e = pins.materialize(
@@ -233,7 +238,7 @@ def _strongly_connected_components_loop(
         )
         pins.release_except(remaining_v, remaining_e)
 
-    if not remaining_v.isEmpty():
+    if n_remaining != 0:
         # every round peels ≥1 SCC, so this only triggers on graphs with
         # more SCC "layers" than max_rounds — silently dropping vertices
         # would return an incomplete partition

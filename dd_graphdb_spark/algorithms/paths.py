@@ -112,13 +112,15 @@ def _sssp_loop(
         best = relaxed.groupBy("id").agg(
             F.min(F.struct("distance", "path")).alias("b")
         ).select("id", F.col("b.distance").alias("distance"), F.col("b.path").alias("path"))
-        improved = pins.materialize(
+        # one action materializes the round AND yields the emptiness
+        # check (materialize_count, r16 — was checkpoint job + isEmpty)
+        improved, n_improved = pins.materialize_count(
             best.alias("n")
             .join(dist.alias("o"), "id", "left")
             .filter(F.col("o.id").isNull() | (F.col("n.distance") < F.col("o.distance")))
             .select(F.col("id"), F.col("n.distance").alias("distance"), F.col("n.path").alias("path"))
         )
-        if improved.isEmpty():
+        if n_improved == 0:
             break
         # merge as ONE full-outer join (improved wins) rather than
         # anti-join + union: the latter places the same checkpointed
@@ -213,8 +215,10 @@ def _bfs_shortest_path_loop(
             .agg(F.min(F.struct("hops", "path")).alias("b"))
             .select("id", F.col("b.hops").alias("hops"), F.col("b.path").alias("path"))
         )
-        new = pins.materialize(nxt.join(visited.select("id"), "id", "left_anti"))
-        if new.isEmpty():
+        new, n_new = pins.materialize_count(
+            nxt.join(visited.select("id"), "id", "left_anti")
+        )
+        if n_new == 0:
             break
         visited = pins.materialize(visited.union(new))
         frontier = new
@@ -241,8 +245,8 @@ def _reachability_loop(g: PropertyGraph, source: int, max_iterations: int = 50) 
         nxt = (
             frontier.join(e, frontier.id == e.src).select(F.col("dst").alias("id")).distinct()
         )
-        new = pins.materialize(nxt.join(reach, "id", "left_anti"))
-        if new.isEmpty():
+        new, n_new = pins.materialize_count(nxt.join(reach, "id", "left_anti"))
+        if n_new == 0:
             break
         reach = pins.materialize(reach.union(new))
         frontier = new

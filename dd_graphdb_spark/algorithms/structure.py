@@ -59,12 +59,13 @@ def _k_core_body(g: PropertyGraph, k: int, max_iterations: int = 50) -> DataFram
             .agg(F.count("*").alias("deg"))
         )
         keep = pins.materialize(deg.filter(F.col("deg") >= k).select("id"))
-        pruned = pins.materialize(
+        # one action: round checkpoint + the surviving-edge count the
+        # fixpoint test needs (materialize_count, r16 — was ckpt + count)
+        pruned, n_pruned = pins.materialize_count(
             und.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
             .select("a", "b")
         )
-        n_pruned = pruned.count()
         und = pruned
         pins.release_except(und)
         if n_pruned == n_und:

@@ -44,8 +44,17 @@ def local_df(spark: SparkSession, rows: Iterable, schema: str | StructType) -> D
     data = [r if isinstance(r, (tuple, list)) else (r,) for r in rows]
     data = [tuple(r) for r in data]
     names = schema.fieldNames()
-    if data:
-        pdf = pd.DataFrame(data, columns=names, dtype=object)
-    else:
-        pdf = pd.DataFrame({n: pd.Series([], dtype=object) for n in names})
+    if not data:
+        # Arrow cannot convert an EMPTY object series to map/nested
+        # types, so the pandas route would silently fall back to a
+        # Python-RDD scan (defaultParallelism empty slices, one Python
+        # worker round-trip per slice per evaluation). Build the empty
+        # relation JVM-side instead: Range(0) + typed null casts folds
+        # to an empty LocalRelation — zero Python at evaluation time.
+        from pyspark.sql import functions as F
+
+        return spark.range(0).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+    pdf = pd.DataFrame(data, columns=names, dtype=object)
     return spark.createDataFrame(pdf, schema=schema)

@@ -374,11 +374,9 @@ def minhash_lsh_pairs(
     bt = bands[0]
     for x in bands[1:]:
         bt = bt.unionByName(x)
-    # the salted pair path references its input five times; an
-    # unmaterialized band table re-evaluates the 4-way union per
-    # reference (r15: 54-exchange plan) — one narrow (id, band, bucket)
-    # checkpoint keeps every reference a block read
-    bt = bt.localCheckpoint(eager=True)
+    # no band-table checkpoint needed (r16): salted_self_pairs is
+    # single-pass — the 4-way band union is evaluated exactly once into
+    # the helper's own keyed checkpoint
     cand = salted_self_pairs(
         bt, "id", ["band", "bucket"], band_salt_threshold, n_salts
     ).distinct()

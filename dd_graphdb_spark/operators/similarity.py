@@ -258,14 +258,16 @@ def cosine_near_dup_pairs(
     verification is O(d) per candidate, never all-pairs. Output: (a, b,
     sim).
 
-    Execution shape (optimization r15, same treatment as semantic_dedup):
-    all ``n_bands`` signatures + the norm are ONE corpus projection,
-    eagerly localCheckpoint'ed — the prior form re-ran the signature
-    folds in every branch referencing the band table (68 parquet scans /
-    54 exchanges in the plan). Vectors+norms ride through the salted
-    pair join (payload_cols), verification filters pipeline-locally, and
-    the candidate dedup moves AFTER the threshold filter onto the
-    (a, b, sim) survivors — sim is deterministic per pair, so
+    Execution shape (r15/r16, same treatment as semantic_dedup): all
+    ``n_bands`` signatures + the norm are ONE corpus projection that
+    flows lazily into the salted pair path, which evaluates it exactly
+    once into its own keyed checkpoint (r16 single-pass
+    salted_self_pairs; the r14 form re-ran the signature folds in every
+    branch referencing the band table — 68 parquet scans / 54 exchanges
+    in the plan). Vectors+norms ride through the salted pair join
+    (payload_cols), verification filters pipeline-locally, and the
+    candidate dedup moves AFTER the threshold filter onto the (a, b,
+    sim) survivors — sim is deterministic per pair, so
     distinct-then-verify and verify-then-distinct yield the same set,
     and the dedup exchange now carries only survivors.
     """
@@ -279,11 +281,12 @@ def cosine_near_dup_pairs(
         )
         for b in range(n_bands)
     ]
-    assigned = (
-        emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-        .select("id", "v", norm(F.col("v")).alias("n"), *sigs)
-        .localCheckpoint(eager=True)
-    )
+    # no caller-side checkpoint (r16): the signature projection feeds
+    # only the band table, and salted_self_pairs evaluates its input
+    # exactly once into its own keyed checkpoint
+    assigned = emb.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).select("id", "v", norm(F.col("v")).alias("n"), *sigs)
     bt = assigned.select(
         "id",
         "v",
@@ -351,18 +354,22 @@ def semantic_dedup(
     (engine-portable boundary decisions). Output: one row per vector —
     (id_col, cell, keep, dup_of; dup_of NULL for survivors).
 
-    Execution shape (optimization r15): the quantizer assignment +
-    probe list + norm are ONE corpus projection, eagerly
-    localCheckpoint'ed — the r14 form re-evaluated the 8-cosine
-    assignment fold in EVERY branch that referenced the corpus (22
-    parquet scans / 34 exchanges in the physical plan; at 100 TB that
-    is 22 corpus passes). Vectors and norms ride THROUGH the salted
-    pair join (payload_cols) so verification is pipeline-local —
-    no candidate⋈corpus re-attach joins — and multiprobe's duplicate
-    candidates are absorbed by the final min-aggregation instead of a
-    dedicated dropDuplicates exchange (min over a multiset ≡ min over
-    its set). Same output, bit-for-bit: same fold forms on the same
-    doubles, same (greatest, least, min) resolution.
+    Execution shape (r15/r16): the quantizer assignment + probe list +
+    norm are ONE corpus projection evaluated exactly once — it flows
+    lazily into the r16 single-pass salted_self_pairs, whose internal
+    keyed checkpoint is the single materialization; the final per-id
+    cell join reads the same blocks via ``annotated_out`` (the primary
+    cell rides the one exchange as a carry column). The r14 form
+    re-evaluated the 8-cosine assignment fold in EVERY branch that
+    referenced the corpus (22 parquet scans / 34 exchanges in the
+    physical plan; at 100 TB that is 22 corpus passes). Vectors and
+    norms ride THROUGH the salted pair join (payload_cols) so
+    verification is pipeline-local — no candidate⋈corpus re-attach
+    joins — and multiprobe's duplicate candidates are absorbed by the
+    final min-aggregation instead of a dedicated dropDuplicates
+    exchange (min over a multiset ≡ min over its set). Same output,
+    bit-for-bit: same fold forms on the same doubles, same (greatest,
+    least, min) resolution.
     """
     from dd_graphdb_spark.operators._skew import salted_self_pairs
 
@@ -373,6 +380,13 @@ def semantic_dedup(
     # FIRST probe IS the nearest centroid (same sims, same tie-break as
     # _nearest_centroid's first-max array_position), so `cell` reads
     # element 1 instead of evaluating the sims a second time.
+    # NaN caveat (ADVICE r15): the equivalence assumes no NaN sims —
+    # a zero-norm centroid or vector yields cosine 0/0 = NaN, which
+    # wins array_max (the old path) but sorts LAST under the
+    # negated-sim struct sort. Degenerate zero-norm inputs are outside
+    # this operator's domain (corpus embeddings are non-zero by
+    # construction; the trained quantizer averages non-empty cells) —
+    # on such inputs the two formulations may assign different cells.
     def probe_cells(vec: Column) -> Column:
         keyed = F.transform(
             _centroid_sims(vec, cents),
@@ -382,15 +396,39 @@ def semantic_dedup(
             F.transform(F.array_sort(keyed), lambda s: s["cid"]), 1, max(n_probe, 1)
         )
 
-    assigned = (
-        emb.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
-        .select("id", "v", norm(F.col("v")).alias("n"), probe_cells(F.col("v")).alias("probes"))
-        .withColumn("cell", F.element_at("probes", 1))
-        .localCheckpoint(eager=True)
+    # ONE corpus evaluation, ONE materialization (r16): the quantizer
+    # assignment + probe explosion flow lazily into salted_self_pairs,
+    # which materializes them into its own keyed checkpoint; the primary
+    # cell rides that one exchange as a carry column so the final
+    # per-id join below reads the same blocks — no caller-side
+    # checkpoint, no second corpus pass.
+    assigned = emb.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).select("id", "v", norm(F.col("v")).alias("n"), probe_cells(F.col("v")).alias("probes"))
+    # explode_outer, not explode: plain explode makes the optimizer
+    # infer a size(probes) > 0 filter and push the WHOLE quantizer fold
+    # (8 cosines + array_sort) into it — re-evaluating the assignment
+    # per row (the shingle_table disease, operators/dedup.py). probes is
+    # never empty (slice of an 8-element array, n_probe >= 1), so
+    # outer ≡ inner; ``probes`` is bound in the projection above so the
+    # fold runs once per row.
+    probed = assigned.select(
+        "id",
+        F.explode_outer("probes").alias("cell"),
+        "v",
+        "n",
+        F.element_at("probes", 1).alias("cell0"),
     )
-    probed = assigned.select("id", F.explode("probes").alias("cell"), "v", "n")
+    ann_holder: list = []
     cand = salted_self_pairs(
-        probed, "id", ["cell"], salt_threshold, n_salts, payload_cols=("v", "n")
+        probed,
+        "id",
+        ["cell"],
+        salt_threshold,
+        n_salts,
+        payload_cols=("v", "n"),
+        carry_cols=("cell0",),
+        annotated_out=ann_holder,
     )
     dup_of = (
         cand.filter(
@@ -407,7 +445,16 @@ def semantic_dedup(
         .groupBy("id")
         .agg(F.min("rep").alias("dup_of"))
     )
-    return assigned.select("id", "cell").join(dup_of, "id", "left").select(
+    # every id's primary-cell row (cell == cell0, exactly one per id:
+    # probes are distinct cids) read straight from the helper's
+    # checkpoint blocks — same (id, cell) frame the r15 caller
+    # checkpoint provided, without the extra eager job
+    cells = (
+        ann_holder[0]
+        .filter(F.col("cell") == F.col("cell0"))
+        .select(F.col("_m").alias("id"), "cell")
+    )
+    return cells.join(dup_of, "id", "left").select(
         F.col("id").alias(id_col),
         "cell",
         F.col("dup_of").isNull().alias("keep"),

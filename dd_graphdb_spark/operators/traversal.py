@@ -109,14 +109,9 @@ def common_neighbors(
             F.col("_rn") <= max_degree
         ).drop("_rn")
 
-    # materialize the distinct edge set ONCE: the salted pair path
-    # references its input five times (size probe + both sides of the
-    # cold and hot joins), and an unmaterialized input re-ran the scan +
-    # distinct exchange per reference (16 parquet scans / 26 exchanges
-    # in this operator's r15 before-plan). localCheckpoint, not persist
-    # — blocks free via GC once the result frame drops (the
-    # minhash/ngram rationale in operators.dedup).
-    e = e.localCheckpoint(eager=True)
+    # no caller-side checkpoint needed (r16): salted_self_pairs is
+    # single-pass — it evaluates its input exactly once into its own
+    # keyed checkpoint, so the scan + distinct exchange run once.
     pairs = salted_self_pairs(e, "src", ["dst"], salt_threshold, n_salts)
     return (
         pairs.groupBy("a", "b")

@@ -1199,7 +1199,12 @@ class GQLEngine:
         end. Mirrors the reference's routed shortest-path result shape
         (dist/path — incremental_engine.rs:1214-1285) with Cypher
         shortestPath (hop) semantics; unreachable ⇒ no row."""
-        from dd_graphdb_spark.algorithms._iter import copartitioned, materialize, run_loop
+        from dd_graphdb_spark.algorithms._iter import (
+            copartitioned,
+            materialize,
+            materialize_count,
+            run_loop,
+        )
 
         e, a, b, p = sp.edge, sp.src, sp.dst, sp.pvar
         base = (
@@ -1251,7 +1256,11 @@ class GQLEngine:
                 1,
             )
             # only frontiers are checkpointed; `best` stays a lazy union
-            # of already-stored frames (flat lineage, no extra jobs)
+            # of already-stored frames (flat lineage, no extra jobs).
+            # materialize_count (r16): ONE action per round stores the
+            # frontier AND yields the emptiness check — the prior shape
+            # paid an eager-checkpoint job plus a separate isEmpty job
+            # every round.
             if lo == 0:
                 zero = materialize(
                     seed.select(
@@ -1261,12 +1270,15 @@ class GQLEngine:
                         F.col(start).cast("string").alias(path),
                     )
                 )
-                frontier = materialize(hop1.join(zero, [start, end], "left_anti"))
+                frontier, n_frontier = materialize_count(
+                    hop1.join(zero, [start, end], "left_anti")
+                )
                 best = zero.unionByName(frontier)
             else:
-                frontier = best = materialize(hop1)
+                frontier, n_frontier = materialize_count(hop1)
+                best = frontier
             for h in range(2, e.max_hops + 1):
-                if frontier.isEmpty():
+                if n_frontier == 0:
                     break  # all reachable pairs settled — stop early
                 ext = _reduce(
                     frontier.join(fixed, F.col(end) == F.col("_b_src")).select(
@@ -1278,7 +1290,9 @@ class GQLEngine:
                     ),
                     h,
                 )
-                frontier = materialize(ext.join(best, [start, end], "left_anti"))
+                frontier, n_frontier = materialize_count(
+                    ext.join(best, [start, end], "left_anti")
+                )
                 best = best.unionByName(frontier)
             return best
 

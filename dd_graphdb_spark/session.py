@@ -42,6 +42,12 @@ def get_spark(
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # local_df (localrel.py) depends on Arrow createDataFrame(pandas)
+        # for LocalTableScan planning; keep the documented fallback ON so
+        # a schema Arrow cannot convert (exotic nested combos on older
+        # pyarrow) degrades to the Python-RDD path instead of raising
+        # (ADVICE r15)
+        .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # local mode: executor == driver, so a heartbeat "loss" can only

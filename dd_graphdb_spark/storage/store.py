@@ -263,6 +263,11 @@ class GraphStore:
         self._io.makedirs(path)
         self._meta_path = os.path.join(path, "meta.json")
         self._lock_path = os.path.join(path, "_writer.lock")
+        #: once the store has crossed cow_min_bytes it cannot shrink
+        #: except by vacuum, so the per-commit size probe (manifest load
+        #: + tree-size walk — pure metadata GETs on an object store) is
+        #: memoized after its first True; vacuum resets it (r16)
+        self._cow_active_memo = False
         if self._io.exists(self._meta_path):
             # a reopened store keeps its creation-time bucket count
             # (bucket membership is id % B — changing B would orphan
@@ -389,11 +394,18 @@ class GraphStore:
         """Incremental (touched-bucket) commits engage once the store's
         current version exceeds ``cow_min_bytes`` on disk; the size walk
         short-circuits at the threshold, so big stores pay a handful of
-        stat calls, not a full tree walk."""
+        stat calls, not a full tree walk. Memoized after the first True
+        (store size is monotone under commits; vacuum — the one
+        shrinking operation — resets the memo), so steady-state commits
+        skip the probe entirely (r16: one manifest reconstruction +
+        size walk per commit removed from the critical path)."""
+        if self._cow_active_memo:
+            return True
         man = self._load_manifest(self.version)
         if man is None:
             return False  # pre-manifest layout: nothing to inherit
         if self.cow_min_bytes <= 0:
+            self._cow_active_memo = True
             return True
         remaining = self.cow_min_bytes
         seen: set[str] = set()
@@ -407,6 +419,7 @@ class GraphStore:
                         os.path.join(self.path, lay["p"]), remaining
                     )
                     if remaining <= 0:
+                        self._cow_active_memo = True
                         return True
         return False
 
@@ -656,15 +669,37 @@ class GraphStore:
                     "incremental commit over a pre-manifest store — callers "
                     "must fall back to a full rewrite (see _cow_plan)"
                 )
-            manifest = {
-                table: self._commit_table(
-                    new_version, planned, prev, table, df, touched
-                )
-                for table, df, touched in (
-                    ("vertices", v_df, v_touched),
-                    ("edges", e_df, e_touched),
-                )
-            }
+            work = [
+                ("vertices", v_df, v_touched),
+                ("edges", e_df, e_touched),
+            ]
+            # Overlap the two tables' write jobs (guide §2.6: actions
+            # are only sequential because the driver calls them
+            # sequentially) — they write disjoint directories and build
+            # independent chain dicts, so a commit touching BOTH tables
+            # (add_edge batches, remove_vertex cascades) pays
+            # max(write, write) wall instead of the sum. Single-table
+            # commits keep the plain sequential path (no thread cost).
+            real = [t for t, _, touched in work if touched is None or touched]
+            if len(real) == 2:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    futs = {
+                        table: pool.submit(
+                            self._commit_table,
+                            new_version, planned, prev, table, df, touched,
+                        )
+                        for table, df, touched in work
+                    }
+                    manifest = {table: f.result() for table, f in futs.items()}
+            else:
+                manifest = {
+                    table: self._commit_table(
+                        new_version, planned, prev, table, df, touched
+                    )
+                    for table, df, touched in work
+                }
             self._save_manifest(new_version, manifest, prev=prev)
             self._set_version(new_version)
             return new_version
@@ -1759,6 +1794,9 @@ class GraphStore:
         self._io.acquire_lock(self._lock_path, timeout_s=self.lock_timeout_s)
         try:
             self._vacuum_locked(keep_last)
+            # vacuum is the one operation that can shrink the store
+            # below cow_min_bytes — re-probe on the next commit
+            self._cow_active_memo = False
         finally:
             self._io.release_lock(self._lock_path)
 

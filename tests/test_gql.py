@@ -1575,13 +1575,23 @@ def test_shortest_path_frontier_state_stays_pairs_sized(spark, monkeypatch):
     )
     sizes = []
     real = _iter.materialize
+    real_count = _iter.materialize_count
 
     def counting(df):
         out = real(df)
         sizes.append(out.count())
         return out
 
+    def counting_count(df):
+        out, n = real_count(df)
+        sizes.append(n)
+        return out, n
+
+    # the BFS materializes frontiers via materialize_count (r16 —
+    # checkpoint+emptiness in one action) and the zero-hop frame via
+    # materialize; instrument both so every state frame is counted
     monkeypatch.setattr(_iter, "materialize", counting)
+    monkeypatch.setattr(_iter, "materialize_count", counting_count)
     df = GQLEngine(PropertyGraph(v, e)).execute(
         "MATCH p = shortestPath((a {name: 's1'})-[*1..4]->(b)) "
         "RETURN b.name AS nm, p.hops AS hops ORDER BY hops, nm"

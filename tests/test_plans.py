@@ -205,13 +205,23 @@ def test_landmark_centrality_seed_pruning(spark):
     assert "In(id" in p or "id IN" in p.replace("#", " ").replace("L", "")
 
 
-def test_salted_pairs_probe_side_user_repartition(spark):
-    """Explosive-join parallelism guard (found at sf1): the salted pair
-    join's inputs are tiny while its output is d^2 per key, so AQE used
-    to coalesce the probe side to ~1 partition and generate the whole
-    explosion in one task (1.1B rows single-core at sf1). The probe
-    sides must carry an explicit user repartition — `REPARTITION_BY_NUM`
-    shuffles are exempt from AQE coalescing."""
+def test_salted_pairs_single_pass_shape(spark):
+    """Explosive-join parallelism guard + single-pass shape (r16).
+
+    (a) The hot probe side must carry an explicit user repartition —
+    `REPARTITION_BY_NUM` shuffles are exempt from AQE coalescing, which
+    otherwise coalesced the probe side to ~1 partition and generated a
+    hot key's whole d² explosion in one task (1.1B rows single-core at
+    sf1).
+    (b) The cold self-join must need NO shuffle: the helper's internal
+    keyed checkpoint (built with AQE off) preserves
+    hashpartitioning(key, n_parts) and the window sort order on both
+    sides, so with broadcast disabled the only shuffle exchanges in the
+    whole pair plan are the hot side's two (probe repartition + the
+    salt-replicated build side).
+    (c) Single-pass: the input appears only as checkpoint block scans
+    (`Scan ExistingRDD`) — no size-probe aggregate, no broadcast
+    anti-joins."""
     from pyspark.sql import functions as F
 
     from dd_graphdb_spark.operators._skew import salted_self_pairs
@@ -219,11 +229,56 @@ def test_salted_pairs_probe_side_user_repartition(spark):
     df = spark.range(100).select(
         F.col("id").alias("m"), (F.col("id") % 3).alias("k")
     )
-    pairs = salted_self_pairs(df, "m", ["k"], salt_threshold=10, n_salts=4)
-    p = pairs._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-    assert p.count("REPARTITION_BY_NUM") >= 2  # hot and cold probe sides
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = salted_self_pairs(df, "m", ["k"], salt_threshold=10, n_salts=4)
+        p = pairs._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    import re
+
+    assert p.count("REPARTITION_BY_NUM") == 1  # hot probe side
+    # hot probe repartition + hot build ENSURE_REQUIREMENTS; the cold
+    # join rides the checkpoint's preserved partitioning + ordering
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2, p
+    assert "BroadcastExchange" not in p  # anti-join probes are gone
+    # AQE toggle restored after the internal checkpoint build
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_local_df_plans_local_table_scan_for_nested_schemas(spark):
+    """local_df must keep planning a LocalTableScan (no Python-RDD
+    scan) for every schema shape the engine feeds it — including
+    map<string,string> (VERTEX_SCHEMA props) and nested
+    array<array<double>> (PQ LUTs), the two shapes ADVICE r15 flagged
+    as dependent on Arrow createDataFrame(pandas) support."""
+    from dd_graphdb_spark.localrel import local_df
+
+    # the engine's session factory (session.py) enables Arrow; the bare
+    # test fixture does not — pin it here, restore after
+    prev = spark.conf.get("spark.sql.execution.arrow.pyspark.enabled", "false")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    cases = [
+        ([(1, {"k": "v"}), (2, {})], "id long, props map<string,string>"),
+        ([(1, [[1.0, 2.0], [3.0]])], "id long, lut array<array<double>>"),
+        ([(1, [1.0, 2.0], "x")], "id long, v array<double>, s string"),
+        ([], "id long, props map<string,string>"),
+    ]
+    try:
+        for rows, ddl in cases:
+            df = local_df(spark, rows, ddl)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            # non-empty: Arrow LocalTableScan; empty: JVM Range(0)
+            # projection (Arrow cannot build empty object-series
+            # map/nested columns) — either way NO Python-RDD scan
+            assert "LocalTableScan" in plan or "Range (0, 0" in plan, (ddl, plan[:200])
+            assert "Scan ExistingRDD" not in plan, (ddl, plan[:200])
+            assert df.count() == len(rows)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", prev)
 
 
 def test_list_surface_stays_per_row(spark):

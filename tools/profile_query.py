@@ -31,13 +31,10 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_UI", "true")
     from pyspark.sql import SparkSession
 
-    from dd_graphdb_spark import get_spark
     from dd_graphdb_spark.suites import all_queries
 
     # same configs as bench, but with the UI (REST API) on
     import dd_graphdb_spark.session as S
-
-    orig = S.get_spark
 
     def get_spark_ui(*a, **kw):
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -60,6 +57,9 @@ def main() -> None:
         )
         return b.getOrCreate()
 
+    # route suite-internal sessions through the UI-enabled factory, and
+    # restored at the end of main (ADVICE r15: was saved but never restored)
+    orig = S.get_spark
     S.get_spark = get_spark_ui
     spark = get_spark_ui()
     qs, _ = all_queries(hygiene=False)
@@ -103,6 +103,7 @@ def main() -> None:
                 f"tasks={j['numTasks']:>5} {desc}"
             )
     spark.stop()
+    S.get_spark = orig
 
 
 if __name__ == "__main__":
