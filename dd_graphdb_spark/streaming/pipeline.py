@@ -42,6 +42,14 @@ _SHUFFLE_TUNE_LOCK = threading.Lock()
 _STAGE_CACHE: dict[tuple, str] = {}
 _STAGE_LOCK = threading.Lock()
 
+#: source bytes of the most recent events_stream build, per session
+#: (id(spark) key): run_to_memory sizes the stream's STATE partitioning
+#: from it — see the state-width note there. Single-writer per session
+#: (the harness builds a stream then immediately runs it); a
+#: multi-threaded server should pass run_to_memory(state_partitions=...)
+#: explicitly instead of relying on this channel.
+_SOURCE_BYTES: dict[int, int] = {}
+
 
 def _purge_staged_dirs() -> None:
     for d in _STAGE_CACHE.values():
@@ -87,6 +95,14 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         if src_dir is None or not os.path.isdir(src_dir):
             src_dir = _stage_events_dir(spark, src, raw_schema)
             _STAGE_CACHE[key] = src_dir
+    # record the source size (already stat'd for the identity key) so
+    # run_to_memory can size state partitioning from the data; the key
+    # is (path, mtime, size) for a single file, (path, (name, mtime,
+    # size), ...) for a directory
+    if len(key) == 3 and isinstance(key[2], int):
+        _SOURCE_BYTES[id(spark)] = key[2]
+    else:
+        _SOURCE_BYTES[id(spark)] = sum(p[-1] for p in key[1:] if isinstance(p, tuple))
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)  # source-side rate limit
@@ -183,10 +199,14 @@ def run_to_memory(
     name: str | None = None,
     output_mode: str = "complete",
     timeout_s: float = 120.0,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming frame to completion (availableNow) into an
     in-memory table and return it as a batch DataFrame. Test/verification
-    harness — production sinks are parquet/kafka/foreachBatch."""
+    harness — production sinks are parquet/kafka/foreachBatch.
+
+    ``state_partitions``: explicit state-store partition count for this
+    run (overrides the size-derived width below); None = derive."""
     name = name or f"mem_{uuid.uuid4().hex[:8]}"
     spark = df.sparkSession
     # Stateful operators create one state store per shuffle partition at
@@ -203,11 +223,38 @@ def run_to_memory(
         # classify the session as tuned, and skip the right-sizing
         prev = spark.conf.get("spark.sql.shuffle.partitions")
         untuned = prev == "200"
-        if untuned:
-            spark.conf.set(
-                "spark.sql.shuffle.partitions",
-                str(spark.sparkContext.defaultParallelism),
-            )
+        width = (
+            spark.sparkContext.defaultParallelism if untuned else int(prev)
+        )
+        # STATE-WIDTH sizing (r16, guide §2.2 applied to state stores):
+        # a stateful query creates one state store per shuffle partition
+        # per stateful operator per micro-batch — a stream-stream join
+        # opens 4 RocksDB instances per partition, and batch commit cost
+        # is per-STORE fixed work regardless of rows (measured: the
+        # watermark-eviction batch of stream_live_left_outer_join runs
+        # 3.4 s with ZERO input rows at 32 partitions; the whole gate is
+        # 7.0–7.3 s at 32 vs 2.3 s at 8 vs 2.0 s at 4, identical
+        # results). Size the width from the MEASURED source bytes
+        # (events_stream records them): one state partition per
+        # SPARK_GRAFT_STREAM_STATE_BYTES of source (default 256 KB of
+        # compressed source ≈ a few MB of state), never RAISED above
+        # the session width — at sf1+ the derived width already hits
+        # the cap, and on a production session the cap is the operator's
+        # own shuffle setting, so this only trims the tiny-state end.
+        # 0 disables; ``state_partitions`` pins explicitly.
+        if state_partitions is not None:
+            width = max(1, int(state_partitions))
+        else:
+            src_bytes = _SOURCE_BYTES.get(id(spark))
+            if src_bytes:
+                from dd_graphdb_spark.algorithms._iter import _env_int
+
+                per_part = _env_int("SPARK_GRAFT_STREAM_STATE_BYTES", 256 << 10)
+                if per_part > 0:
+                    width = min(width, max(1, src_bytes // per_part + 1))
+        retune = str(width) != prev
+        if retune:
+            spark.conf.set("spark.sql.shuffle.partitions", str(width))
         # State store: default to RocksDB. The default
         # HDFSBackedStateStoreProvider keeps every store's full state
         # on-heap — at 100 TB the state of a stream-stream join outgrows
@@ -253,7 +300,7 @@ def run_to_memory(
             if q.isActive:
                 q.stop()
         finally:
-            if untuned:
+            if retune:
                 spark.conf.set("spark.sql.shuffle.partitions", prev)
             if default_prov:
                 spark.conf.set(_PROV, prev_prov)
