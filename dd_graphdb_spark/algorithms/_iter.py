@@ -190,6 +190,15 @@ def materialize_count(df: DataFrame) -> tuple[DataFrame, int]:
     return out, out.count()
 
 
+def materialize_agg(df: DataFrame, *aggs) -> tuple[DataFrame, tuple]:
+    """Untracked sibling of RoundPins.materialize_agg: one action
+    materializes the frame and evaluates the given aggregates over it."""
+    from pyspark.storagelevel import StorageLevel
+
+    out = df.localCheckpoint(eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    return out, tuple(out.agg(*aggs).collect()[0])
+
+
 def copartitioned(df: DataFrame, *keys: str, dedup_cols: list | None = None) -> DataFrame:
     """Checkpoint a loop-static frame hash-partitioned AND sorted on
     ``keys`` so every per-round equi-join on those keys reads the stored

@@ -27,7 +27,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dd_graphdb_spark.graph import PropertyGraph
-from dd_graphdb_spark.algorithms._iter import RoundPins, copartitioned, run_loop
+from dd_graphdb_spark.algorithms._iter import (
+    RoundPins,
+    copartitioned,
+    materialize_agg,
+    materialize_count,
+    run_loop,
+)
 
 
 def _pagerank_loop(
@@ -50,8 +56,8 @@ def _pagerank_loop(
     depth starts costing past ~10 chained join-aggs). With a tolerance
     the per-iteration delta job forces materialization anyway, so the
     loop checkpoints every iteration there."""
-    verts = g.vertices.select("id").localCheckpoint(eager=True)
-    n = verts.count()
+    # one action: checkpoint the vertex set AND count it (r16)
+    verts, n = materialize_count(g.vertices.select("id"))
     if n == 0:
         return verts.withColumn("rank", F.lit(0.0))
     if weight_property is not None and weight_property not in g.edges.columns:
@@ -175,8 +181,17 @@ def _ppr_loop(
     # both, like the weight_property guard
     if len(set(sources)) != len(sources):
         raise ValueError(f"duplicate source ids in {sources}")
-    verts = g.vertices.select("id").localCheckpoint(eager=True)
-    n_found = verts.filter(F.col("id").isin([int(s) for s in sources])).count()
+    # one action: checkpoint the vertex set AND count the matching
+    # sources over it (r16 — was checkpoint + filtered count)
+    verts, (n_found,) = materialize_agg(
+        g.vertices.select("id"),
+        F.sum(
+            F.when(
+                F.col("id").isin([int(s) for s in sources]), F.lit(1)
+            ).otherwise(F.lit(0))
+        ),
+    )
+    n_found = int(n_found or 0)
     if n_found != len(sources):
         raise ValueError(
             f"{len(sources) - n_found} of {len(sources)} source ids are not "
